@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for the engine's scale posture.
+
+The reference executes single-threaded pandas in a Bokeh callback
+(ingestor_precinct.py:70-144) — no parallelism, no spill, no optimizer.
+Here every knob is chosen for a 1000-executor / 100 TB deployment and
+scaled down for local[32] testing:
+
+* AQE on (runtime partition coalescing + skew-join splitting) so the
+  county/group-by shuffles survive skewed keys without manual salting.
+* shuffle.partitions sized to cores locally; on a real cluster this is
+  superseded by AQE's coalescing from a high initial number.
+* Arrow enabled for the few Pandas-UDF extension operators.
+* Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set at runtime on an externally-created session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Confs that must be set at session-build time.
+BUILD_CONFS: dict[str, str] = {
+    # local[32]: one shuffle partition per core; a real cluster would use
+    # a large initial count and let AQE coalesce.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # 128 MiB split targets — the parquet-scan sweet spot at scale.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # dims (region/nation/supplier/part at test SFs) always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "results-ingestor-spark",
+              master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's conf."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]")
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune_session(spark)
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we did not create.
+
+    The driver hands ``queries()`` callables an externally-built session;
+    this pins the confs correctness depends on (timezone, AQE).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not runtime-settable on this build — skip
+            pass
+    return spark

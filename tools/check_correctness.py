@@ -1,0 +1,117 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` twin on the
+same parquet tables and compares row count, column-name set, and values
+(order-insensitive, exact).  Stricter than any reasonable hash check:
+values are compared cell-for-cell after sorting rows.
+
+Usage:  python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(repr(v))  # exact double identity
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from results_ingestor_spark.session import get_spark
+    from results_ingestor_spark.sources.tables import TABLE_NAMES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("correctness-check")
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only check, {len(s_rows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            continue
+        sset, dset = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
+        if sset != dset:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(sset, dset) if a != b)
+            print(f"FAIL {name}: {ndiff}/{len(sset)} rows differ")
+            for a, b in zip(sset, dset):
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}")
+                    break
+        else:
+            print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
