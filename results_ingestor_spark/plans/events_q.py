@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream queries over the ``events`` table (batch forms).
+
+The streaming variants (watermarks, append-mode windows, stateful
+sessionization) live in results_ingestor_spark/streaming/ and are tested
+batch-vs-stream equivalent; the entries here are the batch plans the
+DuckDB oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_VDEC = "CAST(value AS DECIMAL(12,2))"
+
+
+@query("events_json_extract", oracle=f"""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  COUNT(*) AS n
+FROM events GROUP BY event_type""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (events.props is a JSON string) — one pass,
+    extraction inlined into the aggregate's project."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
+                 .alias("sum_k"),
+                 F.count("*").alias("n")))
+
+
+@query("events_tumbling_hour", oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+  COUNT(*) AS n, CAST(SUM({_VDEC}) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""")
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation — batch twin of the streaming
+    windowed count (streaming/events.py adds the watermark)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr(_VDEC)).cast("double").alias("total_value")))
+
+
+@query("events_sliding_6h_daily", oracle=f"""
+WITH buckets AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL (h) HOUR AS window_start,
+         e.value
+  FROM events e, (SELECT unnest([0, 6, 12, 18]) AS h)
+  WHERE ts >= CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL (h) HOUR
+    AND ts <  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL (h + 6) HOUR
+)
+SELECT window_start, COUNT(*) AS n, CAST(SUM({_VDEC}) AS DOUBLE) AS total_value
+FROM buckets GROUP BY window_start""")
+def events_sliding_6h_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows via F.window — demonstrates Spark's native
+    window bucketing (struct start/end) flattened to the start column."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy(F.window("ts", "6 hours").alias("w"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr(_VDEC)).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "total_value"))
+
+
+@query("events_sessionize", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  COUNT(*) AS n_events,
+  CAST(min(ts) AS TIMESTAMP) AS session_start,
+  CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM sessions GROUP BY user_id, session_id""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum of
+    session-break flags, then per-session aggregation.  Two window passes
+    over one shuffle partitioning (user_id) — Catalyst reuses the
+    exchange; the streaming twin uses session_window."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    # microsecond-exact gap compare (a seconds cast would truncate and
+    # disagree with the oracle's INTERVAL comparison on sub-second gaps)
+    new_session = (prev_ts.isNull()
+                   | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+                      > 1_800_000_000))
+    return (t["events"]
+            .withColumn("new_session", new_session.cast("int"))
+            .withColumn("session_id", F.sum("new_session").over(wcum))
+            .groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+@query("events_type_share", oracle="""
+SELECT event_type, n,
+  CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)""")
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + global-window share-of-total (tiny post-agg input, so
+    the unpartitioned window is safe)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    counts = t["events"].groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "event_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"))

@@ -1,1 +1,456 @@
-"""Placeholder — populated in a later milestone."""
+"""Generic relational operator surface (SURVEY §2.4 / M2).
+
+Every Spark built-in family the engine exposes, each as a queries()
+entry with a DuckDB oracle twin.  Cross-engine determinism rules used
+throughout (and mirrored in each oracle):
+
+* Money/quantity doubles in the corpus are exact 2-decimal values →
+  cast to DECIMAL before aggregating (exact, order-independent sums),
+  cast the result back to DOUBLE.  Never sum raw doubles (partial-sum
+  order would make the value nondeterministic).
+* avg = CAST(exact decimal sum AS DOUBLE) / count — one double
+  division, identical bits in both engines.
+* Every top-k / window ordering carries a unique tie-break key.
+* Timestamps are grouped/emitted via date_trunc or DATE casts (session
+  timezone pinned UTC to match DuckDB's naive timestamps).
+
+Scale notes are on each query: what shuffles, what broadcasts, what
+prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+# Exact-decimal casts (values < 1e6, 2dp → DECIMAL(12,2) is lossless).
+_DEC = "CAST({c} AS DECIMAL(12,2))"
+
+
+def _sumd(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------- scans/aggs
+
+@query("q1_pricing_summary", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {_sumd(_DEC.format(c='l_quantity'))} AS sum_qty,
+  {_sumd(_DEC.format(c='l_extendedprice'))} AS sum_base_price,
+  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ')')} AS sum_disc_price,
+  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ') * (1 + ' + _DEC.format(c='l_tax') + ')')} AS sum_charge,
+  CAST(SUM({_DEC.format(c='l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({_DEC.format(c='l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM({_DEC.format(c='l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushed to the parquet scan, partial+final
+    hash agg on two low-cardinality keys — the canonical map-side-combine
+    plan; shuffle carries 4 groups × 8 aggregates, not rows."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+                  * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        ))
+
+
+@query("q3_shipping_priority", oracle=f"""
+SELECT l_orderkey,
+  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ')')} AS revenue,
+  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (customer) broadcast into the
+    fact join, group, then global top-k (revenue DESC, unique tie-break).
+    TakeOrderedAndProject keeps the top-k out of a full sort at scale."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate").cast("date") > F.lit("1996-03-15").cast("date"))
+        .join(t["orders"].where(
+            F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey",
+                 F.col("o_orderdate").cast("date").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority"))
+
+
+@query("q5_local_supplier_volume", oracle=f"""
+SELECT n_name,
+  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ')')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n_name""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with two broadcast dims (supplier,
+    nation⋈region) and one shuffled fact-fact join (lineitem⋈orders).
+    The c_nationkey = s_nationkey cross-dimension predicate is applied
+    post-join; Catalyst reorders the join tree by size."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "supplier", "customer",
+                     "nation", "region"))
+    dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
+    nr = (t["nation"].join(F.broadcast(t["region"]),
+                           F.col("n_regionkey") == F.col("r_regionkey"))
+          .where(F.col("r_name") == "ASIA"))
+    return (
+        t["lineitem"]
+        .join(t["orders"].where(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"],
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------- joins
+
+@query("join_broadcast_dims", oracle="""
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey""")
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join — no shuffle; the pattern every dim join at
+    100 TB should take."""
+    t = load_tables(spark, sf_dir, ("nation", "region"))
+    return (t["nation"]
+            .join(F.broadcast(t["region"]),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name", "r_name"))
+
+
+@query("join_left_outer", oracle="""
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey""")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (COUNT(col) skips
+    the NULLs the outer side introduces)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderstatus = 'F')""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): probe side streams, no row duplication —
+    the scalable form of 'IN (subquery)'."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (t["customer"]
+            .join(t["orders"].where(F.col("o_orderstatus") == "F"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 300000)""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — null-safe by construction, unlike
+    NOT IN over a nullable column."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (t["customer"]
+            .join(t["orders"].where(F.col("o_totalprice") > 300000),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query("join_theta_range", oracle="""
+SELECT c_custkey, o_orderkey
+FROM orders JOIN customer
+  ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 10
+WHERE o_orderstatus = 'O'""")
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an additional theta (range) predicate — the
+    inequality evaluates post-match, keeping the hash join; a pure theta
+    join would degrade to BNLJ, which this plan avoids."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (t["orders"].where(F.col("o_orderstatus") == "O")
+            .join(t["customer"],
+                  (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("o_totalprice") > F.col("c_acctbal") * 10))
+            .select("c_custkey", "o_orderkey"))
+
+
+# ---------------------------------------------------------------- sort/set/distinct
+
+@query("topk_expensive_orders", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (t["orders"]
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(25)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@query("distinct_segments", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    return t["customer"].select("c_mktsegment").distinct()
+
+
+@query("setop_intersect", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    return (o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+            .intersect(o.where(F.col("o_orderstatus") == "O").select("o_custkey")))
+
+
+@query("setop_except", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    # subtract = set EXCEPT (exceptAll would keep keys whose left
+    # multiplicity exceeds the right — different semantics)
+    return (o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+            .subtract(o.where(F.col("o_orderstatus") == "F").select("o_custkey")))
+
+
+@query("union_by_name", oracle="""
+SELECT k, src FROM (
+  SELECT c_custkey AS k, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_suppkey AS k, 'supplier' AS src FROM supplier)""")
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName — the engine's vertical-concat (#5), zero-shuffle."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    a = t["customer"].select(F.col("c_custkey").alias("k"),
+                             F.lit("customer").alias("src"))
+    b = t["supplier"].select(F.lit("supplier").alias("src"),
+                             F.col("s_suppkey").alias("k"))
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------- grouping sets
+
+@query("rollup_returnflag_status", oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — Catalyst expands to one Expand + hash-agg
+    (single shuffle for all grouping levels)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (t["lineitem"].rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr(_DEC.format(c="l_quantity")))
+                  .cast("double").alias("sum_qty")))
+
+
+@query("cube_status_priority", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (t["orders"].cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n")))
+
+
+@query("grouping_sets_mixed", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+
+
+# ---------------------------------------------------------------- distinct aggs
+
+@query("count_distinct_nations", oracle="""
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+  COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment""")
+def count_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation — Catalyst plans the two-phase
+    Expand/partial-distinct strategy automatically."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    return (t["customer"].groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.count("*").alias("n_customers")))
+
+
+# ---------------------------------------------------------------- scalar funcs
+
+@query("string_functions", oracle="""
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  length(p_name) AS name_len,
+  substr(p_type, 1, 6) AS type_prefix,
+  concat_ws('/', p_brand, p_type) AS brand_type,
+  replace(p_name, ' ', '_') AS name_snake,
+  levenshtein(p_brand, 'BRAND_1') AS brand_dist,
+  regexp_extract(p_type, '^([A-Za-z]+)', 1) AS type_head,
+  trim(p_name) AS name_trim,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part""")
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface (#upper/#rsplit parity family) — all
+    whole-stage-codegen built-ins."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.levenshtein("p_brand", F.lit("BRAND_1")).alias("brand_dist"),
+        F.regexp_extract("p_type", r"^([A-Za-z]+)", 1).alias("type_head"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query("date_functions", oracle="""
+SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) AS d,
+  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom,
+  CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+  dayofweek(CAST(o_orderdate AS DATE)) AS dow
+FROM orders""")
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = F.col("o_orderdate").cast("date")
+    return t["orders"].select(
+        "o_orderkey",
+        d.alias("d"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(d, 30).alias("d_plus30"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        (F.dayofweek(d) - 1).alias("dow"),  # Spark Sun=1 → DuckDB Sun=0
+    )
+
+
+@query("math_functions", oracle="""
+SELECT o_orderkey,
+  abs(o_totalprice - 100000) AS abs_diff,
+  round(o_totalprice, 1) AS rounded,
+  floor(o_totalprice) AS floored,
+  ceil(o_totalprice) AS ceiled,
+  round(sqrt(o_totalprice), 8) AS sq,
+  CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+  sign(o_totalprice - 100000) AS sgn,
+  greatest(o_totalprice, 100000.0) AS gt, least(o_totalprice, 100000.0) AS lt
+FROM orders""")
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    p = F.col("o_totalprice")
+    return t["orders"].select(
+        "o_orderkey",
+        F.abs(p - 100000).alias("abs_diff"),
+        F.round(p, 1).alias("rounded"),
+        F.floor(p).alias("floored"),
+        F.ceil(p).alias("ceiled"),
+        F.round(F.sqrt(p), 8).alias("sq"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.signum(p - 100000).alias("sgn"),
+        F.greatest(p, F.lit(100000.0)).alias("gt"),
+        F.least(p, F.lit(100000.0)).alias("lt"),
+    )
+
+
+@query("case_when_bucketing", oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+  COUNT(*) AS n
+FROM orders GROUP BY 1""")
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    bucket = (F.when(F.col("o_totalprice") < 50000, "small")
+              .when(F.col("o_totalprice") < 150000, "medium")
+              .otherwise("large"))
+    return (t["orders"].groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n")))
+
+
+@query("pivot_status_by_priority", oracle="""
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority""")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values (no extra pass to discover them) —
+    compiles to conditional aggregation, single shuffle."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    out = (t["orders"].groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("P", F.lit(0)).alias("status_P"))

@@ -1,1 +1,144 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function surface (SURVEY §2.4: ranking / analytic / frames).
+
+Determinism: every ORDER BY inside a window carries a unique tie-break
+key (orderkey / custkey), so rank, lag, and frame contents are identical
+across engines and runs.  Frame sums go through exact decimals.
+
+Scale: a window = one shuffle on partitionBy + per-partition sort.  All
+windows here partition by a key (never a global ORDER BY over the whole
+table, which would funnel to one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_DEC = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+
+@query("window_rank_orders", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  row_number() OVER w AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""")
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"))
+
+
+@query("window_lag_lead", oracle="""
+SELECT o_orderkey, o_custkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(CAST(o_orderdate AS DATE)) OVER w AS next_date,
+  lag(o_totalprice, 2, 0.0) OVER w AS prev2_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), F.asc("o_orderkey")))
+    return t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("next_date"),
+        F.lag("o_totalprice", 2, 0.0).over(w).alias("prev2_price"))
+
+
+@query("window_running_sum", oracle=f"""
+SELECT o_orderkey, o_custkey,
+  CAST(SUM({_DEC}) OVER (PARTITION BY o_custkey
+       ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (running total) — exact decimal accumulation."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), F.asc("o_orderkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.sum(F.expr(_DEC)).over(w).cast("double").alias("running_total"))
+
+
+@query("window_moving_avg", oracle=f"""
+SELECT o_orderkey, o_custkey,
+  CAST(SUM({_DEC}) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame (3-row moving average) — avg decomposed into exact
+    decimal sum / count so both engines produce identical doubles."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), F.asc("o_orderkey"))
+         .rowsBetween(-2, Window.currentRow))
+    return t["orders"].select(
+        "o_orderkey", "o_custkey",
+        (F.sum(F.expr(_DEC)).over(w).cast("double")
+         / F.count("*").over(w)).alias("moving_avg"))
+
+
+@query("window_ntile_quartiles", oracle="""
+SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer""")
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile — the one deliberately single-partition window here
+    (quartiles are a global statement); at scale use approx quantiles."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t["customer"].select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@query("topk_per_group", oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) WHERE rn <= 3""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the row_number ≤ k pattern — one shuffle, and
+    Spark pushes a per-partition 'window group limit' so only k rows per
+    key survive the sort buffer (rank-limit pushdown)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    return (t["customer"]
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("c_nationkey", "c_custkey", "c_acctbal"))
+
+
+@query("window_first_last", oracle="""
+SELECT o_orderkey, o_custkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER w AS last_price_so_far,
+  CAST(first_value(CAST(o_orderdate AS DATE)) OVER w AS DATE) AS first_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), F.asc("o_orderkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price_so_far"),
+        F.first(F.col("o_orderdate").cast("date")).over(w).alias("first_date"))

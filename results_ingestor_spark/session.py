@@ -27,6 +27,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read as raw long ns and convert (tables.py normalizes to micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Confs that must be set at session-build time.

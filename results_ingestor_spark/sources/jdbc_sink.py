@@ -1,0 +1,57 @@
+"""Typed sinks — parity with ingestor_precinct.py:186-218.
+
+The reference appends row-wise through SQLAlchemy ``to_sql`` (its
+scalability ceiling — one INSERT per row).  The Spark JDBC sink writes
+per-partition batched INSERTs from every executor in parallel; types
+are enforced by casting to the canonical StructType *before* the write
+(align_schema), replacing the reference's 27-entry dtype map.
+
+Also provided: the reference's commented-out TSV append sink
+(ingestor_precinct.py:186-191) and the engine-native partitioned
+Parquet sink (the format the 100 TB deployment actually uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str,
+                      user: str | None = None, password: str | None = None,
+                      batchsize: int = 10_000,
+                      num_partitions: int | None = None) -> None:
+    """Append to an RDBMS table (contest_precinct / contest_county).
+
+    ``batchsize`` controls rows per INSERT batch — the deliberate
+    contrast to the reference's row-wise to_sql.  ``num_partitions``
+    caps concurrent connections (coalesce, no shuffle).
+    """
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    w = (df.write.format("jdbc")
+         .option("url", url)
+         .option("dbtable", table)
+         .option("batchsize", str(batchsize))
+         .mode("append"))
+    if user is not None:
+        w = w.option("user", user)
+    if password is not None:
+        w = w.option("password", password)
+    w.save()
+
+
+def write_tsv_append(df: DataFrame, path: str, header: bool = False) -> None:
+    """The reference's alternative file sink (ingestor_precinct.py:186-191)."""
+    (df.write.option("sep", "\t").option("header", str(header).lower())
+     .mode("append").csv(path))
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: tuple[str, ...] = ()) -> None:
+    """Engine-native sink: partitioned Parquet.  For election data,
+    partitioning by election_date gives partition pruning on the
+    dominant filter axis."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -27,8 +27,28 @@ def load_tables(spark: SparkSession, sf_dir: str,
     the driver hands us an externally-created one.
     """
     tune_session(spark)
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-            for n in names}
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        if n == "events":
+            df = _normalize_events(df)
+        out[n] = df
+    return out
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet.  Spark reads it as long
+    nanoseconds (legacy.parquet.nanosAsLong); convert to a microsecond
+    timestamp — the same truncation DuckDB applies when it coerces
+    TIMESTAMP_NS to its native TIMESTAMP."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
+    if ts_field is not None and isinstance(ts_field.dataType, T.LongType):
+        # integer division — double division would lose precision on
+        # 19-digit nanosecond values and drift by ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
