@@ -1,0 +1,86 @@
+"""Multimodal column plumbing (north-star M3).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with typed metadata; decode / feature-extract / frame-sample run as
+Arrow-batched ``mapInPandas`` stages.  The decode kernels themselves are
+STUBBED (no image/audio libraries in this container — see
+``fake_decode_features``, clearly deterministic), but everything Spark
+cares about is real and tested: the binary schema, the batch iterator
+signature, the output schema contract, and the partition-parallel
+execution shape.
+
+At 100 TB: mapInPandas streams Arrow batches through Python with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` controlling batch
+memory; binary payloads never pass through the driver, and the
+per-partition iterator lets a real decoder hold codec state across a
+whole batch instead of per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = ("doc_id long, n_bytes long, content_md5 string, "
+                  "fake_feature double")
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+FRAME_STRIDE = 100  # one sampled "frame" per 100 payload bytes
+
+
+def with_binary_payload(df: DataFrame, source_col: str = "text",
+                        payload_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 bytes of the source —
+    stand-in for image/audio bytes read from object storage)."""
+    return df.withColumn(payload_col, F.encode(F.col(source_col), "UTF-8"))
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 'decode' each payload and emit features.
+
+    A real deployment would decode image bytes here (PIL/libvips/ffmpeg);
+    those libs are absent, so the feature is a deterministic function of
+    the bytes (md5 + length) — which also makes the stage oracle-checkable.
+    """
+    for pdf in batches:
+        payload = pdf["payload"]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payload.map(len).astype("int64"),
+            "content_md5": payload.map(lambda b: hashlib.md5(b).hexdigest()),
+            "fake_feature": payload.map(lambda b: (len(b) % 251) / 251.0),
+        })
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with fan-out: sample one 'frame' per
+    FRAME_STRIDE bytes (the shape of video frame extraction — N output
+    rows per input row, batch-local)."""
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(len(payload) // FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                chunk = payload[i * FRAME_STRIDE:(i + 1) * FRAME_STRIDE]
+                hashes.append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "frame_idx": pd.Series(idxs, dtype="int32"),
+                            "frame_md5": pd.Series(hashes, dtype="object")})
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """documents → per-doc features through the binary + Arrow path."""
+    return (with_binary_payload(df)
+            .select("doc_id", "payload")
+            .mapInPandas(fake_decode_features, FEATURE_SCHEMA))
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """documents → sampled frame rows through the binary + Arrow path."""
+    return (with_binary_payload(df)
+            .select("doc_id", "payload")
+            .mapInPandas(fake_frame_sample, FRAME_SCHEMA))

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (north-star M3).
+
+Two tiers:
+* ``brute_force_topk`` — exact cosine top-k.  The dot product is a
+  JVM-side ``zip_with``/``aggregate`` fold (no UDF); per query vector the
+  cost is one pass over the candidate set.  Correct, oracle-checkable,
+  and the right baseline at any scale where queries × candidates fits a
+  shuffle-free broadcast join.
+* ``lsh_bucketed_topk`` — the scale path: 16 random-hyperplane sign bits
+  bucket the space; candidates share the query's bucket up to
+  ``max_hamming`` bit flips.  Hyperplane components are md5-derived
+  (deterministic, no stored model).  Recall is tested against brute
+  force in tests/test_similarity.py; the driver records a rows-only
+  check (approximate ops have no exact SQL twin).
+
+At 100 TB: both paths broadcast the (small) query set; the LSH path
+additionally prunes candidates by bucket before any dot product, cutting
+the scan's compute by ~2^bits/Σ C(bits, ≤h).  For a billion-vector
+corpus the bucket table would be written bucketed-by-key so probes are
+partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.functions.vector import cosine_similarity
+
+N_PLANES = 16
+_PLANE_MOD = 2001  # component ∈ [-1, 1] in steps of 1e-3
+
+
+def _plane_component(j: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component derived from
+    md5(j|d) — reproducible in SQL for parity tests."""
+    import hashlib
+    h = int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:15], 16)
+    return ((h % _PLANE_MOD) - (_PLANE_MOD - 1) // 2) / 1000.0
+
+
+def hyperplanes(dim: int) -> list[list[float]]:
+    return [[_plane_component(j, d) for d in range(dim)] for j in range(N_PLANES)]
+
+
+def bucket_expr(vec_col: str, dim: int) -> F.Column:
+    """Sign-bit bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    planes = hyperplanes(dim)
+    bits = None
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr,
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     ) -> DataFrame:
+    """Exact top-k: broadcast the query set against every candidate,
+    cosine in-JVM, per-query window top-k (rank-limit pushed into the
+    sort buffer).  Rounded to 9 decimals for a stable, engine-portable
+    ordering."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = vectors.select(F.col(id_col).alias("cand_id"),
+                       F.col(vec_col).alias("cvec"))
+    sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id",
+                    F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "cand_id", "cosine", "rn"))
+
+
+def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+                      k: int = 10, max_hamming: int = 6,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      ) -> DataFrame:
+    """Approximate top-k: prefilter candidates to buckets within
+    ``max_hamming`` sign-bit flips of the query's bucket, then exact
+    cosine + window top-k on the survivors."""
+    bq = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"),
+                        bucket_expr(vec_col, dim).alias("qbucket"))
+    bc = vectors.select(F.col(id_col).alias("cand_id"),
+                        F.col(vec_col).alias("cvec"),
+                        bucket_expr(vec_col, dim).alias("cbucket"))
+    cand = (bc.join(F.broadcast(bq),
+                    (F.col("query_id") != F.col("cand_id"))
+                    & (F.bit_count(F.col("qbucket").bitwiseXOR(F.col("cbucket")))
+                       <= max_hamming)))
+    sims = cand.select(
+        "query_id", "cand_id",
+        F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "cand_id", "cosine", "rn"))

@@ -1,1 +1,208 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over ``documents``/``embeddings`` (north-star M3).
+
+The md5-derived hashing (functions/hashing.py) makes MinHash signatures,
+LSH band keys, and SimHash values bit-identical between Spark and the
+DuckDB oracle, so even the sketch-based dedup paths are value-checked —
+not just row-counted.  The scale path (xxhash64 via ``fast=True``) is
+exercised in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.dedup import (
+    N_BANDS, N_MINHASH, jaccard, lsh_candidate_pairs, simhash32, with_minhash)
+from results_ingestor_spark.operators.text import shingles_expr
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_TOKS = "string_split(text, ' ')"
+# DuckDB twin of operators/text.py::shingles_expr (n=3); corpus docs all
+# have ≥3 tokens, so the short-doc guard branch never fires on either side.
+_SH3 = ("list_distinct([array_to_string(t[i:i+2], ' ') "
+        "for i in range(1, len(t) - 1)])")
+
+
+@query("dedup_exact", oracle="""
+SELECT md5(text) AS fp, min(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep the
+    lowest id.  The shuffle payload is (16-byte hash, id) — document
+    bodies never move."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (t["documents"]
+            .groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("n_copies")))
+
+
+@query("dedup_exact_normalized", oracle="""
+SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+  min(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))""")
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization — catches the
+    trivially-reformatted duplicates exact hashing misses."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return (t["documents"]
+            .groupBy(F.md5(norm).alias("fp"))
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("n_copies")))
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH s AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+        9) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram-Jaccard near-dup: equi-join on the blocking key
+    (lang) bounds the pairwise comparison to within-block; the set
+    arithmetic is exact-integer so the threshold is engine-portable.
+    At scale the blocking key comes from LSH (see dedup_minhash_lsh);
+    this standalone form IS the verify stage."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    s = t["documents"].select(
+        "doc_id", "lang",
+        F.array_distinct(F.split("text", " ")).alias("toks"))
+    a, b = s.alias("a"), s.alias("b")
+    j = jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(j >= 0.8)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.round(j, 9).alias("jaccard")))
+
+
+def _minhash_sql() -> str:
+    mh = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_MINHASH))
+    rows = N_MINHASH // N_BANDS
+    bands = ",\n  ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(N_BANDS))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH3} AS sh FROM t),
+sig AS (SELECT doc_id, sh,
+    {mh}
+  FROM sh)
+SELECT doc_id, sh,
+  {bands}
+FROM sig"""
+
+
+@query("dedup_minhash_signatures", oracle=f"""
+SELECT doc_id, band0, band1, band2, band3 FROM ({_minhash_sql()})""")
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation (16 hashes → 4 LSH band keys) —
+    entirely map-side built-ins; the oracle reproduces every band key
+    bit-for-bit, value-checking the whole sketch pipeline."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"])
+    return sig.select("doc_id", *[f"band{b}" for b in range(N_BANDS)])
+
+
+@query("dedup_minhash_lsh", oracle=f"""
+WITH sig AS ({_minhash_sql()}),
+keyed AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM cand
+  JOIN sig a ON a.doc_id = id_a
+  JOIN sig b ON b.doc_id = id_b)
+SELECT id_a, id_b, round(j, 9) AS jaccard
+FROM verified WHERE j >= 0.5""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
+    bucket-join candidates → exact-Jaccard verify.  Cost is O(docs) map
+    work + a join keyed on band hashes — never all-pairs.  The oracle
+    replays the identical pipeline, so candidate generation AND
+    verification are value-checked."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                              "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .where(j >= 0.5)
+            .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
+
+
+def _simhash_sql() -> str:
+    bit_sums = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS hv FROM tok)
+SELECT doc_id, CAST({bit_sums} AS BIGINT) AS simhash FROM h GROUP BY doc_id"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (sign of per-bit ±1 sums over token
+    hashes) — one explode + one hash-agg with map-side partials; near-dup
+    = small Hamming distance (tests/test_dedup.py)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return simhash32(t["documents"])
+
+
+_NORM_SQL = """
+SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM (SELECT unnest(embedding) AS x))) AS nrm
+FROM embeddings"""
+
+
+@query("dedup_embedding_cosine", oracle=f"""
+WITH n AS ({_NORM_SQL})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+         FROM (SELECT unnest(a.embedding) AS xa, unnest(b.embedding) AS xb))
+        / (na.nrm * nb.nrm), 9) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN n na ON na.vec_id = a.vec_id
+JOIN n nb ON nb.vec_id = b.vec_id
+WHERE round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+       FROM (SELECT unnest(a.embedding) AS xa, unnest(b.embedding) AS xb))
+      / (na.nrm * nb.nrm), 9) >= 0.35""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all-pairs at test SF (500 vectors);
+    the documented scale path buckets by LSH sign bits first
+    (operators/similarity.py) so the pairwise stage is per-bucket."""
+    from results_ingestor_spark.functions.vector import cosine_similarity
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_similarity("va", "vb"), 9)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= 0.35))

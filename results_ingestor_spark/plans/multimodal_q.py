@@ -1,1 +1,46 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column queries (north-star M3).
+
+The payloads here are UTF-8 bytes standing in for image/audio content
+(the corpus has no binary media); the *Spark path* is the real thing —
+binary columns, Arrow-batched mapInPandas kernels, fan-out schemas.
+Because the stub 'decode' is a deterministic function of the bytes, the
+oracle can verify the whole Python-side path value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from results_ingestor_spark.operators.multimodal import (
+    FRAME_STRIDE, decode_features, sample_frames)
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+
+@query("multimodal_decode_features", oracle="""
+SELECT doc_id,
+  strlen(text) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(strlen(text) % 251 AS DOUBLE) / 251.0 AS fake_feature
+FROM documents""")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode → features through mapInPandas (Arrow batches).
+    The oracle checks the bytes seen by Python match the source exactly
+    (md5 over the binary payload)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return decode_features(t["documents"])
+
+
+@query("multimodal_frame_sample", oracle=f"""
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  md5(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INT), {FRAME_STRIDE}))
+    AS frame_md5
+FROM (SELECT doc_id, text,
+        unnest(range(strlen(text) // {FRAME_STRIDE})) AS i
+      FROM documents)""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one output row per 100-byte chunk per document —
+    the N-rows-per-input fan-out shape of video frame extraction,
+    executed batch-local inside mapInPandas."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return sample_frames(t["documents"])

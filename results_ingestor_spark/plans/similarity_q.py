@@ -1,1 +1,74 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (north-star M3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.similarity import (
+    brute_force_topk, lsh_bucketed_topk)
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_NORM_SQL = """
+SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM (SELECT unnest(embedding) AS x))) AS nrm
+FROM embeddings"""
+
+
+@query("ann_cosine_topk", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 5)
+SELECT query_id, cand_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM s) WHERE rn <= 10""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline): broadcast the
+    query set, JVM-side zip_with/aggregate dot products, per-query
+    window top-k.  Cosines rounded to 9 dp for an engine-portable
+    ordering (summation order differs across engines at ~1e-16)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+@query("ann_lsh_topk")  # approximate — no SQL twin; recall vs brute force
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: 16 random-hyperplane sign bits bucket the
+    vectors; candidates within Hamming≤6 of the query bucket get exact
+    cosine + top-k.  Rows-only driver check; recall asserted against
+    brute force in tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    return lsh_bucketed_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=10)
+
+
+@query("embedding_label_stats", oracle=f"""
+WITH n AS ({_NORM_SQL})
+SELECT label, COUNT(*) AS n_vecs,
+  round(avg(nrm), 6) AS avg_norm,
+  round(min(nrm), 6) AS min_norm,
+  round(max(nrm), 6) AS max_norm
+FROM embeddings JOIN n USING (vec_id)
+GROUP BY label""")
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (norm distribution) — the sanity
+    profile a pipeline runs before indexing an embedding corpus."""
+    from results_ingestor_spark.functions.vector import l2_norm
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select("label", l2_norm("embedding").alias("nrm"))
+    return (e.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round(F.avg("nrm"), 6).alias("avg_norm"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm")))

@@ -1,1 +1,134 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over ``documents`` (north-star M3).
+
+All plans are built-in expression pipelines (no UDFs); every oracle
+reproduces the token split (literal space), the md5 fingerprints, and
+the exact-integer-division ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.text import (
+    LANG_MARKERS, STOPWORDS, fingerprint_canonical, lang_predict, lang_scores,
+    stopword_ratio, tokens)
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_TOKS = "string_split(text, ' ')"
+
+
+@query("text_tokens", oracle=f"""
+SELECT doc_id,
+  len({_TOKS}) AS n_tokens,
+  len(list_distinct({_TOKS})) AS n_unique,
+  length(text) AS n_chars_measured,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) AS avg_token_len
+FROM documents""")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization + distinct-type counts —
+    narrow map stage, no shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = tokens()
+    return t["documents"].select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_unique"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double")
+         / F.size(tk)).alias("avg_token_len"))
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query("text_quality_score", oracle=f"""
+SELECT doc_id, lang,
+  round(CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+        / len({_TOKS}), 9) AS stop_ratio,
+  round(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}), 9) AS ttr,
+  round(0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+      + 0.3 * (1 - CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+                   / len({_TOKS}))
+      + 0.2 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / len({_TOKS}) / 8.0, 1.0), 9) AS quality
+FROM documents""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + type-token ratio + length prior,
+    the standard cheap pre-LLM-training document filter shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = tokens()
+    stop = stopword_ratio()
+    ttr = F.size(F.array_distinct(tk)).cast("double") / F.size(tk)
+    avg_len = (F.length(F.regexp_replace("text", " ", "")).cast("double")
+               / F.size(tk))
+    quality = (F.lit(0.5) * ttr + F.lit(0.3) * (F.lit(1) - stop)
+               + F.lit(0.2) * F.least(avg_len / 8.0, F.lit(1.0)))
+    return t["documents"].select(
+        "doc_id", "lang",
+        F.round(stop, 9).alias("stop_ratio"),
+        F.round(ttr, 9).alias("ttr"),
+        F.round(quality, 9).alias("quality"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in sorted(LANG_MARKERS[lang]))
+    return f"len(list_filter({_TOKS}, t -> t IN ({markers})))"
+
+
+_LANGS = sorted(LANG_MARKERS)
+_SCORES_SQL = ",\n  ".join(f"{_lang_score_sql(lg)} AS score_{lg}" for lg in _LANGS)
+_BEST_SQL = "greatest(" + ", ".join(f"score_{lg}" for lg in _LANGS) + ")"
+_PRED_SQL = ("CASE " + " ".join(
+    f"WHEN score_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in _LANGS) + " END")
+
+
+@query("text_langid", oracle=f"""
+SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+  {_PRED_SQL} AS predicted
+FROM (SELECT doc_id, lang, {_SCORES_SQL} FROM documents)""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language marker-token hits
+    (the n-gram-profile-scoring structure; profiles are stub token sets —
+    the corpus shares one synthetic vocabulary across langs)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = t["documents"].select("doc_id", "lang", *lang_scores())
+    return scored.select("doc_id", "lang",
+                         *[f"score_{lg}" for lg in _LANGS],
+                         lang_predict().alias("predicted"))
+
+
+@query("text_fingerprint", oracle="""
+SELECT doc_id,
+  md5(text) AS fp_exact,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS fp_canonical
+FROM documents""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 + order-insensitive canonical
+    fingerprint (sorted distinct token set)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        fingerprint_canonical().alias("fp_canonical"))
+
+
+@query("text_bigram_topk", oracle=f"""
+SELECT ngram, COUNT(*) AS n FROM (
+  SELECT unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS ngram
+  FROM (SELECT {_TOKS} AS t FROM documents))
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""")
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency top-k: explode bigrams (with
+    multiplicity) → hash-agg → TakeOrdered.  The shuffle carries (ngram,
+    partial count) thanks to map-side combine."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")
+    return (t["documents"]
+            .select(F.explode(bigrams).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("ngram")).limit(20))

@@ -1,0 +1,75 @@
+"""Dedup operator tests: sketch quality + the xxhash64 scale path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.dedup import (
+    hamming64, jaccard, lsh_candidate_pairs, simhash32, with_minhash)
+from results_ingestor_spark.sources.tables import load_tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _mutated_corpus(docs):
+    """documents ∪ near-identical copies (last token dropped, id+10000) —
+    known-answer near-dups for recall assertions."""
+    mutated = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+        .alias("text"))
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    corpus = _mutated_corpus(docs)
+    sig = with_minhash(corpus)
+    pairs = lsh_candidate_pairs(sig)
+    planted = {r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 25 == 0).select("doc_id").collect()}
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # a doc that differs by one trailing token shares almost all shingles;
+    # 4x4 LSH bands must catch (nearly) every planted pair
+    hits = sum(1 for d in planted if (d, d + 10000) in found)
+    assert hits / len(planted) >= 0.9
+
+
+def test_minhash_fast_path_same_planted_recall(spark, docs):
+    corpus = _mutated_corpus(docs)
+    sig = with_minhash(corpus, fast=True)  # xxhash64 — Spark-only, ~5x cheaper
+    pairs = lsh_candidate_pairs(sig)
+    planted = {r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 25 == 0).select("doc_id").collect()}
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    hits = sum(1 for d in planted if (d, d + 10000) in found)
+    assert hits / len(planted) >= 0.9
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    corpus = _mutated_corpus(docs)
+    sig = simhash32(corpus)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    joined = (a.join(b, F.col("id_b") == F.col("id_a") + 10000)
+              .select(hamming64(F.col("ha"), F.col("hb")).alias("d")))
+    dists = [r["d"] for r in joined.collect()]
+    assert dists, "no planted pairs joined"
+    # one-token mutation flips at most a few of 32 bits
+    assert sum(1 for d in dists if d <= 6) / len(dists) >= 0.9
+
+
+def test_simhash_fast_path_runs(spark, docs):
+    out = simhash32(docs.limit(50), fast=True).collect()
+    assert len(out) == 50
+    assert all(r["simhash"] is not None for r in out)
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], ["a", "b"]), (["a", "b"], ["c", "d"])], ["x", "y"])
+    vals = [r["j"] for r in df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()]
+    assert vals == [1.0, 0.0]
