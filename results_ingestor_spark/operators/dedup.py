@@ -29,26 +29,47 @@ from results_ingestor_spark.operators.text import shingles_expr
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
 
+# Affine-rehash minhash: one base hash per shingle, then K cheap
+# (a*h + b) mod P permutations.  P < 2^30 and a < 2^28 keep every
+# product inside a 64-bit signed int in any engine.
+P_MINHASH = 1_073_741_789
 
-def minhash_signature(shingles_col: Column, fast: bool = False) -> list[Column]:
-    """K minhash values: lexicographic min over md5('<i>|' || shingle).
 
-    Hex-string min is an order-preserving stand-in for integer minhash
-    (md5 is uniform), and is reproducible in any engine with md5().
-    """
-    # NB: the element lambdas must take exactly ONE argument — a second
-    # parameter (even a defaulted one) makes F.transform pass the array
-    # index into it, silently corrupting the seed.
-    def _md5_fn(seed: int):
-        prefix = f"{seed}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+def _affine_params() -> list[tuple[int, int]]:
+    import hashlib
+    params = []
+    for i in range(N_MINHASH):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) % (P_MINHASH - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16) % P_MINHASH
+        params.append((a, b))
+    return params
 
-    def _xx_fn(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
 
-    mk = _xx_fn if fast else _md5_fn
-    return [F.array_min(F.transform(shingles_col, mk(i))).alias(f"mh{i}")
-            for i in range(N_MINHASH)]
+MINHASH_PARAMS = _affine_params()
+
+
+def base_hashes(shingles_col: Column, fast: bool = False) -> Column:
+    """One 64-bit base hash per shingle, reduced mod P.  Exact tier uses
+    md5 (cross-engine reproducible); fast tier xxhash64 (Spark-only,
+    ~5x cheaper), pmod'ed because xxhash64 is signed."""
+    if fast:
+        return F.transform(shingles_col,
+                           lambda s: F.pmod(F.xxhash64(s, F.lit(42)),
+                                            F.lit(P_MINHASH)))
+    return F.transform(shingles_col,
+                       lambda s: md5_long(s) % F.lit(P_MINHASH))
+
+
+def minhash_signature(base_col: Column) -> list[Column]:
+    """K minhash values over the pre-hashed shingle array: min of the
+    i-th affine permutation.  NB: element lambdas must take exactly ONE
+    argument — a second parameter (even defaulted) makes F.transform
+    pass the array index into it, corrupting the permutation."""
+    def _mk(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P_MINHASH)
+
+    return [F.array_min(F.transform(base_col, _mk(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)]
 
 
 def band_keys(prefix: str = "mh") -> list[Column]:
@@ -56,7 +77,8 @@ def band_keys(prefix: str = "mh") -> list[Column]:
     keys = []
     rows = N_MINHASH // N_BANDS
     for b in range(N_BANDS):
-        parts = [F.col(f"{prefix}{b * rows + r}") for r in range(rows)]
+        parts = [F.col(f"{prefix}{b * rows + r}").cast("string")
+                 for r in range(rows)]
         keys.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
     return keys
 
@@ -64,8 +86,11 @@ def band_keys(prefix: str = "mh") -> list[Column]:
 def with_minhash(df: DataFrame, text_col: str = "text", n: int = 3,
                  fast: bool = False) -> DataFrame:
     """doc frame → + shingles, mh0..15, band0..3 (all map-side)."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     df = df.withColumn("__sh", shingles_expr(f"split({text_col}, ' ')", n))
-    df = df.select("*", *minhash_signature(F.col("__sh"), fast=fast))
+    df = df.withColumn("__shh", base_hashes(F.col("__sh"), fast=fast))
+    df = df.select("*", *minhash_signature(F.col("__shh")))
     return df.select("*", *band_keys())
 
 
@@ -103,6 +128,8 @@ def simhash32(df: DataFrame, id_col: str = "doc_id",
     """32-bit SimHash over distinct tokens: bit j of the signature is the
     sign of Σ_tokens (±1 by bit j of the token hash).  One explode + one
     hash-agg; the 32 per-bit sums fold map-side."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
     hash_fn = stable_hash64 if fast else md5_long
     tok = (df.select(id_col,
                      F.explode(F.array_distinct(F.split(F.col(text_col), " ")))

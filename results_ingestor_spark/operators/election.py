@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from results_ingestor_spark.sources.tables import load_tables
+from results_ingestor_spark.sources.tables import (
+    ensure_min_parallelism, load_tables)
 
 _ROMAN = ("I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX")
 
@@ -34,6 +35,9 @@ def contest_precinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ supplier ⋈ nation → contest_precinct-shaped frame
     (27 canonical columns, ``district`` left NULL for extraction)."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    # local parquet has ~3 row groups → 3 scan splits on 32 cores; widen
+    # before the regex-heavy extraction + rollup (no-op at real scale)
+    t["lineitem"] = ensure_min_parallelism(t["lineitem"])
     li = (t["lineitem"]
           .join(F.broadcast(t["supplier"]),
                 F.col("l_suppkey") == F.col("s_suppkey"))

@@ -74,13 +74,15 @@ def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def decode_features(df: DataFrame) -> DataFrame:
     """documents → per-doc features through the binary + Arrow path."""
-    return (with_binary_payload(df)
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    return (with_binary_payload(ensure_min_parallelism(df))
             .select("doc_id", "payload")
             .mapInPandas(fake_decode_features, FEATURE_SCHEMA))
 
 
 def sample_frames(df: DataFrame) -> DataFrame:
     """documents → sampled frame rows through the binary + Arrow path."""
-    return (with_binary_payload(df)
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    return (with_binary_payload(ensure_min_parallelism(df))
             .select("doc_id", "payload")
             .mapInPandas(fake_frame_sample, FRAME_SCHEMA))

@@ -65,10 +65,11 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cosine in-JVM, per-query window top-k (rank-limit pushed into the
     sort buffer).  Rounded to 9 decimals for a stable, engine-portable
     ordering."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
-    c = vectors.select(F.col(id_col).alias("cand_id"),
-                       F.col(vec_col).alias("cvec"))
+    c = ensure_min_parallelism(vectors).select(F.col(id_col).alias("cand_id"),
+                                               F.col(vec_col).alias("cvec"))
     sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
             .select("query_id", "cand_id",
                     F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
@@ -88,6 +89,8 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     bq = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qvec"),
                         bucket_expr(vec_col, dim).alias("qbucket"))
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    vectors = ensure_min_parallelism(vectors)
     bc = vectors.select(F.col(id_col).alias("cand_id"),
                         F.col(vec_col).alias("cvec"),
                         bucket_expr(vec_col, dim).alias("cbucket"))

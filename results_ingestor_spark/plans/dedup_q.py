@@ -70,8 +70,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is exact-integer so the threshold is engine-portable.
     At scale the blocking key comes from LSH (see dedup_minhash_lsh);
     this standalone form IS the verify stage."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
     t = load_tables(spark, sf_dir, ("documents",))
-    s = t["documents"].select(
+    s = ensure_min_parallelism(t["documents"]).select(
         "doc_id", "lang",
         F.array_distinct(F.split("text", " ")).alias("toks"))
     a, b = s.alias("a"), s.alias("b")
@@ -85,20 +86,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from results_ingestor_spark.operators.dedup import MINHASH_PARAMS, P_MINHASH
     mh = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
-        for i in range(N_MINHASH))
+        f"list_min(list_transform(shh, h -> ({a} * h + {b}) % {P_MINHASH}))"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS))
     rows = N_MINHASH // N_BANDS
     bands = ",\n  ".join(
-        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}::varchar"
+                                    for r in range(rows))
         + f") AS band{b}"
         for b in range(N_BANDS))
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SH3} AS sh FROM t),
+bh AS (SELECT doc_id, sh,
+    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::bigint % {P_MINHASH})
+      AS shh
+  FROM sh),
 sig AS (SELECT doc_id, sh,
     {mh}
-  FROM sh)
+  FROM bh)
 SELECT doc_id, sh,
   {bands}
 FROM sig"""
@@ -198,8 +206,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented scale path buckets by LSH sign bits first
     (operators/similarity.py) so the pairwise stage is per-bucket."""
     from results_ingestor_spark.functions.vector import cosine_similarity
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
     t = load_tables(spark, sf_dir, ("embeddings",))
-    e = t["embeddings"].select("vec_id", "embedding")
+    e = ensure_min_parallelism(t["embeddings"]).select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = F.round(cosine_similarity("va", "vb"), 9)

@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     # read as raw long ns and convert (tables.py normalizes to micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # checkpoint-file checksum writing stalls stateful queries on local
+    # FS (writer-thread await per tiny state delta); corruption detection
+    # for object-store checkpoints, not needed here.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 # Confs that must be set at session-build time.

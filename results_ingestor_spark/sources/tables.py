@@ -36,6 +36,19 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Repartition only when the upstream scan yields fewer splits than
+    cores (small files / few parquet row groups — a local-testdata
+    artifact).  At production scale the scan has far more splits than
+    cores and this is a no-op, so no gratuitous shuffle is added.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores * factor)
+    return df
+
+
 def _normalize_events(df: DataFrame) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) in parquet.  Spark reads it as long
     nanoseconds (legacy.parquet.nanosAsLong); convert to a microsecond

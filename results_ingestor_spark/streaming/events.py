@@ -1,0 +1,145 @@
+"""Structured Streaming over the events stream (SURVEY §2.4 extension).
+
+The reference is batch-only and human-triggered (ingestor_precinct.py —
+one button-press per file); a 100 TB deployment ingests continuously.
+These pipelines are the streaming twins of plans/events_q.py's batch
+queries, sharing semantics so batch backfill and live streams produce
+identical tables (the lambda-architecture collapse Structured Streaming
+exists for).
+
+Patterns covered:
+* tumbling-window count/sum with a watermark bounding state for late
+  data (``windowed_counts``);
+* session windows with the built-in ``session_window`` gap semantics
+  (``session_counts``);
+* an arbitrary-stateful operator via ``applyInPandasWithState`` —
+  running per-user totals with idle-timeout eviction
+  (``running_user_totals``) — the escape hatch for operators Spark's
+  built-ins can't express.
+
+File-source streams with ``availableNow`` triggers make every pipeline
+testable against its batch twin on the same parquet (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet.  The schema comes from
+    a batch read (streams need it up front); the nanosecond ts column is
+    normalized to a microsecond timestamp exactly like the batch path."""
+    from results_ingestor_spark.session import tune_session
+    from results_ingestor_spark.sources.tables import _normalize_events
+    tune_session(spark)
+    reader = (spark.readStream
+              .schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+              # FileStreamSource requires a directory; glob-filter to the
+              # events file within it
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _normalize_events(reader.parquet(sf_dir))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark.  State
+    per (window, type) is dropped once the watermark passes window end —
+    bounded state no matter how long the stream runs."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows via the built-in session_window (30-min inactivity
+    gap) — the streaming twin of plans/events_q.py::events_sessionize."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+_STATE_SCHEMA = "total double, n long"
+_OUTPUT_SCHEMA = "user_id long, total double, n long"
+
+
+def _make_running_totals_fn(evict_after_ms: int | None):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        if evict_after_ms:
+            state.setTimeoutDuration(evict_after_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total], "n": [n]})
+    return fn
+
+
+def running_user_totals(events: DataFrame,
+                        evict_after_ms: int | None = None) -> DataFrame:
+    """Arbitrary stateful aggregation (applyInPandasWithState): running
+    per-user totals emitted every trigger — the custom-stateful-operator
+    escape hatch, Arrow-batched.
+
+    ``evict_after_ms`` enables processing-time idle eviction for true
+    continuous deployments.  Leave None for availableNow/batch-replay
+    runs: with a timeout armed, an availableNow trigger cannot finish —
+    it keeps scheduling empty 'cleanup' micro-batches until every
+    group's timer fires.
+    """
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if evict_after_ms
+               else GroupStateTimeout.NoTimeout)
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_running_totals_fn(evict_after_ms),
+                outputStructType=_OUTPUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append",
+                  state_partitions: int | None = 4) -> None:
+    """Drive a streaming frame to completion on the available data
+    (availableNow) into an in-memory table — the test harness path.
+
+    ``state_partitions`` caps shuffle partitions for the run: each state
+    partition pays per-micro-batch checkpoint I/O (delta file + checksum),
+    so local smoke runs want a handful, not one per core.  On a real
+    cluster the state partition count is sized to executors once —
+    it is fixed for the life of the checkpoint.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

