@@ -1,0 +1,77 @@
+"""Additional function-family coverage: typed JSON, array ops, exact
+percentiles, approximate sketches (SURVEY §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+
+@query("from_json_typed", oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  event_type
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""")
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON parsing (from_json → struct, not string
+    extraction) with a filter over the parsed field."""
+    t = load_tables(spark, sf_dir, ("events",))
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (t["events"]
+            .withColumn("p", F.from_json("props", schema))
+            .where(F.col("p.k") > 50)
+            .select("event_id", F.col("p.k").alias("k"), "event_type"))
+
+
+@query("array_functions", oracle="""
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+  round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_component,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_component,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings""")
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface over array<float>: size / index / min / max /
+    filter — all JVM higher-order functions."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = F.col("embedding")
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_component"),
+        F.round(F.element_at(e, -1).cast("double"), 6).alias("last_component"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_component"),
+        F.round(F.array_min(e).cast("double"), 6).alias("min_component"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"))
+
+
+@query("percentile_exact", oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
+  round(quantile_cont(l_extendedprice, 0.9), 9) AS p90_price,
+  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99_price
+FROM lineitem GROUP BY l_returnflag""")
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: same linear-interpolation definition)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 9).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 9).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 9).alias("p99_price")))
+
+
+@query("approx_sketches")  # engine-specific sketch internals — rows-only
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB tier: HLL++ distinct counts
+    and GK-sketch quantiles.  Sketch values are implementation-specific,
+    so no SQL twin; tests bound the error vs exact (test_functions.py)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (t["orders"].groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median")))

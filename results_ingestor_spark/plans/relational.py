@@ -47,7 +47,7 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM({_DEC.format(c='l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+WHERE l_shipdate < TIMESTAMP '2000-09-03 00:00:00'
 GROUP BY l_returnflag, l_linestatus""")
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: predicate pushed to the parquet scan, partial+final
@@ -56,7 +56,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
     return (
-        li.where(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        li.where(F.col("l_shipdate") < F.lit("2000-09-03 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -80,8 +80,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
-  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
-  AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate >= TIMESTAMP '1996-03-16 00:00:00'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10""")
@@ -94,9 +94,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     return (
         t["lineitem"]
-        .where(F.col("l_shipdate").cast("date") > F.lit("1996-03-15").cast("date"))
+        .where(F.col("l_shipdate") >= F.lit("1996-03-16 00:00:00").cast("timestamp"))
         .join(t["orders"].where(
-            F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")),
+            F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")),
             F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey",
@@ -119,8 +119,8 @@ JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n_name""")
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join with two broadcast dims (supplier,
@@ -137,8 +137,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"].where(
-            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
-            & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))),
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))),
             F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["customer"],

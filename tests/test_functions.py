@@ -44,3 +44,22 @@ def test_cosine_similarity(spark):
     assert abs(got[0] - 0.7071067811865475) < 1e-12
     assert abs(got[1] - 1.0) < 1e-12
     assert got[2] is None  # zero-norm → NULL
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL++/GK sketches have no oracle; bound their error vs exact."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.sources.tables import load_tables
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    exact = {r["o_orderstatus"]: (r["d"], r["m"]) for r in
+             orders.groupBy("o_orderstatus").agg(
+                 F.countDistinct("o_custkey").alias("d"),
+                 F.percentile("o_totalprice", F.lit(0.5)).alias("m")).collect()}
+    approx = {r["o_orderstatus"]: (r["approx_customers"], r["approx_median"])
+              for r in __import__("results_ingestor_spark.plans.functions_q",
+                                  fromlist=["approx_sketches"])
+              .approx_sketches(spark, sf_dir).collect()}
+    for k, (d, m) in exact.items():
+        ad, am = approx[k]
+        assert abs(ad - d) / max(d, 1) < 0.1
+        assert abs(am - m) / max(abs(m), 1) < 0.05

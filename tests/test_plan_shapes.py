@@ -1,0 +1,91 @@
+"""Plan-shape regression tests — the 100 TB design assertions.
+
+Each test pins a property of the physical plan that matters at scale:
+pushdown reaching the scan, broadcasts chosen for dims, top-k avoiding
+full sorts, whole-stage codegen in the hot paths.  If a refactor
+silently degrades one of these, correctness tests won't notice — these
+will.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q1_filter_pushed_to_scan(plans):
+    p = plans("q1_pricing_summary")
+    # direct timestamp comparison (no cast) reaches the scan as a data
+    # filter → parquet min/max row-group skipping
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+
+
+def test_q1_column_pruning(plans):
+    p = plans("q1_pricing_summary")
+    scan_schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in scan_schema  # unused columns pruned
+    assert "l_quantity" in scan_schema
+
+
+def test_q3_broadcasts_dim_filter(plans):
+    assert "BroadcastHashJoin" in plans("q3_shipping_priority")
+
+
+def test_q5_no_cartesian(plans):
+    p = plans("q5_local_supplier_volume")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("topk_expensive_orders")
+
+
+def test_rollup_single_exchange(plans):
+    p = plans("rollup_contest_county")
+    # partial + final agg around exactly one hash exchange (plus the two
+    # broadcast exchanges for dims)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "ObjectHashAggregate" in p or "SortAggregate" in p
+
+
+def test_rollup_whole_stage_codegen(spark, sf_dir):
+    # AQE hides codegen spans in the adaptive wrapper — ask for the
+    # codegen explain, which compiles the subtrees
+    df = entry.queries()["rollup_contest_county"](spark, sf_dir)
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    txt = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen subtree" in txt
+
+
+def test_window_topk_pushes_group_limit(plans):
+    p = plans("topk_per_group")
+    # Spark ≥3.5 plans WindowGroupLimit so only k rows per key survive
+    # the sort buffer
+    assert "WindowGroupLimit" in p
+
+
+def test_semi_join_stays_semi(plans):
+    assert "LeftSemi" in plans("join_semi")
+
+
+def test_minhash_no_python_in_hot_path(plans):
+    p = plans("dedup_minhash_signatures")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_multimodal_uses_arrow_batches(plans):
+    # the one place Python IS expected: mapInPandas → MapInPandas node
+    assert "MapInPandas" in plans("multimodal_decode_features")
