@@ -27,6 +27,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
+    "asof_join_purchase_signup",
+    "events_sessionize",
 ]
 
 

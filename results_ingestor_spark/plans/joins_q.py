@@ -1,0 +1,80 @@
+"""As-of join, range join, and unpivot queries (SURVEY §2.4 extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.asof import (
+    asof_join_backward, range_join_bucketed)
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+
+@query("asof_join_purchase_signup", oracle="""
+WITH signups AS (
+  SELECT user_id, ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.user_id,
+  CAST(p.ts AS TIMESTAMP) AS ts,
+  CAST(s.ts AS TIMESTAMP) AS matched_ts,
+  s.signup_event_id
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts""")
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent signup
+    at-or-before it.  Spark has no native ASOF — implemented as the
+    union + carry-forward-window pattern (one shuffle, one sort; see
+    operators/asof.py).  Oracle uses DuckDB's native ASOF JOIN, so two
+    entirely different algorithms must agree value-for-value."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    signups = (ev.where(F.col("event_type") == "signup")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("signup_event_id")))
+    out = asof_join_backward(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload={"signup_event_id": "signup_event_id"})
+    return out.select("user_id", "ts", "matched_ts", "signup_event_id")
+
+
+@query("range_join_close_events", oracle="""
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000""")
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs within 5 minutes.  The oracle
+    writes the natural inequality join (fine at test SF); the engine
+    uses bucketized fan-out so the plan stays a hash join at any scale —
+    an inequality-only join would degrade to a nested loop."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return range_join_bucketed(t["events"], key="user_id", ts="ts",
+                               id_col="event_id", max_gap_us=300_000_000)
+
+
+@query("unpivot_lineitem_metrics", oracle="""
+SELECT metric, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+GROUP BY metric""")
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) three measure columns into (metric, value) rows +
+    aggregate — melt executes inside the scan projection, no shuffle
+    until the 3-group aggregation."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    melted = t["lineitem"].selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
+        "'tax', l_tax) AS (metric, v)")
+    return (melted.groupBy("metric")
+            .agg(F.sum(F.expr("CAST(v AS DECIMAL(18,2))"))
+                 .cast("double").alias("total")))
