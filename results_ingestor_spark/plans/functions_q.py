@@ -75,3 +75,25 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t["orders"].groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median")))
+
+
+@query("salted_sum_by_flag", oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag""")
+def salted_sum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted aggregation: 3 hot keys spread over 16 salt
+    buckets, partial sums merged in a second (tiny) aggregation.  Same
+    answer as the plain GROUP BY the oracle runs — the salting must be
+    algebraically invisible."""
+    from results_ingestor_spark.operators.skew import salted_agg
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return salted_agg(
+        t["lineitem"], ["l_returnflag"],
+        {"total_qty": (F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")),
+                       F.sum("total_qty")),
+         "n": (F.count(F.lit(1)), F.sum("n"))},
+    ).select("l_returnflag",
+             F.col("total_qty").cast("double").alias("total_qty"),
+             F.col("n").cast("long").alias("n"))
