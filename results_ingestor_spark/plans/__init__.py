@@ -14,6 +14,7 @@ from results_ingestor_spark.plans import windows  # noqa: E402,F401
 from results_ingestor_spark.plans import events_q  # noqa: E402,F401
 from results_ingestor_spark.plans import functions_q  # noqa: E402,F401
 from results_ingestor_spark.plans import joins_q  # noqa: E402,F401
+from results_ingestor_spark.plans import advanced_q  # noqa: E402,F401
 from results_ingestor_spark.plans import text_q  # noqa: E402,F401
 from results_ingestor_spark.plans import dedup_q  # noqa: E402,F401
 from results_ingestor_spark.plans import similarity_q  # noqa: E402,F401
