@@ -34,14 +34,18 @@ DISTRICT_PATTERNS = (
     r"(?i)DISTRICT (IX|I?V|V?I{1,3})\b",     # roman numeral 1-9
 )
 
-_SPLIT_LAST = r"^(.*)DISTRICT(.*)$"  # greedy → splits on the LAST literal
-
-
 def _apply_pass(df: DataFrame, pattern: str) -> DataFrame:
     matched = F.col("contest_name").rlike(pattern)
     up = F.upper(F.col("contest_name"))
-    left = F.regexp_extract(up, _SPLIT_LAST, 1)
-    right = F.regexp_extract(up, _SPLIT_LAST, 2)
+    # literal last-occurrence split via substring arithmetic — a plain
+    # string search instead of a greedy `^(.*)DISTRICT(.*)$` regex whose
+    # backtracking dominates this map stage's cost.  substring_index(-1)
+    # = text after the LAST occurrence (pandas rsplit(n=1) parity).
+    right = F.substring_index(up, "DISTRICT", -1)
+    left = F.expr(
+        "substring(upper(contest_name), 1, "
+        "length(upper(contest_name)) "
+        "- length(substring_index(upper(contest_name), 'DISTRICT', -1)) - 8)")
     out = []
     for c in df.columns:
         if c == "contest_name":
