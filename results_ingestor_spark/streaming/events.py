@@ -143,3 +143,15 @@ def run_to_memory(stream_df: DataFrame, name: str,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed on (user_id,
+    event_type, ts) with the watermark bounding the dedup state — the
+    continuous form of dedup_exact for at-least-once upstream sources.
+    State for keys older than the watermark is evicted, so memory is
+    bounded by the lateness window, not the stream's lifetime.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["user_id", "event_type", "ts"]))

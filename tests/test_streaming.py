@@ -62,3 +62,12 @@ def test_running_user_totals_stateful(spark, sf_dir, stream):
     for uid, (total, n) in want.items():
         assert got[uid][1] == n
         assert abs(got[uid][0] - total) < 1e-6
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, stream):
+    from results_ingestor_spark.streaming.events import streaming_dedup
+    run_to_memory(streaming_dedup(stream), "t_dedup")
+    got = spark.sql("SELECT count(*) n FROM t_dedup").collect()[0]["n"]
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    want = batch.dropDuplicates(["user_id", "event_type", "ts"]).count()
+    assert got == want
