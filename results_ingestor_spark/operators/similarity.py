@@ -105,3 +105,55 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("query_id", "cand_id", "cosine", "rn"))
+
+
+def label_centroids(vectors: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Elementwise-mean centroid per label — the IVF coarse quantizer.
+    (In a labelless corpus these come from k-means; the corpus ships
+    cluster labels, so the assignment step is the demonstrated part.)"""
+    exploded = vectors.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    means = (exploded.groupBy(label_col, "pos")
+             .agg(F.avg(F.col("x").cast("double")).alias("m")))
+    return (means.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(F.col(label_col).alias("centroid_id"),
+                    F.transform("pm", lambda s: s["m"]).alias("centroid")))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             nprobe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", label_col: str = "label",
+             ) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid
+    lists, exact cosine only within them.  At scale the vectors table is
+    written partitioned by centroid_id, so a probe reads nprobe/N of the
+    corpus — candidate pruning happens at the storage layer, not the
+    scan."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    cents = label_centroids(vectors, id_col, vec_col, label_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    # rank centroids per query, keep nprobe
+    qc = (q.join(F.broadcast(cents))
+          .select("query_id", "qvec", "centroid_id",
+                  cosine_similarity("qvec", "centroid").alias("csim")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"),
+                                                F.asc("centroid_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= nprobe)
+              .select("query_id", "qvec", "centroid_id"))
+    cand = (ensure_min_parallelism(vectors)
+            .select(F.col(id_col).alias("cand_id"),
+                    F.col(vec_col).alias("cvec"),
+                    F.col(label_col).alias("centroid_id")))
+    sims = (cand.join(F.broadcast(probes), "centroid_id")
+            .where(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id",
+                    F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "cand_id", "cosine", "rn"))

@@ -60,3 +60,25 @@ def test_bucket_expr_deterministic(spark, emb):
     b2 = emb.select(bucket_expr("embedding", 64).alias("b")).collect()
     assert [r["b"] for r in b1] == [r["b"] for r in b2]
     assert all(0 <= r["b"] < (1 << 16) for r in b1)
+
+
+def test_ivf_recall_scales_with_nprobe(spark, emb):
+    from results_ingestor_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_topk(emb, queries, k=10, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return sum(len(exact[q] & got.get(q, set())) / len(exact[q])
+                   for q in exact) / len(exact)
+
+    r5 = recall(5)
+    # probing half the lists must recover well above half-at-random
+    # (random 10-of-499 would give recall ~0.02)
+    assert r5 >= 0.4
+    assert recall(10) >= 0.99  # probing every list == brute force
