@@ -18,7 +18,6 @@ def emb(spark, sf_dir):
 
 
 def test_brute_force_matches_numpy(spark, emb):
-    rows = {r["vec_id"]: r["embedding"] for r in emb.limit(0).collect()}
     sample = emb.where(F.col("vec_id") < 50).collect()
     vecs = {r["vec_id"]: r["embedding"] for r in sample}
     df = spark.createDataFrame([(k, v) for k, v in vecs.items()],
