@@ -123,3 +123,43 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "event_type", "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"))
+
+
+@query("events_gapfill_hourly", oracle=f"""
+WITH bounds AS (
+  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+  FROM events),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+          FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+agg AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+         COUNT(*) AS n, CAST(SUM({_VDEC}) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2)
+SELECT g.h AS hour, g.event_type,
+  coalesce(a.n, 0) AS n,
+  coalesce(a.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type""")
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate with gap filling: the dense
+    (hour x event_type) grid left-joins the sparse per-hour aggregate so
+    silent hours surface as explicit zeros.  The grid is generated with
+    sequence()+explode (tiny), broadcast against the aggregate — the
+    dashboard-friendly rollup TimescaleDB calls time_bucket_gapfill."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    agg = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.expr(_VDEC)).cast("double").alias("total_value")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    hours = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    return (grid.join(agg, (F.col("hour") == F.col("h"))
+                      & (grid["event_type"] == agg["event_type"]), "left")
+            .select("hour", grid["event_type"],
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("total_value", F.lit(0.0)).alias("total_value")))
