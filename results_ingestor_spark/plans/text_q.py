@@ -132,3 +132,67 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(bigrams).alias("ngram"))
             .groupBy("ngram").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("ngram")).limit(20))
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs,
+# each optionally space-prefixed (the GPT-2 pattern family, minus
+# lookahead — RE2 in the oracle has no lookahead).
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query("text_token_count_bpe", oracle=f"""
+SELECT doc_id,
+  len({_TOKS}) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+  round(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+        / len({_TOKS}), 9) AS bpe_per_word
+FROM documents""")
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways a training pipeline needs: whitespace
+    words and a BPE-style pre-tokenizer regex (letter/digit/punct runs).
+    The bpe/word ratio is the cheap compression-cost estimator used for
+    data budgeting."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = tokens()
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return t["documents"].select(
+        "doc_id",
+        F.size(tk).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(tk), 9).alias("bpe_per_word"))
+
+
+# Winnowing (MOSS) fingerprint: char 8-gram rolling hashes, keep the
+# minimum of every 4-hash window — position-robust doc fingerprints.
+_KGRAM, _WINNOW = 8, 4
+
+
+@query("text_winnowing_fingerprint", oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(substr(text, i, {_KGRAM})), 1, 15))::bigint
+     for i in range(1, length(text) - {_KGRAM} + 2)] AS hs
+  FROM documents),
+winnowed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      [list_min(hs[i:i+{_WINNOW - 1}])
+       for i in range(1, len(hs) - {_WINNOW} + 2)])) AS fp
+  FROM grams)
+SELECT doc_id, fp FROM winnowed""")
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): hash every char
+    8-gram, keep each 4-window's minimum, dedupe — the position-robust
+    fingerprint set used for plagiarism/near-dup detection at corpus
+    scale.  Pure JVM expressions; md5-derived hashes keep the oracle
+    bit-identical."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    hs = F.expr(
+        f"transform(sequence(1, length(text) - {_KGRAM} + 1), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_KGRAM})), 1, 15), 16, 10) AS BIGINT))")
+    docs = ensure_min_parallelism(t["documents"]).withColumn("hs", hs)
+    fp = F.array_sort(F.array_distinct(F.expr(
+        f"transform(sequence(1, size(hs) - {_WINNOW} + 1), "
+        f"i -> array_min(slice(hs, i, {_WINNOW})))")))
+    return docs.select("doc_id", fp.alias("fp"))
