@@ -16,7 +16,7 @@ as a nested-loop) into a hash join with bounded fan-out.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

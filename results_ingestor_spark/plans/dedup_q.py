@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.dedup import (
     N_BANDS, N_MINHASH, jaccard, lsh_candidate_pairs, simhash32, with_minhash)
-from results_ingestor_spark.operators.text import shingles_expr
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
