@@ -32,6 +32,47 @@ HEADLINE = [
 ]
 
 
+def _stage_ingest_csv(spark, sf_dir: str) -> str:
+    """Materialize an election-results CSV from the synthetic corpus (once
+    per sf, cached) so the bench covers the reference's core capability:
+    messy-CSV ingest → canonical frame."""
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/bench_ingest_{tag}"
+    if not os.path.isdir(out) or not os.listdir(out):
+        from pyspark.sql import functions as F
+        from results_ingestor_spark.operators.election import contest_precinct_frame
+        frame = contest_precinct_frame(spark, sf_dir).select(
+            F.col("contest_name").alias("Contest Name"),
+            F.col("county").alias("County Name"),
+            F.col("precinct").alias("Precinct"),
+            F.col("candidate").alias("Choice"),
+            F.col("party_candidate").alias("Choice Party"),
+            F.col("election_day").alias("Election Day"),
+            F.col("one_stop").alias("One Stop"),
+            F.col("absentee_by_mail").alias("Absentee by Mail"),
+            F.col("provisional").alias("Provisional"),
+            F.col("total_votes").alias("Total Votes"),
+            F.col("winner_flag").alias("Winner"))
+        frame.coalesce(4).write.mode("overwrite").option("header", "true").csv(out)
+        for f in os.listdir(out):  # spark writes part-*.csv + _SUCCESS
+            if not f.endswith(".csv"):
+                os.remove(os.path.join(out, f))
+    return out
+
+
+def _bench_ingest(spark, sf_dir: str) -> float:
+    from results_ingestor_spark.operators.ingest import ingest_result_files
+    csv_dir = _stage_ingest_csv(spark, sf_dir)
+    ingest_result_files(spark, csv_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ingest_result_files(spark, csv_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     import __spark_entry__ as e
     from results_ingestor_spark.session import get_spark
@@ -53,6 +94,8 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    timings["csv_ingest_pipeline"] = _bench_ingest(spark, sf_dir)
 
     print(json.dumps({
         "metric": "headline_queries_total_sec",
