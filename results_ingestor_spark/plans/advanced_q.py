@@ -116,3 +116,79 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
                                        AS DOUBLE) / COUNT(*) FROM customer)""")
+
+
+@query("cohort_retention", oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+    CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey),
+activity AS (
+  SELECT DISTINCT o_custkey,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS active_month
+  FROM orders)
+SELECT f.cohort_month,
+  CAST((year(a.active_month) - year(f.cohort_month)) * 12
+       + (month(a.active_month) - month(f.cohort_month)) AS INT) AS month_offset,
+  COUNT(DISTINCT a.o_custkey) AS active_customers
+FROM firsts f JOIN activity a ON f.o_custkey = a.o_custkey
+GROUP BY 1, 2""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, counted
+    per month-offset of later activity.  Two aggregations sharing the
+    custkey partitioning — Catalyst reuses the exchange for the
+    first-order window and the activity dedup."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    firsts = (o.groupBy("o_custkey")
+              .agg(F.date_trunc("month", F.min("o_orderdate"))
+                   .cast("date").alias("cohort_month")))
+    activity = (o.select("o_custkey",
+                         F.date_trunc("month", "o_orderdate")
+                         .cast("date").alias("active_month"))
+                .distinct())
+    offset = ((F.year("active_month") - F.year("cohort_month")) * 12
+              + (F.month("active_month") - F.month("cohort_month"))).cast("int")
+    return (activity.join(firsts, "o_custkey")
+            .groupBy("cohort_month", offset.alias("month_offset"))
+            .agg(F.countDistinct("o_custkey").alias("active_customers")))
+
+
+@query("funnel_signup_purchase", oracle="""
+WITH s AS (SELECT user_id, min(ts) AS first_signup
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase_after
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.first_signup
+      GROUP BY e.user_id)
+SELECT
+  (SELECT COUNT(*) FROM s) AS n_signed_up,
+  (SELECT COUNT(*) FROM p) AS n_converted,
+  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        / (SELECT COUNT(*) FROM s), 9) AS conversion_rate,
+  CAST((SELECT round(avg(epoch_us(p.first_purchase_after)
+                         - epoch_us(s.first_signup)) , 0)
+        FROM p JOIN s ON p.user_id = s.user_id) AS BIGINT) AS avg_lag_us""")
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → first later purchase, with conversion
+    rate and mean time-to-convert.  The ordered-sequence constraint
+    (purchase strictly after signup) is the part plain joins get wrong."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("first_signup")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .where(F.col("ts") > F.col("first_signup"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_purchase_after"),
+                                 F.first("first_signup").alias("fs")))
+    lag_us = F.unix_micros("first_purchase_after") - F.unix_micros("fs")
+    n_s = s.count()
+    agg = p.agg(F.count("*").alias("n_converted"),
+                F.round(F.avg(lag_us), 0).cast("long").alias("avg_lag_us"))
+    return agg.select(
+        F.lit(n_s).alias("n_signed_up"),
+        F.col("n_converted"),
+        F.round(F.col("n_converted").cast("double") / n_s, 9)
+         .alias("conversion_rate"),
+        "avg_lag_us")
