@@ -150,3 +150,42 @@ def simhash32(df: DataFrame, id_col: str = "doc_id",
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         id_col: str = "doc_id", max_iter: int = 20,
+                         ) -> DataFrame:
+    """Distributed connected components by min-label propagation —
+    near-dup pairs → dedup clusters (every doc labeled with its
+    cluster's minimum id; the representative each cluster keeps).
+
+    Iterative: each round every vertex takes the min of its own label
+    and its neighbors' labels; converges in graph-diameter rounds
+    (near-dup clusters are shallow — 2-4 rounds in practice).
+    ``localCheckpoint`` truncates lineage so the plan does not grow
+    across iterations.  This is the standard large-graph CC recipe
+    (hash-partitioned joins, no driver-side graph) — at 100 TB the
+    edge list shuffles on vertex id each round and nothing else.
+    """
+    from pyspark.sql import functions as F
+    sym = (edges.selectExpr("id_a AS src", "id_b AS dst")
+           .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst")))
+    labels = vertices.select(F.col(id_col).alias("v"),
+                             F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym["src"] == labels["v"])
+                        .groupBy("dst").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["v"] == neighbor_min["dst"], "left")
+                      .select(F.col("v"),
+                              F.least(F.col("label"),
+                                      F.coalesce("nmin", F.col("label")))
+                              .alias("label"))).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "v")
+                   .where(F.col("n.label") != F.col("o.label")).take(1))
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("v").alias(id_col),
+                         F.col("label").alias("cluster_rep"))

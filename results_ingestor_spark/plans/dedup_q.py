@@ -214,3 +214,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= 0.35))
+
+
+@query("dedup_clusters", oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({{LSH}}) ),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+reps AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+  FROM reach GROUP BY a)
+SELECT d.doc_id,
+  coalesce(r.cluster_rep, d.doc_id) AS cluster_rep
+FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id""".replace("{LSH}", f"""
+WITH sig2 AS ({_minhash_sql()}),
+keyed2 AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sig2),
+cand2 AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyed2 l JOIN keyed2 r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+SELECT id_a, id_b
+FROM cand2
+JOIN sig2 a ON a.doc_id = id_a
+JOIN sig2 b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"""))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: LSH-verified near-dup pairs → connected
+    components → every document labeled with its cluster representative
+    (min doc_id).  Spark runs distributed min-label propagation (an
+    iterative algorithm, no driver-side graph); the oracle computes the
+    same components via a recursive CTE — two entirely different
+    algorithms agreeing value-for-value."""
+    from results_ingestor_spark.operators.dedup import connected_components
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                              "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+                .select("id_a", "id_b"))
+    return connected_components(verified, t["documents"].select("doc_id"))

@@ -73,3 +73,14 @@ def test_jaccard_identical_and_disjoint(spark):
         [(["a", "b"], ["a", "b"]), (["a", "b"], ["c", "d"])], ["x", "y"])
     vals = [r["j"] for r in df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()]
     assert vals == [1.0, 0.0]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from results_ingestor_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])  # chain 2-3-4, pair 10-11
+    verts = spark.createDataFrame([(i,) for i in (2, 3, 4, 7, 10, 11)],
+                                  ["doc_id"])
+    got = {r["doc_id"]: r["cluster_rep"] for r in
+           connected_components(edges, verts).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 7: 7, 10: 10, 11: 10}
