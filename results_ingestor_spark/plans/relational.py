@@ -454,3 +454,31 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("F", F.lit(0)).alias("status_F"),
         F.coalesce("O", F.lit(0)).alias("status_O"),
         F.coalesce("P", F.lit(0)).alias("status_P"))
+
+
+@query("setop_intersect_all", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: multiplicity = min of the two sides'
+    counts per key (the multiset algebra the set form collapses)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    return (o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+            .intersectAll(o.where(F.col("o_orderstatus") == "O")
+                          .select("o_custkey")))
+
+
+@query("setop_except_all", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: left multiplicity minus right
+    multiplicity per key, floored at zero."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    return (o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+            .exceptAll(o.where(F.col("o_orderstatus") == "F")
+                       .select("o_custkey")))
