@@ -45,17 +45,25 @@ def asof_join_backward(left: DataFrame, right: DataFrame, key: str,
     # right rows sort before left rows at equal ts → inclusive semantics
     w = (Window.partitionBy(key).orderBy("__ts", "__is_left")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Carry ONE struct(ts, payload...) per right row, not per-column
+    # last(ignorenulls): per-column carries would skip a NULL payload
+    # value in the matched row and resurrect a stale value from an older
+    # right row, diverging matched_ts from the payload's source row.
+    # The struct is non-NULL for every right row (even all-NULL payloads),
+    # so matched_ts and every payload field come from the same row.
+    row_struct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col("__ts").alias("__mts"),
+                 *[F.col(c) for c in rp_cols]))
     carried = unioned.select(
         key, "__ts", "__is_left", "__left_rid",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rp_cols],
-        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")),
-               ignorenulls=True).over(w).alias("__matched_ts"))
+        F.last(row_struct, ignorenulls=True).over(w).alias("__r"))
     out = carried.where(F.col("__is_left") == 1)
     return out.select(
         key,
         F.col("__ts").alias(left_ts),
-        F.col("__matched_ts").alias(f"matched_{right_ts}"),
-        *[F.col(c).alias(a) for c, a in right_payload.items()])
+        F.col("__r.__mts").alias(f"matched_{right_ts}"),
+        *[F.col(f"__r.{c}").alias(a) for c, a in right_payload.items()])
 
 
 def range_join_bucketed(events: DataFrame, key: str, ts: str, id_col: str,

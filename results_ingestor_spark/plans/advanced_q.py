@@ -46,21 +46,27 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("map_functions", oracle="""
 SELECT event_id,
-  ['k'] AS prop_keys,
-  [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_values,
+  'k' AS prop_keys,
+  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+    AS prop_values,
   1 AS n_props
 FROM events WHERE event_id < 100""")
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: parse JSON to map<string,long>, then
-    map_keys / map_values / size.  Output is array-shaped (sorted keys)
-    so the oracle can compare across engines' differing map wire types."""
+    map_entries / map_keys / size.  Keys and values are emitted as
+    '|'-joined strings (key-sorted, values aligned with their keys) —
+    scalar wire types that every engine's canonicalizer can hash."""
     t = load_tables(spark, sf_dir, ("events",))
     m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    entries = F.sort_array(F.map_entries("m"))  # sorts by struct's 1st field: key
     return (t["events"].where(F.col("event_id") < 100)
             .withColumn("m", m)
             .select("event_id",
-                    F.sort_array(F.map_keys("m")).alias("prop_keys"),
-                    F.map_values("m").alias("prop_values"),
+                    F.concat_ws("|", F.transform(entries, lambda e: e["key"]))
+                    .alias("prop_keys"),
+                    F.concat_ws("|", F.transform(
+                        entries, lambda e: e["value"].cast("string")))
+                    .alias("prop_values"),
                     F.size("m").alias("n_props")))
 
 
@@ -183,12 +189,15 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("user_id").agg(F.min("ts").alias("first_purchase_after"),
                                  F.first("first_signup").alias("fs")))
     lag_us = F.unix_micros("first_purchase_after") - F.unix_micros("fs")
-    n_s = s.count()
-    agg = p.agg(F.count("*").alias("n_converted"),
-                F.round(F.avg(lag_us), 0).cast("long").alias("avg_lag_us"))
-    return agg.select(
-        F.lit(n_s).alias("n_signed_up"),
-        F.col("n_converted"),
-        F.round(F.col("n_converted").cast("double") / n_s, 9)
+    # Both funnel stages reduce to 1-row aggregates; a broadcast cross
+    # join combines them IN-plan — fully lazy, single job, no driver-side
+    # count() frozen into the plan as a literal.
+    s_agg = s.agg(F.count("*").alias("n_signed_up"))
+    p_agg = p.agg(F.count("*").alias("n_converted"),
+                  F.round(F.avg(lag_us), 0).cast("long").alias("avg_lag_us"))
+    return p_agg.crossJoin(s_agg).select(
+        "n_signed_up",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_signed_up"), 9)
          .alias("conversion_rate"),
         "avg_lag_us")

@@ -54,36 +54,6 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
-@query("dedup_ngram_jaccard", oracle=f"""
-WITH s AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-        9) AS jaccard
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""")
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram-Jaccard near-dup: equi-join on the blocking key
-    (lang) bounds the pairwise comparison to within-block; the set
-    arithmetic is exact-integer so the threshold is engine-portable.
-    At scale the blocking key comes from LSH (see dedup_minhash_lsh);
-    this standalone form IS the verify stage."""
-    from results_ingestor_spark.sources.tables import ensure_min_parallelism
-    t = load_tables(spark, sf_dir, ("documents",))
-    s = ensure_min_parallelism(t["documents"]).select(
-        "doc_id", "lang",
-        F.array_distinct(F.split("text", " ")).alias("toks"))
-    a, b = s.alias("a"), s.alias("b")
-    j = jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .where(j >= 0.8)
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"),
-                    F.round(j, 9).alias("jaccard")))
-
-
 def _minhash_sql() -> str:
     from results_ingestor_spark.operators.dedup import MINHASH_PARAMS, P_MINHASH
     mh = ",\n    ".join(
@@ -157,6 +127,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (pairs.join(a, "id_a").join(b, "id_b")
             .where(j >= 0.5)
+            .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH sig AS ({_minhash_sql()}),
+keyed AS (
+  SELECT doc_id,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+tk AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+        9) AS jaccard
+FROM cand
+JOIN tk a ON a.doc_id = id_a
+JOIN tk b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-Jaccard near-dup with a SCALE-SAFE blocking key: candidate
+    pairs come from MinHash LSH band buckets (never all-pairs, never
+    within-a-low-cardinality-block quadratic — the earlier lang-blocked
+    form was quadratic within a language), then exact whole-token Jaccard
+    verifies at >= 0.8.  The set arithmetic is exact-integer so the
+    threshold is engine-portable; the oracle replays the identical band
+    bucketing + verification."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select("doc_id", "band0", "band1",
+                                              "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    toks = t["documents"].select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tk_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tk_b"))
+    j = jaccard(F.col("tk_a"), F.col("tk_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .where(j >= 0.8)
             .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
 
 

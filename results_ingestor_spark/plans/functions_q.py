@@ -66,15 +66,33 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 9).alias("p99_price")))
 
 
-@query("approx_sketches")  # engine-specific sketch internals — rows-only
+@query("approx_sketches", oracle="""
+SELECT o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS exact_customers,
+  round(quantile_cont(o_totalprice, 0.5), 9) AS exact_median,
+  TRUE AS cd_within_bound,
+  TRUE AS median_within_bound
+FROM orders GROUP BY o_orderstatus""")
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for the 100 TB tier: HLL++ distinct counts
-    and GK-sketch quantiles.  Sketch values are implementation-specific,
-    so no SQL twin; tests bound the error vs exact (test_functions.py)."""
+    and GK-sketch quantiles.  Raw sketch outputs are engine-specific, so
+    the comparable surface is self-verifying: Spark computes BOTH the
+    sketch and the exact value and emits exact + within-bound booleans;
+    the oracle computes the exact values and literal TRUEs.  Both sketches
+    are deterministic for a fixed dataset, so the booleans are stable."""
     t = load_tables(spark, sf_dir, ("orders",))
-    return (t["orders"].groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median")))
+    agg = t["orders"].groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__acd"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("__amed"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
+        .alias("exact_median"))
+    return agg.select(
+        "o_orderstatus", "exact_customers", "exact_median",
+        (F.abs(F.col("__acd") - F.col("exact_customers"))
+         <= F.lit(0.05) * F.col("exact_customers")).alias("cd_within_bound"),
+        (F.abs(F.col("__amed") - F.col("exact_median"))
+         <= F.lit(0.05) * F.col("exact_median")).alias("median_within_bound"))
 
 
 @query("salted_sum_by_flag", oracle="""

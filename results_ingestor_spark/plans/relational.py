@@ -401,7 +401,7 @@ SELECT o_orderkey,
   ceil(o_totalprice) AS ceiled,
   round(sqrt(o_totalprice), 8) AS sq,
   CAST(o_orderkey % 7 AS BIGINT) AS mod7,
-  sign(o_totalprice - 100000) AS sgn,
+  CAST(sign(o_totalprice - 100000) AS INTEGER) AS sgn,
   greatest(o_totalprice, 100000.0) AS gt, least(o_totalprice, 100000.0) AS lt
 FROM orders""")
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,11 +411,14 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.abs(p - 100000).alias("abs_diff"),
         F.round(p, 1).alias("rounded"),
-        F.floor(p).alias("floored"),
-        F.ceil(p).alias("ceiled"),
+        # Spark floor/ceil return LONG and signum DOUBLE; DuckDB returns
+        # DOUBLE/DOUBLE/TINYINT — cast both sides to one wire type so the
+        # driver's value-hash (which distinguishes types) agrees.
+        F.floor(p).cast("double").alias("floored"),
+        F.ceil(p).cast("double").alias("ceiled"),
         F.round(F.sqrt(p), 8).alias("sq"),
         (F.col("o_orderkey") % 7).alias("mod7"),
-        F.signum(p - 100000).alias("sgn"),
+        F.signum(p - 100000).cast("int").alias("sgn"),
         F.greatest(p, F.lit(100000.0)).alias("gt"),
         F.least(p, F.lit(100000.0)).alias("lt"),
     )

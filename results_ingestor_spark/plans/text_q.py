@@ -125,9 +125,13 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity) → hash-agg → TakeOrdered.  The shuffle carries (ngram,
     partial count) thanks to map-side combine."""
     t = load_tables(spark, sf_dir, ("documents",))
+    # Guarded like shingles_expr: Spark's sequence(1, 0) counts DOWN for
+    # a 1-token doc (DuckDB range() is empty) — emit no bigrams instead.
     bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))")
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
     return (t["documents"]
             .select(F.explode(bigrams).alias("ngram"))
             .groupBy("ngram").agg(F.count("*").alias("n"))
@@ -179,20 +183,30 @@ winnowed AS (
       [list_min(hs[i:i+{_WINNOW - 1}])
        for i in range(1, len(hs) - {_WINNOW} + 2)])) AS fp
   FROM grams)
-SELECT doc_id, fp FROM winnowed""")
+SELECT doc_id,
+  array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), '|') AS fp
+FROM winnowed""")
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing): hash every char
     8-gram, keep each 4-window's minimum, dedupe — the position-robust
     fingerprint set used for plagiarism/near-dup detection at corpus
     scale.  Pure JVM expressions; md5-derived hashes keep the oracle
-    bit-identical."""
+    bit-identical.  Guarded for docs shorter than the k-gram / window
+    (Spark's sequence(1, 0) counts DOWN; DuckDB range() is empty), and
+    the fingerprint set is emitted as a '|'-joined string so the result
+    is scalar-hashable by any comparator."""
     t = load_tables(spark, sf_dir, ("documents",))
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     hs = F.expr(
+        f"CASE WHEN length(text) >= {_KGRAM} THEN "
         f"transform(sequence(1, length(text) - {_KGRAM} + 1), "
-        f"i -> CAST(conv(substring(md5(substring(text, i, {_KGRAM})), 1, 15), 16, 10) AS BIGINT))")
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_KGRAM})), 1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
     docs = ensure_min_parallelism(t["documents"]).withColumn("hs", hs)
-    fp = F.array_sort(F.array_distinct(F.expr(
-        f"transform(sequence(1, size(hs) - {_WINNOW} + 1), "
-        f"i -> array_min(slice(hs, i, {_WINNOW})))")))
-    return docs.select("doc_id", fp.alias("fp"))
+    fp = F.expr(
+        f"CASE WHEN size(hs) >= {_WINNOW} THEN "
+        f"array_sort(array_distinct(transform(sequence(1, size(hs) - {_WINNOW} + 1), "
+        f"i -> array_min(slice(hs, i, {_WINNOW}))))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+    fp_str = F.concat_ws("|", F.transform(fp, lambda x: x.cast("string")))
+    return docs.select("doc_id", fp_str.alias("fp"))

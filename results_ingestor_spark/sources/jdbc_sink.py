@@ -19,12 +19,15 @@ from pyspark.sql import DataFrame
 def write_jdbc_append(df: DataFrame, url: str, table: str,
                       user: str | None = None, password: str | None = None,
                       batchsize: int = 10_000,
-                      num_partitions: int | None = None) -> None:
+                      num_partitions: int | None = None,
+                      driver: str | None = None) -> None:
     """Append to an RDBMS table (contest_precinct / contest_county).
 
     ``batchsize`` controls rows per INSERT batch — the deliberate
     contrast to the reference's row-wise to_sql.  ``num_partitions``
-    caps concurrent connections (coalesce, no shuffle).
+    caps concurrent connections (coalesce, no shuffle).  ``driver``
+    names the JDBC driver class when the URL scheme alone can't
+    resolve it (e.g. embedded Derby in tests).
     """
     if num_partitions:
         df = df.coalesce(num_partitions)
@@ -37,6 +40,8 @@ def write_jdbc_append(df: DataFrame, url: str, table: str,
         w = w.option("user", user)
     if password is not None:
         w = w.option("password", password)
+    if driver is not None:
+        w = w.option("driver", driver)
     w.save()
 
 

@@ -37,6 +37,22 @@ def test_asof_inclusive_and_latest_wins(spark):
     assert row["matched_ts"] == TS(2024, 1, 1, 10)
 
 
+def test_asof_null_payload_in_matched_row_is_kept(spark):
+    # The matched (most recent at-or-before) right row carries a NULL
+    # payload: true ASOF semantics return that NULL, not a stale value
+    # resurrected from an older right row.  Regression for the
+    # per-column last(ignorenulls) carry bug.
+    left = spark.createDataFrame([(1, TS(2024, 1, 1, 12))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 9), 7), (1, TS(2024, 1, 1, 11), None)],
+        "k int, ts timestamp, payload int")
+    row = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload={"payload": "payload"}).collect()[0]
+    assert row["matched_ts"] == TS(2024, 1, 1, 11)
+    assert row["payload"] is None           # NOT the stale 7
+
+
 def test_range_join_bucket_boundary(spark):
     # gap exactly == max_gap lands in the adjacent bucket → the 2x
     # fan-out must still find it; gap just over must not appear

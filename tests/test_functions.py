@@ -47,19 +47,23 @@ def test_cosine_similarity(spark):
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
-    """HLL++/GK sketches have no oracle; bound their error vs exact."""
+    """The sketch query is self-verifying: it computes HLL++/GK approx
+    AND exact in-plan and emits within-bound booleans — assert every
+    group is within bound and the exact columns match a direct
+    computation."""
     from pyspark.sql import functions as F
+    from results_ingestor_spark.plans.functions_q import approx_sketches
     from results_ingestor_spark.sources.tables import load_tables
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     exact = {r["o_orderstatus"]: (r["d"], r["m"]) for r in
              orders.groupBy("o_orderstatus").agg(
                  F.countDistinct("o_custkey").alias("d"),
-                 F.percentile("o_totalprice", F.lit(0.5)).alias("m")).collect()}
-    approx = {r["o_orderstatus"]: (r["approx_customers"], r["approx_median"])
-              for r in __import__("results_ingestor_spark.plans.functions_q",
-                                  fromlist=["approx_sketches"])
-              .approx_sketches(spark, sf_dir).collect()}
-    for k, (d, m) in exact.items():
-        ad, am = approx[k]
-        assert abs(ad - d) / max(d, 1) < 0.1
-        assert abs(am - m) / max(abs(m), 1) < 0.05
+                 F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
+                 .alias("m")).collect()}
+    rows = approx_sketches(spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["cd_within_bound"] and r["median_within_bound"]
+        d, m = exact[r["o_orderstatus"]]
+        assert r["exact_customers"] == d
+        assert r["exact_median"] == m

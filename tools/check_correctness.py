@@ -19,23 +19,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _canon(v):
+    # Type-TAGGED canonical values: the driver's value-hash distinguishes
+    # an integer 112946 from a double 112946.0 (pandas dtype reaches the
+    # hash), so the replica must too — Python's 112946 == 112946.0 would
+    # otherwise hide exactly the mismatch that turned math_functions red
+    # in round 1.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return float(repr(v))  # exact double identity
-    if isinstance(v, bool):
-        return bool(v)
+            return ("d", "NaN")
+        return ("d", repr(v))  # exact double identity
     if isinstance(v, int):
-        return int(v)
+        return ("l", v)
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+        return ("x", v.hex())
+    return ("s", str(v))
 
 
 def _rowset(cols, rows):
