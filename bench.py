@@ -73,6 +73,22 @@ def _bench_ingest(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _bench_rollup_sink(spark, sf_dir: str, qs) -> float:
+    """The flagship rollup WITH a real parquet sink — the reference's
+    pain point was the write path (row-wise to_sql), so the bench must
+    time compute + materialization, not compute alone."""
+    out = "/tmp/bench_rollup_sink"
+    qs["rollup_contest_county"](spark, sf_dir).write.mode(
+        "overwrite").parquet(out)  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        qs["rollup_contest_county"](spark, sf_dir).write.mode(
+            "overwrite").parquet(out)
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     import __spark_entry__ as e
     from results_ingestor_spark.session import get_spark
@@ -96,6 +112,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timings["csv_ingest_pipeline"] = _bench_ingest(spark, sf_dir)
+    timings["rollup_sink_parquet"] = _bench_rollup_sink(spark, sf_dir, qs)
 
     print(json.dumps({
         "metric": "headline_queries_total_sec",

@@ -107,6 +107,111 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
             .select("query_id", "cand_id", "cosine", "rn"))
 
 
+def assign_centroid_expr(centroids: list[list[float]], vec_col: str) -> F.Column:
+    """Argmax-cosine centroid assignment as ONE JVM expression: fold over
+    the (literal) L2-normalized centroid array keeping the best dot
+    product.  dot(v, c/|c|) ranks identically to cosine for a fixed v, so
+    no per-row norm is needed; strict ``>`` keeps the lowest centroid id
+    on ties (deterministic)."""
+    import math
+    normed = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        normed.append([x / n for x in c])
+    cent_arr = F.array(*[
+        F.struct(F.lit(i).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("c"))
+        for i, c in enumerate(normed)])
+
+    def merge(acc, cs):
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), cs["c"],
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda s, x: s + x)
+        return (F.when(dot > acc["s"],
+                       F.struct(cs["cid"].alias("cid"), dot.alias("s")))
+                .otherwise(acc))
+
+    init = F.struct(F.lit(-1).alias("cid"),
+                    F.lit(float("-inf")).alias("s"))
+    return F.aggregate(cent_arr, init, merge)["cid"]
+
+
+def kmeans_centroids(vectors: DataFrame, n_clusters: int = 10,
+                     n_iter: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Lloyd's k-means over DataFrame ops — the label-free IVF coarse
+    quantizer.  Deterministic end-to-end: seeds are the ``n_clusters``
+    vectors with the smallest md5(id) (a pseudo-random spread with no RNG
+    state), assignment ties break on the lowest centroid id, and mean
+    recomputation is exact groupBy-avg.
+
+    Scale shape: each iteration is one narrow map stage (assignment is a
+    single fold over broadcast-literal centroids — no join, no shuffle of
+    the vectors) plus one (cid, pos) aggregation whose output is k x dim
+    doubles.  Only the centroids (k x dim) ever reach the driver, same as
+    Spark MLlib's own KMeans; an empty cluster keeps its previous
+    centroid."""
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = (v.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+             .limit(n_clusters).collect())
+    cents = [list(r["v"]) for r in seeds]
+    for _ in range(n_iter):
+        assigned = v.select(
+            "v", assign_centroid_expr(cents, "v").alias("cid"))
+        rows = (assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                     .alias("pm"))
+                .select("cid", F.transform("pm", lambda s: s["m"]).alias("c"))
+                .collect())
+        by_cid = {r["cid"]: list(r["c"]) for r in rows}
+        cents = [by_cid.get(i, cents[i]) for i in range(n_clusters)]
+    return cents
+
+
+def ivf_topk_kmeans(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                    nprobe: int = 3, n_clusters: int = 10, n_iter: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> DataFrame:
+    """IVF approximate top-k with a LABEL-FREE coarse quantizer: k-means
+    centroids (kmeans_centroids), candidates assigned by the same argmax
+    expression, queries probe their ``nprobe`` nearest centroid lists.
+    At scale the assigned table is written partitioned by centroid_id so
+    probes are partition-pruned scans."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    cents_list = kmeans_centroids(vectors, n_clusters, n_iter, id_col, vec_col)
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents_list)],
+        "centroid_id int, centroid array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qc = (q.join(F.broadcast(cents))
+          .select("query_id", "qvec", "centroid_id",
+                  cosine_similarity("qvec", "centroid").alias("csim")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"),
+                                                F.asc("centroid_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= nprobe)
+              .select("query_id", "qvec", "centroid_id"))
+    cand = (ensure_min_parallelism(vectors)
+            .select(F.col(id_col).alias("cand_id"),
+                    F.col(vec_col).alias("cvec"),
+                    assign_centroid_expr(cents_list, vec_col)
+                    .alias("centroid_id")))
+    sims = (cand.join(F.broadcast(probes), "centroid_id")
+            .where(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id",
+                    F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "cand_id", "cosine", "rn"))
+
+
 def label_centroids(vectors: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

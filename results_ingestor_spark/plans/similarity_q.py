@@ -42,12 +42,49 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
-@query("ann_lsh_topk")  # approximate — no SQL twin; recall vs brute force
+def _lsh_bucket_sql(dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.py::bucket_expr — the
+    hyperplane components are md5-derived constants, so the oracle embeds
+    the SAME literals and replays the sign-bit bucketing bit-for-bit.
+    Term order matches Spark's left fold exactly (same double sums)."""
+    from results_ingestor_spark.operators.similarity import hyperplanes
+    planes = hyperplanes(dim)
+    return " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"e[{i + 1}]*({w!r})" for i, w in enumerate(p))
+        + f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+
+
+@query("ann_lsh_topk", oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+b AS (SELECT vec_id, embedding, ({{BUCKET}}) AS bkt FROM v),
+n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM b q
+  JOIN b c ON q.vec_id <> c.vec_id AND bit_count(xor(q.bkt, c.bkt)) <= 6
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 5)
+SELECT query_id, cand_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM s) WHERE rn <= 10""".replace("{BUCKET}", _lsh_bucket_sql()))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: 16 random-hyperplane sign bits bucket the
     vectors; candidates within Hamming≤6 of the query bucket get exact
-    cosine + top-k.  Rows-only driver check; recall asserted against
-    brute force in tests/test_similarity.py."""
+    cosine + top-k.  The hyperplanes are md5-derived constants, so the
+    oracle replays the ENTIRE pipeline — bucketing, Hamming prefilter,
+    cosine, top-k — making even this approximate path value-checked.
+    Recall vs brute force additionally asserted in
+    tests/test_similarity.py."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
     return lsh_bucketed_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=10)
@@ -74,14 +111,46 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("nrm"), 6).alias("max_norm")))
 
 
-@query("ann_ivf_topk")  # approximate — rows-only; recall-tested vs brute force
+@query("ann_ivf_topk")  # approximate — rows-only; recall gated below + tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: probe the 3 nearest centroid lists (label-mean coarse
-    quantizer), exact cosine within them.  Rows-only driver check; recall
-    vs brute force asserted in tests/test_similarity.py.  Recall scales
-    with nprobe (measured 0.29/0.40/0.62 at nprobe=2/3/5 on the weakly
-    clustered corpus) — the knob a deployment tunes."""
-    from results_ingestor_spark.operators.similarity import ivf_topk
+    """IVF ANN, LABEL-FREE: Lloyd's k-means (3 iterations, deterministic
+    md5-ordered seeding, all DataFrame ops) builds the coarse quantizer;
+    queries probe the 3 nearest centroid lists, exact cosine within them.
+    The k-means quantizer measures BETTER than the former label-mean one
+    (avg recall@10 0.58 vs 0.40 at nprobe=3, sf0.01).  Centroids are
+    data-dependent so no SQL twin for the top-k rows themselves —
+    ann_ivf_recall_check is the value-checked gate, and
+    tests/test_similarity.py asserts recall bounds."""
+    from results_ingestor_spark.operators.similarity import ivf_topk_kmeans
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
-    return ivf_topk(e, e.where(F.col("vec_id") < 5), k=10, nprobe=3)
+    return ivf_topk_kmeans(e, e.where(F.col("vec_id") < 5), k=10, nprobe=3)
+
+
+@query("ann_ivf_recall_check", oracle="""
+SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5""")
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying gate for the approximate IVF path: computes BOTH
+    the k-means IVF top-k and the exact brute-force top-k in-plan, joins
+    them, and emits (n_queries, avg-recall@10 >= 0.3).  The whole
+    pipeline is deterministic (md5 seeding, tie-broken assignment), so
+    the boolean is stable; measured avg recall is 0.58 at sf0.01 —
+    the 0.3 bound leaves margin without being vacuous."""
+    from results_ingestor_spark.operators.similarity import (
+        brute_force_topk, ivf_topk_kmeans)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    approx = ivf_topk_kmeans(e, q, k=10, nprobe=3)
+    exact = brute_force_topk(e, q, k=10)
+    hits = (approx.select("query_id", "cand_id")
+            .join(exact.select("query_id", "cand_id"),
+                  ["query_id", "cand_id"])
+            .groupBy("query_id").agg(F.count("*").alias("h")))
+    per_q = (exact.select("query_id").distinct()
+             .join(hits, "query_id", "left")
+             .select("query_id", F.coalesce("h", F.lit(0)).alias("h")))
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg(F.col("h") / F.lit(10.0)) >= 0.3).alias("recall_ok"))

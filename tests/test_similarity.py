@@ -81,3 +81,27 @@ def test_ivf_recall_scales_with_nprobe(spark, emb):
     # (random 10-of-499 would give recall ~0.02)
     assert r5 >= 0.4
     assert recall(10) >= 0.99  # probing every list == brute force
+
+
+def test_ivf_kmeans_label_free_recall(spark, emb):
+    """The k-means coarse quantizer must reach the recall bound WITHOUT
+    reading the label column, and probing every list must equal brute
+    force exactly (candidate partitioning is lossless)."""
+    from results_ingestor_spark.operators.similarity import (
+        brute_force_topk, ivf_topk_kmeans)
+    queries = emb.where(F.col("vec_id") < 20)
+    unlabeled = emb.select("vec_id", "embedding")  # label never visible
+    exact = {}
+    for r in brute_force_topk(unlabeled, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_topk_kmeans(unlabeled, queries, k=10,
+                                 nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return sum(len(exact[q] & got.get(q, set())) / len(exact[q])
+                   for q in exact) / len(exact)
+
+    assert recall(3) >= 0.3   # measured ~0.58 at sf0.01; margin below
+    assert recall(10) >= 0.99  # all lists probed == brute force
