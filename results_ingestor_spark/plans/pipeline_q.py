@@ -1,0 +1,191 @@
+"""Training-data-pipeline queries: dataset splitting, sharding, sequence
+packing, benchmark-contamination checks, PII masking (north-star M3 —
+the operations a 100 TB pretraining pipeline runs between raw corpus and
+tokenizer).
+
+Everything hash-derived uses the md5 → 15-hex-digit → BIGINT bridge
+(functions/hashing.py convention) so both engines compute identical
+assignments; token counts are the literal-space split both engines
+reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_TOKS = "string_split(text, ' ')"
+# Spark twin of the DuckDB ('0x' || substr(md5(x),1,15))::BIGINT hash.
+_DOC_HASH = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+             "16, 10) AS BIGINT)")
+_DOC_HASH_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+
+
+@query("sampling_stratified_split", oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, {_DOC_HASH_SQL} % 100 AS h,
+    len({_TOKS}) AS n_tokens
+  FROM documents)
+SELECT lang,
+  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END
+    AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY 1, 2""")
+def sampling_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-free id
+    hash, reported per language stratum with document and token counts.
+    The split is a pure map expression — no shuffle beyond the reporting
+    aggregation, and membership is reproducible from doc_id alone (the
+    property that makes the split stable across pipeline re-runs)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    h = F.expr(_DOC_HASH) % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return (t["documents"]
+            .select("lang", split.alias("split"),
+                    F.size(F.split("text", " ")).alias("n_tokens"))
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+@query("dataset_shard_stats", oracle=f"""
+WITH s AS (
+  SELECT doc_id, {_DOC_HASH_SQL} % 16 AS shard,
+    len({_TOKS}) AS n_tokens
+  FROM documents)
+SELECT shard, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY shard""")
+def dataset_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sharding balance report: 16 shards by id hash, with doc and
+    token totals per shard.  At 100 TB this is the pre-write check that
+    output files will be even — a skewed shard here means a straggler
+    writer there."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (t["documents"]
+            .select((F.expr(_DOC_HASH) % 16).alias("shard"), "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tokens"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
+_PACK_BUDGET = 1024
+
+
+@query("pack_sequences_cumsum", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 8 AS shard, len({_TOKS}) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+    CAST(coalesce(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM tok)
+SELECT shard, doc_id, n_tokens,
+  CAST(floor(CAST(cum_before AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+    AS pack_id
+FROM c""")
+def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sequence packing: pack = pre-document cumulative
+    tokens DIV budget, windowed WITHIN a shard (never a global sort —
+    the shard is the scale unit).  Packs can overflow by at most one
+    document; the exact greedy variant is pack_sequences_greedy."""
+    from results_ingestor_spark.operators.packing import cumsum_pack_expr
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        (F.col("doc_id") % 8).alias("shard"), "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    return base.select(
+        "shard", "doc_id", "n_tokens",
+        cumsum_pack_expr(_PACK_BUDGET).alias("pack_id"))
+
+
+@query("pack_sequences_greedy")  # sequential per-shard state — no SQL twin
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit-in-order packing (new pack when the next document
+    would overflow the budget) — running-reset state is not expressible
+    as a window function, so it runs per-shard in applyInPandas
+    (Arrow-batched; shards independent → embarrassingly parallel).
+    Invariants (no pack over budget unless single-doc; contiguous pack
+    ids) are asserted in tests/test_packing.py against a pure-Python
+    reference."""
+    from results_ingestor_spark.operators.packing import greedy_pack
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        (F.col("doc_id") % 8).alias("shard"), "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    return greedy_pack(base, _PACK_BUDGET)
+
+
+@query("contamination_ngram_overlap", oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+    unnest(list_distinct([array_to_string(tt[i:i+2], ' ')
+                          for i in range(1, len(tt) - 1)])) AS s
+  FROM (SELECT doc_id, {_TOKS} AS tt FROM documents)),
+ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < 20),
+co AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+SELECT co.doc_id, ev.eval_id, COUNT(*) AS shared_shingles
+FROM co JOIN ev ON co.s = ev.s
+GROUP BY co.doc_id, ev.eval_id
+HAVING COUNT(*) >= 2""")
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing >= 2
+    distinct 3-gram shingles with any held-out eval document (doc_id <
+    20 stands in for the benchmark set).  Implemented as an inverted-
+    index join ON THE SHINGLE — cost is O(matching postings), never
+    corpus x eval pairs, so it scales to 100 TB the way all shingle
+    pipelines here do."""
+    from results_ingestor_spark.operators.text import shingles_expr
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = t["documents"].select(
+        "doc_id", F.explode(shingles_expr("split(text, ' ')", 3)).alias("s"))
+    ev = (sh.where(F.col("doc_id") < 20)
+          .select(F.col("doc_id").alias("eval_id"), "s"))
+    co = sh.where(F.col("doc_id") >= 20)
+    return (co.join(ev, "s")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count("*").alias("shared_shingles"))
+            .where(F.col("shared_shingles") >= 2))
+
+
+@query("text_pii_mask", oracle="""
+SELECT c_custkey,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+  length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+    AS n_digits_redacted,
+  regexp_replace(lower(replace(c_name, '#', '')) || '@example.com',
+                 '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g')
+    AS scrubbed_contact
+FROM customer WHERE c_custkey <= 1000""")
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing surface: digit masking with redaction counts and
+    email-pattern redaction (a contact string is synthesized in-query —
+    the corpus ships no PII, which is the point of testing the scrubber
+    on known-shape input).  All built-in regexp expressions in a narrow
+    map stage; patterns stay in the RE2-compatible subset so both
+    engines agree byte-for-byte."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    name = F.col("c_name")
+    contact = F.concat(F.lower(F.regexp_replace(name, "#", "")),
+                       F.lit("@example.com"))
+    return (t["customer"].where(F.col("c_custkey") <= 1000)
+            .select("c_custkey",
+                    F.regexp_replace(name, "[0-9]", "#")
+                    .alias("masked_name"),
+                    (F.length(name)
+                     - F.length(F.regexp_replace(name, "[0-9]", "")))
+                    .alias("n_digits_redacted"),
+                    F.regexp_replace(contact, "[a-z0-9._]+@[a-z0-9.-]+",
+                                     "<EMAIL>")
+                    .alias("scrubbed_contact")))
