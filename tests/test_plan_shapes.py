@@ -89,3 +89,44 @@ def test_minhash_no_python_in_hot_path(plans):
 def test_multimodal_uses_arrow_batches(plans):
     # the one place Python IS expected: mapInPandas → MapInPandas node
     assert "MapInPandas" in plans("multimodal_decode_features")
+
+
+def test_stratified_split_single_exchange_no_python(plans):
+    p = plans("sampling_stratified_split")
+    # split membership is a map expression; only the reporting agg shuffles
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_contamination_no_cartesian(plans):
+    p = plans("contamination_ngram_overlap")
+    # inverted-index equi-join on the shingle — never a pair enumeration
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cumsum_pack_partitions_by_shard(plans):
+    p = plans("pack_sequences_cumsum")
+    # the window partitions by shard — no single-partition global sort
+    assert "hashpartitioning(shard" in p
+
+
+def test_greedy_pack_python_is_per_shard_arrow(plans):
+    p = plans("pack_sequences_greedy")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+
+
+def test_ivf_assignment_no_join_for_candidates(spark, sf_dir):
+    """Candidate->centroid assignment is a fold over literal centroids:
+    the plan must contain no Python eval and the assignment itself adds
+    no join (the only joins are the tiny probe/candidate equi-joins)."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.operators.similarity import (
+        assign_centroid_expr, kmeans_centroids)
+    from results_ingestor_spark.sources.tables import load_tables
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = kmeans_centroids(e, n_clusters=4, n_iter=1)
+    assigned = e.select(assign_centroid_expr(cents, "embedding").alias("cid"))
+    p = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p and "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
