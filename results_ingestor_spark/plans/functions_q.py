@@ -115,3 +115,28 @@ def salted_sum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag",
              F.col("total_qty").cast("double").alias("total_qty"),
              F.col("n").cast("long").alias("n"))
+
+
+@query("regexp_functions", oracle="""
+SELECT p_partkey,
+  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+  regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+  regexp_replace(p_brand, 'Brand#', 'B', 'g') AS brand_code
+FROM part WHERE p_partkey <= 2000""")
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: group extraction, match counting (via extract_all
+    — portable to engines without regexp_count), boolean match, global
+    replace.  Patterns stay in the RE2-compatible subset (no lookahead /
+    backreferences) so Java regex and RE2 agree."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return (t["part"].where(F.col("p_partkey") <= 2000)
+            .select("p_partkey",
+                    F.regexp_extract("p_type", "^([A-Z]+)", 1)
+                    .alias("type_head"),
+                    F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0))
+                    .alias("n_vowels"),
+                    F.col("p_type").rlike("BRUSHED|POLISHED")
+                    .alias("is_finished"),
+                    F.regexp_replace("p_brand", "Brand#", "B")
+                    .alias("brand_code")))

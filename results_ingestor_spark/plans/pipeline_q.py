@@ -189,3 +189,80 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_replace(contact, "[a-z0-9._]+@[a-z0-9.-]+",
                                      "<EMAIL>")
                     .alias("scrubbed_contact")))
+
+
+
+
+def _quality_sql() -> str:
+    """DuckDB twin of the text_quality_score formula (plans/text_q.py) —
+    shared so curation reuses the exact same scalar."""
+    from results_ingestor_spark.operators.text import STOPWORDS
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "string_split(text, ' ')"
+    return (f"round(0.5 * (CAST(len(list_distinct({toks})) AS DOUBLE)"
+            f" / len({toks}))"
+            f" + 0.3 * (1 - CAST(len(list_filter({toks},"
+            f" t -> t IN ({stops}))) AS DOUBLE) / len({toks}))"
+            f" + 0.2 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+            f" / len({toks}) / 8.0, 1.0), 9)")
+
+
+@query("quality_filter_top_half", oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, {_quality_sql()} AS quality FROM documents),
+r AS (
+  SELECT doc_id, lang, quality,
+    percent_rank() OVER (PARTITION BY lang
+                         ORDER BY quality, doc_id) AS pr
+  FROM q)
+SELECT doc_id, lang, quality, round(pr, 9) AS pct_rank
+FROM r WHERE pr >= 0.5""")
+def quality_filter_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data curation: keep the top half of documents per language by
+    quality score (the same scalar as text_quality_score) via
+    percent_rank within the language stratum.  One window per stratum —
+    the standard quality-threshold curation pass, with a unique doc_id
+    tie-break so the kept set is deterministic."""
+    from pyspark.sql import Window
+    from results_ingestor_spark.operators.text import stopword_ratio, tokens
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = tokens()
+    stop = stopword_ratio()
+    ttr = F.size(F.array_distinct(tk)).cast("double") / F.size(tk)
+    avg_len = (F.length(F.regexp_replace("text", " ", "")).cast("double")
+               / F.size(tk))
+    quality = F.round(F.lit(0.5) * ttr + F.lit(0.3) * (F.lit(1) - stop)
+                      + F.lit(0.2) * F.least(avg_len / 8.0, F.lit(1.0)), 9)
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (t["documents"]
+            .select("doc_id", "lang", quality.alias("quality"))
+            .withColumn("pct_rank", F.round(F.percent_rank().over(w), 9))
+            .where(F.col("pct_rank") >= 0.5))
+
+
+@query("sampling_language_balanced", oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY {_DOC_HASH_SQL} % 9973, doc_id) AS rn
+  FROM documents)
+SELECT lang, COUNT(*) AS n_sampled,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM r WHERE rn <= 30 GROUP BY lang""")
+def sampling_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: cap every language at 30 docs,
+    chosen by deterministic hash order (not doc_id order — that would
+    bias toward corpus position).  The per-stratum row_number cap is the
+    scalable form of per-group reservoir sampling when the sample is
+    hash-reproducible."""
+    from pyspark.sql import Window
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = Window.partitionBy("lang").orderBy(F.expr(_DOC_HASH) % 9973,
+                                           "doc_id")
+    return (t["documents"]
+            .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 30)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

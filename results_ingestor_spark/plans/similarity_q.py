@@ -154,3 +154,54 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.agg(
         F.count("*").alias("n_queries"),
         (F.avg(F.col("h") / F.lit(10.0)) >= 0.3).alias("recall_ok"))
+
+
+@query("embedding_scalar_quantization", oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+s AS (
+  SELECT vec_id, e, list_min(e) AS mn,
+    greatest((list_max(e) - list_min(e)) / 255.0, 1e-12) AS sc
+  FROM v),
+d AS (
+  SELECT vec_id, mn, sc, len(e) AS dim,
+    list_transform(e, x ->
+      abs(x - (mn + floor((x - mn) / sc + 0.5) * sc))) AS errs
+  FROM s)
+SELECT vec_id,
+  round(mn, 6) AS vmin, round(sc, 9) AS scale,
+  round(list_max(errs), 6) AS max_abs_err,
+  round(list_sum(list_transform(errs, x -> x * x)) / dim, 6) AS mse,
+  list_max(errs) <= sc / 2 * 1.000001 AS within_half_step
+FROM d""")
+def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (the ANN index-compression step): per
+    vector, min/max-scale to 0..255, dequantize, and report
+    reconstruction error — max |err| must sit within half a quantization
+    step.  All arithmetic is JVM higher-order expressions over doubles
+    with identical operation order in the oracle, so even the error
+    stats compare exactly.  At 100 TB this is what shrinks a float32
+    corpus 4x before the IVF/LSH index is built."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    base = t["embeddings"].select("vec_id", ed.alias("e"))
+    mn = F.array_min("e")
+    sc = F.greatest((F.array_max("e") - mn) / F.lit(255.0), F.lit(1e-12))
+    s = base.select("vec_id", "e", mn.alias("mn"), sc.alias("sc"))
+    errs = F.transform(
+        "e", lambda x: F.abs(x - (F.col("mn")
+                                  + F.floor((x - F.col("mn")) / F.col("sc")
+                                            + F.lit(0.5)) * F.col("sc"))))
+    d = s.select("vec_id", "mn", "sc", F.size("e").alias("dim"),
+                 errs.alias("errs"))
+    sq_sum = F.aggregate(F.transform("errs", lambda x: x * x),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    return d.select(
+        "vec_id",
+        F.round("mn", 6).alias("vmin"),
+        F.round("sc", 9).alias("scale"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(sq_sum / F.col("dim"), 6).alias("mse"),
+        (F.array_max("errs") <= F.col("sc") / 2 * 1.000001)
+        .alias("within_half_step"))

@@ -142,3 +142,27 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price_so_far"),
         F.first(F.col("o_orderdate").cast("date")).over(w).alias("first_date"))
+
+
+@query("window_range_frame_trailing", oracle=f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+  CAST(SUM({_DEC}) OVER (
+    PARTITION BY o_custkey
+    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_5d
+FROM orders WHERE o_custkey < 100""")
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame — trailing 5-DAY revenue per customer.
+    Unlike ROWS frames, peers are grouped by the ORDER BY value, so
+    same-day orders land in one frame regardless of row order — the
+    frame family engines disagree on most, value-checked here.  Ordering
+    is epoch-day (numeric RANGE is the portable form of INTERVAL
+    frames)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (Window.partitionBy("o_custkey").orderBy(days.cast("long"))
+         .rangeBetween(-5, Window.currentRow))
+    return (t["orders"].where(F.col("o_custkey") < 100)
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+                    F.sum(F.expr(_DEC)).over(w).cast("double")
+                    .alias("trailing_5d")))
