@@ -88,3 +88,41 @@ def range_join_bucketed(events: DataFrame, key: str, ts: str, id_col: str,
                    & (F.col("us_b") - F.col("us_a") <= max_gap_us))
             .select(key, "id_a", "id_b",
                     (F.col("us_b") - F.col("us_a")).alias("gap_us")))
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_ts: str,
+                      right_payload: dict[str, str]) -> DataFrame:
+    """For each left row: the EARLIEST right row with
+    ``right.ts >= left.ts`` (inclusive forward as-of) — the mirror of
+    asof_join_backward: identical union + struct-carry pattern, with the
+    window ordered by ts DESCENDING so 'last seen right row' walking
+    down is the nearest following one.  Same cost shape: one shuffle on
+    the key, one sort, no pairing join."""
+    rp_cols = list(right_payload)
+    r = (right.groupBy(key, F.col(right_ts).alias("__ts"))
+         .agg(*[F.max(c).alias(c) for c in rp_cols]))
+    r_tagged = r.select(
+        F.col(key), F.col("__ts"), F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in rp_cols])
+    l_tagged = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in rp_cols])
+    unioned = r_tagged.unionByName(l_tagged)
+    # DESC ts; right rows (0) sort before left rows (1) at equal ts →
+    # an equal-ts right row is visible to the left row (inclusive).
+    w = (Window.partitionBy(key).orderBy(F.desc("__ts"), F.asc("__is_left"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    row_struct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col("__ts").alias("__mts"),
+                 *[F.col(c) for c in rp_cols]))
+    carried = unioned.select(
+        key, "__ts", "__is_left",
+        F.last(row_struct, ignorenulls=True).over(w).alias("__r"))
+    out = carried.where(F.col("__is_left") == 1)
+    return out.select(
+        key,
+        F.col("__ts").alias(left_ts),
+        F.col("__r.__mts").alias(f"matched_{right_ts}"),
+        *[F.col(f"__r.{c}").alias(a) for c, a in right_payload.items()])

@@ -201,3 +201,61 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_converted").cast("double") / F.col("n_signed_up"), 9)
          .alias("conversion_rate"),
         "avg_lag_us")
+
+
+_SPINE_SQL = """
+WITH RECURSIVE o AS (
+  SELECT o_orderdate FROM orders
+  WHERE o_orderdate < CAST('1995-07-01' AS DATE)),
+spine AS (
+  SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM o))
+              AS DATE) AS m
+  UNION ALL
+  SELECT CAST(m + INTERVAL {iv} AS DATE) FROM spine
+  WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM o))
+                 AS DATE)
+)
+SELECT m, coalesce(n, 0) AS n_orders
+FROM spine LEFT JOIN (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+  FROM o GROUP BY 1) c USING (m)"""
+
+
+@query("recursive_month_spine",
+       oracle=_SPINE_SQL.format(iv="1 MONTH"))
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE): generate a gap-free
+    month spine over a 6-month window, left-join monthly counts —
+    months with zero orders appear explicitly.  Each recursion step is
+    a Spark job, so the window is deliberately bounded (depth ~6); for
+    long spines prefer sequence()/explode (events_gapfill_hourly shows
+    that form).  Same SQL runs on both engines (only the INTERVAL
+    literal syntax differs)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_SPINE_SQL.format(iv="'1' MONTH"))
+
+
+@query("correlated_exists_orders", oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'P')""")
+def correlated_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
+    a LeftSemi and a LeftAnti hash join on c_custkey (asserted in
+    test_plan_shapes), so the subqueries never execute per-row."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')""")

@@ -78,3 +78,36 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (melted.groupBy("metric")
             .agg(F.sum(F.expr("CAST(v AS DECIMAL(18,2))"))
                  .cast("double").alias("total")))
+
+
+@query("asof_join_forward_next_purchase", oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+signups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT s.user_id,
+  CAST(s.ts AS TIMESTAMP) AS ts,
+  CAST(p.ts AS TIMESTAMP) AS matched_ts,
+  p.purchase_event_id
+FROM signups s
+ASOF LEFT JOIN purchases p
+  ON s.user_id = p.user_id AND s.ts <= p.ts""")
+def asof_join_forward_next_purchase(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Forward as-of join: each signup matched to the user's EARLIEST
+    purchase at-or-after it (time-to-first-event analysis).  The oracle
+    uses DuckDB's native ASOF with the <= direction; the engine mirrors
+    the backward union+carry pattern with a descending window."""
+    from results_ingestor_spark.operators.asof import asof_join_forward
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    signups = (ev.where(F.col("event_type") == "signup")
+               .select("event_id", "user_id", "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("purchase_event_id")))
+    out = asof_join_forward(
+        signups, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload={"purchase_event_id": "purchase_event_id"})
+    return out.select("user_id", "ts", "matched_ts", "purchase_event_id")

@@ -155,3 +155,33 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (events
             .withWatermark("ts", watermark)
             .dropDuplicates(["user_id", "event_type", "ts"]))
+
+
+def interval_join_signup_purchase(signups: DataFrame, purchases: DataFrame,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INNER join with an event-time interval bound:
+    each signup pairs with that user's purchases in the following hour.
+
+    Both sides carry watermarks and the join predicate bounds p_ts
+    relative to s_ts from both directions, so Spark derives state
+    eviction for BOTH sides — the join buffers at most
+    watermark + interval of history no matter how long the stream runs.
+    This is the streaming twin of the batch range join
+    (plans/joins_q.py::range_join_close_events shape).
+    """
+    s = (signups.where(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"),
+                 F.col("ts").alias("s_ts"),
+                 F.col("event_id").alias("signup_event_id"))
+         .withWatermark("s_ts", watermark))
+    p = (purchases.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_event_id"))
+         .withWatermark("p_ts", watermark))
+    return (s.join(p, F.expr(
+                "s_user = user_id AND p_ts > s_ts "
+                "AND p_ts <= s_ts + INTERVAL 1 HOUR"))
+            .select("user_id", "signup_event_id", "purchase_event_id",
+                    "s_ts", "p_ts",
+                    (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                    .alias("lag_us")))

@@ -68,3 +68,27 @@ def test_range_join_bucket_boundary(spark):
     assert pairs[(10, 11)] == 300_000_000   # inclusive upper bound
     assert (10, 12) not in pairs            # 1 µs over
     assert (11, 12) in pairs                # tiny gap within bucket
+
+
+def test_asof_forward_inclusive_and_earliest_wins(spark):
+    from results_ingestor_spark.operators.asof import asof_join_forward
+    left = spark.createDataFrame([(1, TS(2024, 1, 1, 10))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 9), 1), (1, TS(2024, 1, 1, 10), 2),
+         (1, TS(2024, 1, 1, 11), 3)], ["k", "ts", "payload"])
+    row = asof_join_forward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload={"payload": "payload"}).collect()[0]
+    assert row["payload"] == 2              # equal-ts matches (inclusive)
+    assert row["matched_ts"] == TS(2024, 1, 1, 10)
+
+
+def test_asof_forward_no_following_yields_null(spark):
+    from results_ingestor_spark.operators.asof import asof_join_forward
+    left = spark.createDataFrame([(1, TS(2024, 1, 1, 12))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 9), 7)], ["k", "ts", "payload"])
+    row = asof_join_forward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload={"payload": "payload"}).collect()[0]
+    assert row["payload"] is None and row["matched_ts"] is None

@@ -71,3 +71,27 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, stream):
     batch = load_tables(spark, sf_dir, ("events",))["events"]
     want = batch.dropDuplicates(["user_id", "event_type", "ts"]).count()
     assert got == want
+
+
+def test_interval_join_matches_batch(spark, sf_dir):
+    from results_ingestor_spark.streaming.events import (
+        interval_join_signup_purchase)
+    s_stream = read_events_stream(spark, sf_dir)
+    p_stream = read_events_stream(spark, sf_dir)
+    joined = interval_join_signup_purchase(s_stream, p_stream)
+    run_to_memory(joined, "t_ssjoin", output_mode="append")
+    got = {(r["user_id"], r["signup_event_id"], r["purchase_event_id"])
+           for r in _rows(spark, "t_ssjoin")}
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    s = (ev.where(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+                 F.col("event_id").alias("signup_event_id")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_event_id")))
+    want = {(r["user_id"], r["signup_event_id"], r["purchase_event_id"])
+            for r in s.join(p, F.expr(
+                "s_user = user_id AND p_ts > s_ts "
+                "AND p_ts <= s_ts + INTERVAL 1 HOUR")).collect()}
+    assert got == want and len(got) > 0
