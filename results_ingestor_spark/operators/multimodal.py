@@ -86,3 +86,35 @@ def sample_frames(df: DataFrame) -> DataFrame:
     return (with_binary_payload(ensure_min_parallelism(df))
             .select("doc_id", "payload")
             .mapInPandas(fake_frame_sample, FRAME_SCHEMA))
+
+
+CHUNK_SCHEMA = "doc_id long, chunk_idx int, energy double"
+CHUNK_SIZE = 200  # bytes per "audio window"
+
+
+def fake_chunk_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel, audio shape: mean byte value per fixed-size
+    chunk — the waveform-energy-per-window computation a real pipeline
+    runs after PCM decode.  Deterministic over the bytes, so
+    oracle-checkable; only complete chunks are emitted (a real windowing
+    stage drops the tail or pads — dropping is the deterministic choice).
+    """
+    for pdf in batches:
+        ids, idxs, energies = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(len(payload) // CHUNK_SIZE):
+                chunk = payload[i * CHUNK_SIZE:(i + 1) * CHUNK_SIZE]
+                ids.append(doc_id)
+                idxs.append(i)
+                energies.append(round(sum(chunk) / float(CHUNK_SIZE), 6))
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "chunk_idx": pd.Series(idxs, dtype="int32"),
+                            "energy": pd.Series(energies, dtype="float64")})
+
+
+def chunk_energy(df: DataFrame) -> DataFrame:
+    """documents → per-chunk energy through the binary + Arrow path."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    return (with_binary_payload(ensure_min_parallelism(df))
+            .select("doc_id", "payload")
+            .mapInPandas(fake_chunk_energy, CHUNK_SCHEMA))

@@ -111,3 +111,34 @@ def asof_join_forward_next_purchase(spark: SparkSession,
         signups, purchases, key="user_id", left_ts="ts", right_ts="ts",
         right_payload={"purchase_event_id": "purchase_event_id"})
     return out.select("user_id", "ts", "matched_ts", "purchase_event_id")
+
+
+@query("join_full_outer", oracle="""
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 1200),
+o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_custkey > 800 GROUP BY o_custkey)
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+  c.c_acctbal, o.n_orders, o.spend,
+  (c.c_custkey IS NULL) AS right_only,
+  (o.o_custkey IS NULL) AS left_only
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows on BOTH sides (the ranges
+    only partially overlap) — completes the join-type surface.  Full
+    outer cannot broadcast; it plans as a shuffle join on the key, which
+    is the right shape at scale too."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = (t["customer"].where(F.col("c_custkey") < 1200)
+         .select("c_custkey", "c_acctbal"))
+    o = (t["orders"].where(F.col("o_custkey") > 800)
+         .groupBy("o_custkey")
+         .agg(F.count("*").alias("n_orders"),
+              F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+              .cast("double").alias("spend")))
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal", "n_orders", "spend",
+        F.col("c_custkey").isNull().alias("right_only"),
+        F.col("o_custkey").isNull().alias("left_only"))

@@ -10,9 +10,10 @@ oracle can verify the whole Python-side path value-for-value.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.multimodal import (
-    FRAME_STRIDE, decode_features, sample_frames)
+    CHUNK_SIZE, FRAME_STRIDE, decode_features, sample_frames)
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -44,3 +45,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     executed batch-local inside mapInPandas."""
     t = load_tables(spark, sf_dir, ("documents",))
     return sample_frames(t["documents"])
+
+
+@query("multimodal_chunk_energy", oracle=f"""
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  round(list_sum([ord(substr(text, CAST(i * {CHUNK_SIZE} + j AS INT), 1))
+                  for j in range(1, {CHUNK_SIZE + 1})])
+        / {CHUNK_SIZE}.0, 6) AS energy
+FROM (SELECT doc_id, text, unnest(range(strlen(text) // {CHUNK_SIZE})) AS i
+      FROM documents WHERE doc_id < 100)""")
+def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped kernel: mean byte value per fixed window over the
+    binary payload (the post-decode waveform-energy computation),
+    mapInPandas fan-out.  The oracle recomputes every chunk's energy
+    from code points — the corpus is ASCII, so byte == code point and
+    the Python-side arithmetic is value-checked end-to-end."""
+    from results_ingestor_spark.operators.multimodal import chunk_energy
+    t = load_tables(spark, sf_dir, ("documents",))
+    return chunk_energy(t["documents"].where(F.col("doc_id") < 100))
