@@ -3,7 +3,7 @@ lateral explode, null semantics, scalar subqueries."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -259,3 +259,93 @@ def correlated_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'P')""")
+
+
+@query("scd2_status_history", oracle="""
+SELECT o_custkey,
+  o_orderstatus AS status,
+  CAST(o_orderdate AS DATE) AS valid_from,
+  lead(CAST(o_orderdate AS DATE))
+    OVER (PARTITION BY o_custkey
+          ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS valid_to,
+  (lead(o_orderkey) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+   IS NULL) AS is_current
+FROM orders WHERE o_custkey < 200""")
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each customer's order
+    history becomes validity intervals (valid_from / valid_to / current
+    flag) via lead() over the change log — the warehouse-dimension shape
+    a CDC pipeline materializes.  One window per customer partition,
+    orderkey tie-break for deterministic same-day ordering."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey"))
+    d = F.col("o_orderdate").cast("date")
+    return (t["orders"].where(F.col("o_custkey") < 200)
+            .select("o_custkey",
+                    F.col("o_orderstatus").alias("status"),
+                    d.alias("valid_from"),
+                    F.lead(d).over(w).alias("valid_to"),
+                    F.lead("o_orderkey").over(w).isNull()
+                    .alias("is_current")))
+
+
+@query("zorder_cluster_key", oracle="""
+WITH b AS (
+  SELECT event_id, user_id % 256 AS u,
+    hour(CAST(ts AS TIMESTAMP)) * 11 % 256 AS h
+  FROM events WHERE event_id < 2000)
+SELECT event_id, CAST(u AS INT) AS u, CAST(h AS INT) AS h,
+  CAST((
+    (((u >> 0) & 1) << 0)  | (((h >> 0) & 1) << 1)  |
+    (((u >> 1) & 1) << 2)  | (((h >> 1) & 1) << 3)  |
+    (((u >> 2) & 1) << 4)  | (((h >> 2) & 1) << 5)  |
+    (((u >> 3) & 1) << 6)  | (((h >> 3) & 1) << 7)  |
+    (((u >> 4) & 1) << 8)  | (((h >> 4) & 1) << 9)  |
+    (((u >> 5) & 1) << 10) | (((h >> 5) & 1) << 11) |
+    (((u >> 6) & 1) << 12) | (((h >> 6) & 1) << 13) |
+    (((u >> 7) & 1) << 14) | (((h >> 7) & 1) << 15)
+  ) AS INT) AS zvalue
+FROM b""")
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    filter dimensions so sortWithinPartitions(zvalue) co-locates rows
+    close in BOTH — the data-layout optimization behind multi-dimension
+    data skipping (Delta/Iceberg OPTIMIZE ZORDER).  The key itself is
+    pure integer bit arithmetic, identical in any engine; at write time
+    you'd repartitionByRange(zvalue).sortWithinPartitions(zvalue)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    b = (t["events"].where(F.col("event_id") < 2000)
+         .select("event_id",
+                 (F.col("user_id") % 256).cast("int").alias("u"),
+                 (F.hour("ts") * 11 % 256).cast("int").alias("h")))
+    z = None
+    for i in range(8):
+        ub = ((F.col("u").bitwiseAND(F.lit(1 << i))) / (1 << i)).cast("int")
+        hb = ((F.col("h").bitwiseAND(F.lit(1 << i))) / (1 << i)).cast("int")
+        term = (ub * (1 << (2 * i))) + (hb * (1 << (2 * i + 1)))
+        z = term if z is None else z + term
+    return b.select("event_id", "u", "h", z.cast("int").alias("zvalue"))
+
+
+@query("string_similarity_levenshtein", oracle="""
+SELECT p_partkey,
+  p_name,
+  lag(p_name) OVER (ORDER BY p_partkey) AS prev_name,
+  levenshtein(p_name, lag(p_name) OVER (ORDER BY p_partkey)) AS edit_dist
+FROM part WHERE p_partkey <= 500""")
+def string_similarity_levenshtein(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Edit-distance surface (the scalar underlying the reference's
+    fuzzy header matching, ingestor_precinct.py:126-129): levenshtein
+    between adjacent part names.  NOTE the single-partition window is
+    deliberate here (500 rows, a parity demo); the production fuzzy
+    matcher (operators/mapping.py) scores candidate pairs map-side."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w = Window.orderBy("p_partkey")
+    prev = F.lag("p_name").over(w)
+    return (t["part"].where(F.col("p_partkey") <= 500)
+            .select("p_partkey", "p_name",
+                    prev.alias("prev_name"),
+                    F.levenshtein("p_name", prev).alias("edit_dist")))
