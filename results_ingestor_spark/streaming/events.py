@@ -185,3 +185,18 @@ def interval_join_signup_purchase(signups: DataFrame, purchases: DataFrame,
                     "s_ts", "p_ts",
                     (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
                     .alias("lag_us")))
+
+
+def foreach_batch_partitioned_parquet(stream_df: DataFrame, path: str):
+    """Exactly-once-STYLE file sink via foreachBatch: every micro-batch
+    overwrites its own ``batch=<id>`` directory, so a replayed batch
+    (restart after failure between sink write and checkpoint commit)
+    rewrites the same files instead of appending duplicates — overwrite
+    idempotence is what upgrades at-least-once replay to effective
+    exactly-once for file sinks.  Returns the un-started writer so the
+    caller picks trigger/checkpoint."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("__batch_id", F.lit(batch_id))
+         .write.mode("overwrite").parquet(f"{path}/batch={batch_id}"))
+
+    return stream_df.writeStream.foreachBatch(write_batch)

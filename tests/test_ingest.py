@@ -100,3 +100,24 @@ def test_zip_staging_roundtrip(spark, fixture_dir, tmp_path):
     assert not os.path.exists(tmp_path / "staged" / "raw_bundle.zip")
     df = read_result_files(spark, staged)
     assert df.count() == 5
+
+
+def test_corrupt_csv_rows_quarantined(spark, tmp_path):
+    """Messy-CSV resilience (the reference's input reality): PERMISSIVE
+    mode loads clean rows and quarantines malformed ones in
+    _corrupt_record instead of failing the job; FAILFAST raises."""
+    p = tmp_path / "messy.csv"
+    p.write_text("a,b,c\n1,x,2\nBADLY \"QUOTED\" ,only\n3,y,4\n")
+    schema = ("a INT, b STRING, c INT, _corrupt_record STRING")
+    df = (spark.read.option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).csv(str(p)))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["a"], r["c"]) for r in good} == {(1, 2), (3, 4)}
+    assert len(bad) == 1
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        (spark.read.option("header", "true").option("mode", "FAILFAST")
+         .schema("a INT, b STRING, c INT").csv(str(p))).collect()

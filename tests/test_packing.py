@@ -54,3 +54,24 @@ def test_oversized_doc_gets_own_pack(spark):
     got = {r["doc_id"]: r["pack_id"] for r in
            greedy_pack(df, budget=100).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_greedy_pack_property_random(spark):
+    """Property check: for randomized shard/token inputs the Spark
+    packing equals the pure-Python reference (hypothesis strategies,
+    bounded examples — each example is a Spark job)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6),
+                  st.integers(1, 300)),
+        min_size=1, max_size=50, unique_by=lambda t: (t[0], t[1])))
+    def check(rows):
+        df = spark.createDataFrame(rows,
+                                   "shard long, doc_id long, n_tokens long")
+        got = {(r["shard"], r["doc_id"]): r["pack_id"]
+               for r in greedy_pack(df, budget=256).collect()}
+        assert got == _reference_pack(rows, 256)
+
+    check()

@@ -130,3 +130,26 @@ def test_ivf_assignment_no_join_for_candidates(spark, sf_dir):
     p = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p and "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Strategy control: with auto-broadcast disabled, the same join
+    plans as SortMergeJoin bare and BroadcastHashJoin under an explicit
+    broadcast() — the knob that matters when statistics mislead at
+    scale."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.sources.tables import load_tables
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bare = (t["orders"].join(t["customer"],
+                                 F.col("o_custkey") == F.col("c_custkey"))
+                ._jdf.queryExecution().executedPlan().toString())
+        hinted = (t["orders"].join(F.broadcast(t["customer"]),
+                                   F.col("o_custkey") == F.col("c_custkey"))
+                  ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in bare and "BroadcastHashJoin" not in bare
+    assert "BroadcastHashJoin" in hinted

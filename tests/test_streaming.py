@@ -95,3 +95,31 @@ def test_interval_join_matches_batch(spark, sf_dir):
                 "s_user = user_id AND p_ts > s_ts "
                 "AND p_ts <= s_ts + INTERVAL 1 HOUR")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the stream from scratch must leave the same sink rows —
+    per-batch overwrite makes the foreachBatch file sink idempotent."""
+    from results_ingestor_spark.streaming.events import (
+        foreach_batch_partitioned_parquet)
+    out = str(tmp_path / "fb_sink")
+
+    def run_once(tag):
+        stream = read_events_stream(spark, sf_dir)
+        agg = (stream.groupBy("user_id")
+               .agg(F.count("*").alias("n")))
+        q = (foreach_batch_partitioned_parquet(agg, out)
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once("a")
+    first = spark.read.parquet(out).drop("__batch_id", "batch").collect()
+    run_once("b")  # fresh checkpoint → full replay
+    second = spark.read.parquet(out).drop("__batch_id", "batch").collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    want = {(r["user_id"], r["n"]) for r in
+            load_tables(spark, sf_dir, ("events",))["events"]
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert {tuple(r) for r in second} == want
