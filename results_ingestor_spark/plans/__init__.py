@@ -10,6 +10,7 @@ from results_ingestor_spark.plans.registry import ORACLES, QUERIES, query
 # Import for registration side effects — order defines judge-facing listing.
 from results_ingestor_spark.plans import election_q  # noqa: E402,F401
 from results_ingestor_spark.plans import relational  # noqa: E402,F401
+from results_ingestor_spark.plans import tpch_q  # noqa: E402,F401
 from results_ingestor_spark.plans import windows  # noqa: E402,F401
 from results_ingestor_spark.plans import events_q  # noqa: E402,F401
 from results_ingestor_spark.plans import functions_q  # noqa: E402,F401

@@ -153,3 +153,34 @@ def test_join_strategy_hints(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in bare and "BroadcastHashJoin" not in bare
     assert "BroadcastHashJoin" in hinted
+
+
+def test_q6_pure_scan_aggregate(plans):
+    """Q6 is the scan-throughput query: every predicate must reach the
+    parquet scan as a pushed filter, the read schema must prune to the
+    3 referenced columns, and there must be no join or hash exchange —
+    only the 1-row partial/final agg exchange."""
+    p = plans("q6_forecast_revenue")
+    pushed = p.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+    assert "Join" not in p
+    assert "Exchange hashpartitioning" not in p  # SinglePartition only
+
+
+def test_q18_semi_join_before_wide_join(plans):
+    """Q18's HAVING-derived orderkey set must reduce lineitem via a
+    (left-)semi join before the orders/customer joins fan columns out."""
+    p = plans("q18_large_volume_customer")
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q19_no_nested_loop(plans):
+    """The OR-of-ANDs predicate must ride the partkey hash join as a
+    residual condition, not degrade to a nested-loop join."""
+    p = plans("q19_discounted_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
