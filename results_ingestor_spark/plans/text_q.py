@@ -7,7 +7,7 @@ the exact-integer-division ratios.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.text import (
@@ -210,3 +210,130 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
     fp_str = F.concat_ws("|", F.transform(fp, lambda x: x.cast("string")))
     return docs.select("doc_id", fp_str.alias("fp"))
+
+
+_BIGRAMS = (f"[array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]")
+_TRIGRAMS = (f"[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]")
+
+
+@query("quality_repetition_signals", oracle=f"""
+WITH tk AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    LATERAL (SELECT unnest(toks) AS tok,
+                    generate_subscripts(toks, 1) AS pos) AS t),
+tok_top AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_cnt
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, MAX(run_len) AS max_token_run FROM (
+    SELECT doc_id, tok, grp, COUNT(*) AS run_len
+    FROM (SELECT doc_id, tok, pos
+            - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+            AS grp
+          FROM tk)
+    GROUP BY doc_id, tok, grp)
+  GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_cnt
+  FROM (SELECT doc_id, g AS gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_BIGRAMS}) AS g
+              FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+        GROUP BY doc_id, g)
+  GROUP BY doc_id),
+tg AS (
+  SELECT doc_id,
+    len(list_distinct(tgs)) AS n_tri_distinct, len(tgs) AS n_trigrams
+  FROM (SELECT doc_id, {_TRIGRAMS} AS tgs
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)))
+SELECT t.doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  round(CAST(t.top_tok_cnt AS DOUBLE) / t.n_tokens, 9) AS top_token_frac,
+  round(CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 0.0
+        ELSE CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams END, 9)
+    AS top_bigram_frac,
+  round(CASE WHEN coalesce(g.n_trigrams, 0) = 0 THEN 0.0
+        ELSE 1.0 - CAST(g.n_tri_distinct AS DOUBLE) / g.n_trigrams END, 9)
+    AS dup_trigram_frac,
+  CAST(r.max_token_run AS BIGINT) AS max_token_run,
+  (CAST(t.top_tok_cnt AS DOUBLE) / t.n_tokens <= 0.2
+   AND CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 0.0
+       ELSE CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams END <= 0.18
+   AND CASE WHEN coalesce(g.n_trigrams, 0) = 0 THEN 0.0
+       ELSE 1.0 - CAST(g.n_tri_distinct AS DOUBLE) / g.n_trigrams END <= 0.6
+   AND r.max_token_run <= 4) AS keep
+FROM tok_top t
+JOIN runs r ON r.doc_id = t.doc_id
+LEFT JOIN bg b ON b.doc_id = t.doc_id
+LEFT JOIN tg g ON g.doc_id = t.doc_id""")
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    adapted to the corpus's single-line documents: token-level instead
+    of line-level repetition.
+
+    * ``top_token_frac`` / ``top_bigram_frac`` — mass of the most
+      frequent token / bigram (boilerplate and keyword-stuffing
+      detector).
+    * ``dup_trigram_frac`` — 1 − distinct/total trigrams (copy-paste
+      repetition inside a document).
+    * ``max_token_run`` — longest consecutive same-token run, via the
+      gaps-and-islands window trick (pos − per-token row_number is
+      constant within a run).
+    * ``keep`` — the conjunctive Gopher-style filter verdict.
+
+    Scale shape: every explode/groupBy/window partitions by the
+    high-cardinality ``doc_id`` (never by a global key), so the three
+    signal families compute in parallel shuffles keyed on the same
+    column and AQE coalesces the final doc_id joins; the trigram ratio
+    never shuffles at all (pure array arithmetic in the scan stage)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    tk = (docs.select("doc_id", F.posexplode(F.split("text", " "))
+                      .alias("pos", "tok")))
+    tok_counts = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tok_top = (tok_counts.groupBy("doc_id")
+               .agg(F.sum("c").alias("n_tokens"),
+                    F.max("c").alias("top_tok_cnt")))
+    w_run = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (tk.withColumn("grp", F.col("pos") - F.row_number().over(w_run))
+            .groupBy("doc_id", "tok", "grp").agg(F.count("*").alias("run_len"))
+            .groupBy("doc_id").agg(F.max("run_len").alias("max_token_run")))
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    bg = (docs.select("doc_id", F.explode(bigrams).alias("gram"))
+          .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+          .groupBy("doc_id").agg(F.sum("c").alias("n_bigrams"),
+                                 F.max("c").alias("top_bigram_cnt")))
+    trigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    tg = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(trigrams)).alias("n_tri_distinct"),
+        F.size(trigrams).alias("n_trigrams"))
+    top_token_frac = F.col("top_tok_cnt").cast("double") / F.col("n_tokens")
+    top_bigram_frac = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)) \
+        .otherwise(F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams"))
+    dup_trigram_frac = F.when(
+        F.coalesce(F.col("n_trigrams"), F.lit(0)) == 0, F.lit(0.0)) \
+        .otherwise(F.lit(1.0) - F.col("n_tri_distinct").cast("double")
+                   / F.col("n_trigrams"))
+    return (tok_top.join(runs, "doc_id")
+            .join(bg, "doc_id", "left").join(tg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.round(top_token_frac, 9).alias("top_token_frac"),
+                F.round(top_bigram_frac, 9).alias("top_bigram_frac"),
+                F.round(dup_trigram_frac, 9).alias("dup_trigram_frac"),
+                F.col("max_token_run").cast("long").alias("max_token_run"),
+                ((top_token_frac <= 0.2) & (top_bigram_frac <= 0.18)
+                 & (dup_trigram_frac <= 0.6) & (F.col("max_token_run") <= 4))
+                .alias("keep")))

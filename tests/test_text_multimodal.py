@@ -69,3 +69,29 @@ def test_frame_sample_is_distributed(spark, docs):
     # the mapInPandas stage must run partition-parallel, not collect-based
     df = sample_frames(docs.repartition(8))
     assert df.rdd.getNumPartitions() >= 8
+
+
+def test_repetition_signals_edges(spark, tmp_path):
+    """Gopher repetition signals on hand-computable docs, including the
+    short-doc guards (1-token and 2-token docs have no bigrams/trigrams
+    → fractions 0.0, not NULL or negative)."""
+    import os
+    from results_ingestor_spark.plans.text_q import quality_repetition_signals
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "en", "s", 7),        # one token repeated 4x
+         (2, "a b a b a b", "en", "s", 11),   # top bigram 'a b' x3 of 5
+         (3, "x", "en", "s", 1),              # 1 token: no bigrams
+         (4, "x y", "en", "s", 3)],           # 2 tokens: no trigrams
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf_docs"); os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           quality_repetition_signals(spark, d).collect()}
+    r1 = got[1]
+    assert (r1["top_token_frac"], r1["max_token_run"]) == (1.0, 4)
+    assert r1["dup_trigram_frac"] == 0.5 and not r1["keep"]  # 'a a a' x2
+    r2 = got[2]
+    assert r2["top_bigram_frac"] == 0.6 and r2["max_token_run"] == 1
+    r3 = got[3]
+    assert (r3["top_bigram_frac"], r3["dup_trigram_frac"]) == (0.0, 0.0)
+    assert got[4]["dup_trigram_frac"] == 0.0
