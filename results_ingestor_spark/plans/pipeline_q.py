@@ -266,3 +266,29 @@ def sampling_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_sampled"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+_SHUF_SEED = 42
+
+
+@query("corpus_global_shuffle", oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+    md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+  CAST(('0x' || substr(shuffle_key, 1, 2))::BIGINT AS INTEGER) AS shard,
+  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+    AS global_pos
+FROM keyed""")
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every doc's exact position in the
+    md5(seed:id)-shuffled order, computed with the two-level
+    shard-rank + broadcast-offset pattern (operators/shuffle.py) — the
+    oracle's single ROW_NUMBER() OVER (ORDER BY key) is exactly what a
+    100 TB corpus must NOT do (one global sort partition); the Spark
+    plan's widest window partitions by the 256-way shard key."""
+    from results_ingestor_spark.operators.shuffle import global_shuffle_index
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (global_shuffle_index(t["documents"], _SHUF_SEED)
+            .select("doc_id", "shuffle_key", "shard", "global_pos"))
