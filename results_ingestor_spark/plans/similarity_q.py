@@ -205,3 +205,93 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(sq_sum / F.col("dim"), 6).alias("mse"),
         (F.array_max("errs") <= F.col("sc") / 2 * 1.000001)
         .alias("within_half_step"))
+
+
+_PQ_M, _PQ_K, _PQ_DIM = 8, 16, 64
+
+
+@query("embedding_pq_compression", oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+n AS (SELECT COUNT(*) AS cnt FROM v),
+d AS (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v),
+mu AS (
+  SELECT pos, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / (SELECT cnt FROM n) AS m
+  FROM d GROUP BY pos),
+muarr AS (SELECT list(m ORDER BY pos) AS ma FROM mu),
+per AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(e) + 1),
+      i -> (e[i] - ma[i]) * (e[i] - ma[i]))) AS se
+  FROM v, muarr)
+SELECT (SELECT cnt FROM n) AS n_vectors,
+  {_PQ_DIM} AS dim, {_PQ_M} AS m, {_PQ_K} AS k,
+  round(CAST(SUM(CAST(se AS DECIMAL(28,10))) AS DOUBLE)
+        / ((SELECT cnt FROM n) * {_PQ_DIM}), 6) AS mean_baseline_mse,
+  CAST({float(4 * _PQ_DIM) / _PQ_M} AS DOUBLE) AS compression_ratio,
+  TRUE AS pq_beats_mean
+FROM per""")
+def embedding_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization self-check (approx_sketches pattern: the
+    learned-codebook internals are engine-specific, so the comparable
+    surface is exact + bound).  The oracle computes the global-mean
+    reconstruction MSE exactly (decimal-exact per-dimension means and
+    totals — the 1-centroid codebook baseline); Spark computes the same
+    baseline THE SAME WAY plus the real PQ reconstruction error
+    (8 subspaces × 16 L2-k-means centroids), and asserts PQ beats the
+    baseline.  float32→codes compression is 32x.
+
+    Scale: training traffic is m·k·(dim/m) doubles to the driver;
+    encoding is a literal-fold map stage (operators/quantization.py) —
+    the 100 TB corpus is touched in full exactly once per Lloyd
+    iteration and once to encode."""
+    from results_ingestor_spark.operators.quantization import (
+        pq_encode, pq_train)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    # 2 Lloyd iterations: reconstruction error is already far below the
+    # 1-centroid baseline after one update; each extra iteration costs a
+    # full corpus pass (the dominant term at 100 TB)
+    books = pq_train(emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, n_iter=2)
+    enc = pq_encode(emb, books)
+    pq_total = (enc.agg(
+        F.sum(F.col("pq_sqerr").cast("decimal(28,10)")).alias("pq_se"))
+        .select(F.col("pq_se").cast("double").alias("pq_se")))
+
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("e"))
+    cnt = v.agg(F.count("*").alias("cnt"))
+    mu = (v.select(F.posexplode("e").alias("pos", "x"))
+          .groupBy("pos")
+          .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"))
+          .crossJoin(F.broadcast(cnt))
+          .select("pos", (F.col("s").cast("double") / F.col("cnt"))
+                  .alias("m")))
+    muarr = (mu.groupBy()
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                  .alias("pm"))
+             .select(F.transform("pm", lambda s: s["m"]).alias("ma")))
+    per = (v.crossJoin(F.broadcast(muarr))
+           .select("vec_id",
+                   F.aggregate(
+                       F.zip_with("e", "ma",
+                                  lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x).alias("se")))
+    base_total = per.agg(
+        F.sum(F.col("se").cast("decimal(28,10)")).alias("base_se"))
+    return (base_total.crossJoin(F.broadcast(cnt))
+            .crossJoin(F.broadcast(pq_total))
+            .select(
+                F.col("cnt").alias("n_vectors"),
+                F.lit(_PQ_DIM).alias("dim"),
+                F.lit(_PQ_M).alias("m"),
+                F.lit(_PQ_K).alias("k"),
+                F.round(F.col("base_se").cast("double")
+                        / (F.col("cnt") * _PQ_DIM), 6)
+                .alias("mean_baseline_mse"),
+                F.lit(float(4 * _PQ_DIM) / _PQ_M).alias("compression_ratio"),
+                (F.col("pq_se")
+                 < F.col("base_se").cast("double")).alias("pq_beats_mean")))
