@@ -292,3 +292,127 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return (global_shuffle_index(t["documents"], _SHUF_SEED)
             .select("doc_id", "shuffle_key", "shard", "global_pos"))
+
+
+@query("decontamination_filter", oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+    unnest(list_distinct([array_to_string(tt[i:i+2], ' ')
+                          for i in range(1, len(tt) - 1)])) AS s
+  FROM (SELECT doc_id, {_TOKS} AS tt FROM documents)),
+ev AS (SELECT s FROM sh WHERE doc_id < 20),
+dirty AS (
+  SELECT DISTINCT sh.doc_id FROM sh
+  WHERE sh.doc_id >= 20 AND sh.s IN (SELECT s FROM ev))
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id >= 20
+  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)""")
+def decontamination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the FILTER twin of the overlap
+    report: drop every training doc sharing ANY 3-gram shingle with the
+    held-out eval set (doc_id < 20), keep the rest.  Shape: inverted-
+    index semi-join on the shingle marks dirty docs, then an anti-join
+    removes them — both key on high-cardinality values, no pairwise
+    compare anywhere.  At 100 TB the eval shingle set is small and
+    broadcasts; the corpus is touched twice (shingle pass, output
+    pass), both narrow."""
+    from results_ingestor_spark.operators.text import shingles_expr
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = t["documents"].select(
+        "doc_id", F.explode(shingles_expr("split(text, ' ')", 3)).alias("s"))
+    ev = sh.where(F.col("doc_id") < 20).select("s").distinct()
+    dirty = (sh.where(F.col("doc_id") >= 20)
+             .join(F.broadcast(ev), "s", "left_semi")
+             .select("doc_id").distinct())
+    return (t["documents"].where(F.col("doc_id") >= 20)
+            .join(dirty, "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars"))
+
+
+@query("dataset_diff_snapshots", oracle="""
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 1)
+SELECT
+  coalesce(old.doc_id, new.doc_id) AS doc_id,
+  CASE WHEN old.doc_id IS NULL THEN 'added'
+       WHEN new.doc_id IS NULL THEN 'removed'
+       WHEN old.text <> new.text THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM old FULL JOIN new ON old.doc_id = new.doc_id
+WHERE NOT (old.doc_id IS NOT NULL AND new.doc_id IS NOT NULL
+           AND old.text = new.text)""")
+def dataset_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC primitive between two corpus versions):
+    classify every doc as added / removed / changed via one full-outer
+    join on the id, comparing content hashes — here raw text; at 100 TB
+    compare md5(text) so the shuffle carries 32 bytes, not documents.
+    Synthetic old/new: 10% of ids dropped each side, every 7th doc
+    edited."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    old = d.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = (d.where(F.col("doc_id") % 10 != 1)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat("text", F.lit(" EDITED")))
+                   .otherwise(F.col("text")).alias("text")))
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("text").alias("o_t"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("text").alias("n_t"))
+    j = o.join(n, F.col("o_id") == F.col("n_id"), "full_outer")
+    change = (F.when(F.col("o_id").isNull(), "added")
+              .when(F.col("n_id").isNull(), "removed")
+              .when(F.col("o_t") != F.col("n_t"), "changed")
+              .otherwise("unchanged"))
+    return (j.select(F.coalesce("o_id", "n_id").alias("doc_id"),
+                     change.alias("change"))
+            .where(F.col("change") != "unchanged"))
+
+
+@query("profile_orders_columns", oracle="""
+SELECT 'o_totalprice' AS col,
+  COUNT(*) AS n_rows,
+  COUNT(o_totalprice) AS n_nonnull,
+  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+  round(MIN(o_totalprice), 6) AS min_d, round(MAX(o_totalprice), 6) AS max_d
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+  COUNT(*), COUNT(o_custkey),
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+  round(CAST(MIN(o_custkey) AS DOUBLE), 6),
+  round(CAST(MAX(o_custkey) AS DOUBLE), 6)
+FROM orders""")
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (ANALYZE TABLE surface): per-column rowcount,
+    null count, exact distinct, min/max — ONE scan computes every
+    column's stats as parallel aggregates (no per-column rescans; at
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct and this
+    becomes a single cheap pass).  Two numeric columns demonstrated;
+    unpivoted to (col, stats) rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    agg = t["orders"].agg(
+        F.count("*").alias("n1"),
+        F.count("o_totalprice").alias("nn1"),
+        F.countDistinct("o_totalprice").alias("nd1"),
+        F.round(F.min("o_totalprice"), 6).alias("mn1"),
+        F.round(F.max("o_totalprice"), 6).alias("mx1"),
+        F.count("o_custkey").alias("nn2"),
+        F.countDistinct("o_custkey").alias("nd2"),
+        F.round(F.min("o_custkey").cast("double"), 6).alias("mn2"),
+        F.round(F.max("o_custkey").cast("double"), 6).alias("mx2"))
+    row1 = agg.select(F.lit("o_totalprice").alias("col"),
+                      F.col("n1").alias("n_rows"),
+                      F.col("nn1").alias("n_nonnull"),
+                      F.col("nd1").alias("n_distinct"),
+                      F.col("mn1").alias("min_d"), F.col("mx1").alias("max_d"))
+    row2 = agg.select(F.lit("o_custkey").alias("col"),
+                      F.col("n1").alias("n_rows"),
+                      F.col("nn2").alias("n_nonnull"),
+                      F.col("nd2").alias("n_distinct"),
+                      F.col("mn2").alias("min_d"), F.col("mx2").alias("max_d"))
+    return row1.unionByName(row2)
