@@ -416,3 +416,49 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("nd2").alias("n_distinct"),
                       F.col("mn2").alias("min_d"), F.col("mx2").alias("max_d"))
     return row1.unionByName(row2)
+
+
+@query("sampling_hash_uniform", oracle="""
+SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+FROM documents
+ORDER BY k, doc_id LIMIT 100""")
+def sampling_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic sample: take the 100 smallest md5(seed:id)
+    keys — reproducible (no RNG state), uniform over ids, and planned
+    as TakeOrderedAndProject (each partition keeps its local top-100;
+    no global sort, no full shuffle) — the sampling shape that holds at
+    any corpus size."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    k = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
+    return (t["documents"].select("doc_id", k.alias("k"))
+            .orderBy("k", "doc_id").limit(100))
+
+
+@query("sampling_weighted_lengths", oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    ln(CAST(('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT + 1 AS DOUBLE) / 1152921504606846976.0)
+      / n_chars AS es_key
+  FROM documents)
+SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50""")
+def sampling_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each doc draws u ~ U(0,1) from its md5 hash and ranks by
+    ln(u)/weight (equivalent to u^(1/w)); the top-k by that key is an
+    exact weight-proportional sample — here weight = n_chars, i.e.
+    sample proportional to document length, the data-mixing primitive
+    for re-balancing a corpus.  Deterministic (hash-derived u, doc_id
+    tie-break) and TakeOrdered-planned like the uniform variant."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    u = ((F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit("13"),
+                          F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("bigint") + 1).cast("double")
+        / F.lit(float(1 << 60)))
+    es_key = F.log(u) / F.col("n_chars")
+    return (t["documents"]
+            .select("doc_id", "n_chars", es_key.alias("es_key"))
+            .orderBy(F.desc("es_key"), F.asc("doc_id")).limit(50)
+            .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key")))

@@ -200,3 +200,19 @@ def foreach_batch_partitioned_parquet(stream_df: DataFrame, path: str):
          .write.mode("overwrite").parquet(f"{path}/batch={batch_id}"))
 
     return stream_df.writeStream.foreachBatch(write_batch)
+
+
+def enrich_stream_with_users(events: DataFrame,
+                             user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small, slowly
+    changing) user dimension.  The static side broadcasts into every
+    micro-batch — no state store, no watermark needed (static tables are
+    re-scanned per batch, which is also how dim updates become visible).
+    The 100 TB-stream analog of the batch pipeline's broadcast dim
+    join."""
+    from pyspark.sql import functions as F
+    dim = F.broadcast(user_dim.select(
+        F.col("user_id").alias("u_id"), "tier"))
+    return (events.join(dim, events["user_id"] == dim["u_id"], "left")
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    F.coalesce("tier", F.lit("unknown")).alias("tier")))

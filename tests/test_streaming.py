@@ -123,3 +123,21 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
             load_tables(spark, sf_dir, ("events",))["events"]
             .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert {tuple(r) for r in second} == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, stream):
+    """Stream-static dim enrichment equals the batch broadcast join;
+    users absent from the dim fall back to 'unknown'."""
+    from results_ingestor_spark.streaming.events import enrich_stream_with_users
+    dim = spark.range(0, 30).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("basic").alias("tier"))
+    run_to_memory(enrich_stream_with_users(stream, dim), "t_enriched")
+    got = {(r["event_id"], r["tier"]) for r in _rows(spark, "t_enriched")}
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    want = {(r["event_id"], r["tier"]) for r in
+            (batch.join(F.broadcast(dim), "user_id", "left")
+             .select("event_id",
+                     F.coalesce("tier", F.lit("unknown")).alias("tier"))
+             ).collect()}
+    assert got == want and len(got) > 0
