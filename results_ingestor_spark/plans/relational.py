@@ -485,3 +485,77 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.where(F.col("o_orderstatus") == "O").select("o_custkey")
             .exceptAll(o.where(F.col("o_orderstatus") == "F")
                        .select("o_custkey")))
+
+
+@query("events_value_dispersion", oracle="""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+  round(CAST(s AS DOUBLE) / n, 9) AS mean_value,
+  round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        / (n - 1), 9) AS var_samp,
+  round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (n - 1)), 9) AS stddev_samp
+FROM m""")
+def events_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion statistics with cross-engine determinism: built-in
+    var_samp/stddev over doubles is partial-sum-order dependent, so the
+    moments Σx and Σx² are accumulated as exact decimals (2dp values →
+    DECIMAL products are lossless) and the variance assembled in one
+    fixed-order double expression — same map-side-combine plan as any
+    hash agg, exact same bits in any engine."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr("CAST(value AS DECIMAL(12,2))")
+    m = (t["events"].groupBy("event_type")
+         .agg(F.count("*").alias("n"), F.sum(dec).alias("s"),
+              F.sum(dec * dec).alias("q")))
+    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+    var = (qd - sd * sd / F.col("n")) / (F.col("n") - 1)
+    return m.select("event_type", "n",
+                    F.round(sd / F.col("n"), 9).alias("mean_value"),
+                    F.round(var, 9).alias("var_samp"),
+                    F.round(F.sqrt(var), 9).alias("stddev_samp"))
+
+
+@query("lineitem_price_qty_corr", oracle="""
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(n * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr_qty_price
+FROM m""")
+def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments (Σx, Σy, Σxy,
+    Σx², Σy²) — the five-sum single-pass formulation every engine
+    parallelizes as one hash agg; doubles enter only in the final
+    fixed-order assembly, so the value is engine-identical to the last
+    bit before the 9dp round."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    dx = F.expr("CAST(l_quantity AS DECIMAL(12,2))")
+    dy = F.expr("CAST(l_extendedprice AS DECIMAL(12,2))")
+    m = (t["lineitem"].groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"), F.sum(dx).alias("sx"),
+              F.sum(dy).alias("sy"), F.sum(dx * dy).alias("sxy"),
+              F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy")))
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = ((n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+    return m.select("l_returnflag", "n",
+                    F.round(corr, 9).alias("corr_qty_price"))

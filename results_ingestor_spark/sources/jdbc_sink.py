@@ -60,3 +60,29 @@ def write_parquet(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_small_files(spark, in_path: str, out_path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction — the maintenance op every long-running
+    ingest pipeline needs (streaming sinks and per-batch appends leave
+    thousands of KB-sized files; each costs a task + open at read
+    time).  Sizes the output file count from the actual input bytes /
+    ``target_file_bytes`` (not row counts — row width varies), then
+    coalesce()s — a narrow, shuffle-free repack.  Returns the output
+    file count.
+
+    At 100 TB this runs per-partition-directory (compact yesterday's
+    partition while today appends), and the listing comes from the
+    metastore, not a filesystem walk."""
+    import math
+    import os
+
+    df = spark.read.parquet(in_path)
+    # input bytes from the scan's own file listing (relation stats =
+    # sum of file sizes before any filters)
+    total = int(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    return sum(1 for f in os.listdir(out_path) if f.endswith(".parquet"))

@@ -109,3 +109,20 @@ def test_jdbc_sink_wiring(spark):
         msg = str(ex)
         assert ("No suitable driver" in msg or "Connection" in msg
                 or "driver" in msg.lower())
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction: 32 tiny files in, few files out, same rows; output
+    count derives from bytes/target so huge inputs still split."""
+    from results_ingestor_spark.sources.jdbc_sink import compact_small_files
+    src = str(tmp_path / "many"); dst = str(tmp_path / "few")
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.repartition(32).write.mode("overwrite").parquet(src)
+    assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == 32
+    n_out = compact_small_files(spark, src, dst)
+    assert n_out == 1  # sf0.001 orders ≈ a few hundred KB < 128 MB target
+    assert spark.read.parquet(dst).count() == orders.count()
+    # a small target forces a multi-file split
+    n_split = compact_small_files(spark, src, str(tmp_path / "split"),
+                                  target_file_bytes=64 * 1024)
+    assert n_split > 1
