@@ -95,7 +95,19 @@ def pq_train(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
              .limit(k).collect())
     books = [[list(r["v"])[j * sub_dim:(j + 1) * sub_dim] for r in seeds]
              for j in range(m)]
-    sub = _subspace_view(vectors, m, sub_dim, id_col, vec_col)
+    # Persist the exploded view: every Lloyd iteration re-reads it, and
+    # recomputing means re-scanning + re-exploding the corpus per
+    # iteration.  (At 100 TB persist to MEMORY_AND_DISK on executors —
+    # still one corpus scan total instead of n_iter scans.)
+    sub = _subspace_view(vectors, m, sub_dim, id_col, vec_col).persist()
+    try:
+        return _lloyd_iterations(sub, books, m, k, n_iter)
+    finally:
+        sub.unpersist()
+
+
+def _lloyd_iterations(sub: DataFrame, books: list[list[list[float]]],
+                      m: int, k: int, n_iter: int) -> list[list[list[float]]]:
     for _ in range(n_iter):
         books_lit = F.array(*[_codebook_lit(b) for b in books])
         cb = F.element_at(books_lit, F.col("sub") + 1)
