@@ -140,3 +140,73 @@ def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]],
     sqerr = sum((a["sqerr"] for a in assigned), F.lit(0.0))
     return vectors.select(F.col(id_col), codes.alias("codes"),
                           sqerr.alias("pq_sqerr"))
+
+
+def _dist2(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k: the query stays
+    exact, candidates are their PQ codes.  Per query row, a distance
+    TABLE per subspace (k2 entries: query-subvector → each centroid) is
+    computed once as a literal-codebook fold; per candidate the
+    approximate L2² is then just m table lookups and adds — no float
+    vectors are read on the candidate side at all.
+
+    At 100 TB this is THE reason PQ exists: the scan touches m bytes
+    per vector (codes) instead of 4·d, and the per-candidate cost is m
+    array-index adds inside codegen.  Queries (with their tables,
+    m·k2 doubles each) broadcast."""
+    from pyspark.sql import Window
+    sub_dim = len(codebooks[0][0])
+    m = len(codebooks)
+
+    def table(j: int, cb: list[list[float]]) -> F.Column:
+        # closure, NOT a default-arg lambda: transform() treats a
+        # two-parameter lambda as (element, index) and would rebind j
+        # to the array index
+        sv = subvector(vec_col, j, sub_dim)
+        return F.transform(_codebook_lit(cb), lambda e: _dist2(sv, e["c"]))
+
+    tables = F.array(*[table(j, cb) for j, cb in enumerate(codebooks)])
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       tables.alias("tabs"))
+    c = pq_encode(vectors, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes")
+    adc = F.aggregate(
+        F.zip_with("tabs", "codes",
+                   lambda t, cd: F.element_at(t, cd + 1)),
+        F.lit(0.0), lambda s, x: s + x)
+    sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", adc.alias("adc_dist2")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
+                                               F.asc("cand_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "cand_id",
+                    F.round("adc_dist2", 9).alias("adc_dist2"), "rn"))
+
+
+def exact_l2_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> DataFrame:
+    """Exact L2 top-k baseline (the ADC gate's ground truth)."""
+    from pyspark.sql import Window
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("qv"))
+    c = vectors.select(F.col(id_col).alias("cand_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("cv"))
+    sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", _dist2(F.col("qv"), F.col("cv"))
+                    .alias("d2")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "cand_id", "d2", "rn"))

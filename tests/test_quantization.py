@@ -73,3 +73,42 @@ def test_encode_plan_no_python_no_shuffle(emb, books):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_adc_topk_beats_random_and_is_deterministic(spark, emb, books):
+    """ADC: table-lookup distances must rank near the exact L2 order —
+    recall@10 well above random (10/499 ≈ 0.02) — and be reproducible."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.operators.quantization import (
+        exact_l2_topk, pq_adc_topk)
+    q = emb.where(F.col("vec_id") < 5)
+    a = pq_adc_topk(emb, q, books, k=10)
+    x = exact_l2_topk(emb, q, k=10)
+    hits = (a.select("query_id", "cand_id")
+            .join(x.select("query_id", "cand_id"),
+                  ["query_id", "cand_id"]).count())
+    n_q = q.count()
+    assert hits / (10.0 * n_q) >= 0.1  # 8x16 books: measured 0.22
+    got = {(r["query_id"], r["rn"]): r["cand_id"] for r in a.collect()}
+    again = {(r["query_id"], r["rn"]): r["cand_id"] for r in
+             pq_adc_topk(emb, q, books, k=10).collect()}
+    assert got == again
+
+
+def test_adc_exact_when_codebook_holds_every_vector(spark):
+    """Degenerate exactness: if every vector IS a centroid, ADC distance
+    equals exact distance, so the rankings must coincide."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.operators.quantization import (
+        exact_l2_topk, pq_adc_topk)
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = [[[float(x) for x in r[1][j * 2:(j + 1) * 2]] for r in rows]
+             for j in range(4)]
+    q = df.where(F.col("vec_id") < 2)
+    a = {(r["query_id"], r["rn"]): r["cand_id"]
+         for r in pq_adc_topk(df, q, books, k=3).collect()}
+    x = {(r["query_id"], r["rn"]): r["cand_id"]
+         for r in exact_l2_topk(df, q, k=3).collect()}
+    assert a == x
