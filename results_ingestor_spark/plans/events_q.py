@@ -163,3 +163,45 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("hour", grid["event_type"],
                     F.coalesce("n", F.lit(0)).alias("n"),
                     F.coalesce("total_value", F.lit(0.0)).alias("total_value")))
+
+
+@query("events_hourly_anomaly", oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+m AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+    SUM(n) AS s, SUM(n * n) AS q
+  FROM hourly GROUP BY event_type)
+SELECT h.event_type, CAST(h.hour AS TIMESTAMP) AS hour, h.n,
+  round((h.n - CAST(s AS DOUBLE) / n_hours)
+        / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / n_hours) / (n_hours - 1)), 9) AS zscore,
+  abs((h.n - CAST(s AS DOUBLE) / n_hours)
+      / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / n_hours) / (n_hours - 1))) > 2.0 AS is_anomaly
+FROM hourly h JOIN m ON h.event_type = m.event_type""")
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate anomaly detection: per (event_type, hour) counts z-scored
+    against that type's own hourly distribution, |z| > 2 flagged.  The
+    moments Σn and Σn² are INTEGER sums (exact, order-free), variance
+    assembles in one fixed-order double expression — the same exact-
+    moment discipline as events_value_dispersion, so the flags are
+    engine-identical.  Two hash aggs keyed on (type, hour) then type;
+    the per-type stats broadcast back onto the hourly rows."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (t["events"]
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count("*").alias("n")))
+    m = (hourly.groupBy("event_type")
+         .agg(F.count("*").alias("n_hours"), F.sum("n").alias("s"),
+              F.sum(F.col("n") * F.col("n")).alias("q")))
+    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+    mean = sd / F.col("n_hours")
+    var = (qd - sd * sd / F.col("n_hours")) / (F.col("n_hours") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (hourly.join(F.broadcast(m), "event_type")
+            .select("event_type", "hour", "n",
+                    F.round(z, 9).alias("zscore"),
+                    (F.abs(z) > 2.0).alias("is_anomaly")))
