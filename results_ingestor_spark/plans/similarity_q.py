@@ -345,3 +345,43 @@ def ann_pq_adc_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.agg(
         F.count("*").alias("n_queries"),
         (F.avg(F.col("h") / F.lit(10.0)) >= 0.3).alias("recall_ok"))
+
+
+@query("ann_incremental_topk", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 5)
+SELECT query_id, cand_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM s) WHERE rn <= 10""")
+def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session pattern
+    from the EDBT'20 incremental-top-k line of work): the corpus
+    arrives in two batches (vec_id < 400 = the already-indexed set,
+    >= 400 = the new arrivals); each batch keeps only its LOCAL top-k
+    per query, and the merge re-ranks 2k rows instead of rescanning
+    the union.  Top-k is a semilattice merge — (A ∪ B)ᵗᵒᵖᵏ =
+    (Aᵗᵒᵖᵏ ∪ Bᵗᵒᵖᵏ)ᵗᵒᵖᵏ — so the oracle verifies the merged result
+    EXACTLY equals the full-corpus brute force.  At scale this is why
+    a streaming ANN index only ever scores the delta."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    old_topk = brute_force_topk(e.where(F.col("vec_id") < 400), q, k=10)
+    new_topk = brute_force_topk(e.where(F.col("vec_id") >= 400), q, k=10)
+    merged = old_topk.drop("rn").unionByName(new_topk.drop("rn"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("query_id", "cand_id", "cosine", "rn"))
