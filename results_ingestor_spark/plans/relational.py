@@ -559,3 +559,41 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
     return m.select("l_returnflag", "n",
                     F.round(corr, 9).alias("corr_qty_price"))
+
+
+@query("agg_argminmax_conditional", oracle="""
+WITH agg AS (
+  SELECT o_orderstatus,
+    count_if(o_totalprice > 150000) AS n_big,
+    round(max(o_totalprice), 2) AS max_price,
+    round(min(o_totalprice), 2) AS min_price
+  FROM orders GROUP BY o_orderstatus),
+hi AS (
+  SELECT o_orderstatus, o_orderkey AS priciest_order FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
+  WHERE rn = 1),
+lo AS (
+  SELECT o_orderstatus, o_orderkey AS cheapest_order FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn FROM orders)
+  WHERE rn = 1)
+SELECT agg.o_orderstatus, n_big, priciest_order, cheapest_order,
+       max_price, min_price
+FROM agg JOIN hi USING (o_orderstatus) JOIN lo USING (o_orderstatus)""")
+def agg_argminmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min and conditional-count aggregates (max_by /
+    min_by / count_if): 'which order was the priciest per status' —
+    the lookup-free alternative to a groupBy + self-join-back.  The
+    struct(price, key) comparator makes ties deterministic (max_by →
+    larger key, min_by → smaller key); DuckDB's arg_max takes only
+    scalar comparators, so the oracle replays the same rule as
+    windowed row_number picks — one hash agg in Spark either way."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    by = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (t["orders"].groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.max_by("o_orderkey", by).alias("priciest_order"),
+        F.min_by("o_orderkey", by).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price")))

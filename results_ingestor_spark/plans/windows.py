@@ -166,3 +166,24 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_custkey", "o_orderdate",
                     F.sum(F.expr(_DEC)).over(w).cast("double")
                     .alias("trailing_5d")))
+
+
+@query("window_distribution_funcs", oracle="""
+SELECT c_custkey, c_mktsegment,
+  round(percent_rank() OVER w, 9) AS pr,
+  round(cume_dist() OVER w, 9) AS cd,
+  CAST(ntile(10) OVER w AS INTEGER) AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""")
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    — the quantile-bucketing surface used for per-stratum score
+    normalization.  One sort per mktsegment partition; the unique
+    (c_acctbal, c_custkey) ordering makes ranks engine-identical."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.ntile(10).over(w).alias("decile"))
