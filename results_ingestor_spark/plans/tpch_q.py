@@ -2,10 +2,19 @@
 
 Adapted to the synthetic corpus's columns: the testdata lineitem has no
 l_commitdate / l_receiptdate / l_shipmode and there is no partsupp
-table, so Q4/Q12/Q2/Q9/Q16 are not expressible; Q6/Q7/Q10/Q14/Q18/Q19
-are, with predicates re-anchored to the corpus's value ranges
-(shipdates 1995-2001, p_type ∈ {PROMO, ECONOMY, ...}, brands
-Brand#1..Brand#25, nations NATION_0..NATION_24).
+table, so Q12/Q2/Q9/Q16 are not expressible; Q6/Q7/Q10/Q14/Q18/Q19 are,
+with predicates re-anchored to the corpus's value ranges (shipdates
+1995-2001, p_type ∈ {PROMO, ECONOMY, ...}, brands Brand#1..Brand#25,
+nations NATION_0..NATION_24).  Q4/Q13/Q15/Q17/Q22 are adapted with
+equivalent plan shapes: Q4's "late commit" EXISTS becomes "shipped
+>60 days after order", Q22's phone-prefix becomes custkey mod 10 and
+"no orders ever" becomes "no orders since 2000-06-01" (every corpus
+customer has early orders).
+
+Cross-engine determinism notes for the adapted five: correlated
+threshold predicates (Q17's 0.5·avg(qty), Q22's avg positive acctbal)
+are multiplied through to exact-decimal comparisons (qty·2·cnt < Σqty)
+so no engine-specific float division sits on a filter boundary.
 
 Determinism rules follow plans/relational.py: exact-decimal sums cast
 back to double, unique tie-break keys on every top-k.
@@ -241,3 +250,179 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                | arm("Brand#4", 35, 20, 30))
         .agg(F.sum(_rev()).cast("double").alias("revenue"),
              F.count("*").alias("n")))
+
+
+@query("q4_order_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with a late line.
+    The corpus has no l_commitdate/l_receiptdate, so "commit missed"
+    becomes "some line shipped >60 days after the order" — the plan
+    shape is identical: a correlated EXISTS that Spark executes as a
+    LEFT SEMI hash join on orderkey with the date comparison as the
+    join residual, so lineitem is never widened and duplicate matches
+    never multiply rows.  The orderdate range prunes orders at the
+    scan before the join."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (o.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority"))
+
+
+@query("q13_customer_distribution", oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts.
+    The outer-join predicate (priority filter, standing in for the
+    original comment NOT LIKE) lives in the join condition — NOT a
+    WHERE after the join, which would silently drop the zero-order
+    customers the query exists to count.  Two aggregations: the first
+    shuffles on custkey (fact-sized), the second on c_count (tiny).
+    COUNT(o_orderkey) counts only matched rows, preserving 0 for
+    order-less customers."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (t["customer"].join(
+        t["orders"].where(F.col("o_orderpriority") != "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query("q15_top_supplier", oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue CTE computes once; the MAX scalar is a 1-row aggregate
+    cross-joined back (broadcast, in-plan — no driver-side collect) and
+    the equality match runs on the exact DECIMAL sums, so ties are
+    bit-exact across engines; the cast to double happens only in the
+    output projection.  At 100 TB the CTE is one shuffle on suppkey
+    and everything after it is dimension-sized."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    rev = (t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("__rev_dec")))
+    mx = rev.agg(F.max("__rev_dec").alias("__mx"))
+    return (rev.join(F.broadcast(mx), F.col("__rev_dec") == F.col("__mx"))
+            .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name",
+                    F.col("__rev_dec").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+@query("q17_small_quantity_revenue", oracle=f"""
+WITH pa AS (
+  SELECT l_partkey AS ap,
+         SUM({_DEC.format(c='l_quantity')}) AS sq, COUNT(*) AS cq
+  FROM lineitem GROUP BY l_partkey)
+SELECT round({_sumd(_DEC.format(c='l_extendedprice'))} / 12.0, 4)
+         AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON ap = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND {_DEC.format(c='l_quantity')} * 2 * cq < sq""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand.  The correlated scalar subquery (0.5 · avg qty per part)
+    becomes a per-part pre-aggregate joined back to lineitem; the
+    threshold comparison is multiplied through to exact decimals
+    (qty·2·cnt < Σqty) so no float division sits on the filter
+    boundary; the output ratio rounds to 4 decimals because 9 would
+    need 16 significant digits at this magnitude — past double
+    precision, where the engines' round() implementations diverge by
+    one ulp.  The pre-aggregate shuffles on partkey once; the brand
+    filter would let Spark semi-prune it at real scale (only ~4% of
+    parts are one brand).  /12.0 mirrors the corpus's 12 shipping
+    quarters per the date range (original /7.0)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    pa = (t["lineitem"].groupBy(F.col("l_partkey").alias("ap"))
+          .agg(F.sum(_dec("l_quantity")).alias("sq"),
+               F.count("*").alias("cq")))
+    return (t["lineitem"]
+            .join(F.broadcast(t["part"].where(F.col("p_brand") == "Brand#12")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(pa, F.col("ap") == F.col("l_partkey"))
+            .where(_dec("l_quantity") * 2 * F.col("cq") < F.col("sq"))
+            .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double")
+                         / 12.0, 4).alias("avg_yearly"),
+                 F.count("*").alias("n")))
+
+
+@query("q22_global_sales_opportunity", oracle=f"""
+WITH pos AS (
+  SELECT SUM({_DEC.format(c='c_acctbal')}) AS sbal, COUNT(*) AS cbal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_custkey % 10 AS cust_group,
+       COUNT(*) AS numcust,
+       {_sumd(_DEC.format(c='c_acctbal'))} AS totacctbal
+FROM customer, pos
+WHERE {_DEC.format(c='c_acctbal')} * cbal > sbal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_custkey % 10
+ORDER BY cust_group""")
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone quiet.  The corpus
+    has no c_phone, so the country-code grouping becomes custkey mod
+    10, and since every corpus customer has pre-2000 orders, "never
+    ordered" becomes "no order since 2000-06-01" — same anti-join plan.
+    The global avg-positive-balance threshold is a 1-row aggregate
+    broadcast-cross-joined in-plan (no collect), compared multiplied
+    through in exact decimals (bal·cnt > Σbal).  The anti join prunes
+    the orders side with the date predicate at the scan."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"].withColumn("__bal", _dec("c_acctbal"))
+    pos = (cust.where(F.col("c_acctbal") > 0.0)
+           .agg(F.sum("__bal").alias("sbal"), F.count("*").alias("cbal")))
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
+    return (cust.join(F.broadcast(pos))
+            .where(F.col("__bal") * F.col("cbal") > F.col("sbal"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy((F.col("c_custkey") % 10).alias("cust_group"))
+            .agg(F.count("*").alias("numcust"),
+                 F.sum("__bal").cast("double").alias("totacctbal"))
+            .orderBy("cust_group"))
