@@ -1,0 +1,133 @@
+"""Graph analytics over relational-derived edge tables.
+
+The reference has no graph operators (its pipeline is flat ETL:
+ingestor_precinct.py:54-118); this family is part of the §2.4
+"beyond-the-reference" surface a large-scale training-data /
+analytics engine needs: co-occurrence graphs, degree statistics,
+triangle counting, link prediction, and bounded-iteration PageRank —
+all expressed as DataFrame joins/aggregations so Catalyst plans them
+(shuffle-hash joins on node keys, ReusedExchange across PageRank
+iterations), with no driver-side graph materialization.
+
+Scale design:
+- Edge construction from co-occurrence is bounded per group: an order
+  with k lines yields k·(k-1)/2 pairs, and k is a small constant
+  (corpus max 13), so edge generation is linear in fact rows.
+- Wedge enumeration (common-neighbors) is Σ deg² — the weight
+  threshold (`min_weight`) is the blocking knob that keeps the
+  strong graph sparse; at 100 TB you'd also cap per-node degree
+  (drop hub nodes) the same way MinHash-LSH caps band bucket sizes.
+- PageRank keeps ranks as a DataFrame keyed by node; each iteration
+  is one shuffle on node id.  Identical edge/degree subplans across
+  iterations collapse to ReusedExchange under AQE, so the edge list
+  is shuffled once, not once per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
+    """Undirected weighted part-co-purchase edges: (u, v, w) with
+    u < v, where w = number of orders containing both parts.
+
+    The self-join shuffles both sides on l_orderkey (one exchange,
+    co-partitioned), and the u < v predicate halves the pair space
+    and canonicalizes edge direction at the source.
+    """
+    a = lineitem.select(F.col("l_orderkey").alias("__ok"),
+                        F.col("l_partkey").alias("u"))
+    b = lineitem.select(F.col("l_orderkey").alias("__ok2"),
+                        F.col("l_partkey").alias("v"))
+    edges = (a.join(b, (F.col("__ok") == F.col("__ok2"))
+                    & (F.col("u") < F.col("v")))
+             .groupBy("u", "v").agg(F.count("*").alias("w")))
+    if min_weight > 1:
+        edges = edges.where(F.col("w") >= min_weight)
+    return edges.select("u", "v", "w")
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected (u < v) edge list."""
+    return (edges.select("u", "v")
+            .union(edges.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"))))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree (u, d) of the undirected graph."""
+    return symmetrize(edges).groupBy("u").agg(F.count("*").alias("d"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """1-row global triangle count via the canonical three-edge join
+    on u < v < w orientation: e1=(a,b), e2=(b,c), e3=(a,c).
+
+    Each triangle is counted exactly once because every edge is
+    stored low→high.  At scale the standard refinement is
+    degree-ordered orientation (point edges from low-degree to
+    high-degree nodes) which bounds join fan-out by arboricity; the
+    id-ordered form here is the same plan shape and is what the SQL
+    oracle can mirror exactly.
+    """
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    return (e1.join(e2, F.col("b") == F.col("b2"))
+            .join(e3, (F.col("a") == F.col("a3"))
+                  & (F.col("c") == F.col("c3")))
+            .agg(F.count("*").alias("n_triangles")))
+
+
+def common_neighbors_topk(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Link prediction: top-k NON-adjacent node pairs ranked by
+    common-neighbor count.
+
+    Wedges come from the symmetrized edge list self-joined on the
+    center node (s1.v < s2.v canonicalizes the candidate pair); the
+    anti join removes pairs that are already edges.  Deterministic
+    top-k: unique (cn DESC, a, b) ordering.
+    """
+    sym = symmetrize(edges)
+    s1 = sym.select(F.col("u").alias("ctr"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("ctr2"), F.col("v").alias("b"))
+    wedges = (s1.join(s2, (F.col("ctr") == F.col("ctr2"))
+                      & (F.col("a") < F.col("b")))
+              .groupBy("a", "b").agg(F.count("*").alias("cn")))
+    return (wedges.join(edges.select(F.col("u").alias("a"),
+                                     F.col("v").alias("b")),
+                        ["a", "b"], "left_anti")
+            .orderBy(F.desc("cn"), F.asc("a"), F.asc("b"))
+            .limit(k))
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Bounded-iteration PageRank on the undirected graph: returns
+    (u, r) after `iterations` synchronous updates of
+    r = (1-d)/N + d·Σ r_in/deg_in, initialized uniform 1/N.
+
+    All-DataFrame and fully lazy: each iteration is a join of the
+    symmetrized edges with the current ranks plus one aggregation on
+    the destination node — the same per-iteration shape GraphX/Pregel
+    would schedule, but left to Catalyst/AQE (the edge and degree
+    exchanges are identical across iterations → ReusedExchange).
+    Every node has degree ≥ 1 in a symmetrized co-occurrence graph,
+    so there are no dangling-mass corrections to distribute.
+    """
+    sym = symmetrize(edges)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    n = deg.agg(F.count("*").alias("n"))
+    ranks = (deg.join(F.broadcast(n))
+             .select("u", (F.lit(1.0) / F.col("n")).alias("r")))
+    for _ in range(iterations):
+        contrib = (sym.join(ranks, "u").join(deg, "u")
+                   .groupBy("v")
+                   .agg(F.sum(F.col("r") / F.col("d")).alias("c")))
+        ranks = (contrib.join(F.broadcast(n))
+                 .select(F.col("v").alias("u"),
+                         (F.lit(1.0 - damping) / F.col("n")
+                          + F.lit(damping) * F.col("c")).alias("r")))
+    return ranks

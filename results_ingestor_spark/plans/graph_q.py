@@ -1,0 +1,137 @@
+"""Graph-analytics query entries over the part co-purchase graph.
+
+Edges: parts appearing in the same order (lineitem self-join on
+l_orderkey, u < v), weight = co-purchase count.  The full graph feeds
+degree/triangle/PageRank; the strong graph (weight ≥ 2) feeds
+common-neighbors link prediction, whose wedge enumeration is Σ deg²
+and needs the sparser graph (the threshold is the blocking knob).
+
+Determinism: triangle/degree/wedge counts are exact integers.
+PageRank is double arithmetic; every scalar op (1/N, r/d, damp·c) is
+the same IEEE-754 operation in both engines, and the only
+order-sensitive step — summing ≤ a-few-hundred neighbor contributions
+— carries error ~1e-16, so outputs rounded to 12 decimals (9+ sig
+digits at rank magnitude ~5e-4) are bit-stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.graph import (
+    common_neighbors_topk,
+    copurchase_edges,
+    degrees,
+    pagerank,
+    triangle_count,
+)
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_EDGES = """
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2"""
+
+_SYM = "SELECT u, v FROM e UNION ALL SELECT v, u FROM e"
+
+
+@query("graph_degree_distribution", oracle=f"""
+WITH e AS ({_EDGES}),
+sym AS ({_SYM}),
+deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY u)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree""")
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph.  Two hash
+    aggregations (node → degree, degree → node count); the second
+    input is node-cardinality, tiny relative to edges."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    deg = degrees(copurchase_edges(li))
+    return (deg.groupBy(F.col("d").alias("degree"))
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("degree"))
+
+
+@query("graph_triangle_count", oracle=f"""
+WITH e AS ({_EDGES})
+SELECT (SELECT COUNT(DISTINCT u2) FROM
+          (SELECT u AS u2 FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census: one row (n_nodes, n_edges,
+    n_triangles).  The triangle join runs on the low→high oriented
+    edge list so each triangle matches exactly once; the three
+    1-row aggregates cross-join (all broadcast)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li)
+    nodes = (edges.select(F.col("u").alias("x"))
+             .union(edges.select(F.col("v").alias("x")))
+             .agg(F.countDistinct("x").alias("n_nodes")))
+    n_e = edges.agg(F.count("*").alias("n_edges"))
+    tri = triangle_count(edges)
+    return (nodes.join(F.broadcast(n_e)).join(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_triangles"))
+
+
+@query("graph_common_neighbors", oracle=f"""
+WITH e AS ({_EDGES} HAVING COUNT(*) >= 2),
+sym AS ({_SYM}),
+wedge AS (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY 1, 2)
+SELECT a, b, cn FROM wedge
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
+ORDER BY cn DESC, a, b LIMIT 20""")
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the strong (weight ≥ 2) co-purchase graph:
+    top-20 non-adjacent pairs by common-neighbor count.  The weight
+    threshold keeps Σ deg² (wedge count) bounded — the same blocking
+    role LSH bands play in dedup."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return common_neighbors_topk(copurchase_edges(li, min_weight=2), k=20)
+
+
+@query("graph_pagerank_top20", oracle=f"""
+WITH e AS ({_EDGES}),
+sym AS ({_SYM}),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT u, CAST(1.0 AS DOUBLE) / n AS r FROM deg, nn),
+c1 AS (SELECT sym.v AS u, SUM(r0.r / deg.d) AS c
+       FROM sym JOIN r0 ON r0.u = sym.u JOIN deg ON deg.u = sym.u
+       GROUP BY sym.v),
+r1 AS (SELECT u, CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) * c AS r
+       FROM c1, nn),
+c2 AS (SELECT sym.v AS u, SUM(r1.r / deg.d) AS c
+       FROM sym JOIN r1 ON r1.u = sym.u JOIN deg ON deg.u = sym.u
+       GROUP BY sym.v),
+r2 AS (SELECT u, CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) * c AS r
+       FROM c2, nn),
+c3 AS (SELECT sym.v AS u, SUM(r2.r / deg.d) AS c
+       FROM sym JOIN r2 ON r2.u = sym.u JOIN deg ON deg.u = sym.u
+       GROUP BY sym.v),
+r3 AS (SELECT u, CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) * c AS r
+       FROM c3, nn)
+SELECT u AS part, round(r, 12) AS rank
+FROM r3 ORDER BY round(r, 12) DESC, u LIMIT 20""")
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous PageRank iterations (d=0.85) on the
+    co-purchase graph; top-20 parts by rank.  The oracle unrolls the
+    same three updates as chained CTEs — fixed iteration count makes
+    the iterative algorithm SQL-expressible and value-checkable.
+    Ordering happens on the ROUNDED rank so a sub-ulp summation
+    difference can never reorder the top-k across engines."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    ranks = pagerank(copurchase_edges(li), iterations=3, damping=0.85)
+    return (ranks.select(F.col("u").alias("part"),
+                         F.round("r", 12).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("part"))
+            .limit(20))

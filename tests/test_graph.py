@@ -1,0 +1,82 @@
+"""Graph operators on a hand-built graph with known answers.
+
+K4 plus a pendant vertex:
+
+    1 ─ 2
+    │ ╳ │      (K4 on {1,2,3,4}: all 6 edges)
+    3 ─ 4 ─ 5  (5 is a pendant off 4)
+
+Known facts: 4 triangles, degrees {1:3, 2:3, 3:3, 4:4, 5:1},
+common-neighbors of the non-edge candidates, and PageRank must sum to
+1 with rank(4) > rank(1..3) > rank(5).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.operators.graph import (
+    common_neighbors_topk,
+    copurchase_edges,
+    degrees,
+    pagerank,
+    triangle_count,
+)
+
+K4_PENDANT = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        [(u, v, 1) for u, v in K4_PENDANT], "u int, v int, w int")
+
+
+def test_degrees(edges):
+    got = {r["u"]: r["d"] for r in degrees(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1}
+
+
+def test_triangle_count(edges):
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_common_neighbors(edges):
+    rows = common_neighbors_topk(edges, k=10).collect()
+    got = {(r["a"], r["b"]): r["cn"] for r in rows}
+    # Only non-adjacent pairs appear; (i, 5) shares exactly {4} with
+    # each K4 vertex i ∈ {1,2,3}.
+    assert got == {(1, 5): 1, (2, 5): 1, (3, 5): 1}
+
+
+def test_pagerank_mass_and_order(edges):
+    ranks = {r["u"]: r["r"]
+             for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # stochastic: mass conserved
+    assert ranks[4] > ranks[1] > ranks[5]
+    assert abs(ranks[1] - ranks[2]) < 1e-12  # symmetric vertices tie
+    assert abs(ranks[1] - ranks[3]) < 1e-12
+
+
+def test_copurchase_edges_weights(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)],
+        "l_orderkey int, l_partkey int")
+    got = {(r["u"], r["v"]): r["w"]
+           for r in copurchase_edges(li).collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+    strong = {(r["u"], r["v"]): r["w"]
+              for r in copurchase_edges(li, min_weight=2).collect()}
+    assert strong == {(10, 20): 2}
+
+
+def test_pagerank_reuses_edge_exchange(edges):
+    """The 3-iteration plan must not contain three independent
+    re-computations of the symmetrized-edge shuffle: Spark collapses
+    identical exchanges (ReusedExchange / exchange reuse under AQE),
+    keeping per-iteration cost at one rank-join, not one edge rebuild."""
+    df = pagerank(edges, iterations=3)
+    df.collect()  # AQE resolves exchange reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
