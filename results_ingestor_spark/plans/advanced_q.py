@@ -349,3 +349,34 @@ def string_similarity_levenshtein(spark: SparkSession,
             .select("p_partkey", "p_name",
                     prev.alias("prev_name"),
                     F.levenshtein("p_name", prev).alias("edit_dist")))
+
+
+@query("part_skyline", oracle="""
+SELECT p_partkey, p_size, p_retailprice
+FROM part x
+WHERE NOT EXISTS (
+  SELECT 1 FROM part y
+  WHERE y.p_size >= x.p_size AND y.p_retailprice <= x.p_retailprice
+    AND (y.p_size > x.p_size OR y.p_retailprice < x.p_retailprice))""")
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): parts where no other part is at least
+    as large AND at least as cheap with one strict improvement.  The
+    oracle states the NOT EXISTS dominance definition directly; the
+    Spark plan is the sort-based skyline — two windows over one sort
+    on p_size: the running min price over strictly-larger sizes
+    (value-RANGE frame, integer sizes make "1 preceding" = "size+1")
+    and the min price within the same size.  O(n log n) with no
+    self-join, the shape that survives 100 TB where the quadratic
+    NOT EXISTS would not."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w_gt = (Window.orderBy(F.col("p_size") * -1)
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy("p_size")
+    dominated = (
+        (F.min("p_retailprice").over(w_gt) <= F.col("p_retailprice"))
+        | (F.min("p_retailprice").over(w_eq) < F.col("p_retailprice")))
+    return (t["part"]
+            .select("p_partkey", "p_size", "p_retailprice",
+                    dominated.alias("__dom"))
+            .where(~F.coalesce(F.col("__dom"), F.lit(False)))
+            .drop("__dom"))

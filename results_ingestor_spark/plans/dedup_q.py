@@ -279,3 +279,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
                 .select("id_a", "id_b"))
     return connected_components(verified, t["documents"].select("doc_id"))
+
+
+@query("dedup_duplicate_passages", oracle="""
+WITH g AS (
+  SELECT doc_id,
+    unnest([array_to_string(t[i:i+3], ' ')
+            for i in range(1, len(t) - 2)]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+SELECT gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, n DESC, gram LIMIT 20""")
+def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage detection at word-4-gram granularity — the
+    bucketed approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): explode
+    each document's 4-grams, hash-aggregate, keep passages seen in >1
+    document.  The shuffle carries (gram, partial count, doc-id set
+    partials) with map-side combine; at 100 TB you'd hash the gram to
+    64 bits before the shuffle (xxhash64) and never move the strings —
+    same shape as the MinHash pipeline above.  Top-20 deterministic via
+    (n_docs, n, gram) ordering."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 4 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 4))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    return (t["documents"]
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") > 1)
+            .orderBy(F.desc("n_docs"), F.desc("n"), F.asc("gram"))
+            .limit(20))

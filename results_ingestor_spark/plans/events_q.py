@@ -205,3 +205,67 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "hour", "n",
                     F.round(z, 9).alias("zscore"),
                     (F.abs(z) > 2.0).alias("is_anomaly")))
+
+
+@query("events_max_concurrent", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id,
+    ts FROM marked),
+bounds AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM sessions GROUP BY user_id, session_id),
+deltas AS (
+  SELECT s AS ts, 1 AS delta, user_id, session_id FROM bounds
+  UNION ALL
+  SELECT e AS ts, -1 AS delta, user_id, session_id FROM bounds),
+swept AS (
+  SELECT SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_id
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM deltas)
+SELECT CAST(MAX(live) AS BIGINT) AS max_concurrent,
+       (SELECT COUNT(*) FROM bounds) AS n_sessions
+FROM swept""")
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency via sweep-line: sessionize (same 30-min
+    gap rule as events_sessionize), emit +1/-1 boundary deltas, running
+    sum in global boundary order, take the max.  Starts sort before
+    ends at the same instant (delta DESC) — inclusive overlap, so
+    single-event sessions still count while they exist.  The one
+    global-order window runs over 2·n_sessions boundary rows (already
+    aggregated, tiny vs raw events); at 100 TB you'd sweep per
+    time-bucket and merge boundary offsets the way corpus_global_shuffle
+    merges shard offsets."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (prev_ts.isNull()
+                   | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+                      > 1_800_000_000))
+    bounds = (t["events"]
+              .withColumn("new_session", new_session.cast("int"))
+              .withColumn("session_id", F.sum("new_session").over(wcum))
+              .groupBy("user_id", "session_id")
+              .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    deltas = (bounds.select(F.col("s").alias("ts"), F.lit(1).alias("delta"),
+                            "user_id", "session_id")
+              .union(bounds.select(F.col("e").alias("ts"),
+                                   F.lit(-1).alias("delta"),
+                                   "user_id", "session_id")))
+    sweep = Window.orderBy(F.col("ts"), F.col("delta").desc(),
+                           F.col("user_id"), F.col("session_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    live = deltas.select(F.sum("delta").over(sweep).alias("live"))
+    n_sessions = bounds.agg(F.count("*").alias("n_sessions"))
+    return (live.agg(F.max("live").alias("max_concurrent"))
+            .join(F.broadcast(n_sessions))
+            .select("max_concurrent", "n_sessions"))

@@ -337,3 +337,40 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((top_token_frac <= 0.2) & (top_bigram_frac <= 0.18)
                  & (dup_trigram_frac <= 0.6) & (F.col("max_token_run") <= 4))
                 .alias("keep")))
+
+
+@query("quality_lexical_diversity", oracle="""
+SELECT doc_id,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_distinct,
+  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 9) AS ttr,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t), 9)
+    AS mean_word_len,
+  round(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        / len(t), 9) AS stopword_frac,
+  (CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.35
+   AND CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+       / len(t) BETWEEN 0.01 AND 0.15) AS keep
+FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""")
+def quality_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals (C4/Gopher family): type-token
+    ratio, mean word length, stopword fraction, and a conjunctive keep
+    flag (thresholds anchored at the corpus's p10/p90).  All built-in
+    array expressions — one narrow map stage, no shuffle, no Python.
+    The threshold comparisons sit on exact double divisions of the
+    same integers in both engines, so the keep flag is bit-stable."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a"))) \
+        .cast("double") / n
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(ttr, 9).alias("ttr"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                .cast("double") / n, 9).alias("mean_word_len"),
+        F.round(stop, 9).alias("stopword_frac"),
+        ((ttr >= 0.35) & (stop >= 0.01) & (stop <= 0.15)).alias("keep"))

@@ -187,3 +187,34 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pr"),
         F.round(F.cume_dist().over(w), 9).alias("cd"),
         F.ntile(10).over(w).alias("decile"))
+
+
+@query("window_running_distinct", oracle="""
+WITH flagged AS (
+  SELECT event_id, event_type, ts,
+    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY ts, event_id) = 1
+         THEN 1 ELSE 0 END AS first_seen
+  FROM events)
+SELECT event_id, event_type,
+  SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_distinct_users
+FROM flagged""")
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event_type — an aggregate SQL
+    window frames can't express directly (DISTINCT isn't allowed in a
+    running frame).  Rewritten as first-seen flags (row_number = 1 on
+    the (type, user) partition) cumulatively summed — two window passes
+    whose partitionings nest (type,user → type), so the second reuses
+    the first's exchange.  The oracle states the identical rewrite."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w_first = (Window.partitionBy("event_type", "user_id")
+               .orderBy("ts", "event_id"))
+    w_run = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    first = (F.row_number().over(w_first) == 1).cast("int")
+    return (t["events"]
+            .withColumn("__first", first)
+            .select("event_id", "event_type",
+                    F.sum("__first").over(w_run)
+                    .alias("running_distinct_users")))
