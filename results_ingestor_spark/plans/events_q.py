@@ -269,3 +269,34 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (live.agg(F.max("live").alias("max_concurrent"))
             .join(F.broadcast(n_sessions))
             .select("max_concurrent", "n_sessions"))
+
+
+@query("events_user_entropy", oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+  CAST(SUM(c) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS INT) AS n_types,
+  round(log2(CAST(SUM(c) AS DOUBLE))
+        - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_bits
+FROM c GROUP BY user_id""")
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal.  Uses the aggregation-friendly
+    identity H = log2(n) − Σ c·log2(c) / n, so it's two hash
+    aggregates (user×type, then user) with no per-row probability
+    materialization.  Output rounded to 6 dp: the Σ c·log2(c) partial
+    ordering and libm ulp differences sit at ~1e-12, far below the
+    rounding grain."""
+    t = load_tables(spark, sf_dir, ("events",))
+    c = (t["events"].groupBy("user_id", "event_type")
+         .agg(F.count("*").alias("c")))
+    n = F.sum("c")
+    return (c.groupBy("user_id")
+            .agg(n.alias("n_events"),
+                 F.count("*").cast("int").alias("n_types"),
+                 F.round(F.log2(n.cast("double"))
+                         - F.sum(F.col("c")
+                                 * F.log2(F.col("c").cast("double"))) / n,
+                         6).alias("entropy_bits")))

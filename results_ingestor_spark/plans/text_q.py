@@ -374,3 +374,46 @@ def quality_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / n, 9).alias("mean_word_len"),
         F.round(stop, 9).alias("stopword_frac"),
         ((ttr >= 0.35) & (stop >= 0.01) & (stop <= 0.15)).alias("keep"))
+
+
+@query("tfidf_top_terms", oracle="""
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN nn)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 3""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF.  Three aggregates — term
+    frequency (doc×term), document frequency (term, dimension-sized,
+    broadcast back), corpus size (1 row) — then a per-doc top-k window.
+    Ranking happens on the ROUNDED score (6 dp): tf·ln(N/df) is
+    irrational, and the two engines' libm ln() may differ in the last
+    ulp — rounding before ranking keeps order and output bit-stable.
+    At 100 TB the df table is vocabulary-sized (fits broadcast) and tf
+    shuffles once on (doc, term)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (t["documents"]
+          .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nn = t["documents"].agg(F.count("*").alias("n"))
+    scored = (tf.join(F.broadcast(df), "term").join(F.broadcast(nn))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n").cast("double")
+                                      / F.col("df")), 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "term", "tfidf", "rank"))
