@@ -140,3 +140,61 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("is_finished"),
                     F.regexp_replace("p_brand", "Brand#", "B")
                     .alias("brand_code")))
+
+
+@query("stats_mad_by_type", oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+  round(m, 9) AS median_value,
+  round(quantile_cont(abs(e.value - m), 0.5), 9) AS mad,
+  COUNT(*) AS n
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type, m""")
+def stats_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic.  Two passes by construction (the second median is of
+    residuals against the first): a per-type median aggregate
+    broadcast-joined back, then a second exact percentile.  Both
+    engines use the same linear-interpolation percentile definition
+    on identical doubles, so outputs match bit-for-bit at 9 dp."""
+    t = load_tables(spark, sf_dir, ("events",))
+    med = (t["events"].groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("m")))
+    return (t["events"].join(F.broadcast(med), "event_type")
+            .groupBy("event_type", "m")
+            .agg(F.round(F.percentile(F.abs(F.col("value") - F.col("m")),
+                                      F.lit(0.5)), 9).alias("mad"),
+                 F.count("*").alias("n"))
+            .select("event_type", F.round("m", 9).alias("median_value"),
+                    "mad", "n"))
+
+
+@query("histogram_totalprice", oracle="""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           FROM orders)
+SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)), 9)
+            AS INT) AS bin,
+  COUNT(*) AS n,
+  round(MIN(o_totalprice), 9) AS bin_min,
+  round(MAX(o_totalprice), 9) AS bin_max
+FROM orders, b
+GROUP BY 1""")
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins over the observed range): the
+    min/max come from a 1-row aggregate broadcast-cross-joined
+    in-plan, the bin index is the same IEEE double expression in both
+    engines (identical inputs → identical floor), and the top bin
+    absorbs the max via LEAST.  One scan + one tiny-key aggregate."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    b = t["orders"].agg(F.min("o_totalprice").alias("lo"),
+                        F.max("o_totalprice").alias("hi"))
+    bin_ = F.least(F.floor((F.col("o_totalprice") - F.col("lo"))
+                           / ((F.col("hi") - F.col("lo")) / 10.0)),
+                   F.lit(9)).cast("int")
+    return (t["orders"].join(F.broadcast(b))
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("o_totalprice"), 9).alias("bin_min"),
+                 F.round(F.max("o_totalprice"), 9).alias("bin_max")))

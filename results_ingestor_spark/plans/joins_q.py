@@ -142,3 +142,30 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", "n_orders", "spend",
         F.col("c_custkey").isNull().alias("right_only"),
         F.col("o_custkey").isNull().alias("left_only"))
+
+
+@query("join_null_safe", oracle="""
+WITH l AS (
+  SELECT NULLIF(l_returnflag, 'N') AS k, COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1),
+r AS (
+  SELECT NULLIF(l_returnflag, 'N') AS k,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+  FROM lineitem GROUP BY 1)
+SELECT l.k AS k, l.n_lines, r.qty
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ≡ SQL IS NOT DISTINCT
+    FROM): NULL keys match each other instead of vanishing, the
+    semantics MERGE/dedup pipelines need when the join key is
+    nullable.  Still a hash join — Spark hashes the null bucket like
+    any other key value, no fallback to BNLJ."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    k = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    left = (t["lineitem"].groupBy(k.alias("k"))
+            .agg(F.count("*").alias("n_lines")))
+    right = (t["lineitem"].groupBy(k.alias("k2"))
+             .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                  .cast("double").alias("qty")))
+    return (left.join(right, F.col("k").eqNullSafe(F.col("k2")))
+            .select("k", "n_lines", "qty"))

@@ -20,7 +20,7 @@ prunes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.plans.registry import query
@@ -597,3 +597,44 @@ def agg_argminmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", by).alias("cheapest_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price")))
+
+
+@query("pct_of_parent_revenue", oracle="""
+WITH rev AS (
+  SELECT r_name AS region, n_name AS nation,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT region, nation, revenue,
+  round(revenue / SUM(revenue) OVER (PARTITION BY region), 9)
+    AS pct_of_region,
+  round(revenue / SUM(revenue) OVER (), 9) AS pct_of_total
+FROM rev""")
+def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent along the region→nation hierarchy: one
+    fact aggregate, then two window shares (region parent, grand
+    total) over the tiny aggregate — the OLAP "contribution" pattern.
+    The shares divide doubles both engines derived from the same
+    exact-decimal sums, so 9 dp rounding is bit-stable."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    rev = (t["orders"]
+           .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(t["nation"]),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(t["region"]),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double").alias("revenue")))
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region", "nation", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 9)
+        .alias("pct_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9)
+        .alias("pct_of_total"))

@@ -385,3 +385,32 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 10)
             .select("query_id", "cand_id", "cosine", "rn"))
+
+
+@query("embedding_dim_stats", oracle="""
+SELECT CAST(dim AS INT) AS dim,
+  COUNT(*) AS n,
+  round(AVG(CAST(v AS DOUBLE)), 6) AS mean_v,
+  round(MIN(CAST(v AS DOUBLE)), 6) AS min_v,
+  round(MAX(CAST(v AS DOUBLE)), 6) AS max_v
+FROM (
+  SELECT unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+GROUP BY dim""")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics of the embedding column —
+    the drift/normalization check a vector pipeline runs before
+    indexing.  posexplode flattens (vector, position) pairs; one hash
+    aggregate on the dimension index.  Mean rounds at 6 dp: the only
+    cross-engine wiggle is double-sum ordering, ~1e-13 relative.
+    At 100 TB this is the map-side-combine-friendly shape — partials
+    are (dim, sum, count, min, max), never vectors."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (t["embeddings"]
+            .select(F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+                 F.round(F.min(F.col("v").cast("double")), 6).alias("min_v"),
+                 F.round(F.max(F.col("v").cast("double")), 6).alias("max_v")))

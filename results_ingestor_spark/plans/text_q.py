@@ -417,3 +417,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("doc_id", "term", "tfidf", "rank"))
+
+
+@query("vocab_coverage_95", oracle="""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok),
+ranked AS (
+  SELECT n,
+    SUM(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(n) OVER () AS total
+  FROM counts)
+SELECT CAST(COUNT(*) FILTER (WHERE (cum - n) * 20 < total * 19) AS BIGINT)
+         AS vocab_size_95,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_distinct
+FROM ranked""")
+def vocab_coverage_95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary budgeting: how many distinct tokens (most-frequent
+    first) cover 95% of all token occurrences.  Token counts → one
+    global cumulative window over the vocabulary (vocabulary-sized
+    input, fine unpartitioned) → integer threshold test
+    (cum-before-token)·20 < total·19, i.e. a token is kept while
+    coverage BEFORE it is still under 95% — all-bigint arithmetic,
+    no float boundary."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = (t["documents"]
+              .select(F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("n")))
+    w_cum = (Window.orderBy(F.desc("n"), F.asc("tok"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "n", F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"))
+    return ranked.agg(
+        F.sum(F.when((F.col("cum") - F.col("n")) * 20
+                     < F.col("total") * 19, 1).otherwise(0))
+        .alias("vocab_size_95"),
+        F.max("total").alias("total_tokens"),
+        F.count("*").alias("n_distinct"))
