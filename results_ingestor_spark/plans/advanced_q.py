@@ -380,3 +380,50 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dominated.alias("__dom"))
             .where(~F.coalesce(F.col("__dom"), F.lit(False)))
             .drop("__dom"))
+
+
+@query("customer_rfm_segments", oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS frequency,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT custkey,
+    ntile(5) OVER (ORDER BY last_order, custkey) AS r,
+    ntile(5) OVER (ORDER BY frequency, custkey)  AS f,
+    ntile(5) OVER (ORDER BY monetary, custkey)   AS m
+  FROM base)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+    AS segment,
+  COUNT(*) AS n_customers
+FROM scored GROUP BY r, f, m""")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary →
+    quintile scores (ntile with custkey tie-break = fully
+    deterministic) → segment census.  The three ntiles run over the
+    customer-level aggregate (1/10th of orders), unpartitioned by
+    design at this cardinality; at 100 TB you'd swap ntile for
+    approx-quantile bucket edges (percentile_approx) broadcast as
+    literals, keeping the same output contract.  Monetary quintiles
+    rank exact decimal sums, so bucket assignment can't drift."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = (t["orders"].groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.max("o_orderdate").alias("last_order"),
+                 F.count("*").alias("frequency"),
+                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                 .alias("monetary")))
+    scored = base.select(
+        "custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count("*").alias("n_customers"))
+            .select("r", "f", "m",
+                    F.concat(F.col("r").cast("string"),
+                             F.col("f").cast("string"),
+                             F.col("m").cast("string")).alias("segment"),
+                    "n_customers"))

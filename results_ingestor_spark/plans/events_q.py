@@ -300,3 +300,80 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - F.sum(F.col("c")
                                  * F.log2(F.col("c").cast("double"))) / n,
                          6).alias("entropy_bits")))
+
+
+@query("events_transition_matrix", oracle="""
+WITH nxt AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+  round(CAST(n AS DOUBLE)
+        / SUM(n) OVER (PARTITION BY from_type), 9) AS prob
+FROM cnt""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: lead()
+    per user stream, pair counts, then row-normalized probabilities
+    via a window over the tiny (type×type) aggregate.  One user-keyed
+    sort-window plus one hash aggregate; the normalization divides
+    exact bigints, so 9 dp is bit-stable."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (t["events"]
+           .select(F.col("event_type").alias("from_type"),
+                   F.lead("event_type").over(w).alias("to_type"))
+           .where(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type").agg(F.count("*").alias("n")))
+    w_row = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
+        .alias("prob"))
+
+
+@query("events_audience_overlap", oracle="""
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, COUNT(*) AS sz FROM aud GROUP BY event_type),
+ov AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_overlap
+  FROM aud a JOIN aud b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_overlap,
+  round(CAST(n_overlap AS DOUBLE)
+        / (sa.sz + sb.sz - n_overlap), 9) AS jaccard
+FROM ov JOIN sz sa ON sa.event_type = type_a
+        JOIN sz sb ON sb.event_type = type_b""")
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types with Jaccard
+    similarity — the segment-overlap matrix.  The distinct
+    (type, user) projection self-joins on user (bounded fan-out: a
+    user has ≤ n_types rows), then the type-pair counts join the two
+    audience sizes (dimension-sized, broadcast).  Jaccard divides
+    exact bigints → 9 dp bit-stable."""
+    t = load_tables(spark, sf_dir, ("events",))
+    aud = t["events"].select("event_type", "user_id").distinct()
+    sz = aud.groupBy("event_type").agg(F.count("*").alias("sz"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"),
+                   F.col("user_id").alias("uid2"))
+    ov = (a.join(b, (F.col("user_id") == F.col("uid2"))
+                 & (F.col("type_a") < F.col("type_b")))
+          .groupBy("type_a", "type_b").agg(F.count("*").alias("n_overlap")))
+    sa = sz.select(F.col("event_type").alias("type_a"),
+                   F.col("sz").alias("sa"))
+    sb = sz.select(F.col("event_type").alias("type_b"),
+                   F.col("sz").alias("sb"))
+    return (ov.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "n_overlap",
+                    F.round(F.col("n_overlap").cast("double")
+                            / (F.col("sa") + F.col("sb")
+                               - F.col("n_overlap")), 9).alias("jaccard")))

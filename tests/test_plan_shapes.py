@@ -184,3 +184,49 @@ def test_q19_no_nested_loop(plans):
     p = plans("q19_discounted_revenue")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_spatial_join_is_hash_not_cartesian(plans):
+    """The grid-blocked radius join must plan as an equi hash join on
+    the cell key — the whole point of the 3×3 replication is avoiding
+    the cartesian/BNLJ a raw distance θ-join would force."""
+    p = plans("spatial_radius_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_tfidf_broadcasts_vocab(plans):
+    """df (vocabulary-sized) and N (1 row) must broadcast back into
+    the tf table — no shuffle of the fact side for dimension joins."""
+    assert "BroadcastHashJoin" in plans("tfidf_top_terms")
+
+
+def test_triangle_join_no_python_no_cartesian(plans):
+    p = plans("graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_skyline_no_self_join(plans):
+    """The sort-based skyline must contain NO join at all (the naive
+    dominance formulation is a quadratic self-join — the oracle states
+    it; the Spark plan must not)."""
+    assert "Join" not in plans("part_skyline")
+
+
+def test_q4_exists_stays_semi(plans):
+    """The correlated EXISTS compiles to LEFT SEMI with the date
+    comparison as residual — lineitem must never widen the orders
+    side (no inner join + distinct)."""
+    p = plans("q4_order_priority")
+    assert "LeftSemi" in p
+
+
+def test_q17_threshold_join_broadcasts_brand_filter(plans):
+    """The Brand#12 part filter (~4% of parts) must broadcast; the
+    per-part aggregate joins on partkey without a cartesian."""
+    p = plans("q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
