@@ -427,3 +427,166 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("f").cast("string"),
                              F.col("m").cast("string")).alias("segment"),
                     "n_customers"))
+
+
+@query("dq_referential_integrity", oracle="""
+SELECT 'orders.custkey->customer' AS fk,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       COUNT(*) AS n_orphans
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem.partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       COUNT(*)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem.suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       COUNT(*)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+UNION ALL
+SELECT 'lineitem.orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       COUNT(*)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""")
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign
+    key in the star schema, one row per FK.  Each check is an anti
+    join (broadcast for dimension targets, shuffle for the
+    fact-to-fact orderkey check) feeding a 1-row count — the audit a
+    warehouse runs after every load.  UNION ALL of four tiny
+    aggregates."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "lineitem", "customer", "part", "supplier"))
+
+    def orphans(fk, child, parent, ckey, pkey):
+        n = child.agg(F.count("*").alias("n_rows"))
+        o = (child.join(parent, F.col(ckey) == F.col(pkey), "left_anti")
+             .agg(F.count("*").alias("n_orphans")))
+        return (n.join(F.broadcast(o))
+                .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans"))
+
+    return (orphans("orders.custkey->customer", t["orders"], t["customer"],
+                    "o_custkey", "c_custkey")
+            .union(orphans("lineitem.partkey->part", t["lineitem"],
+                           t["part"], "l_partkey", "p_partkey"))
+            .union(orphans("lineitem.suppkey->supplier", t["lineitem"],
+                           t["supplier"], "l_suppkey", "s_suppkey"))
+            .union(orphans("lineitem.orderkey->orders", t["lineitem"],
+                           t["orders"], "l_orderkey", "o_orderkey")))
+
+
+@query("dq_key_uniqueness", oracle="""
+SELECT 'orders.o_orderkey' AS key,
+  COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct,
+  COUNT(*) = COUNT(DISTINCT o_orderkey) AS is_unique
+FROM orders
+UNION ALL
+SELECT 'customer.c_custkey', COUNT(*), COUNT(DISTINCT c_custkey),
+  COUNT(*) = COUNT(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'lineitem.(orderkey,linenumber)', COUNT(*),
+  COUNT(DISTINCT o_l) , COUNT(*) = COUNT(DISTINCT o_l)
+FROM (SELECT CAST(l_orderkey AS VARCHAR) || ':'
+             || CAST(l_linenumber AS VARCHAR) AS o_l FROM lineitem)
+UNION ALL
+SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id),
+  COUNT(*) = COUNT(DISTINCT event_id) FROM events""")
+def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary/composite-key uniqueness audit across the corpus — the
+    other half of the post-load contract check.  Composite keys are
+    checked on a canonical string encoding (identical in the oracle)
+    so the distinct count is engine-agnostic."""
+    t = load_tables(spark, sf_dir,
+                    ("orders", "customer", "lineitem", "events"))
+
+    def uniq(label, df, col):
+        return df.agg(
+            F.lit(label).alias("key"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(col).alias("n_distinct"),
+            (F.count("*") == F.countDistinct(col)).alias("is_unique"))
+
+    composite = F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                         F.col("l_linenumber").cast("string"))
+    return (uniq("orders.o_orderkey", t["orders"], F.col("o_orderkey"))
+            .union(uniq("customer.c_custkey", t["customer"],
+                        F.col("c_custkey")))
+            .union(uniq("lineitem.(orderkey,linenumber)", t["lineitem"],
+                        composite))
+            .union(uniq("events.event_id", t["events"], F.col("event_id"))))
+
+
+@query("benford_first_digit", oracle="""
+SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+            1, 1) AS INT) AS digit,
+  COUNT(*) AS n,
+  round(CAST(COUNT(*) AS DOUBLE)
+        / (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 1), 9)
+    AS observed,
+  round(log10(1.0 + 1.0 / CAST(substr(CAST(CAST(o_totalprice
+        AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT)), 9) AS benford
+FROM orders WHERE o_totalprice >= 1
+GROUP BY 1""")
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit census for fraud/quality screening.
+    The first digit comes from the DECIMAL's canonical string form —
+    decimal-to-string is standardized in both engines, where a
+    double-to-string would differ (sci notation) and floor(log10(x))
+    would flip on values within an ulp of a power of ten.  Expected
+    Benford mass log10(1+1/d) is computed per group from the same
+    integer digit."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].where(F.col("o_totalprice") >= 1)
+    digit = F.substring(F.col("o_totalprice").cast("decimal(12,2)")
+                        .cast("string"), 1, 1).cast("int")
+    n_all = o.agg(F.count("*").alias("__n"))
+    return (o.groupBy(digit.alias("digit"))
+            .agg(F.count("*").alias("n"))
+            .join(F.broadcast(n_all))
+            .select("digit", "n",
+                    F.round(F.col("n").cast("double") / F.col("__n"), 9)
+                    .alias("observed"),
+                    F.round(F.log10(F.lit(1.0)
+                                    + F.lit(1.0) / F.col("digit")), 9)
+                    .alias("benford")))
+
+
+@query("events_longest_daily_streak", oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+grp AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+             AS INT) AS anchor
+  FROM days),
+runs AS (
+  SELECT user_id, COUNT(*) AS run_len
+  FROM grp GROUP BY user_id, anchor)
+SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+  CAST(SUM(run_len) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id""")
+def events_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — gaps-and-
+    islands on the calendar: distinct active days, anchor = day −
+    row_number (constant within a consecutive run), run lengths, max.
+    One user-keyed window over the distinct-day projection (tiny vs
+    raw events) and two hash aggregates."""
+    t = load_tables(spark, sf_dir, ("events",))
+    days = (t["events"]
+            .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id", "d",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"))
+    runs = (grp.groupBy("user_id", "anchor")
+            .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("user_id")
+            .agg(F.max("run_len").alias("longest_streak"),
+                 F.sum("run_len").alias("active_days")))
