@@ -23,5 +23,6 @@ from results_ingestor_spark.plans import multimodal_q  # noqa: E402,F401
 from results_ingestor_spark.plans import pipeline_q  # noqa: E402,F401
 from results_ingestor_spark.plans import graph_q  # noqa: E402,F401
 from results_ingestor_spark.plans import spatial_q  # noqa: E402,F401
+from results_ingestor_spark.plans import stats_q  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

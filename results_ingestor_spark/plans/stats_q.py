@@ -1,0 +1,317 @@
+"""Statistical / time-series analytics: OHLC bars, time-weighted
+averages, exact-moment regression, contingency (chi-square) tables,
+distribution-drift PSI, and weighted medians.
+
+Cross-engine determinism follows the house rules (see
+``relational.py:events_value_dispersion``): every sum that feeds a
+float result is accumulated as an exact DECIMAL moment, doubles enter
+only in one fixed-order final expression, and float outputs are
+``round(x, 9)``.  Timestamp arithmetic is integer microseconds
+(``unix_micros`` / ``epoch_us``) so no engine-specific interval types
+appear on the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.sources.tables import load_tables
+
+_VDEC = "CAST(value AS DECIMAL(12,2))"
+
+
+@query("events_ohlc_hourly", oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         value, ts, event_id
+  FROM events),
+w AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT event_type, bucket,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  COUNT(*) AS n_events
+FROM w GROUP BY event_type, bucket""")
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event_type, hour) — the financial
+    downsampling shape (open/high/low/close/volume).  ``max_by`` /
+    ``min_by`` with a (ts, event_id) struct comparator pick open/close
+    in ONE hash aggregate — no window, no second pass; partials merge
+    map-side, so the shuffle carries one row per (type, hour) bucket
+    regardless of input size.  The oracle replays the same tie rule
+    with two row_number windows.  Values pass through untouched
+    (min/max/arg pick stored doubles — bit-identical cross-engine)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    by = F.struct(F.col("ts"), F.col("event_id"))
+    return (t["events"]
+            .groupBy("event_type",
+                     F.date_trunc("hour", "ts").alias("bucket"))
+            .agg(F.min_by("value", by).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", by).alias("close"),
+                 F.count("*").alias("n_events")))
+
+
+@query("events_time_weighted_avg", oracle=f"""
+WITH o AS (
+  SELECT user_id, {_VDEC} AS v,
+    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      - epoch_us(ts) AS dt
+  FROM events),
+a AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    CAST(SUM(dt) AS BIGINT) AS span_us,
+    SUM(v * CAST(dt AS DECIMAL(20,0))) AS num
+  FROM o GROUP BY user_id)
+SELECT user_id, n_events, span_us,
+  round(CAST(num AS DOUBLE) / span_us, 9) AS twa_value
+FROM a WHERE span_us IS NOT NULL""")
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (TimescaleDB ``time_weight``
+    LOCF shape): each sample holds its value until the next sample, so
+    the mean weights each value by its holding interval — the correct
+    average for irregularly-sampled signals, where a row-mean
+    over-weights bursts.  Weights are exact integer microseconds from
+    ``unix_micros``; the value x dt products accumulate as DECIMALs
+    (lossless) and the division happens once, in doubles, at the end.
+    One user-keyed window (billions of small partitions at scale — no
+    skew) then one hash agg on the same key, so AQE coalesces the two
+    stages over a single shuffle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    o = t["events"].select(
+        "user_id", F.expr(_VDEC).alias("v"),
+        (F.lead(us).over(w) - us).alias("dt"))
+    a = (o.groupBy("user_id")
+         .agg(F.count("*").alias("n_events"),
+              F.sum("dt").alias("span_us"),
+              F.sum(F.col("v") * F.col("dt").cast("decimal(20,0)"))
+              .alias("num")))
+    return (a.where(F.col("span_us").isNotNull())
+            .select("user_id", "n_events", "span_us",
+                    F.round(F.col("num").cast("double")
+                            / F.col("span_us"), 9).alias("twa_value")))
+
+
+@query("regression_value_vs_time", oracle=f"""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS sx,
+    SUM({_VDEC}) AS sy,
+    SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0)) * {_VDEC}) AS sxy,
+    SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))
+        * CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS sxx,
+    SUM({_VDEC} * {_VDEC}) AS syy
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        9) AS slope_per_sec,
+  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        9) AS intercept,
+  round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        9) AS r2
+FROM m""")
+def regression_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (value vs epoch-seconds): slope, intercept,
+    R² — built-in ``regr_slope``/``regr_r2`` are float-partial-sum
+    nondeterministic across engines, so this assembles the closed form
+    from five exact DECIMAL moments (Σx Σy Σxy Σx² Σy²) in one hash
+    agg, same as ``lineitem_price_qty_corr``.  x is integer epoch
+    seconds (``unix_micros div 1000000`` — positive, so truncating
+    division agrees cross-engine); the intercept uses the symmetric
+    (Σy·Σx² − Σx·Σxy)/D form so no intermediate rounding compounds."""
+    t = load_tables(spark, sf_dir, ("events",))
+    xdec = F.expr(
+        "CAST(unix_micros(ts) div 1000000 AS DECIMAL(19,0))")
+    ydec = F.expr(_VDEC)
+    m = (t["events"].groupBy("event_type")
+         .agg(F.count("*").alias("n"), F.sum(xdec).alias("sx"),
+              F.sum(ydec).alias("sy"), F.sum(xdec * ydec).alias("sxy"),
+              F.sum(xdec * xdec).alias("sxx"),
+              F.sum(ydec * ydec).alias("syy")))
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    dxx = n * sxx - sx * sx
+    dxy = n * sxy - sx * sy
+    return m.select(
+        "event_type", "n",
+        F.round(dxy / dxx, 9).alias("slope_per_sec"),
+        F.round((sy * sxx - sx * sxy) / dxx, 9).alias("intercept"),
+        F.round((dxy * dxy) / (dxx * (n * syy - sy * sy)), 9).alias("r2"))
+
+
+@query("chi2_lang_source", oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, COUNT(*) AS row_tot FROM documents GROUP BY 1),
+ct AS (SELECT source, COUNT(*) AS col_tot FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT cells.lang, cells.source, obs,
+  round(CAST(row_tot AS DOUBLE) * col_tot / n, 9) AS expected,
+  round((CAST(obs * n - row_tot * col_tot AS DOUBLE)
+         * CAST(obs * n - row_tot * col_tot AS DOUBLE))
+        / (CAST(row_tot AS DOUBLE) * col_tot * n), 9) AS chi2_contrib
+FROM cells
+JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot""")
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table for lang x source independence —
+    the categorical-drift / bias screen a corpus audit runs.  Per-cell
+    contribution (obs−exp)²/exp is assembled from the algebraically
+    equivalent (obs·N − rt·ct)²/(rt·ct·N): the numerator difference is
+    computed in exact integer arithmetic (BIGINT-safe while N < 3e9)
+    and doubles enter only in the final division, so every cell is
+    engine-identical.  The marginals are three tiny aggregates
+    broadcast back onto the cell table — no second scan shuffle.  The
+    statistic itself is a trivial downstream sum of ``chi2_contrib``;
+    it is left per-cell because a cross-cell float sum is
+    partial-order nondeterministic."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rt = d.groupBy("lang").agg(F.count("*").alias("row_tot"))
+    ct = d.groupBy("source").agg(F.count("*").alias("col_tot"))
+    tot = d.agg(F.count("*").alias("n"))
+    diff = (F.col("obs") * F.col("n")
+            - F.col("row_tot") * F.col("col_tot")).cast("double")
+    return (cells.join(F.broadcast(rt), "lang")
+            .join(F.broadcast(ct), "source")
+            .join(F.broadcast(tot))
+            .select("lang", "source", "obs",
+                    F.round(F.col("row_tot").cast("double")
+                            * F.col("col_tot") / F.col("n"), 9)
+                    .alias("expected"),
+                    F.round((diff * diff)
+                            / (F.col("row_tot").cast("double")
+                               * F.col("col_tot") * F.col("n")), 9)
+                    .alias("chi2_contrib")))
+
+
+@query("drift_psi_time_halves", oracle="""
+WITH bounds AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+    (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+  FROM events),
+b AS (
+  SELECT CAST(least(9, floor((value - vmin) * 10.0 / (vmax - vmin)))
+              AS INT) AS bucket,
+    CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END AS in_a
+  FROM events CROSS JOIN bounds),
+g AS (
+  SELECT bucket, CAST(SUM(in_a) AS BIGINT) AS n_a,
+    CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+  FROM b GROUP BY bucket),
+t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b FROM g)
+SELECT bucket, n_a, n_b,
+  round(CAST(n_a AS DOUBLE) / tot_a, 9) AS p_a,
+  round(CAST(n_b AS DOUBLE) / tot_b, 9) AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round((CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)
+          * ln((CAST(n_a AS DOUBLE) / tot_a)
+               / (CAST(n_b AS DOUBLE) / tot_b)), 9)
+  END AS psi_contrib
+FROM g CROSS JOIN t""")
+def drift_psi_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check: the value distribution
+    of the first time-half vs the second, over 10 equi-width bins —
+    the monitor a feature pipeline runs between training and serving
+    snapshots.  Bin edges come from one global min/max pass (1-row
+    broadcast); the bin formula text is identical in both engines so
+    IEEE doubles bin identically.  Per-bin PSI terms (p−q)·ln(p/q) are
+    emitted per row (cross-bin float summation is order-dependent;
+    the 10-term total is the reader's trivial reduction).  Empty-on-
+    either-side bins yield NULL contribution, the standard PSI
+    epsilon-free convention."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min("value").alias("vmin"),
+                   F.max("value").alias("vmax"),
+                   F.expr("(min(unix_micros(ts)) + max(unix_micros(ts)))"
+                          " div 2").alias("mid_us"))
+    b = (e.join(F.broadcast(bounds))
+         .select(F.least(F.lit(9),
+                         F.floor((F.col("value") - F.col("vmin"))
+                                 * 10.0 / (F.col("vmax") - F.col("vmin"))))
+                 .cast("int").alias("bucket"),
+                 F.when(us < F.col("mid_us"), 1).otherwise(0)
+                 .alias("in_a")))
+    g = (b.groupBy("bucket")
+         .agg(F.sum("in_a").alias("n_a"),
+              F.sum(1 - F.col("in_a")).alias("n_b")))
+    tot = g.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    pa = F.col("n_a").cast("double") / F.col("tot_a")
+    pb = F.col("n_b").cast("double") / F.col("tot_b")
+    return (g.join(F.broadcast(tot))
+            .select("bucket", "n_a", "n_b",
+                    F.round(pa, 9).alias("p_a"),
+                    F.round(pb, 9).alias("p_b"),
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.round((pa - pb) * F.log(pa / pb), 9))
+                    .alias("psi_contrib")))
+
+
+@query("weighted_median_price", oracle="""
+WITH w AS (
+  SELECT l_returnflag, year(l_shipdate) AS ship_year, l_extendedprice,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      PARTITION BY l_returnflag, year(l_shipdate)
+      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      PARTITION BY l_returnflag, year(l_shipdate)) AS totq
+  FROM lineitem)
+SELECT l_returnflag, ship_year,
+  CAST(MAX(totq) AS DOUBLE) AS total_qty,
+  MIN(l_extendedprice) AS weighted_median_price
+FROM w WHERE cumq * 2 >= totq
+GROUP BY l_returnflag, ship_year""")
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per (returnflag,
+    ship-year): the 50%-of-mass price point, not the 50%-of-rows one.
+    Cumulative weights are exact DECIMAL running sums over one
+    price-ordered window; the median is MIN(price) among rows whose
+    doubled cumulative weight reaches the partition total — no float
+    comparisons anywhere near the threshold.  Keyed on flag x year so
+    partitions stay bounded (a global 3-key version would put a third
+    of the table in one window partition at 100 TB; a histogram
+    binary-search is the right form there — this shape is the exact
+    in-group reference)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    qdec = F.expr("CAST(l_quantity AS DECIMAL(12,2))")
+    # materialize ship_year ONCE so the windows and the final group-by
+    # key on the same attribute — Catalyst then proves co-partitioning
+    # and the whole query runs over a single exchange
+    li = t["lineitem"].withColumn("ship_year", F.year("l_shipdate"))
+    keys = ["l_returnflag", "ship_year"]
+    wc = (Window.partitionBy(*keys)
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(*keys)
+    w = li.select(
+        "l_returnflag", "ship_year", "l_extendedprice",
+        F.sum(qdec).over(wc).alias("cumq"),
+        F.sum(qdec).over(wt).alias("totq"))
+    return (w.where(F.col("cumq") * 2 >= F.col("totq"))
+            .groupBy("l_returnflag", "ship_year")
+            .agg(F.max("totq").cast("double").alias("total_qty"),
+                 F.min("l_extendedprice").alias("weighted_median_price")))

@@ -230,3 +230,35 @@ def test_q17_threshold_join_broadcasts_brand_filter(plans):
     p = plans("q17_small_quantity_revenue")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_ohlc_single_agg_no_window(plans):
+    """OHLC open/close must come from max_by/min_by inside ONE hash
+    aggregate — a window + row_number formulation (the oracle's shape)
+    would sort every (type, hour) partition; the agg form merges
+    map-side and shuffles one row per bucket."""
+    p = plans("events_ohlc_hourly")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_twa_single_shuffle(plans):
+    """Time-weighted avg: the lead() window and the user_id aggregate
+    share a partitioning, so exactly one exchange feeds both."""
+    assert plans("events_time_weighted_avg").count(
+        "Exchange hashpartitioning") == 1
+
+
+def test_chi2_marginals_broadcast(plans):
+    """The three marginal aggregates must broadcast back onto the cell
+    table — no sort-merge join of tiny dimensions."""
+    p = plans("chi2_lang_source")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_weighted_median_single_shuffle(plans):
+    """Both cumulative windows and the final group-by run on the same
+    (returnflag, year) partitioning — one exchange total."""
+    assert plans("weighted_median_price").count(
+        "Exchange hashpartitioning") == 1
