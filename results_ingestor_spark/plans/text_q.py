@@ -458,3 +458,142 @@ def vocab_coverage_95(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vocab_size_95"),
         F.max("total").alias("total_tokens"),
         F.count("*").alias("n_distinct"))
+
+
+@query("text_inverted_index", oracle=f"""
+WITH tf AS (
+  SELECT tok, doc_id, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok, doc_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY tok
+                               ORDER BY c DESC, doc_id) AS rn
+  FROM tf)
+SELECT tok, COUNT(*) AS doc_freq,
+  CAST(SUM(c) AS BIGINT) AS term_freq,
+  string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+             '|' ORDER BY rn) AS top_postings
+FROM r GROUP BY tok
+HAVING COUNT(*) >= 3""")
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> document frequency, collection
+    frequency, and the top-5 postings by within-doc term frequency
+    (tie: doc_id) as a '|'-joined string.  Per-(term, doc) counts are
+    one hash agg; the top-5 selection is a row_number window whose
+    collect_list is capped at five non-null structs, so state per term
+    is O(5) even for stopwords — the full postings payload never
+    shuffles.  The window partition for ultra-high-DF terms is the
+    classic skew point at 100 TB; real index builds shard those terms
+    (doc_id range salting) or drop them — the df >= 3 floor here is
+    the same pruning knob.  Driver-hashable output: postings are a
+    string, never an array column."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (t["documents"]
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("tok", "doc_id").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("tok").orderBy(F.desc("c"), F.asc("doc_id"))
+    r = tf.withColumn("rn", F.row_number().over(w))
+    top = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("rn") <= 5,
+                       F.struct(F.col("rn"), F.col("doc_id"))))),
+            lambda x: x["doc_id"].cast("string")), "|")
+    return (r.groupBy("tok")
+            .agg(F.count("*").alias("doc_freq"),
+                 F.sum("c").alias("term_freq"),
+                 top.alias("top_postings"))
+            .where(F.col("doc_freq") >= 3))
+
+
+@query("text_zipf_rank_frequency", oracle=f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok),
+r AS (
+  SELECT tok, freq,
+    row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM counts)
+SELECT rank, tok, freq,
+  round(ln(rank), 9) AS ln_rank,
+  round(ln(CAST(freq AS DOUBLE)), 9) AS ln_freq
+FROM r WHERE rank <= 100""")
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table for the top-100 vocabulary: rank vs
+    frequency with per-row log coordinates (the log-log line whose
+    slope ~ -1 is Zipf's law; the fit is the reader's 100-point
+    reduction — a cross-term float sum would be partial-order
+    nondeterministic, so it stays per-row).  The global top-100 is
+    TakeOrderedAndProject over the vocabulary-sized count table — no
+    total sort; the final rank window runs on 100 rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = (t["documents"]
+              .select(F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("freq")))
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "tok", "freq",
+                    F.round(F.log(F.col("rank")), 9).alias("ln_rank"),
+                    F.round(F.log(F.col("freq").cast("double")), 9)
+                    .alias("ln_freq")))
+
+
+@query("text_pmi_cooccurrence", oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+df AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+vocab AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+    FROM df)
+  WHERE rn <= 50),
+vt AS (SELECT dt.doc_id, dt.tok, vocab.c
+       FROM dt JOIN vocab USING (tok)),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+    COUNT(*) AS c_ab, MAX(a.c) AS c_a, MAX(b.c) AS c_b
+  FROM vt a JOIN vt b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok)
+SELECT tok_a, tok_b, c_ab, c_a, c_b,
+  round(ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b)),
+        9) AS pmi
+FROM pairs CROSS JOIN n
+WHERE c_ab >= 5""")
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for token pairs co-occurring in a
+    document, over the top-50-document-frequency vocabulary — the
+    collocation/phrase-mining primitive.  The vocabulary restriction
+    is what makes the pair join scale-safe: per-doc distinct tokens
+    are semi-joined to the 50-term broadcast vocab FIRST, so the
+    within-doc self-join is bounded at C(50,2) pairs per doc — never
+    quadratic in document length.  PMI = ln(c_ab*N / (c_a*c_b)) is a
+    single ln over an integer-valued ratio, identical cross-engine."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    dt = (t["documents"]
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .distinct())
+    df_t = dt.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = df_t.orderBy(F.desc("c"), F.asc("tok")).limit(50)
+    vt = dt.join(F.broadcast(vocab), "tok")
+    n = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = vt.select(F.col("doc_id"),
+                  F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    b = vt.select(F.col("doc_id").alias("doc_b"),
+                  F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pairs = (a.join(b, (F.col("doc_id") == F.col("doc_b"))
+                    & (F.col("tok_a") < F.col("tok_b")))
+             .groupBy("tok_a", "tok_b")
+             .agg(F.count("*").alias("c_ab"),
+                  F.max("ca").alias("c_a"), F.max("cb").alias("c_b")))
+    return (pairs.join(F.broadcast(n))
+            .where(F.col("c_ab") >= 5)
+            .select("tok_a", "tok_b", "c_ab", "c_a", "c_b",
+                    F.round(F.log(F.col("c_ab").cast("double")
+                                  * F.col("n_docs")
+                                  / (F.col("c_a").cast("double")
+                                     * F.col("c_b"))), 9).alias("pmi")))

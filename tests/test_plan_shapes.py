@@ -262,3 +262,18 @@ def test_weighted_median_single_shuffle(plans):
     (returnflag, year) partitioning — one exchange total."""
     assert plans("weighted_median_price").count(
         "Exchange hashpartitioning") == 1
+
+
+def test_zipf_topk_take_ordered(plans):
+    """The global top-100 vocabulary cut must be TakeOrderedAndProject
+    over the count table, not a total sort."""
+    assert "TakeOrderedAndProject" in plans("text_zipf_rank_frequency")
+
+
+def test_pmi_vocab_broadcasts(plans):
+    """The 50-term vocabulary must broadcast into the doc-token table
+    before the pair self-join — the bound that keeps the join
+    non-quadratic."""
+    p = plans("text_pmi_cooccurrence")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
