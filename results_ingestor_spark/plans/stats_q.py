@@ -315,3 +315,135 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag", "ship_year")
             .agg(F.max("totq").cast("double").alias("total_qty"),
                  F.min("l_extendedprice").alias("weighted_median_price")))
+
+
+@query("cusum_user_drift", oracle=f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+    CAST(SUM({_VDEC} - CAST(100.00 AS DECIMAL(12,2))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DECIMAL(30,2)) AS cum
+  FROM events),
+m AS (
+  SELECT user_id, ts, event_id, cum,
+    min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM d),
+s AS (
+  SELECT user_id, ts, event_id,
+    cum - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(30,2)) END AS cusum
+  FROM m)
+SELECT user_id, event_id, CAST(cusum AS DOUBLE) AS cusum,
+  cusum > 2000 AS alarm
+FROM s""")
+def cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user series (target
+    k=100, alarm h=2000) — the SPC drift monitor.  The textbook
+    recursion S_i = max(0, S_{i-1} + (x_i - k)) looks inherently
+    sequential, but it has a prefix-scan closed form
+    S_i = cum_i - min(0, min_{j<=i} cum_j), so it runs as two
+    running-window aggregates — no recursion, no UDF, no iteration.
+    All arithmetic stays in exact DECIMALs (2dp inputs), so the
+    alarm-threshold comparison has no float boundary; doubles appear
+    only in the output cast.  The running min is pinned at
+    DECIMAL(30,2) and min(0, mn) is spelled as CASE — DuckDB's
+    least() and precision-38 arithmetic silently degrade to DOUBLE,
+    which round 2 caught as a 1e-14 drift.  Per-user partitions keep
+    the window bounded at any corpus size."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = t["events"].select(
+        "user_id", "ts", "event_id",
+        F.sum(F.expr(_VDEC) - F.expr("CAST(100.00 AS DECIMAL(12,2))"))
+        .over(w).cast("decimal(30,2)").alias("cum"))
+    mn = F.min("cum").over(w)
+    cusum = (F.col("cum")
+             - F.when(mn < 0, mn).otherwise(F.expr("CAST(0 AS DECIMAL(30,2))")))
+    return d.select("user_id", "event_id",
+                    cusum.cast("double").alias("cusum"),
+                    (cusum > 2000).alias("alarm"))
+
+
+@query("bollinger_hourly_value", oracle=f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    COUNT(*) AS n, SUM({_VDEC}) AS s, SUM({_VDEC} * {_VDEC}) AS q
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, bucket,
+    CAST(SUM(n) OVER w AS BIGINT) AS n24,
+    SUM(s) OVER w AS s24, SUM(q) OVER w AS q24
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT event_type, bucket, n24,
+  round(CAST(s24 AS DOUBLE) / n24, 9) AS mid,
+  round(CAST(s24 AS DOUBLE) / n24
+        + 2 * sqrt((CAST(q24 AS DOUBLE)
+                    - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24)
+                   / (n24 - 1)), 9) AS upper_band,
+  round(CAST(s24 AS DOUBLE) / n24
+        - 2 * sqrt((CAST(q24 AS DOUBLE)
+                    - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24)
+                   / (n24 - 1)), 9) AS lower_band
+FROM r WHERE n24 > 1""")
+def bollinger_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing-24h mean +/- 2 sigma) per event type:
+    the rolling-volatility envelope.  The hourly pre-aggregate carries
+    exact DECIMAL moments (n, Sigma x, Sigma x^2); the 24-bucket
+    trailing window then SUMS those moments — decimal-exact rollups of
+    rollups — and the band math happens once, in doubles, per output
+    row.  Rolling over the hourly layer instead of raw events is the
+    scale story: window partitions are O(hours), not O(events), so a
+    100 TB month still windows over <=744 rows per type."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    h = (t["events"]
+         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count("*").alias("n"), F.sum(dec).alias("s"),
+              F.sum(dec * dec).alias("q")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-23, Window.currentRow))
+    r = h.select("event_type", "bucket",
+                 F.sum("n").over(w).alias("n24"),
+                 F.sum("s").over(w).alias("s24"),
+                 F.sum("q").over(w).alias("q24"))
+    n24 = F.col("n24")
+    s24, q24 = F.col("s24").cast("double"), F.col("q24").cast("double")
+    mid = s24 / n24
+    sd = F.sqrt((q24 - s24 * s24 / n24) / (n24 - 1))
+    return (r.where(n24 > 1)
+            .select("event_type", "bucket", "n24",
+                    F.round(mid, 9).alias("mid"),
+                    F.round(mid + 2 * sd, 9).alias("upper_band"),
+                    F.round(mid - 2 * sd, 9).alias("lower_band")))
+
+
+@query("histogram_equidepth_price", oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders)
+SELECT bucket, COUNT(*) AS n,
+  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM b GROUP BY bucket""")
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order totals: 10 ntile
+    buckets with their boundary values — the optimizer-statistics /
+    quantile-sketch shape, complementing the equi-width
+    ``histogram_totalprice``.  ntile's deterministic definition
+    (first n%k buckets one row larger, over a total order with key
+    tie-break) is identical in Spark and DuckDB.  The global sort is
+    a range-partition sort at scale — the one unavoidable cost of
+    exact equi-depth; the approximate path is percentile_approx
+    (see approx_sketches)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (t["orders"]
+            .select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
