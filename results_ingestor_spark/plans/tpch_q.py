@@ -2,14 +2,19 @@
 
 Adapted to the synthetic corpus's columns: the testdata lineitem has no
 l_commitdate / l_receiptdate / l_shipmode and there is no partsupp
-table, so Q12/Q2/Q9/Q16 are not expressible; Q6/Q7/Q10/Q14/Q18/Q19 are,
-with predicates re-anchored to the corpus's value ranges (shipdates
-1995-2001, p_type ∈ {PROMO, ECONOMY, ...}, brands Brand#1..Brand#25,
-nations NATION_0..NATION_24).  Q4/Q13/Q15/Q17/Q22 are adapted with
-equivalent plan shapes: Q4's "late commit" EXISTS becomes "shipped
->60 days after order", Q22's phone-prefix becomes custkey mod 10 and
-"no orders ever" becomes "no orders since 2000-06-01" (every corpus
-customer has early orders).
+table.  Q6/Q7/Q10/Q14/Q18/Q19 are directly expressible, with predicates
+re-anchored to the corpus's value ranges (shipdates 1995-2001, p_type ∈
+{PROMO, ECONOMY, ...}, brands Brand#1..Brand#25, nations
+NATION_0..NATION_24).  The rest of the 22 are adapted keeping each
+query's plan topology:  Q4's "late commit" EXISTS becomes "shipped >60
+days after order"; Q22's phone-prefix becomes custkey mod 10 and "no
+orders ever" becomes "no orders since 2000-06-01"; the partsupp
+relation (Q2/Q11/Q16/Q20) is derived as the distinct (l_partkey,
+l_suppkey) pairs actually traded, with MIN(l_extendedprice) standing in
+for ps_supplycost and shipped quantity for ps_availqty; Q9's
+ps_supplycost becomes the p_retailprice·quantity cost proxy; Q12's
+l_shipmode becomes l_returnflag with "late" as the receipt-lag
+stand-in; Q21's "kept orders waiting" uses the same 60-day lateness.
 
 Cross-engine determinism notes for the adapted five: correlated
 threshold predicates (Q17's 0.5·avg(qty), Q22's avg positive acctbal)
@@ -426,3 +431,403 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("numcust"),
                  F.sum("__bal").cast("double").alias("totacctbal"))
             .orderBy("cust_group"))
+
+
+@query("q2_min_cost_supplier", oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN({_DEC.format(c='l_extendedprice')}) AS cost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, cost
+  FROM part
+  JOIN ps ON partkey = p_partkey
+  JOIN eu ON suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'),
+mn AS (SELECT p_partkey AS mk, MIN(cost) AS mincost FROM cand GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(cost AS DOUBLE) AS cost
+FROM cand JOIN mn ON p_partkey = mk AND cost = mincost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s)
+    offering the minimum cost within one region.  No partsupp table in
+    the corpus, so the catalog derives from trade history — cost per
+    (part, supplier) = MIN exact-decimal line price — and the
+    correlated MIN subquery becomes a per-part pre-aggregate joined
+    back on (partkey, cost) with DECIMAL equality (bit-exact tie
+    semantics across engines, like q15).  The part filter broadcasts
+    into the pre-aggregated catalog; the region-filtered supplier dim
+    broadcasts too; the only fact-sized shuffle is the (partkey,
+    suppkey) catalog aggregate, which at 100 TB is the table you'd
+    materialize once and bucket by partkey."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "part", "supplier", "nation", "region"))
+    ps = (t["lineitem"].groupBy(F.col("l_partkey").alias("partkey"),
+                                F.col("l_suppkey").alias("suppkey"))
+          .agg(F.min(_dec("l_extendedprice")).alias("cost")))
+    eu = (t["supplier"]
+          .join(F.broadcast(t["nation"]),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cand = (ps.join(F.broadcast(t["part"].where(
+                (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))),
+                F.col("partkey") == F.col("p_partkey"))
+            .join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_brand", "s_name", "s_acctbal",
+                    "n_name", "cost"))
+    mn = (cand.groupBy(F.col("p_partkey").alias("mk"))
+          .agg(F.min("cost").alias("mincost")))
+    return (cand.join(F.broadcast(mn),
+                      (F.col("p_partkey") == F.col("mk"))
+                      & (F.col("cost") == F.col("mincost")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                    F.col("cost").cast("double").alias("cost"))
+            .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                     F.asc("p_partkey"))
+            .limit(100))
+
+
+@query("q8_national_market_share", oracle=f"""
+WITH all_nations AS (
+  SELECT year(o_orderdate) AS o_year, {_REV} AS volume, n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+SELECT o_year,
+  round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+FROM all_nations GROUP BY o_year ORDER BY o_year""")
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (directly expressible): one nation's share of a
+    region's revenue in one part type, by order year.  Supplier,
+    customer, part, nation(×2) and region all broadcast; lineitem⋈orders
+    is the only shuffled join; the share is a conditional-sum ratio over
+    exact decimals with one double division at the end.  The two nation
+    roles (customer-side region filter, supplier-side share nation) use
+    separate broadcast aliases, as in q7."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem", "supplier",
+                                    "orders", "customer", "nation", "region"))
+    n1 = (t["nation"]
+          .join(F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("n1_key")))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("nation"))
+    vol = F.when(F.col("nation") == "NATION_3", _rev()) \
+           .otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"].where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"),
+              "inner")
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(vol).cast("double")
+                     / F.sum(_rev()).cast("double"), 9).alias("mkt_share"))
+        .orderBy("o_year"))
+
+
+@query("q9_product_type_profit", oracle=f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    {_REV} - {_DEC.format(c='p_retailprice')} * {_DEC.format(c='l_quantity')}
+      AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC""")
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family by supplier nation
+    and year.  No ps_supplycost in the corpus, so cost = retail price ·
+    quantity (part-side proxy) — same expression topology: revenue
+    minus a cost term sourced from a joined dim, all exact DECIMAL
+    until the final output cast.  part (name-filtered) and supplier /
+    nation broadcast; lineitem⋈orders is the one shuffle; the contains-
+    match on p_name lands at the part scan, pruning the broadcast."""
+    t = load_tables(spark, sf_dir,
+                    ("part", "lineitem", "supplier", "orders", "nation"))
+    amount = (_rev() - _dec("p_retailprice") * _dec("l_quantity"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_name").contains("widget"))),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year")))
+
+
+@query("q11_important_stock", oracle=f"""
+WITH val AS (
+  SELECT l_partkey AS partkey, SUM({_DEC.format(c='l_extendedprice')}) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey),
+tot AS (SELECT SUM(value) AS total FROM val)
+SELECT partkey, CAST(value AS DOUBLE) AS value
+FROM val, tot
+WHERE value * 500 > total
+ORDER BY value DESC, partkey""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through one region's
+    suppliers exceeds a fraction of the total.  The HAVING-against-a-
+    global-scalar becomes a 1-row aggregate broadcast-cross-joined
+    in-plan (no collect), and the 0.2 % threshold is multiplied through
+    to exact decimals (value·500 > total) so no float division sits on
+    the filter boundary — the q17/q22 determinism rule.  One shuffle
+    (partkey agg); supplier/nation/region broadcast into the scan."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "supplier", "nation", "region"))
+    eu = (t["supplier"]
+          .join(F.broadcast(t["nation"]),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey"))
+    val = (t["lineitem"]
+           .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+           .groupBy(F.col("l_partkey").alias("partkey"))
+           .agg(F.sum(_dec("l_extendedprice")).alias("value")))
+    tot = val.agg(F.sum("value").alias("total"))
+    return (val.join(F.broadcast(tot))
+            .where(F.col("value") * 500 > F.col("total"))
+            .select("partkey", F.col("value").cast("double").alias("value"))
+            .orderBy(F.desc("value"), F.asc("partkey")))
+
+
+@query("q12_late_lines_by_class", oracle="""
+SELECT l_returnflag AS line_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag""")
+def q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of late shipments by line class.
+    No l_shipmode / commit-receipt dates in the corpus: l_returnflag
+    carries the low-cardinality grouping role and "late" is the 60-day
+    ship lag, keeping Q12's signature — a join whose WHERE references
+    BOTH sides (ship vs order date), then dual conditional counts.
+    The date-range predicate prunes orders at the scan; the lag
+    predicate is the join residual; one shuffle for the 3-group agg
+    with map-side partials."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"].where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+             .alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+             .alias("low_line_count"))
+        .orderBy("line_class"))
+
+
+@query("q16_supplier_part_counts", oracle="""
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem) ps
+JOIN part ON p_partkey = partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier
+                      WHERE s_suppkey % 17 = 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each part profile,
+    excluding a blacklist.  The partsupp relation derives from trade
+    history (distinct partkey/suppkey pairs — one fact-sized
+    distinct); the complaints NOT IN becomes a key-mod blacklist
+    executed as a broadcast anti join (NULL-free key, so NOT IN ≡
+    anti).  The triple-negative part filter broadcasts; COUNT(DISTINCT)
+    shuffles once on the 3-attr group key."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    ps = (t["lineitem"]
+          .select(F.col("l_partkey").alias("partkey"),
+                  F.col("l_suppkey").alias("suppkey"))
+          .distinct())
+    bad = t["supplier"].where(F.col("s_suppkey") % 17 == 0) \
+                       .select("s_suppkey")
+    pf = t["part"].where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    return (ps.join(F.broadcast(bad),
+                    F.col("suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(pf), F.col("partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                     F.asc("p_type"), F.asc("p_size")))
+
+
+@query("q20_part_promotion_suppliers", oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM({_DEC.format(c='l_quantity')}) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2),
+red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+ptot AS (SELECT partkey, SUM(qty) AS total_qty FROM ps GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT suppkey FROM ps
+  JOIN red ON partkey = p_partkey
+  JOIN ptot USING (partkey)
+  WHERE qty * 4 > total_qty)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT suppkey FROM dominant)
+ORDER BY s_name""")
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant position in a part
+    family — the nested IN (IN (...)) query.  ps_availqty doesn't
+    exist, so "excess stock" becomes "shipped >25 % of the part's 1996
+    volume", multiplied through to exact decimals (qty·4 > total).
+    Plan: one (partkey, suppkey) aggregate; its per-part total derives
+    from a second tiny rollup OF THE AGGREGATE (not a second fact
+    scan); the red-parts filter broadcasts; the dominant-supplier set
+    semi-joins into the region-filtered supplier dim."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "part", "supplier", "nation", "region"))
+    ps = (t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+        .groupBy(F.col("l_partkey").alias("partkey"),
+                 F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_dec("l_quantity")).alias("qty")))
+    red = t["part"].where(F.col("p_name").startswith("red")) \
+                   .select("p_partkey")
+    ptot = ps.groupBy(F.col("partkey").alias("tk")) \
+             .agg(F.sum("qty").alias("total_qty"))
+    dominant = (ps.join(F.broadcast(red),
+                        F.col("partkey") == F.col("p_partkey"))
+                .join(ptot, F.col("partkey") == F.col("tk"))
+                .where(F.col("qty") * 4 > F.col("total_qty"))
+                .select("suppkey").distinct())
+    return (t["supplier"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(dominant, F.col("s_suppkey") == F.col("suppkey"),
+                  "left_semi")
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
+@query("q21_suppliers_kept_waiting", oracle="""
+WITH fl AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM fl l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND l1.late
+  AND EXISTS (SELECT 1 FROM fl l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM fl l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100""")
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier hunt — the hardest
+    correlated query in the suite (EXISTS + NOT EXISTS against the same
+    fact under different residuals).  "Late" is the 60-day ship lag
+    (no commit/receipt dates).  Plan: the F-order line set computes
+    once and feeds all three roles; the EXISTS is a LEFT SEMI join on
+    orderkey with a suppkey<>suppkey residual, the NOT EXISTS a LEFT
+    ANTI with the extra late residual — no row multiplication, two
+    co-keyed shuffles on orderkey that AQE can chain without
+    re-exchange; supplier/nation/region broadcast."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "supplier", "nation", "region"))
+    fl = (t["lineitem"]
+          .join(t["orders"].where(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                  .alias("late")))
+    eu = (t["supplier"]
+          .join(F.broadcast(t["nation"]),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name"))
+    l1 = (fl.where(F.col("late"))
+          .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")))
+    l2 = fl.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = fl.where(F.col("late")).select(F.col("l_orderkey").alias("k3"),
+                                        F.col("l_suppkey").alias("s3"))
+    return (l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                    & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+            .join(l3, (F.col("l_orderkey") == F.col("k3"))
+                  & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))
