@@ -277,3 +277,37 @@ def test_pmi_vocab_broadcasts(plans):
     p = plans("text_pmi_cooccurrence")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q21_semi_and_anti_no_cartesian(plans):
+    """Q21's EXISTS/NOT EXISTS must stay semi/anti hash joins with the
+    suppkey inequality as residual — never a cartesian or BNLJ."""
+    p = plans("q21_suppliers_kept_waiting")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q2_catalog_min_equality_broadcasts(plans):
+    """Q2: part/supplier/region dims and the per-part min all broadcast;
+    the only hash exchange pair belongs to the (partkey, suppkey)
+    catalog aggregate."""
+    p = plans("q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q8_dims_broadcast_one_fact_shuffle(plans):
+    """Q8 joins six dims around lineitem⋈orders: every dim side must be
+    a broadcast, leaving shuffles only for the fact join + final agg."""
+    p = plans("q8_national_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q16_blacklist_is_broadcast_anti(plans):
+    """Q16's NOT IN (NULL-free key) must plan as a broadcast anti join,
+    not a BNLJ existence check."""
+    p = plans("q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
