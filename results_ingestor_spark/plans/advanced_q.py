@@ -590,3 +590,50 @@ def events_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (runs.groupBy("user_id")
             .agg(F.max("run_len").alias("longest_streak"),
                  F.sum("run_len").alias("active_days")))
+
+
+@query("funnel_three_step", oracle="""
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t0 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+SELECT
+  (SELECT COUNT(*) FROM s) AS n_signup,
+  (SELECT COUNT(*) FROM c) AS n_click_after,
+  (SELECT COUNT(*) FROM p) AS n_purchase_after,
+  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        / (SELECT COUNT(*) FROM s), 9) AS rate_click,
+  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        / (SELECT COUNT(*) FROM s), 9) AS rate_purchase""")
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (signup → click → purchase, each step
+    STRICTLY after the previous step's first occurrence — the chained
+    constraint a naive per-type min-pivot gets wrong when a click
+    precedes the signup).  Each stage is a per-user min-aggregate
+    semi-constrained by the prior stage; the three 1-row stage counts
+    combine via broadcast cross joins, all lazy, one job.  Every stage
+    shuffles on user_id, so AQE reuses the co-partitioning down the
+    chain."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(s, "user_id").where(F.col("ts") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id").where(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    ns = s.agg(F.count("*").alias("n_signup"))
+    nc = c.agg(F.count("*").alias("n_click_after"))
+    np_ = p.agg(F.count("*").alias("n_purchase_after"))
+    return (ns.crossJoin(nc).crossJoin(np_)
+            .select("n_signup", "n_click_after", "n_purchase_after",
+                    F.round(F.col("n_click_after").cast("double")
+                            / F.col("n_signup"), 9).alias("rate_click"),
+                    F.round(F.col("n_purchase_after").cast("double")
+                            / F.col("n_signup"), 9).alias("rate_purchase")))

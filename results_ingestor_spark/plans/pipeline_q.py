@@ -462,3 +462,36 @@ def sampling_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_chars", es_key.alias("es_key"))
             .orderBy(F.desc("es_key"), F.asc("doc_id")).limit(50)
             .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key")))
+
+
+@query("sampling_temperature_mix", oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               SUM(pow(n_docs, 0.3)) AS z FROM c)
+SELECT lang, n_docs,
+  round(CAST(n_docs AS DOUBLE) / total, 9) AS natural_share,
+  round(pow(n_docs, 0.3) / z, 9) AS temp_share,
+  round((pow(n_docs, 0.3) / z) / (CAST(n_docs AS DOUBLE) / total), 9)
+    AS upsample_factor
+FROM c, tot ORDER BY lang""")
+def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the mT5/XLM-R α=0.3 rule):
+    per-language sampling shares ∝ n^α, flattening the head and
+    up-weighting tail languages, with the upsample factor each language
+    needs to hit its target share.  One tiny groupBy + a 1-row global
+    aggregate broadcast-cross-joined in-plan (no collect); at 100 TB
+    the per-language counts come off the same scan that computes any
+    other corpus stat, and the emitted factors parameterize the
+    downstream weighted sampler (sampling_weighted_lengths)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = t["documents"].groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").cast("long").alias("total"),
+                F.sum(F.pow("n_docs", 0.3)).alias("z"))
+    nat = F.col("n_docs").cast("double") / F.col("total")
+    tmp = F.pow("n_docs", 0.3) / F.col("z")
+    return (c.join(F.broadcast(tot))
+            .select("lang", "n_docs",
+                    F.round(nat, 9).alias("natural_share"),
+                    F.round(tmp, 9).alias("temp_share"),
+                    F.round(tmp / nat, 9).alias("upsample_factor"))
+            .orderBy("lang"))

@@ -447,3 +447,99 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi")))
+
+
+@query("corr_matrix_exact", oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s_q,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s_p,
+    SUM(CAST(l_discount AS DECIMAL(12,2))) AS s_d,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_quantity AS DECIMAL(12,2))) AS s_qq,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_pp,
+    SUM(CAST(l_discount AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS s_dd,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_qp,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS s_qd,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS s_pd
+  FROM lineitem),
+pairs AS (
+  SELECT 'quantity~extendedprice' AS pair, n, s_q AS sx, s_p AS sy,
+         s_qp AS sxy, s_qq AS sxx, s_pp AS syy FROM m
+  UNION ALL
+  SELECT 'quantity~discount', n, s_q, s_d, s_qd, s_qq, s_dd FROM m
+  UNION ALL
+  SELECT 'extendedprice~discount', n, s_p, s_d, s_pd, s_pp, s_dd FROM m)
+SELECT pair, n,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        9) AS r
+FROM pairs""")
+def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem metrics,
+    from ONE aggregation pass: nine exact-DECIMAL moment sums (every
+    Σx, Σx², Σxy the three pairs need), then each pair's r assembles in
+    doubles from the closed form — the regression_value_vs_time rule
+    generalized to a matrix.  Built-in corr() is float-partial-sum
+    nondeterministic across engines; this is one fact scan + a 1-row
+    agg + a 3-row in-memory expansion, the cheapest possible shape at
+    any scale (and at 100 TB the single scan beats three corr() passes
+    3×)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    q, p, d = (F.expr(f"CAST({c} AS DECIMAL(12,2))")
+               for c in ("l_quantity", "l_extendedprice", "l_discount"))
+    m = t["lineitem"].agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s_q"), F.sum(p).alias("s_p"), F.sum(d).alias("s_d"),
+        F.sum(q * q).alias("s_qq"), F.sum(p * p).alias("s_pp"),
+        F.sum(d * d).alias("s_dd"), F.sum(q * p).alias("s_qp"),
+        F.sum(q * d).alias("s_qd"), F.sum(p * d).alias("s_pd"))
+    pairs = m.selectExpr("""stack(3,
+      'quantity~extendedprice', n, s_q, s_p, s_qp, s_qq, s_pp,
+      'quantity~discount',      n, s_q, s_d, s_qd, s_qq, s_dd,
+      'extendedprice~discount', n, s_p, s_d, s_pd, s_pp, s_dd)
+      AS (pair, n, sx, sy, sxy, sxx, syy)""")
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    r = ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return pairs.select("pair", "n", F.round(r, 9).alias("r"))
+
+
+@query("period_over_period_revenue", oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1)
+SELECT month, CAST(rev AS DOUBLE) AS revenue,
+  CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+  round(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+        / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 9) AS mom_pct
+FROM m""")
+def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly decimal-exact rollup,
+    then lag() for the prior period and an exact-decimal delta divided
+    once in doubles.  The window is over the ~80-row monthly layer (a
+    single tiny partition AFTER the shuffle-reducing month aggregate),
+    so the classic KPI query costs one fact-scan agg regardless of
+    corpus size."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    m = (t["orders"]
+         .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                  .alias("month"))
+         .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))"))
+              .alias("rev")))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month", F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 9)
+        .alias("mom_pct"))
