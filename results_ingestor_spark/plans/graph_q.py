@@ -135,3 +135,57 @@ def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("r", 12).alias("rank"))
             .orderBy(F.desc("rank"), F.asc("part"))
             .limit(20))
+
+
+@query("graph_two_hop_reach", oracle=f"""
+WITH e AS ({_EDGES}),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+seeds AS (SELECT DISTINCT u FROM sym WHERE u % 199 = 0),
+one AS (
+  SELECT seeds.u AS seed, sym.v AS n1
+  FROM seeds JOIN sym ON sym.u = seeds.u),
+two AS (
+  SELECT one.seed, s2.v AS n2
+  FROM one JOIN sym s2 ON s2.u = one.n1),
+reach AS (
+  SELECT seed, n1 AS node FROM one
+  UNION
+  SELECT seed, n2 FROM two)
+SELECT seed,
+  (SELECT COUNT(DISTINCT n1) FROM one WHERE one.seed = r.seed)
+    AS n_1hop,
+  CAST(COUNT(DISTINCT node) - 1 AS BIGINT) AS n_2hop_reach
+FROM reach r
+GROUP BY seed
+ORDER BY seed""")
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size per seed node (the friend-of-friend /
+    influence-reach primitive).  Frontier expansion as two equi-joins on
+    the symmetric edge list — the relational form of one BFS level;
+    reach = |{1-hop} ∪ {2-hop}| minus the seed itself.  Each hop is a
+    hash join keyed on the frontier node + a distinct — at 100 TB the
+    frontier stays partitioned on node id end-to-end, so k-hop reach is
+    k chained shuffles with no driver involvement (contrast adjacency
+    collection to the driver, which dies at the first skewed hub)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    e = copurchase_edges(t["lineitem"])
+    sym = (e.select("u", "v")
+           .unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))))
+    seeds = sym.where(F.col("u") % 199 == 0).select("u").distinct() \
+               .withColumnRenamed("u", "seed")
+    one = (seeds.join(sym, F.col("seed") == F.col("u"))
+           .select("seed", F.col("v").alias("n1")))
+    s2 = sym.select(F.col("u").alias("f2"), F.col("v").alias("n2"))
+    two = (one.join(s2, F.col("n1") == F.col("f2"))
+           .select("seed", "n2"))
+    n1cnt = one.groupBy("seed").agg(F.countDistinct("n1").alias("n_1hop"))
+    reach = (one.select("seed", F.col("n1").alias("node"))
+             .unionByName(two.select("seed", F.col("n2").alias("node")))
+             .distinct()
+             .groupBy("seed")
+             .agg((F.countDistinct("node") - 1).cast("long")
+                  .alias("n_2hop_reach")))
+    return (n1cnt.join(reach, "seed")
+            .select("seed", "n_1hop", "n_2hop_reach")
+            .orderBy("seed"))

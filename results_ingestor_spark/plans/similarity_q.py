@@ -414,3 +414,60 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
                  F.round(F.min(F.col("v").cast("double")), 6).alias("min_v"),
                  F.round(F.max(F.col("v").cast("double")), 6).alias("max_v")))
+
+
+def _jl_signs(d: int = 64, k: int = 8) -> list[list[int]]:
+    """±1 Achlioptas/JL projection matrix, hash-derived so any engine
+    (or a re-run on another cluster) regenerates it bit-identically:
+    sign(i, j) = parity of md5("i_j").  Materialized as literals into
+    both the Spark expression and the oracle SQL — the matrix is a
+    constant of the pipeline, not data."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:15],
+                      16) % 2 == 0 else -1
+             for j in range(k)] for i in range(d)]
+
+
+def _jl_oracle(d: int = 64, k: int = 8) -> str:
+    signs = _jl_signs(d, k)
+    rows = ", ".join(f"({i}, {j}, {signs[i][j]})"
+                     for i in range(d) for j in range(k))
+    cols = ",\n  ".join(
+        f"round(SUM(CASE WHEN j = {j} THEN v * s END), 6) AS p{j}"
+        for j in range(k))
+    return f"""
+WITH signs(i, j, s) AS (VALUES {rows}),
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings)
+SELECT vec_id,
+  {cols}
+FROM flat JOIN signs USING (i)
+GROUP BY vec_id"""
+
+
+@query("embedding_random_projection", oracle=_jl_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d → 8-d with a ±1 sign
+    matrix (Achlioptas): the cheap dimensionality reduction used before
+    coarse clustering / visualization / LSH at corpus scale.  Each
+    output dim is one ``zip_with`` multiply + sequential ``aggregate``
+    fold — pure JVM codegen, no shuffle, no Python, no explode (the
+    oracle explodes; the engine keeps vectors packed).  Projections are
+    emitted as k scalar columns (not an array) so any comparator hashes
+    them; rounded at 6 dp per the embedding_dim_stats double-sum rule.
+    At 100 TB this is a narrow map stage appended to any scan, and the
+    same literal-matrix technique carries any fixed linear op
+    (whitening, PCA rotation) into whole-stage codegen."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    signs = _jl_signs()
+    k = len(signs[0])
+    projs = []
+    for j in range(k):
+        lit = ",".join(f"{signs[i][j]}D" for i in range(len(signs)))
+        projs.append(F.expr(
+            f"round(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"array({lit}), (x, s) -> x * s), 0D, (acc, y) -> acc + y), 6)"
+        ).alias(f"p{j}"))
+    return t["embeddings"].select("vec_id", *projs)
