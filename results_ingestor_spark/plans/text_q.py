@@ -597,3 +597,67 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * F.col("n_docs")
                                   / (F.col("c_a").cast("double")
                                      * F.col("c_b"))), 9).alias("pmi")))
+
+
+_BM25_TERMS = ("join", "scan", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query("text_bm25_topk", oracle=f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 COUNT(*) AS n FROM dl),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok IN ('join', 'scan', 'merge')
+  GROUP BY doc_id, tok),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    round(SUM(
+      ln((n - df + 0.5) / (df + 0.5) + 1)
+      * (tf * ({_BM25_K1} + 1))
+      / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+    ), 6) AS bm25
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN avgdl
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10""")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed term set — the IR scoring
+    standard (Robertson k1=1.2, b=0.75) layered on the same aggregates
+    as TF-IDF: per-doc term frequencies (filtered to the query terms
+    BEFORE the shuffle, so the tf table is query-sized, not
+    vocabulary-sized), df and avgdl as broadcast scalars, one
+    fixed-order double expression per (doc, term), summed per doc and
+    ROUNDED BEFORE RANKING (the tfidf_top_terms libm-ulp rule).
+    Top-10 via TakeOrderedAndProject with doc_id tie-break.  At
+    100 TB: the explode prunes to matching terms at the map side, and
+    everything after the (doc, term) agg is query-term-sized."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n"))
+    tf = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .where(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    k1, b = _BM25_K1, _BM25_B
+    term_score = (idf * (F.col("tf") * (k1 + 1))
+                  / (F.col("tf")
+                     + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df), "term")
+            .join(dl, "doc_id")
+            .join(F.broadcast(avgdl))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(10))
