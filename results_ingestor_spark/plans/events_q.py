@@ -377,3 +377,88 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_overlap").cast("double")
                             / (F.col("sa") + F.col("sb")
                                - F.col("n_overlap")), 9).alias("jaccard")))
+
+
+@query("events_interpolate_hourly", oracle=f"""
+WITH bounds AS (
+  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+  FROM events),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+          FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, h FROM types CROSS JOIN hours),
+agg AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+    CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT g.event_type, g.h, a.v,
+    epoch(g.h) // 3600 AS hn
+  FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.h = a.h),
+ctx AS (
+  SELECT event_type, h, v, hn,
+    last_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN hn END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hn
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh,
+    first_value(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hn
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM j)
+SELECT event_type, h AS hour,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN ph IS NOT NULL AND nh IS NOT NULL
+             THEN pv + (nv - pv) * (hn - ph) / (nh - ph)
+        END, 9) AS value,
+  (v IS NULL AND ph IS NOT NULL AND nh IS NOT NULL) AS interpolated
+FROM ctx""")
+def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION (the TimescaleDB
+    ``interpolate()`` shape, complementing the zero-fill
+    events_gapfill_hourly): silent hours on the dense (type × hour)
+    grid take the value linearly between the nearest observed
+    neighbors.  Neighbor discovery is two ignore-nulls window carries
+    (backward last / forward first) over the HOURLY layer — O(hours),
+    never O(events) — and the interpolation weight is a ratio of exact
+    integer epoch-hours, so the one double expression is fixed-order
+    (round 9).  Leading/trailing gaps (no neighbor on one side) stay
+    NULL, flagged by ``interpolated``."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    agg = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+           .agg((F.sum(F.expr(_VDEC)).cast("double")
+                 / F.count("*")).alias("v")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    hours = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    grid = ev.select("event_type").distinct().crossJoin(hours)
+    j = (grid.join(agg, ["event_type", "h"], "left")
+         .withColumn("hn", F.unix_micros("h") / 3_600_000_000)
+         .withColumn("hn", F.col("hn").cast("long")))
+    back = (Window.partitionBy("event_type").orderBy("hn")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    fwd = (Window.partitionBy("event_type").orderBy("hn")
+           .rowsBetween(1, Window.unboundedFollowing))
+    hn_if = F.when(F.col("v").isNotNull(), F.col("hn"))
+    ctx = j.select(
+        "event_type", "h", "v", "hn",
+        F.last(hn_if, ignorenulls=True).over(back).alias("ph"),
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.first(hn_if, ignorenulls=True).over(fwd).alias("nh"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"))
+    interp = (F.col("pv") + (F.col("nv") - F.col("pv"))
+              * (F.col("hn") - F.col("ph")) / (F.col("nh") - F.col("ph")))
+    filled = F.when(F.col("v").isNotNull(), F.col("v")) \
+              .when(F.col("ph").isNotNull() & F.col("nh").isNotNull(), interp)
+    return ctx.select(
+        "event_type", F.col("h").alias("hour"),
+        F.round(filled, 9).alias("value"),
+        (F.col("v").isNull() & F.col("ph").isNotNull()
+         & F.col("nh").isNotNull()).alias("interpolated"))
