@@ -9,7 +9,7 @@ exercised in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.dedup import (
@@ -314,3 +314,39 @@ def dedup_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_docs") > 1)
             .orderBy(F.desc("n_docs"), F.desc("n"), F.asc("gram"))
             .limit(20))
+
+
+@query("dedup_time_window", oracle="""
+WITH ranked AS (
+  SELECT event_id, user_id, event_type, ts,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT CAST(ts AS DATE) AS day, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY 1, 2 ORDER BY day, event_type""")
+def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed deduplication: keep the FIRST event per (user,
+    type) within each calendar day, report kept/dropped per (day,
+    type) — the batch twin of the streaming watermark
+    ``dropDuplicates`` (streaming/events.py), with the window key made
+    explicit so state is provably bounded: the dedup partition is
+    (user, type, day), so no key's state outlives its day — exactly
+    the invariant the streaming watermark enforces.  One shuffle on
+    the composite key; ties break on (ts, event_id) for cross-engine
+    determinism."""
+    t = load_tables(spark, sf_dir, ("events",))
+    day = F.col("ts").cast("date")
+    w = (Window.partitionBy("user_id", "event_type", day)
+         .orderBy("ts", "event_id"))
+    ranked = t["events"].withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy(day.alias("day"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dropped"))
+            .orderBy("day", "event_type"))

@@ -242,3 +242,62 @@ def sketch_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.lit(0.05) * F.col("exact_users")).alias("users_within_bound"),
         ((F.col("__kmed") >= F.col("__p45"))
          & (F.col("__kmed") <= F.col("__p55"))).alias("median_within_band"))
+
+
+@query("sketch_theta_set_ops", oracle="""
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS exact_click,
+  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS exact_purchase,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+       AS BIGINT) AS exact_union,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+       AS BIGINT) AS exact_intersect,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
+       AS BIGINT) AS exact_diff,
+  TRUE AS union_within_bound,
+  TRUE AS intersect_within_bound,
+  TRUE AS diff_within_bound""")
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate SET ALGEBRA on DataSketches theta sketches: build one
+    sketch per audience (click users / purchase users), then answer
+    union, intersection, and difference cardinalities FROM THE SKETCHES
+    — the operation family HLL can't do (HLL unions only; theta's
+    sampled-hash-set supports all three).  At 100 TB this is how
+    audience-overlap questions get answered without re-shuffling raw
+    ids: per-segment sketches are tiny, mergeable, and composable after
+    the fact.  Self-verified like sketch_merge_shards: exact values
+    compute in the same plan and every estimate must land within 5 %
+    (default lgK=12 → ~1.6 % rse); the oracle replays the exact sets
+    and literal TRUEs."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    sk = ev.agg(
+        F.theta_sketch_agg(F.when(F.col("event_type") == "click",
+                                  F.col("user_id"))).alias("sc"),
+        F.theta_sketch_agg(F.when(F.col("event_type") == "purchase",
+                                  F.col("user_id"))).alias("sp"))
+    est = sk.select(
+        F.theta_sketch_estimate(F.theta_union("sc", "sp")).alias("__u"),
+        F.theta_sketch_estimate(F.theta_intersection("sc", "sp"))
+        .alias("__i"),
+        F.theta_sketch_estimate(F.theta_difference("sc", "sp")).alias("__d"))
+    c = ev.where(F.col("event_type") == "click").select("user_id")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (c.distinct().agg(F.count("*").alias("exact_click"))
+             .crossJoin(p.distinct().agg(F.count("*").alias("exact_purchase")))
+             .crossJoin(c.union(p).distinct()
+                        .agg(F.count("*").alias("exact_union")))
+             .crossJoin(c.distinct().intersect(p.distinct())
+                        .agg(F.count("*").alias("exact_intersect")))
+             .crossJoin(c.distinct().exceptAll(p.distinct()).distinct()
+                        .agg(F.count("*").alias("exact_diff"))))
+    within = lambda e, x: (F.abs(F.col(e) - F.col(x))  # noqa: E731
+                           <= F.lit(0.05) * F.col(x))
+    return exact.crossJoin(est).select(
+        "exact_click", "exact_purchase", "exact_union", "exact_intersect",
+        "exact_diff",
+        within("__u", "exact_union").alias("union_within_bound"),
+        within("__i", "exact_intersect").alias("intersect_within_bound"),
+        within("__d", "exact_diff").alias("diff_within_bound"))

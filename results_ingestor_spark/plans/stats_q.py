@@ -543,3 +543,70 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.cast("double").alias("prev_revenue"),
         F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 9)
         .alias("mom_pct"))
+
+
+@query("market_basket_rules", oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+item AS (SELECT p_brand, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+pair AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, n_pair,
+  round(CAST(n_pair AS DOUBLE) / n_orders, 9) AS support,
+  round(CAST(n_pair AS DOUBLE) / ia.n_item, 9) AS confidence,
+  round(CAST(n_pair AS DOUBLE) * n_orders
+        / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 9) AS lift
+FROM pair
+JOIN item ia ON ia.p_brand = brand_a
+JOIN item ib ON ib.p_brand = brand_b
+CROSS JOIN n
+WHERE n_pair >= 50
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 25""")
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (support / confidence /
+    lift — the Apriori output for 2-itemsets).  Items roll up to brand
+    (25 values) BEFORE pairing, so the self-join explodes bounded
+    per-basket combinations (≤ C(25,2)) rather than raw-part pairs —
+    the blocking decision that keeps basket mining alive at 100 TB.
+    All three metrics are exact-integer counts with one double
+    division each, rounded before the lift ranking; min-support 50
+    prunes the tail pre-sort."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    baskets = (t["lineitem"]
+               .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+               .select("l_orderkey", "p_brand").distinct())
+    n = t["lineitem"].agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    b = baskets.select(F.col("l_orderkey").alias("k2"),
+                       F.col("p_brand").alias("brand_b"))
+    pair = (baskets.withColumnRenamed("p_brand", "brand_a")
+            .join(b, (F.col("l_orderkey") == F.col("k2"))
+                  & (F.col("brand_a") < F.col("brand_b")))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count("*").alias("n_pair"))
+            .where(F.col("n_pair") >= 50))
+    ia = item.select(F.col("p_brand").alias("ba"),
+                     F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("p_brand").alias("bb"),
+                     F.col("n_item").alias("n_b"))
+    return (pair.join(F.broadcast(ia), F.col("brand_a") == F.col("ba"))
+            .join(F.broadcast(ib), F.col("brand_b") == F.col("bb"))
+            .join(F.broadcast(n))
+            .select("brand_a", "brand_b", "n_pair",
+                    F.round(F.col("n_pair").cast("double")
+                            / F.col("n_orders"), 9).alias("support"),
+                    F.round(F.col("n_pair").cast("double")
+                            / F.col("n_a"), 9).alias("confidence"),
+                    F.round(F.col("n_pair").cast("double") * F.col("n_orders")
+                            / (F.col("n_a").cast("double") * F.col("n_b")), 9)
+                    .alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+            .limit(25))
