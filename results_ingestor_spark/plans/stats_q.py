@@ -610,3 +610,43 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("lift"))
             .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
             .limit(25))
+
+
+@query("stats_winsorized_mean", oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+    quantile_cont(l_extendedprice, 0.05) AS lo,
+    quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, COUNT(*) AS n,
+  round(AVG(least(greatest(l_extendedprice, lo), hi)), 6) AS winsorized_mean,
+  round(AVG(l_extendedprice), 6) AS raw_mean,
+  CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag""")
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group (clip at p5/p95, then average) — the
+    outlier-robust location estimate quality pipelines prefer over
+    trimming (keeps n constant).  Two passes over the group: exact
+    percentile bounds (tiny result, broadcast back), then clip + mean.
+    Means round at 6 dp (double-sum ordering, the embedding_dim_stats
+    rule); the clip itself is exact — least/greatest on stored doubles.
+    At 100 TB pass 1 becomes percentile_approx (see approx_sketches)
+    and pass 2 is unchanged — the two-pass shape is the scale path."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    b = (li.groupBy(F.col("l_returnflag").alias("rf"))
+         .agg(F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+              F.percentile("l_extendedprice", F.lit(0.95)).alias("hi")))
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                      F.col("hi"))
+    out_of = (F.col("l_extendedprice") < F.col("lo")) \
+        | (F.col("l_extendedprice") > F.col("hi"))
+    return (li.join(F.broadcast(b), F.col("l_returnflag") == F.col("rf"))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("raw_mean"),
+                 F.sum(F.when(out_of, 1).otherwise(0)).cast("long")
+                 .alias("n_clipped")))
