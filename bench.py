@@ -31,6 +31,11 @@ HEADLINE = [
     "events_sessionize",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    # round 2: hardest correlated TPC-H shape, bounded basket mining,
+    # pure-JVM vector math throughput
+    "q21_suppliers_kept_waiting",
+    "market_basket_rules",
+    "embedding_random_projection",
 ]
 
 
