@@ -169,3 +169,53 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("qty")))
     return (left.join(right, F.col("k").eqNullSafe(F.col("k2")))
             .select("k", "n_lines", "qty"))
+
+
+@query("attribution_last_touch", oracle="""
+WITH touches AS (
+  SELECT user_id, ts, max(event_type) AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts),
+purchases AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS rev
+  FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT p.rev,
+    CASE WHEN t.ts IS NOT NULL
+              AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+         THEN t.touch_type ELSE 'none' END AS channel
+  FROM purchases p
+  ASOF LEFT JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts)
+SELECT channel, COUNT(*) AS n_purchases,
+  CAST(SUM(rev) AS DOUBLE) AS attributed_revenue
+FROM matched GROUP BY channel ORDER BY channel""")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click/view at-or-before it (7-day lookback; older or absent
+    → 'none').  This is the as-of operator applied to attribution —
+    the same union + struct-carry pattern as asof_join_purchase_signup
+    (one shuffle on user_id, no pairing join), against DuckDB's native
+    ASOF JOIN: two different algorithms, value-identical revenue
+    totals in exact decimals."""
+    from results_ingestor_spark.operators.asof import asof_join_backward
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    touches = (ev.where(F.col("event_type").isin("click", "view"))
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_type").alias("touch_type")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.expr("CAST(value AS DECIMAL(12,2))").alias("rev")))
+    m = asof_join_backward(purchases.select("user_id", "ts", "rev"),
+                           touches, key="user_id", left_ts="ts",
+                           right_ts="ts",
+                           right_payload={"touch_type": "touch_type"})
+    j = m.join(purchases, ["user_id", "ts"])
+    within = (F.col("matched_ts").isNotNull()
+              & ((F.unix_micros("ts") - F.unix_micros("matched_ts"))
+                 <= 604_800_000_000))
+    channel = F.when(within, F.col("touch_type")).otherwise(F.lit("none"))
+    return (j.groupBy(channel.alias("channel"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum("rev").cast("double").alias("attributed_revenue"))
+            .orderBy("channel"))

@@ -606,14 +606,14 @@ WITH val AS (
 tot AS (SELECT SUM(value) AS total FROM val)
 SELECT partkey, CAST(value AS DOUBLE) AS value
 FROM val, tot
-WHERE value * 500 > total
+WHERE value * 1000 > total
 ORDER BY value DESC, partkey""")
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose traded value through one region's
     suppliers exceeds a fraction of the total.  The HAVING-against-a-
     global-scalar becomes a 1-row aggregate broadcast-cross-joined
-    in-plan (no collect), and the 0.2 % threshold is multiplied through
-    to exact decimals (value·500 > total) so no float division sits on
+    in-plan (no collect), and the 0.1 % threshold is multiplied through
+    to exact decimals (value·1000 > total) so no float division sits on
     the filter boundary — the q17/q22 determinism rule.  One shuffle
     (partkey agg); supplier/nation/region broadcast into the scan."""
     t = load_tables(spark, sf_dir,
@@ -630,7 +630,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(_dec("l_extendedprice")).alias("value")))
     tot = val.agg(F.sum("value").alias("total"))
     return (val.join(F.broadcast(tot))
-            .where(F.col("value") * 500 > F.col("total"))
+            .where(F.col("value") * 1000 > F.col("total"))
             .select("partkey", F.col("value").cast("double").alias("value"))
             .orderBy(F.desc("value"), F.asc("partkey")))
 
