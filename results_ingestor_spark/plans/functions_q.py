@@ -301,3 +301,45 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("__u", "exact_union").alias("union_within_bound"),
         within("__i", "exact_intersect").alias("intersect_within_bound"),
         within("__d", "exact_diff").alias("diff_within_bound"))
+
+
+@query("incremental_agg_merge", oracle=f"""
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+  MIN(value) AS mn, MAX(value) AS mx,
+  TRUE AS matches_direct
+FROM events GROUP BY event_type ORDER BY event_type""")
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance by algebraic partial merge: daily
+    partial aggregates (the state an incremental pipeline persists per
+    ingest batch) MERGE into per-type totals — count by sum, sum by
+    sum, min by min, max by max — and the plan itself verifies the
+    merged result equals a direct one-pass aggregation
+    (``matches_direct``, decimal-exact so equality is bit-exact).
+    This is the contract that lets a 100 TB nightly pipeline update
+    per-partition stats without re-reading history: state size is
+    O(groups × days), merge cost is O(state), history is never
+    re-scanned.  The oracle computes the direct aggregation + literal
+    TRUE — if Spark's two-level merge ever diverged from the direct
+    path, the boolean would flip and the row would go red."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    vdec = F.expr("CAST(value AS DECIMAL(12,2))")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("pn"), F.sum(vdec).alias("ps"),
+                  F.min("value").alias("pmn"), F.max("value").alias("pmx")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.sum("pn").cast("long").alias("n"),
+                   F.sum("ps").alias("total_dec"),
+                   F.min("pmn").alias("mn"), F.max("pmx").alias("mx")))
+    direct = (ev.groupBy(F.col("event_type").alias("et2"))
+              .agg(F.count("*").alias("dn"), F.sum(vdec).alias("ds"),
+                   F.min("value").alias("dmn"), F.max("value").alias("dmx")))
+    j = merged.join(direct, F.col("event_type") == F.col("et2"))
+    same = ((F.col("n") == F.col("dn"))
+            & (F.col("total_dec") == F.col("ds"))
+            & (F.col("mn") == F.col("dmn")) & (F.col("mx") == F.col("dmx")))
+    return (j.select("event_type", "n",
+                     F.col("total_dec").cast("double").alias("total"),
+                     "mn", "mx", same.alias("matches_direct"))
+            .orderBy("event_type"))
