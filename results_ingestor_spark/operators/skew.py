@@ -31,3 +31,25 @@ def salted_agg(df: DataFrame, keys: list[str],
               .agg(*[a1.alias(name) for name, (a1, _) in aggs.items()]))
     return (phase1.groupBy(*keys)
             .agg(*[a2.alias(name) for name, (_, a2) in aggs.items()]))
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_buckets: int = 8) -> DataFrame:
+    """Skew-resistant equi-join: the (large, possibly skewed) left side
+    picks a random salt in [0, N); the (smaller) right side replicates
+    N ways, one copy per salt value.  The join then hashes on
+    (key, salt), spreading one pathological hot key over N reducers
+    instead of pinning a single one — the classic remedy when the hot
+    side is too big to broadcast and AQE's skew splitting can't help
+    (e.g. the skew is in the build side of a sort-merge join).
+
+    Correctness is salt-invariant: every left row meets exactly one
+    replica of each matching right row, so the result is bag-equal to
+    the plain join (pinned by tests/test_shuffle.py).  Cost: right side
+    is shuffled N×; choose N ≈ (hot-key rows / average-key rows).
+    """
+    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    l_s = left.withColumn("__salt", salt)
+    r_s = (right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))))
+    return l_s.join(r_s, [key, "__salt"]).drop("__salt")

@@ -87,3 +87,29 @@ def test_minhash_identical_docs_always_collide(spark, tokens):
     sig = with_minhash(df).select("doc_id", "band0", "band1", "band2", "band3")
     a, b = sorted(sig.collect(), key=lambda r: r["doc_id"])
     assert all(a[f"band{i}"] == b[f"band{i}"] for i in range(4))
+
+
+@given(st.lists(st.integers(min_value=-500, max_value=500),
+                min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_cusum_prefix_scan_closed_form_matches_recursion(spark, xs):
+    """The CUSUM prefix-scan identity S_i = cum_i - min(0, min cum_j)
+    must equal the textbook recursion S_i = max(0, S_{i-1} + x_i) for
+    any integer series (cusum_user_drift relies on it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i int, x double")
+    w = (Window.orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("x").over(w)
+    d = df.select("i", cum.alias("cum"), F.min(cum).over(w).alias("mn"))
+    out = d.select(
+        "i", (F.col("cum")
+              - F.least(F.lit(0.0), F.col("mn"))).alias("s")).collect()
+    got = {r["i"]: r["s"] for r in out}
+    s = 0.0
+    for i, x in enumerate(xs):
+        s = max(0.0, s + x)
+        assert got[i] == s

@@ -65,3 +65,22 @@ def test_shard_writer_sorted_disjoint_ranges(spark, sf_dir, tmp_path):
     assert with_shuffle_key(_docs(spark, sf_dir), 7).select(
         "shuffle_key").distinct().count() == back.select(
         "shuffle_key").distinct().count()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be bag-equal to the plain equi-join — salting is
+    a physical rewrite, never a semantic one."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.operators.skew import salted_join
+    from results_ingestor_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    left = t["orders"].select("o_orderkey", "o_custkey")
+    right = t["customer"].select(F.col("c_custkey").alias("o_custkey"),
+                                 "c_mktsegment")
+    plain = left.join(right, "o_custkey")
+    salted = salted_join(left, right, "o_custkey", salt_buckets=4)
+    assert salted.count() == plain.count()
+    diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert diff == 0
