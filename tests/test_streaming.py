@@ -141,3 +141,46 @@ def test_stream_static_join_matches_batch(spark, sf_dir, stream):
                      F.coalesce("tier", F.lit("unknown")).alias("tier"))
              ).collect()}
     assert got == want and len(got) > 0
+
+
+def test_running_totals_transform_with_state(spark, sf_dir):
+    """Spark 4 transformWithState twin of the applyInPandasWithState
+    operator — equivalent running totals.  Skips where google.protobuf
+    (the TWS driver-worker dependency) is unusable, as in this
+    container; the operator itself is exercised on any standard
+    Spark 4 + protobuf install."""
+    import tempfile
+
+    from results_ingestor_spark.streaming.events import (
+        running_user_totals_tws, tws_available)
+    if not tws_available():
+        pytest.skip("google.protobuf unusable — TWS driver worker "
+                    "cannot start in this container")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        out = running_user_totals_tws(read_events_stream(spark, sf_dir))
+        q = (out.writeStream.format("memory").queryName("tws_totals")
+             .outputMode("update")
+             .option("checkpointLocation", tempfile.mkdtemp())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["user_id"]: (r["total"], r["n"])
+               for r in _rows(spark, "tws_totals")}
+        batch = (load_tables(spark, sf_dir, ("events",))["events"]
+                 .groupBy("user_id")
+                 .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+                 .collect())
+        for r in batch:
+            assert abs(got[r["user_id"]][0] - r["total"]) < 1e-6
+            assert got[r["user_id"]][1] == r["n"]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
