@@ -11,7 +11,7 @@ reproduce exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.plans.registry import query
@@ -495,3 +495,53 @@ def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(tmp, 9).alias("temp_share"),
                     F.round(tmp / nat, 9).alias("upsample_factor"))
             .orderBy("lang"))
+
+
+@query("pipeline_curate_end_to_end", oracle=f"""
+WITH quality AS (
+  SELECT doc_id, text, lang, len({_TOKS}) AS n_tokens
+  FROM documents
+  WHERE n_chars >= 100 AND len({_TOKS}) >= 20),
+kept AS (
+  SELECT doc_id, lang, n_tokens,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM quality),
+split AS (
+  SELECT lang,
+    CASE WHEN {_DOC_HASH_SQL} % 100 < 80 THEN 'train'
+         WHEN {_DOC_HASH_SQL} % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split,
+    n_tokens
+  FROM kept WHERE rn = 1)
+SELECT lang, split, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM split GROUP BY lang, split ORDER BY lang, split""")
+def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline COMPOSED end-to-end in one lazy plan:
+    quality gate (length floors) → exact dedup (first doc per content
+    fingerprint) → deterministic 80/10/10 split → per-(lang, split)
+    doc/token budget report.  Each stage exists standalone
+    (quality_filter_top_half, dedup_exact, sampling_stratified_split,
+    dataset_shard_stats); composing them proves the stages chain
+    without materialization barriers — Catalyst plans the whole flow
+    as scan → filter → one dedup shuffle on the content hash → map
+    split assignment → one agg shuffle.  At 100 TB that is TWO
+    shuffles total from raw corpus to training-mix report, and the
+    dedup shuffle carries (hash, id, lang, n_tokens) — never text."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    quality = (t["documents"]
+               .where((F.col("n_chars") >= 100) & (F.size(toks) >= 20))
+               .select("doc_id", "text", "lang",
+                       F.size(toks).alias("n_tokens")))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (quality.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    h = F.expr(_DOC_HASH) % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val")
+             .otherwise("test"))
+    return (kept.select("lang", split.alias("split"), "n_tokens")
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"))
+            .orderBy("lang", "split"))
