@@ -75,3 +75,32 @@ def test_constant_fill_date(rolled):
 def test_party_rollup(rolled):
     assert rolled[("NC SENATE ", "WAKE", "Adams")]["party_candidate"] == "DEM"
     assert rolled[("NC SENATE ", "WAKE", "Burke")]["party_candidate"] == "REP"
+
+
+def test_non_utc_session_timezone_robustness(sf_dir):
+    """The driver builds its OWN SparkSession, possibly in a non-UTC
+    zone.  tune_session (called inside load_tables) must re-pin UTC or
+    every timestamp-derived column (date_trunc buckets, year(), casts
+    to date) shifts relative to the DuckDB oracle.  Pin: a fresh
+    session starting in America/New_York must produce the same hourly
+    buckets as the UTC conftest session."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.sources.tables import load_tables
+
+    s2 = (SparkSession.builder.master("local[4]")
+          .appName("tz-probe")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "America/New_York")
+          .getOrCreate())
+    try:
+        ev = load_tables(s2, sf_dir, ("events",))["events"]
+        assert s2.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+               .count().orderBy("h").limit(3).collect())
+        # corpus starts 2024-01-01 00:00 UTC: the first bucket must be
+        # midnight UTC, not 19:00 EST-shifted
+        assert got[0]["h"].hour == 0
+    finally:
+        pass  # shared JVM: leave the (UTC-repinned) session as-is
