@@ -637,3 +637,64 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_signup"), 9).alias("rate_click"),
                     F.round(F.col("n_purchase_after").cast("double")
                             / F.col("n_signup"), 9).alias("rate_purchase")))
+
+
+@query("variant_json_typed_extract", oracle="""
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS min_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS max_k
+FROM events GROUP BY event_type ORDER BY event_type""")
+def variant_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` extractions — the open-schema path that avoids
+    both per-query JSON re-parsing (get_json_object re-tokenizes the
+    string on every call) and rigid from_json schemas.  At 100 TB the
+    variant column is parsed once at ingest, stored shredded, and every
+    downstream extraction is a binary field probe.  The oracle reaches
+    the same values through DuckDB's JSON extraction — two engines, two
+    JSON machineries, identical typed results."""
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (t["events"]
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k"))
+            .orderBy("event_type"))
+
+
+@query("string_collation_ci_grouping", oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END
+    AS type_mixed
+  FROM part)
+SELECT lower(type_mixed) AS type_ci, COUNT(*) AS n
+FROM mixed GROUP BY lower(type_mixed) ORDER BY type_ci""")
+def string_collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS (UTF8_LCASE)
+    rather than lower()-normalization: the collated column carries its
+    comparison semantics in the TYPE, so every comparison, join, and
+    group-by downstream is case-insensitive without the caller
+    remembering to normalize — and collation-aware aggregation happens
+    JVM-side with no extra projection.  Mixed-case input is
+    reconstructed deterministically from partkey parity; the output key
+    is lowercased for cross-engine comparison (engines may surface
+    different representatives of a collation class).  The oracle uses
+    explicit lower() grouping — same classes, same counts."""
+    t = load_tables(spark, sf_dir, ("part",))
+    mixed = F.when(F.col("p_partkey") % 2 == 0,
+                   F.lower("p_type")).otherwise(F.col("p_type"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (t["part"]
+            .groupBy(ci.alias("type_key"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lower("type_key").alias("type_ci"), "n")
+            .orderBy("type_ci"))
