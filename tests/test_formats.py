@@ -103,3 +103,27 @@ def test_csv_gzip_roundtrip(spark, sf_dir, tmp_path):
             .schema("n_nationkey int, n_name string, n_regionkey int")
             .csv(out))
     assert back.count() == nation.count()
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    """Layout-card fixed-width ingest: offsets/lengths extract, fields
+    trim, 'Not Found' and blank → NULL — parity with the CSV path's
+    sentinel handling."""
+    from results_ingestor_spark.sources.fixed_width import read_fixed_width
+
+    lines = [
+        "WAKE      P01  120       ",
+        "DURHAM    P02  Not Found ",
+        "ORANGE    P03            ",
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    df = read_fixed_width(
+        spark, str(p),
+        {"county": (1, 10), "precinct": (11, 5), "total": (16, 10)})
+    rows = {r["county"]: r for r in df.collect()}
+    assert rows["WAKE"]["precinct"] == "P01"
+    assert rows["WAKE"]["total"] == "120"
+    assert rows["DURHAM"]["total"] is None   # Not Found sentinel
+    assert rows["ORANGE"]["total"] is None   # blank
+    assert df.count() == 3
