@@ -350,3 +350,29 @@ def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
                  .cast("long").alias("n_dropped"))
             .orderBy("day", "event_type"))
+
+
+from results_ingestor_spark.plans.registry import ORACLES as _ORACLES
+from results_ingestor_spark.plans.registry import QUERIES
+
+
+@query("dedup_clusters_summary", oracle=f"""
+WITH labeled AS ({_ORACLES["dedup_clusters"]})
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (SELECT cluster_rep, COUNT(*) AS cluster_size
+      FROM labeled GROUP BY cluster_rep)
+GROUP BY cluster_size ORDER BY cluster_size""")
+def dedup_clusters_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the connected-component labeling —
+    the one-screen dedup health report (how much of the corpus is
+    singleton vs. heavily duplicated).  Reuses the full
+    LSH → verify → label-propagation pipeline and adds two tiny
+    aggregates; the oracle wraps the dedup_clusters recursive-CTE SQL
+    verbatim, so the histogram is value-checked against an independent
+    component algorithm end-to-end."""
+    labeled = QUERIES["dedup_clusters"](spark, sf_dir)
+    return (labeled.groupBy("cluster_rep")
+            .agg(F.count("*").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .orderBy("cluster_size"))

@@ -462,3 +462,25 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 9).alias("value"),
         (F.col("v").isNull() & F.col("ph").isNotNull()
          & F.col("nh").isNotNull()).alias("interpolated"))
+
+
+@query("events_dow_hour_heatmap", oracle=f"""
+SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+  COUNT(*) AS n,
+  round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY dow, hod""")
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the seasonality
+    fingerprint behind load forecasting and anomaly baselines.  One
+    hash agg into a fixed 7×24 grid (map-side partials make the
+    shuffle 168 rows regardless of input size); the mean is an exact
+    decimal sum divided once.  Spark's dayofweek (Sun=1) is shifted to
+    DuckDB's Sun=0 convention, the date_functions rule."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                     F.hour("ts").alias("hod"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"),
+                         9).alias("avg_value"))
+            .orderBy("dow", "hod"))

@@ -831,3 +831,60 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(100))
+
+
+@query("supplier_scorecard", oracle=f"""
+WITH m AS (
+  SELECT l_suppkey,
+    SUM({_REV}) AS rev,
+    COUNT(DISTINCT l_partkey) AS n_parts,
+    COUNT(*) AS n_lines,
+    SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS n_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey)
+SELECT s_name, n_name,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(n_parts AS BIGINT) AS n_parts,
+  round(CAST(n_late AS DOUBLE) / n_lines, 9) AS late_rate,
+  CAST(rank() OVER (ORDER BY rev DESC, s_name) AS INT) AS revenue_rank
+FROM m
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY revenue_rank""")
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide KPI scorecard per supplier: revenue, breadth (distinct
+    parts), late-shipment rate, global revenue rank — the multi-metric
+    dashboard query that joins two facts, aggregates once, decorates
+    with dims, and ranks.  One fact shuffle (suppkey agg with
+    count-distinct), dims broadcast, and the rank window runs over the
+    supplier-sized aggregate (tiny), ordered on the exact DECIMAL
+    revenue with s_name tie-break so rank assignment is bit-stable."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier",
+                                    "nation"))
+    late = F.when(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                  1).otherwise(0)
+    m = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .groupBy("l_suppkey")
+         .agg(F.sum(_rev()).alias("rev"),
+              F.countDistinct("l_partkey").alias("n_parts"),
+              F.count("*").alias("n_lines"),
+              F.sum(late).alias("n_late")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("rev"), F.asc("s_name"))
+    return (m.join(F.broadcast(t["supplier"]),
+                   F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name", "rev", "n_parts", "n_late",
+                    "n_lines")
+            .withColumn("revenue_rank", F.rank().over(w).cast("int"))
+            .select("s_name", "n_name",
+                    F.col("rev").cast("double").alias("revenue"),
+                    F.col("n_parts").cast("long").alias("n_parts"),
+                    F.round(F.col("n_late").cast("double")
+                            / F.col("n_lines"), 9).alias("late_rate"),
+                    "revenue_rank")
+            .orderBy("revenue_rank"))

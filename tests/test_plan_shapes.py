@@ -311,3 +311,20 @@ def test_q16_blacklist_is_broadcast_anti(plans):
     p = plans("q16_supplier_part_counts")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_curation_pipeline_two_shuffles(plans):
+    """pipeline_curate_end_to_end promises raw corpus → budget report in
+    TWO shuffles (dedup window on content hash + final agg).  Pin the
+    exchange count so a refactor can't silently add a materialization
+    barrier."""
+    p = plans("pipeline_curate_end_to_end")
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_jl_projection_no_shuffle_no_python(plans):
+    """embedding_random_projection is a pure map stage: no exchange, no
+    Python evals — the literal-matrix fold must stay in codegen."""
+    p = plans("embedding_random_projection")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
