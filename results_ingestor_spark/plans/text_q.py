@@ -661,3 +661,54 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(term_score), 6).alias("bm25"))
             .orderBy(F.desc("bm25"), F.asc("doc_id"))
             .limit(10))
+
+
+@query("text_winnowing_match_pairs", oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(substr(text, i, {_KGRAM})), 1, 15))::bigint
+     for i in range(1, length(text) - {_KGRAM} + 2)] AS hs
+  FROM documents),
+winnowed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      [list_min(hs[i:i+{_WINNOW - 1}])
+       for i in range(1, len(hs) - {_WINNOW} + 2)])) AS fp
+  FROM grams),
+flat AS (SELECT doc_id, unnest(fp) AS f FROM winnowed),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM flat a JOIN flat b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+FROM pairs WHERE shared >= 20 ORDER BY id_a, id_b""")
+def text_winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document copy detection (MOSS): documents sharing ≥20
+    winnowing fingerprints.  The pairing is an INVERTED-INDEX JOIN —
+    explode fingerprints, equi-join on the fingerprint hash, count per
+    pair — never an all-pairs comparison, so cost is Σ postings² per
+    fingerprint (rare-hash buckets), the same scale shape as LSH band
+    joins.  Reuses text_winnowing_fingerprint's hash pipeline
+    bit-for-bit; counts are exact integers."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    hs = F.expr(
+        f"CASE WHEN length(text) >= {_KGRAM} THEN "
+        f"transform(sequence(1, length(text) - {_KGRAM} + 1), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_KGRAM})), 1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+    fp = F.expr(
+        f"CASE WHEN size(hs) >= {_WINNOW} THEN "
+        f"array_sort(array_distinct(transform(sequence(1, size(hs) - {_WINNOW} + 1), "
+        f"i -> array_min(slice(hs, i, {_WINNOW}))))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    flat = (ensure_min_parallelism(t["documents"])
+            .withColumn("hs", hs).select("doc_id", F.explode(fp).alias("f")))
+    b = flat.select(F.col("doc_id").alias("id_b"), F.col("f").alias("fb"))
+    return (flat.select(F.col("doc_id").alias("id_a"), "f")
+            .join(b, (F.col("f") == F.col("fb"))
+                  & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("shared"))
+            .where(F.col("shared") >= 20)
+            .orderBy("id_a", "id_b"))
