@@ -127,3 +127,29 @@ def test_fixed_width_reader(spark, tmp_path):
     assert rows["DURHAM"]["total"] is None   # Not Found sentinel
     assert rows["ORANGE"]["total"] is None   # blank
     assert df.count() == 3
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """CSV robustness: PERMISSIVE keeps bad rows (nulls + corrupt-record
+    column), DROPMALFORMED drops them — the two production stances for
+    messy feeds (the reference's domain is exactly such feeds)."""
+    p = tmp_path / "messy.csv"
+    p.write_text("a,b,c\n1,x,2.5\nnotanint,q,notadouble\n3,y,4.5\n")
+    schema = "a INT, b STRING, c DOUBLE, _corrupt_record STRING"
+    permissive = (spark.read.option("header", "true")
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record")
+                  .schema(schema).csv(str(p)))
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("notanint")
+    dropped = (spark.read.option("header", "true")
+               .option("mode", "DROPMALFORMED")
+               .schema("a INT, b STRING, c DOUBLE").csv(str(p)))
+    # Spark caveat, pinned deliberately: count() prunes all columns, so
+    # nothing is parsed and malformed rows are NOT dropped from the
+    # count — only a materializing action sees the filtered data.
+    assert dropped.count() == 3
+    assert [tuple(r) for r in dropped.collect()] == [(1, "x", 2.5),
+                                                     (3, "y", 4.5)]
