@@ -200,31 +200,76 @@ SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
 FROM embeddings"""
 
 
-@query("dedup_embedding_cosine", oracle=f"""
-WITH n AS ({_NORM_SQL})
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+def _embedding_cosine_oracle() -> str:
+    """DuckDB twin of dedup_embedding_cosine — replays the banded
+    sign-bit candidate generation (same md5-derived hyperplanes) and the
+    exact-cosine verify bit-for-bit."""
+    from results_ingestor_spark.plans.similarity_q import _lsh_bucket_sql
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+b AS (SELECT vec_id, ({_lsh_bucket_sql()}) AS bkt FROM v),
+keyed AS (
+  SELECT vec_id, bidx, (bkt >> (4 * bidx)) & 15 AS bkey
+  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bidx)),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.vec_id < r.vec_id),
+n AS ({_NORM_SQL})
+SELECT id_a, id_b,
   round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-         FROM (SELECT unnest(a.embedding) AS xa, unnest(b.embedding) AS xb))
+         FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb))
         / (na.nrm * nb.nrm), 9) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-JOIN n na ON na.vec_id = a.vec_id
-JOIN n nb ON nb.vec_id = b.vec_id
+FROM cand
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings c ON c.vec_id = id_b
+JOIN n na ON na.vec_id = id_a
+JOIN n nb ON nb.vec_id = id_b
 WHERE round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-       FROM (SELECT unnest(a.embedding) AS xa, unnest(b.embedding) AS xb))
-      / (na.nrm * nb.nrm), 9) >= 0.35""")
+       FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb))
+      / (na.nrm * nb.nrm), 9) >= 0.35"""
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all-pairs at test SF (500 vectors);
-    the documented scale path buckets by LSH sign bits first
-    (operators/similarity.py) so the pairwise stage is per-bucket."""
+    """Embedding-cosine near-dup, LSH-banded — the scale-safe shape.
+
+    The 16 sign-bit hyperplane buckets (operators/similarity.py::
+    bucket_expr) are split into 4 bands of 4 bits; a pair is a candidate
+    iff it collides on ANY band (classic banding: OR across bands lifts
+    recall the way single-bucket equality cannot).  Exact cosine then
+    verifies only the candidates.  Every stage is an equi-join — at
+    100 TB the shuffle carries (band_key, vec_id) pairs and vector
+    bodies move only for candidate ids, never O(n²).  The md5-derived
+    planes make the whole pipeline SQL-reproducible, so even this
+    approximate path is value-checked against the oracle."""
     from results_ingestor_spark.functions.vector import cosine_similarity
+    from results_ingestor_spark.operators.similarity import bucket_expr
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = ensure_min_parallelism(t["embeddings"]).select("vec_id", "embedding")
+    bkt = e.select("vec_id", bucket_expr("embedding", 64).alias("bkt"))
+    keyed = bkt.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("bidx"),
+                     F.shiftright(F.col("bkt"), 4 * j).bitwiseAND(F.lit(15))
+                     .alias("bkey"))
+            for j in range(4)])).alias("band"),
+    ).select("vec_id", "band.bidx", "band.bkey")
+    cand = (keyed.alias("l")
+            .join(keyed.alias("r"), ["bidx", "bkey"])
+            .where(F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(F.col("l.vec_id").alias("id_a"),
+                    F.col("r.vec_id").alias("id_b"))
+            .distinct())
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = F.round(cosine_similarity("va", "vb"), 9)
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= 0.35))
 

@@ -564,7 +564,7 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_argminmax_conditional", oracle="""
 WITH agg AS (
   SELECT o_orderstatus,
-    count_if(o_totalprice > 150000) AS n_big,
+    CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
     round(max(o_totalprice), 2) AS max_price,
     round(min(o_totalprice), 2) AS min_price
   FROM orders GROUP BY o_orderstatus),

@@ -197,8 +197,9 @@ WITH flagged AS (
          THEN 1 ELSE 0 END AS first_seen
   FROM events)
 SELECT event_id, event_type,
-  SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS running_distinct_users
+  CAST(SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS running_distinct_users
 FROM flagged""")
 def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running COUNT(DISTINCT user) per event_type — an aggregate SQL

@@ -36,31 +36,89 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf strings: '134217728', '128m', '128MB', '4g'."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                      ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
 def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition only when the upstream scan yields fewer splits than
     cores (small files / few parquet row groups — a local-testdata
     artifact).  At production scale the scan has far more splits than
     cores and this is a no-op, so no gratuitous shuffle is added.
+
+    Split count is *estimated* from input-file sizes with Spark's own
+    FilePartition arithmetic (maxPartitionBytes / openCostInBytes) —
+    ``df.rdd.getNumPartitions()`` would be exact but forces a
+    DataFrame→RDD plan conversion on every call, a per-query driver tax
+    this estimate avoids (round-2 review).
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    conf = spark.conf
+    max_split = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _parse_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:  # non-file source (in-memory test frames): trust upstream
+        return df
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file:") and "//" in uri[:8] else uri
+        path = path.split("://")[-1]
+        try:
+            total += os.path.getsize(path) + open_cost
+        except OSError:
+            return df  # remote store: scan splits are plentiful at scale
+    # Spark's FilePartition sizing: split width shrinks toward
+    # bytesPerCore so small inputs still fan out across the cluster.
+    bytes_per_core = total // max(1, cores)
+    max_split_bytes = min(max_split, max(open_cost, bytes_per_core))
+    est_splits = max(1, -(-total // max(1, max_split_bytes)))
+    if est_splits < cores:
         return df.repartition(cores * factor)
     return df
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet.  Spark reads it as long
-    nanoseconds (legacy.parquet.nanosAsLong); convert to a microsecond
-    timestamp — the same truncation DuckDB applies when it coerces
-    TIMESTAMP_NS to its native TIMESTAMP."""
+    """Normalize events.ts to TimestampType (LTZ) regardless of how the
+    corpus was written.
+
+    Observed corpus encodings across driver regenerations:
+      * parquet TIMESTAMP(NANOS) → Spark reads long nanoseconds
+        (legacy.parquet.nanosAsLong); convert to a microsecond timestamp —
+        the same truncation DuckDB applies coercing TIMESTAMP_NS.
+      * parquet timestamp[us] without timezone → Spark reads TIMESTAMP_NTZ;
+        cast to TIMESTAMP.  The session timezone is pinned to UTC
+        (session.py), so the wall-clock values are preserved exactly and
+        match DuckDB's naive-UTC reading of the same file.
+
+    Downstream operators (unix_micros, withWatermark, window) require
+    TimestampType, so this is the single choke-point for the policy.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
-    if ts_field is not None and isinstance(ts_field.dataType, T.LongType):
+    if ts_field is None:
+        return df
+    if isinstance(ts_field.dataType, T.LongType):
         # integer division — double division would lose precision on
         # 19-digit nanosecond values and drift by ±1 µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_field.dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -153,3 +153,28 @@ def test_csv_malformed_row_modes(spark, tmp_path):
     assert dropped.count() == 3
     assert [tuple(r) for r in dropped.collect()] == [(1, "x", 2.5),
                                                      (3, "y", 4.5)]
+
+
+def test_events_ts_normalized_to_timestamp_all_sfs(spark):
+    """Corpus-regeneration tripwire (round-2 postmortem): whatever
+    physical type the driver writes events.ts as — TIMESTAMP(NANOS)
+    read as long, timestamp[us] read as TIMESTAMP_NTZ, or a plain
+    TIMESTAMP — load_tables must hand every consumer a TimestampType
+    column, or unix_micros/withWatermark/window break across the tree.
+    Checked at every SF present so the next regeneration fails HERE
+    with a type name, not eight queries deep in analysis errors."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from results_ingestor_spark.sources.tables import load_tables
+
+    root = os.path.dirname(os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"))
+    sfs = [d for d in sorted(os.listdir(root))
+           if os.path.exists(os.path.join(root, d, "events.parquet"))]
+    assert sfs, f"no events.parquet under {root}/*"
+    for sf in sfs:
+        ev = load_tables(spark, os.path.join(root, sf), ("events",))["events"]
+        ts = ev.schema["ts"].dataType
+        assert isinstance(ts, T.TimestampType), f"{sf}: events.ts is {ts}"

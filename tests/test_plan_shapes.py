@@ -328,3 +328,14 @@ def test_jl_projection_no_shuffle_no_python(plans):
     p = plans("embedding_random_projection")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_embedding_cosine_dedup_no_all_pairs(plans):
+    """dedup_embedding_cosine must candidate-generate via the banded
+    sign-bit equi-join, never an all-pairs theta join: no nested-loop /
+    cartesian operator anywhere in the plan, and the verify stage's
+    SortMergeJoin/ShuffledHashJoin keys are ids, not inequalities."""
+    p = plans("dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
