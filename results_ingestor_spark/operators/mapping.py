@@ -3,11 +3,11 @@
 ``suggest_mapping`` is a pure driver-side metadata function (it sees
 column *names*, never data — no Spark job).  The reference uses
 fuzzywuzzy's WRatio with a >60 threshold and a ``candidate``→``choice``
-fallback (ingestor_precinct.py:126-129); we reproduce the scoring shape
-with a dependency-free scorer (difflib ratio over normalized names,
-boosted for token containment).  Parity standard per SURVEY §7: a
-reasonable mapping on the fixture headers — the reference step is a
-human-confirmed *suggestion*, not a deterministic transform.
+fallback (ingestor_precinct.py:126-129); ``wratio`` below is a
+dependency-free reimplementation of that published algorithm
+(difflib-backed, as fuzzywuzzy runs without python-Levenshtein):
+full-process normalization, plain ratio, and the partial / token-sort /
+token-set family combined under WRatio's length-ratio weighting rules.
 
 ``apply_mapping`` is the data path (ingestor_precinct.py:155-164):
 constant-fill unmatched targets (literal date parse for election_date),
@@ -25,23 +25,86 @@ from pyspark.sql import functions as F
 
 MATCH_THRESHOLD = 60  # ingestor_precinct.py:129
 
+# \W == [^a-zA-Z0-9_]: underscores survive normalization, matching the
+# tokenization the reference's scorer applies to header names.
+_NON_WORD = re.compile(r"\W+")
 
-def _norm(s: str) -> str:
-    return re.sub(r"[^a-z0-9 ]", " ", s.lower().replace("_", " ")).strip()
+
+def _full_process(s: str) -> str:
+    return _NON_WORD.sub(" ", s).lower().strip()
+
+
+def _intr(x: float) -> int:
+    return int(round(x))
+
+
+def _ratio(a: str, b: str) -> int:
+    if not a and not b:
+        return 100
+    return _intr(100 * difflib.SequenceMatcher(None, a, b).ratio())
+
+
+def _partial_ratio(a: str, b: str) -> int:
+    """Best ratio of the shorter string vs any same-length alignment of
+    the longer, anchored at difflib's matching blocks."""
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    if not shorter:
+        return 100 if not longer else 0
+    blocks = difflib.SequenceMatcher(None, shorter, longer).get_matching_blocks()
+    best = 0.0
+    for block in blocks:
+        start = max(block[1] - block[0], 0)
+        window = longer[start:start + len(shorter)]
+        r = difflib.SequenceMatcher(None, shorter, window).ratio()
+        if r > 0.995:
+            return 100
+        best = max(best, r)
+    return _intr(100 * best)
+
+
+def _sorted_tokens(s: str) -> str:
+    return " ".join(sorted(s.split())).strip()
+
+
+def _token_sort(a: str, b: str, partial: bool) -> int:
+    f = _partial_ratio if partial else _ratio
+    return f(_sorted_tokens(a), _sorted_tokens(b))
+
+
+def _token_set(a: str, b: str, partial: bool) -> int:
+    ta, tb = set(a.split()), set(b.split())
+    sect = " ".join(sorted(ta & tb)).strip()
+    comb_a = (sect + " " + " ".join(sorted(ta - tb))).strip()
+    comb_b = (sect + " " + " ".join(sorted(tb - ta))).strip()
+    f = _partial_ratio if partial else _ratio
+    return max(f(sect, comb_a), f(sect, comb_b), f(comb_a, comb_b))
+
+
+def wratio(s1: str, s2: str) -> int:
+    """fuzzywuzzy WRatio, reimplemented from the published algorithm.
+
+    base ratio; if the length ratio >= 1.5 switch to partial variants
+    scaled by .9 (.6 when one side is >8x longer), token variants scaled
+    by a further .95; return the max, rounded.
+    """
+    p1, p2 = _full_process(s1), _full_process(s2)
+    if not p1 or not p2:
+        return 0
+    base = _ratio(p1, p2)
+    len_ratio = max(len(p1), len(p2)) / min(len(p1), len(p2))
+    if len_ratio < 1.5:
+        tsor = _token_sort(p1, p2, partial=False) * 0.95
+        tser = _token_set(p1, p2, partial=False) * 0.95
+        return _intr(max(base, tsor, tser))
+    partial_scale = 0.6 if len_ratio > 8 else 0.9
+    partial = _partial_ratio(p1, p2) * partial_scale
+    ptsor = _token_sort(p1, p2, partial=True) * 0.95 * partial_scale
+    ptser = _token_set(p1, p2, partial=True) * 0.95 * partial_scale
+    return _intr(max(base, partial, ptsor, ptser))
 
 
 def _score(target: str, candidate: str) -> int:
-    """0-100 similarity, shaped like fuzzywuzzy's WRatio: full-string
-    ratio, with a floor of 90 when one normalized name's tokens are a
-    subset of the other's (WRatio's partial/token heuristics)."""
-    a, b = _norm(target), _norm(candidate)
-    if not a or not b:
-        return 0
-    ratio = int(round(100 * difflib.SequenceMatcher(None, a, b).ratio()))
-    ta, tb = set(a.split()), set(b.split())
-    if ta and tb and (ta <= tb or tb <= ta):
-        ratio = max(ratio, 90)
-    return ratio
+    return wratio(target, candidate)
 
 
 def extract_one(target: str, candidates: list[str]) -> tuple[str, int] | None:

@@ -51,6 +51,20 @@ def test_multi_file_union_and_null_sentinel(spark, fixture_dir):
     assert by_choice["Smith"]["Vote For"] is None       # missing col → NULL
 
 
+def test_wratio_published_goldens():
+    # Golden values from the published fuzzywuzzy docs/tests (difflib
+    # backend, as it runs without python-Levenshtein) — the scorer the
+    # reference calls at ingestor_precinct.py:126-129.
+    from results_ingestor_spark.operators.mapping import wratio
+    assert wratio("this is a test", "this is a test!") == 100
+    assert wratio("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") == 95
+    assert wratio("", "anything") == 0
+    assert wratio("county", "county_name") == 90          # partial window
+    assert wratio("precinct", "precinct_code") == 90
+    assert wratio("candidate", "choice") < 60             # forces fallback
+    assert wratio("abc", "abc") == 100
+
+
 def test_suggest_mapping_fixture_headers(spark, fixture_dir):
     df = read_result_files(spark, fixture_dir)
     m = suggest_mapping(df.columns, CANONICAL)
