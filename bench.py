@@ -36,6 +36,11 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
     "market_basket_rules",
     "embedding_random_projection",
+    # round 3: map-only RAG chunking, bigram-LM scoring (join-heavy),
+    # iterative BPE training (driver-coordinated argmax per merge)
+    "text_chunk_windows",
+    "lm_bigram_perplexity",
+    "bpe_train_merges",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Byte-pair-encoding merge training as a Spark iterative algorithm.
+
+The published BPE trainer (Sennrich et al. 2016) counts adjacent symbol
+pairs over the *word vocabulary with frequencies* — not the raw corpus —
+so after one corpus-sized group-by the iteration state is vocabulary-
+sized and corpus-size-independent.  That is the scale contract here:
+
+- one shuffle over the corpus builds ``(word, count)``;
+- each merge iteration is a vocabulary-sized explode + group-by and a
+  **single-row** driver collect (the argmax pair), the same driver
+  footprint as a k-means centroid step;
+- the merge rewrite is a JVM ``aggregate`` fold over the symbol array
+  (greedy left-to-right, non-overlapping — standard BPE semantics).
+
+The reference has no tokenizer surface; this extends the north-star
+text-pipeline family (token counting: SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+END = "</w>"
+
+MERGE_SCHEMA = T.StructType([
+    T.StructField("merge_rank", T.IntegerType(), False),
+    T.StructField("left", T.StringType(), False),
+    T.StructField("right", T.StringType(), False),
+    T.StructField("merged", T.StringType(), False),
+    T.StructField("pair_count", T.LongType(), False),
+])
+
+
+def _initial_symbols() -> Column:
+    """word → [c, h, a, r, s…, last</w>] (end-of-word marker fused onto
+    the final character, per the published algorithm)."""
+    chars = F.split(F.col("word"), "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(END))))
+
+
+def _merge_fold(left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs
+    via a JVM aggregate fold — no Python in the rewrite."""
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = ((F.size(acc) > 0)
+               & (F.element_at(acc, -1) == F.lit(left))
+               & (x == F.lit(right)))
+        return (F.when(hit,
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(F.lit(merged))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    empty = F.expr("CAST(array() AS array<string>)")
+    return F.aggregate(F.col("symbols"), empty, step)
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a document corpus.
+
+    Returns a small DataFrame (merge_rank, left, right, merged,
+    pair_count), deterministic under the (count DESC, left ASC,
+    right ASC) tie-break.
+    """
+    spark = docs.sparkSession
+    words = (docs
+             .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+             .where(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .select(_initial_symbols().alias("symbols"), "cnt"))
+    words = words.localCheckpoint(eager=True)  # vocab-sized, truncates lineage
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        n = F.size("symbols")
+        pairs = words.select(
+            "cnt",
+            F.explode(F.arrays_zip(
+                F.slice("symbols", 1, n - 1).alias("a"),
+                F.slice("symbols", 2, n - 1).alias("b"))).alias("p"))
+        counts = (pairs
+                  .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                  .agg(F.sum("cnt").alias("c")))
+        top = (counts
+               .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+               .first())  # single-row driver collect, centroid-sized
+        if top is None:
+            break
+        merges.append((rank, top["a"], top["b"], top["a"] + top["b"],
+                       int(top["c"])))
+        words = (words
+                 .withColumn("symbols", _merge_fold(top["a"], top["b"]))
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(merges, MERGE_SCHEMA)

@@ -24,6 +24,7 @@ from results_ingestor_spark.plans import pipeline_q  # noqa: E402,F401
 from results_ingestor_spark.plans import graph_q  # noqa: E402,F401
 from results_ingestor_spark.plans import spatial_q  # noqa: E402,F401
 from results_ingestor_spark.plans import stats_q  # noqa: E402,F401
+from results_ingestor_spark.plans import corpus_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
 # queries.  Import order alone would spend that whole window on the

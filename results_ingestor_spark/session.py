@@ -70,10 +70,20 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
     The driver hands ``queries()`` callables an externally-built session;
     this pins the confs correctness depends on (timezone, AQE).
+
+    Memoized per session object: load_tables calls this on every query
+    build, and each conf.set is a JVM round-trip — pinning once is
+    enough (nothing in-tree unpins them).
     """
+    if getattr(spark, "_rispark_tuned", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # conf not runtime-settable on this build — skip
             pass
+    try:
+        spark._rispark_tuned = True
+    except Exception:
+        pass
     return spark

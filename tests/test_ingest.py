@@ -51,6 +51,28 @@ def test_multi_file_union_and_null_sentinel(spark, fixture_dir):
     assert by_choice["Smith"]["Vote For"] is None       # missing col → NULL
 
 
+def test_python_datasource_matches_builtin_reader(spark, fixture_dir):
+    """format('election_results') — the Spark 4 Python DataSource — must
+    produce exactly the rows the built-in-reader path produces (same
+    union-by-header alignment, same NULL sentinel), with one partition
+    per input file."""
+    from results_ingestor_spark.sources import pyds
+    pyds.register(spark)
+    ds = spark.read.format("election_results").load(fixture_dir)
+    builtin = read_result_files(spark, fixture_dir)
+    assert set(ds.columns) == set(builtin.columns)
+    cols = sorted(ds.columns)
+    # builtin path infers types; the source is all-string by contract —
+    # compare after casting builtin to string
+    from pyspark.sql import functions as F
+    b = builtin.select([F.col(c).cast("string").alias(c) for c in cols])
+    d = ds.select(cols)
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert sorted(map(tuple, d.collect()), key=key) == \
+        sorted(map(tuple, b.collect()), key=key)
+    assert ds.rdd.getNumPartitions() == 2  # one per file
+
+
 def test_wratio_published_goldens():
     # Golden values from the published fuzzywuzzy docs/tests (difflib
     # backend, as it runs without python-Levenshtein) — the scorer the

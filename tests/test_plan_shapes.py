@@ -339,3 +339,35 @@ def test_embedding_cosine_dedup_no_all_pairs(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_chunk_windows_map_only(plans):
+    """text_chunk_windows is sequence+explode+slice — a pure narrow
+    stage: no exchange, no Python, generator stays in codegen scope."""
+    p = plans("text_chunk_windows")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bigram_lm_equi_joins_only(plans):
+    """lm_bigram_perplexity joins bigrams to their counts on exact keys;
+    the only nested-loop allowed is the 1-row vocabulary-size broadcast
+    combine."""
+    p = plans("lm_bigram_perplexity")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row V scalar only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ks_window_over_preaggregated_values(plans):
+    """stats_ks_two_sample's global-order window must sit ABOVE the
+    value-level pre-aggregation (window input = distinct values, not raw
+    rows): exactly one hash aggregate pair below the first Window node."""
+    p = plans("stats_ks_two_sample")
+    # the value-keyed aggregate must exist, and the single-partition
+    # exchange (window input) must sit ABOVE it (plan prints top-down):
+    # only distinct-value rows ever cross into the one-partition region.
+    sp = p.find("Exchange SinglePartition")
+    by_value = p.find("HashAggregate(keys=[value")
+    assert sp != -1 and by_value != -1
+    assert sp < by_value
