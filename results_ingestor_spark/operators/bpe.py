@@ -43,7 +43,8 @@ def _initial_symbols() -> Column:
         F.array(F.concat(F.element_at(chars, -1), F.lit(END))))
 
 
-def _merge_fold(left: str, right: str) -> Column:
+def _merge_fold(left: str, right: str,
+                symbols: Column | None = None) -> Column:
     """Greedy left-to-right merge of adjacent (left, right) symbol pairs
     via a JVM aggregate fold — no Python in the rewrite."""
     merged = left + right
@@ -58,7 +59,8 @@ def _merge_fold(left: str, right: str) -> Column:
                 .otherwise(F.concat(acc, F.array(x))))
 
     empty = F.expr("CAST(array() AS array<string>)")
-    return F.aggregate(F.col("symbols"), empty, step)
+    src = F.col("symbols") if symbols is None else symbols
+    return F.aggregate(src, empty, step)
 
 
 def train_bpe_merges(docs: DataFrame, n_merges: int = 8,
@@ -99,3 +101,31 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 8,
                  .withColumn("symbols", _merge_fold(top["a"], top["b"]))
                  .localCheckpoint(eager=True))
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
+                         text_col: str = "text") -> DataFrame:
+    """Segment documents with a learned merge list → per-doc subword
+    counts (doc_id, n_words, n_subwords, compression = chars/subwords).
+
+    Scale shape: the merge-fold chain is applied to the *distinct word
+    vocabulary* (one group-by), then joined back — per-word work is done
+    once however often the word repeats, and the applied chain is pure
+    JVM expression folds (no Python, no per-merge jobs)."""
+    words = (docs
+             .select("doc_id", F.explode(F.split(F.col(text_col), " "))
+                     .alias("word"))
+             .where(F.col("word") != ""))
+    vocab = words.groupBy("word").agg(F.count("*").alias("_n")).drop("_n")
+    sym = _initial_symbols()
+    for left, right in merges:
+        sym = _merge_fold(left, right, symbols=sym)
+    subtok = vocab.select(
+        "word", F.size(sym).alias("n_sub"),
+        F.length("word").cast("long").alias("n_chr"))
+    return (words.join(subtok, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sub").alias("n_subwords"),
+                 F.round(F.sum("n_chr").cast("double") / F.sum("n_sub"), 6)
+                  .alias("chars_per_subword")))

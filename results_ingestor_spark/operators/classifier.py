@@ -1,0 +1,105 @@
+"""Logistic-regression quality classifier trained with DataFrame-only
+batch gradient descent — the classifier-based document-quality filter
+(the FineWeb / fasttext-filter shape) as a Spark iterative algorithm.
+
+Scale contract (same family as the k-means IVF trainer,
+operators/similarity.py):
+
+- features and labels are computed IN-PLAN from the documents table
+  (no feature materialization, no Python);
+- each GD iteration is ONE aggregation job whose map side computes
+  per-partition partial gradient sums (Catalyst partial aggregation),
+  so the shuffle payload is d+1 doubles per partition;
+- only the weight vector (d+1 doubles) ever reaches the driver, once
+  per iteration — centroid-sized traffic, corpus-size-independent;
+- scoring with the trained weights is a pure codegen map stage.
+
+Label: whether the document passes a length-based quality gate
+(n_chars >= 300) — rule distillation: a hard heuristic teaches a smooth
+scorer, the same weak-supervision shape as classifier-based quality
+filters (a trusted labeled subset → a filter for the open crawl).  The
+synthetic corpus's lang/source columns are statistically independent of
+the text, so the gate rule is the only label the corpus makes learnable
+— the point here is the distributed-GD mechanics and its cross-engine
+value check, not the label semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUALITY_GATE_CHARS = 300  # label: n_chars >= gate (≈ corpus median)
+
+
+def feature_columns() -> list[Column]:
+    """Six deterministic text features + implicit bias handled by the
+    caller.  All built-in expressions (codegen)."""
+    tk = F.split("text", " ")
+    n_tok = F.size(tk).cast("double")
+    n_chr = F.length("text").cast("double")
+    return [
+        F.lit(1.0),                                            # bias
+        F.least(n_tok / 200.0, F.lit(1.0)),                    # length prior
+        F.size(F.array_distinct(tk)).cast("double") / n_tok,   # TTR
+        (n_chr - F.length(F.regexp_replace("text", r"[0-9]", ""))) / n_chr,
+        (n_chr - F.length(F.regexp_replace("text", r"[aeiou]", ""))) / n_chr,
+        F.least(n_chr / n_tok / 10.0, F.lit(1.0)),             # avg token len
+    ]
+
+
+def _label() -> Column:
+    return (F.length("text") >= QUALITY_GATE_CHARS).cast("double")
+
+
+def train_quality_classifier(docs: DataFrame, iterations: int = 10,
+                             lr: float = 5.0) -> list[dict]:
+    """Batch GD on logistic loss.  Returns per-iteration
+    {iteration, loss, weights} with loss measured BEFORE that step's
+    update (so loss[0] is the untrained baseline).
+
+    Weights are rounded to 9 dp after every update: double summation
+    order across partitions perturbs gradients at ~1e-15 relative, and
+    the rounding quantizes that noise away so the trajectory is
+    bit-reproducible run-to-run AND matches the DuckDB unrolled-CTE
+    oracle exactly (same rounding there)."""
+    feats = feature_columns()
+    d = len(feats)
+    base = docs.select(*[feats[j].alias(f"x{j}") for j in range(d)],
+                       _label().alias("y"))
+    base = base.localCheckpoint(eager=True)  # features once, reused per iter
+
+    w = [0.0] * d
+    history: list[dict] = []
+    for it in range(iterations):
+        z = sum(F.col(f"x{j}") * float(w[j]) for j in range(d))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        # logistic loss: -[y ln p + (1-y) ln (1-p)]; clamp for ln(0)
+        pc = F.greatest(F.least(p, F.lit(1 - 1e-12)), F.lit(1e-12))
+        loss = -(F.col("y") * F.log(pc)
+                 + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc))
+        row = base.agg(
+            F.avg(loss).alias("loss"),
+            *[F.avg(err * F.col(f"x{j}")).alias(f"g{j}") for j in range(d)]
+        ).first()  # one job; d+2 doubles to the driver
+        w = [round(w[j] - lr * row[f"g{j}"], 9) for j in range(d)]
+        history.append({"iteration": it, "loss": float(row["loss"]),
+                        "weights": list(w)})
+    return history
+
+
+def score_quality(docs: DataFrame, weights: list[float]) -> DataFrame:
+    """Apply trained weights — pure map stage, no shuffle."""
+    feats = feature_columns()
+    z = sum(feats[j] * float(weights[j]) for j in range(len(weights)))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select("doc_id", "source",
+                       F.round(p, 6).alias("quality_prob"),
+                       (p >= 0.5).alias("keep"))
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -168,3 +168,225 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return train_bpe_merges(t["documents"], n_merges=8)
+
+
+_GD_ITERS = 8
+_GD_LR = 5.0
+_N_FEAT = 6
+
+_FEAT_SQL = f"""feat AS (
+  SELECT
+    1.0 AS x0,
+    least(len({_TOKS}) / 200.0, 1.0) AS x1,
+    len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE) AS x2,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      / CAST(length(text) AS DOUBLE) AS x3,
+    (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+      / CAST(length(text) AS DOUBLE) AS x4,
+    least(CAST(length(text) AS DOUBLE) / len({_TOKS}) / 10.0, 1.0) AS x5,
+    CASE WHEN length(text) >= 300 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)"""
+
+
+def _gd_oracle() -> str:
+    """Unrolled-CTE twin of the DataFrame GD loop: DuckDB runs its own
+    8 gradient-descent iterations (weights chained through 1-row CTEs,
+    rounded to 9 dp exactly like the Spark trainer), so the value check
+    covers feature parity AND the optimization trajectory."""
+    js = range(_N_FEAT)
+    parts = ["WITH " + _FEAT_SQL,
+             "wt0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in js) + ")"]
+    pc = "greatest(least(p, 1.0 - 1e-12), 1e-12)"
+    for i in range(_GD_ITERS):
+        z = " + ".join(f"f.x{j} * w.w{j}" for j in js)
+        parts.append(
+            f"p{i} AS (SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p "
+            f"FROM feat f CROSS JOIN wt{i} w)")
+        gs = ", ".join(f"avg((p - y) * x{j}) AS g{j}" for j in js)
+        parts.append(
+            f"a{i} AS (SELECT avg(-(y * ln({pc}) "
+            f"+ (1.0 - y) * ln(1.0 - {pc}))) AS loss, {gs} FROM p{i})")
+        ws = ", ".join(f"round(w.w{j} - {_GD_LR} * a.g{j}, 9) AS w{j}"
+                       for j in js)
+        parts.append(
+            f"wt{i + 1} AS (SELECT {ws} FROM wt{i} w CROSS JOIN a{i} a)")
+    rows = [
+        f"SELECT CAST({i} AS BIGINT) AS iteration, round(a{i}.loss, 6) AS "
+        "loss, " + ", ".join(f"w.w{j} AS w{j}" for j in js)
+        + f" FROM a{i} CROSS JOIN wt{i + 1} w"
+        for i in range(_GD_ITERS)]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("quality_classifier_train", oracle=_gd_oracle())
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the logistic quality classifier (operators/classifier.py)
+    and return the full optimization trajectory — iteration, pre-update
+    loss, post-update weights.  Value-checked against a DuckDB oracle
+    that unrolls the same 8 GD iterations in chained CTEs (the
+    pagerank-oracle technique): both engines independently optimize and
+    must land on identical 9-dp weight trajectories."""
+    from results_ingestor_spark.operators.classifier import (
+        train_quality_classifier)
+    t = load_tables(spark, sf_dir, ("documents",))
+    hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
+                                    lr=_GD_LR)
+    rows = [(h["iteration"], round(h["loss"], 6), *h["weights"])
+            for h in hist]
+    schema = ("iteration long, loss double, "
+              + ", ".join(f"w{j} double" for j in range(_N_FEAT)))
+    return spark.createDataFrame(rows, schema)
+
+
+@query("quality_classifier_score")  # weights are train-derived → rows-only
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier — a pure map
+    stage once the (driver-side, d+1-double) weight vector exists.
+    Driver check is rows-only; the training trajectory feeding it is
+    value-checked by quality_classifier_train, and pytest gates
+    held-out-accuracy > majority baseline."""
+    from results_ingestor_spark.operators.classifier import (
+        score_quality, train_quality_classifier)
+    t = load_tables(spark, sf_dir, ("documents",))
+    hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
+                                    lr=_GD_LR)
+    return score_quality(t["documents"], hist[-1]["weights"])
+
+
+@query("bpe_tokenize_docs")  # merges are train-derived → rows-only
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained 8-merge BPE to every document → per-doc
+    subword counts and compression ratio.  The merge chain is folded
+    over the distinct word *vocabulary* (not the corpus) and joined
+    back, so segmentation work is vocabulary-sized.  Golden-tested on
+    the published example in tests/test_bpe.py."""
+    from results_ingestor_spark.operators.bpe import tokenize_with_merges
+    t = load_tables(spark, sf_dir, ("documents",))
+    m = train_bpe_merges(t["documents"], n_merges=8)
+    pairs = [(r["left"], r["right"]) for r in m.collect()]
+    return tokenize_with_merges(t["documents"], pairs)
+
+
+@query("dedup_semantic_clusters")  # k-means-derived clusters → rows-only
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: k-means clusters bound the
+    quadratic — candidate pairs are enumerated only WITHIN a cluster
+    (join keyed on centroid id), exact cosine verifies, and a document
+    is dropped when any lower-id in-cluster neighbor exceeds the
+    threshold (deterministic keep-first rule).  Returns per-cluster
+    (cid, n_vecs, n_dropped, drop_rate).
+
+    Scale: at n docs one sizes k ~ sqrt(n) so expected cluster size is
+    bounded; the pair join shuffles (cid, id) and AQE's skew-join covers
+    hot clusters.  Centroids are k x dim driver literals (the k-means
+    contract of operators/similarity.py); the invariant that every
+    dropped doc has a >=tau lower-id neighbor is pinned in
+    tests/test_classifier.py's sibling, tests/test_dedup.py."""
+    from results_ingestor_spark.functions.vector import cosine_similarity
+    from results_ingestor_spark.operators.similarity import (
+        assign_centroid_expr, kmeans_centroids)
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    tau = 0.35
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = ensure_min_parallelism(t["embeddings"]).select("vec_id", "embedding")
+    cents = kmeans_centroids(e, n_clusters=8, n_iter=3)
+    assigned = e.select(
+        "vec_id", "embedding",
+        assign_centroid_expr(cents, "embedding").alias("cid"))
+    a = assigned.select(F.col("cid"), F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"))
+    b = assigned.select(F.col("cid"), F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"))
+    dropped = (a.join(b, "cid")
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(F.round(cosine_similarity("va", "vb"), 9) >= tau)
+               .select("cid", F.col("id_b").alias("vec_id"))
+               .distinct())
+    per_cluster = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    drops = dropped.groupBy("cid").agg(F.count("*").alias("n_dropped"))
+    return (per_cluster.join(drops, "cid", "left")
+            .select("cid", "n_vecs",
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                    F.round(F.coalesce("n_dropped", F.lit(0))
+                            / F.col("n_vecs"), 6).alias("drop_rate")))
+
+
+def _er_oracle() -> str:
+    from results_ingestor_spark.operators.election import CONTEST_PRECINCT_SQL
+    return f"""
+WITH RECURSIVE frame AS ({CONTEST_PRECINCT_SQL}),
+recs AS (
+  SELECT DISTINCT candidate, first_name,
+    coalesce(middle_name, '') AS middle_name, last_name
+  FROM frame),
+r AS (
+  SELECT concat_ws('|', candidate, first_name, middle_name, last_name)
+           AS rec_id,
+         candidate, first_name, middle_name, last_name
+  FROM recs),
+e AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+  FROM r a JOIN r b
+    ON a.last_name = b.last_name AND a.rec_id < b.rec_id
+   AND levenshtein(a.first_name, b.first_name) <= 1
+   AND (a.middle_name = b.middle_name
+        OR a.middle_name = '' OR b.middle_name = '')),
+edges AS (SELECT id_a AS a, id_b AS b FROM e
+          UNION SELECT id_b, id_a FROM e),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT rc.a, ed.b FROM reach rc JOIN edges ed ON rc.b = ed.a),
+reps AS (
+  SELECT a AS rec_id, least(a, min(b)) AS cluster_rep
+  FROM reach GROUP BY a),
+labeled AS (
+  SELECT r.rec_id, coalesce(p.cluster_rep, r.rec_id) AS cluster_rep
+  FROM r LEFT JOIN reps p ON p.rec_id = r.rec_id)
+SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_records
+FROM labeled GROUP BY cluster_rep"""
+
+
+@query("er_candidate_records", oracle=_er_oracle())
+def er_candidate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over candidate name records: block on
+    last_name, score pairs (levenshtein(first) <= 1, compatible middle
+    names — equal or absent), then connected components via distributed
+    min-label propagation.  The oracle resolves the same entities with
+    a recursive CTE — two different algorithms, identical clusters.
+
+    Scale: blocking bounds the pair join (the classic ER recipe); the
+    shuffle carries (block_key, record) and CC rounds shuffle (node,
+    label) only.  Record ids are the canonical pipe-joined name string,
+    so min-label = lexicographic least works identically in both
+    engines."""
+    from results_ingestor_spark.operators.dedup import connected_components
+    from results_ingestor_spark.operators.election import (
+        contest_precinct_frame)
+    frame = contest_precinct_frame(spark, sf_dir)
+    recs = (frame.select(
+        "candidate", "first_name",
+        F.coalesce("middle_name", F.lit("")).alias("middle_name"),
+        "last_name").distinct())
+    r = recs.select(
+        F.concat_ws("|", "candidate", "first_name", "middle_name",
+                    "last_name").alias("rec_id"),
+        "first_name", "middle_name", "last_name")
+    a = r.select(F.col("rec_id").alias("id_a"),
+                 F.col("first_name").alias("fa"),
+                 F.col("middle_name").alias("ma"),
+                 F.col("last_name").alias("block"))
+    b = r.select(F.col("rec_id").alias("id_b"),
+                 F.col("first_name").alias("fb"),
+                 F.col("middle_name").alias("mb"),
+                 F.col("last_name").alias("block"))
+    edges = (a.join(b, "block")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(F.levenshtein("fa", "fb") <= 1)
+             .where((F.col("ma") == F.col("mb"))
+                    | (F.col("ma") == "") | (F.col("mb") == ""))
+             .select("id_a", "id_b"))
+    labels = connected_components(edges, r.select("rec_id"),
+                                  id_col="rec_id")
+    return (labels.groupBy("cluster_rep")
+            .agg(F.count("*").alias("n_records")))

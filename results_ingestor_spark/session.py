@@ -72,10 +72,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     this pins the confs correctness depends on (timezone, AQE).
 
     Memoized per session object: load_tables calls this on every query
-    build, and each conf.set is a JVM round-trip — pinning once is
-    enough (nothing in-tree unpins them).
+    build, and each conf.set is a JVM round-trip.  The memo is guarded
+    by a single probe of the session timezone — the one conf correctness
+    depends on — so an externally re-configured session (getOrCreate
+    applies new confs to the EXISTING session) still gets re-pinned.
     """
-    if getattr(spark, "_rispark_tuned", False):
+    if (getattr(spark, "_rispark_tuned", False)
+            and spark.conf.get("spark.sql.session.timeZone", "") == "UTC"):
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:

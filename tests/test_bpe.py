@@ -51,3 +51,14 @@ def test_bpe_merge_rank_monotone_counts(corpus):
     rows = train_bpe_merges(corpus, n_merges=8).collect()
     assert [r["merge_rank"] for r in rows] == list(range(len(rows)))
     assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_tokenize_with_merges_published_example(corpus):
+    # After the 5 derived merges: low→[lo,w</w>]=2, lower→[lo,w,e,r</w>]=4,
+    # newest→[n,ewest</w>]=2, widest→[w,i,d,est</w>]=4.
+    from results_ingestor_spark.operators.bpe import tokenize_with_merges
+    m = train_bpe_merges(corpus, n_merges=5)
+    pairs = [(r["left"], r["right"]) for r in m.collect()]
+    row = tokenize_with_merges(corpus, pairs).collect()[0]
+    assert row["n_words"] == 16  # 5+2+6+3
+    assert row["n_subwords"] == 5 * 2 + 2 * 4 + 6 * 2 + 3 * 4

@@ -84,3 +84,41 @@ def test_connected_components_chain_and_singleton(spark):
     got = {r["doc_id"]: r["cluster_rep"] for r in
            connected_components(edges, verts).collect()}
     assert got == {2: 2, 3: 2, 4: 2, 7: 7, 10: 10, 11: 10}
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every count in dedup_semantic_clusters must be consistent with a
+    direct recomputation: n_vecs sums to the corpus size, and every
+    dropped vector has a lower-id >=tau neighbor in its own cluster
+    (the keep-first rule, recomputed independently here)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from results_ingestor_spark.functions.vector import cosine_similarity
+    from results_ingestor_spark.operators.similarity import (
+        assign_centroid_expr, kmeans_centroids)
+    from results_ingestor_spark.sources.tables import load_tables
+
+    res = entry.queries()["dedup_semantic_clusters"](spark, sf_dir)
+    rows = res.collect()
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"] \
+        .select("vec_id", "embedding")
+    n = e.count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert all(0 <= r["n_dropped"] <= r["n_vecs"] for r in rows)
+
+    cents = kmeans_centroids(e, n_clusters=8, n_iter=3)
+    assigned = e.select(
+        "vec_id", "embedding",
+        assign_centroid_expr(cents, "embedding").alias("cid"))
+    a = assigned.select("cid", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"))
+    b = assigned.select("cid", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"))
+    dropped = (a.join(b, "cid")
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(F.round(cosine_similarity("va", "vb"), 9) >= 0.35)
+               .groupBy("cid").agg(F.count_distinct("id_b").alias("nd")))
+    recomputed = {r["cid"]: r["nd"] for r in dropped.collect()}
+    assert {r["cid"]: r["n_dropped"] for r in rows if r["n_dropped"]} \
+        == recomputed

@@ -371,3 +371,37 @@ def test_ks_window_over_preaggregated_values(plans):
     by_value = p.find("HashAggregate(keys=[value")
     assert sp != -1 and by_value != -1
     assert sp < by_value
+
+
+def test_runtime_bloom_filter_prunes_selective_fact_join(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dimension-side
+    predicate should inject a bloom_filter_agg on the build side and a
+    might_contain probe into the fact scan's filters — rows that cannot
+    join are dropped BEFORE the shuffle.  At 100 TB the default
+    thresholds (10 GB application side) arm this automatically; locally
+    we lower them to demonstrate the mechanism and pin that our plans
+    don't defeat it."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.sources.tables import load_tables
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+        sel = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        j = (t["lineitem"]
+             .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+             .agg(F.sum("l_quantity").alias("q")))
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        physical = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in physical
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
