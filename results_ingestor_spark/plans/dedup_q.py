@@ -421,3 +421,62 @@ def dedup_clusters_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cluster_size")
             .agg(F.count("*").alias("n_clusters"))
             .orderBy("cluster_size"))
+
+
+@query("dedup_containment", oracle=f"""
+WITH sigc AS ({_minhash_sql()}),
+keyedc AS (
+  SELECT doc_id,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigc),
+candc AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyedc l JOIN keyedc r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+sh AS (
+  SELECT doc_id, {_SH3} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+SELECT id_a, id_b,
+  CAST(len(a.s) AS BIGINT) AS n_sh_a,
+  CAST(len(b.s) AS BIGINT) AS n_sh_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 9)
+    AS containment_a_in_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 9)
+    AS containment_b_in_a
+FROM candc
+JOIN sh a ON a.doc_id = id_a
+JOIN sh b ON b.doc_id = id_b
+WHERE greatest(
+    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 9),
+    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 9))
+  >= 0.5""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches SUB-document duplication
+    (one doc embedded in a longer one), where symmetric Jaccard stays
+    low because the union is dominated by the longer doc.  Candidates
+    come from the same MinHash band keys (no new index); the exact
+    shingle-set intersection is computed only for candidates, and both
+    direction ratios are reported.  Scale: identical shuffle budget to
+    dedup_minhash_lsh — band-key equi-join plus candidate-only set
+    intersection."""
+    from results_ingestor_spark.operators.text import shingles_expr
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select(
+        "doc_id", "band0", "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    sh = t["documents"].select(
+        "doc_id", shingles_expr("split(text, ' ')", 3).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    c_ab = F.round(inter / F.size("sa"), 9)
+    c_ba = F.round(inter / F.size("sb"), 9)
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.size("sa").cast("long").alias("n_sh_a"),
+                    F.size("sb").cast("long").alias("n_sh_b"),
+                    c_ab.alias("containment_a_in_b"),
+                    c_ba.alias("containment_b_in_a"))
+            .where(F.greatest(F.col("containment_a_in_b"),
+                              F.col("containment_b_in_a")) >= 0.5))
