@@ -21,6 +21,25 @@ from results_ingestor_spark.schemas import CONTEST_PRECINCT_SCHEMA
 from results_ingestor_spark.sources.csv_source import read_result_files
 
 
+def canonicalize_result_frame(df: DataFrame,
+                              mapping: dict[str, str] | None = None,
+                              schema: T.StructType = CONTEST_PRECINCT_SCHEMA,
+                              streaming: bool = False) -> DataFrame:
+    """Raw result rows → canonical, typed frame (map → extract → align).
+
+    Works on batch AND streaming DataFrames: the fuzzy mapping is a
+    driver-side metadata step (column names only), and ``streaming=True``
+    forces the extraction (its trigger predicate is an eager ``take(1)``,
+    which an unbounded plan cannot run — the stream case knows district
+    is absent from raw files, so forcing is semantically identical)."""
+    if mapping is None:
+        mapping = suggest_mapping(df.columns, [f.name for f in schema.fields])
+    df = apply_mapping(df, mapping)
+    if "contest_name" in df.columns:
+        df = extract_district(df, force=streaming)
+    return align_schema(df, schema)
+
+
 def ingest_result_files(spark: SparkSession, paths: list[str] | str,
                         mapping: dict[str, str] | None = None,
                         schema: T.StructType = CONTEST_PRECINCT_SCHEMA,
@@ -30,10 +49,5 @@ def ingest_result_files(spark: SparkSession, paths: list[str] | str,
     ``mapping`` (source header → canonical name) defaults to the fuzzy
     suggestion; pass an edited dict to mirror the reference's UI step.
     """
-    df = read_result_files(spark, paths)
-    if mapping is None:
-        mapping = suggest_mapping(df.columns, [f.name for f in schema.fields])
-    df = apply_mapping(df, mapping)
-    if "contest_name" in df.columns:
-        df = extract_district(df)
-    return align_schema(df, schema)
+    return canonicalize_result_frame(read_result_files(spark, paths),
+                                     mapping=mapping, schema=schema)

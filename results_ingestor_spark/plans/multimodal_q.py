@@ -63,3 +63,27 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.operators.multimodal import chunk_energy
     t = load_tables(spark, sf_dir, ("documents",))
     return chunk_energy(t["documents"].where(F.col("doc_id") < 100))
+
+
+@query("multimodal_png_header_parse", oracle="""
+SELECT doc_id,
+  TRUE AS is_png,
+  CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+  CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
+  CAST(8 AS BIGINT) AS bit_depth,
+  CAST(strlen(text) AS BIGINT) AS n_content_bytes
+FROM documents""")
+def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured binary metadata extraction with zero Python: build a
+    real PNG signature + IHDR header around each payload (dimensions
+    derived from doc_id), then parse the fields back out of the BYTES
+    with substring/hex/conv inside codegen.  The oracle states the
+    ground truth directly, so a green row proves encode→parse is the
+    identity — the binary plumbing is exact, not approximated."""
+    from results_ingestor_spark.operators.multimodal import (
+        parse_png_header, with_png_payload)
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = with_png_payload(t["documents"],
+                         width=F.col("doc_id") % 1920 + 1,
+                         height=F.col("doc_id") % 1080 + 1)
+    return parse_png_header(d)

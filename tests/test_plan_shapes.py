@@ -405,3 +405,13 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_png_header_parse_pure_codegen(plans):
+    """Binary header build + parse must be a map-only JVM stage: no
+    Python eval, no exchange — substring/hex/conv over bytes stay in
+    whole-stage codegen."""
+    p = plans("multimodal_png_header_parse")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "Exchange" not in p

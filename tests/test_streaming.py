@@ -184,3 +184,48 @@ def test_running_totals_transform_with_state(spark, sf_dir):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """Election-night loop: files landing in staging are drained by the
+    streaming ingest into bronze parquet; bronze content must equal the
+    batch pipeline over the same files, and the county rollup over
+    bronze must equal the rollup over the batch frame — stream and
+    batch are the same engine."""
+    import os
+
+    from results_ingestor_spark.operators.ingest import ingest_result_files
+    from results_ingestor_spark.operators.rollup import county_rollup
+    from results_ingestor_spark.streaming.ingest import (read_bronze,
+                                                         run_ingest_stream)
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    header = ("Contest Name,County Name,Precinct,Choice,Choice Party,"
+              "Election Day,One Stop,Absentee by Mail,Provisional,"
+              "Total Votes,Winner\n")
+    (staging / "county_a.csv").write_text(
+        header
+        + "US SENATE,WAKE,P1,Smith,DEM,10,5,2,1,18,1\n"
+        + "NC HOUSE OF REPRESENTATIVES DISTRICT 10,WAKE,P1,Jones,REP,"
+          "Not Found,3,0,0,3,0\n")
+    (staging / "county_b.csv").write_text(
+        header
+        + "County Commissioner District B,DURHAM,ABSENTEE,Lee,LIB,"
+          "4,4,1,0,9,0\n")
+
+    bronze = str(tmp_path / "bronze")
+    run_ingest_stream(spark, str(staging), bronze,
+                      checkpoint=str(tmp_path / "ckpt"))
+
+    got = read_bronze(spark, bronze)
+    want = ingest_result_files(spark, str(staging))
+    cols = sorted(c for c in want.columns)
+    key = lambda r: tuple((v is None, str(v)) for v in r)  # noqa: E731
+    assert sorted(map(tuple, got.select(cols).collect()), key=key) == \
+        sorted(map(tuple, want.select(cols).collect()), key=key)
+
+    r_got = county_rollup(got.drop("batch_id")).drop("batch_id").collect()
+    r_want = county_rollup(want).collect()
+    assert sorted(map(tuple, r_got), key=key) == \
+        sorted(map(tuple, r_want), key=key)
+    assert len(r_want) > 0
