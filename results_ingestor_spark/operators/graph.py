@@ -131,3 +131,35 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                          (F.lit(1.0 - damping) / F.col("n")
                           + F.lit(damping) * F.col("c")).alias("r")))
     return ranks
+
+
+def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection.
+
+    Each round every node adopts the most frequent label among its
+    neighbors (ties → smallest label; isolated nodes keep their own).
+    Synchronous updates + total tie order make the trajectory
+    deterministic, so the unrolled-SQL oracle can replay it exactly.
+    Scale: each round is one (edge ⋈ label) shuffle keyed on node id
+    and one per-node argmax — the same budget as a PageRank step;
+    localCheckpoint truncates the growing lineage.
+    """
+    from pyspark.sql import functions as F
+    sym = symmetrize(edges).select("u", "v")
+    nodes = sym.select(F.col("u").alias("v")).distinct()
+    labels = nodes.select("v", F.col("v").alias("label")).localCheckpoint()
+    for _ in range(n_iter):
+        counts = (sym.join(labels.withColumnRenamed("v", "nb"),
+                           F.col("v") == F.col("nb"))
+                  .groupBy("u", "label").agg(F.count("*").alias("c")))
+        best = (counts.groupBy("u")
+                .agg(F.max(F.struct(F.col("c"),
+                                    (-F.col("label")).alias("nl")))
+                      .alias("m"))
+                .select(F.col("u").alias("v"),
+                        (-F.col("m.nl")).alias("new_label")))
+        labels = (labels.join(best, "v", "left")
+                  .select("v", F.coalesce("new_label", "label")
+                          .alias("label"))
+                  .localCheckpoint())
+    return labels

@@ -189,3 +189,47 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n1cnt.join(reach, "seed")
             .select("seed", "n_1hop", "n_2hop_reach")
             .orderBy("seed"))
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    parts = [f"WITH e AS ({_EDGES})",
+             "es AS (SELECT u, v FROM e WHERE w >= 2)",
+             "sym AS (SELECT u, v FROM es UNION ALL SELECT v, u FROM es)",
+             "nodes AS (SELECT DISTINCT u AS v FROM sym)",
+             "l0 AS (SELECT v, v AS label FROM nodes)"]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.u AS v, l.label, COUNT(*) AS c "
+            f"FROM sym s JOIN l{i - 1} l ON s.v = l.v GROUP BY 1, 2)")
+        parts.append(
+            f"b{i} AS (SELECT v, label FROM ("
+            f"SELECT v, label, row_number() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, label ASC) AS rn "
+            f"FROM c{i}) WHERE rn = 1)")
+        parts.append(
+            f"l{i} AS (SELECT l.v, coalesce(b.label, l.label) AS label "
+            f"FROM l{i - 1} l LEFT JOIN b{i} b ON b.v = l.v)")
+    return (",\n".join(parts)
+            + f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{n_iter} GROUP BY label
+ORDER BY n_members DESC, community LIMIT 20""")
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities from 3 rounds of synchronous label
+    propagation on the strong (weight >= 2) co-purchase graph — the
+    large-graph community-detection recipe (one edge-keyed shuffle +
+    per-node argmax per round, no driver-side graph).  The oracle
+    replays the identical trajectory via unrolled CTEs; synchronous
+    updates + the (count DESC, label ASC) tie order make every round
+    deterministic."""
+    from results_ingestor_spark.operators.graph import (copurchase_edges,
+                                                        lpa_communities)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    labels = lpa_communities(copurchase_edges(li, min_weight=2), n_iter=3)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count("*").alias("n_members"))
+            .orderBy(F.desc("n_members"), F.asc("community"))
+            .limit(20))

@@ -578,18 +578,26 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     division each, rounded before the lift ranking; min-support 50
     prunes the tail pre-sort."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    baskets = (t["lineitem"]
-               .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
-                     F.col("l_partkey") == F.col("p_partkey"))
-               .select("l_orderkey", "p_brand").distinct())
-    n = t["lineitem"].agg(
-        F.countDistinct("l_orderkey").alias("n_orders"))
-    item = baskets.groupBy("p_brand").agg(F.count("*").alias("n_item"))
-    b = baskets.select(F.col("l_orderkey").alias("k2"),
-                       F.col("p_brand").alias("brand_b"))
-    pair = (baskets.withColumnRenamed("p_brand", "brand_a")
-            .join(b, (F.col("l_orderkey") == F.col("k2"))
-                  & (F.col("brand_a") < F.col("brand_b")))
+    # ONE shuffle builds the per-order sorted brand set; pair
+    # enumeration is then a map-side array expansion (≤ C(25,2) per
+    # order) feeding partial aggregation — no basket self-join, no
+    # second full-data shuffle.  (The previous distinct + self-join
+    # form re-shuffled the basket rows twice for the same counts.)
+    sets = (t["lineitem"]
+            .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("p_brand")).alias("bs")))
+    n = sets.agg(F.count("*").alias("n_orders"))
+    item = (sets.select(F.explode("bs").alias("p_brand"))
+            .groupBy("p_brand").agg(F.count("*").alias("n_item")))
+    pair_structs = F.explode(F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"))
+    pair = (sets.select(pair_structs.alias("p"))
+            .select(F.col("p.brand_a").alias("brand_a"),
+                    F.col("p.brand_b").alias("brand_b"))
             .groupBy("brand_a", "brand_b")
             .agg(F.count("*").alias("n_pair"))
             .where(F.col("n_pair") >= 50))

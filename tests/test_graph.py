@@ -80,3 +80,14 @@ def test_pagerank_reuses_edge_exchange(edges):
     df.collect()  # AQE resolves exchange reuse at runtime
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_lpa_known_answer_path_graph(spark):
+    """Path 1-2-3, synchronous LPA, hand-derived: l1={1:2,2:1,3:2},
+    l2={1:1,2:2,3:1}, l3={1:2,2:1,3:2} (the classic bipartite
+    oscillation — deterministic under synchronous updates)."""
+    from results_ingestor_spark.operators.graph import lpa_communities
+    edges = spark.createDataFrame([(1, 2, 1), (2, 3, 1)], "u long, v long, w long")
+    got = {r["v"]: r["label"]
+           for r in lpa_communities(edges, n_iter=3).collect()}
+    assert got == {1: 2, 2: 1, 3: 2}
