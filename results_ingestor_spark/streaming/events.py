@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -264,3 +264,44 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id").transformWithStateInPandas(
         _RunningTotals(), outputStructType=_OUTPUT_SCHEMA,
         outputMode="Update", timeMode="None"))
+
+
+def windowed_drift_bins(events: DataFrame, lo: float, hi: float,
+                        n_bins: int = 10, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Per-window equi-width histogram of ``value`` — the streaming half
+    of a drift monitor.  State per (window, bin) is watermark-bounded;
+    the bin boundaries are driver literals frozen from a baseline
+    corpus, so the stream never recomputes quantiles."""
+    bucket = F.width_bucket(F.col("value"), F.lit(lo), F.lit(hi),
+                            F.lit(n_bins))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"),
+                     bucket.alias("bin"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "bin", "n"))
+
+
+def psi_per_window(bin_counts: DataFrame,
+                   baseline: DataFrame) -> DataFrame:
+    """Population-stability index of each window against the baseline
+    bin distribution (smoothed with +1 counts so empty bins stay
+    finite).  Pure batch over the (tiny) windowed histogram — the
+    standard post-aggregation drift report."""
+    wtot = Window.partitionBy("window_start")
+    cur = bin_counts.withColumn(
+        "share", (F.col("n") + 1)
+        / (F.sum("n").over(wtot) + F.count("*").over(wtot)))
+    btot = baseline.agg(F.sum("n").alias("bt"),
+                        F.count("*").alias("bc"))
+    base = (baseline.crossJoin(F.broadcast(btot))
+            .select("bin", ((F.col("n") + 1) / (F.col("bt") + F.col("bc")))
+                    .alias("base_share")))
+    return (cur.join(F.broadcast(base), "bin")
+            .groupBy("window_start")
+            .agg(F.round(F.sum(
+                (F.col("share") - F.col("base_share"))
+                * F.log(F.col("share") / F.col("base_share"))), 9)
+                 .alias("psi"))
+            .orderBy("window_start"))

@@ -229,3 +229,41 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, r_got), key=key) == \
         sorted(map(tuple, r_want), key=key)
     assert len(r_want) > 0
+
+
+def test_drift_monitor_matches_batch(spark, sf_dir, stream):
+    """Streaming drift monitor: windowed equi-width histogram on the
+    stream, PSI vs a frozen baseline — the streamed histogram and every
+    per-window PSI must equal the batch computation over the same
+    events."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.sources.tables import load_tables
+    from results_ingestor_spark.streaming.events import (psi_per_window,
+                                                         run_to_memory,
+                                                         windowed_drift_bins)
+    batch_events = load_tables(spark, sf_dir, ("events",))["events"]
+    lo, hi = batch_events.agg(F.min("value"), F.max("value")).first()
+
+    # complete mode: emit every window, including those still inside
+    # the watermark at end-of-stream
+    run_to_memory(windowed_drift_bins(stream, lo, hi), "drift_bins",
+                  output_mode="complete")
+    got_bins = spark.table("drift_bins")
+    want_bins = (batch_events
+                 .groupBy(F.window("ts", "1 hour").alias("w"),
+                          F.width_bucket("value", F.lit(lo), F.lit(hi),
+                                         F.lit(10)).alias("bin"))
+                 .agg(F.count("*").alias("n"))
+                 .select(F.col("w.start").alias("window_start"), "bin", "n"))
+    key = lambda r: (str(r[0]), r[1])  # noqa: E731
+    assert sorted(map(tuple, got_bins.collect()), key=key) == \
+        sorted(map(tuple, want_bins.collect()), key=key)
+
+    # baseline = the full corpus histogram; PSI of stream windows vs it
+    baseline = want_bins.groupBy("bin").agg(F.sum("n").alias("n"))
+    got_psi = psi_per_window(got_bins, baseline).collect()
+    want_psi = psi_per_window(want_bins, baseline).collect()
+    assert [tuple(r) for r in got_psi] == [tuple(r) for r in want_psi]
+    assert len(got_psi) > 10
+    assert all(r["psi"] >= 0 for r in got_psi)
