@@ -1,0 +1,146 @@
+"""Plan linter — build every registered query's physical plan and flag
+scale anti-patterns.  The per-query plan pins in tests/test_plan_shapes.py
+cover the headline plans deeply; this sweep is the broad net that keeps
+the OTHER ~190 queries honest as they evolve.
+
+Flags:
+  CARTESIAN   CartesianProduct anywhere
+  BNLJ        BroadcastNestedLoopJoin on a side that is not a known
+              1-row scalar combine (heuristic: flag all, whitelist below)
+  PYTHON      BatchEvalPython / ArrowEvalPython (row-Python in the plan;
+              MapInPandas/FlatMapGroupsInPandas are the sanctioned Arrow
+              paths and are not flagged)
+  GLOBALWIN   WindowExec with an empty partition spec over a non-tiny
+              input (heuristic: flagged, whitelist documents the bounded-
+              domain cases)
+
+Whitelist entries mean "reviewed: the operator is correct at scale for a
+stated reason" — every addition needs a reason string.
+
+Usage: python tools/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# name → reason the hit is acceptable at scale
+WHITELIST_BNLJ = {
+    # 1-row global-scalar combines (broadcast of an aggregate row)
+    "funnel_signup_purchase": "1-row combined funnel counts broadcast",
+    "funnel_three_step": "1-row combined funnel counts broadcast",
+    "scalar_subquery_above_avg": "1-row global average broadcast",
+    "q11_important_stock": "1-row global threshold broadcast",
+    "q22_global_sales_opportunity": "1-row global scalar broadcast",
+    "lm_bigram_perplexity": "1-row vocabulary size broadcast",
+    "events_gapfill_hourly": "tiny hour-spine grid fill",
+    "chi2_lang_source": "1-row totals broadcast",
+    "drift_psi_time_halves": "1-row totals broadcast",
+    "market_basket_rules": "1-row order-count broadcast",
+    "stats_winsorized_mean": "1-row clip bounds broadcast",
+    "weighted_median_price": "1-row total-weight broadcast",
+    "histogram_totalprice": "1-row min/max broadcast",
+    "vocab_coverage_95": "1-row corpus totals broadcast",
+    "benford_first_digit": "1-row total broadcast",
+    "incremental_agg_merge": "1-row merged-vs-direct compare",
+    "dataset_shard_stats": "1-row corpus totals broadcast",
+    "corpus_global_shuffle": "256-row shard-offset broadcast",
+    "pct_of_parent_revenue": "1-row grand-total broadcast",
+    "embedding_dim_stats": "1-row corpus stats broadcast",
+    "quality_classifier_train": "d+1-double weight-row combines",
+    "quality_classifier_score": "d+1-double weight-row combines",
+    # broadcast probe/centroid sets: k probe vectors (or k x dim
+    # centroid literals) against n candidates IS the intended
+    # broadcast theta join — the probe side is bounded by construction
+    "ann_cosine_topk": "broadcast probe-vector set vs candidates",
+    "ann_lsh_topk": "broadcast probe set; bucket-pruned candidates",
+    "ann_ivf_topk": "broadcast probe set; centroid-pruned candidates",
+    "ann_pq_adc_topk": "broadcast probe set + per-query lookup tables",
+    "ann_incremental_topk": "broadcast probe set; per-batch top-k merge",
+    "ann_ivf_recall_check": "recall gate joins two top-k lists per probe",
+    "ann_pq_adc_recall_check": "recall gate joins two top-k lists per probe",
+    # 1-row aggregate combines
+    "tfidf_top_terms": "1-row doc-count broadcast",
+    "text_bm25_topk": "1-row corpus avgdl broadcast",
+    "sampling_temperature_mix": "1-row language-total broadcast",
+    "events_max_concurrent": "1-row peak combine",
+    "events_interpolate_hourly": "bounded hour-spine grid fill",
+    "sketch_merge_shards": "1-row merged-sketch combine",
+    "sketch_theta_set_ops": "1-row sketch-algebra combine",
+    "dq_referential_integrity": "1-row count combines per FK audit",
+    "text_pmi_cooccurrence": "1-row doc-count broadcast",
+    "embedding_pq_compression": "codebook-literal encode + 1-row MSE combine",
+    "graph_triangle_count": "1-row triangle/wedge ratio combine",
+    "graph_pagerank_top20": "1-row node-count broadcast per iteration",
+}
+WHITELIST_GLOBALWIN = {
+    # windows whose input is pre-aggregated to a bounded domain
+    "stats_ks_two_sample": "window over distinct metric values",
+    "histogram_equidepth_price": "ntile over values (exact oracle twin)",
+    "weighted_median_price": "running weight over sorted values",
+    "percentile_exact": "exact percentile contract",
+    "events_interpolate_hourly": "hour spine is bounded",
+    "recursive_month_spine": "month spine is bounded",
+    "period_over_period_revenue": "monthly layer is bounded",
+    "cusum_user_drift": "per-user prefix scan (partitioned upstream)",
+    "zorder_cluster_key": "demo of at-rest layout; write-time sort",
+    "pack_sequences_cumsum": "per-shard window (partitioned)",
+    "bollinger_hourly_value": "hourly layer is bounded",
+    "events_hourly_anomaly": "hourly layer is bounded",
+    "dedup_clusters_summary": "cluster histogram is bounded",
+    "tfidf_top_terms": "rank over the bounded term vocabulary",
+    "events_max_concurrent": "sweep-line global scan is the operator; at scale partition by day first",
+    "supplier_scorecard": "rank over the supplier aggregate (dim-sized)",
+    "window_ntile_quartiles": "global ntile demo over order aggregate",
+    "events_type_share": "share-of-total over the bounded type domain",
+    "string_similarity_levenshtein": "scalar-function demo, bounded output",
+    "part_skyline": "sort-based Pareto scan is the operator",
+    "customer_rfm_segments": "ntile quintiles over customer aggregate (dim-sized)",
+    "vocab_coverage_95": "running share over the bounded vocabulary",
+    "ann_ivf_recall_check": "rank over per-probe top-k lists (k-bounded)",
+    "ann_pq_adc_recall_check": "rank over per-probe top-k lists (k-bounded)",
+    "corpus_global_shuffle": "rank within 256 shard partitions; offsets broadcast",
+    "pct_of_parent_revenue": "grand-total share over the bounded hierarchy",
+}
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from results_ingestor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("planlint")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    findings: list[tuple[str, str]] = []
+    for name, fn in qs.items():
+        try:
+            plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                    .executedPlan().toString())
+        except Exception as exc:  # noqa: BLE001
+            findings.append((name, f"BUILDFAIL {type(exc).__name__}"))
+            continue
+        if "CartesianProduct" in plan:
+            findings.append((name, "CARTESIAN"))
+        if ("BroadcastNestedLoopJoin" in plan
+                and name not in WHITELIST_BNLJ):
+            findings.append((name, "BNLJ"))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            findings.append((name, "PYTHON"))
+        if ("Window [" in plan and "Exchange SinglePartition" in plan
+                and name not in WHITELIST_GLOBALWIN):
+            # a Window co-occurring with a single-partition exchange is
+            # the global-order smell; the whitelist holds the reviewed
+            # bounded-domain cases
+            findings.append((name, "GLOBALWIN?"))
+    for name, flag in findings:
+        print(f"{flag:12s} {name}")
+    print(f"\n{len(findings)} findings over {len(qs)} queries")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    main()
