@@ -108,3 +108,50 @@ def test_vote_preservation_property(spark):
     out = county_rollup(df)
     assert (out.groupBy().sum("total_votes").collect()[0][0]
             == sum(r[24] for r in rows))
+
+
+def test_rollup_sql_surface_matches_dataframe(spark, sf_dir):
+    """SQL-surface parity: the reference's rollup statement
+    (README.md:59-91), translated string_agg(distinct x,'|') →
+    nullif(concat_ws('|', sort_array(collect_set(x))),''), run through
+    spark.sql over a temp view, must equal the DataFrame operator
+    row-for-row — a user can bring the SQL they run today."""
+    from results_ingestor_spark.operators.district import extract_district
+    from results_ingestor_spark.operators.election import (
+        contest_precinct_frame)
+    from results_ingestor_spark.operators.rollup import county_rollup
+
+    precinct = extract_district(contest_precinct_frame(spark, sf_dir),
+                                force=True)
+    precinct.createOrReplaceTempView("contest_precinct")
+
+    def sa(c):
+        return (f"nullif(concat_ws('|', sort_array(collect_set({c}))), '')"
+                f" AS {c}")
+
+    sql = f"""
+      SELECT election_date, contest_group_id, contest_name,
+        {sa('contest_type')}, {sa('party_contest')}, district, county,
+        max(vote_for) AS vote_for, candidate,
+        {sa('first_name')}, {sa('middle_name')}, {sa('last_name')},
+        {sa('name_suffix_lbl')}, {sa('nick_name')},
+        max(candidacy_date) AS candidacy_date, {sa('party_candidate')},
+        bool_or(is_unexpired) AS is_unexpired,
+        bool_or(has_primary) AS has_primary,
+        bool_or(is_partisan) AS is_partisan, {sa('term')},
+        sum(CAST(absentee_by_mail AS BIGINT)) AS absentee_by_mail,
+        sum(CAST(one_stop AS BIGINT)) AS one_stop,
+        sum(CAST(provisional AS BIGINT)) AS provisional,
+        sum(CAST(election_day AS BIGINT)) AS election_day,
+        sum(CAST(total_votes AS BIGINT)) AS total_votes,
+        sum(CAST(winner_flag AS BIGINT)) AS winner_flag
+      FROM contest_precinct
+      GROUP BY election_date, contest_group_id, contest_name, district,
+               county, candidate"""
+    via_sql = spark.sql(sql)
+    via_df = county_rollup(precinct)
+    assert via_sql.columns == via_df.columns
+    key = lambda r: tuple((v is None, str(v)) for v in r)  # noqa: E731
+    a = sorted(map(tuple, via_sql.collect()), key=key)
+    b = sorted(map(tuple, via_df.collect()), key=key)
+    assert a == b and len(a) > 100

@@ -126,3 +126,46 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     n_split = compact_small_files(spark, src, str(tmp_path / "split"),
                                   target_file_bytes=64 * 1024)
     assert n_split > 1
+
+
+def test_sorted_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Data layout for scan pruning: writing value-sorted parquet (small
+    row groups) must produce mostly non-overlapping per-row-group
+    min/max ranges, so a selective value predicate can skip most row
+    groups via footer stats — the single-column analogue of the Z-order
+    entry.  Measured directly from the parquet footers."""
+    import pyarrow.parquet as pq
+
+    from results_ingestor_spark.sources.tables import load_tables
+    # sf0.01: enough rows (10k) that an 8 KiB block target yields ~20
+    # row groups per file
+    ev = load_tables(spark, "/root/testdata/sf0.01", ("events",))["events"] \
+        .select("event_id", "value")
+    base = {"parquet.block.size": str(8 * 1024)}
+    un = str(tmp_path / "unsorted")
+    so = str(tmp_path / "sorted")
+    ev.repartition(1).write.options(**base).mode("overwrite").parquet(un)
+    (ev.repartition(1).sortWithinPartitions("value")
+     .write.options(**base).mode("overwrite").parquet(so))
+
+    def hit_fraction(path, lo, hi):
+        import glob
+        hits = total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            names = [md.schema.column(c).name
+                     for c in range(len(md.schema))]
+            idx = names.index("value")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.max >= lo and st.min <= hi:
+                    hits += 1
+        assert total >= 5, f"want multiple row groups, got {total}"
+        return hits / total
+
+    lo, hi = 10.0, 11.0  # narrow slice of the value domain
+    f_un = hit_fraction(un, lo, hi)
+    f_so = hit_fraction(so, lo, hi)
+    assert f_un == 1.0          # unsorted: every row group overlaps
+    assert f_so <= 0.34         # sorted: the slice lives in few groups
