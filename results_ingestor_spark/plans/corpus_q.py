@@ -390,3 +390,71 @@ def er_candidate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   id_col="rec_id")
     return (labels.groupBy("cluster_rep")
             .agg(F.count("*").alias("n_records")))
+
+
+_DSIR_NB = 128  # hashed n-gram feature buckets
+_BKT = ("(('0x' || substr(md5(g), 1, 15))::BIGINT) % " + str(_DSIR_NB))
+
+
+@query("dsir_importance_weights", oracle=f"""
+WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+idx AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM tk),
+g AS (SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g FROM idx),
+b AS (SELECT doc_id, lang, {_BKT} AS bkt FROM g),
+raw AS (SELECT bkt, COUNT(*) AS c_raw FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, COUNT(*) AS c_tgt FROM b WHERE lang = 'en' GROUP BY bkt),
+tot AS (SELECT (SELECT COUNT(*) FROM b) AS t_raw,
+               (SELECT COUNT(*) FROM b WHERE lang = 'en') AS t_tgt),
+lr AS (
+  SELECT raw.bkt,
+    CAST(round(
+      ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE) / (t_tgt + {_DSIR_NB}))
+      - ln(CAST(raw.c_raw + 1 AS DOUBLE) / (t_raw + {_DSIR_NB})), 9)
+      AS DECIMAL(18, 9)) AS logratio
+  FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt CROSS JOIN tot)
+SELECT b.doc_id, COUNT(*) AS n_grams,
+  round(CAST(SUM(lr.logratio) AS DOUBLE) / COUNT(*), 6) AS avg_log_weight
+FROM b JOIN lr ON lr.bkt = b.bkt
+GROUP BY b.doc_id""")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (hashed-n-gram DSIR):
+    score every document by the mean log importance ratio of its hashed
+    word-bigram features between a target domain (lang='en' here) and
+    the raw corpus, with add-one smoothing over the bucket space — the
+    published cheap proxy for 'resample the raw crawl to look like the
+    target'.
+
+    Scale: gram→bucket is a map stage (md5, JVM); the two bucket
+    distributions are {_DSIR_NB}-row broadcasts; the only corpus-sized
+    shuffle is the per-doc aggregation.  Determinism: per-bucket log
+    ratios rounded to 9 dp and summed as DECIMAL (order-independent),
+    one double division at the end."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    grams = (t["documents"]
+             .select("doc_id", "lang", F.explode(F.arrays_zip(
+                 F.slice(tk, 1, n - 1).alias("w1"),
+                 F.slice(tk, 2, n - 1).alias("w2"))).alias("p"))
+             .select("doc_id", "lang",
+                     F.concat_ws(" ", "p.w1", "p.w2").alias("g")))
+    b = grams.select("doc_id", "lang",
+                     (md5_long("g") % _DSIR_NB).alias("bkt"))
+    raw = b.groupBy("bkt").agg(F.count("*").alias("c_raw"))
+    tgt = (b.where(F.col("lang") == "en")
+           .groupBy("bkt").agg(F.count("*").alias("c_tgt")))
+    tot = b.agg(F.count("*").alias("t_raw"),
+                F.count_if(F.col("lang") == "en").alias("t_tgt"))
+    lr = (raw.join(tgt, "bkt", "left").crossJoin(F.broadcast(tot))
+          .select("bkt", F.round(
+              F.log((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tgt") + _DSIR_NB))
+              - F.log((F.col("c_raw") + 1).cast("double")
+                      / (F.col("t_raw") + _DSIR_NB)), 9)
+              .cast("decimal(18,9)").alias("logratio")))
+    return (b.join(F.broadcast(lr), "bkt")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.sum("logratio").cast("double") / F.count("*"), 6)
+                  .alias("avg_log_weight")))
