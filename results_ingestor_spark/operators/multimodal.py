@@ -120,6 +120,39 @@ def chunk_energy(df: DataFrame) -> DataFrame:
             .mapInPandas(fake_chunk_energy, CHUNK_SCHEMA))
 
 
+RESIZE_SCHEMA = ("doc_id long, orig_bytes long, resized_bytes long, "
+                 "resized_md5 string")
+RESIZE_FACTOR = 4  # keep every 4th byte (1-D nearest-neighbor)
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel, image-resize shape: nearest-neighbor
+    downsample of the payload by RESIZE_FACTOR (a real kernel would
+    decode and PIL.resize; the byte-stride stand-in keeps the batch
+    plumbing, output schema, and size accounting real AND deterministic,
+    so the whole Python path is oracle-checkable)."""
+    for pdf in batches:
+        out_ids, n_in, n_out, digests = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            resized = payload[::RESIZE_FACTOR]
+            out_ids.append(doc_id)
+            n_in.append(len(payload))
+            n_out.append(len(resized))
+            digests.append(hashlib.md5(resized).hexdigest())
+        yield pd.DataFrame({"doc_id": pd.Series(out_ids, dtype="int64"),
+                            "orig_bytes": pd.Series(n_in, dtype="int64"),
+                            "resized_bytes": pd.Series(n_out, dtype="int64"),
+                            "resized_md5": pd.Series(digests, dtype="object")})
+
+
+def resize_payloads(df: DataFrame) -> DataFrame:
+    """documents → resize accounting through the binary + Arrow path."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    return (with_binary_payload(ensure_min_parallelism(df))
+            .select("doc_id", "payload")
+            .mapInPandas(fake_resize, RESIZE_SCHEMA))
+
+
 # ---- structured binary parsing (no Python, no stub) -----------------
 
 PNG_SIG_HEX = "89504e470d0a1a0a"          # 8-byte PNG signature

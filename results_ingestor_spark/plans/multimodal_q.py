@@ -87,3 +87,25 @@ def multimodal_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                          width=F.col("doc_id") % 1920 + 1,
                          height=F.col("doc_id") % 1080 + 1)
     return parse_png_header(d)
+
+
+@query("multimodal_resize", oracle="""
+WITH r AS (
+  SELECT doc_id, strlen(text) AS orig_bytes,
+    array_to_string(
+      list_transform(range((strlen(text) + 3) // 4),
+                     i -> substr(text, CAST(i * 4 + 1 AS INT), 1)), '')
+      AS resized
+  FROM documents)
+SELECT doc_id, orig_bytes,
+  CAST(strlen(resized) AS BIGINT) AS resized_bytes,
+  md5(resized) AS resized_md5
+FROM r""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel (image-pipeline shape): nearest-neighbor 1-D
+    downsample by 4 through the Arrow mapInPandas path — the oracle
+    rebuilds every 4th byte and its md5, so the Python-side resize is
+    value-checked end-to-end (the corpus is ASCII: byte == char)."""
+    from results_ingestor_spark.operators.multimodal import resize_payloads
+    t = load_tables(spark, sf_dir, ("documents",))
+    return resize_payloads(t["documents"])

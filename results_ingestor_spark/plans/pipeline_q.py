@@ -545,3 +545,39 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("total_tokens"))
             .orderBy("lang", "split"))
+
+
+@query("mixture_token_budget", oracle="""
+WITH c AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT SUM(pow(n_tokens, 0.3)) AS z FROM c)
+SELECT lang, n_tokens,
+  round(pow(n_tokens, 0.3) / z, 9) AS mix_share,
+  CAST(floor(1000000 * (pow(n_tokens, 0.3) / z)) AS BIGINT)
+    AS budget_tokens,
+  round(1000000 * (pow(n_tokens, 0.3) / z) / n_tokens, 6) AS epochs
+FROM c, tot ORDER BY lang""")
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture solver: given per-language token counts, a
+    temperature-flattened share (n^0.3, the mT5 recipe) and a 1M-token
+    budget, emit each language's token allocation and epoch count
+    (epochs > 1 = that language is over-sampled / repeated).  The
+    token-level companion to sampling_temperature_mix's doc-level
+    shares; two tiny aggregates, one 1-row broadcast."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = (t["documents"]
+         .groupBy("lang")
+         .agg(F.sum(F.size(F.split("text", " "))).cast("long")
+               .alias("n_tokens")))
+    z = c.agg(F.sum(F.pow("n_tokens", F.lit(0.3))).alias("z"))
+    share = F.pow("n_tokens", F.lit(0.3)) / F.col("z")
+    return (c.crossJoin(F.broadcast(z))
+            .select("lang", "n_tokens",
+                    F.round(share, 9).alias("mix_share"),
+                    F.floor(F.lit(1000000) * share).cast("long")
+                     .alias("budget_tokens"),
+                    F.round(F.lit(1000000) * share / F.col("n_tokens"), 6)
+                     .alias("epochs"))
+            .orderBy("lang"))
