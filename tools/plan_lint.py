@@ -75,6 +75,8 @@ WHITELIST_BNLJ = {
     "embedding_pq_compression": "codebook-literal encode + 1-row MSE combine",
     "graph_triangle_count": "1-row triangle/wedge ratio combine",
     "graph_pagerank_top20": "1-row node-count broadcast per iteration",
+    "dsir_importance_weights": "1-row gram-total broadcast",
+    "mixture_token_budget": "1-row normalizer broadcast",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
