@@ -458,3 +458,72 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_grams"),
                  F.round(F.sum("logratio").cast("double") / F.count("*"), 6)
                   .alias("avg_log_weight")))
+
+
+from results_ingestor_spark.plans.registry import ORACLES as _ORACLES
+from results_ingestor_spark.plans.registry import QUERIES as _QUERIES
+
+
+@query("curriculum_perplexity_buckets", oracle=f"""
+WITH lm AS ({_ORACLES["lm_bigram_perplexity"]}),
+j AS (
+  SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.avg_logprob
+  FROM lm JOIN documents d ON d.doc_id = lm.doc_id),
+r AS (
+  SELECT lang, n_bigrams, avg_logprob,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY avg_logprob DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM j)
+SELECT lang,
+  CASE WHEN rn * 3 <= n THEN 'head'
+       WHEN rn * 3 <= 2 * n THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+  min(avg_logprob) AS min_logprob,
+  max(avg_logprob) AS max_logprob,
+  round(CAST(SUM(CAST(avg_logprob AS DECIMAL(18, 6))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_logprob
+FROM r GROUP BY lang, bucket""")
+def curriculum_perplexity_buckets(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: split each language's documents
+    into head / middle / tail terciles by LM score (higher mean bigram
+    log-probability = lower perplexity = head) and report per-bucket
+    volume — the curriculum/quality partition CCNet feeds to training
+    (Wenzek et al. 2020 use a KenLM; the corpus-trained bigram LM from
+    lm_bigram_perplexity plays that role here).
+
+    Determinism: terciles are RANK-based (row_number over
+    (score DESC, doc_id) vs 3*rn <= k*n integer arithmetic), not
+    interpolated percentiles, so bucket membership is exact integer
+    logic both engines reproduce bit-for-bit; per-bucket means sum the
+    6-dp-rounded scores as DECIMAL (order-independent).
+
+    Scale: the per-lang window is a low-cardinality partition (a skewed
+    total sort at 100 TB) — the production swap is approx-quantile
+    boundary computation (one pass, per-lang sketch, boundaries
+    broadcast back as a map-stage bucket assignment), trading exact
+    tercile edges for epsilon-rank error; the reported aggregate is
+    identical in shape.  Kept exact here because the oracle must agree
+    bit-for-bit."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lm = _QUERIES["lm_bigram_perplexity"](spark, sf_dir)
+    j = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    r = j.select(
+        "lang", "n_bigrams", "avg_logprob",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"))
+    bucket = (F.when(F.col("rn") * 3 <= F.col("n"), "head")
+              .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+              .otherwise("tail"))
+    return (r.groupBy("lang", bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+                 F.min("avg_logprob").alias("min_logprob"),
+                 F.max("avg_logprob").alias("max_logprob"),
+                 F.round(F.sum(F.col("avg_logprob").cast("decimal(18,6)"))
+                         .cast("double") / F.count("*"), 6)
+                  .alias("mean_logprob")))

@@ -66,6 +66,7 @@ def _minhash_sql() -> str:
                                     for r in range(rows))
         + f") AS band{b}"
         for b in range(N_BANDS))
+    mh_cols = ", ".join(f"mh{i}" for i in range(N_MINHASH))
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SH3} AS sh FROM t),
@@ -76,7 +77,7 @@ bh AS (SELECT doc_id, sh,
 sig AS (SELECT doc_id, sh,
     {mh}
   FROM bh)
-SELECT doc_id, sh,
+SELECT doc_id, sh, {mh_cols},
   {bands}
 FROM sig"""
 
@@ -480,3 +481,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c_ba.alias("containment_b_in_a"))
             .where(F.greatest(F.col("containment_a_in_b"),
                               F.col("containment_b_in_a")) >= 0.5))
+
+
+def _minhash_quality_oracle() -> str:
+    eq = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                    for i in range(N_MINHASH))
+    j_exact = ("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+               " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))")
+    return f"""
+WITH sigq AS ({_minhash_sql()}),
+keyedq AS (
+  SELECT doc_id,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigq),
+candq AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyedq l JOIN keyedq r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+scoredq AS (
+  SELECT id_a, id_b,
+    ({eq}) / {N_MINHASH}.0 AS j_est,
+    round({j_exact}, 9) AS j_exact
+  FROM candq
+  JOIN sigq a ON a.doc_id = id_a
+  JOIN sigq b ON b.doc_id = id_b)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(CAST(SUM(CAST(round(abs(j_est - j_exact), 9) AS DECIMAL(18, 9)))
+             AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+  max(round(abs(j_est - j_exact), 9)) AS max_abs_err,
+  CAST(count_if(j_exact >= 0.5) AS BIGINT) AS n_true_dups,
+  round(CAST(count_if(j_exact >= 0.5) AS DOUBLE) / COUNT(*), 9)
+    AS precision_at_05
+FROM scoredq"""
+
+
+@query("dedup_minhash_quality", oracle=_minhash_quality_oracle())
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash index: over every LSH
+    candidate pair, compare the MinHash ESTIMATE of Jaccard (fraction of
+    the 16 signature components that agree — the unbiased estimator) to
+    the EXACT shingle Jaccard, and report the error distribution plus
+    the candidate-set precision at the 0.5 dedup threshold.
+
+    This is the gate a production dedup pipeline runs before trusting a
+    sketch configuration (bands x rows trade recall against candidate
+    waste): a drifting mean error or collapsing precision means the
+    signature width no longer fits the corpus.  Scale: identical shuffle
+    budget to dedup_minhash_lsh (band-key equi-join, candidate-only
+    verification) followed by a 1-row global aggregate; per-pair errors
+    are rounded to 9 dp and summed as DECIMAL so the mean is
+    order-independent across any partitioning."""
+    sum_eq = None
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select(
+        "doc_id", "__sh", *[f"mh{i}" for i in range(N_MINHASH)],
+        *[f"band{b}" for b in range(N_BANDS)])
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("__sh").alias("sh_a"),
+                   *[F.col(f"mh{i}").alias(f"ma{i}")
+                     for i in range(N_MINHASH)])
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("__sh").alias("sh_b"),
+                   *[F.col(f"mh{i}").alias(f"mb{i}")
+                     for i in range(N_MINHASH)])
+    for i in range(N_MINHASH):
+        term = F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
+        sum_eq = term if sum_eq is None else sum_eq + term
+    j_est = sum_eq / float(N_MINHASH)
+    j_exact = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
+    err = F.round(F.abs(j_est - j_exact), 9)
+    scored = (pairs.join(a, "id_a").join(b, "id_b")
+              .select(err.alias("err"), j_exact.alias("j_exact")))
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(F.col("err").cast("decimal(18,9)")).cast("double")
+                / F.count("*"), 6).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+        F.count_if(F.col("j_exact") >= 0.5).alias("n_true_dups"),
+        F.round(F.count_if(F.col("j_exact") >= 0.5).cast("double")
+                / F.count("*"), 9).alias("precision_at_05"))

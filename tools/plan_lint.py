@@ -77,6 +77,8 @@ WHITELIST_BNLJ = {
     "graph_pagerank_top20": "1-row node-count broadcast per iteration",
     "dsir_importance_weights": "1-row gram-total broadcast",
     "mixture_token_budget": "1-row normalizer broadcast",
+    "curriculum_perplexity_buckets":
+        "1-row vocabulary-size broadcast (inherited from the LM scorer)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -106,6 +108,10 @@ WHITELIST_GLOBALWIN = {
     "ann_pq_adc_recall_check": "rank over per-probe top-k lists (k-bounded)",
     "corpus_global_shuffle": "rank within 256 shard partitions; offsets broadcast",
     "pct_of_parent_revenue": "grand-total share over the bounded hierarchy",
+    "curriculum_perplexity_buckets":
+        "windows are lang-partitioned; the SinglePartition exchange is "
+        "the LM scorer's 1-row vocab combine (per-lang sort itself is "
+        "the documented approx-quantile swap at scale)",
 }
 
 
