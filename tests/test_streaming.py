@@ -267,3 +267,46 @@ def test_drift_monitor_matches_batch(spark, sf_dir, stream):
     assert [tuple(r) for r in got_psi] == [tuple(r) for r in want_psi]
     assert len(got_psi) > 10
     assert all(r["psi"] >= 0 for r in got_psi)
+
+
+def test_streaming_ingest_resumes_from_checkpoint(spark, tmp_path):
+    """Crash-recovery contract: restarting the ingest stream against the
+    SAME checkpoint processes ONLY the files landed since the previous
+    run — rows from already-ingested files appear exactly once (the file
+    source's processed-file log survives the restart), and the new
+    file's rows arrive in a later micro-batch."""
+    from results_ingestor_spark.streaming.ingest import (read_bronze,
+                                                         run_ingest_stream)
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    header = ("Contest Name,County Name,Precinct,Choice,Choice Party,"
+              "Election Day,One Stop,Absentee by Mail,Provisional,"
+              "Total Votes,Winner\n")
+    (staging / "county_a.csv").write_text(
+        header
+        + "US SENATE,WAKE,P1,Smith,DEM,10,5,2,1,18,1\n"
+        + "US SENATE,WAKE,P2,Smith,DEM,7,1,0,0,8,1\n")
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    import os
+
+    run_ingest_stream(spark, str(staging), bronze, checkpoint=ckpt)
+    assert read_bronze(spark, bronze).count() == 2
+    batches_before = set(os.listdir(bronze))
+
+    # a new county reports; the restarted stream must pick up ONLY it
+    (staging / "county_b.csv").write_text(
+        header
+        + "County Commissioner District B,DURHAM,ABSENTEE,Lee,LIB,"
+          "4,4,1,0,9,0\n")
+    run_ingest_stream(spark, str(staging), bronze, checkpoint=ckpt)
+
+    after = read_bronze(spark, bronze)
+    assert after.count() == 3  # no county_a replay, no duplicates
+    assert after.where(F.col("county") == "WAKE").count() == 2
+    assert after.where(F.col("county") == "DURHAM").count() == 1
+    new_batches = set(os.listdir(bronze)) - batches_before
+    assert len(new_batches) == 1  # restart advanced, didn't rewrite batch 0
+    resumed = spark.read.parquet(os.path.join(bronze, new_batches.pop()))
+    assert [r["county"] for r in resumed.collect()] == ["DURHAM"]
