@@ -219,3 +219,49 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_purchases"),
                  F.sum("rev").cast("double").alias("attributed_revenue"))
             .orderBy("channel"))
+
+
+@query("join_bloom_prefilter", oracle="""
+SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+               AS DECIMAL(18, 4))) AS DECIMAL(38, 4)) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995
+GROUP BY 1""")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-1995 revenue by month, with the fact side pruned by an
+    explicit broadcast Bloom filter BEFORE the join (operators/bloom.py):
+    the surviving order keys are aggregated into an 8 KiB filter, the
+    lineitem scan drops every row whose key cannot possibly join in a
+    pure map stage, and the exact equi-join then removes the Bloom's
+    few-percent false positives.
+
+    The oracle is the PLAIN join — the filter has no false negatives,
+    so the answer is identical by construction; what the value check
+    proves is that the pruning is sound end-to-end.  Pruning
+    effectiveness (>90% of lineitem dropped before the shuffle) and the
+    no-shuffle-before-filter plan shape are pinned in
+    tests/test_plan_shapes.py.  At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling ~1% of it —
+    the runtime-filter pattern made explicit and guaranteed."""
+    from results_ingestor_spark.operators.bloom import (
+        bloom_might_contain, build_bloom_words)
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    dim = (t["orders"]
+           .where((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.year("o_orderdate") == 1995))
+           .select("o_orderkey", "o_orderdate"))
+    words = build_bloom_words(dim.select("o_orderkey"), "o_orderkey")
+    fact = (t["lineitem"]
+            .where(bloom_might_contain(F.col("l_orderkey"), words))
+            .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (fact.join(F.broadcast(dim),
+                      fact["l_orderkey"] == dim["o_orderkey"])
+            .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                     .alias("month"))
+            .agg(F.count("*").alias("n_lineitems"),
+                 F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")), 4)
+                       .cast("decimal(18,4)"))
+                 .cast("decimal(38,4)").alias("revenue")))

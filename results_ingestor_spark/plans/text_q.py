@@ -712,3 +712,76 @@ def text_winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("shared"))
             .where(F.col("shared") >= 20)
             .orderBy("id_a", "id_b"))
+
+
+_CMS_D = 4     # sketch depth (independent hash rows)
+_CMS_W = 512   # buckets per row
+
+
+def _cms_oracle() -> str:
+    bkt = ("(('0x' || substr(md5('cms' || d::varchar || ':' || tok), 1, 15))"
+           f"::BIGINT) % {_CMS_W}")
+    return f"""
+WITH tk AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM tk GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20),
+hashed AS (
+  SELECT tok, d, {bkt} AS bkt
+  FROM tk CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d)),
+cms AS (
+  SELECT d, bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY d, bkt),
+probes AS (
+  SELECT e.tok, h.d, h.bkt
+  FROM exact e
+  CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d) hd,
+  LATERAL (SELECT hd.d AS d,
+    (('0x' || substr(md5('cms' || hd.d::varchar || ':' || e.tok), 1, 15))
+      ::BIGINT) % {_CMS_W} AS bkt) h),
+est AS (
+  SELECT p.tok, MIN(cms.c) AS n_est
+  FROM probes p JOIN cms ON cms.d = p.d AND cms.bkt = p.bkt
+  GROUP BY p.tok)
+SELECT e.tok, e.n_exact, est.n_est,
+  est.n_est >= e.n_exact AS overestimates
+FROM exact e JOIN est ON est.tok = e.tok"""
+
+
+@query("heavy_hitters_countmin", oracle=_cms_oracle())
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a Count-Min sketch (4 x 512
+    md5-derived hash rows): estimate the corpus's top-20 token counts
+    from the sketch and report them against the exact counts, with the
+    CMS one-sided-error guarantee (estimate >= truth) surfaced as a
+    checked column.
+
+    Why this operator matters at 100 TB: the sketch table is D x W rows
+    REGARDLESS of corpus size, built with one map-side-combining
+    aggregation per hash row, and sketches from different shards/days
+    merge by cell-wise addition — the mergeable-summary algebra
+    (same contract as sketch_merge_shards' HLL/KLL).  The md5-derived
+    bucketing makes the whole sketch bit-reproducible in SQL, so the
+    estimates themselves are value-checked, not just bounded."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = t["documents"].select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = (tk.groupBy("tok").agg(F.count("*").alias("n_exact"))
+             .orderBy(F.desc("n_exact"), F.asc("tok")).limit(20))
+
+    def bkt(d: int, col: str) -> F.Column:
+        return md5_long(F.concat(F.lit(f"cms{d}:"), F.col(col))) % _CMS_W
+
+    hashed = tk.select("tok", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"), bkt(d, "tok").alias("bkt"))
+        for d in range(_CMS_D)])).alias("h")).select("h.d", "h.bkt")
+    cms = hashed.groupBy("d", "bkt").agg(F.count("*").alias("c"))
+    probes = exact.select("tok", "n_exact", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"), bkt(d, "tok").alias("bkt"))
+        for d in range(_CMS_D)])).alias("h")).select(
+            "tok", "n_exact", "h.d", "h.bkt")
+    est = (probes.join(F.broadcast(cms), ["d", "bkt"])
+           .groupBy("tok", "n_exact").agg(F.min("c").alias("n_est")))
+    return est.select(
+        "tok", "n_exact", "n_est",
+        (F.col("n_est") >= F.col("n_exact")).alias("overestimates"))

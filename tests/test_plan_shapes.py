@@ -415,3 +415,37 @@ def test_png_header_parse_pure_codegen(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
     assert "Exchange" not in p
+
+
+def test_explicit_bloom_prefilter_prunes_and_is_exact(spark, sf_dir):
+    """The explicit broadcast Bloom prefilter (operators/bloom.py): the
+    fact-side membership test must (a) drop the overwhelming majority of
+    lineitem rows in a pure map stage — a Filter on the scan with no
+    Exchange below it — and (b) admit every key that actually joins (no
+    false negatives), so the prefiltered join count equals the plain
+    join count exactly."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.operators.bloom import (
+        bloom_might_contain, build_bloom_words)
+    from results_ingestor_spark.sources.tables import load_tables
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    dim = (t["orders"]
+           .where((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.year("o_orderdate") == 1995))
+           .select("o_orderkey"))
+    words = build_bloom_words(dim, "o_orderkey")
+    pred = bloom_might_contain(F.col("l_orderkey"), words)
+    fact = t["lineitem"].where(pred)
+
+    total = t["lineitem"].count()
+    kept = fact.count()
+    assert kept < 0.05 * total  # the filter actually prunes
+
+    plan = fact._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan     # map-only prefilter
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plain = t["lineitem"].join(dim, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    pre = fact.join(dim, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert pre == plain  # no false negatives
