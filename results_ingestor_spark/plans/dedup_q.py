@@ -563,3 +563,95 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("j_exact") >= 0.5).alias("n_true_dups"),
         F.round(F.count_if(F.col("j_exact") >= 0.5).cast("double")
                 / F.count("*"), 9).alias("precision_at_05"))
+
+
+_INCR_SPLIT = 400  # doc_id < split = historical corpus; >= split = new batch
+
+
+@query("dedup_incremental_new_batch", oracle=f"""
+WITH sigi AS ({_minhash_sql()}),
+keyedi AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigi),
+candi AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM keyedi n JOIN keyedi h
+    ON n.bidx = h.bidx AND n.bkey = h.bkey
+   AND n.doc_id >= {_INCR_SPLIT} AND h.doc_id < {_INCR_SPLIT}),
+veri AS (
+  SELECT new_id, hist_id,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9) AS j
+  FROM candi
+  JOIN sigi a ON a.doc_id = new_id
+  JOIN sigi b ON b.doc_id = hist_id),
+hits AS (SELECT * FROM veri WHERE j >= 0.5),
+best AS (
+  SELECT new_id, n_matches, hist_id AS best_match_id, j AS best_jaccard
+  FROM (
+    SELECT new_id, hist_id, j,
+      CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n_matches,
+      row_number() OVER (PARTITION BY new_id ORDER BY j DESC, hist_id)
+        AS rn
+    FROM hits)
+  WHERE rn = 1)
+SELECT d.doc_id,
+  coalesce(b.n_matches, 0) AS n_matches,
+  b.best_match_id, b.best_jaccard,
+  b.new_id IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT}) d
+LEFT JOIN best b ON b.new_id = d.doc_id""")
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: a NEW batch of documents (doc_id >=
+    split, standing in for today's crawl) is checked against the
+    HISTORICAL corpus's MinHash index (doc_id < split) without ever
+    re-comparing history to itself — the production shape for a
+    continuously-ingested corpus, where the historical band index is a
+    materialized table and each day's batch only joins its own band
+    keys against it.
+
+    Candidates come from new-vs-historical band-key collisions only
+    (the join condition carries the side predicate, so the candidate
+    space is new x historical, never historical²); exact shingle
+    Jaccard verifies at 0.5; every new doc reports its match count,
+    best (highest-Jaccard, ties to lowest id) historical match, and a
+    dup verdict.  Scale: the daily cost is O(new_batch) map work + a
+    band-key equi-join against the index — completely independent of
+    how large history has grown."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    sig = with_minhash(docs).select("doc_id", "__sh", "band0", "band1",
+                                    "band2", "band3")
+    bands = F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+    keyed = sig.select("doc_id", F.posexplode(bands).alias("bidx", "bkey"))
+    new_keys = keyed.where(F.col("doc_id") >= _INCR_SPLIT)
+    hist_keys = keyed.where(F.col("doc_id") < _INCR_SPLIT)
+    cand = (new_keys.alias("n")
+            .join(hist_keys.alias("h"), ["bidx", "bkey"])
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("h.doc_id").alias("hist_id"))
+            .distinct())
+    a = sig.select(F.col("doc_id").alias("new_id"),
+                   F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("hist_id"),
+                   F.col("__sh").alias("sh_b"))
+    j = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
+    hits = (cand.join(a, "new_id").join(b, "hist_id")
+            .select("new_id", "hist_id", j.alias("j"))
+            .where(F.col("j") >= 0.5))
+    best = (hits.groupBy("new_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min_by("hist_id",
+                          F.struct(F.negate(F.col("j")).alias("nj"),
+                                   F.col("hist_id").alias("h")))
+                 .alias("best_match_id"),
+                 F.max("j").alias("best_jaccard")))
+    new_docs = docs.where(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
+    return (new_docs.join(best, new_docs["doc_id"] == best["new_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                "best_match_id", "best_jaccard",
+                F.col("new_id").isNotNull().alias("is_dup")))
