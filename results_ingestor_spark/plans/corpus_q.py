@@ -527,3 +527,42 @@ def curriculum_perplexity_buckets(spark: SparkSession,
                  F.round(F.sum(F.col("avg_logprob").cast("decimal(18,6)"))
                          .cast("double") / F.count("*"), 6)
                   .alias("mean_logprob")))
+
+
+@query("dataset_card", oracle=f"""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+  round(CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 9)
+    AS exact_dup_rate,
+  CAST(count_if(len({_TOKS}) >= 50) AS BIGINT) AS n_docs_50plus_tokens
+FROM documents""")
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a curation pipeline publishes with every
+    corpus snapshot: volume, language/source diversity, token totals,
+    length extremes, exact-duplicate rate, and the share of
+    training-viable (>=50-token) documents — all from a single scan
+    (the distinct-aggregates expand into one shuffle; every other
+    metric folds map-side).  Integer sums divided once at the end keep
+    every ratio engine-exact."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = F.split("text", " ")
+    return t["documents"].agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(tk)).cast("long").alias("total_tokens"),
+        F.round(F.sum(F.size(tk)).cast("double") / F.count("*"), 6)
+         .alias("mean_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.round(F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double")
+                / F.count("*"), 9).alias("exact_dup_rate"),
+        F.count_if(F.size(tk) >= 50).alias("n_docs_50plus_tokens"))

@@ -169,3 +169,44 @@ def test_sorted_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     f_so = hit_fraction(so, lo, hi)
     assert f_un == 1.0          # unsorted: every row group overlaps
     assert f_so <= 0.34         # sorted: the slice lives in few groups
+
+
+def test_compact_small_files_preserves_rows_and_prunes(spark, sf_dir, tmp_path):
+    """Small-file compaction: 64 tiny files -> a handful of target-sized
+    ones, same rows; range-sorting on the cluster key makes key-filtered
+    scans read FEWER files than the fragmented layout (row-group/file
+    min-max pruning restored)."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.operators.maintenance import (
+        compact_parquet_dir)
+    from results_ingestor_spark.sources.tables import load_tables
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)
+
+    out = str(tmp_path / "compacted")
+    # tiny target so even the sf0.001 fixture yields several output
+    # files — the point is the file-count collapse + range layout, not
+    # the absolute size
+    stats = compact_parquet_dir(spark, frag, out,
+                                target_file_bytes=16 * 1024,
+                                sort_cols=["user_id"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 16
+    assert spark.read.parquet(out).count() == stats["rows"] == ev.count()
+
+    # pruning: a user_id-ranged read of the compacted layout touches a
+    # strict subset of files; the fragmented layout must touch all 64
+    pred = F.col("user_id") < 3
+    frag_touched = spark.read.parquet(frag).where(pred)
+    comp_touched = spark.read.parquet(out).where(pred)
+    n_frag = len({r[0] for r in
+                  frag_touched.select(F.input_file_name()).distinct().collect()})
+    n_comp = len({r[0] for r in
+                  comp_touched.select(F.input_file_name()).distinct().collect()})
+    # (a fragment can miss the predicate by luck; the layout claim is
+    # "nearly all touched" vs "nearly all skipped")
+    assert n_frag >= 48
+    assert n_comp < stats["files_after"]  # disjoint ranges -> file pruning
+    assert n_comp <= 2
