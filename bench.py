@@ -41,6 +41,11 @@ HEADLINE = [
     "text_chunk_windows",
     "lm_bigram_perplexity",
     "bpe_train_merges",
+    # round 3b: explicit runtime-filtered join (bloom build + map-side
+    # prune + exact join), incremental dedup of a new batch vs the
+    # historical band index
+    "join_bloom_prefilter",
+    "dedup_incremental_new_batch",
 ]
 
 
