@@ -63,7 +63,8 @@ def write_parquet(df: DataFrame, path: str,
 
 
 def compact_small_files(spark, in_path: str, out_path: str,
-                        target_file_bytes: int = 128 * 1024 * 1024) -> int:
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        sort_cols: list[str] | None = None) -> int:
     """Small-file compaction — the maintenance op every long-running
     ingest pipeline needs (streaming sinks and per-batch appends leave
     thousands of KB-sized files; each costs a task + open at read
@@ -71,6 +72,14 @@ def compact_small_files(spark, in_path: str, out_path: str,
     ``target_file_bytes`` (not row counts — row width varies), then
     coalesce()s — a narrow, shuffle-free repack.  Returns the output
     file count.
+
+    With ``sort_cols`` the repack is ``repartitionByRange`` on those
+    columns instead (one shuffle, sampled range boundaries): each
+    output file then owns a disjoint key range, so key-filtered scans
+    prune whole files via row-group min/max again — the
+    OPTIMIZE-with-cluster-key shape.  Pinned in tests/test_sinks.py:
+    a ranged read touches ≤2 compacted files where the fragmented
+    layout touched ~all 64.
 
     At 100 TB this runs per-partition-directory (compact yesterday's
     partition while today appends), and the listing comes from the
@@ -84,5 +93,7 @@ def compact_small_files(spark, in_path: str, out_path: str,
     total = int(df._jdf.queryExecution().optimizedPlan().stats()
                 .sizeInBytes())
     n = max(1, math.ceil(total / target_file_bytes))
-    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    out = (df.repartitionByRange(n, *sort_cols) if sort_cols
+           else df.coalesce(n))
+    out.write.mode("overwrite").parquet(out_path)
     return sum(1 for f in os.listdir(out_path) if f.endswith(".parquet"))

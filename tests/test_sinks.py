@@ -178,8 +178,7 @@ def test_compact_small_files_preserves_rows_and_prunes(spark, sf_dir, tmp_path):
     min-max pruning restored)."""
     from pyspark.sql import functions as F
 
-    from results_ingestor_spark.operators.maintenance import (
-        compact_parquet_dir)
+    from results_ingestor_spark.sources.jdbc_sink import compact_small_files
     from results_ingestor_spark.sources.tables import load_tables
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     frag = str(tmp_path / "fragmented")
@@ -189,12 +188,11 @@ def test_compact_small_files_preserves_rows_and_prunes(spark, sf_dir, tmp_path):
     # tiny target so even the sf0.001 fixture yields several output
     # files — the point is the file-count collapse + range layout, not
     # the absolute size
-    stats = compact_parquet_dir(spark, frag, out,
-                                target_file_bytes=16 * 1024,
-                                sort_cols=["user_id"])
-    assert stats["files_before"] == 64
-    assert stats["files_after"] < 16
-    assert spark.read.parquet(out).count() == stats["rows"] == ev.count()
+    files_after = compact_small_files(spark, frag, out,
+                                      target_file_bytes=16 * 1024,
+                                      sort_cols=["user_id"])
+    assert files_after < 16
+    assert spark.read.parquet(out).count() == ev.count()
 
     # pruning: a user_id-ranged read of the compacted layout touches a
     # strict subset of files; the fragmented layout must touch all 64
@@ -208,5 +206,5 @@ def test_compact_small_files_preserves_rows_and_prunes(spark, sf_dir, tmp_path):
     # (a fragment can miss the predicate by luck; the layout claim is
     # "nearly all touched" vs "nearly all skipped")
     assert n_frag >= 48
-    assert n_comp < stats["files_after"]  # disjoint ranges -> file pruning
+    assert n_comp < files_after  # disjoint ranges -> file pruning
     assert n_comp <= 2
