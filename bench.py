@@ -46,6 +46,9 @@ HEADLINE = [
     # historical band index
     "join_bloom_prefilter",
     "dedup_incremental_new_batch",
+    # md5 (oracle-checked) vs xxhash64 (production) MinHash tiers,
+    # timed head-to-head
+    "dedup_minhash_lsh_fast",
 ]
 
 

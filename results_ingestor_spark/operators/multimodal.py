@@ -195,3 +195,85 @@ def parse_png_header(df: DataFrame,
         be_int(21, 4).alias("height"),
         be_int(25, 1).alias("bit_depth"),
         (F.length(p) - 29).cast("long").alias("n_content_bytes"))
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+_PHASH_SIDE = 32  # 'image' side length the payload is shaped into
+_PHASH_LOW = 8    # low-frequency block kept from the DCT
+
+
+def fake_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 64-bit perceptual hash (pHash) per payload.
+
+    Real deployment: decode the image, resize to 32x32 grayscale, 2-D
+    DCT, keep the 8x8 low-frequency block, threshold at its median.
+    Here the 'grayscale image' is the payload bytes tiled/truncated to
+    32x32 (deterministic stand-in for the absent decoder); the DCT →
+    low-block → median-threshold pipeline is the real algorithm, done
+    with a plain numpy basis multiply (no scipy in the container).
+    Identical payloads hash identically; near-identical 'images' differ
+    in few bits — Hamming distance is the similarity metric.
+    """
+    import numpy as np
+    n = _PHASH_SIDE
+    k = np.arange(n)[:, None]
+    # orthonormal DCT-II basis (scipy.fft.dct(norm='ortho') equivalent)
+    basis = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0] *= np.sqrt(0.5)
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(payload, dtype=np.uint8)
+            need = n * n
+            reps = -(-need // max(1, len(raw)))
+            img = np.tile(raw, reps)[:need].astype(np.float64).reshape(n, n)
+            dct = basis @ img @ basis.T
+            low = dct[:_PHASH_LOW, :_PHASH_LOW].ravel()
+            bits = low > np.median(low)
+            h = np.uint64(0)
+            for b in bits:
+                h = (h << np.uint64(1)) | np.uint64(bool(b))
+            ids.append(doc_id)
+            hashes.append(np.int64(h.astype(np.int64)))
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "phash": pd.Series(hashes, dtype="int64")})
+
+
+def perceptual_hashes(df: DataFrame) -> DataFrame:
+    """doc frame → (doc_id, 64-bit phash), Arrow-batched."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    return (ensure_min_parallelism(with_binary_payload(df))
+            .select("doc_id", "payload")
+            .mapInPandas(fake_phash, PHASH_SCHEMA))
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                         ) -> DataFrame:
+    """Banded Hamming near-dup over 64-bit perceptual hashes.
+
+    The hash splits into 4 x 16-bit bands; a pair is a candidate iff it
+    collides on at least one band.  By pigeonhole, any pair with
+    Hamming distance <= 3 has a clean band, so at this threshold the
+    banded candidate set is COMPLETE — the result provably equals the
+    all-pairs scan (pinned against brute force in tests) while the
+    shuffle carries only (band_idx, 16-bit key, id).  The verify step
+    is bit_count(xor) — exact, JVM-side.
+    """
+    bands = F.array(*[
+        F.shiftright(F.col("phash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+        for b in range(4)])
+    keyed = hashes.select("doc_id", "phash",
+                          F.posexplode(bands).alias("bidx", "bkey"))
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    ham = F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash")))
+    return (left.join(right,
+                      (F.col("l.bidx") == F.col("r.bidx"))
+                      & (F.col("l.bkey") == F.col("r.bkey"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("id_a"),
+                    F.col("r.doc_id").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct()
+            .withColumn("is_near_dup", F.col("hamming") <= max_hamming))

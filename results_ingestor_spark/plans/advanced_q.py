@@ -698,3 +698,58 @@ def string_collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
             .select(F.lower("type_key").alias("type_ci"), "n")
             .orderBy("type_ci"))
+
+
+@query("dq_join_fanout_audit", oracle="""
+WITH lm AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_orderkey),
+om AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderkey),
+j AS (SELECT lm.c AS cl, om.c AS co FROM lm JOIN om ON om.k = lm.k)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lm) AS n_keys_fact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM om) AS n_keys_dim,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_shared_keys,
+  (SELECT CAST(MAX(c) AS BIGINT) FROM lm) AS max_mult_fact,
+  (SELECT CAST(MAX(c) AS BIGINT) FROM om) AS max_mult_dim,
+  (SELECT CAST(SUM(cl * co) AS BIGINT) FROM j) AS est_join_rows,
+  round(CAST((SELECT SUM(cl * co) FROM j) AS DOUBLE)
+        / (SELECT SUM(c) FROM lm), 9) AS fanout_vs_fact""")
+def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit — the guard a pipeline runs BEFORE an
+    expensive join to catch key-multiplicity explosions: per-side key
+    multiplicities, the exact join output cardinality
+    (Σ_shared cnt_fact × cnt_dim, computed from two key-level aggregates
+    without executing the join), and the fan-out ratio vs the fact side.
+    A fanout_vs_fact near 1.0 certifies the dim side is unique on the
+    key; >> 1.0 means the join would multiply rows.
+
+    Scale: both multiplicity tables shuffle only (key, count) with
+    map-side combine — the audit costs two aggregations and a key-level
+    join of the aggregates, never materializing the joined rows.  All
+    arithmetic is integer-exact; one division at the end."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    lm = (t["lineitem"].groupBy(F.col("l_orderkey").alias("k"))
+          .agg(F.count("*").alias("cl")))
+    om = (t["orders"].groupBy(F.col("o_orderkey").alias("k"))
+          .agg(F.count("*").alias("co")))
+    j = lm.join(om, "k")
+    stats_lm = lm.agg(F.count("*").alias("n_keys_fact"),
+                      F.max("cl").alias("max_mult_fact"),
+                      F.sum("cl").alias("tot_fact"))
+    stats_om = om.agg(F.count("*").alias("n_keys_dim"),
+                      F.max("co").alias("max_mult_dim"))
+    stats_j = j.agg(F.count("*").alias("n_shared_keys"),
+                    F.sum(F.col("cl") * F.col("co"))
+                    .cast("long").alias("est_join_rows"))
+    return (stats_lm.crossJoin(F.broadcast(stats_om))
+            .crossJoin(F.broadcast(stats_j))
+            .select(
+                "n_keys_fact", "n_keys_dim", "n_shared_keys",
+                F.col("max_mult_fact").cast("long").alias("max_mult_fact"),
+                F.col("max_mult_dim").cast("long").alias("max_mult_dim"),
+                "est_join_rows",
+                F.round(F.col("est_join_rows").cast("double")
+                        / F.col("tot_fact"), 9).alias("fanout_vs_fact")))

@@ -655,3 +655,27 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
                 "best_match_id", "best_jaccard",
                 F.col("new_id").isNotNull().alias("is_dup")))
+
+
+@query("dedup_minhash_lsh_fast")  # xxhash64 tier — no SQL twin exists
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hash tier of the MinHash+LSH pipeline: identical
+    shape to dedup_minhash_lsh but with xxhash64 base hashes
+    (``fast=True``, ~5x cheaper than the md5 tier) — the configuration
+    a real 100 TB run uses, benchmarked head-to-head against the
+    oracle-checked md5 tier in bench.py.  Driver check is rows-only
+    (DuckDB has no xxhash64); the exact-Jaccard verification step is
+    hash-independent, so every emitted pair is still a TRUE >=0.5
+    near-duplicate — only candidate recall depends on the hash family,
+    and tests/test_dedup.py pins the fast tier finds the same planted
+    duplicates."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"], fast=True).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .where(j >= 0.5)
+            .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))

@@ -109,3 +109,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.operators.multimodal import resize_payloads
     t = load_tables(spark, sf_dir, ("documents",))
     return resize_payloads(t["documents"])
+
+
+@query("multimodal_phash_neardup")  # DCT hash — no single-statement SQL twin
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by 64-bit perceptual hash: the
+    payload 'decodes' through the Arrow mapInPandas path into a pHash
+    (32x32 → DCT → 8x8 low block → median threshold — the real pHash
+    algorithm over the stub decode), then pairs within Hamming
+    distance 3 surface via a 4x16-bit banded equi-join whose candidate
+    set is pigeonhole-COMPLETE at that threshold — the result provably
+    equals the all-pairs scan while shuffling only (band key, id).
+    Driver check is rows-only (no DCT in SQL); completeness vs brute
+    force, determinism, and exact-dup ⊂ hamming-0 are pinned in
+    tests/test_text_multimodal.py."""
+    from results_ingestor_spark.operators.multimodal import (
+        perceptual_hashes, phash_near_dup_pairs)
+    t = load_tables(spark, sf_dir, ("documents",))
+    return phash_near_dup_pairs(perceptual_hashes(t["documents"]))

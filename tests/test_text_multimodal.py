@@ -95,3 +95,50 @@ def test_repetition_signals_edges(spark, tmp_path):
     r3 = got[3]
     assert (r3["top_bigram_frac"], r3["dup_trigram_frac"]) == (0.0, 0.0)
     assert got[4]["dup_trigram_frac"] == 0.0
+
+
+def test_phash_banded_neardup_equals_brute_force(spark, sf_dir):
+    """The 4x16-bit banded candidate join at Hamming<=3 is pigeonhole-
+    complete: its result must EQUAL the all-pairs scan.  Also pins
+    determinism (recompute → same hashes) and that exact payload dups
+    land at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.operators.multimodal import (
+        perceptual_hashes, phash_near_dup_pairs)
+    from results_ingestor_spark.sources.tables import load_tables
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = perceptual_hashes(docs)
+    h2 = perceptual_hashes(docs)
+    assert sorted(map(tuple, h.collect())) == sorted(map(tuple, h2.collect()))
+
+    banded = {tuple(r[:3]) for r in phash_near_dup_pairs(h).collect()
+              if r["is_near_dup"]}
+    a = h.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("pa"))
+    b = h.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("pb"))
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    brute = {tuple(r) for r in
+             (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+              .where(ham <= 3)
+              .select("id_a", "id_b", ham.alias("hamming"))).collect()}
+    assert banded == brute
+
+
+def test_phash_recovers_planted_duplicates(spark):
+    """Plant byte-identical and lightly-perturbed payload pairs among
+    decoys: identical payloads MUST pair at hamming 0; the banded join
+    at d<=3 must flag exactly the planted identical pairs and no decoy
+    cross-pairs (decoy hashes are ~32 bits apart on average)."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.operators.multimodal import (
+        perceptual_hashes, phash_near_dup_pairs)
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 30),
+            (2, "the quick brown fox jumps over the lazy dog " * 30),
+            (3, "completely different content about spark engines " * 25),
+            (4, "yet another unrelated decoy document body text " * 28)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    h = perceptual_hashes(docs)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dup_pairs(h).collect() if r["is_near_dup"]}
+    assert got == {(1, 2): 0}

@@ -79,6 +79,8 @@ WHITELIST_BNLJ = {
     "mixture_token_budget": "1-row normalizer broadcast",
     "curriculum_perplexity_buckets":
         "1-row vocabulary-size broadcast (inherited from the LM scorer)",
+    "dq_join_fanout_audit":
+        "three 1-row aggregate stat combines (the audit's whole output)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
