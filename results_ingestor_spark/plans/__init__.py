@@ -38,10 +38,13 @@ _PRIORITY = [
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
     # regression watch (r02 type-tag fix)
     "agg_argminmax_conditional",
-    # deduplication family
-    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
+    # deduplication family (round 3b: the incremental-index entry
+    # replaces the normalized-exact variant, and the clusters-summary
+    # wrapper cedes its slot to the bloom-prefiltered join — both
+    # displaced entries are thin derivatives of in-window kin)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental_new_batch",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_clusters", "dedup_clusters_summary", "dedup_duplicate_passages",
+    "dedup_clusters", "join_bloom_prefilter", "dedup_duplicate_passages",
     "dedup_time_window",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_adc_topk",
