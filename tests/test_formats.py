@@ -178,3 +178,62 @@ def test_events_ts_normalized_to_timestamp_all_sfs(spark):
         ev = load_tables(spark, os.path.join(root, sf), ("events",))["events"]
         ts = ev.schema["ts"].dataType
         assert isinstance(ts, T.TimestampType), f"{sf}: events.ts is {ts}"
+
+
+def test_corpus_schema_pin_all_tables_all_sfs(spark):
+    """Corpus-regeneration tripwire, widened to EVERY table: the column
+    names and engine-facing types the whole query library assumes.  If
+    the driver regenerates testdata with a different physical encoding,
+    this fails with the table and column named — not N queries deep.
+    (events.ts has its own dedicated pin covering the NTZ/NANOS
+    normalization variants.)"""
+    import os
+
+    from results_ingestor_spark.sources.tables import load_tables
+
+    # the dtypes every oracle and plan in the tree is written against
+    # (note: order/ship dates arrive as naive timestamps, not DATE —
+    # queries cast where day semantics matter; dim keys are int32)
+    expected = {
+        "region": {"r_regionkey": "int", "r_name": "string"},
+        "nation": {"n_nationkey": "int", "n_name": "string",
+                   "n_regionkey": "int"},
+        "customer": {"c_custkey": "bigint", "c_name": "string",
+                     "c_nationkey": "int", "c_acctbal": "double",
+                     "c_mktsegment": "string"},
+        "supplier": {"s_suppkey": "bigint", "s_name": "string",
+                     "s_nationkey": "int", "s_acctbal": "double"},
+        "part": {"p_partkey": "bigint", "p_name": "string",
+                 "p_brand": "string", "p_type": "string",
+                 "p_size": "int", "p_retailprice": "double"},
+        "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
+                   "o_orderstatus": "string", "o_totalprice": "double",
+                   "o_orderdate": "timestamp_ntz",
+                   "o_orderpriority": "string"},
+        "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint",
+                     "l_suppkey": "bigint", "l_linenumber": "int",
+                     "l_quantity": "double", "l_extendedprice": "double",
+                     "l_discount": "double", "l_tax": "double",
+                     "l_returnflag": "string", "l_linestatus": "string",
+                     "l_shipdate": "timestamp_ntz"},
+        "events": {"event_id": "bigint", "ts": "timestamp",
+                   "user_id": "bigint", "event_type": "string",
+                   "value": "double", "props": "string"},
+        "documents": {"doc_id": "bigint", "text": "string",
+                      "lang": "string", "source": "string",
+                      "n_chars": "bigint"},
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>",
+                       "label": "int"},
+    }
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        base = f"/root/testdata/{sf}"
+        if not os.path.isdir(base):
+            continue
+        tables = load_tables(spark, base)
+        for tname, want in expected.items():
+            got = dict(tables[tname].dtypes)
+            for col, typ in want.items():
+                assert got.get(col) == typ, (
+                    f"{sf}/{tname}.{col}: expected {typ}, got "
+                    f"{got.get(col)} — corpus regeneration changed the "
+                    "physical schema; fix sources/tables.py normalization")
