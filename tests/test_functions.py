@@ -67,3 +67,22 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         d, m = exact[r["o_orderstatus"]]
         assert r["exact_customers"] == d
         assert r["exact_median"] == m
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    """operators/bloom.py contract: every inserted key tests positive
+    (no false negatives — the property the join prefilter's exactness
+    rests on), and the false-positive rate on disjoint keys stays near
+    the theoretical (1 - e^{-kn/m})^k (< 5% at these parameters)."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.operators.bloom import (
+        bloom_might_contain, build_bloom_words)
+    members = spark.range(10_000, 14_000).select(F.col("id").alias("k"))
+    words = build_bloom_words(members, "k")
+    hits = members.where(bloom_might_contain(F.col("k"), words)).count()
+    assert hits == 4_000  # zero false negatives
+
+    others = spark.range(50_000, 60_000).select(F.col("id").alias("k"))
+    fp = others.where(bloom_might_contain(F.col("k"), words)).count()
+    assert fp / 10_000 < 0.05
