@@ -305,3 +305,30 @@ def psi_per_window(bin_counts: DataFrame,
                 * F.log(F.col("share") / F.col("base_share"))), 9)
                  .alias("psi"))
             .orderBy("window_start"))
+
+
+def windowed_countmin(events: DataFrame, depth: int = 4, width: int = 256,
+                      window: str = "1 hour",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Per-window Count-Min sketch over the event-type stream — the
+    streaming half of a heavy-hitter monitor.  State per (window, d,
+    bucket) is watermark-bounded AND corpus-independent: no matter how
+    hot a key gets, the window's state is exactly depth x width cells,
+    which is the whole point of sketching a stream instead of counting
+    it.  The md5-derived bucketing matches the batch operator
+    (heavy_hitters_countmin), so per-window sketches from the stream can
+    be cell-wise merged with batch history."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    rows = [
+        F.struct(F.lit(d).alias("d"),
+                 (md5_long(F.concat(F.lit(f"cms{d}:"),
+                                    F.col("event_type"))) % width)
+                 .alias("bkt"))
+        for d in range(depth)]
+    return (events
+            .withWatermark("ts", watermark)
+            .select("ts", F.explode(F.array(*rows)).alias("h"))
+            .groupBy(F.window("ts", window).alias("w"),
+                     F.col("h.d").alias("d"), F.col("h.bkt").alias("bkt"))
+            .agg(F.count("*").alias("c"))
+            .select(F.col("w.start").alias("window_start"), "d", "bkt", "c"))

@@ -310,3 +310,30 @@ def test_streaming_ingest_resumes_from_checkpoint(spark, tmp_path):
     assert len(new_batches) == 1  # restart advanced, didn't rewrite batch 0
     resumed = spark.read.parquet(os.path.join(bronze, new_batches.pop()))
     assert [r["county"] for r in resumed.collect()] == ["DURHAM"]
+
+
+def test_streaming_countmin_matches_batch(spark, sf_dir, stream):
+    """Streaming per-window Count-Min sketch == the same sketch computed
+    in batch over the same events, cell for cell — the mergeable-sketch
+    algebra carried into Structured Streaming with watermark-bounded,
+    size-constant state."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    from results_ingestor_spark.streaming.events import windowed_countmin
+    run_to_memory(windowed_countmin(stream), "t_cms",
+                  output_mode="complete")
+    got = {(r["window_start"], r["d"], r["bkt"]): r["c"]
+           for r in _rows(spark, "t_cms")}
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    rows = [F.struct(F.lit(d).alias("d"),
+                     (md5_long(F.concat(F.lit(f"cms{d}:"),
+                                        F.col("event_type"))) % 256)
+                     .alias("bkt"))
+            for d in range(4)]
+    want = {(r["window_start"], r["d"], r["bkt"]): r["c"] for r in
+            (ev.select("ts", F.explode(F.array(*rows)).alias("h"))
+             .groupBy(F.window("ts", "1 hour").alias("w"),
+                      F.col("h.d").alias("d"), F.col("h.bkt").alias("bkt"))
+             .agg(F.count("*").alias("c"))
+             .select(F.col("w.start").alias("window_start"), "d", "bkt", "c")
+             ).collect()}
+    assert got == want and len(got) > 0
