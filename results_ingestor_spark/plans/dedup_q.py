@@ -679,3 +679,78 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(a, "id_a").join(b, "id_b")
             .where(j >= 0.5)
             .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
+
+
+@query("contrastive_triplets", oracle=f"""
+WITH sigt AS ({_minhash_sql()}),
+keyedt AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigt),
+candt AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyedt l JOIN keyedt r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+vert AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9) AS j
+  FROM candt
+  JOIN sigt a ON a.doc_id = id_a
+  JOIN sigt b ON b.doc_id = id_b),
+sym AS (
+  SELECT id_a AS anchor, id_b AS other, j FROM vert
+  UNION ALL
+  SELECT id_b, id_a, j FROM vert),
+pos AS (
+  SELECT anchor, other AS positive_id, j AS pos_jaccard FROM (
+    SELECT anchor, other, j,
+      row_number() OVER (PARTITION BY anchor ORDER BY j DESC, other) AS rn
+    FROM sym WHERE j >= 0.5) WHERE rn = 1),
+neg AS (
+  SELECT anchor, other AS negative_id, j AS neg_jaccard FROM (
+    SELECT anchor, other, j,
+      row_number() OVER (PARTITION BY anchor ORDER BY j ASC, other) AS rn
+    FROM sym WHERE j < 0.5) WHERE rn = 1)
+SELECT p.anchor, p.positive_id, p.pos_jaccard,
+       n.negative_id, n.neg_jaccard
+FROM pos p LEFT JOIN neg n ON n.anchor = p.anchor""")
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining from the dedup index: for every
+    anchor that has both, emit its hardest POSITIVE (highest-Jaccard
+    verified near-dup) and hardest NEGATIVE (a doc that collides with
+    the anchor in some LSH band yet verifies dissimilar — the classic
+    hard-negative: near in the index, far in truth).  This is the
+    (anchor, positive, hard-negative) triplet shape contrastive
+    embedding training consumes, mined entirely from index structure —
+    no model, no randomness, deterministic tie-breaks.
+
+    Scale: reuses the band-key candidate join verbatim; the only
+    additions are two per-anchor top-1 windows over candidate edges
+    (each anchor's candidate list is band-collision-bounded)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                              "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    j = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
+    ver = (pairs.join(a, "id_a").join(b, "id_b")
+           .select("id_a", "id_b", j.alias("j")))
+    sym = (ver.selectExpr("id_a AS anchor", "id_b AS other", "j")
+           .unionByName(ver.selectExpr("id_b AS anchor", "id_a AS other",
+                                       "j")))
+    w_pos = Window.partitionBy("anchor").orderBy(F.desc("j"), F.asc("other"))
+    pos = (sym.where(F.col("j") >= 0.5)
+           .withColumn("rn", F.row_number().over(w_pos))
+           .where(F.col("rn") == 1)
+           .select("anchor", F.col("other").alias("positive_id"),
+                   F.col("j").alias("pos_jaccard")))
+    w_neg = Window.partitionBy("anchor").orderBy(F.asc("j"), F.asc("other"))
+    neg = (sym.where(F.col("j") < 0.5)
+           .withColumn("rn", F.row_number().over(w_neg))
+           .where(F.col("rn") == 1)
+           .select("anchor", F.col("other").alias("negative_id"),
+                   F.col("j").alias("neg_jaccard")))
+    return pos.join(neg, "anchor", "left")

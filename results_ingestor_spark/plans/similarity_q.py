@@ -471,3 +471,57 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array({lit}), (x, s) -> x * s), 0D, (acc, y) -> acc + y), 6)"
         ).alias(f"p{j}"))
     return t["embeddings"].select("vec_id", *projs)
+
+
+_HBOW_DIM = 16
+
+
+@query("embed_hashed_bow", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({{TOKS}}) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM tok),
+comp AS (
+  SELECT doc_id,
+    CAST(hv % {_HBOW_DIM} AS INT) AS dim,
+    SUM(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h GROUP BY doc_id, hv % {_HBOW_DIM}),
+nrm AS (
+  SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS n
+  FROM comp GROUP BY doc_id)
+SELECT c.doc_id, c.dim,
+  round(CAST(c.s AS DOUBLE) / nullif(nrm.n, 0), 9) AS value
+FROM comp c JOIN nrm ON nrm.doc_id = c.doc_id""".replace("{TOKS}", "t"))
+def embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding GENERATION by feature hashing — the deterministic
+    classical stand-in for the model-encoder step of an embedding
+    pipeline (hashing trick / signed random projection of the
+    bag-of-words): every token hashes to one of 16 dimensions with a
+    hash-derived ±1 sign, per-doc sums are L2-normalized, and the
+    result feeds the same ANN / near-dup operators the corpus
+    embeddings table does.  Long-format output (doc_id, dim, value) so
+    every component is value-checked.
+
+    Scale: explode + one (doc, dim) hash-agg with map-side combine +
+    one per-doc norm agg — two shuffles keyed on doc_id; a model
+    encoder would replace the hash with a mapInPandas batch kernel,
+    leaving the plan shape unchanged."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = (t["documents"]
+           .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+           .withColumn("hv", md5_long("tok")))
+    comp = (tok.groupBy("doc_id", (F.col("hv") % _HBOW_DIM).cast("int")
+                        .alias("dim"))
+            .agg(F.sum(F.when(F.shiftright("hv", 4).bitwiseAND(F.lit(1))
+                              == 1, 1).otherwise(-1)).alias("s")))
+    nrm = (comp.groupBy("doc_id")
+           .agg(F.sqrt(F.sum(F.col("s").cast("double") * F.col("s")))
+                .alias("n")))
+    return (comp.join(nrm, "doc_id")
+            .select("doc_id", "dim",
+                    F.round(F.col("s").cast("double")
+                            / F.nullif("n", F.lit(0)), 9).alias("value")))
