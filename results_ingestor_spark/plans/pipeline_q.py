@@ -581,3 +581,47 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.lit(1000000) * share / F.col("n_tokens"), 6)
                      .alias("epochs"))
             .orderBy("lang"))
+
+
+@query("privacy_k_anonymity", oracle="""
+WITH qid AS (
+  SELECT doc_id, lang, source,
+    CAST(n_chars // 100 AS BIGINT) AS len_bucket
+  FROM documents),
+grp AS (
+  SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS k
+  FROM qid GROUP BY 1, 2, 3)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(count_if(k < 5) AS BIGINT) AS n_groups_below_5,
+  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+    AS n_docs_below_5,
+  round(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+        / SUM(k), 9) AS frac_docs_reidentifiable
+FROM grp""")
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length-bucket): group sizes, the corpus minimum k, and the share of
+    documents sitting in groups smaller than k=5 — the privacy gate a
+    release pipeline runs before publishing metadata-bearing corpora
+    (small QI groups re-identify their members; the fix is coarsening
+    a QI column or suppressing the stragglers).
+
+    Scale: one hash-aggregate on the QI tuple (map-side combine) plus
+    a 1-row summary — the audit never touches document bodies, and the
+    QI group table is bounded by the QI domain, not the corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    qid = t["documents"].select(
+        "lang", "source",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"))
+    grp = (qid.groupBy("lang", "source", "len_bucket")
+           .agg(F.count("*").alias("k")))
+    below = F.when(F.col("k") < 5, F.col("k")).otherwise(0)
+    return grp.agg(
+        F.count("*").alias("n_groups"),
+        F.min("k").alias("min_k"),
+        F.count_if(F.col("k") < 5).alias("n_groups_below_5"),
+        F.sum(below).cast("long").alias("n_docs_below_5"),
+        F.round(F.sum(below).cast("double") / F.sum("k"), 9)
+         .alias("frac_docs_reidentifiable"))

@@ -658,3 +658,75 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("l_extendedprice"), 6).alias("raw_mean"),
                  F.sum(F.when(out_of, 1).otherwise(0)).cast("long")
                  .alias("n_clipped")))
+
+
+_SES_ALPHA = 0.3
+_SES_LAGS = 24
+
+
+def _ses_oracle() -> str:
+    # weight literals computed ONCE in Python and inlined verbatim in
+    # both engines, summed in the same k=0..23 order — identical floats
+    ws = [(1 - _SES_ALPHA) ** k for k in range(_SES_LAGS)]
+    num = " + ".join(
+        f"CASE WHEN lag(x, {k}) OVER w IS NULL THEN 0.0 "
+        f"ELSE {ws[k]!r} * lag(x, {k}) OVER w END"
+        for k in range(_SES_LAGS))
+    den = " + ".join(
+        f"CASE WHEN lag(x, {k}) OVER w IS NULL THEN 0.0 ELSE {ws[k]!r} END"
+        for k in range(_SES_LAGS))
+    return f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS x
+  FROM events GROUP BY 1, 2),
+lvl AS (
+  SELECT event_type, bucket, x,
+    round(({num}) / ({den}), 6) AS level
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+SELECT event_type, bucket, x AS actual, level,
+  round(x - lag(level) OVER
+    (PARTITION BY event_type ORDER BY bucket), 6) AS one_step_error
+FROM lvl"""
+
+
+@query("events_ses_forecast", oracle=_ses_oracle())
+def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-smoothing forecast over the hourly value series —
+    the predictive member of the time-series family (the others are
+    descriptive).  The SES level is the 24-lag truncated form
+    level_t = Σ w_k·x_{t-k} / Σ w_k (w_k = (1-α)^k, α=0.3), which is
+    the standard recursion unrolled to a bounded window — expressible
+    as pure window functions in ANY engine, numerically stable (no
+    growing exponents), and O(1) state per series.  one_step_error is
+    actual minus the PREVIOUS level — the live forecast-quality signal
+    a monitoring pipeline alerts on.
+
+    Determinism contract: the 24 weight literals are computed once in
+    Python and inlined into both engines' expressions in the same
+    summation order, so the floating-point result is bit-identical.
+    Scale: windows run over the hourly layer (O(hours) rows per type),
+    same contract as the Bollinger entry."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    h = (t["events"]
+         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.round(F.sum(dec).cast("double") / F.count("*"), 9)
+              .alias("x")))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    ws = [(1 - _SES_ALPHA) ** k for k in range(_SES_LAGS)]
+    num = None
+    den = None
+    for k in range(_SES_LAGS):
+        xk = F.lag("x", k).over(w)
+        nk = F.when(xk.isNull(), 0.0).otherwise(F.lit(ws[k]) * xk)
+        dk = F.when(xk.isNull(), 0.0).otherwise(F.lit(ws[k]))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    lvl = h.select("event_type", "bucket", "x",
+                   F.round(num / den, 6).alias("level"))
+    return lvl.select(
+        "event_type", "bucket", F.col("x").alias("actual"), "level",
+        F.round(F.col("x") - F.lag("level").over(w), 6)
+         .alias("one_step_error"))
