@@ -625,3 +625,36 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(below).cast("long").alias("n_docs_below_5"),
         F.round(F.sum(below).cast("double") / F.sum("k"), 9)
          .alias("frac_docs_reidentifiable"))
+
+
+@query("privacy_l_diversity", oracle="""
+WITH qid AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang
+  FROM documents),
+grp AS (
+  SELECT source, len_bucket,
+    CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS l
+  FROM qid GROUP BY 1, 2)
+SELECT source, len_bucket, k, l,
+  l >= 3 AS diverse
+FROM grp""")
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: within each
+    quasi-identifier group (source, length-bucket), how many DISTINCT
+    sensitive values (lang here) appear.  A group can be large (k-safe)
+    yet homogeneous: every member shares the sensitive value, so
+    membership alone discloses it; l >= 3 is the usual release bar.
+    Per-group output so the failing groups are directly actionable.
+
+    Scale: one hash-aggregate on the QI tuple with a distinct-agg
+    (expand), bounded by the QI domain — bodies never move."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    qid = t["documents"].select(
+        "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "lang")
+    return (qid.groupBy("source", "len_bucket")
+            .agg(F.count("*").alias("k"),
+                 F.countDistinct("lang").alias("l"))
+            .select("source", "len_bucket", "k", "l",
+                    (F.col("l") >= 3).alias("diverse")))
