@@ -163,3 +163,29 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
                           .alias("label"))
                   .localCheckpoint())
     return labels
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """Bounded-round k-core peel: repeatedly drop nodes whose CURRENT
+    degree is below k (removing a node lowers its neighbors' degrees,
+    which can push them under the bar next round — hence iteration).
+    Returns (u, core_degree) for the surviving nodes after ``rounds``
+    peels — on a converged graph extra rounds are no-ops, so a fixed
+    round count is both deterministic and oracle-unrollable.
+
+    Scale: each round is one degree aggregation plus two semi joins on
+    node id; ``localCheckpoint`` truncates lineage the same way the
+    connected-components loop does (operators/dedup.py).  At real
+    scale you would loop to fixpoint with an early-exit count check;
+    the bounded form keeps the plan finite and cross-engine testable.
+    """
+    sym = symmetrize(edges).localCheckpoint()
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        sym = (sym
+               .join(keep, "u", "left_semi")
+               .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+               .localCheckpoint())
+    return (sym.groupBy("u").agg(F.count("*").alias("core_degree"))
+            .where(F.col("core_degree") >= k))

@@ -658,3 +658,66 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("lang").alias("l"))
             .select("source", "len_bucket", "k", "l",
                     (F.col("l") >= 3).alias("diverse")))
+
+
+@query("privacy_t_closeness", oracle="""
+WITH qid AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang
+  FROM documents),
+cell AS (
+  SELECT source, len_bucket, lang, CAST(COUNT(*) AS BIGINT) AS n_gl
+  FROM qid GROUP BY 1, 2, 3),
+gl AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM qid GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qid),
+kc AS (
+  SELECT cell.*, n_l, n,
+    SUM(n_gl) OVER (PARTITION BY cell.source, cell.len_bucket) AS k
+  FROM cell JOIN gl USING (lang) CROSS JOIN tot)
+SELECT source, len_bucket,
+  CAST(MAX(k) AS BIGINT) AS k,
+  round(CAST(SUM(abs(n_gl * n - n_l * k))
+             + (MAX(n) - SUM(n_l)) * MAX(k) AS DOUBLE)
+        / (2.0 * MAX(k) * MAX(n)), 9) AS t_closeness,
+  (CAST(SUM(abs(n_gl * n - n_l * k))
+        + (MAX(n) - SUM(n_l)) * MAX(k) AS DOUBLE)
+   / (2.0 * MAX(k) * MAX(n))) <= 0.25 AS close
+FROM kc GROUP BY source, len_bucket""")
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy ladder
+    (k-anonymity → l-diversity → t-closeness): within each
+    quasi-identifier group (source, length-bucket), the total-variation
+    distance between the group's sensitive-value (lang) distribution
+    and the corpus-wide one.  A group can be large AND diverse yet
+    still leak ("90% of THIS group is language X vs 10% globally");
+    t <= 0.25 is the release bar here.
+
+    Every distance stays in integers until one final division:
+    TVD = [Σ_present |n_gl·n − n_l·k| + (n − Σ_present n_l)·k]
+          / (2·k·n) — the second term folds in the langs ABSENT from
+    the group (|0 − p_global| mass) without enumerating them.
+
+    Scale: two hash aggregates bounded by the QI×lang domain, a
+    broadcast join against the lang marginals (|langs| rows), and a
+    1-row broadcast total — document bodies never move, and the window
+    runs over QI-domain cells, not rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    qid = t["documents"].select(
+        "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "lang")
+    cell = (qid.groupBy("source", "len_bucket", "lang")
+            .agg(F.count("*").alias("n_gl")))
+    glob = qid.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = qid.agg(F.count("*").alias("n"))
+    wq = Window.partitionBy("source", "len_bucket")
+    kc = (cell.join(F.broadcast(glob), "lang")
+          .crossJoin(F.broadcast(tot))
+          .withColumn("k", F.sum("n_gl").over(wq)))
+    tvd_num = (F.sum(F.abs(F.col("n_gl") * F.col("n")
+                           - F.col("n_l") * F.col("k")))
+               + (F.max("n") - F.sum("n_l")) * F.max("k"))
+    tvd = tvd_num.cast("double") / (2.0 * F.max("k") * F.max("n"))
+    return (kc.groupBy("source", "len_bucket")
+            .agg(F.max("k").cast("long").alias("k"),
+                 F.round(tvd, 9).alias("t_closeness"),
+                 (tvd <= 0.25).alias("close")))

@@ -730,3 +730,234 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket", F.col("x").alias("actual"), "level",
         F.round(F.col("x") - F.lag("level").over(w), 6)
          .alias("one_step_error"))
+
+
+# Shared by the Mann-Whitney entry: the z-statistic with tie
+# correction, written ONCE as SQL text and compiled by both engines so
+# the double arithmetic happens in the same order (bit-identical).
+_MWU_Z = """round(
+  ((CAST(u1x2 AS DOUBLE) / 2) - (CAST(n1 AS DOUBLE) * n2 / 2))
+  / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+         * ((n1 + n2 + 1)
+            - CAST(ties AS DOUBLE)
+              / ((n1 + n2) * (n1 + n2 - 1.0)))), 9)"""
+
+
+@query("stats_mann_whitney_u", oracle=f"""
+WITH s AS (
+  SELECT value,
+    CAST(count_if(event_type = 'click') AS BIGINT) AS c1,
+    CAST(count_if(event_type = 'view')  AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value),
+r AS (
+  SELECT c1, c2, c1 + c2 AS c,
+    2 * (SUM(c1 + c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+         - (c1 + c2)) + (c1 + c2) + 1 AS rank2
+  FROM s),
+agg AS (
+  SELECT
+    CAST(SUM(c1) AS BIGINT) AS n1,
+    CAST(SUM(c2) AS BIGINT) AS n2,
+    CAST(SUM(c1 * rank2) AS BIGINT) AS r1x2,
+    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+  FROM r)
+SELECT n1 AS n_click, n2 AS n_view,
+  round(CAST(u1x2 AS DOUBLE) / 2, 1) AS u_click,
+  {_MWU_Z} AS z
+FROM (SELECT n1, n2, ties, r1x2 - n1 * (n1 + 1) AS u1x2 FROM agg)""")
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the 'click' and
+    'view' value distributions — the nonparametric location test that
+    complements the KS entry (KS asks "same distribution?", U asks
+    "does one tend larger?").  Ranks are computed over DISTINCT values
+    with midrank tie handling, entirely in integers: for a value with
+    count c and cum-before p, twice the average rank is 2p + c + 1, so
+    2·R1 = Σ c1·(2p+c+1) and 2·U1 = 2·R1 − 2·n1(n1+1)/2 stay BIGINT;
+    the tie term Σ(c³−c) feeds the variance.  Doubles appear only in
+    the shared z expression text compiled by both engines.
+
+    Scale: same contract as stats_ks_two_sample — the global-order
+    window runs over distinct values (pre-aggregated counts), bounded
+    by the value domain, not the row count."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].where(F.col("event_type").isin("click", "view"))
+    s = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("c1"),
+        F.count_if(F.col("event_type") == "view").alias("c2"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("c1") + F.col("c2")
+    r = s.select(
+        "c1", "c2", c.alias("c"),
+        (2 * (F.sum(c).over(w) - c) + c + 1).alias("rank2"))
+    agg = r.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2")).cast("long").alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+         .cast("long").alias("ties"))
+    u = agg.select(
+        "n1", "n2", "ties",
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1x2"))
+    return u.select(
+        F.col("n1").alias("n_click"), F.col("n2").alias("n_view"),
+        F.round(F.col("u1x2").cast("double") / 2, 1).alias("u_click"),
+        F.expr(_MWU_Z).alias("z"))
+
+
+# Welch's t: the final statistic text is shared verbatim between
+# engines (same double-op order).  m/v inputs are exact decimal moments
+# cast to double once.
+_WELCH_T = """round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 9)"""
+_WELCH_DF = """round(
+  pow(v1 / n1 + v2 / n2, 2)
+  / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6)"""
+
+
+@query("stats_welch_ttest", oracle=f"""
+WITH m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM({_VDEC}) AS s,
+    SUM({_VDEC} * {_VDEC}) AS q
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type),
+d AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    MAX(CASE WHEN event_type = 'view'  THEN n END) AS n2,
+    CAST(MAX(CASE WHEN event_type = 'click' THEN s END) AS DOUBLE) AS s1,
+    CAST(MAX(CASE WHEN event_type = 'view'  THEN s END) AS DOUBLE) AS s2,
+    CAST(MAX(CASE WHEN event_type = 'click' THEN q END) AS DOUBLE) AS q1,
+    CAST(MAX(CASE WHEN event_type = 'view'  THEN q END) AS DOUBLE) AS q2
+  FROM m),
+v AS (
+  SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+    (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+    (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM d)
+SELECT n1 AS n_click, n2 AS n_view,
+  round(m1 - m2, 9) AS mean_diff,
+  {_WELCH_T} AS t_stat,
+  {_WELCH_DF} AS df
+FROM v""")
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between 'click' and
+    'view' values — the parametric sibling of the rank tests above.
+    Sums and sums-of-squares accumulate as exact DECIMALs (order-free
+    partial aggregation on executors stays exact); each enters the
+    double domain exactly once, and the t and Welch-Satterthwaite df
+    expressions are shared SQL text compiled by both engines.
+
+    Scale: one hash aggregate keyed on event_type (map-side combine),
+    then a 2-row pivot — nothing but six partial moments crosses the
+    shuffle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    ev = t["events"].where(F.col("event_type").isin("click", "view"))
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"))
+    pick = lambda typ, col: F.max(  # noqa: E731
+        F.when(F.col("event_type") == typ, F.col(col)))
+    d = m.agg(
+        pick("click", "n").alias("n1"), pick("view", "n").alias("n2"),
+        pick("click", "s").cast("double").alias("s1"),
+        pick("view", "s").cast("double").alias("s2"),
+        pick("click", "q").cast("double").alias("q1"),
+        pick("view", "q").cast("double").alias("q2"))
+    v = d.select(
+        "n1", "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+         / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+         / (F.col("n2") - 1)).alias("v2"))
+    return v.select(
+        F.col("n1").alias("n_click"), F.col("n2").alias("n_view"),
+        F.round(F.col("m1") - F.col("m2"), 9).alias("mean_diff"),
+        F.expr(_WELCH_T).alias("t_stat"),
+        F.expr(_WELCH_DF).alias("df"))
+
+
+_ACF_MAX_LAG = 6
+
+
+def _acf_oracle() -> str:
+    per_lag = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        per_lag.append(f"""
+    SELECT {k} AS lag,
+      CAST(SUM(y * lead{k}) AS BIGINT) AS p,
+      CAST(SUM(CASE WHEN lead{k} IS NOT NULL THEN y END) AS BIGINT) AS a,
+      CAST(SUM(lead{k}) AS BIGINT) AS b
+    FROM l""")
+    leads = ", ".join(
+        f"lead(y, {k}) OVER (ORDER BY bucket) AS lead{k}"
+        for k in range(1, _ACF_MAX_LAG + 1))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+l AS (SELECT y, {leads} FROM h),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+    CAST(SUM(y * y) AS BIGINT) AS q
+  FROM h),
+lags AS ({" UNION ALL ".join(per_lag)})
+SELECT lag,
+  round(CAST(n * n * p - n * s * (a + b) + (n - lag) * s * s AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (n * q - s * s)), 9) AS acf
+FROM lags CROSS JOIN tot
+ORDER BY lag"""
+
+
+@query("events_acf_hourly", oracle=_acf_oracle())
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1..6 —
+    the seasonality detector (a daily cycle shows up as a hump toward
+    lag 24; short-range burstiness as high lag-1).  The textbook ACF
+    r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² is algebraically expanded so
+    every aggregate (P_k = Σ y_t·y_{t+k}, the truncated edge sums A_k,
+    B_k, and the global n, S, Q) stays in BIGINT; multiplying through
+    by n² leaves ONE double division per lag:
+    r_k = (n²P_k − nS(A_k+B_k) + (n−k)S²) / (n(nQ − S²)).
+
+    Scale: the lead() window runs over the hourly aggregate layer
+    (O(hours) rows — bounded by the time domain, same contract as the
+    SES/Bollinger entries), never over raw events."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"]
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count("*").alias("y")))
+    w = Window.orderBy("bucket")
+    lead_cols = [F.lead("y", k).over(w).alias(f"lead{k}")
+                 for k in range(1, _ACF_MAX_LAG + 1)]
+    l = h.select("y", *lead_cols)
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("q")]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lk = F.col(f"lead{k}")
+        aggs += [
+            F.sum(F.col("y") * lk).cast("long").alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("y"))).cast("long")
+             .alias(f"a{k}"),
+            F.sum(lk).cast("long").alias(f"b{k}"),
+        ]
+    g = l.agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    rows = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.round(
+                (n * n * F.col(f"p{k}")
+                 - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+                 + (n - k) * s * s).cast("double")
+                / (n.cast("double") * (n * q - s * s)), 9).alias("acf"))
+        for k in range(1, _ACF_MAX_LAG + 1)]
+    return (g.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.lag", "r.acf")
+            .orderBy("lag"))

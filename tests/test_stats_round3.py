@@ -1,0 +1,90 @@
+"""Unit goldens for the round-3 stats additions: each new statistic is
+recomputed with an INDEPENDENT pandas/numpy implementation on the same
+sf0.001 slice, so a formula error shared by the Spark plan and its SQL
+oracle cannot hide behind cross-engine agreement."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from results_ingestor_spark.plans import QUERIES
+
+
+def _events_pdf(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_mann_whitney_matches_numpy_reference(spark, sf_dir):
+    row = QUERIES["stats_mann_whitney_u"](spark, sf_dir).collect()[0]
+    ev = _events_pdf(sf_dir)
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    vals = ev["value"].to_numpy()
+    # midrank via average method (independent of the SQL formulation)
+    order = vals.argsort(kind="mergesort")
+    ranks = np.empty(len(vals))
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based midrank
+        i = j
+    is_click = (ev.event_type == "click").to_numpy()
+    n1, n2 = int(is_click.sum()), int((~is_click).sum())
+    r1 = ranks[is_click].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row.n_click == n1 and row.n_view == n2
+    assert row.u_click == pytest.approx(u1, abs=1e-6)
+    _, counts = np.unique(vals, return_counts=True)
+    ties = float((counts.astype(np.int64) ** 3 - counts).sum())
+    big_n = n1 + n2
+    var = n1 * n2 / 12.0 * ((big_n + 1) - ties / (big_n * (big_n - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / np.sqrt(var)
+    assert row.z == pytest.approx(z, rel=1e-9)
+
+
+def test_welch_ttest_matches_numpy_reference(spark, sf_dir):
+    row = QUERIES["stats_welch_ttest"](spark, sf_dir).collect()[0]
+    ev = _events_pdf(sf_dir)
+    a = ev.loc[ev.event_type == "click", "value"].to_numpy()
+    b = ev.loc[ev.event_type == "view", "value"].to_numpy()
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    t = (a.mean() - b.mean()) / np.sqrt(v1 / len(a) + v2 / len(b))
+    df = (v1 / len(a) + v2 / len(b)) ** 2 / (
+        (v1 / len(a)) ** 2 / (len(a) - 1)
+        + (v2 / len(b)) ** 2 / (len(b) - 1))
+    assert row.n_click == len(a) and row.n_view == len(b)
+    assert row.mean_diff == pytest.approx(a.mean() - b.mean(), abs=1e-6)
+    assert row.t_stat == pytest.approx(t, rel=1e-6)
+    assert row.df == pytest.approx(df, rel=1e-6)
+
+
+def test_acf_matches_numpy_reference(spark, sf_dir):
+    got = {r.lag: r.acf
+           for r in QUERIES["events_acf_hourly"](spark, sf_dir).collect()}
+    ev = _events_pdf(sf_dir)
+    y = (ev.assign(bucket=ev.ts.dt.floor("h"))
+         .groupby("bucket").size().sort_index().to_numpy(dtype=float))
+    # textbook ACF on the EXISTING hourly buckets in time order
+    ybar = y.mean()
+    den = ((y - ybar) ** 2).sum()
+    for k in range(1, 7):
+        num = ((y[:-k] - ybar) * (y[k:] - ybar)).sum()
+        assert got[k] == pytest.approx(num / den, abs=1e-8), f"lag {k}"
+
+
+def test_t_closeness_matches_pandas_reference(spark, sf_dir):
+    rows = QUERIES["privacy_t_closeness"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["len_bucket"] = docs.n_chars // 100
+    glob = docs.lang.value_counts(normalize=True)
+    for r in rows[:40]:
+        g = docs[(docs.source == r.source)
+                 & (docs.len_bucket == r.len_bucket)]
+        assert len(g) == r.k
+        p = g.lang.value_counts(normalize=True)
+        tvd = 0.5 * sum(abs(p.get(lang, 0.0) - glob[lang])
+                        for lang in glob.index)
+        assert r.t_closeness == pytest.approx(tvd, abs=1e-9)
+        assert r.close == (tvd <= 0.25)
