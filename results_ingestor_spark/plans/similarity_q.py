@@ -525,3 +525,52 @@ def embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "dim",
                     F.round(F.col("s").cast("double")
                             / F.nullif("n", F.lit(0)), 9).alias("value")))
+
+
+@query("embedding_covariance", oracle="""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+m AS (
+  SELECT i, SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM flat GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sij
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+  round((sij - ma.s * mb.s / ma.n) / (ma.n - 1), 6) + 0.0 AS cov
+FROM p
+JOIN m ma ON ma.i = p.i
+JOIN m mb ON mb.i = p.j""")
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d×d sample covariance of the embedding column, upper
+    triangle as (i, j, cov) rows — the input to PCA whitening, drift
+    detection on the representation space, and Mahalanobis scoring.
+
+    This is the Gramian pattern (operators/pca.py): each Arrow batch
+    computes X^T·X with one BLAS call inside mapInPandas, and only
+    d(d+1)/2 partial doubles per partition cross the shuffle — the
+    relational self-join alternative would move n·d² rows.  The oracle
+    IS that self-join (DuckDB, small data), so the fast path is
+    value-checked against the naive form cell-for-cell."""
+    from results_ingestor_spark.operators.pca import covariance_upper
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return covariance_upper(t["embeddings"], "embedding", 64)
+
+
+@query("embedding_pca_variance")  # eigen step — no SQL twin
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA eigenvalues with explained/cumulative variance ratios
+    (operators/pca.py::pca_explained_variance) — the intrinsic-
+    dimensionality report an embedding pipeline checks before choosing
+    an index (a sharp spectrum cliff says IVF/PQ will work; a flat one
+    says the vectors are near-isotropic).  The covariance feeding the
+    eigensolve is the value-checked embedding_covariance plan; only the
+    d×d matrix reaches the driver (codebook contract), and the numpy
+    eigendecomposition is pinned against a direct full-matrix PCA in
+    tests/test_stats_round3.py."""
+    from results_ingestor_spark.operators.pca import pca_explained_variance
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return pca_explained_variance(t["embeddings"], "embedding", 64, 8)

@@ -88,3 +88,27 @@ def test_t_closeness_matches_pandas_reference(spark, sf_dir):
                         for lang in glob.index)
         assert r.t_closeness == pytest.approx(tvd, abs=1e-9)
         assert r.close == (tvd <= 0.25)
+
+
+def test_covariance_and_pca_match_numpy_reference(spark, sf_dir):
+    import numpy as np
+    cov_rows = QUERIES["embedding_covariance"](spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.array(emb.embedding.to_list(), dtype=np.float64)
+    want = np.cov(x, rowvar=False, ddof=1)
+    got = np.zeros_like(want)
+    for r in cov_rows:
+        got[r.i, r.j] = r.cov
+        got[r.j, r.i] = r.cov
+    assert len(cov_rows) == 64 * 65 // 2
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    pca = QUERIES["embedding_pca_variance"](spark, sf_dir).collect()
+    w = np.linalg.eigvalsh(want)[::-1]
+    total = w.sum()
+    for r in pca:
+        assert r.eigenvalue == pytest.approx(w[r.component], abs=1e-4)
+        assert r.explained_ratio == pytest.approx(
+            w[r.component] / total, abs=1e-4)
+    cum = [r.cumulative_ratio for r in sorted(pca, key=lambda r: r.component)]
+    assert cum == sorted(cum)

@@ -50,6 +50,7 @@ WHITELIST_BNLJ = {
     "corpus_global_shuffle": "256-row shard-offset broadcast",
     "pct_of_parent_revenue": "1-row grand-total broadcast",
     "embedding_dim_stats": "1-row corpus stats broadcast",
+    "privacy_t_closeness": "1-row corpus-total broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -114,6 +115,12 @@ WHITELIST_GLOBALWIN = {
         "windows are lang-partitioned; the SinglePartition exchange is "
         "the LM scorer's 1-row vocab combine (per-lang sort itself is "
         "the documented approx-quantile swap at scale)",
+    "stats_mann_whitney_u": "rank window over distinct metric values "
+        "(same contract as stats_ks_two_sample)",
+    "events_acf_hourly": "lead window over the hourly layer (bounded "
+        "by the time domain)",
+    "privacy_t_closeness": "window is QI-partitioned; the "
+        "SinglePartition exchange is the 1-row corpus-total combine",
 }
 
 
