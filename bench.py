@@ -49,6 +49,9 @@ HEADLINE = [
     # md5 (oracle-checked) vs xxhash64 (production) MinHash tiers,
     # timed head-to-head
     "dedup_minhash_lsh_fast",
+    # round 3c: partial-Gram covariance (Arrow-batch BLAS kernel +
+    # d(d+1)/2-row shuffle)
+    "embedding_covariance",
 ]
 
 

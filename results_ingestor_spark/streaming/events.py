@@ -158,9 +158,10 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def interval_join_signup_purchase(signups: DataFrame, purchases: DataFrame,
-                                  watermark: str = "2 hours") -> DataFrame:
-    """Stream-stream INNER join with an event-time interval bound:
-    each signup pairs with that user's purchases in the following hour.
+                                  watermark: str = "2 hours",
+                                  how: str = "inner") -> DataFrame:
+    """Stream-stream join with an event-time interval bound: each
+    signup pairs with that user's purchases in the following hour.
 
     Both sides carry watermarks and the join predicate bounds p_ts
     relative to s_ts from both directions, so Spark derives state
@@ -168,6 +169,12 @@ def interval_join_signup_purchase(signups: DataFrame, purchases: DataFrame,
     watermark + interval of history no matter how long the stream runs.
     This is the streaming twin of the batch range join
     (plans/joins_q.py::range_join_close_events shape).
+
+    ``how="left_outer"`` adds the conversion-funnel nulls: a signup
+    with NO purchase in its hour is emitted (null purchase columns)
+    only once the watermark passes the end of its join interval — the
+    engine can't know "no match" earlier, which is exactly why outer
+    stream-stream joins REQUIRE the two-sided time bound.
     """
     s = (signups.where(F.col("event_type") == "signup")
          .select(F.col("user_id").alias("s_user"),
@@ -180,8 +187,9 @@ def interval_join_signup_purchase(signups: DataFrame, purchases: DataFrame,
          .withWatermark("p_ts", watermark))
     return (s.join(p, F.expr(
                 "s_user = user_id AND p_ts > s_ts "
-                "AND p_ts <= s_ts + INTERVAL 1 HOUR"))
-            .select("user_id", "signup_event_id", "purchase_event_id",
+                "AND p_ts <= s_ts + INTERVAL 1 HOUR"), how)
+            .select(F.coalesce("user_id", "s_user").alias("user_id"),
+                    "signup_event_id", "purchase_event_id",
                     "s_ts", "p_ts",
                     (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
                     .alias("lag_us")))

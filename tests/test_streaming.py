@@ -337,3 +337,46 @@ def test_streaming_countmin_matches_batch(spark, sf_dir, stream):
              .select(F.col("w.start").alias("window_start"), "d", "bkt", "c")
              ).collect()}
     assert got == want and len(got) > 0
+
+
+def test_interval_left_outer_join_matches_batch(spark, sf_dir):
+    """Outer stream-stream join: matched pairs must equal the batch
+    inner join exactly; null rows (signup with no purchase in its hour)
+    must be SOUND (truly unmatched in batch) and COMPLETE up to the
+    emission frontier — the exact tail boundary depends on how the
+    watermark advances across micro-batches, so the frontier is read
+    from the output rather than assumed."""
+    from results_ingestor_spark.streaming.events import (
+        interval_join_signup_purchase)
+    joined = interval_join_signup_purchase(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir),
+        how="left_outer")
+    run_to_memory(joined, "t_ssljoin", output_mode="append")
+    rows = _rows(spark, "t_ssljoin")
+    got_inner = {(r["user_id"], r["signup_event_id"], r["purchase_event_id"])
+                 for r in rows if r["purchase_event_id"] is not None}
+    got_null = {r["signup_event_id"]: r["s_ts"]
+                for r in rows if r["purchase_event_id"] is None}
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    s = (ev.where(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+                 F.col("event_id").alias("signup_event_id")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_event_id")))
+    batch = s.join(p, F.expr(
+        "s_user = user_id AND p_ts > s_ts "
+        "AND p_ts <= s_ts + INTERVAL 1 HOUR"), "left").collect()
+    want_inner = {(r["s_user"], r["signup_event_id"], r["purchase_event_id"])
+                  for r in batch if r["purchase_event_id"] is not None}
+    want_null = {r["signup_event_id"]: r["s_ts"]
+                 for r in batch if r["purchase_event_id"] is None}
+
+    assert got_inner == want_inner          # matches emit on match, all of them
+    assert len(got_null) > 0                # real null emissions happened
+    assert set(got_null) <= set(want_null)  # sound: each null truly unmatched
+    frontier = max(got_null.values())       # complete up to the frontier:
+    missing = {eid for eid, ts in want_null.items()
+               if ts <= frontier and eid not in got_null}
+    assert missing == set()
