@@ -961,3 +961,134 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (g.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.lag", "r.acf")
             .orderBy("lag"))
+
+
+@query("stats_theil_sen_trend", oracle=f"""
+WITH h AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS x,
+    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS y
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS slope
+  FROM h a JOIN h b ON b.x > a.x),
+sl AS (SELECT quantile_cont(slope, 0.5) AS m FROM pairs),
+ic AS (
+  SELECT quantile_cont(y - (SELECT m FROM sl) * x, 0.5) AS b0 FROM h)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hours,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+  round((SELECT m FROM sl), 9) AS slope_per_hour,
+  round((SELECT b0 FROM ic), 9) AS intercept""")
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the hourly mean-value series: the
+    median of all pairwise slopes (and the matching median intercept) —
+    the estimator that shrugs off the outliers that wreck the OLS
+    entry (regression_value_vs_time); up to ~29% contamination moves
+    it not at all.
+
+    Exactness: x is an integer hour index, y a 9-dp-rounded decimal
+    mean, each slope ONE double division, and the median interpolation
+    averages the same two doubles in both engines.
+
+    Scale: the O(h²) pair join runs on the HOURLY layer (bounded by
+    the time domain — ~9k pairs per year of hours), never on raw
+    events; at 100 TB you shard the series and use the
+    median-of-medians refinement, same plan shape."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    h = (t["events"]
+         .groupBy((F.unix_micros(F.date_trunc("hour", "ts"))
+                   / F.lit(3600000000)).cast("long").alias("x"))
+         .agg(F.round(F.sum(dec).cast("double") / F.count("*"), 9)
+              .alias("y")))
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (a.join(b, F.col("b.x") > F.col("a.x"))
+             .select(((F.col("b.y") - F.col("a.y"))
+                      / (F.col("b.x") - F.col("a.x"))).alias("slope")))
+    sl = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("m"))
+    ic = (h.crossJoin(F.broadcast(sl))
+          .agg(F.max("n_pairs").alias("n_pairs"), F.max("m").alias("m"),
+               F.count("*").alias("n_hours"),
+               F.percentile(F.col("y") - F.col("m") * F.col("x"),
+                            F.lit(0.5)).alias("b0")))
+    return ic.select(
+        "n_hours", "n_pairs",
+        F.round("m", 9).alias("slope_per_hour"),
+        F.round("b0", 9).alias("intercept"))
+
+
+_BOOT_R = 32  # replicas
+
+
+def _boot_weight_sql(r: str = "r") -> str:
+    """Deterministic Poisson(1)-ish bootstrap weight: 8 Bernoulli(1/8)
+    trials carved from one md5 — identical expression in both engines.
+    """
+    h = (f"('0x' || substr(md5('bs' || {r} || ':' || event_id), 1, 15))"
+         f"::bigint")
+    return " + ".join(
+        f"CASE WHEN (({h} >> {7 * t}) & 7) = 0 THEN 1 ELSE 0 END"
+        for t in range(8))
+
+
+@query("stats_bootstrap_ci_mean", oracle=f"""
+WITH w AS (
+  SELECT r, {_boot_weight_sql()} AS wt, {_VDEC} AS v
+  FROM events CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS r)
+  WHERE event_type = 'click'),
+rep AS (
+  SELECT r, CAST(SUM(wt * v) AS DOUBLE) / SUM(wt) AS m
+  FROM w GROUP BY r),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS mean_v
+  FROM events WHERE event_type = 'click')
+SELECT n, mean_v,
+  round((SELECT quantile_cont(m, 0.025) FROM rep), 9) AS ci_lo,
+  round((SELECT quantile_cont(m, 0.975) FROM rep), 9) AS ci_hi
+FROM base""")
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean click value via
+    DETERMINISTIC Poisson bootstrap — the resampling scheme that works
+    on a stream/cluster because each row decides its own multiplicity
+    in each replica (no global n, no shared RNG state): weight =
+    8 md5-derived Bernoulli(1/8) trials ≈ Poisson(1), identical
+    expression text in both engines, so even the resampling is
+    value-checked.
+
+    Scale: the 32 replicas are generated map-side (explode), partials
+    combine per replica, and the shuffle carries 32 rows of exact
+    DECIMAL moments; replica means are one double division each and
+    the CI is a quantile over 32 doubles."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].where(F.col("event_type") == "click")
+    h = md5_long(F.concat(F.lit("bs"), F.col("r").cast("string"),
+                          F.lit(":"), F.col("event_id").cast("string")))
+    wt = None
+    for trial in range(8):
+        bit = F.when(F.shiftright(h, 7 * trial).bitwiseAND(F.lit(7)) == 0,
+                     1).otherwise(0)
+        wt = bit if wt is None else wt + bit
+    w = (ev.select(F.expr(_VDEC).alias("v"), "event_id")
+         .select("v", "event_id",
+                 F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+                 .alias("r"))
+         .withColumn("wt", wt))
+    rep = (w.groupBy("r")
+           .agg((F.sum(F.col("wt") * F.col("v")).cast("double")
+                 / F.sum("wt")).alias("m")))
+    ci = rep.agg(
+        F.percentile("m", F.lit(0.025)).alias("lo"),
+        F.percentile("m", F.lit(0.975)).alias("hi"))
+    base = ev.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9)
+         .alias("mean_v"))
+    return (base.crossJoin(F.broadcast(ci))
+            .select("n", "mean_v",
+                    F.round("lo", 9).alias("ci_lo"),
+                    F.round("hi", 9).alias("ci_hi")))

@@ -112,3 +112,29 @@ def test_covariance_and_pca_match_numpy_reference(spark, sf_dir):
             w[r.component] / total, abs=1e-4)
     cum = [r.cumulative_ratio for r in sorted(pca, key=lambda r: r.component)]
     assert cum == sorted(cum)
+
+
+def test_theil_sen_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    row = QUERIES["stats_theil_sen_trend"](spark, sf_dir).collect()[0]
+    ev = _events_pdf(sf_dir)
+    h = (ev.assign(x=ev.ts.dt.floor("h").astype("datetime64[ns]")
+                   .astype("int64") // (3600 * 10**9),
+                   v=ev.value.round(2))
+         .groupby("x").v.agg(lambda s: round(s.sum() / len(s), 9)))
+    x, y = h.index.to_numpy(), h.to_numpy()
+    slopes = [(y[j] - y[i]) / (x[j] - x[i])
+              for i in range(len(x)) for j in range(i + 1, len(x))]
+    m = float(np.median(slopes))
+    b0 = float(np.median(y - m * x))
+    assert row.n_hours == len(x)
+    assert row.n_pairs == len(slopes)
+    assert row.slope_per_hour == pytest.approx(m, abs=1e-9)
+    assert row.intercept == pytest.approx(b0, abs=1e-6)
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    row = QUERIES["stats_bootstrap_ci_mean"](spark, sf_dir).collect()[0]
+    assert row.ci_lo < row.mean_v < row.ci_hi
+    width = row.ci_hi - row.ci_lo
+    assert 0 < width < abs(row.mean_v) + 1  # sane, nondegenerate interval

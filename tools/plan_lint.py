@@ -51,6 +51,9 @@ WHITELIST_BNLJ = {
     "pct_of_parent_revenue": "1-row grand-total broadcast",
     "embedding_dim_stats": "1-row corpus stats broadcast",
     "privacy_t_closeness": "1-row corpus-total broadcast",
+    "stats_theil_sen_trend": "1-row median-slope broadcast; the pair "
+        "join itself runs on the bounded hourly layer",
+    "stats_bootstrap_ci_mean": "1-row CI broadcast (32 replica means)",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
