@@ -105,3 +105,48 @@ def pca_explained_variance(emb: DataFrame, col: str = "embedding",
     return spark.createDataFrame(
         out, "component int, eigenvalue double, explained_ratio double, "
              "cumulative_ratio double")
+
+
+def mahalanobis_scores(emb: DataFrame, id_col: str = "vec_id",
+                       col: str = "embedding", d: int = 64,
+                       ridge: float = 1e-6) -> DataFrame:
+    """Squared Mahalanobis distance (x−μ)'Σ⁻¹(x−μ) per vector — the
+    covariance-aware outlier / OOD score (isotropic L2 misranks
+    outliers whenever dimensions are correlated, which PCA above shows
+    they are).
+
+    Plan shape: the d×d covariance comes from the partial-Gram pass,
+    is ridge-regularized and inverted ONCE driver-side (numpy, d×d —
+    codebook contract, same as the IVF centroid collect), and the
+    inverse ships to executors inside a mapInPandas kernel that scores
+    each Arrow batch with two BLAS calls.  Nothing but (id, score)
+    leaves the executors.
+    """
+    import numpy as np
+
+    rows = covariance_upper(emb, col, d).collect()
+    c = np.zeros((d, d))
+    for r in rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    inv = np.linalg.inv(c + ridge * np.eye(d))
+    m = (emb.select(F.posexplode(col).alias("dim", "v"))
+         .groupBy("dim")
+         .agg((F.sum(F.col("v").cast("double")) / F.count("*"))
+              .alias("mu"))
+         .collect())
+    mu = np.zeros(d)
+    for r in m:
+        mu[r["dim"]] = r["mu"]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[col].to_list(), dtype=np.float64) - mu
+            m2 = np.einsum("ij,jk,ik->i", x, inv, x)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "m2": np.round(m2, 6)})
+
+    return emb.select(id_col, col).mapInPandas(
+        kernel, f"{id_col} long, m2 double")

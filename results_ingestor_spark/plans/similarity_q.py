@@ -574,3 +574,22 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.operators.pca import pca_explained_variance
     t = load_tables(spark, sf_dir, ("embeddings",))
     return pca_explained_variance(t["embeddings"], "embedding", 64, 8)
+
+
+@query("embedding_mahalanobis_outliers")  # Σ⁻¹ — no SQL twin
+def embedding_mahalanobis_outliers(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by squared Mahalanobis distance
+    (operators/pca.py::mahalanobis_scores) — the covariance-aware OOD
+    filter a curation pipeline runs on representation space (mislabeled
+    / corrupted / off-distribution samples land in the tail even when
+    their L2 norm looks ordinary).  The inverse-covariance step has no
+    SQL twin (rows-only driver check); the score itself is pinned
+    against a direct numpy computation in tests/test_stats_round3.py,
+    and its covariance input is the value-checked embedding_covariance
+    plan."""
+    from results_ingestor_spark.operators.pca import mahalanobis_scores
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (mahalanobis_scores(t["embeddings"])
+            .orderBy(F.desc("m2"), F.asc("vec_id"))
+            .limit(20))

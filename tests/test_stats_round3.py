@@ -138,3 +138,22 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert row.ci_lo < row.mean_v < row.ci_hi
     width = row.ci_hi - row.ci_lo
     assert 0 < width < abs(row.mean_v) + 1  # sane, nondegenerate interval
+
+
+def test_mahalanobis_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    got = QUERIES["embedding_mahalanobis_outliers"](spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.array(emb.embedding.to_list(), dtype=np.float64)
+    # independent path: full-precision covariance (the operator's is
+    # 6dp-rounded, so compare loosely but rank-exactly at the top)
+    c = np.cov(x, rowvar=False, ddof=1) + 1e-6 * np.eye(x.shape[1])
+    inv = np.linalg.inv(c)
+    xc = x - x.mean(axis=0)
+    m2 = np.einsum("ij,jk,ik->i", xc, inv, xc)
+    order = np.argsort(-m2)
+    want_ids = [int(emb.vec_id.iloc[i]) for i in order[:5]]
+    assert [r.vec_id for r in got[:5]] == want_ids
+    for r in got:
+        i = emb.index[emb.vec_id == r.vec_id][0]
+        assert r.m2 == pytest.approx(m2[i], rel=5e-3)
