@@ -566,3 +566,38 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double")
                 / F.count("*"), 9).alias("exact_dup_rate"),
         F.count_if(F.size(tk) >= 50).alias("n_docs_50plus_tokens"))
+
+
+@query("unigram_lm_train_vocab")  # iterative EM — no SQL twin
+def unigram_lm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer vocabulary, trained by
+    Viterbi-EM (operators/unigram_lm.py): seed with every frequent
+    substring, let pieces compete under the unigram likelihood, prune
+    to the target size, re-estimate.  Complements BPE — same corpus,
+    opposite direction (prune-down vs merge-up); together they cover
+    both published tokenizer-training families.
+
+    Rows-only driver check (iterative, piece-table-sized driver state);
+    tests/test_unigram_lm.py pins the Viterbi DP against hand-worked
+    segmentations, EM likelihood improvement, exact prob normalization,
+    and the learn-the-planted-word property."""
+    from results_ingestor_spark.operators.unigram_lm import train_unigram_lm
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab, _ = train_unigram_lm(t["documents"], vocab_size=64,
+                                seed_size=200, em_iters=3)
+    return vocab
+
+
+@query("unigram_lm_tokenize_docs")  # vocab is train-derived → rows-only
+def unigram_lm_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram vocab: per-doc subword counts and
+    pieces-per-char compression, segmentation work bounded by the
+    distinct-word vocabulary (each word Viterbi-segmented once, joined
+    back — the bpe_tokenize_docs shape)."""
+    from results_ingestor_spark.operators.unigram_lm import (
+        tokenize_with_unigram, train_unigram_lm)
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab, _ = train_unigram_lm(t["documents"], vocab_size=64,
+                                seed_size=200, em_iters=3)
+    logp = {r["piece"]: r["logprob"] for r in vocab.collect()}
+    return tokenize_with_unigram(t["documents"], logp)
