@@ -785,3 +785,56 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "tok", "n_exact", "n_est",
         (F.col("n_est") >= F.col("n_exact")).alias("overestimates"))
+
+
+# Wilson 95% interval, one shared expression text (z inlined to the
+# double literal both engines parse identically).
+_WILSON_Z = "1.959963984540054"
+_WILSON = f"""round((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+         {{sign}} {_WILSON_Z} * sqrt(p * (1 - p) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+        / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 9)"""
+
+
+@query("quality_blocklist_rate", oracle=f"""
+WITH d AS (
+  SELECT source,
+    CAST(CASE WHEN ' ' || text || ' ' LIKE '% slow %'
+               OR ' ' || text || ' ' LIKE '% dup %'
+         THEN 1 ELSE 0 END AS BIGINT) AS hit
+  FROM documents),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(hit) AS BIGINT) AS hits,
+    CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS p
+  FROM d GROUP BY source)
+SELECT source, n, hits, round(p, 9) AS rate,
+  {_WILSON.format(sign='-')} AS ci_lo,
+  {_WILSON.format(sign='+')} AS ci_hi
+FROM g""")
+def quality_blocklist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-hit rate per source with a Wilson 95% interval — the
+    safety-audit shape: when deciding whether a SOURCE (not a document)
+    is contaminated, the raw rate misleads at small n, and Wilson is
+    the interval that behaves at p≈0 where the normal approximation
+    collapses.  The blocklist here is the token set {slow, dup} (the
+    corpus's stand-in flagged terms); membership is a whole-token
+    match, not substring.
+
+    Exactness: hit flags and counts are integers; p is one division;
+    the Wilson bound is ONE expression text compiled by both engines.
+    Scale: flagging is a map stage over the scan (at a real blocklist
+    size it becomes one broadcast-join against the term set), then a
+    source-keyed hash agg — counts only cross the shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hit = (padded.like("% slow %") | padded.like("% dup %")) \
+        .cast("long").alias("hit")
+    g = (t["documents"].select("source", hit)
+         .groupBy("source")
+         .agg(F.count("*").alias("n"), F.sum("hit").alias("hits"),
+              (F.sum("hit").cast("double") / F.count("*")).alias("p")))
+    return g.select(
+        "source", "n", "hits", F.round("p", 9).alias("rate"),
+        F.expr(_WILSON.format(sign='-')).alias("ci_lo"),
+        F.expr(_WILSON.format(sign='+')).alias("ci_hi"))
