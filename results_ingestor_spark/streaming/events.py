@@ -340,3 +340,18 @@ def windowed_countmin(events: DataFrame, depth: int = 4, width: int = 256,
                      F.col("h.d").alias("d"), F.col("h.bkt").alias("bkt"))
             .agg(F.count("*").alias("c"))
             .select(F.col("w.start").alias("window_start"), "d", "bkt", "c"))
+
+
+def streaming_dedup_within_watermark(events: DataFrame,
+                                     watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on BUSINESS KEY ONLY (user_id, event_type) via
+    dropDuplicatesWithinWatermark — the API for at-least-once sources
+    whose retries carry DIFFERENT event times (a redelivered message
+    gets a new broker timestamp, so exact-key dedup above would pass
+    the duplicate through).  Two rows with the same business key dedup
+    as long as they arrive within the watermark delay of each other;
+    state is evicted on watermark, exactly like the exact-key variant.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"]))

@@ -380,3 +380,21 @@ def test_interval_left_outer_join_matches_batch(spark, sf_dir):
     missing = {eid for eid, ts in want_null.items()
                if ts <= frontier and eid not in got_null}
     assert missing == set()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, stream):
+    """Business-key dedup (user_id, event_type) with retry-tolerant
+    semantics: at most one surviving row per key per watermark window;
+    with the full corpus replayed in few batches, the floor is one row
+    per distinct key, the ceiling is the raw key-pair count."""
+    from results_ingestor_spark.streaming.events import (
+        streaming_dedup_within_watermark)
+    run_to_memory(streaming_dedup_within_watermark(stream), "t_dedup_wm")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id || ':' || event_type)"
+        " AS k FROM t_dedup_wm").collect()[0]
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    distinct_keys = batch.select("user_id", "event_type").distinct().count()
+    raw = batch.count()
+    assert got["k"] == distinct_keys       # every key survives
+    assert distinct_keys <= got["n"] < raw  # real dedup happened
