@@ -601,3 +601,52 @@ def unigram_lm_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 seed_size=200, em_iters=3)
     logp = {r["piece"]: r["logprob"] for r in vocab.collect()}
     return tokenize_with_unigram(t["documents"], logp)
+
+
+_MERSENNE61 = 2305843009213693951  # 2^61 - 1
+
+
+@query("dataset_manifest", oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+    ('0x' || substr(md5(text), 1, 15))::bigint AS h,
+    n_chars
+  FROM documents)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(h % {_MERSENNE61}) % {_MERSENNE61} AS BIGINT)
+    AS content_checksum,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(h) AS BIGINT) AS min_hash,
+  CAST(MAX(h) AS BIGINT) AS max_hash
+FROM d GROUP BY shard ORDER BY shard""")
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest — the artifact a publishing
+    pipeline writes NEXT TO a corpus snapshot so any later reader can
+    verify it without re-reading bodies twice: doc counts, an
+    ORDER-INDEPENDENT content checksum (sum of per-doc md5-longs —
+    commutative, so partial aggregation and any row order give the
+    same value; min/max hashes bound the keyspace), and byte totals.
+    dataset_diff_snapshots tells you WHAT changed; the manifest tells
+    you cheaply THAT something changed (one 16-row compare).
+
+    Scale: one map stage (hash per doc) + one 16-bucket hash agg —
+    partials combine map-side, shuffle carries 16 rows of integers."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        (F.col("doc_id") % 16).alias("shard"),
+        md5_long("text").alias("h"), "n_chars")
+    # checksum arithmetic: per-row reduce mod 2^61-1, accumulate as
+    # DECIMAL(38,0) (a plain long sum overflows under ANSI), reduce
+    # once more — commutative + associative, so map-side partials and
+    # any row order agree; DuckDB's HUGEINT sum takes the same mods
+    m61 = F.lit(_MERSENNE61)
+    return (d.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 (F.sum((F.col("h") % m61).cast("decimal(38,0)")) % m61)
+                 .cast("long").alias("content_checksum"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("h").alias("min_hash"),
+                 F.max("h").alias("max_hash"))
+            .orderBy("shard"))
