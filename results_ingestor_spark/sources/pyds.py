@@ -27,7 +27,8 @@ import glob
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import StringType, StructField, StructType
 
 from results_ingestor_spark.sources.csv_source import (NULL_SENTINEL,
@@ -104,7 +105,60 @@ class ElectionResultsDataSource(DataSource):
     def reader(self, schema: StructType) -> ElectionResultsReader:
         return ElectionResultsReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return ElectionResultsStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(ElectionResultsDataSource)
+
+
+class ElectionResultsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source — the election-night loop as a
+    first-class stream: each micro-batch picks up result files that
+    LANDED since the last committed offset.  The offset is the sorted
+    list of ingested file names (election dirs hold tens of files, so
+    a name-list offset is small and human-debuggable in the checkpoint
+    — the same trade the built-in file source makes in its log).
+
+    Files are aligned to the schema fixed at stream start (new columns
+    in late files would need a stream restart, like every Spark
+    source); ``readBetweenOffsets`` replays a committed range exactly,
+    which is what gives the checkpoint its exactly-once recovery.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._columns = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("election_results: .load(path) is required")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows_of(self, files: list[str]):
+        for path in files:
+            sep = sniff_delimiter(path)
+            with open(path, newline="") as fh:
+                rows = csv.reader(fh, delimiter=sep)
+                header = next(rows)
+                for raw in rows:
+                    rec = dict(zip(header, raw))
+                    yield tuple(
+                        None if (v := rec.get(c)) in (None, NULL_SENTINEL)
+                        else v
+                        for c in self._columns)
+
+    def read(self, start: dict):
+        seen = set(start["files"])
+        new = [f for f in _list_files(self._path) if f not in seen]
+        end = {"files": sorted(seen | set(new))}
+        # a LIST, not a generator: the engine prefetches and pickles
+        # the batch driver-side (the simple-reader contract — meant for
+        # low-volume control-plane streams like this file feed)
+        return list(self._rows_of(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = [f for f in end["files"] if f not in set(start["files"])]
+        return list(self._rows_of(delta))

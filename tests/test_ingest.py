@@ -157,3 +157,38 @@ def test_corrupt_csv_rows_quarantined(spark, tmp_path):
     with _pytest.raises(Exception):
         (spark.read.option("header", "true").option("mode", "FAILFAST")
          .schema("a INT, b STRING, c INT").csv(str(p))).collect()
+
+
+def test_python_datasource_streaming_incremental(spark, tmp_path):
+    """readStream.format('election_results'): the election-night loop.
+    Run 1 ingests the files present; a new file lands; run 2 on the
+    SAME checkpoint ingests ONLY the new file — the name-list offset in
+    the checkpoint gives the custom source the built-in file source's
+    exactly-once recovery."""
+    from results_ingestor_spark.sources import pyds
+    pyds.register(spark)
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.csv").write_text(COMMA_CSV)
+    (src / "b.tsv").write_text(TAB_TSV)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "bronze")
+
+    def drain():
+        q = (spark.readStream.format("election_results")
+             .load(str(src))
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    first = drain()
+    batch_rows = (spark.read.format("election_results")
+                  .load(str(src)).count())
+    assert first == batch_rows  # both initial files ingested
+
+    (src / "c.csv").write_text(COMMA_CSV)  # new results land
+    second = drain()
+    new_rows = COMMA_CSV.count("\n") - 1
+    assert second == first + new_rows  # ONLY the new file's rows added
