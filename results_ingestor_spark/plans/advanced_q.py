@@ -753,3 +753,69 @@ def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_join_rows",
                 F.round(F.col("est_join_rows").cast("double")
                         / F.col("tot_fact"), 9).alias("fanout_vs_fact")))
+
+
+@query("scd2_point_in_time_join", oracle="""
+WITH dim AS (
+  SELECT o_custkey AS custkey,
+    o_orderstatus AS status,
+    CAST(o_orderdate AS DATE) AS valid_from,
+    lead(CAST(o_orderdate AS DATE))
+      OVER (PARTITION BY o_custkey
+            ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS valid_to
+  FROM orders WHERE o_custkey < 200),
+fact AS (
+  SELECT l.l_orderkey, o.o_custkey AS custkey,
+    CAST(l.l_shipdate AS DATE) AS ship, l.l_quantity
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey < 200)
+SELECT f.custkey, d.status AS status_at_ship,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+    AS total_qty
+FROM fact f
+JOIN dim d ON d.custkey = f.custkey
+          AND d.valid_from <= f.ship
+          AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+GROUP BY 1, 2""")
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension — the warehouse
+    query the scd2_status_history build EXISTS FOR: each shipment fact
+    picks up the customer status that was VALID ON ITS SHIP DATE
+    (joining on the current status instead is the classic time-travel
+    bug this shape prevents).  Validity intervals are half-open
+    [valid_from, valid_to); the open current row matches everything
+    after its start.
+
+    Scale: the SCD2 dimension is dimension-sized (one row per entity
+    per change) → broadcast; the interval predicate evaluates map-side
+    against the broadcast build, so the fact table never shuffles.
+    With an unbroadcastable dimension this becomes the as-of
+    union+window shape (operators/asof.py) — same semantics."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].where(F.col("o_custkey") < 200)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey"))
+    d = F.col("o_orderdate").cast("date")
+    dim = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        d.alias("valid_from"),
+        F.lead(d).over(w).alias("valid_to"))
+    fact = (t["lineitem"]
+            .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("l_shipdate").cast("date").alias("ship"),
+                    "l_quantity"))
+    cond = ((F.col("d.custkey") == F.col("f.custkey"))
+            & (F.col("valid_from") <= F.col("ship"))
+            & (F.col("valid_to").isNull()
+               | (F.col("ship") < F.col("valid_to"))))
+    return (fact.alias("f")
+            .join(F.broadcast(dim.alias("d")), cond)
+            .groupBy(F.col("f.custkey").alias("custkey"),
+                     F.col("status").alias("status_at_ship"))
+            .agg(F.count("*").alias("n_lineitems"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("total_qty")))
