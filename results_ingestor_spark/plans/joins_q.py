@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.asof import (
@@ -265,3 +265,84 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * (1 - F.col("l_discount")), 4)
                        .cast("decimal(18,4)"))
                  .cast("decimal(38,4)").alias("revenue")))
+
+
+# U-shaped position weight, shared expression text (k = touches in the
+# purchase's window, r = 1-based position by time).  Doubles enter in
+# one fixed-order expression, then each credit is cast to DECIMAL so
+# the per-channel sums are exact and order-free.
+_USHAPE_W = """CASE
+  WHEN k = 1 THEN 1.0
+  WHEN k = 2 THEN 0.5
+  WHEN r = 1 OR r = k THEN 0.4
+  ELSE 0.2 / (k - 2) END"""
+
+
+@query("attribution_u_shaped", oracle=f"""
+WITH touches AS (
+  SELECT user_id, ts, max(event_type) AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id,
+    CAST(value AS DECIMAL(12,2)) AS rev
+  FROM events WHERE event_type = 'purchase'),
+win AS (
+  SELECT p.p_id, p.rev, t.touch_type,
+    row_number() OVER (PARTITION BY p.p_id ORDER BY t.ts) AS r,
+    COUNT(*) OVER (PARTITION BY p.p_id) AS k
+  FROM purchases p
+  JOIN touches t ON t.user_id = p.user_id
+    AND t.ts <= p.p_ts
+    AND epoch_us(p.p_ts) - epoch_us(t.ts) <= 604800000000)
+SELECT touch_type AS channel,
+  CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+  CAST(SUM(CAST(({_USHAPE_W}) * CAST(rev AS DOUBLE)
+                AS DECIMAL(18, 6))) AS DECIMAL(38, 6))
+    AS attributed_revenue
+FROM win GROUP BY touch_type ORDER BY channel""")
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    complement of attribution_last_touch: EVERY click/view in the
+    purchase's 7-day lookback gets credit, weighted 40% first touch /
+    40% last / 20% split across the middle (100% and 50/50 for 1- and
+    2-touch paths).  First-touch bias, last-touch bias, and journey
+    length all become visible where last-touch collapses them.
+
+    Determinism: the weight is one shared expression text; each credit
+    is computed once in doubles and immediately cast to DECIMAL(18,6),
+    so the channel sums are exact-decimal and aggregation-order-free.
+
+    Scale: a per-user time-bounded range join (touch volume per
+    purchase is bounded by the lookback window), then windows
+    partitioned BY PURCHASE — state is per-journey, never global."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    touches = (ev.where(F.col("event_type").isin("click", "view"))
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_type").alias("touch_type")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_id"),
+                         F.expr("CAST(value AS DECIMAL(12,2))")
+                         .alias("rev")))
+    joined = purchases.join(
+        touches,
+        (touches["user_id"] == purchases["user_id"])
+        & (touches["ts"] <= purchases["p_ts"])
+        & ((F.unix_micros(purchases["p_ts"]) - F.unix_micros(touches["ts"]))
+           <= 604_800_000_000)).drop(touches["user_id"])
+    wp = Window.partitionBy("p_id")
+    win = joined.select(
+        "p_id", "rev", "touch_type",
+        F.row_number().over(wp.orderBy("ts")).alias("r"),
+        F.count("*").over(wp).alias("k"))
+    credit = (F.expr(_USHAPE_W) * F.col("rev").cast("double")) \
+        .cast("decimal(18,6)")
+    return (win.groupBy(F.col("touch_type").alias("channel"))
+            .agg(F.count("*").alias("n_credited_touches"),
+                 F.countDistinct("p_id").alias("n_purchases_touched"),
+                 F.sum(credit).cast("decimal(38,6)")
+                 .alias("attributed_revenue"))
+            .orderBy("channel"))
