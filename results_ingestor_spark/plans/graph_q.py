@@ -275,3 +275,57 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", F.col("core_degree").cast("long")
                     .alias("core_degree"))
             .orderBy("u"))
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    # Bounded Bellman-Ford from the seed set, unrolled; MATERIALIZED
+    # for the same reason as the k-core oracle.
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT u, MIN(dist) AS dist FROM (
+    SELECT u, dist FROM {prev}
+    UNION ALL
+    SELECT sym.v AS u, p.dist + 1 AS dist
+    FROM {prev} p JOIN sym ON sym.u = p.u)
+  GROUP BY u)""")
+        prev = f"d{i}"
+    return f"""
+WITH e AS MATERIALIZED ({_EDGES}),
+sym AS MATERIALIZED ({_SYM}),
+seeds AS (SELECT DISTINCT u FROM sym WHERE u % 199 = 0),
+d0 AS (SELECT u, 0 AS dist FROM seeds),{",".join(steps)}
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM {prev} GROUP BY dist ORDER BY dist"""
+
+
+@query("graph_sssp_frontier", oracle=_sssp_oracle())
+def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest paths (hop distance) from the seed set,
+    4 bounded Bellman-Ford rounds — the BFS-distance primitive under
+    influence radius, landmark embedding, and network-QC queries.
+    Output is the distance histogram (how much of the graph is within
+    k hops of the seeds).  Each round relaxes the frontier through one
+    edge-keyed join + a min-aggregate keyed on node — the same
+    shuffle-per-round contract as PageRank/LPA/k-core; the oracle
+    unrolls the identical 4 relaxations."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    e = copurchase_edges(li)
+    sym = (e.select("u", "v")
+           .unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))))
+    dist = (sym.where(F.col("u") % 199 == 0).select("u").distinct()
+            .select("u", F.lit(0).alias("dist"))
+            .localCheckpoint())
+    for _ in range(4):
+        relaxed = (dist.join(sym, "u")
+                   .select(F.col("v").alias("u"),
+                           (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("u").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return (dist.groupBy(F.col("dist").cast("long").alias("dist"))
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("dist"))

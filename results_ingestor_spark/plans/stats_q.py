@@ -1092,3 +1092,27 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n", "mean_v",
                     F.round("lo", 9).alias("ci_lo"),
                     F.round("hi", 9).alias("ci_hi")))
+
+
+@query("latency_percentile_bands", oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(quantile_cont(value, 0.50), 9) AS p50,
+  round(quantile_cont(value, 0.95), 9) AS p95,
+  round(quantile_cont(value, 0.99), 9) AS p99,
+  round(MAX(value), 9) AS p100
+FROM events GROUP BY event_type ORDER BY event_type""")
+def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99/max value bands per event type — the SLO-report
+    shape (same interpolated-percentile contract as percentile_exact,
+    grouped).  Exact percentiles here; the 100 TB swap is
+    percentile_approx / KLL per group (approx_sketches shows the
+    bound), with the group-by unchanged."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"].groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.percentile("value", F.lit(0.50)), 9).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.95)), 9).alias("p95"),
+                 F.round(F.percentile("value", F.lit(0.99)), 9).alias("p99"),
+                 F.round(F.max("value"), 9).alias("p100"))
+            .orderBy("event_type"))
