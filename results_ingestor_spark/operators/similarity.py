@@ -262,3 +262,60 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("query_id", "cand_id", "cosine", "rn"))
+
+
+def mmr_rerank(vectors: DataFrame, queries: DataFrame, k: int = 10,
+               pool: int = 50, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               ) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank: retrieve a ``pool``
+    of candidates per query DISTRIBUTED (the brute-force/LSH/IVF stage
+    above), then greedily pick k that trade relevance against
+    redundancy: argmax over remaining of
+        lam·sim(q, d) − (1−lam)·max_{s∈selected} sim(d, s).
+    The rerank is the retrieval stack's second stage — it runs on the
+    POOL (k-bounded per query, collected like centroids/codebooks),
+    because the greedy argmax is inherently sequential in k; the
+    corpus-sized work all happened in stage 1.
+
+    Deterministic: cosine ties break on cand_id ascending everywhere.
+    """
+    import numpy as np
+
+    top = brute_force_topk(vectors, queries, k=pool,
+                           id_col=id_col, vec_col=vec_col)
+    vecs = vectors.select(F.col(id_col).alias("cand_id"),
+                          F.col(vec_col).alias("v"))
+    pool_rows = (top.join(vecs, "cand_id")
+                 .select("query_id", "cand_id", "cosine", "v")
+                 .collect())  # pool × queries rows — k-bounded contract
+    by_q: dict[int, list] = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    out = []
+    for qid, rows in sorted(by_q.items()):
+        rows.sort(key=lambda r: (-r["cosine"], r["cand_id"]))
+        ids = [r["cand_id"] for r in rows]
+        rel = np.array([r["cosine"] for r in rows])
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sim = (mat @ mat.T) / np.outer(nrm, nrm)
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < k:
+            best_i, best_score = None, None
+            for i in remaining:
+                red = max((sim[i, j] for j in chosen), default=0.0)
+                score = lam * rel[i] - (1 - lam) * red
+                if (best_score is None or score > best_score
+                        or (score == best_score and ids[i] < ids[best_i])):
+                    best_i, best_score = i, score
+            chosen.append(best_i)
+            remaining.remove(best_i)
+            out.append((qid, ids[best_i], len(chosen),
+                        round(float(rel[best_i]), 9),
+                        round(float(best_score), 9)))
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out, "query_id long, cand_id long, mmr_rank int, "
+             "cosine double, mmr_score double")

@@ -593,3 +593,19 @@ def embedding_mahalanobis_outliers(spark: SparkSession,
     return (mahalanobis_scores(t["embeddings"])
             .orderBy(F.desc("m2"), F.asc("vec_id"))
             .limit(20))
+
+
+@query("ann_mmr_diverse_topk")  # greedy rerank — no SQL twin
+def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact top-50 pool per query
+    (distributed stage), then Maximal-Marginal-Relevance greedy rerank
+    to 10 (operators/similarity.py::mmr_rerank) — the standard second
+    stage of a RAG retrieval stack (pure top-k returns near-duplicate
+    neighbors; MMR trades relevance against redundancy, λ=0.7).
+    Rows-only driver check; tests/test_similarity.py pins the rerank
+    against an independent numpy implementation and the
+    diversity>relevance-only property."""
+    from results_ingestor_spark.operators.similarity import mmr_rerank
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    return mmr_rerank(e, e.where(F.col("vec_id") < 5), k=10, pool=50)

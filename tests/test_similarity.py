@@ -105,3 +105,66 @@ def test_ivf_kmeans_label_free_recall(spark, emb):
 
     assert recall(3) >= 0.3   # measured ~0.58 at sf0.01; margin below
     assert recall(10) >= 0.99  # all lists probed == brute force
+
+
+def test_mmr_rerank_matches_numpy_and_diversifies(spark, sf_dir):
+    """MMR selection must (1) equal an independent greedy recompute and
+    (2) be no MORE redundant than plain top-k at the same depth."""
+    import numpy as np
+    import pandas as pd
+
+    from results_ingestor_spark.operators.similarity import (
+        brute_force_topk, mmr_rerank)
+    from results_ingestor_spark.plans import QUERIES
+
+    got = QUERIES["ann_mmr_diverse_topk"](spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = {(r["query_id"], r["cand_id"]): r["cosine"]
+           for r in brute_force_topk(
+               e, e.where("vec_id < 5"), k=50).collect()}
+
+    lam = 0.7
+    by_q = {}
+    for (q, c), cos in top.items():
+        by_q.setdefault(q, []).append((c, cos))
+    for q, cands in by_q.items():
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        chosen = []
+        remaining = list(cands)
+        want = []
+        while remaining and len(chosen) < 10:
+            def red(c):
+                if not chosen:
+                    return 0.0
+                return max(
+                    float(vecs[c] @ vecs[s]
+                          / (np.linalg.norm(vecs[c])
+                             * np.linalg.norm(vecs[s])))
+                    for s in chosen)
+            scored = [(lam * cos - (1 - lam) * red(c), c)
+                      for c, cos in remaining]
+            best = max(scored, key=lambda t: (t[0], -t[1]))
+            chosen.append(best[1])
+            want.append(best[1])
+            remaining = [(c, cos) for c, cos in remaining if c != best[1]]
+        got_q = [r["cand_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q),
+            key=lambda r: r["mmr_rank"])]
+        assert got_q == want, f"query {q}"
+
+    # diversity: mean pairwise similarity of the MMR set must not
+    # exceed that of the plain top-10
+    def mean_pairsim(idset):
+        ids = list(idset)
+        sims = [vecs[a] @ vecs[b]
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return float(np.mean(sims))
+    for q, cands in by_q.items():
+        plain10 = [c for c, _ in sorted(cands, key=lambda t: (-t[1], t[0]))[:10]]
+        mmr10 = [r["cand_id"] for r in got if r["query_id"] == q]
+        assert mean_pairsim(mmr10) <= mean_pairsim(plain10) + 1e-9
