@@ -484,3 +484,52 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"),
                          9).alias("avg_value"))
             .orderBy("dow", "hod"))
+
+
+_GAP_BUCKETS = (
+    ("under_1m", 60_000_000), ("1m_5m", 300_000_000),
+    ("5m_15m", 900_000_000), ("15m_1h", 3_600_000_000),
+    ("1h_6h", 21_600_000_000), ("6h_1d", 86_400_000_000))
+
+
+def _gap_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN gap_us < {lim} THEN '{name}'"
+        for name, lim in _GAP_BUCKETS)
+    return f"CASE {whens} ELSE 'over_1d' END"
+
+
+@query("events_gap_distribution", oracle=f"""
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+b AS (SELECT {_gap_case_sql()} AS bucket FROM g WHERE gap_us IS NOT NULL),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  round(CAST(COUNT(*) AS DOUBLE) / MAX(total), 9) AS share
+FROM b CROSS JOIN t GROUP BY bucket ORDER BY bucket""")
+def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram across users (log-ish fixed buckets:
+    <1m … >1d) — the diagnostic that VALIDATES a sessionization gap
+    choice instead of folklore-picking 30 minutes: a bimodal gap
+    distribution's valley is where the session cut belongs.  Gaps are
+    integer microseconds from a per-user lag; buckets are a shared
+    CASE expression; the share divides once against a 1-row total.
+
+    Scale: one user-partitioned window (co-partitioned with every
+    other per-user operator) + a bucket-domain hash agg."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (t["events"]
+         .select((F.unix_micros("ts")
+                  - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+         .where(F.col("gap_us").isNotNull()))
+    b = g.select(F.expr(_gap_case_sql()).alias("bucket"))
+    tot = b.agg(F.count("*").alias("total"))
+    return (b.groupBy("bucket").agg(F.count("*").alias("n_gaps"))
+            .crossJoin(F.broadcast(tot))
+            .select("bucket", "n_gaps",
+                    F.round(F.col("n_gaps").cast("double")
+                            / F.col("total"), 9).alias("share"))
+            .orderBy("bucket"))
