@@ -650,3 +650,65 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("h").alias("min_hash"),
                  F.max("h").alias("max_hash"))
             .orderBy("shard"))
+
+
+# Shared inclusion-probability and membership expressions (identical
+# text in both engines; the md5 draw makes the "random" sample
+# deterministic and therefore value-checkable).
+_HT_P = ("greatest(CAST(0.05 AS DOUBLE), least(CAST(1.0 AS DOUBLE), "
+         "n_chars / CAST(2000.0 AS DOUBLE)))")
+_HT_DRAW_SPARK = ("conv(substr(md5(concat('ht:', CAST(doc_id AS STRING))),"
+                  " 1, 15), 16, 10) % 1000000")
+_HT_DRAW_DUCK = ("('0x' || substr(md5('ht:' || doc_id), 1, 15))::bigint"
+                 " % 1000000")
+
+
+@query("sampling_horvitz_thompson", oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_HT_P} AS p,
+    ({_HT_DRAW_DUCK}) / 1000000.0 AS u
+  FROM documents),
+s AS (SELECT * FROM d WHERE u < p),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+    round(SUM(n_chars / p), 6) AS est_total_chars
+  FROM s),
+tru AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS true_total_chars
+  FROM d)
+SELECT n_docs, n_sampled, true_total_chars, est_total_chars,
+  round(abs(est_total_chars - true_total_chars)
+        / true_total_chars, 9) AS rel_error
+FROM est CROSS JOIN tru""")
+def sampling_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation from an unequal-probability sample:
+    long documents are sampled at higher rates (p ∝ length, floored),
+    and each sampled doc is reweighted by 1/p, making the total
+    estimator unbiased DESPITE the biased sample — the principle
+    behind every weighted-sample corpus audit (you rarely afford the
+    full scan; you always afford the reweighted sample).  The md5 draw
+    makes inclusion deterministic, so the whole pipeline — sample,
+    weights, estimate, realized relative error — is value-checked.
+
+    Scale: membership and weights are one map stage; the estimate is
+    one aggregate.  rel_error here is the OBSERVED error of this one
+    draw (a few %), not a bound."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "n_chars",
+        F.expr(_HT_P).alias("p"),
+        (F.expr(_HT_DRAW_SPARK).cast("long") / 1000000.0).alias("u"))
+    s = d.where(F.col("u") < F.col("p"))
+    est = s.agg(F.count("*").alias("n_sampled"),
+                F.round(F.sum(F.col("n_chars") / F.col("p")), 6)
+                .alias("est_total_chars"))
+    tru = d.agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("true_total_chars"))
+    return (est.crossJoin(F.broadcast(tru))
+            .select("n_docs", "n_sampled", "true_total_chars",
+                    "est_total_chars",
+                    F.round(F.abs(F.col("est_total_chars")
+                                  - F.col("true_total_chars"))
+                            / F.col("true_total_chars"), 9)
+                    .alias("rel_error")))
