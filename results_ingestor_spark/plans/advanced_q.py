@@ -819,3 +819,55 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_lineitems"),
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                  .cast("decimal(38,2)").alias("total_qty")))
+
+
+@query("dq_value_domain_check", oracle="""
+WITH checks AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders),
+dom AS (
+  SELECT 'o_orderstatus' AS col, unnest(['F', 'O', 'P']) AS allowed
+  UNION ALL
+  SELECT 'o_orderpriority',
+    unnest(['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'])),
+j AS (
+  SELECT c.col, c.v,
+    EXISTS (SELECT 1 FROM dom d
+            WHERE d.col = c.col AND d.allowed = c.v) AS ok
+  FROM checks c)
+SELECT col,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(count_if(NOT ok) AS BIGINT) AS n_out_of_domain,
+  CAST(count_if(v IS NULL) AS BIGINT) AS n_null,
+  min(CASE WHEN NOT ok THEN v END) AS sample_offender
+FROM j GROUP BY col ORDER BY col""")
+def dq_value_domain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum-domain conformance audit — the DQ rule beside referential
+    integrity and key uniqueness: every value of a constrained column
+    must come from its declared domain; out-of-domain counts plus the
+    smallest offender for actionability (a clean corpus reports 0 and
+    NULL here, and the check is what KEEPS it true after the next
+    load).  Domains are broadcast literals; the scan is one pass with
+    a map-side membership test per rule."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    rules = {
+        "o_orderstatus": ["F", "O", "P"],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "5-LOW"],
+    }
+    parts = []
+    for col, allowed in rules.items():
+        ok = F.col(col).isin(allowed)
+        parts.append(o.select(
+            F.lit(col).alias("col"), F.col(col).alias("v"),
+            ok.alias("ok")))
+    u = parts[0].unionByName(parts[1])
+    return (u.groupBy("col")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count_if(~F.col("ok")).alias("n_out_of_domain"),
+                 F.count_if(F.col("v").isNull()).alias("n_null"),
+                 F.min(F.when(~F.col("ok"), F.col("v")))
+                 .alias("sample_offender"))
+            .orderBy("col"))

@@ -1116,3 +1116,71 @@ def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("value", F.lit(0.99)), 9).alias("p99"),
                  F.round(F.max("value"), 9).alias("p100"))
             .orderBy("event_type"))
+
+
+# Changepoint gain, shared expression text.  Inputs are exact DECIMAL
+# prefix sums cast to double once (values << 2^53, so the cast is
+# exact); one fixed-order arithmetic pipeline in both engines.
+_CPT_GAIN = """round(
+  (qn - sn * sn / n)
+  - ((qt - st * st / t) + ((qn - qt) - (sn - st) * (sn - st) / (n - t))),
+  6)"""
+
+
+@query("events_changepoint_hourly", oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+    SUM({_VDEC}) AS y
+  FROM events GROUP BY 1),
+c AS (
+  SELECT bucket,
+    CAST(row_number() OVER w AS BIGINT) AS t,
+    CAST(SUM(y) OVER w AS DOUBLE) AS st,
+    CAST(SUM(y * y) OVER w AS DOUBLE) AS qt
+  FROM h WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS DOUBLE) AS sn, CAST(SUM(y * y) AS DOUBLE) AS qn
+  FROM h),
+g AS (
+  SELECT bucket, t, n, {_CPT_GAIN} AS gain,
+    round(st / t, 6) AS mean_left,
+    round((sn - st) / (n - t), 6) AS mean_right
+  FROM c CROSS JOIN tot WHERE t < n)
+SELECT bucket AS split_after, t, n, gain, mean_left, mean_right
+FROM g ORDER BY gain DESC, t LIMIT 1""")
+def events_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint in the hourly value-total series (one
+    round of binary segmentation): the split that maximally reduces
+    within-segment sum-of-squares — the alarm a monitoring pipeline
+    raises when a deploy shifts the level.  Everything derives from
+    exact DECIMAL prefix sums; the gain is one shared double
+    expression; argmax ties break on the earlier split.
+
+    Scale: the window runs over the hourly layer (bounded time
+    domain); full binary segmentation recurses on the two halves —
+    same plan per segment."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    h = (t["events"]
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.sum(dec).alias("y")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "bucket",
+        F.row_number().over(Window.orderBy("bucket")).cast("long")
+        .alias("t"),
+        F.sum("y").over(w).cast("double").alias("st"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("qt"))
+    tot = h.agg(F.count("*").cast("long").alias("n"),
+                F.sum("y").cast("double").alias("sn"),
+                F.sum(F.col("y") * F.col("y")).cast("double").alias("qn"))
+    g = (c.crossJoin(F.broadcast(tot))
+         .where(F.col("t") < F.col("n"))
+         .select(F.col("bucket").alias("split_after"), "t", "n",
+                 F.expr(_CPT_GAIN).alias("gain"),
+                 F.round(F.col("st") / F.col("t"), 6).alias("mean_left"),
+                 F.round((F.col("sn") - F.col("st"))
+                         / (F.col("n") - F.col("t")), 6)
+                 .alias("mean_right")))
+    return g.orderBy(F.desc("gain"), F.asc("t")).limit(1)
