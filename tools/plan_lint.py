@@ -54,6 +54,9 @@ WHITELIST_BNLJ = {
     "stats_theil_sen_trend": "1-row median-slope broadcast; the pair "
         "join itself runs on the bounded hourly layer",
     "stats_bootstrap_ci_mean": "1-row CI broadcast (32 replica means)",
+    "sampling_horvitz_thompson": "1-row true-total broadcast combine",
+    "events_gap_distribution": "1-row gap-total broadcast combine",
+    "events_changepoint_hourly": "1-row global-moment broadcast combine",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -124,6 +127,10 @@ WHITELIST_GLOBALWIN = {
         "by the time domain)",
     "privacy_t_closeness": "window is QI-partitioned; the "
         "SinglePartition exchange is the 1-row corpus-total combine",
+    "events_gap_distribution": "lag window is user-partitioned; the "
+        "SinglePartition exchange is the 1-row total combine",
+    "events_changepoint_hourly": "prefix-sum window over the bounded "
+        "hourly layer (same contract as SES/Bollinger)",
 }
 
 
