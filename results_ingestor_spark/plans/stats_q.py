@@ -1184,3 +1184,78 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (F.col("n") - F.col("t")), 6)
                  .alias("mean_right")))
     return g.orderBy(F.desc("gain"), F.asc("t")).limit(1)
+
+
+# Bridge terms: per-part price/volume effects computed in doubles from
+# one shared expression; month totals are double sums rounded to CENTS
+# (order-of-summation wiggle is ~1e-7 absolute here, four orders below
+# the rounding threshold).  A per-term decimal cast would be exact but
+# trips engine-divergent tie rounding on double->DECIMAL (Java rounds
+# the shortest decimal string, DuckDB the binary value).
+_BRIDGE_TERMS = {
+    "price_effect": "(p1 - p0) * q0",
+    "volume_effect": "p0 * (q1 - q0)",
+    "interaction": "(p1 - p0) * (q1 - q0)",
+}
+
+
+def _bridge_oracle() -> str:
+    terms = ",\n  ".join(
+        f"round(SUM({expr}), 2) AS {name}"
+        for name, expr in _BRIDGE_TERMS.items())
+    return f"""
+WITH pm AS (
+  SELECT l_partkey,
+    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+  FROM lineitem GROUP BY 1, 2),
+lagged AS (
+  SELECT month, p AS p1, q AS q1,
+    lag(p) OVER (PARTITION BY l_partkey ORDER BY month) AS p0,
+    lag(q) OVER (PARTITION BY l_partkey ORDER BY month) AS q0
+  FROM pm)
+SELECT month,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  {terms}
+FROM lagged WHERE p0 IS NOT NULL
+GROUP BY month ORDER BY month"""
+
+
+@query("revenue_bridge_price_volume", oracle=_bridge_oracle())
+def revenue_bridge_price_volume(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: the change in each part's
+    revenue decomposed into PRICE effect (Δp·q₀), VOLUME effect
+    (p₀·Δq), and their interaction — the waterfall every finance /
+    pricing review is built on, answering "did revenue move because we
+    charged more or sold more?".  Per-part effects roll up by month.
+
+    Determinism: unit price and quantity are doubles derived from
+    exact DECIMAL sums; each bridge term is one shared expression cast
+    to DECIMAL(18,6) before summation, so month totals are exact and
+    order-free.
+
+    Scale: one (part, month) hash-agg, a part-partitioned lag window
+    (co-partitioned with the agg), and a month-keyed rollup — the
+    month layer is bounded by the calendar."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    pm = (t["lineitem"]
+          .groupBy("l_partkey",
+                   F.date_trunc("month", "l_shipdate").cast("date")
+                   .alias("month"))
+          .agg((F.sum(dec("l_extendedprice")).cast("double")
+                / F.sum(dec("l_quantity")).cast("double")).alias("p"),
+               F.sum(dec("l_quantity")).cast("double").alias("q")))
+    w = Window.partitionBy("l_partkey").orderBy("month")
+    lagged = pm.select(
+        "month", F.col("p").alias("p1"), F.col("q").alias("q1"),
+        F.lag("p").over(w).alias("p0"), F.lag("q").over(w).alias("q0"))
+    aggs = [F.count("*").alias("n_parts")] + [
+        F.round(F.sum(F.expr(expr)), 2).alias(name)
+        for name, expr in _BRIDGE_TERMS.items()]
+    return (lagged.where(F.col("p0").isNotNull())
+            .groupBy("month").agg(*aggs)
+            .orderBy("month"))
