@@ -533,3 +533,73 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_gaps").cast("double")
                             / F.col("total"), 9).alias("share"))
             .orderBy("bucket"))
+
+
+@query("cohort_ltv_curve", oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id),
+rev AS (
+  SELECT e.user_id, f.cohort,
+    CAST((epoch_us(date_trunc('week', e.ts))
+          - epoch_us(CAST(f.cohort AS TIMESTAMP)))
+         // 604800000000 AS BIGINT) AS week_age,
+    CAST(e.value AS DECIMAL(12,2)) AS rev
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'),
+sz AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first_seen GROUP BY cohort),
+m AS (
+  SELECT cohort, week_age,
+    CAST(SUM(rev) AS DECIMAL(38,2)) AS week_rev
+  FROM rev GROUP BY cohort, week_age)
+SELECT m.cohort, m.week_age, sz.cohort_users,
+  CAST(SUM(week_rev) OVER (PARTITION BY m.cohort ORDER BY m.week_age
+                           ROWS UNBOUNDED PRECEDING)
+       AS DECIMAL(38,2)) AS cum_revenue,
+  round(CAST(SUM(week_rev) OVER (PARTITION BY m.cohort
+                                 ORDER BY m.week_age
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / sz.cohort_users, 6) AS ltv_per_user
+FROM m JOIN sz ON sz.cohort = m.cohort
+ORDER BY m.cohort, m.week_age""")
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort by weeks-since-
+    first-seen — the revenue twin of cohort_retention (which counts
+    the users; this sums what they spend).  Weekly grain because the
+    corpus spans ~a month; the shape is grain-agnostic.  Exact DECIMAL
+    revenue, cohort-partitioned running sums, one double division per
+    row for the per-user LTV; week age is integer microsecond
+    arithmetic (no engine interval types on the wire).
+
+    Scale: first-seen is one user-keyed agg; the curve is a
+    (cohort, week_age) agg plus a cohort-partitioned window over the
+    bounded calendar grid."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                       .alias("cohort")))
+    rev = (ev.where(F.col("event_type") == "purchase")
+           .join(first_seen, "user_id")
+           .select("cohort",
+                   ((F.unix_micros(F.date_trunc("week", "ts"))
+                     - F.unix_micros(F.col("cohort")
+                                     .cast("timestamp")))
+                    / F.lit(604_800_000_000)).cast("long")
+                   .alias("week_age"),
+                   F.expr("CAST(value AS DECIMAL(12,2))").alias("rev")))
+    sz = first_seen.groupBy("cohort").agg(
+        F.count("*").alias("cohort_users"))
+    m = (rev.groupBy("cohort", "week_age")
+         .agg(F.sum("rev").cast("decimal(38,2)").alias("week_rev")))
+    w = (Window.partitionBy("cohort").orderBy("week_age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("week_rev").over(w).cast("decimal(38,2)")
+    return (m.join(F.broadcast(sz), "cohort")
+            .select("cohort", "week_age", "cohort_users",
+                    cum.alias("cum_revenue"),
+                    F.round(cum.cast("double") / F.col("cohort_users"), 6)
+                    .alias("ltv_per_user"))
+            .orderBy("cohort", "week_age"))

@@ -329,3 +329,67 @@ def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dist.groupBy(F.col("dist").cast("long").alias("dist"))
             .agg(F.count("*").alias("n_nodes"))
             .orderBy("dist"))
+
+
+@query("graph_degree_assortativity", oracle=f"""
+WITH e AS ({_EDGES}),
+sym AS ({_SYM}),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+ends AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym JOIN deg da ON da.u = sym.u JOIN deg db ON db.u = sym.v),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ends)
+SELECT m AS n_edge_ends,
+  round(CAST(m * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+               * CAST(m * syy - sy * sy AS DOUBLE)), 9)
+    AS assortativity
+FROM s""")
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson
+    correlation of the degrees at the two ends of every edge (Newman's
+    r).  Positive: hubs connect to hubs (social-network shape);
+    negative: hubs connect to leaves (infrastructure shape) — the one
+    scalar that says which regime a graph is in, and a guard metric
+    for synthetic-graph pipelines.  Both edge directions are counted,
+    which is exactly what makes r symmetric.  All five moments stay in
+    BIGINT; one double expression at the end.
+
+    Scale: two degree joins on the edge list (node-keyed, the
+    triangle-count contract) and a 1-row moment combine."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    e = copurchase_edges(li)
+    sym = (e.select("u", "v")
+           .unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    ends = (sym
+            .join(deg.select(F.col("u").alias("u1"),
+                             F.col("d").alias("x")),
+                  F.col("u") == F.col("u1"))
+            .join(deg.select(F.col("u").alias("u2"),
+                             F.col("d").alias("y")),
+                  F.col("v") == F.col("u2"))
+            .select("x", "y"))
+    s = ends.agg(
+        F.count("*").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("m") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("m") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(F.col("m").alias("n_edge_ends"),
+                    F.round(num / den, 9).alias("assortativity"))
