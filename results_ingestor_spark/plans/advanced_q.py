@@ -871,3 +871,65 @@ def dq_value_domain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(~F.col("ok"), F.col("v")))
                  .alias("sample_offender"))
             .orderBy("col"))
+
+
+@query("customers_at_risk_churn", oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+gaps AS (
+  SELECT o_custkey,
+    datediff('day',
+             lag(d) OVER (PARTITION BY o_custkey ORDER BY d),
+             d) AS gap_days,
+    d
+  FROM o),
+per_cust AS (
+  SELECT o_custkey,
+    CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+    quantile_cont(gap_days, 0.5) AS median_gap_days,
+    MAX(d) AS last_order
+  FROM gaps WHERE gap_days IS NOT NULL
+  GROUP BY o_custkey HAVING COUNT(*) >= 4),
+horizon AS (SELECT MAX(d) AS corpus_end FROM o)
+SELECT o_custkey AS custkey, n_orders,
+  round(median_gap_days, 1) AS median_gap_days,
+  last_order,
+  CAST(datediff('day', last_order, corpus_end) AS BIGINT)
+    AS days_silent,
+  CAST(datediff('day', last_order, corpus_end) AS DOUBLE)
+    / median_gap_days > 2.0 AS at_risk
+FROM per_cust CROSS JOIN horizon
+ORDER BY custkey""")
+def customers_at_risk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk flag per customer measured against the customer's OWN
+    cadence: someone silent for 2× their median inter-order gap is at
+    risk — a global '90 days silent' cutoff mislabels both weekly and
+    yearly buyers, which is why the per-entity median is the right
+    yardstick.  Requires ≥5 orders so the median is meaningful.
+
+    Scale: gaps from a customer-partitioned lag window, one grouped
+    exact-percentile agg (percentile_approx at 100 TB, same plan), a
+    1-row horizon broadcast, and pure date arithmetic."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_custkey",
+                           F.col("o_orderdate").cast("date").alias("d"))
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = o.select("o_custkey", "d",
+                    F.datediff("d", F.lag("d").over(w)).alias("gap_days"))
+    per_cust = (gaps.where(F.col("gap_days").isNotNull())
+                .groupBy("o_custkey")
+                .agg((F.count("*") + 1).cast("long").alias("n_orders"),
+                     F.percentile("gap_days", F.lit(0.5))
+                     .alias("median_gap"),
+                     F.max("d").alias("last_order"))
+                .where(F.col("n_orders") >= 5))
+    horizon = o.agg(F.max("d").alias("corpus_end"))
+    silent = F.datediff("corpus_end", "last_order")
+    return (per_cust.crossJoin(F.broadcast(horizon))
+            .select(F.col("o_custkey").alias("custkey"), "n_orders",
+                    F.round("median_gap", 1).alias("median_gap_days"),
+                    "last_order",
+                    silent.cast("long").alias("days_silent"),
+                    (silent.cast("double") / F.col("median_gap") > 2.0)
+                    .alias("at_risk"))
+            .orderBy("custkey"))
