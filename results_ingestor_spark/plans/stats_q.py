@@ -1259,3 +1259,104 @@ def revenue_bridge_price_volume(spark: SparkSession,
     return (lagged.where(F.col("p0").isNotNull())
             .groupBy("month").agg(*aggs)
             .orderBy("month"))
+
+
+@query("events_poisson_burst_surprise", oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1),
+lam AS (
+  SELECT bucket, k,
+    CAST(AVG(k) OVER (ORDER BY bucket
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         AS DOUBLE) AS lambda
+  FROM h),
+s AS (
+  SELECT bucket, k, round(lambda, 6) AS lambda,
+    round(CASE WHEN k > lambda AND lambda > 0
+          THEN k * ln(k / lambda) - (k - lambda) ELSE 0.0 END, 6)
+      AS surprise
+  FROM lam WHERE lambda IS NOT NULL)
+SELECT bucket, k, lambda, surprise
+FROM s ORDER BY surprise DESC, bucket LIMIT 10""")
+def events_poisson_burst_surprise(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Top-10 burst hours by Poisson surprise — the principled version
+    of the z-score anomaly entry for COUNT data: with a trailing-24h
+    rate λ, the Chernoff exponent k·ln(k/λ) − (k−λ) bounds
+    −ln P(X ≥ k), so 'surprise 9' means under-a-in-8000 under the
+    trailing rate.  Z-scores mis-scale for counts at low λ; this
+    doesn't.  The trailing window EXCLUDES the current hour (else the
+    burst inflates its own baseline).
+
+    Scale: hourly layer window (bounded time domain), shared
+    expression text, one top-k sort."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"]
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count("*").alias("k")))
+    w = Window.orderBy("bucket").rowsBetween(-24, -1)
+    lam = h.select("bucket", "k",
+                   F.avg("k").over(w).cast("double").alias("lambda"))
+    surprise = F.when(
+        (F.col("k") > F.col("lambda")) & (F.col("lambda") > 0),
+        F.col("k") * F.log(F.col("k") / F.col("lambda"))
+        - (F.col("k") - F.col("lambda"))).otherwise(0.0)
+    return (lam.where(F.col("lambda").isNotNull())
+            .select("bucket", "k",
+                    F.round("lambda", 6).alias("lambda"),
+                    F.round(surprise, 6).alias("surprise"))
+            .orderBy(F.desc("surprise"), F.asc("bucket"))
+            .limit(10))
+
+
+@query("events_seasonality_strength", oracle=f"""
+WITH c AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+    {_VDEC} AS v
+  FROM events),
+g AS (
+  SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(v) AS s, SUM(v * v) AS q
+  FROM c GROUP BY dow, hr)
+SELECT
+  CAST(SUM(n) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  round(1.0 - CAST(SUM(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / n) AS DOUBLE)
+        / (CAST(SUM(CAST(q AS DOUBLE)) AS DOUBLE)
+           - CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE)
+             * CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) / SUM(n)), 9)
+    AS seasonality_r2
+FROM g""")
+def events_seasonality_strength(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """How much of the value variance the weekly seasonality grid
+    explains: one-way ANOVA R² with (day-of-week × hour) cells as
+    groups — 1 − SSE_within/SST.  Near 0: the dow-hour heatmap is
+    decoration; near 1: schedule features belong in every downstream
+    model.  Moments accumulate as exact DECIMALs per cell; doubles
+    enter in one shared final expression.
+
+    Scale: one hash-agg over a 168-cell domain (map-side combine),
+    then a 1-row reduction — nothing else moves."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    g = (t["events"]
+         .select(F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr"),
+                 dec.alias("v"))
+         .groupBy("dow", "hr")
+         .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+              F.sum(F.col("v") * F.col("v")).alias("q")))
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    within = F.sum(qd - sd * sd / F.col("n")).cast("double")
+    tot_q = F.sum(qd).cast("double")
+    tot_s = F.sum(sd).cast("double")
+    tot_n = F.sum("n")
+    return g.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_cells"),
+        F.round(F.lit(1.0) - within / (tot_q - tot_s * tot_s / tot_n), 9)
+        .alias("seasonality_r2"))

@@ -57,6 +57,7 @@ WHITELIST_BNLJ = {
     "sampling_horvitz_thompson": "1-row true-total broadcast combine",
     "events_gap_distribution": "1-row gap-total broadcast combine",
     "events_changepoint_hourly": "1-row global-moment broadcast combine",
+    "customers_at_risk_churn": "1-row corpus-horizon broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -131,6 +132,10 @@ WHITELIST_GLOBALWIN = {
         "SinglePartition exchange is the 1-row total combine",
     "events_changepoint_hourly": "prefix-sum window over the bounded "
         "hourly layer (same contract as SES/Bollinger)",
+    "events_poisson_burst_surprise": "trailing-rate window over the "
+        "bounded hourly layer",
+    "customers_at_risk_churn": "lag window is customer-partitioned; "
+        "the SinglePartition exchange is the 1-row horizon combine",
 }
 
 
