@@ -603,3 +603,97 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(cum.cast("double") / F.col("cohort_users"), 6)
                     .alias("ltv_per_user"))
             .orderBy("cohort", "week_age"))
+
+
+@query("survival_km_signup_to_purchase", oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (
+  SELECT su.user_id,
+    MIN(e.ts) AS p_ts
+  FROM su JOIN events e ON e.user_id = su.user_id
+   AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+  GROUP BY su.user_id),
+horizon AS (SELECT MAX(ts) AS h FROM events),
+subj AS (
+  SELECT su.user_id,
+    CAST((epoch_us(coalesce(pu.p_ts, horizon.h))
+          - epoch_us(su.s_ts)) // 86400000000 AS BIGINT) AS t_days,
+    pu.p_ts IS NOT NULL AS ev
+  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+  CROSS JOIN horizon),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM subj),
+risk AS (
+  SELECT t_days,
+    CAST(count_if(ev) AS BIGINT) AS d,
+    CAST(count_if(NOT ev) AS BIGINT) AS c
+  FROM subj GROUP BY t_days),
+w AS (
+  SELECT t_days, d, c,
+    n0 - CAST(coalesce(SUM(d + c) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk
+  FROM risk CROSS JOIN tot)
+SELECT t_days, n_risk, d AS d_events, c AS n_censored,
+  round(exp(SUM(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-300)))
+            OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 9)
+    AS survival
+FROM w WHERE d > 0 ORDER BY t_days""")
+def survival_km_signup_to_purchase(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→first-purchase with
+    RIGHT-CENSORING at corpus end — the estimator that makes
+    time-to-convert honest: users who haven't purchased YET aren't
+    failures, they're censored, and dropping them (or counting them as
+    never-converting) biases the curve in opposite directions.
+    S(t) = Π over event days (1 − dᵢ/nᵢ); the product runs as
+    exp(Σ ln·) in a single ordered window, so both engines accumulate
+    in the same sequence and the doubles agree bit-for-bit.
+
+    Scale: per-user firsts are keyed aggs; the risk table lives on the
+    bounded duration domain (days), where the ordered windows run."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    su = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    pu = (su.join(ev.where(F.col("event_type") == "purchase")
+                  .select(F.col("user_id").alias("pu_user"),
+                          F.col("ts").alias("e_ts")),
+                  (F.col("pu_user") == F.col("user_id"))
+                  & (F.col("e_ts") >= F.col("s_ts")))
+          .groupBy("user_id").agg(F.min("e_ts").alias("p_ts")))
+    horizon = ev.agg(F.max("ts").alias("h"))
+    subj = (su.join(pu, "user_id", "left")
+            .crossJoin(F.broadcast(horizon))
+            .select(((F.unix_micros(F.coalesce("p_ts", "h"))
+                      - F.unix_micros("s_ts"))
+                     / F.lit(86_400_000_000)).cast("long")
+                    .alias("t_days"),
+                    F.col("p_ts").isNotNull().alias("ev")))
+    tot = subj.agg(F.count("*").alias("n0"))
+    risk = (subj.groupBy("t_days")
+            .agg(F.count_if("ev").alias("d"),
+                 F.count_if(~F.col("ev")).alias("c")))
+    w_prev = (Window.orderBy("t_days")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("t_days")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    wdf = (risk.crossJoin(F.broadcast(tot))
+           .withColumn("n_risk",
+                       (F.col("n0")
+                        - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                     .over(w_prev), F.lit(0)))
+                       .cast("long")))
+    # greatest(.., 1e-300): the last event day can have d == n_risk
+    # (everyone remaining converts), where S drops to 0 — ln(1e-300)
+    # underflows exp() to a value that rounds to 0.0 in both engines
+    surv = F.round(F.exp(F.sum(
+        F.log(F.greatest(1.0 - F.col("d").cast("double")
+                         / F.col("n_risk"), F.lit(1e-300))))
+        .over(w_cum)), 9)
+    return (wdf.withColumn("survival", surv)
+            .where(F.col("d") > 0)
+            .select("t_days", "n_risk", F.col("d").alias("d_events"),
+                    F.col("c").alias("n_censored"), "survival")
+            .orderBy("t_days"))

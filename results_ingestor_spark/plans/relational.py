@@ -638,3 +638,73 @@ def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_of_region"),
         F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9)
         .alias("pct_of_total"))
+
+
+@query("revenue_concentration_metrics", oracle="""
+WITH cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT segment, rev,
+    CAST(row_number() OVER (PARTITION BY segment
+                            ORDER BY rev, o_custkey) AS BIGINT) AS i,
+    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n,
+    CAST(ntile(10) OVER (PARTITION BY segment
+                         ORDER BY rev, o_custkey) AS BIGINT) AS decile
+  FROM cust)
+SELECT segment,
+  CAST(MAX(n) AS BIGINT) AS n_customers,
+  round((2.0 * CAST(SUM(i * CAST(rev AS DOUBLE)) AS DOUBLE))
+        / (MAX(n) * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE))
+        - (MAX(n) + 1.0) / MAX(n), 9) AS gini,
+  round(CAST(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS DOUBLE)
+        / (CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)
+           * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)), 9) AS hhi,
+  round(CAST(SUM(CASE WHEN decile = 10 THEN CAST(rev AS DOUBLE)
+                 ELSE 0.0 END) AS DOUBLE)
+        / CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE), 9)
+    AS top_decile_share
+FROM ranked GROUP BY segment ORDER BY segment""")
+def revenue_concentration_metrics(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration per market segment, three
+    standard lenses at once: Gini (Lorenz inequality, rank-weighted
+    closed form G = 2Σi·xᵢ/(n·Σx) − (n+1)/n over ascending revenue),
+    normalized HHI (Σx²/(Σx)² — the antitrust yardstick), and the
+    top-decile share.  Ties rank by custkey for a deterministic Lorenz
+    order.
+
+    Scale: the customer layer is dimension-sized, so the per-segment
+    windows run over an aggregate, not facts (the RFM contract); the
+    fact scan contributes one keyed hash-agg."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    cust = (t["orders"]
+            .join(F.broadcast(t["customer"]
+                              .select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("rev")))
+    ws = Window.partitionBy("segment").orderBy("rev", "o_custkey")
+    wn = Window.partitionBy("segment")
+    ranked = cust.select(
+        "segment", "rev",
+        F.row_number().over(ws).cast("long").alias("i"),
+        F.count("*").over(wn).cast("long").alias("n"),
+        F.ntile(10).over(ws).cast("long").alias("decile"))
+    rd = F.col("rev").cast("double")
+    tot = F.sum(rd).cast("double")
+    gini = (2.0 * F.sum(F.col("i") * rd).cast("double")) \
+        / (F.max("n") * tot) - (F.max("n") + 1.0) / F.max("n")
+    hhi = F.sum(rd * rd).cast("double") / (tot * tot)
+    top = F.sum(F.when(F.col("decile") == 10, rd).otherwise(0.0)) \
+        .cast("double") / tot
+    return (ranked.groupBy("segment")
+            .agg(F.max("n").cast("long").alias("n_customers"),
+                 F.round(gini, 9).alias("gini"),
+                 F.round(hhi, 9).alias("hhi"),
+                 F.round(top, 9).alias("top_decile_share"))
+            .orderBy("segment"))

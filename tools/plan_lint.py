@@ -58,6 +58,8 @@ WHITELIST_BNLJ = {
     "events_gap_distribution": "1-row gap-total broadcast combine",
     "events_changepoint_hourly": "1-row global-moment broadcast combine",
     "customers_at_risk_churn": "1-row corpus-horizon broadcast",
+    "survival_km_signup_to_purchase": "1-row horizon + subject-total "
+        "broadcasts",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -136,6 +138,8 @@ WHITELIST_GLOBALWIN = {
         "bounded hourly layer",
     "customers_at_risk_churn": "lag window is customer-partitioned; "
         "the SinglePartition exchange is the 1-row horizon combine",
+    "survival_km_signup_to_purchase": "KM product window runs over "
+        "the bounded duration-days domain",
 }
 
 
