@@ -157,3 +157,42 @@ def test_mahalanobis_matches_numpy_reference(spark, sf_dir):
     for r in got:
         i = emb.index[emb.vec_id == r.vec_id][0]
         assert r.m2 == pytest.approx(m2[i], rel=5e-3)
+
+
+def test_km_survival_matches_pandas_reference(spark, sf_dir):
+    rows = QUERIES["survival_km_signup_to_purchase"](spark, sf_dir) \
+        .collect()
+    ev = _events_pdf(sf_dir)
+    su = (ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+          .rename("s_ts"))
+    pur = ev[ev.event_type == "purchase"][["user_id", "ts"]]
+    m = pur.merge(su, on="user_id")
+    first_p = (m[m.ts >= m.s_ts].groupby("user_id").ts.min()
+               .rename("p_ts"))
+    subj = pd.concat([su, first_p], axis=1)
+    horizon = ev.ts.max()
+    end = subj.p_ts.fillna(horizon)
+    t_days = ((end - subj.s_ts).dt.total_seconds() // 86400).astype(int)
+    event = subj.p_ts.notna()
+
+    # classic KM recursion, independently of the SQL formulation
+    import numpy as np
+    surv, out = 1.0, {}
+    n_risk = len(subj)
+    for t in sorted(t_days.unique()):
+        at_t = t_days == t
+        d = int((at_t & event).sum())
+        c = int((at_t & ~event).sum())
+        if d > 0:
+            surv *= 1.0 - d / n_risk
+            out[t] = (n_risk, d, surv)
+        n_risk -= d + c
+    got = {r.t_days: (r.n_risk, r.d_events, r.survival) for r in rows}
+    assert set(got) == set(out)
+    for t, (n, d, s) in out.items():
+        gn, gd, gs = got[t]
+        assert (gn, gd) == (n, d), f"day {t}"
+        assert gs == pytest.approx(s, abs=1e-9), f"day {t}"
+    # survival is monotone nonincreasing
+    ss = [got[t][2] for t in sorted(got)]
+    assert ss == sorted(ss, reverse=True)
