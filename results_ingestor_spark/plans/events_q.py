@@ -697,3 +697,73 @@ def survival_km_signup_to_purchase(spark: SparkSession,
             .select("t_days", "n_risk", F.col("d").alias("d_events"),
                     F.col("c").alias("n_censored"), "survival")
             .orderBy("t_days"))
+
+
+def _markov_stationary_oracle(iters: int = 6) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+p{k} AS (
+  SELECT m.to_type AS state, round(SUM(p{k - 1}.pi * m.prob), 12) AS pi
+  FROM p{k - 1} JOIN m ON m.from_type = p{k - 1}.state
+  GROUP BY m.to_type)""")
+    return f"""
+WITH nxt AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT from_type, to_type,
+    round(CAST(n AS DOUBLE)
+          / SUM(n) OVER (PARTITION BY from_type), 9) AS prob
+  FROM cnt),
+states AS (SELECT DISTINCT from_type AS state FROM cnt),
+p0 AS (
+  SELECT state, round(1.0 / (SELECT COUNT(*) FROM states), 12) AS pi
+  FROM states),{",".join(steps)}
+SELECT state, round(pi, 9) AS pi
+FROM p{iters} ORDER BY state"""
+
+
+@query("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    the transition matrix says users SETTLE, the long-run share of
+    attention per event type (the transition entry shows one step;
+    this shows the fixpoint).  Six synchronous power iterations from
+    uniform, the PageRank contract without damping; π is snapped to
+    12 dp each iteration so the ≤|states|-term dot products agree
+    across engines regardless of summation order, and the oracle
+    unrolls the identical updates.
+
+    Scale: the chain lives on the (type×type) aggregate — a handful
+    of rows; everything data-sized happened in the lead() window."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (t["events"]
+           .select(F.col("event_type").alias("from_type"),
+                   F.lead("event_type").over(w).alias("to_type"))
+           .where(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type").agg(F.count("*").alias("n")))
+    w_row = Window.partitionBy("from_type")
+    m = cnt.select(
+        "from_type", "to_type",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
+        .alias("prob")).localCheckpoint()
+    states = m.select(F.col("from_type").alias("state")).distinct()
+    n_states = states.crossJoin(
+        F.broadcast(states.agg(F.count("*").alias("k"))))
+    pi = n_states.select(
+        "state", F.round(1.0 / F.col("k"), 12).alias("pi"))
+    for _ in range(6):
+        pi = (pi.join(m, pi["state"] == m["from_type"])
+              .groupBy(F.col("to_type").alias("state"))
+              .agg(F.round(F.sum(F.col("pi") * F.col("prob")), 12)
+                   .alias("pi")))
+    return pi.select("state", F.round("pi", 9).alias("pi")) \
+        .orderBy("state")

@@ -60,6 +60,8 @@ WHITELIST_BNLJ = {
     "customers_at_risk_churn": "1-row corpus-horizon broadcast",
     "survival_km_signup_to_purchase": "1-row horizon + subject-total "
         "broadcasts",
+    "events_markov_stationary": "1-row state-count broadcast; the "
+        "chain lives on the type-domain aggregate",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
