@@ -838,3 +838,83 @@ def quality_blocklist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n", "hits", F.round("p", 9).alias("rate"),
         F.expr(_WILSON.format(sign='-')).alias("ci_lo"),
         F.expr(_WILSON.format(sign='+')).alias("ci_hi"))
+
+
+@query("text_heaps_law_fit", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+doc_tokens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok GROUP BY doc_id),
+first_occ AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+new_types AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_v
+  FROM first_occ GROUP BY first_doc),
+curve AS (
+  SELECT d.doc_id,
+    CAST(SUM(d.n_tok) OVER w AS BIGINT) AS cum_tokens,
+    CAST(SUM(coalesce(nv.new_v, 0)) OVER w AS BIGINT) AS vocab
+  FROM doc_tokens d LEFT JOIN new_types nv ON nv.doc_id = d.doc_id
+  WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)),
+pts AS (
+  SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+    ln(CAST(vocab AS DOUBLE)) AS y
+  FROM curve),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    round(SUM(x), 9) AS sx, round(SUM(y), 9) AS sy,
+    round(SUM(x * y), 9) AS sxy, round(SUM(x * x), 9) AS sxx
+  FROM pts)
+SELECT n AS n_points,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+        6) AS k
+FROM s""")
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = k·N^β for the corpus: how fast the
+    vocabulary grows with tokens read — the planning number behind
+    tokenizer vocab sizing and dedup-memory budgets (β≈0.5 typical;
+    β→1 smells like unique noise/IDs flooding the vocab).
+
+    The trick that makes the growth curve CHEAP: a token contributes a
+    new type exactly at its min(doc_id), so V(N) is the running sum of
+    a first-occurrence histogram — no running-distinct state.  The
+    log-log OLS slope comes from moment sums; doubles appear in the
+    shared final expression only.  (Zipf rank-frequency is the
+    companion entry; Heaps is its integral view.)
+
+    Scale: two token-keyed aggs (first-occurrence, doc lengths) and a
+    window over the DOCUMENT layer, ordered by ingest id."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = (t["documents"]
+           .select("doc_id", F.explode(F.split("text", " ")).alias("w")))
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    new_types = (tok.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+                 .groupBy("doc_id").agg(F.count("*").alias("new_v")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (doc_tokens.join(new_types, "doc_id", "left")
+             .select("doc_id",
+                     F.sum("n_tok").over(w).cast("long")
+                     .alias("cum_tokens"),
+                     F.sum(F.coalesce("new_v", F.lit(0))).over(w)
+                     .cast("long").alias("vocab")))
+    pts = curve.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"))
+    # 9-dp snap on the moment sums: double-summation order is the
+    # only cross-engine wiggle (~1e-13 relative), and snapping before
+    # the division kills it at the source
+    s = pts.agg(F.count("*").alias("n"),
+                F.round(F.sum("x"), 9).alias("sx"),
+                F.round(F.sum("y"), 9).alias("sy"),
+                F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+                F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"))
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6)
+        .alias("k"))
