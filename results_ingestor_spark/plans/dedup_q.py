@@ -754,3 +754,67 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("anchor", F.col("other").alias("negative_id"),
                    F.col("j").alias("neg_jaccard")))
     return pos.join(neg, "anchor", "left")
+
+
+@query("dedup_cross_source_matrix", oracle=f"""
+WITH sig AS ({_minhash_sql()}),
+keyed AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig a ON a.doc_id = id_a
+  JOIN sig b ON b.doc_id = id_b
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.5),
+srcd AS (
+  SELECT least(da.source, db.source) AS source_a,
+    greatest(da.source, db.source) AS source_b
+  FROM verified
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM srcd GROUP BY 1, 2 ORDER BY source_a, source_b""")
+def dedup_cross_source_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which SOURCES contain the same
+    content — near-dup pairs (the MinHash-LSH pipeline, verified
+    Jaccard ≥ 0.5) rolled up by canonical (source_a ≤ source_b) pair.
+    A hot off-diagonal cell means one feed mirrors another (count one
+    of them, or drop the aggregator); a hot diagonal means a source
+    re-publishes itself.  This is the dedup operator answering a
+    CURATION-POLICY question rather than emitting pairs.
+
+    Scale: inherits the LSH pipeline's cost (band equi-join, verify on
+    candidates only); the rollup adds a broadcast of the doc→source
+    projection and a matrix-domain hash agg."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                              "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("__sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .where(j >= 0.5).select("id_a", "id_b"))
+    src = t["documents"].select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("src_b"))
+    return (verified.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .groupBy(F.least("src_a", "src_b").alias("source_a"),
+                     F.greatest("src_a", "src_b").alias("source_b"))
+            .agg(F.count("*").alias("n_dup_pairs"))
+            .orderBy("source_a", "source_b"))

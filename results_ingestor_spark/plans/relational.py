@@ -708,3 +708,66 @@ def revenue_concentration_metrics(spark: SparkSession,
                  F.round(hhi, 9).alias("hhi"),
                  F.round(top, 9).alias("top_decile_share"))
             .orderBy("segment"))
+
+
+@query("abc_inventory_classes", oracle="""
+WITH part_rev AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                  AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,4)) AS t FROM part_rev),
+ranked AS (
+  SELECT l_partkey, rev,
+    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING)
+         AS DECIMAL(38,4)) AS cum_rev
+  FROM part_rev),
+classed AS (
+  SELECT l_partkey, rev,
+    CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(t AS DOUBLE) <= 0.80
+         THEN 'A'
+         WHEN CAST(cum_rev AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95
+         THEN 'B' ELSE 'C' END AS abc
+  FROM ranked CROSS JOIN tot)
+SELECT abc,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(rev) AS DECIMAL(38,4)) AS class_revenue,
+  round(CAST(SUM(rev) AS DOUBLE)
+        / (SELECT CAST(t AS DOUBLE) FROM tot), 9) AS revenue_share
+FROM classed GROUP BY abc ORDER BY abc""")
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: A carries the
+    first 80% of cumulative revenue, B the next 15%, C the tail — the
+    classic inventory-control cut that tells you which few parts
+    deserve the expensive attention.  Revenue accumulates as exact
+    DECIMAL in a deterministic (rev DESC, partkey) order; only the
+    class-boundary comparison and final shares go through doubles.
+
+    Scale: one part-keyed hash agg; the ranking window runs over the
+    PART aggregate (dim-sized), the grouped-percentile contract."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    rev_e = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    4).cast("decimal(18,4)")
+    part_rev = (t["lineitem"].groupBy("l_partkey")
+                .agg(F.sum(rev_e).cast("decimal(38,4)").alias("rev")))
+    tot = part_rev.agg(F.sum("rev").cast("decimal(38,4)").alias("t"))
+    w = (Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = part_rev.select(
+        "l_partkey", "rev",
+        F.sum("rev").over(w).cast("decimal(38,4)").alias("cum_rev"))
+    share = F.col("cum_rev").cast("double") / F.col("t").cast("double")
+    classed = (ranked.crossJoin(F.broadcast(tot))
+               .select("rev", F.when(share <= 0.80, "A")
+                       .when(share <= 0.95, "B").otherwise("C")
+                       .alias("abc")))
+    return (classed.groupBy("abc")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("rev").cast("decimal(38,4)").alias("class_revenue"))
+            .crossJoin(F.broadcast(tot))
+            .select("abc", "n_parts", "class_revenue",
+                    F.round(F.col("class_revenue").cast("double")
+                            / F.col("t").cast("double"), 9)
+                    .alias("revenue_share"))
+            .orderBy("abc"))
