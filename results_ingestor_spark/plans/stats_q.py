@@ -1360,3 +1360,114 @@ def events_seasonality_strength(spark: SparkSession,
         F.count("*").alias("n_cells"),
         F.round(F.lit(1.0) - within / (tot_q - tot_s * tot_s / tot_n), 9)
         .alias("seasonality_r2"))
+
+
+# Odds ratio with Woolf logit CI — one shared expression set (a/b/c/d
+# are BIGINT cell counts; doubles appear only here).
+_OR_EXPR = "round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 9)"
+_OR_CI = """round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+  {sign} 1.959963984540054
+    * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 9)"""
+
+
+@query("stats_odds_ratio_2x2", oracle=f"""
+WITH cells AS (
+  SELECT
+    CAST(count_if(event_type = 'click' AND value >= 50) AS BIGINT) AS a,
+    CAST(count_if(event_type = 'click' AND value < 50) AS BIGINT) AS b,
+    CAST(count_if(event_type = 'view' AND value >= 50) AS BIGINT) AS c,
+    CAST(count_if(event_type = 'view' AND value < 50) AS BIGINT) AS d
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT a AS click_high, b AS click_low, c AS view_high, d AS view_low,
+  {_OR_EXPR} AS odds_ratio,
+  {_OR_CI.format(sign='-')} AS ci_lo,
+  {_OR_CI.format(sign='+')} AS ci_hi
+FROM cells""")
+def stats_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of high-value (≥50) outcomes between clicks and
+    views with the Woolf logit 95% CI — the 2×2 effect-size report
+    that complements the chi-square entry (chi² says WHETHER the table
+    is surprising; OR says HOW BIG the association is, and the CI says
+    whether 1.0 is plausible).  Four integer cells from one scan; the
+    OR and CI are shared expression text.
+
+    Scale: one filtered aggregate — four counters cross the wire."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].where(F.col("event_type").isin("click", "view"))
+    is_click = F.col("event_type") == "click"
+    hi = F.col("value") >= 50
+    cells = ev.agg(
+        F.count_if(is_click & hi).alias("a"),
+        F.count_if(is_click & ~hi).alias("b"),
+        F.count_if(~is_click & hi).alias("c"),
+        F.count_if(~is_click & ~hi).alias("d"))
+    return cells.select(
+        F.col("a").alias("click_high"), F.col("b").alias("click_low"),
+        F.col("c").alias("view_high"), F.col("d").alias("view_low"),
+        F.expr(_OR_EXPR).alias("odds_ratio"),
+        F.expr(_OR_CI.format(sign='-')).alias("ci_lo"),
+        F.expr(_OR_CI.format(sign='+')).alias("ci_hi"))
+
+
+@query("discount_volume_elasticity", oracle="""
+WITH b AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+  FROM lineitem GROUP BY 1),
+pts AS (
+  SELECT disc_pct, n,
+    round(CAST(q AS DOUBLE) / n, 9) AS mean_qty
+  FROM b),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(disc_pct) AS BIGINT) AS sx,
+    round(SUM(mean_qty), 9) AS sy,
+    round(SUM(disc_pct * mean_qty), 9) AS sxy,
+    CAST(SUM(disc_pct * disc_pct) AS BIGINT) AS sxx
+  FROM pts)
+SELECT
+  (SELECT CAST(SUM(n) AS BIGINT) FROM pts) AS n_lineitems,
+  k AS n_buckets,
+  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 9)
+    AS qty_per_discount_point,
+  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 9)
+    AS base_qty
+FROM s""")
+def discount_volume_elasticity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Does discounting move volume?  Mean quantity per discount
+    bucket (integer percent points), then the OLS slope across
+    buckets: quantity gained per extra discount point, with the
+    zero-discount intercept.  Bucket means come from exact DECIMAL
+    sums; x is integer, so only sy/sxy need the 9-dp snap (the
+    Heaps-fit contract).
+
+    Scale: one bucket hash-agg (domain ≤ 11 rows) and a 1-row fit."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    b = (t["lineitem"]
+         .groupBy(F.round(F.col("l_discount") * 100).cast("long")
+                  .alias("disc_pct"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").alias("q")))
+    pts = b.select(
+        "disc_pct", "n",
+        F.round(F.col("q").cast("double") / F.col("n"), 9)
+        .alias("mean_qty"))
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("disc_pct").cast("long").alias("sx"),
+        F.round(F.sum("mean_qty"), 9).alias("sy"),
+        F.round(F.sum(F.col("disc_pct") * F.col("mean_qty")), 9)
+        .alias("sxy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).cast("long")
+        .alias("sxx"),
+        F.sum("n").cast("long").alias("n_lineitems"))
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        "n_lineitems", F.col("k").alias("n_buckets"),
+        F.round(slope, 9).alias("qty_per_discount_point"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 9)
+        .alias("base_qty"))

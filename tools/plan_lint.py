@@ -62,6 +62,7 @@ WHITELIST_BNLJ = {
         "broadcasts",
     "events_markov_stationary": "1-row state-count broadcast; the "
         "chain lives on the type-domain aggregate",
+    "abc_inventory_classes": "1-row revenue-total broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -142,6 +143,10 @@ WHITELIST_GLOBALWIN = {
         "the SinglePartition exchange is the 1-row horizon combine",
     "survival_km_signup_to_purchase": "KM product window runs over "
         "the bounded duration-days domain",
+    "abc_inventory_classes": "Pareto ranking window over the part "
+        "aggregate (dim-sized)",
+    "text_heaps_law_fit": "growth-curve window over the document "
+        "layer (one row per doc, not per token)",
 }
 
 
