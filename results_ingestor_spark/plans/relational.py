@@ -771,3 +771,50 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("t").cast("double"), 9)
                     .alias("revenue_share"))
             .orderBy("abc"))
+
+
+@query("repeat_purchase_rate", oracle="""
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT segment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(count_if(n_orders >= 2) AS BIGINT) AS n_repeat,
+  round(CAST(count_if(n_orders >= 2) AS DOUBLE) / COUNT(*), 9)
+    AS repeat_rate,
+  round(CAST(SUM(CASE WHEN n_orders >= 2 THEN rev END) AS DOUBLE)
+        / CAST(SUM(rev) AS DOUBLE), 9) AS repeat_revenue_share
+FROM per_cust GROUP BY segment ORDER BY segment""")
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-customer rate and repeat-revenue share per segment — the
+    two numbers behind every retention narrative: how many customers
+    come back, and how much of the money the returners carry (a high
+    second number with a low first is a whale business; both high is a
+    habit business).  Exact decimal revenue; two divisions at the end.
+
+    Scale: one fact hash-agg to the customer layer, then a dim-sized
+    segment rollup."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    per_cust = (t["orders"]
+                .join(F.broadcast(t["customer"]
+                                  .select("c_custkey", "c_mktsegment")),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .groupBy(F.col("c_mktsegment").alias("segment"),
+                         "o_custkey")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("decimal(38,2)").alias("rev")))
+    rpt = F.col("n_orders") >= 2
+    return (per_cust.groupBy("segment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.count_if(rpt).alias("n_repeat"),
+                 F.round(F.count_if(rpt).cast("double") / F.count("*"), 9)
+                 .alias("repeat_rate"),
+                 F.round(F.sum(F.when(rpt, F.col("rev"))).cast("double")
+                         / F.sum("rev").cast("double"), 9)
+                 .alias("repeat_revenue_share"))
+            .orderBy("segment"))

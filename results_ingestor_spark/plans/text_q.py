@@ -918,3 +918,58 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta"),
         F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6)
         .alias("k"))
+
+
+@query("source_vocab_overlap", oracle="""
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM tok
+       GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_common,
+  round(CAST(n_common AS DOUBLE)
+        / (va.v + vb.v - n_common), 9) AS vocab_jaccard
+FROM inter
+JOIN vs va ON va.source = source_a
+JOIN vs vb ON vb.source = source_b
+ORDER BY source_a, source_b""")
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the LEXICAL
+    companion to the cross-source dup matrix: two feeds can share no
+    documents yet write in the same vocabulary (same domain/register),
+    or share documents while one is a translation (dup matrix hot,
+    vocab overlap cold).  Both views together triage where diversity
+    actually comes from.
+
+    Scale: the (source, token) projection is the inverted index —
+    co-occurrence pairs come from a token-keyed equi-join (postings ×
+    postings per token, bounded by sources-per-token, NEVER all-pairs
+    of documents), then a source-pair-domain rollup."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = (t["documents"]
+           .select("source", F.explode(F.split("text", " ")).alias("w"))
+           .distinct())
+    vs = tok.groupBy("source").agg(F.count("*").alias("v"))
+    a = tok.select(F.col("source").alias("source_a"), "w")
+    b = tok.select(F.col("source").alias("source_b"), "w")
+    inter = (a.join(b, "w")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("n_common")))
+    va = vs.select(F.col("source").alias("source_a"),
+                   F.col("v").alias("va"))
+    vb = vs.select(F.col("source").alias("source_b"),
+                   F.col("v").alias("vb"))
+    return (inter.join(F.broadcast(va), "source_a")
+            .join(F.broadcast(vb), "source_b")
+            .select("source_a", "source_b", "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("va") + F.col("vb")
+                               - F.col("n_common")), 9)
+                    .alias("vocab_jaccard"))
+            .orderBy("source_a", "source_b"))
