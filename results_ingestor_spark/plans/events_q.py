@@ -767,3 +767,80 @@ def events_markov_stationary(spark: SparkSession,
                    .alias("pi")))
     return pi.select("state", F.round("pi", 9).alias("pi")) \
         .orderBy("state")
+
+
+@query("growth_accounting_weekly", oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch_us(date_trunc('week', ts)) // 604800000000 AS BIGINT)
+      AS wk
+  FROM events),
+seq AS (
+  SELECT user_id, wk,
+    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM uw),
+horizon AS (SELECT MAX(wk) AS max_wk FROM uw),
+flags AS (
+  SELECT wk,
+    CAST(count_if(prev_wk IS NULL) AS BIGINT) AS n_new,
+    CAST(count_if(prev_wk = wk - 1) AS BIGINT) AS n_retained,
+    CAST(count_if(prev_wk IS NOT NULL AND prev_wk < wk - 1) AS BIGINT)
+      AS n_resurrected
+  FROM seq GROUP BY wk),
+churn AS (
+  SELECT wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM seq CROSS JOIN horizon
+  WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk + 1 <= max_wk
+  GROUP BY wk + 1)
+SELECT f.wk AS week_index,
+  f.n_new + f.n_retained + f.n_resurrected AS n_active,
+  f.n_new, f.n_retained, f.n_resurrected,
+  CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM flags f LEFT JOIN churn c ON c.wk = f.wk
+ORDER BY f.wk""")
+def growth_accounting_weekly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: active users decomposed into NEW
+    (first week ever), RETAINED (active last week too), and
+    RESURRECTED (returning after a gap), plus the week's CHURN (active
+    last week, absent this week) — the decomposition that explains a
+    flat DAU line hiding heavy churn offset by acquisition.  The
+    identity active = new + retained + resurrected holds by
+    construction.
+
+    Scale: the (user, week) layer is one distinct projection; the
+    classification is a user-partitioned lag/lead window; weekly
+    rollups live on the calendar domain."""
+    t = load_tables(spark, sf_dir, ("events",))
+    uw = (t["events"]
+          .select("user_id",
+                  (F.unix_micros(F.date_trunc("week", "ts"))
+                   / F.lit(604_800_000_000)).cast("long").alias("wk"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select("user_id", "wk",
+                    F.lag("wk").over(w).alias("prev_wk"),
+                    F.lead("wk").over(w).alias("next_wk"))
+    horizon = uw.agg(F.max("wk").alias("max_wk"))
+    flags = (seq.groupBy("wk")
+             .agg(F.count_if(F.col("prev_wk").isNull()).alias("n_new"),
+                  F.count_if(F.col("prev_wk") == F.col("wk") - 1)
+                  .alias("n_retained"),
+                  F.count_if(F.col("prev_wk").isNotNull()
+                             & (F.col("prev_wk") < F.col("wk") - 1))
+                  .alias("n_resurrected")))
+    churn = (seq.crossJoin(F.broadcast(horizon))
+             .where((F.col("next_wk").isNull()
+                     | (F.col("next_wk") > F.col("wk") + 1))
+                    & (F.col("wk") + 1 <= F.col("max_wk")))
+             .groupBy((F.col("wk") + 1).alias("wk"))
+             .agg(F.count("*").alias("n_churned")))
+    return (flags.join(churn, "wk", "left")
+            .select(F.col("wk").alias("week_index"),
+                    (F.col("n_new") + F.col("n_retained")
+                     + F.col("n_resurrected")).alias("n_active"),
+                    "n_new", "n_retained", "n_resurrected",
+                    F.coalesce("n_churned", F.lit(0)).cast("long")
+                    .alias("n_churned"))
+            .orderBy("week_index"))

@@ -63,6 +63,7 @@ WHITELIST_BNLJ = {
     "events_markov_stationary": "1-row state-count broadcast; the "
         "chain lives on the type-domain aggregate",
     "abc_inventory_classes": "1-row revenue-total broadcast",
+    "growth_accounting_weekly": "1-row horizon broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -147,6 +148,8 @@ WHITELIST_GLOBALWIN = {
         "aggregate (dim-sized)",
     "text_heaps_law_fit": "growth-curve window over the document "
         "layer (one row per doc, not per token)",
+    "growth_accounting_weekly": "lag/lead window is user-partitioned; "
+        "the SinglePartition exchange is the 1-row horizon combine",
 }
 
 
