@@ -609,3 +609,42 @@ def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
     return mmr_rerank(e, e.where(F.col("vec_id") < 5), k=10, pool=50)
+
+
+@query("ann_ivf_tuning_curve")  # self-verifying sweep — no SQL twin
+def ann_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-cost tuning curve an IVF deployment is sized
+    from: recall@10 against exact brute force for nprobe = 1..4 over
+    the label-partitioned index (8 lists), plus the fraction of the
+    corpus each setting scans.  The whole point of IVF is choosing
+    this trade-off with data; this entry IS that choice, measured.
+    Deterministic end-to-end (label centroids, tie-broken probes), so
+    recall must be nondecreasing in nprobe — pinned in
+    tests/test_similarity.py."""
+    from results_ingestor_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=10).select("query_id", "cand_id")
+    n_lists = e.select("label").distinct().count()  # index constant
+    curves = []
+    for nprobe in (1, 2, 3, 4):
+        approx = ivf_topk(e, q, k=10, nprobe=nprobe) \
+            .select("query_id", "cand_id")
+        hits = (approx.join(exact, ["query_id", "cand_id"])
+                .groupBy("query_id").agg(F.count("*").alias("h")))
+        per_q = (exact.select("query_id").distinct()
+                 .join(hits, "query_id", "left")
+                 .select(F.coalesce("h", F.lit(0)).alias("h")))
+        curves.append(per_q.agg(
+            F.lit(nprobe).alias("nprobe"),
+            F.count("*").alias("n_queries"),
+            F.round(F.avg(F.col("h") / F.lit(10.0)), 3)
+            .alias("recall_at_10"),
+            F.round(F.lit(nprobe / n_lists), 3)
+            .alias("corpus_scan_fraction")))
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("nprobe")

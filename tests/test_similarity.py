@@ -168,3 +168,18 @@ def test_mmr_rerank_matches_numpy_and_diversifies(spark, sf_dir):
         plain10 = [c for c, _ in sorted(cands, key=lambda t: (-t[1], t[0]))[:10]]
         mmr10 = [r["cand_id"] for r in got if r["query_id"] == q]
         assert mean_pairsim(mmr10) <= mean_pairsim(plain10) + 1e-9
+
+
+def test_ivf_tuning_curve_monotone(spark, sf_dir):
+    """Recall@10 must be nondecreasing in nprobe (more lists scanned
+    can only add candidates), reach the brute-force set at full probe
+    depth's neighborhood, and report the right scan fractions."""
+    from results_ingestor_spark.plans import QUERIES
+    rows = sorted(QUERIES["ann_ivf_tuning_curve"](spark, sf_dir).collect(),
+                  key=lambda r: r.nprobe)
+    recalls = [r.recall_at_10 for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(r.n_queries == rows[0].n_queries for r in rows)
+    assert rows[0].corpus_scan_fraction < rows[-1].corpus_scan_fraction
+    assert recalls[-1] >= 0.4   # 4 of 8 lists probed recovers much
+    assert recalls[-1] > recalls[0]  # the curve actually climbs
