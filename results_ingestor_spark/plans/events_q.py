@@ -844,3 +844,60 @@ def growth_accounting_weekly(spark: SparkSession,
                     F.coalesce("n_churned", F.lit(0)).cast("long")
                     .alias("n_churned"))
             .orderBy("week_index"))
+
+
+@query("distinct_users_cumulative_hll", oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+  FROM events GROUP BY user_id),
+days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+new_users AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_day GROUP BY d)
+SELECT days.d AS day,
+  CAST(SUM(coalesce(n_new, 0)) OVER (ORDER BY days.d
+                                     ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS exact_cum_users,
+  TRUE AS hll_within_5pct
+FROM days LEFT JOIN new_users ON new_users.d = days.d
+ORDER BY days.d""")
+def distinct_users_cumulative_hll(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day, twice: EXACTLY via the
+    first-seen trick (a user is new exactly once, so the running
+    distinct is a running SUM — the Heaps-curve insight), and
+    APPROXIMATELY by merging per-day HLL sketch partials cumulatively
+    (hll_union_agg over an expanding window) — the shape a dashboard
+    needs at 100 TB, where per-day partials are stored and any range's
+    distinct count is one merge, no rescan.  The entry emits the exact
+    curve plus the in-plan claim that the sketch lands within 5% of it
+    everywhere; the oracle value-checks the exact curve and pins the
+    claim TRUE — the approx_sketches self-verification contract.
+
+    Scale: first-seen is one user-keyed agg; sketches are one per-day
+    agg with mergeable partials; both windows run on the day domain."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
+    first_day = (ev.groupBy("user_id").agg(F.min("d").alias("d"))
+                 .groupBy("d").agg(F.count("*").alias("n_new")))
+    days = ev.select("d").distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    exact = (days.join(first_day, "d", "left")
+             .select("d", F.sum(F.coalesce("n_new", F.lit(0))).over(w)
+                     .cast("long").alias("exact_cum_users")))
+    daily_sk = (ev.groupBy("d")
+                .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    cum_est = (daily_sk
+               .select("d", F.hll_sketch_estimate(
+                   F.hll_union_agg("sk").over(w)).alias("est")))
+    joined = exact.join(cum_est, "d")
+    ok = (F.abs(F.col("est") - F.col("exact_cum_users"))
+          <= 0.05 * F.col("exact_cum_users"))
+    return (joined
+            .select(F.col("d").alias("day"), "exact_cum_users",
+                    F.min(ok).over(Window.rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+                    .alias("hll_within_5pct"))
+            .orderBy("day"))

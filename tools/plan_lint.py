@@ -150,6 +150,8 @@ WHITELIST_GLOBALWIN = {
         "layer (one row per doc, not per token)",
     "growth_accounting_weekly": "lag/lead window is user-partitioned; "
         "the SinglePartition exchange is the 1-row horizon combine",
+    "distinct_users_cumulative_hll": "expanding merge window over the "
+        "day domain (per-day sketch partials)",
 }
 
 
