@@ -1471,3 +1471,134 @@ def discount_volume_elasticity(spark: SparkSession,
         F.round(slope, 9).alias("qty_per_discount_point"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 9)
         .alias("base_qty"))
+
+
+@query("events_max_drawdown", oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    SUM({_VDEC}) AS v
+  FROM events GROUP BY 1),
+c0 AS (
+  SELECT day, CAST(SUM(v) OVER w AS DECIMAL(38,2)) AS cum
+  FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+c AS (
+  SELECT day, cum,
+    CAST(MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS DECIMAL(38,2)) AS peak
+  FROM c0),
+dd AS (
+  SELECT day, cum, peak,
+    round(1.0 - CAST(cum AS DOUBLE) / CAST(peak AS DOUBLE), 9) AS draw
+  FROM c)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_days,
+  round(MAX(draw), 9) AS max_drawdown,
+  MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN day END)
+    AS trough_day
+FROM dd""")
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series — the
+    risk metric that a volatility number hides: the worst
+    peak-to-trough loss an observer holding the series would have
+    lived through, plus the day it bottomed.  Cumulative sums and
+    running peaks stay exact DECIMAL; one double division per day.
+
+    Scale: the nested running-max-of-running-sum windows run over the
+    DAY domain (bounded calendar), after one day-keyed hash agg."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = F.expr(_VDEC)
+    d = (t["events"]
+         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+         .agg(F.sum(dec).alias("v")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select("day",
+                 F.sum("v").over(w).cast("decimal(38,2)").alias("cum"))
+    c = c.select("day", "cum",
+                 F.max("cum").over(w).cast("decimal(38,2)").alias("peak"))
+    dd = c.select(
+        "day",
+        F.round(1.0 - F.col("cum").cast("double")
+                / F.col("peak").cast("double"), 9).alias("draw"))
+    wf = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return (dd.select("day", "draw",
+                      F.max("draw").over(wf).alias("mx"),
+                      F.count("*").over(wf).alias("n_days"))
+            .where(F.col("draw") == F.col("mx"))
+            .agg(F.max("n_days").cast("long").alias("n_days"),
+                 F.round(F.max("mx"), 9).alias("max_drawdown"),
+                 F.min("day").alias("trough_day")))
+
+
+@query("stats_diff_in_diff_uplift", oracle=f"""
+WITH mid AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE)
+         + to_days(CAST(
+             datediff('day', CAST(date_trunc('day', MIN(ts)) AS DATE),
+                      CAST(date_trunc('day', MAX(ts)) AS DATE)) // 2
+             AS INTEGER)) AS cutover
+  FROM events),
+m AS (
+  SELECT event_type = 'click' AS treated,
+    CAST(date_trunc('day', ts) AS DATE) >= cutover AS post,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM({_VDEC}) AS s
+  FROM events CROSS JOIN mid
+  WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2),
+cells AS (
+  SELECT
+    MAX(CASE WHEN treated AND NOT post
+        THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+    MAX(CASE WHEN treated AND post
+        THEN CAST(s AS DOUBLE) / n END) AS t_post,
+    MAX(CASE WHEN NOT treated AND NOT post
+        THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+    MAX(CASE WHEN NOT treated AND post
+        THEN CAST(s AS DOUBLE) / n END) AS c_post
+  FROM m)
+SELECT round(t_pre, 9) AS treated_pre, round(t_post, 9) AS treated_post,
+  round(c_pre, 9) AS control_pre, round(c_post, 9) AS control_post,
+  round((t_post - t_pre) - (c_post - c_pre), 9) AS did_uplift
+FROM cells""")
+def stats_diff_in_diff_uplift(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift at the corpus midpoint
+    cutover: the change in mean click value minus the change in mean
+    view value — the causal-inference workhorse that subtracts out
+    whatever moved BOTH series (seasonality, mix shift), leaving the
+    treatment-correlated residual.  Four cell means from exact DECIMAL
+    moments; the DiD contrast is one shared expression.
+
+    Scale: one 4-cell filtered aggregate after a 1-row cutover
+    broadcast — four moment pairs cross the wire."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].where(F.col("event_type").isin("click", "view"))
+    mid = t["events"].agg(
+        F.date_add(F.date_trunc("day", F.min("ts")).cast("date"),
+                   (F.datediff(F.date_trunc("day", F.max("ts"))
+                               .cast("date"),
+                               F.date_trunc("day", F.min("ts"))
+                               .cast("date")) / 2).cast("int"))
+        .alias("cutover"))
+    m = (ev.crossJoin(F.broadcast(mid))
+         .groupBy((F.col("event_type") == "click").alias("treated"),
+                  (F.date_trunc("day", "ts").cast("date")
+                   >= F.col("cutover")).alias("post"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.expr(_VDEC)).alias("s")))
+    cell = lambda tr, po: F.max(  # noqa: E731
+        F.when((F.col("treated") == tr) & (F.col("post") == po),
+               F.col("s").cast("double") / F.col("n")))
+    cells = m.agg(cell(True, False).alias("t_pre"),
+                  cell(True, True).alias("t_post"),
+                  cell(False, False).alias("c_pre"),
+                  cell(False, True).alias("c_post"))
+    return cells.select(
+        F.round("t_pre", 9).alias("treated_pre"),
+        F.round("t_post", 9).alias("treated_post"),
+        F.round("c_pre", 9).alias("control_pre"),
+        F.round("c_post", 9).alias("control_post"),
+        F.round((F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")), 9)
+        .alias("did_uplift"))

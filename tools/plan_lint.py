@@ -64,6 +64,7 @@ WHITELIST_BNLJ = {
         "chain lives on the type-domain aggregate",
     "abc_inventory_classes": "1-row revenue-total broadcast",
     "growth_accounting_weekly": "1-row horizon broadcast",
+    "stats_diff_in_diff_uplift": "1-row cutover-date broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
@@ -152,6 +153,7 @@ WHITELIST_GLOBALWIN = {
         "the SinglePartition exchange is the 1-row horizon combine",
     "distinct_users_cumulative_hll": "expanding merge window over the "
         "day domain (per-day sketch partials)",
+    "events_max_drawdown": "running-peak windows over the day domain",
 }
 
 
