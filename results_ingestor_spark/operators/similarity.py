@@ -107,6 +107,48 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
             .select("query_id", "cand_id", "cosine", "rn"))
 
 
+def maxsim_topk(tokens: DataFrame, query_tokens: DataFrame, k: int = 10,
+                doc_col: str = "doc_id", tok_col: str = "tok_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: documents are
+    BAGS of token vectors; score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u).
+
+    Both inputs carry one row per token vector with (doc id, token id,
+    vector).  The query token matrix is broadcast (queries × tokens ×
+    dim — reranker-sized); every candidate token is scored against it
+    in-JVM, then two hash aggregations reduce token-level cosines to
+    doc-level MaxSim: max over candidate tokens keyed
+    (q_doc, c_doc, q_tok), then sum over query tokens keyed
+    (q_doc, c_doc).  Shuffle payload after the first partial agg is one
+    double per (q_doc, c_doc, q_tok) — candidate vectors never move.
+
+    At 100 TB this is the RERANK stage: run it on the candidate set an
+    ANN first pass (lsh/ivf) returns, not the whole corpus.  Token
+    cosines rounded to 9 dp, doc scores to 6 dp, for an engine-portable
+    ordering (fold order differs across engines at ~1e-16).
+    """
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    q = query_tokens.select(F.col(doc_col).alias("query_doc"),
+                            F.col(tok_col).alias("qtok"),
+                            F.col(vec_col).alias("qvec"))
+    c = ensure_min_parallelism(tokens).select(
+        F.col(doc_col).alias("cand_doc"), F.col(vec_col).alias("cvec"))
+    tok_sims = (c.join(F.broadcast(q),
+                       F.col("query_doc") != F.col("cand_doc"))
+                .select("query_doc", "cand_doc", "qtok",
+                        F.round(cosine_similarity("qvec", "cvec"), 9)
+                        .alias("cos")))
+    best = (tok_sims.groupBy("query_doc", "cand_doc", "qtok")
+            .agg(F.max("cos").alias("best")))
+    scores = (best.groupBy("query_doc", "cand_doc")
+              .agg(F.round(F.sum("best"), 6).alias("maxsim")))
+    w = Window.partitionBy("query_doc").orderBy(F.desc("maxsim"),
+                                                F.asc("cand_doc"))
+    return (scores.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_doc", "cand_doc", "maxsim", "rn"))
+
+
 def assign_centroid_expr(centroids: list[list[float]], vec_col: str) -> F.Column:
     """Argmax-cosine centroid assignment as ONE JVM expression: fold over
     the (literal) L2-normalized centroid array keeping the best dot

@@ -424,6 +424,42 @@ def dedup_clusters_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_size"))
 
 
+@query("dedup_canonical_keep_best", oracle=f"""
+WITH labeled AS ({_ORACLES["dedup_clusters"]}),
+j AS (
+  SELECT l.doc_id, l.cluster_rep, d.n_chars
+  FROM labeled l JOIN documents d ON d.doc_id = l.doc_id),
+canon AS (
+  SELECT cluster_rep, doc_id AS canonical_id FROM (
+    SELECT cluster_rep, doc_id,
+      row_number() OVER (PARTITION BY cluster_rep
+                         ORDER BY n_chars DESC, doc_id) AS rn
+    FROM j) WHERE rn = 1)
+SELECT j.doc_id, c.canonical_id, j.doc_id = c.canonical_id AS kept
+FROM j JOIN canon c ON c.cluster_rep = j.cluster_rep""")
+def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the dedup POLICY step: within
+    each near-dup cluster keep the highest-quality member (longest
+    n_chars, ties to lowest doc_id) rather than an arbitrary
+    representative, and emit the full duplicate→canonical mapping a
+    downstream curation job applies.  One window over the cluster key on
+    the (doc, rep, quality) layer — document bodies never move; at
+    100 TB the mapping is the only artifact this stage materializes.
+    The oracle replays cluster assignment (recursive-CTE components, an
+    independent algorithm) plus the same argmax, value-checked."""
+    labeled = QUERIES["dedup_clusters"](spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("documents",))
+    j = labeled.join(t["documents"].select("doc_id", "n_chars"), "doc_id")
+    w = (Window.partitionBy("cluster_rep")
+         .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    canon = (j.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select("cluster_rep", F.col("doc_id").alias("canonical_id")))
+    return (j.join(canon, "cluster_rep")
+            .select("doc_id", "canonical_id",
+                    (F.col("doc_id") == F.col("canonical_id")).alias("kept")))
+
+
 @query("dedup_containment", oracle=f"""
 WITH sigc AS ({_minhash_sql()}),
 keyedc AS (

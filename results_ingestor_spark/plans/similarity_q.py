@@ -648,3 +648,45 @@ def ann_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in curves[1:]:
         out = out.unionByName(c)
     return out.orderBy("nprobe")
+
+
+@query("ann_maxsim_topk", oracle=f"""
+WITH t AS (
+  SELECT vec_id, vec_id // 8 AS mdoc, embedding FROM embeddings),
+n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.mdoc AS query_doc, c.mdoc AS cand_doc, q.vec_id AS qtok,
+    max(round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+               FROM (SELECT unnest(q.embedding) AS xa,
+                            unnest(c.embedding) AS xb))
+              / (nq.nrm * nc.nrm), 9)) AS best
+  FROM t q
+  JOIN t c ON q.mdoc < 2 AND c.mdoc >= 2
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  GROUP BY 1, 2, 3),
+sc AS (
+  SELECT query_doc, cand_doc, round(SUM(best), 6) AS maxsim
+  FROM s GROUP BY 1, 2)
+SELECT query_doc, cand_doc, maxsim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_doc
+                               ORDER BY maxsim DESC, cand_doc) AS rn
+  FROM sc) WHERE rn <= 10""")
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) reranking: treat each run
+    of 8 consecutive vec_ids as one multi-vector document (vec_id div 8),
+    docs 0-1 as the queries, and score candidates by
+    Σ_{query token} max_{cand token} cosine.  This is the retrieval
+    shape single-vector ANN cannot express — per-token interaction
+    without materializing a query×doc×token³ intermediate: the query
+    token matrix broadcasts, candidate vectors never shuffle, and two
+    hash aggs (max per query-token, then sum per doc pair) reduce
+    token cosines to doc scores.  Fully value-checked: the oracle
+    replays the same grouping, rounding, and tie-break."""
+    from results_ingestor_spark.operators.similarity import maxsim_topk
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        F.col("vec_id").alias("tok_id"), "embedding")
+    return maxsim_topk(e.where(F.col("doc_id") >= 2),
+                       e.where(F.col("doc_id") < 2), k=10)

@@ -183,3 +183,33 @@ def test_ivf_tuning_curve_monotone(spark, sf_dir):
     assert rows[0].corpus_scan_fraction < rows[-1].corpus_scan_fraction
     assert recalls[-1] >= 0.4   # 4 of 8 lists probed recovers much
     assert recalls[-1] > recalls[0]  # the curve actually climbs
+
+
+def test_maxsim_numpy_model_and_bounds(spark):
+    """MaxSim vs a tiny hand-computed model: a candidate doc that shares
+    a token vector with the query dominates one that is orthogonal, and
+    every score is bounded by the query's token count."""
+    from results_ingestor_spark.operators.similarity import maxsim_topk
+
+    def basis(i, d=8):
+        v = [0.0] * d
+        v[i] = 1.0
+        return v
+
+    # query doc 0: tokens e0, e1.  cand doc 2: {e0, e1} (perfect match),
+    # cand doc 3: {e2, e3} (orthogonal), cand doc 4: {e0, e4} (half match).
+    rows = []
+    for doc, dims in ((0, (0, 1)), (2, (0, 1)), (3, (2, 3)), (4, (0, 4))):
+        for j, dim in enumerate(dims):
+            rows.append((doc, doc * 10 + j, basis(dim)))
+    df = spark.createDataFrame(rows, ["doc_id", "tok_id", "embedding"])
+    got = maxsim_topk(df.where(F.col("doc_id") >= 2),
+                      df.where(F.col("doc_id") < 2), k=10).collect()
+    by_cand = {r["cand_doc"]: r for r in got if r["query_doc"] == 0}
+    assert by_cand[2]["maxsim"] == pytest.approx(2.0)
+    assert by_cand[4]["maxsim"] == pytest.approx(1.0)
+    assert by_cand[3]["maxsim"] == pytest.approx(0.0)
+    assert [r["cand_doc"] for r in sorted(got, key=lambda r: r["rn"])
+            if r["query_doc"] == 0] == [2, 4, 3]
+    # upper bound: sum of per-token maxima <= n_query_tokens (unit vectors)
+    assert all(r["maxsim"] <= 2.0 + 1e-9 for r in got)

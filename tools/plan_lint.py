@@ -75,6 +75,8 @@ WHITELIST_BNLJ = {
     "ann_ivf_topk": "broadcast probe set; centroid-pruned candidates",
     "ann_pq_adc_topk": "broadcast probe set + per-query lookup tables",
     "ann_incremental_topk": "broadcast probe set; per-batch top-k merge",
+    "ann_maxsim_topk": "broadcast query-token matrix vs candidate tokens "
+        "(late-interaction rerank; probe side bounded by construction)",
     "ann_ivf_recall_check": "recall gate joins two top-k lists per probe",
     "ann_pq_adc_recall_check": "recall gate joins two top-k lists per probe",
     # 1-row aggregate combines
