@@ -52,6 +52,9 @@ HEADLINE = [
     # round 3c: partial-Gram covariance (Arrow-batch BLAS kernel +
     # d(d+1)/2-row shuffle)
     "embedding_covariance",
+    # late-interaction rerank (broadcast query-token matrix, token-level
+    # max then doc-level sum — the ColBERT scoring shape)
+    "ann_maxsim_topk",
 ]
 
 

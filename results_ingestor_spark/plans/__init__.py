@@ -41,14 +41,17 @@ _PRIORITY = [
     # deduplication family (round 3b: the incremental-index entry
     # replaces the normalized-exact variant, and the clusters-summary
     # wrapper cedes its slot to the bloom-prefiltered join — both
-    # displaced entries are thin derivatives of in-window kin)
+    # displaced entries are thin derivatives of in-window kin; round 3c:
+    # the keep-best canonical policy takes dedup_time_window's slot and
+    # MaxSim takes ann_incremental_topk's — the displaced entries stay
+    # registered and locally value-checked)
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental_new_batch",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_clusters", "join_bloom_prefilter", "dedup_duplicate_passages",
-    "dedup_time_window",
+    "dedup_canonical_keep_best",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_adc_topk",
-    "ann_incremental_topk", "embedding_random_projection",
+    "ann_maxsim_topk", "embedding_random_projection",
     # text-analysis family
     "text_tokens", "text_quality_score", "text_langid", "text_fingerprint",
     "text_token_count_bpe", "tfidf_top_terms", "text_bm25_topk",

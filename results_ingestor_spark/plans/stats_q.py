@@ -1602,3 +1602,99 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
         F.round((F.col("t_post") - F.col("t_pre"))
                 - (F.col("c_post") - F.col("c_pre")), 9)
         .alias("did_uplift"))
+
+
+_HOURLY_SQL = f"""
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS x,
+    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS y
+  FROM events GROUP BY 1"""
+
+
+def _hourly_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared bounded hourly (x, y) series: integer hour index,
+    9-dp-rounded decimal-exact mean — identical on both engines (same
+    construction as stats_theil_sen_trend)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy((F.unix_micros(F.date_trunc("hour", "ts"))
+                      / F.lit(3600000000)).cast("long").alias("x"))
+            .agg(F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"),
+                         9).alias("y")))
+
+
+@query("stats_mann_kendall_trend", oracle=f"""
+WITH h AS ({_HOURLY_SQL}),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM h a JOIN h b ON b.x > a.x),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+tt AS (
+  SELECT COALESCE(SUM(CAST(c * (c - 1) * (2 * c + 5) AS DOUBLE)), 0.0)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY y) g
+  WHERE c > 1),
+v AS (
+  SELECT (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+          - tt.tie_term) / 18.0 AS var_s
+  FROM nn, tt),
+z AS (
+  SELECT CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1.0) / sqrt(v.var_s)
+              WHEN s.s_stat < 0 THEN (s.s_stat + 1.0) / sqrt(v.var_s)
+              ELSE 0.0 END AS zv
+  FROM s, v)
+SELECT (SELECT n FROM nn) AS n_hours,
+  (SELECT n_pairs FROM s) AS n_pairs,
+  (SELECT s_stat FROM s) AS s_stat,
+  round((SELECT var_s FROM v), 6) AS var_s,
+  round((SELECT zv FROM z), 9) AS z_score,
+  CASE WHEN (SELECT zv FROM z) > 1.959964 THEN 'increasing'
+       WHEN (SELECT zv FROM z) < -1.959964 THEN 'decreasing'
+       ELSE 'no_trend' END AS trend""")
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend significance — the nonparametric TEST that
+    pairs with the Theil-Sen ESTIMATOR (stats_theil_sen_trend): S sums
+    the signs of all pairwise hourly-mean differences, its variance gets
+    the tie correction Σt(t-1)(2t+5), and the continuity-corrected
+    z decides increasing / decreasing / no_trend at α=0.05.  Sign
+    comparisons on 9-dp-identical doubles and integer tie counts make
+    every intermediate exact cross-engine; doubles appear only in the
+    one fixed-order var/z formula.
+
+    Scale: the O(h²) pair join and the tie group-by run on the bounded
+    HOURLY layer (720 rows here; ~9k/year), never on raw events — the
+    raw scan is one hash-agg.  The three 1-row side aggregates combine
+    via broadcast."""
+    h = _hourly_layer(spark, sf_dir)
+    a, b = h.alias("a"), h.alias("b")
+    sgn = (F.when(F.col("b.y") > F.col("a.y"), 1)
+           .when(F.col("b.y") < F.col("a.y"), -1).otherwise(0))
+    s = (a.join(b, F.col("b.x") > F.col("a.x"))
+         .agg(F.sum(sgn).cast("long").alias("s_stat"),
+              F.count("*").alias("n_pairs")))
+    nn = h.agg(F.count("*").alias("n_hours"))
+    c = F.col("c")
+    tt = (h.groupBy("y").agg(F.count("*").alias("c"))
+          .where(c > 1)
+          .agg(F.coalesce(
+              F.sum((c * (c - 1) * (2 * c + 5)).cast("double")),
+              F.lit(0.0)).alias("tie_term")))
+    comb = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(tt))
+    n = F.col("n_hours")
+    var_s = ((n.cast("double") * (n - 1) * (2 * n + 5)
+              - F.col("tie_term")) / 18.0)
+    zv = (F.when(F.col("s_stat") > 0,
+                 (F.col("s_stat") - 1.0) / F.sqrt(var_s))
+          .when(F.col("s_stat") < 0,
+                (F.col("s_stat") + 1.0) / F.sqrt(var_s))
+          .otherwise(0.0))
+    return comb.select(
+        "n_hours", "n_pairs", "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(zv, 9).alias("z_score"),
+        (F.when(zv > 1.959964, "increasing")
+         .when(zv < -1.959964, "decreasing")
+         .otherwise("no_trend")).alias("trend"))

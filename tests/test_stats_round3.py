@@ -196,3 +196,32 @@ def test_km_survival_matches_pandas_reference(spark, sf_dir):
     # survival is monotone nonincreasing
     ss = [got[t][2] for t in sorted(got)]
     assert ss == sorted(ss, reverse=True)
+
+
+def test_mann_kendall_matches_numpy_reference(spark, sf_dir):
+    row = QUERIES["stats_mann_kendall_trend"](spark, sf_dir).collect()[0]
+    ev = _events_pdf(sf_dir)
+    y = (ev.assign(bucket=ev.ts.dt.floor("h"))
+         .groupby("bucket")["value"].mean().round(9)
+         .sort_index().to_numpy())
+    n = len(y)
+    s_stat = int(sum(np.sign(y[j] - y[i])
+                     for i in range(n) for j in range(i + 1, n)))
+    _, counts = np.unique(y, return_counts=True)
+    c = counts[counts > 1].astype(np.int64)
+    tie = float((c * (c - 1) * (2 * c + 5)).sum())
+    var = (n * (n - 1.0) * (2 * n + 5) - tie) / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1.0) / np.sqrt(var)
+    elif s_stat < 0:
+        z = (s_stat + 1.0) / np.sqrt(var)
+    else:
+        z = 0.0
+    assert row.n_hours == n
+    assert row.n_pairs == n * (n - 1) // 2
+    assert row.s_stat == s_stat
+    assert row.var_s == pytest.approx(var, abs=1e-6)
+    assert row.z_score == pytest.approx(z, rel=1e-9)
+    expected = ("increasing" if z > 1.959964
+                else "decreasing" if z < -1.959964 else "no_trend")
+    assert row.trend == expected

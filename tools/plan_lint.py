@@ -53,6 +53,8 @@ WHITELIST_BNLJ = {
     "privacy_t_closeness": "1-row corpus-total broadcast",
     "stats_theil_sen_trend": "1-row median-slope broadcast; the pair "
         "join itself runs on the bounded hourly layer",
+    "stats_mann_kendall_trend": "1-row moment combines; the sign-pair "
+        "join runs on the bounded hourly layer",
     "stats_bootstrap_ci_mean": "1-row CI broadcast (32 replica means)",
     "sampling_horvitz_thompson": "1-row true-total broadcast combine",
     "events_gap_distribution": "1-row gap-total broadcast combine",
@@ -79,6 +81,8 @@ WHITELIST_BNLJ = {
         "(late-interaction rerank; probe side bounded by construction)",
     "ann_ivf_recall_check": "recall gate joins two top-k lists per probe",
     "ann_pq_adc_recall_check": "recall gate joins two top-k lists per probe",
+    "ann_ivf_tuning_curve": "broadcast probe set per nprobe sweep; each "
+        "leg is the whitelisted ivf/brute-force probe join",
     # 1-row aggregate combines
     "tfidf_top_terms": "1-row doc-count broadcast",
     "text_bm25_topk": "1-row corpus avgdl broadcast",
@@ -125,6 +129,8 @@ WHITELIST_GLOBALWIN = {
     "vocab_coverage_95": "running share over the bounded vocabulary",
     "ann_ivf_recall_check": "rank over per-probe top-k lists (k-bounded)",
     "ann_pq_adc_recall_check": "rank over per-probe top-k lists (k-bounded)",
+    "ann_ivf_tuning_curve": "rank over per-probe top-k lists (k-bounded), "
+        "once per nprobe sweep leg",
     "corpus_global_shuffle": "rank within 256 shard partitions; offsets broadcast",
     "pct_of_parent_revenue": "grand-total share over the bounded hierarchy",
     "curriculum_perplexity_buckets":
