@@ -25,6 +25,7 @@ from results_ingestor_spark.plans import graph_q  # noqa: E402,F401
 from results_ingestor_spark.plans import spatial_q  # noqa: E402,F401
 from results_ingestor_spark.plans import stats_q  # noqa: E402,F401
 from results_ingestor_spark.plans import corpus_q  # noqa: E402,F401
+from results_ingestor_spark.plans import streaming_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
 # queries.  Import order alone would spend that whole window on the
@@ -63,7 +64,10 @@ _PRIORITY = [
     "pack_sequences_cumsum", "pack_sequences_greedy",
     # multimodal family
     "multimodal_decode_features", "multimodal_frame_sample",
-    "multimodal_chunk_energy",
+    # a REAL Structured Streaming run (availableNow replay → memory
+    # sink) value-checked by the gate; takes multimodal_chunk_energy's
+    # slot (third of three kindred Arrow-kernel entries)
+    "streaming_hourly_counts",
     # event-time queries (r02 TIMESTAMP_NTZ regression watch)
     "events_sessionize", "events_max_concurrent", "range_join_close_events",
     "attribution_last_touch", "funnel_signup_purchase",

@@ -1,0 +1,78 @@
+"""Driver-gated Structured Streaming queries.
+
+Most streaming correctness evidence lives in tests/test_streaming.py
+(batch==stream equivalence per operator).  The entries here go one step
+further: each callable DRIVES the real streaming pipeline to completion
+(file source → watermarked stateful op → availableNow trigger → memory
+sink) inside the query call and returns the sink table, so the external
+DuckDB-oracle gate value-checks an actual Structured Streaming run —
+not a batch stand-in.  The oracle is the batch-SQL meaning of the same
+computation; agreement IS the exactly-once replay guarantee.
+
+At scale the same pipelines run unbounded with the watermark bounding
+state (see streaming/events.py docstrings); availableNow is the
+batch-replay deployment mode (backfill over landed files), so gating it
+checks the exact code path a backfill uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.streaming.events import (
+    read_events_stream, run_to_memory, session_counts, windowed_counts)
+
+
+@query("streaming_hourly_counts", oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""")
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-type counts computed BY THE STREAM: the
+    events parquet replays through a file-source stream into the
+    watermarked window aggregate and an availableNow memory sink; the
+    returned table is what the stream emitted.  Complete output mode so
+    every window surfaces for the equivalence check (append mode holds
+    windows the final watermark hasn't passed — correct for unbounded
+    runs, unhelpful for a finite replay).  The oracle is the batch
+    meaning of the same aggregate."""
+    agg = windowed_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(agg, "streaming_hourly_counts_mem", output_mode="complete")
+    return spark.table("streaming_hourly_counts_mem")
+
+
+@query("streaming_session_windows", oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+  CAST(min(ts) AS TIMESTAMP) AS session_start,
+  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid""")
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) computed BY THE STREAM
+    via the built-in ``session_window`` state merge, replayed
+    availableNow into a memory sink.  The oracle derives the identical
+    sessions with batch island detection — break when the gap is
+    ≥ 30 min (session_window's half-open [start, last+gap) semantics:
+    an event landing exactly at the previous session's end starts a new
+    one) and end = last event + gap.  Stream-state merge vs window-SQL
+    islands agreeing value-for-value is the strongest equivalence the
+    gate can express for stateful streaming."""
+    agg = session_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(agg, "streaming_session_windows_mem",
+                  output_mode="complete")
+    return spark.table("streaming_session_windows_mem")
