@@ -76,3 +76,31 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(agg, "streaming_session_windows_mem",
                   output_mode="complete")
     return spark.table("streaming_session_windows_mem")
+
+
+@query("streaming_interval_join", oracle="""
+SELECT s.user_id,
+  s.event_id AS signup_event_id, p.event_id AS purchase_event_id,
+  CAST(s.ts AS TIMESTAMP) AS s_ts, CAST(p.ts AS TIMESTAMP) AS p_ts,
+  CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id AND p.ts > s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR""")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM event-time interval join run for real: two file
+    streams of the same events corpus, two-sided watermarks, and the
+    signup→purchase-within-the-hour bound that lets the engine evict
+    join state from both buffers; availableNow replay into an append
+    memory sink emits every match.  The oracle is the batch range
+    join — inner-join matches are watermark-independent, so stream and
+    batch must agree row-for-row (the left-outer null-emission variant
+    stays pytest-pinned: its output DEPENDS on watermark timing, which
+    a finite replay pins differently than an unbounded run)."""
+    from results_ingestor_spark.streaming.events import (
+        interval_join_signup_purchase)
+    joined = interval_join_signup_purchase(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir))
+    run_to_memory(joined, "streaming_interval_join_mem",
+                  output_mode="append")
+    return spark.table("streaming_interval_join_mem")
