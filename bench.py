@@ -178,12 +178,25 @@ def main() -> None:
     except Exception:
         jdbc_sec = None  # Derby unavailable: keep the bench completing
 
+    # Like-for-like round-over-round anchor: the sum over the ORIGINAL
+    # round-1 headline set (13 entries).  The full headline list has
+    # grown every round, so "value" totals across different query sets;
+    # this subtotal is the number to compare against BENCH_r01's 12.27 s.
+    r01_set = [
+        "rollup_contest_county", "district_extraction", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "window_rank_orders", "events_tumbling_hour", "dedup_minhash_lsh",
+        "text_quality_score", "ann_cosine_topk", "asof_join_purchase_signup",
+        "events_sessionize", "csv_ingest_pipeline",
+    ]
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "r01_subset_sec": round(
+            sum(timings[n] for n in r01_set if n in timings), 3),
     }
     if jdbc_sec is not None:
         out["rollup_sink_jdbc_sec"] = jdbc_sec
