@@ -122,3 +122,29 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     recomputed = {r["cid"]: r["nd"] for r in dropped.collect()}
     assert {r["cid"]: r["n_dropped"] for r in rows if r["n_dropped"]} \
         == recomputed
+
+
+def test_canonical_keep_best_policy(spark, sf_dir):
+    """Keep-best invariants on the real corpus: exactly one kept doc per
+    cluster, the kept doc has the cluster's max n_chars (ties to lowest
+    doc_id), singletons map to themselves, and the mapping covers every
+    document exactly once."""
+    from results_ingestor_spark.plans import QUERIES
+    rows = QUERIES["dedup_canonical_keep_best"](spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["n_chars"]
+            for r in load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "n_chars").collect()}
+    assert len(rows) == len(docs)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_canon: dict[int, list] = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r)
+    for canonical_id, members in by_canon.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1 and kept[0]["doc_id"] == canonical_id
+        best = max(docs[r["doc_id"]] for r in members)
+        assert docs[canonical_id] == best
+        ties = [r["doc_id"] for r in members if docs[r["doc_id"]] == best]
+        assert canonical_id == min(ties)
+    n_singleton = sum(1 for m in by_canon.values() if len(m) == 1)
+    assert n_singleton > 0  # the corpus is mostly unique docs
