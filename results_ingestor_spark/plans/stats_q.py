@@ -1698,3 +1698,44 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(zv > 1.959964, "increasing")
          .when(zv < -1.959964, "decreasing")
          .otherwise("no_trend")).alias("trend"))
+
+
+@query("stats_ewma_forecast_hourly", oracle=f"""
+WITH h AS ({_HOURLY_SQL}),
+mx AS (SELECT MAX(x) AS mx FROM h),
+j AS (
+  SELECT a.x, a.y, a.x - b.x AS lag, b.y AS yb
+  FROM h a JOIN h b ON a.x - b.x BETWEEN 1 AND 100
+  WHERE a.x > (SELECT mx FROM mx) - 24)
+SELECT x, y,
+  round(SUM(pow(0.7, CAST(lag - 1 AS DOUBLE)) * yb)
+        / SUM(pow(0.7, CAST(lag - 1 AS DOUBLE))), 6) AS yhat,
+  CAST(COUNT(*) AS BIGINT) AS n_lags
+FROM j GROUP BY x, y ORDER BY x""")
+def stats_ewma_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast (simple-exponential-smoothing
+    weights, α=0.3) for each of the series' last 24 hours, from history
+    only: ŷ_t = Σ(1-α)^(lag-1)·y_(t-lag) / Σ(1-α)^(lag-1) over the
+    prior 100 calendar hours.  Renormalizing by the weights actually
+    present makes the estimator gap-aware — missing hours (the corpus
+    has them at small SFs) change the divisor instead of silently
+    reading as zero demand; weights beyond lag 100 are < 1e-15 (below
+    double resolution), so the truncation is exact, not approximate.
+
+    Scale: the forecast layer is a ≤100-wide band self-join on the
+    bounded hourly aggregate plus a 1-row series-horizon broadcast —
+    raw events are scanned once by the hourly hash-agg, same budget as
+    the Theil-Sen/Mann-Kendall/ACF family."""
+    h = _hourly_layer(spark, sf_dir)
+    mx = h.agg(F.max("x").alias("mx"))
+    a = h.crossJoin(F.broadcast(mx)).where(F.col("x") > F.col("mx") - 24) \
+         .select("x", "y")
+    b = h.select(F.col("x").alias("bx"), F.col("y").alias("yb"))
+    lag = F.col("x") - F.col("bx")
+    j = (a.join(b, (lag >= 1) & (lag <= 100))
+         .select("x", "y", lag.alias("lag"), "yb"))
+    w = F.pow(F.lit(0.7), (F.col("lag") - 1).cast("double"))
+    return (j.groupBy("x", "y")
+            .agg(F.round(F.sum(w * F.col("yb")) / F.sum(w), 6).alias("yhat"),
+                 F.count("*").alias("n_lags"))
+            .orderBy("x"))

@@ -225,3 +225,31 @@ def test_mann_kendall_matches_numpy_reference(spark, sf_dir):
     expected = ("increasing" if z > 1.959964
                 else "decreasing" if z < -1.959964 else "no_trend")
     assert row.trend == expected
+
+
+def test_ewma_forecast_matches_numpy_reference(spark, sf_dir):
+    got = {r.x: r for r in
+           QUERIES["stats_ewma_forecast_hourly"](spark, sf_dir).collect()}
+    ev = _events_pdf(sf_dir)
+    hourly = (ev.assign(x=(ev.ts.values.astype("datetime64[h]")
+                           .astype("int64")))
+              .groupby("x")["value"].mean().round(9).sort_index())
+    xs, ys = hourly.index.to_numpy(), hourly.to_numpy()
+    lookup = dict(zip(xs, ys))
+    targets = [x for x in xs if x > xs.max() - 24]
+    assert sorted(got) == sorted(targets)
+    for x in targets:
+        num = den = 0.0
+        n_lags = 0
+        for lag in range(1, 101):
+            yb = lookup.get(x - lag)
+            if yb is None:
+                continue
+            w = 0.7 ** (lag - 1)
+            num += w * yb
+            den += w
+            n_lags += 1
+        r = got[x]
+        assert r.n_lags == n_lags
+        assert r.yhat == pytest.approx(num / den, abs=1e-5)
+        assert r.y == pytest.approx(lookup[x], abs=1e-9)

@@ -55,6 +55,8 @@ WHITELIST_BNLJ = {
         "join itself runs on the bounded hourly layer",
     "stats_mann_kendall_trend": "1-row moment combines; the sign-pair "
         "join runs on the bounded hourly layer",
+    "stats_ewma_forecast_hourly": "1-row series-horizon broadcast; the "
+        "lag band join runs on the bounded hourly layer",
     "stats_bootstrap_ci_mean": "1-row CI broadcast (32 replica means)",
     "sampling_horvitz_thompson": "1-row true-total broadcast combine",
     "events_gap_distribution": "1-row gap-total broadcast combine",
