@@ -449,3 +449,37 @@ def test_explicit_bloom_prefilter_prunes_and_is_exact(spark, sf_dir):
     plain = t["lineitem"].join(dim, F.col("l_orderkey") == F.col("o_orderkey")).count()
     pre = fact.join(dim, F.col("l_orderkey") == F.col("o_orderkey")).count()
     assert pre == plain  # no false negatives
+
+
+def test_maxsim_broadcasts_query_tokens_and_pushes_topk(plans):
+    p = plans("ann_maxsim_topk")
+    # the query-token matrix is the broadcast side of the scoring join;
+    # candidate vectors stay put
+    assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p
+    # rank<=k is pushed into the sort buffer, not a full sort+filter
+    assert "WindowGroupLimit" in p
+    # token->doc reduction is hash aggregation (map-side partials), and
+    # nothing falls back to a cartesian or row-Python path
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_canonical_keep_best_no_cartesian_no_python(plans):
+    p = plans("dedup_canonical_keep_best")
+    # cluster labeling + argmax + mapping join: every join is keyed
+    # (band keys, doc ids, cluster reps) — no all-pairs fallback, and
+    # the whole policy stays JVM-side
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hourly_layer_trend_ops_aggregate_before_pairing(plans):
+    # Mann-Kendall and the EWMA forecast must pair/band-join the HOURLY
+    # aggregate, never raw events: the events scans feed a hash
+    # aggregate, and the pair join appears above it
+    for name in ("stats_mann_kendall_trend", "stats_ewma_forecast_hourly"):
+        p = plans(name)
+        assert "HashAggregate" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
