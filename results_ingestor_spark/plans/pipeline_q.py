@@ -721,3 +721,56 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("k").cast("long").alias("k"),
                  F.round(tvd, 9).alias("t_closeness"),
                  (tvd <= 0.25).alias("close")))
+
+
+@query("quality_quantile_normalize", oracle="""
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM d),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS r,
+    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM d),
+pooled AS (
+  SELECT n_chars AS calib,
+    row_number() OVER (ORDER BY n_chars, doc_id) AS k
+  FROM d)
+SELECT ranked.doc_id, ranked.source, ranked.n_chars,
+  CAST(ranked.r AS BIGINT) AS src_rank, pooled.calib
+FROM ranked, tot
+JOIN pooled
+  ON pooled.k = ((2 * ranked.r - 1) * tot.big_n) // (2 * ranked.n_s) + 1""")
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — cross-source score calibration: each
+    document's WITHIN-SOURCE rank maps onto the pooled distribution's
+    order statistic at the same quantile, so a global threshold then
+    treats sources with different score scales fairly (the batch-effect
+    correction a curation pipeline applies before one quality cutoff
+    spans heterogeneous sources).  The rank→index mapping
+    k = ⌊(2r−1)·N / 2n_s⌋ + 1 is pure BIGINT arithmetic — no float
+    quantile interpolation to drift cross-engine — and both orderings
+    tie-break on doc_id, so every row is deterministic.
+
+    Scale: one per-source window, one pooled ranking (a global sort
+    here — the documented swap at corpus scale is approx_percentile
+    boundaries exactly like the perplexity-curriculum entry), an
+    integer-keyed equi join against the N-row order-statistic table,
+    and a 1-row corpus-size broadcast."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", "source", "n_chars")
+    tot = d.agg(F.count("*").alias("big_n"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"))
+    pooled = d.select(
+        F.col("n_chars").alias("calib"),
+        F.row_number().over(
+            Window.orderBy("n_chars", "doc_id")).alias("k"))
+    j = (ranked.crossJoin(F.broadcast(tot))
+         .withColumn("k", F.expr("((2 * r - 1) * big_n) div (2 * n_s) + 1"))
+         .join(pooled, "k"))
+    return j.select("doc_id", "source", "n_chars",
+                    F.col("r").cast("long").alias("src_rank"), "calib")

@@ -70,6 +70,8 @@ WHITELIST_BNLJ = {
     "growth_accounting_weekly": "1-row horizon broadcast",
     "stats_diff_in_diff_uplift": "1-row cutover-date broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
+    "quality_quantile_normalize": "1-row corpus-size broadcast; the "
+        "order-statistic join itself is integer-keyed",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
     # centroid literals) against n candidates IS the intended
@@ -135,6 +137,9 @@ WHITELIST_GLOBALWIN = {
         "once per nprobe sweep leg",
     "corpus_global_shuffle": "rank within 256 shard partitions; offsets broadcast",
     "pct_of_parent_revenue": "grand-total share over the bounded hierarchy",
+    "quality_quantile_normalize": "pooled order-statistic ranking — "
+        "the documented approx_percentile swap applies at corpus scale "
+        "(same contract as curriculum_perplexity_buckets)",
     "curriculum_perplexity_buckets":
         "windows are lang-partitioned; the SinglePartition exchange is "
         "the LM scorer's 1-row vocab combine (per-lang sort itself is "
