@@ -189,6 +189,18 @@ def main() -> None:
         "text_quality_score", "ann_cosine_topk", "asof_join_purchase_signup",
         "events_sessionize", "csv_ingest_pipeline",
     ]
+    # Second frozen anchor: the 27-entry set BENCH_r03 reported (the
+    # round-3 HEADLINE list + the ingest and parquet-sink entries).
+    # Future rounds may grow HEADLINE; this subtotal stays like-for-like
+    # against BENCH_r03's 34.284 s total.
+    r03_set = r01_set + [
+        "q6_forecast_revenue", "q18_large_volume_customer",
+        "q21_suppliers_kept_waiting", "market_basket_rules",
+        "embedding_random_projection", "text_chunk_windows",
+        "lm_bigram_perplexity", "bpe_train_merges", "join_bloom_prefilter",
+        "dedup_incremental_new_batch", "dedup_minhash_lsh_fast",
+        "embedding_covariance", "ann_maxsim_topk", "rollup_sink_parquet",
+    ]
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -197,6 +209,8 @@ def main() -> None:
         "sf": sf,
         "r01_subset_sec": round(
             sum(timings[n] for n in r01_set if n in timings), 3),
+        "r03_subset_sec": round(
+            sum(timings[n] for n in r03_set if n in timings), 3),
     }
     if jdbc_sec is not None:
         out["rollup_sink_jdbc_sec"] = jdbc_sec

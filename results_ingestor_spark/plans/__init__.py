@@ -28,53 +28,52 @@ from results_ingestor_spark.plans import corpus_q  # noqa: E402,F401
 from results_ingestor_spark.plans import streaming_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Import order alone would spend that whole window on the
-# relational/TPC-H families (all driver-green in rounds 1-2); promote a
-# representative slate instead — flagship election pipeline, the full
-# dedup/ANN/text/curation families (the engine's headline workload),
-# multimodal, and the event-time queries — so the gate exercises every
-# family head each round.  Everything else keeps import order after.
+# queries.  Rounds 1-3 together drove 112 distinct entries green
+# (relational/TPC-H in r1-r2, the dedup/ANN/text/curation/event heads in
+# r3).  Round 4 rotates the window per the round-3 verdict: keep the
+# flagship pipeline plus the two regression watches, and spend the other
+# 45 slots on entries NEVER driver-checked before — the graph, privacy,
+# spatial, stats/SPC, sketch, data-quality, corpus-training, and
+# streaming-sibling families — including the three swaps the verdict
+# named (the IVF/PQ recall GATES instead of the rows-only top-k entries,
+# and dedup_containment instead of pack_sequences_greedy).  Every name
+# below has a DuckDB oracle, so the gate can be 50/50 value-checked.
+# The r3 window entries stay registered and locally value-checked.
 _PRIORITY = [
-    # flagship election pipeline
+    # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
-    # regression watch (r02 type-tag fix)
-    "agg_argminmax_conditional",
-    # deduplication family (round 3b: the incremental-index entry
-    # replaces the normalized-exact variant, and the clusters-summary
-    # wrapper cedes its slot to the bloom-prefiltered join — both
-    # displaced entries are thin derivatives of in-window kin; round 3c:
-    # the keep-best canonical policy takes dedup_time_window's slot and
-    # MaxSim takes ann_incremental_topk's — the displaced entries stay
-    # registered and locally value-checked)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental_new_batch",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_clusters", "join_bloom_prefilter", "dedup_duplicate_passages",
-    "dedup_canonical_keep_best",
-    # similarity / ANN family
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_adc_topk",
-    "ann_maxsim_topk", "embedding_random_projection",
-    # text-analysis family
-    "text_tokens", "text_quality_score", "text_langid", "text_fingerprint",
-    "text_token_count_bpe", "tfidf_top_terms", "text_bm25_topk",
-    "text_winnowing_match_pairs", "quality_repetition_signals",
-    # curation-pipeline family
-    "pipeline_curate_end_to_end", "sampling_stratified_split",
-    "sampling_temperature_mix", "sampling_weighted_lengths",
-    "decontamination_filter", "contamination_ngram_overlap", "text_pii_mask",
-    "pack_sequences_cumsum", "pack_sequences_greedy",
-    # multimodal family
-    "multimodal_decode_features", "multimodal_frame_sample",
-    # a REAL Structured Streaming run (availableNow replay → memory
-    # sink) value-checked by the gate; takes multimodal_chunk_energy's
-    # slot (third of three kindred Arrow-kernel entries)
-    "streaming_hourly_counts",
-    # event-time queries (r02 TIMESTAMP_NTZ regression watch)
-    "events_sessionize", "events_max_concurrent", "range_join_close_events",
-    "attribution_last_touch", "funnel_signup_purchase",
-    "events_time_weighted_avg", "regression_value_vs_time",
-    "drift_psi_time_halves",
-    # remaining family heads
-    "graph_degree_distribution",
+    # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
+    "agg_argminmax_conditional", "events_sessionize",
+    # graph family (never driver-checked before this round)
+    "graph_triangle_count", "graph_common_neighbors", "graph_pagerank_top20",
+    "graph_two_hop_reach", "graph_lpa_communities", "graph_k_core",
+    "graph_sssp_frontier", "graph_degree_assortativity",
+    # privacy family
+    "privacy_k_anonymity", "privacy_l_diversity", "privacy_t_closeness",
+    # spatial family
+    "spatial_radius_pairs", "spatial_knn",
+    # structured-streaming siblings (real availableNow runs, like the
+    # r3-green streaming_hourly_counts)
+    "streaming_session_windows", "streaming_interval_join",
+    # ANN/dedup: the verdict's three swaps + never-checked kin
+    "ann_ivf_recall_check", "ann_pq_adc_recall_check", "dedup_containment",
+    "contrastive_triplets", "dedup_minhash_quality",
+    "dedup_cross_source_matrix", "ann_incremental_topk",
+    # stats / SPC family heads
+    "corr_matrix_exact", "stats_welch_ttest", "stats_mann_whitney_u",
+    "stats_ks_two_sample", "stats_theil_sen_trend", "stats_bootstrap_ci_mean",
+    "cusum_user_drift", "events_changepoint_hourly",
+    "stats_ewma_forecast_hourly", "weighted_median_price",
+    # sketch family (approx_sketches was no_oracle in r1 — oracled since;
+    # map_functions errored in r1 on array columns — scalar output since)
+    "approx_sketches", "heavy_hitters_countmin", "sketch_merge_shards",
+    "distinct_users_cumulative_hll", "map_functions",
+    # corpus / training-data family
+    "quality_classifier_train", "er_candidate_records",
+    "dsir_importance_weights", "mixture_token_budget",
+    # text + multimodal + data-quality heads not yet driver-checked
+    "text_inverted_index", "text_pmi_cooccurrence",
+    "multimodal_png_header_parse", "dq_referential_integrity",
 ]
 
 

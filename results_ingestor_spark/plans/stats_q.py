@@ -1721,6 +1721,11 @@ def stats_ewma_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     has them at small SFs) change the divisor instead of silently
     reading as zero demand; weights beyond lag 100 are < 1e-15 (below
     double resolution), so the truncation is exact, not approximate.
+    Edge case, by design: a target hour with NO observed hour in its
+    prior 100 (possible only at tiny SFs with >100-hour gaps) has no
+    estimator and is DROPPED by the inner band join rather than
+    emitted with a null ŷ — the oracle applies the same rule, so the
+    two stay row-identical.
 
     Scale: the forecast layer is a ≤100-wide band self-join on the
     bounded hourly aggregate plus a 1-row series-horizon broadcast —

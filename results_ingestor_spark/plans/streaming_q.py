@@ -93,10 +93,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup→purchase-within-the-hour bound that lets the engine evict
     join state from both buffers; availableNow replay into an append
     memory sink emits every match.  The oracle is the batch range
-    join — inner-join matches are watermark-independent, so stream and
-    batch must agree row-for-row (the left-outer null-emission variant
-    stays pytest-pinned: its output DEPENDS on watermark timing, which
-    a finite replay pins differently than an unbounded run)."""
+    join — with the default ``max_files_per_trigger=None`` this replay
+    is a SINGLE micro-batch, so no watermark eviction can run before
+    all matches are produced and stream==batch holds row-for-row.
+    That equivalence is specific to single-batch replay: with
+    maxFilesPerTrigger set and files landing out of event-time order,
+    eviction between micro-batches can legitimately drop inner-join
+    matches, so this gate path deliberately leaves the option unset.
+    (The left-outer null-emission variant stays pytest-pinned: its
+    output DEPENDS on watermark timing, which a finite replay pins
+    differently than an unbounded run.)"""
     from results_ingestor_spark.streaming.events import (
         interval_join_signup_purchase)
     joined = interval_join_signup_purchase(
