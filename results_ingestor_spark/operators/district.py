@@ -35,26 +35,32 @@ DISTRICT_PATTERNS = (
 )
 
 def _apply_pass(df: DataFrame, pattern: str) -> DataFrame:
-    matched = F.col("contest_name").rlike(pattern)
-    up = F.upper(F.col("contest_name"))
     # literal last-occurrence split via substring arithmetic — a plain
     # string search instead of a greedy `^(.*)DISTRICT(.*)$` regex whose
     # backtracking dominates this map stage's cost.  substring_index(-1)
     # = text after the LAST occurrence (pandas rsplit(n=1) parity).
-    right = F.substring_index(up, "DISTRICT", -1)
-    left = F.expr(
-        "substring(upper(contest_name), 1, "
-        "length(upper(contest_name)) "
-        "- length(substring_index(upper(contest_name), 'DISTRICT', -1)) - 8)")
+    #
+    # Built as ONE selectExpr call: a Column-tree version of this pass
+    # costs ~40 py4j round-trips per pass at plan-build time (~90 ms x 3
+    # passes per ingest build, measured round 4); a string projection is
+    # a single round-trip with all parsing JVM-side.  Identical plan out.
+    lit_pat = pattern.replace("\\", "\\\\").replace("'", "\\'")
+    matched = f"contest_name RLIKE '{lit_pat}'"
+    right = "substring_index(upper(contest_name), 'DISTRICT', -1)"
+    left = ("substring(upper(contest_name), 1, "
+            "length(upper(contest_name)) "
+            f"- length({right}) - 8)")
     out = []
     for c in df.columns:
         if c == "contest_name":
-            out.append(F.when(matched, left).otherwise(F.col(c)).alias(c))
+            out.append(f"CASE WHEN {matched} THEN {left} "
+                       f"ELSE contest_name END AS contest_name")
         elif c == "district":
-            out.append(F.when(matched, right).otherwise(F.col(c)).alias(c))
+            out.append(f"CASE WHEN {matched} THEN {right} "
+                       f"ELSE district END AS district")
         else:
-            out.append(F.col(c))
-    return df.select(*out)
+            out.append(f"`{c}`")
+    return df.selectExpr(*out)
 
 
 def has_any_district(df: DataFrame) -> bool:

@@ -48,6 +48,15 @@ def ingest_result_files(spark: SparkSession, paths: list[str] | str,
 
     ``mapping`` (source header → canonical name) defaults to the fuzzy
     suggestion; pass an edited dict to mirror the reference's UI step.
+
+    Reads untyped (``infer_schema=False``): ``align_schema`` casts every
+    kept column to the canonical type anyway, so the inference pass —
+    a full eager scan of the input per plan build — would only compute
+    types this pipeline immediately discards.  String→type casts are
+    exactly the inference coercions (ints, dates, booleans parse the
+    same), and the ``Not Found``→NULL sentinel applies at read either
+    way.
     """
-    return canonicalize_result_frame(read_result_files(spark, paths),
-                                     mapping=mapping, schema=schema)
+    return canonicalize_result_frame(
+        read_result_files(spark, paths, infer_schema=False),
+        mapping=mapping, schema=schema)

@@ -697,14 +697,28 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION hash tier of the MinHash+LSH pipeline: identical
     shape to dedup_minhash_lsh but with xxhash64 base hashes
-    (``fast=True``, ~5x cheaper than the md5 tier) — the configuration
-    a real 100 TB run uses, benchmarked head-to-head against the
-    oracle-checked md5 tier in bench.py.  Driver check is rows-only
-    (DuckDB has no xxhash64); the exact-Jaccard verification step is
-    hash-independent, so every emitted pair is still a TRUE >=0.5
-    near-duplicate — only candidate recall depends on the hash family,
-    and tests/test_dedup.py pins the fast tier finds the same planted
-    duplicates."""
+    (``fast=True``) — the configuration a real 100 TB run uses,
+    benchmarked head-to-head against the oracle-checked md5 tier in
+    bench.py.
+
+    Measured claim (round 4, local[32]): the hashing expression alone
+    is **8.5x cheaper** with xxhash64 (md5 10.86 s vs xxhash64 1.28 s
+    over 200k rows at 40x shingle volume, best-of-5), but at sf0.1 the
+    synthetic documents are short enough that shingle construction and
+    the band join dominate, so the two tiers' END-TO-END times are
+    statistically indistinguishable (md5 best 1.35 s / median 1.40 s
+    vs fast best 1.27 s / median 1.43 s, interleaved best-of-5;
+    candidate sets nearly identical, 255 vs 254 pairs).  BENCH_r03's
+    apparent 43% loss for this tier was host-load variance, not plan
+    cost.  The tier pays off exactly when per-shingle hashing dominates
+    the map stage — i.e. real corpus document lengths — which is the
+    100 TB case the recommendation is for.
+
+    Driver check is rows-only (DuckDB has no xxhash64); the
+    exact-Jaccard verification step is hash-independent, so every
+    emitted pair is still a TRUE >=0.5 near-duplicate — only candidate
+    recall depends on the hash family, and tests/test_dedup.py pins the
+    fast tier finds the same planted duplicates."""
     t = load_tables(spark, sf_dir, ("documents",))
     sig = with_minhash(t["documents"], fast=True).select(
         "doc_id", "__sh", "band0", "band1", "band2", "band3")

@@ -36,10 +36,19 @@ def sniff_delimiter(path: str) -> str:
 
 
 def read_result_files(spark: SparkSession, paths: list[str] | str,
-                      header: bool = True) -> DataFrame:
+                      header: bool = True,
+                      infer_schema: bool = True) -> DataFrame:
     """Read CSV/TSV result files → one DataFrame, aligned by column name.
 
     ``paths`` may be a glob, a directory, or an explicit list.
+
+    ``infer_schema=False`` reads every column as string and skips the
+    inference pass.  Inference costs a FULL eager scan of the input at
+    plan-build time — callers that immediately cast to a known target
+    schema (the canonicalize pipeline's ``align_schema``) get identical
+    typed output without it, which at 100 TB is the difference between
+    scanning the corpus once and twice.  The default stays True for
+    exploratory parity with the reference's pandas ``read_csv``.
     """
     if isinstance(paths, str):
         if os.path.isdir(paths):
@@ -57,7 +66,8 @@ def read_result_files(spark: SparkSession, paths: list[str] | str,
 
     frames = [
         spark.read.options(header=str(header).lower(), sep=sep,
-                           nullValue=NULL_SENTINEL, inferSchema="true")
+                           nullValue=NULL_SENTINEL,
+                           inferSchema=str(infer_schema).lower())
         .csv(group)
         for sep, group in sorted(by_sep.items())
     ]

@@ -483,3 +483,27 @@ def test_hourly_layer_trend_ops_aggregate_before_pairing(plans):
         assert "HashAggregate" in p, name
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_ntz_normalization_keeps_pushdown_and_fuses(spark, sf_dir):
+    # _normalize_events casts the parquet TIMESTAMP_NTZ ts to session-tz
+    # timestamp (r02 fix).  Two properties must survive that cast
+    # (round-3 verdict watch item): a predicate on the CAST column is
+    # rewritten onto the NTZ column and pushed into the parquet scan
+    # (row-group skipping at 100 TB), and the cast itself is a Project
+    # directly over the FileScan — same whole-stage span, no extra pass.
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.sources.tables import load_tables
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    p = (ev.where(F.col("ts") >= "2024-03-01").select("event_id", "ts")
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "GreaterThanOrEqual(ts," in p.split("PushedFilters: ")[1]
+    qs = entry.queries()
+    sp = (qs["events_sessionize"](spark, sf_dir)
+          ._jdf.queryExecution().executedPlan().toString())
+    cast_proj = [l for l in sp.splitlines()
+                 if "Project" in l and "cast(ts" in l]
+    assert cast_proj, "NTZ cast projection missing from sessionize plan"
+    after = sp.splitlines()[sp.splitlines().index(cast_proj[-1]):]
+    assert any("FileScan" in l for l in after[:3]), (
+        "cast Project must sit directly on the events FileScan")
