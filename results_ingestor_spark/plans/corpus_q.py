@@ -159,13 +159,65 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("d_stat")))
 
 
-@query("bpe_train_merges")  # iterative trainer — no single-statement SQL twin
+def _bpe_chain(n_merges: int) -> tuple[list[str], str]:
+    """Unrolled-CTE replay of the BPE trainer (operators/bpe.py): the
+    word vocabulary's symbol sequence is encoded as a string of
+    \\x01-wrapped symbols (\\x01sym\\x02…), so the greedy left-to-right
+    non-overlapping merge rewrite — Spark's ``_merge_fold`` — is exactly
+    SQL ``replace`` of '\\x01a\\x02\\x01b\\x02' with '\\x01ab\\x02'
+    (both scan leftmost, consume the match, and resume after it).  Each
+    merge i is: pair counts over seg{i} (list-comprehension bigram
+    extraction), the (count DESC, a, b) argmax as a 1-row CTE m{i}, and
+    the rewrite into seg{i+1}.  Returns (CTE parts, final seg name);
+    the delimiters are control bytes that cannot appear in
+    space-tokenized words."""
+    d1, d2 = "e'\\x01'", "e'\\x02'"
+    parts = [f"""vocab AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+seg0 AS MATERIALIZED (
+  SELECT word, cnt, array_to_string(
+    [{d1} || word[i] ||
+     CASE WHEN i = length(word) THEN '</w>' ELSE '' END || {d2}
+     for i in range(1, length(word) + 1)], '') AS seg
+  FROM vocab)"""]
+    for i in range(n_merges):
+        parts.append(f"""
+p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, unnest([[t[j], t[j + 1]] for j in range(1, len(t))]) AS pr
+    FROM (
+      SELECT cnt, string_split(seg[2 : length(seg) - 1],
+                               {d2} || {d1}) AS t
+      FROM seg{i}))
+  GROUP BY pr[1], pr[2]),
+m{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+seg{i + 1} AS MATERIALIZED (
+  SELECT s.word, s.cnt,
+    replace(s.seg, {d1} || m.a || {d2} || {d1} || m.b || {d2},
+            {d1} || m.a || m.b || {d2}) AS seg
+  FROM seg{i} s CROSS JOIN m{i} m)""")
+    return parts, f"seg{n_merges}"
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    rows = [f"""SELECT CAST({i} AS INTEGER) AS merge_rank, a AS "left",
+  b AS "right", a || b AS merged, c AS pair_count FROM m{i}"""
+            for i in range(n_merges)]
+    parts, _ = _bpe_chain(n_merges)
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned from the documents corpus (see
-    operators/bpe.py for the algorithm and its scale contract).  Verified
-    by the published-example golden in tests/test_bpe.py; the driver
-    records a rows-only check (iterative argmax is not one SQL
-    statement)."""
+    operators/bpe.py for the algorithm and its scale contract).  Round
+    4: value-checked — the oracle replays the full training loop as
+    unrolled CTEs (string-encoded symbol sequences make the greedy
+    merge rewrite a plain ``replace``), formerly rows-only; the
+    published-example golden in tests/test_bpe.py still pins the
+    algorithm against Sennrich et al."""
     t = load_tables(spark, sf_dir, ("documents",))
     return train_bpe_merges(t["documents"], n_merges=8)
 
@@ -176,6 +228,7 @@ _N_FEAT = 6
 
 _FEAT_SQL = f"""feat AS (
   SELECT
+    doc_id, source,
     1.0 AS x0,
     least(len({_TOKS}) / 200.0, 1.0) AS x1,
     len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE) AS x2,
@@ -188,11 +241,9 @@ _FEAT_SQL = f"""feat AS (
   FROM documents)"""
 
 
-def _gd_oracle() -> str:
-    """Unrolled-CTE twin of the DataFrame GD loop: DuckDB runs its own
-    8 gradient-descent iterations (weights chained through 1-row CTEs,
-    rounded to 9 dp exactly like the Spark trainer), so the value check
-    covers feature parity AND the optimization trajectory."""
+def _gd_chain() -> list[str]:
+    """The unrolled GD CTE chain (feat → wt0 → … → wt{_GD_ITERS}),
+    shared by the train-trajectory oracle and the score oracle."""
     js = range(_N_FEAT)
     parts = ["WITH " + _FEAT_SQL,
              "wt0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in js) + ")"]
@@ -210,6 +261,16 @@ def _gd_oracle() -> str:
                        for j in js)
         parts.append(
             f"wt{i + 1} AS (SELECT {ws} FROM wt{i} w CROSS JOIN a{i} a)")
+    return parts
+
+
+def _gd_oracle() -> str:
+    """Unrolled-CTE twin of the DataFrame GD loop: DuckDB runs its own
+    8 gradient-descent iterations (weights chained through 1-row CTEs,
+    rounded to 9 dp exactly like the Spark trainer), so the value check
+    covers feature parity AND the optimization trajectory."""
+    js = range(_N_FEAT)
+    parts = _gd_chain()
     rows = [
         f"SELECT CAST({i} AS BIGINT) AS iteration, round(a{i}.loss, 6) AS "
         "loss, " + ", ".join(f"w.w{j} AS w{j}" for j in js)
@@ -238,12 +299,28 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-@query("quality_classifier_score")  # weights are train-derived → rows-only
+def _score_oracle() -> str:
+    """Score oracle: replay the whole GD chain to the FINAL weights
+    (identical across engines because each iteration's weights round to
+    9 dp — the train-trajectory gate proves it), then apply the same
+    sigmoid map.  Converts this entry from rows-only to value-checked
+    (round-3 verdict item 6)."""
+    js = range(_N_FEAT)
+    z = " + ".join(f"f.x{j} * w.w{j}" for j in js)
+    return (",\n".join(_gd_chain()) + f"""
+SELECT f.doc_id, f.source,
+  round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob,
+  (1.0 / (1.0 + exp(-({z})))) >= 0.5 AS keep
+FROM feat f CROSS JOIN wt{_GD_ITERS} w""")
+
+
+@query("quality_classifier_score", oracle=_score_oracle())
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with the trained classifier — a pure map
     stage once the (driver-side, d+1-double) weight vector exists.
-    Driver check is rows-only; the training trajectory feeding it is
-    value-checked by quality_classifier_train, and pytest gates
+    Round 4: value-checked — the oracle replays the GD chain to the
+    final 9-dp-rounded weights (bit-identical across engines, proven by
+    the train gate) and scores with the same expression; pytest gates
     held-out-accuracy > majority baseline."""
     from results_ingestor_spark.operators.classifier import (
         score_quality, train_quality_classifier)
@@ -253,13 +330,38 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(t["documents"], hist[-1]["weights"])
 
 
-@query("bpe_tokenize_docs")  # merges are train-derived → rows-only
+def _bpe_tokenize_oracle(n_merges: int = 8) -> str:
+    """Replay the train chain to the final segmentation, then the
+    per-document aggregates: a word's subword count is its symbol count
+    (= occurrences of the \\x01 delimiter in its seg string)."""
+    parts, last = _bpe_chain(n_merges)
+    return ("WITH " + ",".join(parts) + f""",
+sub AS (
+  SELECT word,
+    CAST(length(seg) - length(replace(seg, e'\\x01', '')) AS BIGINT)
+      AS n_sub,
+    CAST(length(word) AS BIGINT) AS n_chr
+  FROM {last}),
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT w.doc_id, COUNT(*) AS n_words,
+  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+  round(CAST(SUM(s.n_chr) AS DOUBLE) / CAST(SUM(s.n_sub) AS BIGINT), 6)
+    AS chars_per_subword
+FROM w JOIN sub s ON s.word = w.word
+WHERE w.word <> ''
+GROUP BY w.doc_id""")
+
+
+@query("bpe_tokenize_docs", oracle=_bpe_tokenize_oracle())
 def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the corpus-trained 8-merge BPE to every document → per-doc
     subword counts and compression ratio.  The merge chain is folded
     over the distinct word *vocabulary* (not the corpus) and joined
-    back, so segmentation work is vocabulary-sized.  Golden-tested on
-    the published example in tests/test_bpe.py."""
+    back, so segmentation work is vocabulary-sized.  Round 4:
+    value-checked — the oracle replays training AND application
+    (formerly rows-only); golden-tested on the published example in
+    tests/test_bpe.py."""
     from results_ingestor_spark.operators.bpe import tokenize_with_merges
     t = load_tables(spark, sf_dir, ("documents",))
     m = train_bpe_merges(t["documents"], n_merges=8)
@@ -267,7 +369,44 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_with_merges(t["documents"], pairs)
 
 
-@query("dedup_semantic_clusters")  # k-means-derived clusters → rows-only
+def _semantic_kmeans_oracle(k: int = 8, n_iter: int = 3,
+                            tau: float = 0.35) -> str:
+    """DuckDB twin of the FULL SemDeDup pipeline, k-means training
+    included — the round-3 verdict's 'md5-derived state is
+    SQL-replayable' suggestion carried to the data-dependent case.
+
+    Replays, in unrolled CTEs: (1) seeding = the k vectors with the
+    smallest (md5(vec_id), vec_id) — pure md5, engine-portable; (2) each
+    Lloyd iteration as argmax-dot assignment against the prior
+    centroids (normalized first, like assign_centroid_expr; ties →
+    lowest cid via ORDER BY dot DESC, cid) followed by an exact
+    per-position mean with empty clusters keeping their previous
+    centroid; (3) the final within-cluster pair join with round(cos, 9)
+    >= tau and the keep-first drop rule.  Cross-engine float caveat:
+    summation ORDER differs between the engines (~1e-16 relative), so
+    an assignment could in principle flip on a near-exact tie; the
+    corpora are verified flip-free at sf0.001/0.01/0.1 and every
+    decision boundary (argmax margin, rounded cosine) sits far above
+    the drift."""
+    from results_ingestor_spark.plans.kmeans_sql import assign_cte, kmeans_ctes
+    parts = ["WITH " + kmeans_ctes(k, n_iter),
+             assign_cte("fin", with_norm=True)]
+    parts.append(f"""
+dropped AS (
+  SELECT DISTINCT a.cid, b.vec_id
+  FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round((SELECT SUM(xa * xb) FROM
+               (SELECT unnest(a.v) AS xa, unnest(b.v) AS xb))
+              / nullif(a.nrm * b.nrm, 0), 9) >= {tau}),
+per_cluster AS (SELECT cid, COUNT(*) AS n_vecs FROM fin GROUP BY cid),
+drops AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
+SELECT p.cid, p.n_vecs, COALESCE(d.n_dropped, 0) AS n_dropped,
+  round(COALESCE(d.n_dropped, 0) / p.n_vecs, 6) AS drop_rate
+FROM per_cluster p LEFT JOIN drops d ON d.cid = p.cid""")
+    return ",".join(parts)
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_kmeans_oracle())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup: k-means clusters bound the
     quadratic — candidate pairs are enumerated only WITHIN a cluster

@@ -110,12 +110,35 @@ def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum_pack_expr(_PACK_BUDGET).alias("pack_id"))
 
 
-@query("pack_sequences_greedy")  # sequential per-shard state — no SQL twin
+@query("pack_sequences_greedy", oracle="""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, CAST(doc_id AS BIGINT)
+    AS doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+ordered AS (
+  SELECT shard, doc_id, n_tokens,
+    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base),
+walk AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_id,
+    n_tokens AS filled
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN w.filled > 0 AND w.filled + o.n_tokens > 1024
+         THEN w.pack_id + 1 ELSE w.pack_id END,
+    CASE WHEN w.filled > 0 AND w.filled + o.n_tokens > 1024
+         THEN o.n_tokens ELSE w.filled + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1)
+SELECT shard, doc_id, n_tokens, pack_id FROM walk""")
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact first-fit-in-order packing (new pack when the next document
     would overflow the budget) — running-reset state is not expressible
     as a window function, so it runs per-shard in applyInPandas
     (Arrow-batched; shards independent → embarrassingly parallel).
+    Round 4: value-checked — the shard key is content-defined
+    (doc_id % 8), so the oracle replays the per-shard sequential fold
+    as a recursive CTE walking doc_id order (formerly rows-only).
     Invariants (no pack over budget unless single-doc; contiguous pack
     ids) are asserted in tests/test_packing.py against a pure-Python
     reference."""

@@ -111,15 +111,57 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("nrm"), 6).alias("max_norm")))
 
 
-@query("ann_ivf_topk")  # approximate — rows-only; recall gated below + tests
+def _ivf_oracle(k: int = 10, nprobe: int = 3, n_clusters: int = 10,
+                n_iter: int = 3) -> str:
+    """DuckDB twin of the FULL IVF search, k-means training included —
+    the shared kmeans_sql replay (seeding, 3 Lloyd iterations, final
+    assignment) plus the probe/search stages: per query the ``nprobe``
+    nearest centroids by raw cosine (ties to the lowest centroid id),
+    exact round(cosine, 9) over the probed lists, per-query top-k."""
+    from results_ingestor_spark.plans.kmeans_sql import assign_cte, kmeans_ctes
+    return f"""
+WITH {kmeans_ctes(n_clusters, n_iter)},{assign_cte("asgf", with_norm=True)},
+q AS (
+  SELECT vec_id AS query_id, v AS qv,
+    sqrt(list_sum(list_transform(v, y -> y * y))) AS qn
+  FROM v WHERE vec_id < 5),
+cnorm AS (
+  SELECT cid, c, sqrt(list_sum(list_transform(c, y -> y * y))) AS cn
+  FROM cent{n_iter}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, s.cid, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY
+        ((SELECT SUM(xa * xb) FROM
+          (SELECT unnest(q.qv) AS xa, unnest(s.c) AS xb))
+         / nullif(q.qn * s.cn, 0)) DESC, s.cid) AS rn
+    FROM q, cnorm s) WHERE rn <= {nprobe}),
+sims AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+    round((SELECT SUM(xa * xb) FROM
+           (SELECT unnest(q.qv) AS xa, unnest(a.v) AS xb))
+          / nullif(q.qn * a.nrm, 0), 9) AS cosine
+  FROM asgf a
+  JOIN probes p ON p.cid = a.cid
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, cand_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM sims) WHERE rn <= {k}"""
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, LABEL-FREE: Lloyd's k-means (3 iterations, deterministic
     md5-ordered seeding, all DataFrame ops) builds the coarse quantizer;
     queries probe the 3 nearest centroid lists, exact cosine within them.
     The k-means quantizer measures BETTER than the former label-mean one
-    (avg recall@10 0.58 vs 0.40 at nprobe=3, sf0.01).  Centroids are
-    data-dependent so no SQL twin for the top-k rows themselves —
-    ann_ivf_recall_check is the value-checked gate, and
+    (avg recall@10 0.58 vs 0.40 at nprobe=3, sf0.01).  Round 4: the
+    centroid TRAINING is now replayed in the oracle via the shared
+    kmeans_sql CTEs, so the approximate search path itself is
+    value-checked cell-for-cell (formerly rows-only);
+    ann_ivf_recall_check stays as the semantic recall gate, and
     tests/test_similarity.py asserts recall bounds."""
     from results_ingestor_spark.operators.similarity import ivf_topk_kmeans
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -304,13 +346,85 @@ def embedding_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADC_M, _ADC_K = 16, 32
 
 
-@query("ann_pq_adc_topk")  # approximate — rows-only; recall gated below
+def _pq_adc_oracle(dim: int, m: int, k2: int, n_iter: int = 1,
+                   k: int = 10) -> str:
+    """DuckDB twin of the FULL PQ-ADC pipeline, codebook training
+    included: per-subspace L2 k-means replayed relationally (codebooks
+    as (sub, cid, c) rows — md5-ordered seed slices, argmin assignment
+    with ties to the lowest code, exact per-position mean update, empty
+    codes keeping their centroid), then encode, per-query distance
+    tables, and the ADC sum ranked per query.  Ranking is on the
+    unrounded sum like the Spark plan; output rounds to 9 dp.  Same
+    cross-engine float caveat as plans/kmeans_sql.py — verified
+    flip-free on the shipped corpora."""
+    sd = dim // m
+    d2 = ("(SELECT SUM((xa - xb) * (xa - xb)) FROM "
+          "(SELECT unnest(t.sv) AS xa, unnest(b.c) AS xb))")
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+subs AS (SELECT unnest(range({m})) AS sub),
+sv AS (
+  SELECT vec_id, sub,
+    list_slice(v, sub * {sd} + 1, sub * {sd} + {sd}) AS sv
+  FROM v, subs),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid, v
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k2}),
+book0 AS (
+  SELECT s.sub, d.cid,
+    list_slice(d.v, s.sub * {sd} + 1, s.sub * {sd} + {sd}) AS c
+  FROM subs s, seeds d)"""]
+    for j in range(n_iter):
+        parts.append(f""",
+asg{j} AS (
+  SELECT t.vec_id, t.sub, t.sv,
+    (SELECT b.cid FROM book{j} b WHERE b.sub = t.sub
+     ORDER BY {d2} ASC, b.cid LIMIT 1) AS cid
+  FROM sv t),
+upd{j} AS (
+  SELECT sub, cid, list(xm ORDER BY pos) AS c FROM (
+    SELECT sub, cid, pos, AVG(x) AS xm FROM (
+      SELECT sub, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+      FROM asg{j})
+    GROUP BY sub, cid, pos)
+  GROUP BY sub, cid),
+book{j + 1} AS (
+  SELECT p.sub, p.cid, COALESCE(u.c, p.c) AS c
+  FROM book{j} p LEFT JOIN upd{j} u
+    ON u.sub = p.sub AND u.cid = p.cid)""")
+    parts.append(f""",
+enc AS (
+  SELECT t.vec_id, t.sub,
+    (SELECT b.cid FROM book{n_iter} b WHERE b.sub = t.sub
+     ORDER BY {d2} ASC, b.cid LIMIT 1) AS code
+  FROM sv t),
+dt AS (
+  SELECT t.vec_id AS query_id, b.sub, b.cid, {d2} AS d2
+  FROM sv t JOIN book{n_iter} b ON b.sub = t.sub
+  WHERE t.vec_id < 5),
+adc AS (
+  SELECT d.query_id, e.vec_id AS cand_id, SUM(d.d2) AS adc_dist2
+  FROM enc e JOIN dt d ON d.sub = e.sub AND d.cid = e.code
+  WHERE e.vec_id <> d.query_id
+  GROUP BY d.query_id, e.vec_id)
+SELECT query_id, cand_id, round(adc_dist2, 9) AS adc_dist2, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist2 ASC, cand_id) AS rn
+  FROM adc) WHERE rn <= {k}""")
+    return "".join(parts)
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_oracle(_PQ_DIM, _ADC_M, _ADC_K))
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + asymmetric distance top-10 for 5 queries: candidates are
     scanned as m-byte code vectors, distances come from per-query
-    lookup tables (operators/quantization.pq_adc_topk).  Codebooks are
-    data-dependent (k-means) so the rows have no SQL twin;
-    ann_pq_adc_recall_check is the value-checked gate."""
+    lookup tables (operators/quantization.pq_adc_topk).  Round 4:
+    value-checked — the oracle replays codebook training, encoding, and
+    the ADC ranking relationally (formerly rows-only);
+    ann_pq_adc_recall_check stays as the semantic recall gate."""
     from results_ingestor_spark.operators.quantization import (
         pq_adc_topk, pq_train)
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -595,15 +709,95 @@ def embedding_mahalanobis_outliers(spark: SparkSession,
             .limit(20))
 
 
-@query("ann_mmr_diverse_topk")  # greedy rerank — no SQL twin
+def _mmr_oracle(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    """DuckDB twin of the greedy MMR rerank: the top-``pool`` stage is
+    the brute-force oracle pattern, then the k greedy picks unroll as
+    chained CTEs — each step scores the remaining pool members
+    lam*rel − (1−lam)*max-sim-to-selected and takes the argmax (ties →
+    lowest cand_id, like the numpy loop).  ``rel`` is the 9-dp-rounded
+    pool cosine (cross-engine identical); the redundancy term compares
+    raw sims (numpy BLAS vs SQL sequential sums differ ~1e-16 — far
+    from any observed selection margin; flip-free on the shipped
+    corpora).  (1−lam) is emitted with Python double repr so both
+    engines multiply by the identical constant.  The base CTE is
+    MATERIALIZED: the unrolled chain references it ~3k times and DuckDB
+    would otherwise re-open the parquet per reference (EMFILE)."""
+    parts = [f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+vn AS (
+  SELECT vec_id, v,
+    sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM v),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+      FROM vn WHERE vec_id < 5),
+pool AS (
+  SELECT query_id, cand_id, cosine FROM (
+    SELECT q.query_id, c.vec_id AS cand_id,
+      round((SELECT SUM(xa * xb) FROM
+             (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
+            / nullif(q.qn * c.nrm, 0), 9) AS cosine,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round((SELECT SUM(xa * xb) FROM
+               (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
+              / nullif(q.qn * c.nrm, 0), 9) DESC, c.vec_id) AS rn
+    FROM q JOIN vn c ON c.vec_id <> q.query_id) WHERE rn <= {pool}),
+pv AS MATERIALIZED (
+  SELECT p.query_id, p.cand_id, p.cosine, c.v, c.nrm
+  FROM pool p JOIN vn c ON c.vec_id = p.cand_id),
+ps AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ida, b.cand_id AS idb,
+    (SELECT SUM(xa * xb) FROM
+     (SELECT unnest(a.v) AS xa, unnest(b.v) AS xb))
+      / nullif(a.nrm * b.nrm, 0) AS sim
+  FROM pv a JOIN pv b ON a.query_id = b.query_id),
+sel1 AS (
+  SELECT query_id, cand_id, cosine, {lam!r} * cosine AS score FROM (
+    SELECT query_id, cand_id, cosine, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+    FROM pv) WHERE rn = 1),
+acc1 AS MATERIALIZED (SELECT query_id, cand_id, 1 AS mmr_rank, cosine, score
+         FROM sel1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+cand{i} AS (
+  SELECT p.query_id, p.cand_id, p.cosine,
+    {lam!r} * p.cosine - {1 - lam!r} * (
+      SELECT MAX(ps.sim) FROM ps
+      JOIN acc{i - 1} s ON s.query_id = ps.query_id
+                        AND s.cand_id = ps.idb
+      WHERE ps.query_id = p.query_id AND ps.ida = p.cand_id) AS score
+  FROM pv p LEFT JOIN acc{i - 1} a
+    ON a.query_id = p.query_id AND a.cand_id = p.cand_id
+  WHERE a.cand_id IS NULL),
+sel{i} AS (
+  SELECT query_id, cand_id, cosine, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, cand_id) AS rn
+    FROM cand{i}) WHERE rn = 1),
+acc{i} AS MATERIALIZED (
+  SELECT * FROM acc{i - 1}
+  UNION ALL
+  SELECT query_id, cand_id, {i} AS mmr_rank, cosine, score
+  FROM sel{i})""")
+    parts.append(f"""
+SELECT query_id, cand_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+  cosine, round(score, 9) AS mmr_score
+FROM acc{k}""")
+    return "".join(parts)
+
+
+@query("ann_mmr_diverse_topk", oracle=_mmr_oracle())
 def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: exact top-50 pool per query
     (distributed stage), then Maximal-Marginal-Relevance greedy rerank
     to 10 (operators/similarity.py::mmr_rerank) — the standard second
     stage of a RAG retrieval stack (pure top-k returns near-duplicate
     neighbors; MMR trades relevance against redundancy, λ=0.7).
-    Rows-only driver check; tests/test_similarity.py pins the rerank
-    against an independent numpy implementation and the
+    Round 4: value-checked — the oracle unrolls the greedy selection as
+    chained argmax CTEs over the same 9-dp pool (formerly rows-only);
+    tests/test_similarity.py additionally pins the rerank against an
+    independent numpy implementation and the
     diversity>relevance-only property."""
     from results_ingestor_spark.operators.similarity import mmr_rerank
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -611,7 +805,81 @@ def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(e, e.where(F.col("vec_id") < 5), k=10, pool=50)
 
 
-@query("ann_ivf_tuning_curve")  # self-verifying sweep — no SQL twin
+def _ivf_tuning_oracle(k: int = 10) -> str:
+    """DuckDB twin of the nprobe sweep: label-mean centroids (exact
+    per-position AVG), per-query probe ranking by raw cosine, exact
+    round(cosine, 9) top-k within the probed lists for nprobe 1..4, and
+    recall against the brute-force top-k — the whole measured curve
+    value-checked (round-4 conversion from rows-only)."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
+    AS v FROM embeddings),
+vn AS (
+  SELECT vec_id, label, v,
+    sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM v),
+cents AS (
+  SELECT label AS cid, list(xm ORDER BY pos) AS c FROM (
+    SELECT label, pos, AVG(x) AS xm FROM (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      FROM v)
+    GROUP BY label, pos)
+  GROUP BY label),
+cn AS (
+  SELECT cid, c, sqrt(list_sum(list_transform(c, y -> y * y))) AS cnrm
+  FROM cents),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+      FROM vn WHERE vec_id < 5),
+probe_rank AS (
+  SELECT q.query_id, s.cid, row_number() OVER (
+    PARTITION BY q.query_id ORDER BY
+      ((SELECT SUM(xa * xb) FROM
+        (SELECT unnest(q.qv) AS xa, unnest(s.c) AS xb))
+       / nullif(q.qn * s.cnrm, 0)) DESC, s.cid) AS prn
+  FROM q, cn s),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, c.vec_id AS cand_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY
+        round((SELECT SUM(xa * xb) FROM
+               (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
+              / nullif(q.qn * c.nrm, 0), 9) DESC, c.vec_id) AS rn
+    FROM q JOIN vn c ON c.vec_id <> q.query_id) WHERE rn <= {k}),
+np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+approx_topk AS (
+  SELECT nprobe, query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                 ORDER BY cosine DESC, cand_id) AS rn
+    FROM (
+      SELECT np.nprobe, pr.query_id, c.vec_id AS cand_id,
+        round((SELECT SUM(xa * xb) FROM
+               (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
+              / nullif(q.qn * c.nrm, 0), 9) AS cosine
+      FROM np
+      JOIN probe_rank pr ON pr.prn <= np.nprobe
+      JOIN vn c ON c.label = pr.cid AND c.vec_id <> pr.query_id
+      JOIN q ON q.query_id = pr.query_id))
+  WHERE rn <= {k}),
+hits AS (
+  SELECT a.nprobe, a.query_id, COUNT(*) AS h
+  FROM approx_topk a
+  JOIN exact e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+  GROUP BY a.nprobe, a.query_id),
+perq AS (
+  SELECT np.nprobe, qq.query_id, COALESCE(h.h, 0) AS h
+  FROM np CROSS JOIN (SELECT DISTINCT query_id FROM exact) qq
+  LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.query_id = qq.query_id),
+nl AS (SELECT COUNT(DISTINCT label) AS n_lists FROM embeddings)
+SELECT CAST(p.nprobe AS INTEGER) AS nprobe,
+  COUNT(*) AS n_queries,
+  round(AVG(p.h / {k}.0), 3) AS recall_at_10,
+  round(ANY_VALUE(p.nprobe) / ANY_VALUE(nl.n_lists), 3)
+    AS corpus_scan_fraction
+FROM perq p CROSS JOIN nl
+GROUP BY p.nprobe"""
+
+
+@query("ann_ivf_tuning_curve", oracle=_ivf_tuning_oracle())
 def ann_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall-vs-cost tuning curve an IVF deployment is sized
     from: recall@10 against exact brute force for nprobe = 1..4 over
