@@ -105,6 +105,21 @@ def main() -> int:
             print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
                   f"CAST to BIGINT in the oracle SQL")
             continue
+        # Generalized numeric-type-tag check (the same failure class):
+        # a Spark integer column whose oracle twin is DOUBLE (or vice
+        # versa) hash-fails at the driver even when values are equal.
+        from tools.type_audit import _duck_kind, _spark_kind
+        skinds = {f.name: _spark_kind(f.dataType.simpleString())
+                  for f in sdf.schema.fields}
+        dkinds = dict(zip(rel.columns, (_duck_kind(t) for t in rel.types)))
+        kind_bad = [(c, sk, dkinds.get(c)) for c, sk in skinds.items()
+                    if sk is not None and dkinds.get(c) is not None
+                    and sk != dkinds[c]]
+        if kind_bad:
+            failures.append(name)
+            print(f"FAIL {name}: numeric type-tag mismatch "
+                  f"(col, spark, oracle): {kind_bad}")
+            continue
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
             print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
