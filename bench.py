@@ -55,6 +55,14 @@ HEADLINE = [
     # late-interaction rerank (broadcast query-token matrix, token-level
     # max then doc-level sum — the ColBERT scoring shape)
     "ann_maxsim_topk",
+    # round 4: heads of the newly driver-gated families — iterative
+    # PageRank (edge list checkpointed once, 3 rank rounds), grid-bucket
+    # spatial kNN, QI-group privacy audit, and the SemDeDup-shaped
+    # semantic dedup (k-means + in-cluster pair join)
+    "graph_pagerank_top20",
+    "spatial_knn",
+    "privacy_k_anonymity",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -109,15 +109,20 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     (u, r) after `iterations` synchronous updates of
     r = (1-d)/N + d·Σ r_in/deg_in, initialized uniform 1/N.
 
-    All-DataFrame and fully lazy: each iteration is a join of the
-    symmetrized edges with the current ranks plus one aggregation on
-    the destination node — the same per-iteration shape GraphX/Pregel
-    would schedule, but left to Catalyst/AQE (the edge and degree
-    exchanges are identical across iterations → ReusedExchange).
-    Every node has degree ≥ 1 in a symmetrized co-occurrence graph,
-    so there are no dangling-mass corrections to distribute.
+    Each iteration is a join of the symmetrized edges with the current
+    ranks plus one aggregation on the destination node — the same
+    per-iteration shape GraphX/Pregel would schedule.  The edge list is
+    ``localCheckpoint``ed ONCE before iterating: ``edges`` is usually a
+    derived frame (the co-purchase self-join), and a fully lazy loop
+    re-derives it per iteration (measured round 4: the sf0.1 plan held
+    66 Exchanges / zero ReusedExchange and the query ran 6.1 s; with
+    the edge materialization it is one derivation + 3 rank rounds,
+    4.3 s).  Materializing the edge list before iterating is exactly
+    what a 100 TB deployment does too.  Every node has degree ≥ 1 in a
+    symmetrized co-occurrence graph, so there are no dangling-mass
+    corrections to distribute.
     """
-    sym = symmetrize(edges)
+    sym = symmetrize(edges).localCheckpoint()
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     n = deg.agg(F.count("*").alias("n"))
     ranks = (deg.join(F.broadcast(n))
@@ -142,10 +147,12 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     deterministic, so the unrolled-SQL oracle can replay it exactly.
     Scale: each round is one (edge ⋈ label) shuffle keyed on node id
     and one per-node argmax — the same budget as a PageRank step;
-    localCheckpoint truncates the growing lineage.
+    localCheckpoint truncates the growing lineage, and the edge list
+    is checkpointed once so rounds don't re-derive the co-purchase
+    self-join (see pagerank).
     """
     from pyspark.sql import functions as F
-    sym = symmetrize(edges).select("u", "v")
+    sym = symmetrize(edges).select("u", "v").localCheckpoint()
     nodes = sym.select(F.col("u").alias("v")).distinct()
     labels = nodes.select("v", F.col("v").alias("label")).localCheckpoint()
     for _ in range(n_iter):

@@ -313,9 +313,12 @@ def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical 4 relaxations."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     e = copurchase_edges(li)
+    # materialize the derived edge list once — 4 lazy relaxation rounds
+    # would otherwise re-run the co-purchase self-join per round
     sym = (e.select("u", "v")
            .unionByName(e.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v"))))
+                                 F.col("u").alias("v")))
+           .localCheckpoint())
     dist = (sym.where(F.col("u") % 199 == 0).select("u").distinct()
             .select("u", F.lit(0).alias("dist"))
             .localCheckpoint())
