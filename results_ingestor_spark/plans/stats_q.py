@@ -107,56 +107,74 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("regression_value_vs_time", oracle=f"""
 WITH m AS (
   SELECT event_type, COUNT(*) AS n,
-    SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS sx,
-    SUM({_VDEC}) AS sy,
-    SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0)) * {_VDEC}) AS sxy,
-    SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))
-        * CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS sxx,
-    SUM({_VDEC} * {_VDEC}) AS syy
-  FROM events GROUP BY event_type)
+    SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sx,
+    SUM(CAST({_VDEC} * 100 AS HUGEINT)) AS syc,
+    SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
+        * CAST({_VDEC} * 100 AS HUGEINT)) AS sxyc,
+    SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
+        * CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sxx,
+    SUM(CAST({_VDEC} * 100 AS HUGEINT)
+        * CAST({_VDEC} * 100 AS HUGEINT)) AS syycc
+  FROM events GROUP BY event_type),
+c AS (
+  SELECT event_type, n,
+    CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+    CAST(n * sxyc - sx * syc AS DOUBLE) AS cxyc,
+    CAST(n * syycc - syc * syc AS DOUBLE) AS cyycc,
+    CAST(sx AS DOUBLE) AS sxd, CAST(syc AS DOUBLE) AS sycd
+  FROM m)
 SELECT event_type, n,
-  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-        9) AS slope_per_sec,
-  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-        9) AS intercept,
-  round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-        / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-        9) AS r2
-FROM m""")
+  round(cxyc / cxx / 100.0, 9) AS slope_per_sec,
+  round(sycd / 100.0 / n - (cxyc / cxx / 100.0) * (sxd / n), 9)
+    AS intercept,
+  round(cxyc * cxyc / (cxx * cyycc), 9) AS r2
+FROM c""")
 def regression_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS trend (value vs epoch-seconds): slope, intercept,
     R² — built-in ``regr_slope``/``regr_r2`` are float-partial-sum
     nondeterministic across engines, so this assembles the closed form
-    from five exact DECIMAL moments (Σx Σy Σxy Σx² Σy²) in one hash
-    agg, same as ``lineitem_price_qty_corr``.  x is integer epoch
-    seconds (``unix_micros div 1000000`` — positive, so truncating
-    division agrees cross-engine); the intercept uses the symmetric
-    (Σy·Σx² − Σx·Σxy)/D form so no intermediate rounding compounds."""
+    from exact integer moments.  x is integer epoch seconds, y is held
+    as integer cents, and the n-scaled CENTERED moments (n·Σxy − Σx·Σy,
+    n·Σx² − (Σx)², n·Σy² − (Σy)²) are computed EXACTLY — DECIMAL here,
+    HUGEINT in the oracle — before any double cast.  Casting the raw
+    25-digit Σx² to double first (the pre-round-4 form) let a 1-ulp
+    decimal→double cast difference between engines amplify ~1e9× in
+    the intercept's cancellation at sf0.1; with exact centering both
+    engines divide the same integers, and the residual double error is
+    ~1e-16 relative with no cancellation left downstream, far inside
+    the round-9 decision band at any scale factor."""
     t = load_tables(spark, sf_dir, ("events",))
     xdec = F.expr(
         "CAST(unix_micros(ts) div 1000000 AS DECIMAL(19,0))")
-    ydec = F.expr(_VDEC)
+    ycents = F.expr(f"CAST({_VDEC} * 100 AS DECIMAL(14,0))")
     m = (t["events"].groupBy("event_type")
          .agg(F.count("*").alias("n"), F.sum(xdec).alias("sx"),
-              F.sum(ydec).alias("sy"), F.sum(xdec * ydec).alias("sxy"),
+              F.sum(ycents).alias("syc"),
+              F.sum(xdec * ycents).alias("sxyc"),
               F.sum(xdec * xdec).alias("sxx"),
-              F.sum(ydec * ydec).alias("syy")))
-    n = F.col("n")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    dxx = n * sxx - sx * sx
-    dxy = n * sxy - sx * sy
-    return m.select(
+              F.sum(ycents * ycents).alias("syycc")))
+    # Exact integer-decimal centering (n·Sab − Sa·Sb stays ≤38 digits
+    # through sf10); double enters only at the final divisions below.
+    ndec = F.col("n").cast("decimal(19,0)")
+    c = m.select(
         "event_type", "n",
-        F.round(dxy / dxx, 9).alias("slope_per_sec"),
-        F.round((sy * sxx - sx * sxy) / dxx, 9).alias("intercept"),
-        F.round((dxy * dxy) / (dxx * (n * syy - sy * sy)), 9).alias("r2"))
+        (ndec * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double").alias("cxx"),
+        (ndec * F.col("sxyc") - F.col("sx") * F.col("syc"))
+        .cast("double").alias("cxyc"),
+        (ndec * F.col("syycc") - F.col("syc") * F.col("syc"))
+        .cast("double").alias("cyycc"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("syc").cast("double").alias("sycd"))
+    slope = F.col("cxyc") / F.col("cxx") / F.lit(100.0)
+    return c.select(
+        "event_type", "n",
+        F.round(slope, 9).alias("slope_per_sec"),
+        F.round(F.col("sycd") / F.lit(100.0) / F.col("n")
+                - slope * (F.col("sxd") / F.col("n")), 9)
+        .alias("intercept"),
+        F.round(F.col("cxyc") * F.col("cxyc")
+                / (F.col("cxx") * F.col("cyycc")), 9).alias("r2"))
 
 
 @query("chi2_lang_source", oracle="""
