@@ -851,3 +851,173 @@ def sampling_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   - F.col("true_total_chars"))
                             / F.col("true_total_chars"), 9)
                     .alias("rel_error")))
+
+
+# ── classifier evaluation ────────────────────────────────────────────
+# Both entries score on the LINEAR logit z = w·x instead of the sigmoid
+# probability: every rank statistic (AUC) and every probability-bin
+# membership (calibration) is invariant under the monotone sigmoid, so
+# evaluating on z keeps the whole gate libm-free — no exp() whose last
+# ulp could differ between engines.  z is snapped to 9 dp (house rule)
+# before any grouping or comparison.
+
+_Z_SQL = " + ".join(f"f.x{j} * w.w{j}" for j in range(_N_FEAT))
+
+# Probability-decile boundaries mapped to logit space: ln(k/(10-k)) for
+# k = 1..9, written ONCE as full-precision literals so both engines
+# compare against bit-identical constants (a 9-dp-snapped z can never
+# equal an edge, so >= is unambiguous).
+_CAL_EDGES = (
+    "-2.1972245773362196", "-1.3862943611198906", "-0.8472978603872037",
+    "-0.40546510810816444", "0.0", "0.4054651081081644",
+    "0.8472978603872037", "1.3862943611198906", "2.1972245773362196")
+_CAL_BIN = "CAST(" + " + ".join(
+    f"CAST(zs >= {e} AS INT)" for e in _CAL_EDGES) + " AS BIGINT)"
+
+
+def _scored_chain() -> str:
+    """GD replay to the final weights, then per-doc (zs, yi): the
+    9-dp-snapped linear score and the integer label."""
+    return ",\n".join(_gd_chain()) + f""",
+sc AS (
+  SELECT round({_Z_SQL}, 9) AS zs, CAST(f.y AS BIGINT) AS yi
+  FROM feat f CROSS JOIN wt{_GD_ITERS} w)"""
+
+
+def _auc_oracle() -> str:
+    return _scored_chain() + """,
+v AS (
+  SELECT zs, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(yi) AS BIGINT) AS pos
+  FROM sc GROUP BY zs),
+c AS (
+  SELECT n, pos,
+    COALESCE(CAST(SUM(n) OVER (ORDER BY zs
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS cb
+  FROM v),
+s AS (
+  SELECT CAST(SUM(pos) AS HUGEINT) AS npos,
+    CAST(SUM(n) - SUM(pos) AS HUGEINT) AS nneg,
+    CAST(COUNT(*) AS BIGINT) AS n_scores,
+    CAST(SUM(CAST(pos AS HUGEINT)
+             * (2 * CAST(cb AS HUGEINT) + n + 1)) AS HUGEINT) AS num2
+  FROM c)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+  n_scores,
+  round(CAST(num2 - npos * (npos + 1) AS DOUBLE)
+        / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 9) AS auc,
+  round(CAST(num2 - npos * (npos + 1) AS DOUBLE)
+        / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) - 1.0, 9) AS gini
+FROM s"""
+
+
+@query("quality_classifier_auc", oracle=_auc_oracle())
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier — the evaluation
+    member completing the train/score/evaluate triad.  Uses the
+    Mann-Whitney identity AUC = (Σ_pos midrank − n₊(n₊+1)/2)/(n₊·n₋)
+    over midranks of the DISTINCT 9-dp linear scores, so the whole
+    statistic is exact integer arithmetic (doubled midrank sums stay
+    integral; DECIMAL here, HUGEINT in the oracle) with one terminal
+    double division; gini = 2·AUC−1 rides along.  AUC is high by
+    construction (the label is the length gate the classifier was
+    distilled from) — the point is the exact distributed evaluation
+    shape.
+
+    Scale: one groupBy on the snapped score (distinct-value domain,
+    orders of magnitude smaller than rows), one cumulative window over
+    that domain (same contract as stats_mann_whitney_u; swaps to
+    two-level shard-rank + broadcast offsets — the corpus_global_shuffle
+    technique — when the score domain outgrows one partition), one 1-row
+    fold."""
+    from results_ingestor_spark.operators.classifier import (
+        QUALITY_GATE_CHARS, feature_columns, train_quality_classifier)
+    t = load_tables(spark, sf_dir, ("documents",))
+    hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
+                                    lr=_GD_LR)
+    wts = hist[-1]["weights"]
+    feats = feature_columns()
+    z = sum(feats[j] * float(wts[j]) for j in range(len(wts)))
+    sc = t["documents"].select(
+        F.round(z, 9).alias("zs"),
+        (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
+    v = sc.groupBy("zs").agg(F.count("*").alias("n"),
+                             F.sum("yi").alias("pos"))
+    wcb = Window.orderBy("zs").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "n", "pos",
+        F.coalesce(F.sum("n").over(wcb), F.lit(0)).alias("cb"))
+    d38 = "decimal(38,0)"
+    s = c.agg(
+        F.sum("pos").alias("npos"),
+        (F.sum("n") - F.sum("pos")).alias("nneg"),
+        F.count("*").alias("n_scores"),
+        F.sum(F.col("pos").cast(d38)
+              * (2 * F.col("cb") + F.col("n") + 1).cast(d38)).alias("num2"))
+    numer = (F.col("num2")
+             - F.col("npos").cast(d38)
+             * (F.col("npos") + 1).cast(d38)).cast("double")
+    npd = F.col("npos").cast("double")
+    nnd = F.col("nneg").cast("double")
+    return s.select(
+        F.col("npos").alias("n_pos"), F.col("nneg").alias("n_neg"),
+        "n_scores",
+        F.round(numer / (F.lit(2.0) * npd * nnd), 9).alias("auc"),
+        F.round(numer / (npd * nnd) - F.lit(1.0), 9).alias("gini"))
+
+
+def _calibration_oracle() -> str:
+    return _scored_chain() + f""",
+b AS (SELECT {_CAL_BIN} AS bin, zs, yi FROM sc)
+SELECT bin,
+  CAST(bin AS DOUBLE) / 10.0 AS p_lo,
+  (CAST(bin AS DOUBLE) + 1.0) / 10.0 AS p_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(yi) AS BIGINT) AS n_pos,
+  round(CAST(SUM(yi) AS DOUBLE) / COUNT(*), 9) AS pos_rate,
+  round(CAST(SUM(CAST(zs AS DECIMAL(21,9))) AS DOUBLE) / COUNT(*), 9)
+    AS mean_z
+FROM b GROUP BY bin"""
+
+
+@query("quality_classifier_calibration", oracle=_calibration_oracle())
+def quality_classifier_calibration(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Reliability table for the trained classifier: documents bucketed
+    into predicted-probability deciles and, per bucket, the EMPIRICAL
+    positive rate a calibrated model should match.  Binning happens in
+    logit space against full-precision literal edges ln(k/(10−k)) —
+    exactly the probability deciles, but libm-free (see module note) —
+    and the shared expression text is compiled by both engines.
+    pos_rate is an exact integer ratio; mean_z sums snapped scores in
+    exact DECIMAL first.  Together with quality_classifier_auc this is
+    the go/no-go evidence before the scorer gates a real corpus:
+    discrimination AND calibration, both value-checked.
+
+    Scale: one map stage (9 literal comparisons) + a ≤10-group agg."""
+    from results_ingestor_spark.operators.classifier import (
+        QUALITY_GATE_CHARS, feature_columns, train_quality_classifier)
+    t = load_tables(spark, sf_dir, ("documents",))
+    hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
+                                    lr=_GD_LR)
+    wts = hist[-1]["weights"]
+    feats = feature_columns()
+    z = sum(feats[j] * float(wts[j]) for j in range(len(wts)))
+    sc = t["documents"].select(
+        F.round(z, 9).alias("zs"),
+        (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
+    b = sc.select(F.expr(_CAL_BIN).alias("bin"), "zs", "yi")
+    return (b.groupBy("bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("yi").alias("n_pos"),
+                 F.round(F.sum("yi").cast("double") / F.count("*"), 9)
+                 .alias("pos_rate"),
+                 F.round(F.sum(F.col("zs").cast("decimal(21,9)"))
+                         .cast("double") / F.count("*"), 9).alias("mean_z"))
+            .select("bin",
+                    (F.col("bin").cast("double") / F.lit(10.0))
+                    .alias("p_lo"),
+                    ((F.col("bin").cast("double") + F.lit(1.0))
+                     / F.lit(10.0)).alias("p_hi"),
+                    "n_docs", "n_pos", "pos_rate", "mean_z"))

@@ -146,6 +146,9 @@ WHITELIST_GLOBALWIN = {
         "the documented approx-quantile swap at scale)",
     "stats_mann_whitney_u": "rank window over distinct metric values "
         "(same contract as stats_ks_two_sample)",
+    "quality_classifier_auc": "midrank window over DISTINCT 9-dp "
+        "scores (mann-whitney contract); documented two-level "
+        "shard-rank swap when the score domain outgrows a partition",
     "events_acf_hourly": "lead window over the hourly layer (bounded "
         "by the time domain)",
     "privacy_t_closeness": "window is QI-partitioned; the "
