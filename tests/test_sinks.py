@@ -208,3 +208,37 @@ def test_compact_small_files_preserves_rows_and_prunes(spark, sf_dir, tmp_path):
     assert n_frag >= 48
     assert n_comp < files_after  # disjoint ranges -> file pruning
     assert n_comp <= 2
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the partitioned fact is joined
+    to a dim whose selective filter is only known at RUNTIME (the
+    partition filter is on the dim, not the fact), Spark must inject a
+    dynamicpruning subquery into the fact scan so only matching
+    partition directories are read — the scan-cost killer for the
+    100 TB star-join (static pruning can't help because the fact-side
+    predicate doesn't exist until the dim side runs).  Pins the
+    `dynamicpruning` expression in the fact's PartitionFilters and
+    result parity with the unpartitioned join.
+
+    Two non-obvious preconditions pinned here: the dim's filter must be
+    on a column UNRELATED to the join key (a filter on the key itself
+    propagates statically and DPP never appears), and it must be a
+    shape `isLikelySelective` accepts (EqualTo/IN/LIKE — a bare
+    boolean-attribute filter does NOT qualify and silently disables
+    the rewrite)."""
+    out = str(tmp_path / "orders_by_status_dpp")
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    write_parquet(orders, out, partition_by=("o_orderstatus",))
+    fact = spark.read.parquet(out)
+    # The dim filter is on a column UNRELATED to the join key, so no
+    # static constraint can reach the fact — only DPP can prune it.
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "closed"), ("P", "pending")],
+        "o_orderstatus string, status_class string"
+    ).where("status_class = 'open'")
+    joined = fact.join(dim, "o_orderstatus").drop("status_class")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = orders.where("o_orderstatus = 'O'").count()
+    assert joined.count() == expected
