@@ -973,3 +973,104 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.col("n_common")), 9)
                     .alias("vocab_jaccard"))
             .orderBy("source_a", "source_b"))
+
+
+# ── code-switching / mixed-language detection ────────────────────────
+_CS_CHUNK = 32  # tokens per non-overlapping chunk
+
+
+def _cs_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in sorted(LANG_MARKERS[lang]))
+    return (f"len(list_filter(t[s + 1 : s + {_CS_CHUNK}], "
+            f"x -> x IN ({markers}))) AS score_{lang}")
+
+
+@query("text_code_switching", oracle=f"""
+WITH tk AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+ch AS (
+  SELECT doc_id, lang, t,
+    unnest(range(0, len(t), {_CS_CHUNK})) AS s
+  FROM tk),
+sc AS (
+  SELECT doc_id, lang,
+    {", ".join(_cs_score_sql(lg) for lg in _LANGS)}
+  FROM ch),
+pr AS (SELECT doc_id, lang, {_PRED_SQL} AS chunk_lang FROM sc),
+cl AS (
+  SELECT doc_id, lang, chunk_lang, COUNT(*) AS c
+  FROM pr GROUP BY doc_id, lang, chunk_lang),
+dom AS (
+  SELECT doc_id, chunk_lang AS dominant_lang FROM (
+    SELECT doc_id, chunk_lang, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, chunk_lang ASC) AS rn
+    FROM cl) WHERE rn = 1),
+agg AS (
+  SELECT doc_id, lang,
+    CAST(SUM(c) AS BIGINT) AS n_chunks,
+    CAST(COUNT(*) AS INT) AS n_langs,
+    CAST(MAX(c) AS BIGINT) AS max_c,
+    round(log2(CAST(SUM(c) AS DOUBLE))
+          - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_bits
+  FROM cl GROUP BY doc_id, lang)
+SELECT agg.doc_id, lang, n_chunks, n_langs, dominant_lang,
+  round(CAST(max_c AS DOUBLE) / n_chunks, 9) AS dominant_share,
+  entropy_bits,
+  (n_langs >= 2 AND 5 * max_c <= 4 * n_chunks) AS is_mixed
+FROM agg JOIN dom ON agg.doc_id = dom.doc_id""")
+def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mixed-language detection: language-ID applied
+    per NON-OVERLAPPING 32-token chunk, rolled up to a per-document
+    mixing report — chunk-language entropy, dominant-language share,
+    and a mixed flag.  Doc-level language ID (text_langid) averages
+    away a bilingual document; the chunk-level distribution is the
+    curation signal that catches it (mixed docs poison monolingual
+    training mixes and break per-language token budgets).  The mixed
+    verdict compares exact integers (5·max_c ≤ 4·n_chunks ⇔ dominant
+    share ≤ 0.8), so the decision never sits on a float boundary;
+    entropy uses the aggregation-friendly H = log2(n) − Σc·log2(c)/n
+    identity (events_user_entropy contract, 6 dp).  The dominant
+    language is a (count DESC, lang ASC) argmax — min_by over a
+    (−c, lang) struct here, the same rule as windowed row_number in
+    the oracle.
+
+    Scale: chunking + scoring is map-only (the chunk never
+    materializes as text — marker filters run on the token-array
+    slice); then two doc_id-keyed hash aggs over the ≤|langs|-per-doc
+    chunk-language layer.  One shuffle of (doc_id, lang, chunk_lang)
+    rows bounded by chunks, not tokens."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "lang", F.split("text", " ").alias("t"))
+    ch = d.select(
+        "doc_id", "lang", "t",
+        F.explode(F.expr(f"sequence(0, size(t) - 1, {_CS_CHUNK})"))
+        .alias("s"))
+    score_cols = []
+    for lg in _LANGS:
+        markers = ", ".join(f"'{m}'" for m in sorted(LANG_MARKERS[lg]))
+        score_cols.append(
+            F.expr(f"size(filter(slice(t, s + 1, {_CS_CHUNK}), "
+                   f"x -> x IN ({markers})))").alias(f"score_{lg}"))
+    pr = (ch.select("doc_id", "lang", *score_cols)
+          .select("doc_id", "lang", lang_predict().alias("chunk_lang")))
+    cl = (pr.groupBy("doc_id", "lang", "chunk_lang")
+          .agg(F.count("*").alias("c")))
+    n = F.sum("c")
+    per = cl.groupBy("doc_id", "lang").agg(
+        n.alias("n_chunks"),
+        F.count("*").cast("int").alias("n_langs"),
+        F.max("c").alias("max_c"),
+        F.min_by("chunk_lang",
+                 F.struct(F.negate(F.col("c")).alias("nc"),
+                          F.col("chunk_lang").alias("l")))
+        .alias("dominant_lang"),
+        F.round(F.log2(n.cast("double"))
+                - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n,
+                6).alias("entropy_bits"))
+    return per.select(
+        "doc_id", "lang", "n_chunks", "n_langs", "dominant_lang",
+        F.round(F.col("max_c").cast("double") / F.col("n_chunks"), 9)
+        .alias("dominant_share"),
+        "entropy_bits",
+        ((F.col("n_langs") >= 2)
+         & (5 * F.col("max_c") <= 4 * F.col("n_chunks"))).alias("is_mixed"))

@@ -142,3 +142,36 @@ def test_phash_recovers_planted_duplicates(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in phash_near_dup_pairs(h).collect() if r["is_near_dup"]}
     assert got == {(1, 2): 0}
+
+
+def test_code_switching_planted_bilingual(spark):
+    """A planted half-en/half-zh document is flagged mixed with the
+    expected chunk-language split; a monolingual doc is not flagged
+    (entropy 0, share 1.0)."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.plans import QUERIES
+    import results_ingestor_spark.plans.text_q as tq
+
+    filler = "pad"
+    en_chunk = " ".join((["the", "a", "table"] + [filler] * 29))   # 32 toks
+    zh_chunk = " ".join((["join", "merge", "line"] + [filler] * 29))
+    rows = [
+        (1, "en", en_chunk + " " + en_chunk + " " + zh_chunk
+              + " " + zh_chunk),                       # 2 en + 2 zh chunks
+        (2, "en", en_chunk + " " + en_chunk),          # monolingual
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["doc_id"]: r
+               for r in QUERIES["text_code_switching"](spark, tmp).collect()}
+    mixed, mono = out[1], out[2]
+    assert mixed["n_chunks"] == 4 and mixed["n_langs"] == 2
+    assert mixed["is_mixed"] is True
+    assert mixed["dominant_share"] == 0.5
+    assert mixed["entropy_bits"] == 1.0          # 2+2 split = exactly 1 bit
+    assert mixed["dominant_lang"] == "en"        # tie -> lang ASC
+    assert mono["n_langs"] == 1 and mono["is_mixed"] is False
+    assert mono["dominant_share"] == 1.0 and mono["entropy_bits"] == 0.0
