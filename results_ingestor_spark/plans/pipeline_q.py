@@ -797,3 +797,113 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(pooled, "k"))
     return j.select("doc_id", "source", "n_chars",
                     F.col("r").cast("long").alias("src_rank"), "calib")
+
+
+# ── split-leakage audit ──────────────────────────────────────────────
+# Composes the MinHash+LSH near-dup pipeline (plans/dedup_q.py) with
+# the hash split rule above: near-duplicate pairs that CROSS a
+# train/val/test boundary are leakage — the held-out metric silently
+# becomes a memorization test.  Distinct from decontamination_filter
+# (external eval sets); this audits the pipeline's OWN split.
+
+def _split_leakage_oracle() -> str:
+    from results_ingestor_spark.plans.dedup_q import _minhash_sql
+    return f"""
+WITH sigk AS ({_minhash_sql()}),
+keyedk AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigk),
+candk AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyedk l JOIN keyedk r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+verk AS (
+  SELECT id_a, id_b, round(j, 9) AS j FROM (
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+    FROM candk
+    JOIN sigk a ON a.doc_id = id_a
+    JOIN sigk b ON b.doc_id = id_b)
+  WHERE j >= 0.5),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {_DOC_HASH_SQL} % 100 < 80 THEN 'train'
+         WHEN {_DOC_HASH_SQL} % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents),
+lk AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+    greatest(sa.split, sb.split) AS split_b,
+    CASE WHEN sa.split <= sb.split THEN id_a ELSE id_b END AS doc_lo,
+    CASE WHEN sa.split <= sb.split THEN id_b ELSE id_a END AS doc_hi,
+    j
+  FROM verk
+  JOIN sp sa ON sa.doc_id = id_a
+  JOIN sp sb ON sb.doc_id = id_b
+  WHERE sa.split <> sb.split)
+SELECT split_a, split_b,
+  CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs,
+  CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_a,
+  CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_b,
+  round(MAX(j), 9) AS max_jaccard
+FROM lk GROUP BY split_a, split_b"""
+
+
+@query("dedup_split_leakage", oracle=_split_leakage_oracle())
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: every VERIFIED near-duplicate pair
+    (MinHash band candidates → exact Jaccard ≥ 0.5, the
+    dedup_minhash_lsh pipeline) whose two documents land in DIFFERENT
+    splits of the deterministic 80/10/10 hash split, rolled up per
+    split-boundary with pair counts, distinct leaked docs on each side,
+    and the worst Jaccard.  A non-empty report means dedup must run
+    BEFORE splitting (or splits must be cluster-aware) — held-out
+    numbers are otherwise inflated by memorized near-copies.  The
+    split names in each pair are ordered lexicographically so a
+    boundary appears exactly once.
+
+    Scale: inherits the LSH budget (band-key equi-join, no all-pairs);
+    split membership is a map-side hash expression joined by doc_id —
+    the audit costs one extra broadcast-sized projection over the
+    near-dup pair set."""
+    from results_ingestor_spark.operators.dedup import (
+        jaccard, lsh_candidate_pairs, with_minhash)
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("__sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    ver = (pairs.join(a, "id_a").join(b, "id_b")
+           .where(j >= 0.5)
+           .select("id_a", "id_b", F.round(j, 9).alias("j")))
+    h = F.expr(_DOC_HASH) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    sp = t["documents"].select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("split_sa"))
+    sb = sp.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("split_sb"))
+    lk = (ver.join(sa, "id_a").join(sb, "id_b")
+          .where(F.col("split_sa") != F.col("split_sb"))
+          .select(
+              F.least("split_sa", "split_sb").alias("split_a"),
+              F.greatest("split_sa", "split_sb").alias("split_b"),
+              F.when(F.col("split_sa") <= F.col("split_sb"),
+                     F.col("id_a")).otherwise(F.col("id_b"))
+              .alias("doc_lo"),
+              F.when(F.col("split_sa") <= F.col("split_sb"),
+                     F.col("id_b")).otherwise(F.col("id_a"))
+              .alias("doc_hi"),
+              "j"))
+    return (lk.groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_leaked_pairs"),
+                 F.countDistinct("doc_lo").alias("n_docs_a"),
+                 F.countDistinct("doc_hi").alias("n_docs_b"),
+                 F.round(F.max("j"), 9).alias("max_jaccard")))
