@@ -907,3 +907,107 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_lo").alias("n_docs_a"),
                  F.countDistinct("doc_hi").alias("n_docs_b"),
                  F.round(F.max("j"), 9).alias("max_jaccard")))
+
+
+def _cluster_split_oracle() -> str:
+    from results_ingestor_spark.plans.dedup_q import _minhash_sql
+    rep_hash = _DOC_HASH_SQL.replace("doc_id", "rep")
+    return f"""
+WITH RECURSIVE lshp AS (
+  WITH sigs AS ({_minhash_sql()}),
+  keyeds AS (
+    SELECT doc_id, sh,
+      unnest([band0, band1, band2, band3]) AS bkey,
+      unnest([0, 1, 2, 3]) AS bidx
+    FROM sigs),
+  cands AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM keyeds l JOIN keyeds r
+      ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+  SELECT id_a, id_b
+  FROM cands
+  JOIN sigs a ON a.doc_id = id_a
+  JOIN sigs b ON b.doc_id = id_b
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM lshp
+          UNION SELECT id_b, id_a FROM lshp),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+reps AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+  FROM reach GROUP BY a),
+asg AS (
+  SELECT d.doc_id, d.lang, len({_TOKS}) AS n_tokens,
+    coalesce(r.cluster_rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id),
+hs AS (
+  SELECT lang, n_tokens,
+    {rep_hash} % 100 AS h_rep,
+    {_DOC_HASH_SQL} % 100 AS h_self
+  FROM asg),
+cls AS (
+  SELECT lang, n_tokens,
+    CASE WHEN h_rep < 80 THEN 'train' WHEN h_rep < 90 THEN 'val'
+         ELSE 'test' END AS split,
+    CASE WHEN h_self < 80 THEN 'train' WHEN h_self < 90 THEN 'val'
+         ELSE 'test' END AS self_split
+  FROM hs)
+SELECT lang, split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(count_if(split <> self_split) AS BIGINT) AS n_moved
+FROM cls GROUP BY lang, split"""
+
+
+@query("sampling_cluster_aware_split", oracle=_cluster_split_oracle())
+def sampling_cluster_aware_split(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The FIX for dedup_split_leakage: split membership is decided by
+    the hash of the document's near-dup CLUSTER REPRESENTATIVE (the
+    dedup_clusters min-label components), not its own id — an entire
+    cluster of near-copies lands in one split by construction, so no
+    verified near-dup pair can ever cross a boundary.  Singletons hash
+    on their own id, keeping the 80/10/10 proportions; the report
+    mirrors sampling_stratified_split (per lang × split doc/token
+    counts) and adds n_moved, the documents whose split changed versus
+    the id-hash rule — the measured cost of leak-proofing.  The
+    zero-leakage invariant is pinned in tests/test_dedup.py.
+
+    Scale: adds the CC labeling (bounded label-propagation rounds over
+    the verified-pair edge list) to the stratified-split cost; the
+    split itself stays a map expression over (doc_id, rep)."""
+    from results_ingestor_spark.operators.dedup import (
+        connected_components, jaccard, lsh_candidate_pairs, with_minhash)
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    sig = with_minhash(docs).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("__sh").alias("sh_b"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+                .select("id_a", "id_b"))
+    labeled = connected_components(verified, docs.select("doc_id"))
+    asg = (docs.select("doc_id", "lang",
+                       F.size(F.split("text", " ")).alias("n_tokens"))
+           .join(labeled.withColumnRenamed("cluster_rep", "rep"), "doc_id"))
+    h_rep = F.expr(_DOC_HASH.replace("doc_id", "rep")) % 100
+    h_self = F.expr(_DOC_HASH) % 100
+    as_split = (lambda h: F.when(h < 80, "train").when(h < 90, "val")
+                .otherwise("test"))
+    cls = asg.select(
+        "lang", "n_tokens",
+        as_split(h_rep).alias("split"),
+        as_split(h_self).alias("self_split"))
+    return (cls.groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.count_if(F.col("split") != F.col("self_split"))
+                 .alias("n_moved")))

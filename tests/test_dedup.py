@@ -148,3 +148,50 @@ def test_canonical_keep_best_policy(spark, sf_dir):
         assert canonical_id == min(ties)
     n_singleton = sum(1 for m in by_canon.values() if len(m) == 1)
     assert n_singleton > 0  # the corpus is mostly unique docs
+
+
+def test_cluster_aware_split_has_zero_leakage(spark, sf_dir):
+    """The cluster-aware split's defining invariant: NO verified
+    near-dup pair crosses a split boundary (every cluster lands whole),
+    while the id-hash split demonstrably leaks on the same corpus —
+    and proportions stay near 80/10/10."""
+    from pyspark.sql import functions as F
+    from results_ingestor_spark.operators.dedup import (
+        connected_components, jaccard, lsh_candidate_pairs, with_minhash)
+    from results_ingestor_spark.plans.pipeline_q import _DOC_HASH
+    from results_ingestor_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = with_minhash(docs).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+                .select("id_a", "id_b")).cache()
+    labeled = connected_components(verified, docs.select("doc_id"))
+    labeled = labeled.withColumnRenamed("cluster_rep", "rep")
+
+    def split_of(expr):
+        h = F.expr(expr) % 100
+        return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+    cluster_split = labeled.select(
+        "doc_id", split_of(_DOC_HASH.replace("doc_id", "rep")).alias("s"))
+    id_split = labeled.select("doc_id", split_of(_DOC_HASH).alias("s"))
+
+    def crossings(assign):
+        sa = assign.select(F.col("doc_id").alias("id_a"),
+                           F.col("s").alias("s_a"))
+        sb = assign.select(F.col("doc_id").alias("id_b"),
+                           F.col("s").alias("s_b"))
+        return (verified.join(sa, "id_a").join(sb, "id_b")
+                .where(F.col("s_a") != F.col("s_b")).count())
+
+    assert crossings(cluster_split) == 0      # the invariant
+    assert crossings(id_split) > 0            # the leak it repairs
+    frac = (cluster_split.groupBy("s").count().collect())
+    total = sum(r["count"] for r in frac)
+    by = {r["s"]: r["count"] / total for r in frac}
+    assert abs(by["train"] - 0.8) < 0.05      # proportions preserved
