@@ -1011,3 +1011,93 @@ def sampling_cluster_aware_split(spark: SparkSession,
                  F.sum("n_tokens").alias("total_tokens"),
                  F.count_if(F.col("split") != F.col("self_split"))
                  .alias("n_moved")))
+
+
+_BATCH = 32  # sequences per padded batch
+
+
+@query("pack_batches_length_bucketed", oracle=f"""
+WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+o1 AS (
+  SELECT n_tokens,
+    row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+  FROM d),
+b1 AS (
+  SELECT (rn - 1) // {_BATCH} AS batch_id, COUNT(*) AS nb,
+    MAX(n_tokens) AS mx, SUM(n_tokens) AS sm
+  FROM o1 GROUP BY 1),
+s1 AS (
+  SELECT 'length_bucketed' AS strategy,
+    CAST(COUNT(*) AS BIGINT) AS n_batches,
+    CAST(SUM(nb) AS BIGINT) AS n_docs,
+    CAST(SUM(sm) AS BIGINT) AS real_tokens,
+    CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens
+  FROM b1),
+o2 AS (
+  SELECT n_tokens,
+    row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM d),
+b2 AS (
+  SELECT (rn - 1) // {_BATCH} AS batch_id, COUNT(*) AS nb,
+    MAX(n_tokens) AS mx, SUM(n_tokens) AS sm
+  FROM o2 GROUP BY 1),
+s2 AS (
+  SELECT 'shuffled' AS strategy,
+    CAST(COUNT(*) AS BIGINT) AS n_batches,
+    CAST(SUM(nb) AS BIGINT) AS n_docs,
+    CAST(SUM(sm) AS BIGINT) AS real_tokens,
+    CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens
+  FROM b2)
+SELECT strategy, n_batches, n_docs, real_tokens, padded_tokens,
+  round(CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens, 9)
+    AS waste_pct
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)""")
+def pack_batches_length_bucketed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Padded-batch construction accounting: group sequences into
+    32-doc batches and charge each batch n_docs × max_len padded
+    tokens (every sequence pads to its batch's longest).  Two
+    strategies compared in one report: LENGTH-BUCKETED (sort by
+    length, so batch members have near-equal lengths — the
+    bucketed-batching trick every trainer/inference server uses) vs
+    SHUFFLED (md5 order — the naive random batching baseline).  The
+    waste_pct gap between the rows IS the measured GPU-hours saving
+    of bucketing; all token accounting is exact BIGINT with one
+    terminal division.  Complements pack_sequences_* (those
+    concatenate into a fixed budget; this pads to the batch max —
+    the two deployment shapes for batched sequence compute).
+
+    Scale: lengths are one narrow map; each strategy is a sort +
+    fixed-size grouping.  The global row_number here swaps to the
+    two-level shard-rank + broadcast-offsets technique
+    (corpus_global_shuffle) at corpus scale, and the summary is a
+    5-number fold per strategy."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+
+    def batched(order_cols: list, name: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        o = d.select("n_tokens",
+                     ((F.row_number().over(w) - 1) / _BATCH)
+                     .cast("long").alias("batch_id"))
+        b = (o.groupBy("batch_id")
+             .agg(F.count("*").alias("nb"),
+                  F.max("n_tokens").alias("mx"),
+                  F.sum("n_tokens").alias("sm")))
+        return b.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").alias("n_batches"),
+            F.sum("nb").alias("n_docs"),
+            F.sum("sm").alias("real_tokens"),
+            F.sum(F.col("nb") * F.col("mx")).alias("padded_tokens"))
+
+    s1 = batched([F.col("n_tokens"), F.col("doc_id")], "length_bucketed")
+    s2 = batched([F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+                 "shuffled")
+    u = s1.unionByName(s2)
+    return u.select(
+        "strategy", "n_batches", "n_docs", "real_tokens", "padded_tokens",
+        F.round((F.col("padded_tokens") - F.col("real_tokens"))
+                .cast("double") / F.col("padded_tokens"), 9)
+        .alias("waste_pct"))

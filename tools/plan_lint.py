@@ -149,6 +149,9 @@ WHITELIST_GLOBALWIN = {
     "quality_classifier_auc": "midrank window over DISTINCT 9-dp "
         "scores (mann-whitney contract); documented two-level "
         "shard-rank swap when the score domain outgrows a partition",
+    "pack_batches_length_bucketed": "global row_number for fixed-size "
+        "batch ids; documented corpus_global_shuffle two-level "
+        "shard-rank swap at corpus scale",
     "events_acf_hourly": "lead window over the hourly layer (bounded "
         "by the time domain)",
     "privacy_t_closeness": "window is QI-partitioned; the "
