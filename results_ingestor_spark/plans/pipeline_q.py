@@ -1101,3 +1101,67 @@ def pack_batches_length_bucketed(spark: SparkSession,
         F.round((F.col("padded_tokens") - F.col("real_tokens"))
                 .cast("double") / F.col("padded_tokens"), 9)
         .alias("waste_pct"))
+
+
+@query("pipeline_stage_attrition", oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text, n_chars, len({_TOKS}) AS n_tokens
+  FROM documents),
+ing AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_ingested,
+    CAST(count_if(n_chars < 100) AS BIGINT) AS n_fail_chars,
+    CAST(count_if(n_chars >= 100 AND n_tokens < 20) AS BIGINT)
+      AS n_fail_tokens
+  FROM base GROUP BY source),
+q AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM base WHERE n_chars >= 100 AND n_tokens >= 20),
+dd AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_quality_pass,
+    CAST(count_if(rn > 1) AS BIGINT) AS n_dup_dropped
+  FROM q GROUP BY source)
+SELECT ing.source, n_ingested, n_fail_chars, n_fail_tokens,
+  n_quality_pass, n_dup_dropped,
+  n_quality_pass - n_dup_dropped AS n_curated,
+  round(CAST(n_quality_pass - n_dup_dropped AS DOUBLE) / n_ingested, 9)
+    AS yield_pct
+FROM ing JOIN dd ON ing.source = dd.source""")
+def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: per SOURCE, how many documents
+    each stage of the pipeline_curate_end_to_end gate chain drops —
+    first-failing-gate attribution for the quality rules (chars floor,
+    then token floor), keep-first exact-dedup losses (attributed to
+    the source of the DROPPED copy; dedup is global, so a mirror feed
+    shows up here as a high n_dup_dropped), surviving doc count, and
+    end-to-end yield.  The report a pipeline operator reads when a
+    source's contribution collapses: WHERE the docs died, not just
+    that they did.
+
+    Scale: one scan feeding two source-keyed aggregates (the dedup
+    rank is a key-partitioned window on the content hash, the same
+    shuffle the dedup stage itself pays); the join is dim-sized."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        "doc_id", "source", "text", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    ing = base.groupBy("source").agg(
+        F.count("*").alias("n_ingested"),
+        F.count_if(F.col("n_chars") < 100).alias("n_fail_chars"),
+        F.count_if((F.col("n_chars") >= 100) & (F.col("n_tokens") < 20))
+        .alias("n_fail_tokens"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    q = (base.where((F.col("n_chars") >= 100) & (F.col("n_tokens") >= 20))
+         .select("source", F.row_number().over(w).alias("rn")))
+    dd = q.groupBy("source").agg(
+        F.count("*").alias("n_quality_pass"),
+        F.count_if(F.col("rn") > 1).alias("n_dup_dropped"))
+    cur = F.col("n_quality_pass") - F.col("n_dup_dropped")
+    return (ing.join(dd, "source")
+            .select("source", "n_ingested", "n_fail_chars",
+                    "n_fail_tokens", "n_quality_pass", "n_dup_dropped",
+                    cur.alias("n_curated"),
+                    F.round(cur.cast("double") / F.col("n_ingested"), 9)
+                    .alias("yield_pct")))
