@@ -110,3 +110,31 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(joined, "streaming_interval_join_mem",
                   output_mode="append")
     return spark.table("streaming_interval_join_mem")
+
+
+@query("streaming_dedup_exact", oracle="""
+SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+FROM events""")
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup run for real: the events
+    parquet replays through a file-source stream into
+    ``dropDuplicates`` on (user_id, event_type, ts) with a 1-hour
+    watermark bounding the dedup state, availableNow into an append
+    memory sink — the continuous form of dedup_exact for
+    at-least-once upstream sources, where state for keys older than
+    the watermark is evicted so memory is bounded by the lateness
+    window, not stream lifetime.  Only the KEY columns enter the
+    stream: dropDuplicates keeps an arbitrary surviving row, so
+    non-key columns (event_id, value) would make the emitted set
+    run-dependent — projecting to the key first is what makes the
+    streaming result value-checkable (and is the production shape
+    too: dedup state should carry keys, not payloads).  The oracle is
+    batch DISTINCT over the same keys; agreement pins that the
+    single-batch availableNow replay emits each key exactly once."""
+    from results_ingestor_spark.streaming.events import streaming_dedup
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts")
+    deduped = streaming_dedup(ev)
+    run_to_memory(deduped, "streaming_dedup_exact_mem",
+                  output_mode="append")
+    return spark.table("streaming_dedup_exact_mem")
