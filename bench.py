@@ -63,6 +63,12 @@ HEADLINE = [
     "spatial_knn",
     "privacy_k_anonymity",
     "dedup_semantic_clusters",
+    # round 4b: LSH composed with the split rule (leakage audit), the
+    # global-sort batching accountant, and the trained-classifier exact
+    # AUC (GD trainer + distinct-score midrank fold)
+    "dedup_split_leakage",
+    "pack_batches_length_bucketed",
+    "quality_classifier_auc",
 ]
 
 
@@ -219,6 +225,14 @@ def main() -> None:
             sum(timings[n] for n in r01_set if n in timings), 3),
         "r03_subset_sec": round(
             sum(timings[n] for n in r03_set if n in timings), 3),
+        # Third frozen anchor: the 31-entry round-4 headline set (r03
+        # set + pagerank/spatial/privacy/semdedup) so round 5 has a
+        # like-for-like subtotal after HEADLINE grows again.
+        "r04_subset_sec": round(
+            sum(timings[n] for n in r03_set + [
+                "graph_pagerank_top20", "spatial_knn",
+                "privacy_k_anonymity", "dedup_semantic_clusters",
+            ] if n in timings), 3),
     }
     if jdbc_sec is not None:
         out["rollup_sink_jdbc_sec"] = jdbc_sec
