@@ -84,3 +84,52 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
     assert diff == 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, executed for real: a join where one hot
+    key dominates must show `skew=true` on the join node of the FINAL
+    adaptive plan — the runtime answer to skew that salting
+    (salted_join above) solves statically.  Locally the skew thresholds
+    are lowered to make a ~200k-row hot key qualify; on a real cluster
+    the defaults (256 MB / 5x median) arm this at data scale.  Pins
+    that our session config (AQE + skewJoin enabled, session.py) leaves
+    the mechanism armed."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit("hot").alias("k"), F.col("id").alias("payload"))
+        cold = spark.range(2_000).select(
+            F.concat(F.lit("c"), F.col("id")).alias("k"),
+            F.col("id").alias("payload"))
+        left = hot.unionAll(cold)
+        right = (spark.range(50).select(
+                     F.lit("hot").alias("k"), F.col("id").alias("r"))
+                 .unionAll(spark.range(2_000).select(
+                     F.concat(F.lit("c"), F.col("id")).alias("k"),
+                     F.col("id").alias("r"))))
+        j = left.join(right, "k")
+        # Execute THIS Dataset's own QueryExecution (a .count() builds a
+        # separate aggregate query and leaves j's adaptive plan
+        # unfinalized — isFinalPlan=false shows no skew handling yet).
+        n = j._jdf.queryExecution().toRdd().count()
+        assert n == 200_000 * 50 + 2_000   # hot fanout + cold 1:1
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
