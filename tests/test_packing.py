@@ -75,3 +75,21 @@ def test_greedy_pack_property_random(spark):
         assert got == _reference_pack(rows, 256)
 
     check()
+
+
+def test_length_bucketed_batching_beats_shuffled(spark, sf_dir):
+    """The padded-batch accountant's reason to exist: on the corpus,
+    length-bucketed batching must waste strictly less padding than the
+    md5-shuffled baseline, and the exact token accounting must tie out
+    (padded >= real, n_docs conserved)."""
+    from results_ingestor_spark.plans import QUERIES
+
+    rows = {r["strategy"]: r
+            for r in QUERIES["pack_batches_length_bucketed"](
+                spark, sf_dir).collect()}
+    lb, sh = rows["length_bucketed"], rows["shuffled"]
+    assert lb["n_docs"] == sh["n_docs"]
+    assert lb["real_tokens"] == sh["real_tokens"]
+    for r in (lb, sh):
+        assert r["padded_tokens"] >= r["real_tokens"]
+    assert lb["waste_pct"] < sh["waste_pct"]
