@@ -113,3 +113,39 @@ def test_cusum_prefix_scan_closed_form_matches_recursion(spark, xs):
     for i, x in enumerate(xs):
         s = max(0.0, s + x)
         assert got[i] == s
+
+
+def test_attrition_funnel_conserves_documents(spark, sf_dir):
+    """The stage-attrition report must tie out exactly per source:
+    ingested = chars-fail + tokens-fail + quality-pass, curated =
+    quality-pass − dup-dropped, and the global totals must match the
+    corpus rowcount."""
+    from results_ingestor_spark.plans import QUERIES
+    from results_ingestor_spark.sources.tables import load_tables
+
+    rows = QUERIES["pipeline_stage_attrition"](spark, sf_dir).collect()
+    for r in rows:
+        assert (r["n_fail_chars"] + r["n_fail_tokens"]
+                + r["n_quality_pass"] == r["n_ingested"]), r
+        assert r["n_curated"] == r["n_quality_pass"] - r["n_dup_dropped"]
+        assert 0.0 <= r["yield_pct"] <= 1.0
+    total = load_tables(spark, sf_dir, ("documents",))["documents"].count()
+    assert sum(r["n_ingested"] for r in rows) == total
+
+
+def test_code_switching_entropy_bounds(spark, sf_dir):
+    """Chunk-language entropy obeys 0 ≤ H ≤ log2(n_langs), dominance is
+    a valid share, and chunk counts cover every document."""
+    import math
+    from results_ingestor_spark.plans import QUERIES
+    from results_ingestor_spark.sources.tables import load_tables
+
+    rows = QUERIES["text_code_switching"](spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["n_chunks"] >= 1 and 1 <= r["n_langs"] <= 5
+        assert -1e-6 <= r["entropy_bits"] <= math.log2(r["n_langs"]) + 1e-6
+        assert 0.0 < r["dominant_share"] <= 1.0
+        if r["n_langs"] == 1:
+            assert r["entropy_bits"] == 0.0 and not r["is_mixed"]
