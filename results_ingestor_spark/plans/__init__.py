@@ -26,6 +26,7 @@ from results_ingestor_spark.plans import spatial_q  # noqa: E402,F401
 from results_ingestor_spark.plans import stats_q  # noqa: E402,F401
 from results_ingestor_spark.plans import corpus_q  # noqa: E402,F401
 from results_ingestor_spark.plans import streaming_q  # noqa: E402,F401
+from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
 # queries.  Rounds 1-3 together drove 112 distinct entries green

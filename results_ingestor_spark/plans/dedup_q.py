@@ -868,3 +868,81 @@ def dedup_cross_source_matrix(spark: SparkSession,
                      F.greatest("src_a", "src_b").alias("source_b"))
             .agg(F.count("*").alias("n_dup_pairs"))
             .orderBy("source_a", "source_b"))
+
+
+_CDC_MOD = 16  # expected chunk length in tokens (boundary probability 1/16)
+
+
+@query("dedup_cdc_chunks", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+      unnest([{{'pos': i, 'tok': t[i + 1]}}
+              for i in range(0, len(t))]) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+flagged AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT) % {_CDC_MOD} = 0
+         THEN 1 ELSE 0 END AS flag
+  FROM toks),
+chunked AS (
+  SELECT doc_id, pos, tok,
+    SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) - flag AS chunk
+  FROM flagged),
+chunks AS (
+  SELECT doc_id, chunk,
+    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM chunked GROUP BY doc_id, chunk)
+SELECT chunk_hash, n_tokens,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_occ,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM chunks GROUP BY chunk_hash, n_tokens
+HAVING COUNT(DISTINCT doc_id) >= 2""")
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (the FastCDC/rsync idea applied
+    to text): a token TERMINATES a chunk when its md5-derived hash is
+    0 mod 16, so chunk boundaries move with the CONTENT, not with
+    positions — inserting a sentence re-chunks only the chunk it lands
+    in, and every identical span elsewhere still hashes to the same
+    chunks.  That is the property fixed-offset chunking lacks and
+    fixed-n-gram dedup (`dedup_duplicate_passages`) only approximates
+    with per-position grams: CDC pays ONE chunk row per ~16 tokens
+    instead of one gram row per token, an order of magnitude less
+    shuffle for the same cross-doc duplication census.  Output: every
+    chunk content-hash appearing in ≥2 distinct docs, with its token
+    length, doc/occurrence counts, and first doc.
+
+    Scale shape: tokenize+flag+prefix-sum are one map stage plus a
+    doc_id-partitioned window (no cross-doc state); chunk assembly is
+    a (doc_id, chunk)-keyed agg whose payload is the tokens themselves
+    ONCE (vs n-gram explosion's k×); the census shuffles (chunk_hash,
+    doc_id) pairs — hashes, never text.  The md5 boundary rule is
+    engine-replayable, so even the chunking is value-checked."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (ensure_min_parallelism(t["documents"])
+            .select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("pos", "tok")))
+    flagged = toks.withColumn(
+        "flag", F.when(md5_long("tok") % _CDC_MOD == 0, 1).otherwise(0))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunked = flagged.withColumn(
+        "chunk", F.sum("flag").over(w) - F.col("flag"))
+    chunks = (chunked.groupBy("doc_id", "chunk")
+              .agg(F.md5(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "tok"))),
+                           lambda s: s["tok"]),
+                       " ")).alias("chunk_hash"),
+                   F.count("*").alias("n_tokens")))
+    return (chunks.groupBy("chunk_hash", "n_tokens")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"),
+                 F.min("doc_id").cast("long").alias("first_doc"))
+            .where(F.col("n_docs") >= 2))

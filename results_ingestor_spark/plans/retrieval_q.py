@@ -1,0 +1,221 @@
+"""Retrieval-quality evaluation and hybrid (lexical+vector) search.
+
+The similarity family (plans/similarity_q.py) builds the indexes; this
+module answers the two questions a retrieval deployment asks next:
+
+- *how good is the index* — label-supervised precision@k / MRR over the
+  ``embeddings`` corpus, whose ``label`` column is the relevance oracle
+  (candidate is relevant iff it shares the query's label);
+- *how do lexical and semantic rankings combine* — reciprocal-rank
+  fusion (RRF, Cormack et al. 2009), the standard score-free fusion
+  used by hybrid search engines, composed here from the registry's own
+  BM25 and brute-force-cosine rankings.
+
+Both entries are fully value-checked: the Spark plans only use
+deterministic ranks (scores rounded BEFORE ranking, id tie-breaks), so
+the DuckDB oracles replay the exact ranked lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from results_ingestor_spark.operators.similarity import brute_force_topk
+from results_ingestor_spark.plans.registry import query
+from results_ingestor_spark.plans.similarity_q import _NORM_SQL
+from results_ingestor_spark.plans.text_q import (
+    _BM25_B, _BM25_K1, _BM25_TERMS, _TOKS)
+from results_ingestor_spark.sources.tables import load_tables
+
+_N_EVAL_QUERIES = 20
+_EVAL_K = 10
+
+
+@query("retrieval_eval_label_topk", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < {_N_EVAL_QUERIES}),
+topk AS (
+  SELECT query_id, cand_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rn
+    FROM s) WHERE rn <= {_EVAL_K}),
+j AS (
+  SELECT t.query_id, CAST(ql.label AS BIGINT) AS q_label,
+    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel, t.rn
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings cl ON cl.vec_id = t.cand_id)
+SELECT query_id, q_label,
+  CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+  round(CAST(SUM(rel) AS DOUBLE) / {_EVAL_K}, 6) AS precision_at_k,
+  round(coalesce(CAST(1 AS DOUBLE)
+                 / MIN(CASE WHEN rel = 1 THEN rn END), 0), 9) AS rr
+FROM j GROUP BY query_id, q_label""")
+def retrieval_eval_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-supervised retrieval evaluation: run exact cosine top-10
+    for the first 20 vectors as queries, score a candidate as relevant
+    iff it carries the query's label, and report per-query
+    precision@10 and reciprocal rank (0 when no hit in the top 10 —
+    the query's mean over these IS MRR@10).  This is the measurement
+    loop every embedding upgrade is judged by, run entirely in-engine.
+
+    Scale shape: the query set is a broadcast (evaluation sets are
+    thousands of rows, never corpus-sized); the only corpus-wide work
+    is the same broadcast-probe scan `ann_cosine_topk` pays, and
+    everything after the top-k window is query-set-sized.  Relevance
+    labels join against the top-k table (queries x k rows), not the
+    corpus."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    topk = brute_force_topk(
+        e, e.where(F.col("vec_id") < _N_EVAL_QUERIES), k=_EVAL_K)
+    ql = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("label").cast("long").alias("q_label"))
+    cl = e.select(F.col("vec_id").alias("cand_id"),
+                  F.col("label").alias("c_label"))
+    rel = F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
+    return (topk.join(F.broadcast(ql), "query_id")
+            .join(F.broadcast(cl), "cand_id")
+            .withColumn("rel", rel)
+            .groupBy("query_id", "q_label")
+            .agg(F.sum("rel").cast("long").alias("n_rel_at_k"),
+                 F.round(F.sum("rel").cast("double") / _EVAL_K, 6)
+                 .alias("precision_at_k"),
+                 F.round(F.coalesce(
+                     F.lit(1.0) / F.min(F.when(F.col("rel") == 1,
+                                               F.col("rn"))),
+                     F.lit(0.0)), 9).alias("rr")))
+
+
+_RRF_K = 60      # Cormack et al. constant
+_FUSE_DEPTH = 50  # per-list depth entering the fusion
+
+
+def _bm25_ranked_sql() -> str:
+    """DuckDB twin of the BM25 ranking (same constants/expression order
+    as text_q.text_bm25_topk), kept as a full ranked list of depth
+    _FUSE_DEPTH instead of a top-10 cut."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+  SELECT doc_id, rb FROM (
+    SELECT doc_id,
+      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+    FROM (
+      SELECT tf.doc_id,
+        round(SUM(
+          ln((n - df + 0.5) / (df + 0.5) + 1)
+          * (tf * ({_BM25_K1} + 1))
+          / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+        ), 6) AS bm25
+      FROM (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        WHERE tok IN ({terms}) AND doc_id <> 0
+        GROUP BY doc_id, tok) tf
+      JOIN (SELECT term, COUNT(*) AS df FROM (
+              SELECT doc_id, tok AS term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+              WHERE tok IN ({terms}) AND doc_id <> 0
+              GROUP BY doc_id, tok) GROUP BY term) df USING (term)
+      JOIN (SELECT doc_id, len({_TOKS}) AS dl FROM documents) dl
+        ON dl.doc_id = tf.doc_id
+      CROSS JOIN (SELECT CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*)
+                    AS avgdl, COUNT(*) AS n FROM documents) avgdl
+      GROUP BY tf.doc_id))
+  WHERE rb <= {_FUSE_DEPTH}"""
+
+
+@query("search_rrf_hybrid", oracle=f"""
+WITH bm AS ({_bm25_ranked_sql()}),
+n AS ({_NORM_SQL}),
+cs AS (
+  SELECT cand_id, rc FROM (
+    SELECT c.vec_id AS cand_id,
+      row_number() OVER (
+        ORDER BY round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+                        FROM (SELECT unnest(q.embedding) AS xa,
+                                     unnest(c.embedding) AS xb))
+                       / (nq.nrm * nc.nrm), 9) DESC, c.vec_id) AS rc
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id <> c.vec_id
+    JOIN n nq ON nq.vec_id = q.vec_id
+    JOIN n nc ON nc.vec_id = c.vec_id
+    WHERE q.vec_id = 0)
+  WHERE rc <= {_FUSE_DEPTH})
+SELECT coalesce(bm.doc_id, cs.cand_id) AS id,
+  CAST(bm.rb AS BIGINT) AS r_bm25, CAST(cs.rc AS BIGINT) AS r_cos,
+  round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + bm.rb), 0)
+        + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + cs.rc), 0), 9) AS rrf
+FROM bm FULL JOIN cs ON bm.doc_id = cs.cand_id
+ORDER BY rrf DESC, id LIMIT 10""")
+def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search by reciprocal-rank fusion: a BM25 lexical ranking
+    (terms join/scan/merge, same constants as `text_bm25_topk`) and a
+    cosine
+    semantic ranking (query = vector 0, docs keyed by doc_id == vec_id)
+    each contribute 1/(60+rank) for their top-50; a document missing
+    from one list contributes 0 from it.  RRF is score-free — only
+    RANKS cross the fusion, which is why it composes rankings whose raw
+    scores live on incomparable scales, and why the whole pipeline
+    stays value-checkable (ranks are deterministic: scores rounded
+    before ranking, id tie-breaks).
+
+    Scale shape: each side is an already-scale-safe registry ranking
+    (query-term-sized BM25 aggregates; broadcast-probe cosine); the
+    fusion itself joins two k-bounded lists — at 100 TB it is a
+    driver-trivial full-outer join of two 50-row frames, whatever the
+    corpus size."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs, e = t["documents"], t["embeddings"]
+
+    # Lexical side: BM25 over the fixed term set, ranked to depth 50.
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    avgdl = dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+                   F.count("*").alias("n"))
+    tf = (docs.where(F.col("doc_id") != 0)
+          .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .where(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (idf * (F.col("tf") * (_BM25_K1 + 1))
+                  / (F.col("tf") + _BM25_K1
+                     * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id")
+              .join(F.broadcast(avgdl))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(term_score), 6).alias("bm25")))
+    # TakeOrderedAndProject bounds the list to 50 rows BEFORE the rank
+    # window runs, so the global row_number is k-bounded by construction
+    # (the MMR-pool contract), never corpus-sized.
+    bm = (scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_FUSE_DEPTH)
+          .withColumn("rb", F.row_number().over(
+              Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).cast("long"))
+          .select("doc_id", "rb"))
+
+    # Semantic side: exact cosine ranking for query vector 0.
+    cs = (brute_force_topk(e, e.where(F.col("vec_id") == 0), k=_FUSE_DEPTH)
+          .select("cand_id", F.col("rn").cast("long").alias("rc")))
+
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rc")), F.lit(0.0)),
+        9)
+    return (bm.join(cs, F.col("doc_id") == F.col("cand_id"), "full_outer")
+            .select(F.coalesce("doc_id", "cand_id").alias("id"),
+                    F.col("rb").alias("r_bm25"), F.col("rc").alias("r_cos"),
+                    rrf.alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("id"))
+            .limit(10))

@@ -138,3 +138,36 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(deduped, "streaming_dedup_exact_mem",
                   output_mode="append")
     return spark.table("streaming_dedup_exact_mem")
+
+
+@query("streaming_heavy_hitters", oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS window_start, d,
+    (('0x' || substr(md5('cms' || d::varchar || ':' || event_type), 1, 15))
+      ::BIGINT) % 256 AS bkt
+  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d))
+SELECT window_start, d, bkt, CAST(COUNT(*) AS BIGINT) AS c
+FROM h GROUP BY 1, 2, 3""")
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window Count-Min sketch computed BY THE STREAM: the events
+    parquet replays through a file-source stream into the watermarked
+    4×256 sketch aggregate (`streaming/events.py::windowed_countmin`)
+    and an availableNow memory sink.  The oracle rebuilds every
+    (window, depth, bucket) cell in batch SQL from the same md5-derived
+    bucketing, so the gate value-checks the streamed sketch CELL FOR
+    CELL — the strongest claim available for a streaming summary.
+
+    Why it matters at scale: sketch state per window is depth×width
+    cells regardless of key heat (no per-key state at all), the
+    watermark evicts closed windows, and because the bucketing matches
+    the batch operator (`heavy_hitters_countmin`), per-window streamed
+    sketches merge cell-wise with batch history — the lambda-free
+    architecture for continuous heavy-hitter monitoring."""
+    from results_ingestor_spark.streaming.events import (
+        read_events_stream, run_to_memory, windowed_countmin)
+    agg = windowed_countmin(read_events_stream(spark, sf_dir))
+    run_to_memory(agg, "streaming_heavy_hitters_mem", output_mode="complete")
+    from pyspark.sql import functions as F
+    return (spark.table("streaming_heavy_hitters_mem")
+            .select("window_start", F.col("d").cast("long").alias("d"),
+                    "bkt", F.col("c").cast("long").alias("c")))

@@ -1074,3 +1074,46 @@ def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_bits",
         ((F.col("n_langs") >= 2)
          & (5 * F.col("max_c") <= 4 * F.col("n_chunks"))).alias("is_mixed"))
+
+
+@query("tokenizer_fertility_by_lang", oracle=f"""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len({_TOKS})) AS BIGINT) AS n_words,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+    AS n_bpe_tokens,
+  round(CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS DOUBLE)
+        / SUM(len({_TOKS})), 6) AS fertility,
+  round(CAST(SUM(length(text)) AS DOUBLE)
+        / SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))), 6)
+    AS chars_per_token
+FROM documents GROUP BY lang""")
+def tokenizer_fertility_by_lang(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word and characters per token, from the BPE-style pre-tokenizer
+    regex (`text_token_count_bpe`'s per-doc counts rolled up to the
+    language layer).  Fertility is THE per-language tokenizer-quality
+    number — a language whose fertility is 2× another's pays 2× the
+    sequence length (and attention cost) for the same text, which is
+    exactly what vocabulary allocation and temperature sampling have
+    to compensate for.  All sums are exact integers; the two ratios
+    are one terminal division each.
+
+    Scale: a pure map stage (two size() calls per doc) into a
+    language-domain hash agg — partial aggregation makes the shuffle
+    carry one row per (partition, lang)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = tokens()
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    per_doc = t["documents"].select(
+        "lang", F.size(tk).alias("w"), F.size(bpe).alias("b"),
+        F.length("text").alias("c"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("w").alias("n_words"),
+                 F.sum("b").alias("n_bpe_tokens"),
+                 F.round(F.sum("b").cast("double") / F.sum("w"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum("c").cast("double") / F.sum("b"), 6)
+                 .alias("chars_per_token")))

@@ -106,6 +106,11 @@ WHITELIST_BNLJ = {
         "1-row vocabulary-size broadcast (inherited from the LM scorer)",
     "dq_join_fanout_audit":
         "three 1-row aggregate stat combines (the audit's whole output)",
+    "retrieval_eval_label_topk": "broadcast probe-vector set vs "
+        "candidates (ann_cosine_topk contract) + broadcast label join "
+        "against the k-bounded top-k table",
+    "search_rrf_hybrid": "1-row corpus avgdl broadcast (bm25 contract) "
+        "+ broadcast probe vector vs candidates",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -175,6 +180,8 @@ WHITELIST_GLOBALWIN = {
     "distinct_users_cumulative_hll": "expanding merge window over the "
         "day domain (per-day sketch partials)",
     "events_max_drawdown": "running-peak windows over the day domain",
+    "search_rrf_hybrid": "rank windows over TakeOrdered 50-row lists "
+        "(k-bounded by construction; fusion joins two 50-row frames)",
 }
 
 
