@@ -69,6 +69,11 @@ HEADLINE = [
     "dedup_split_leakage",
     "pack_batches_length_bucketed",
     "quality_classifier_auc",
+    # round 4c: content-defined-chunking dedup census (one chunk row per
+    # ~16 tokens vs n-gram explosion) and rank-level lexical+vector
+    # fusion (BM25 + cosine lists, RRF)
+    "dedup_cdc_chunks",
+    "search_rrf_hybrid",
 ]
 
 

@@ -195,3 +195,37 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
             break
     return labels.select(F.col("v").alias(id_col),
                          F.col("label").alias("cluster_rep"))
+
+
+def cdc_chunk_table(docs: DataFrame, mod: int = 16,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync boundary idea on
+    tokens): a token TERMINATES a chunk when md5_long(token) % mod == 0,
+    so boundaries are a function of content, not position — editing a
+    document re-chunks only the chunk the edit lands in, and every
+    identical span elsewhere still produces identical chunk hashes (the
+    locality property pinned in tests/test_dedup.py).  Returns one row
+    per (doc, chunk): chunk ordinal, md5 content hash, token count.
+
+    Expected chunk length is ``mod`` tokens — one output row per ~mod
+    input tokens, which is what makes chunk-level dedup an order of
+    magnitude lighter on the shuffle than per-position n-grams."""
+    from pyspark.sql import Window
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "tok"))
+    flagged = toks.withColumn(
+        "flag", F.when(md5_long("tok") % mod == 0, 1).otherwise(0))
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunked = flagged.withColumn(
+        "chunk", F.sum("flag").over(w) - F.col("flag"))
+    return (chunked.groupBy(id_col, "chunk")
+            .agg(F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "tok"))),
+                         lambda s: s["tok"]),
+                     " ")).alias("chunk_hash"),
+                 F.count("*").alias("n_tokens")))

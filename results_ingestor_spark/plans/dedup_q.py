@@ -921,26 +921,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE (vs n-gram explosion's k×); the census shuffles (chunk_hash,
     doc_id) pairs — hashes, never text.  The md5 boundary rule is
     engine-replayable, so even the chunking is value-checked."""
-    from results_ingestor_spark.functions.hashing import md5_long
+    from results_ingestor_spark.operators.dedup import cdc_chunk_table
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = (ensure_min_parallelism(t["documents"])
-            .select("doc_id",
-                    F.posexplode(F.split("text", " ")).alias("pos", "tok")))
-    flagged = toks.withColumn(
-        "flag", F.when(md5_long("tok") % _CDC_MOD == 0, 1).otherwise(0))
-    w = (Window.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    chunked = flagged.withColumn(
-        "chunk", F.sum("flag").over(w) - F.col("flag"))
-    chunks = (chunked.groupBy("doc_id", "chunk")
-              .agg(F.md5(F.array_join(
-                       F.transform(
-                           F.array_sort(F.collect_list(
-                               F.struct("pos", "tok"))),
-                           lambda s: s["tok"]),
-                       " ")).alias("chunk_hash"),
-                   F.count("*").alias("n_tokens")))
+    chunks = cdc_chunk_table(ensure_min_parallelism(t["documents"]),
+                             mod=_CDC_MOD)
     return (chunks.groupBy("chunk_hash", "n_tokens")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count("*").alias("n_occ"),

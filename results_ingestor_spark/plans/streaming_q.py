@@ -171,3 +171,63 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.table("streaming_heavy_hitters_mem")
             .select("window_start", F.col("d").cast("long").alias("d"),
                     "bkt", F.col("c").cast("long").alias("c")))
+
+
+@query("streaming_drift_monitor", oracle="""
+WITH lo_hi AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+b AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+    CASE WHEN value < lo THEN 0
+         WHEN value >= hi THEN 11
+         ELSE CAST(trunc((value - lo) / ((hi - lo) / 10)) AS BIGINT) + 1
+    END AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events CROSS JOIN lo_hi
+  GROUP BY 1, 2),
+base AS (SELECT bin, SUM(n) AS n FROM b GROUP BY bin),
+btot AS (SELECT SUM(n) AS bt, COUNT(*) AS bc FROM base),
+cur AS (
+  SELECT window_start, bin,
+    (n + 1) / (SUM(n) OVER (PARTITION BY window_start)
+               + COUNT(*) OVER (PARTITION BY window_start)) AS share
+  FROM b),
+bs AS (SELECT bin, (n + 1) / (bt + bc) AS base_share
+       FROM base CROSS JOIN btot)
+SELECT window_start,
+  round(SUM((share - base_share) * ln(share / base_share)), 9) AS psi
+FROM cur JOIN bs USING (bin)
+GROUP BY window_start""")
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor computed BY THE STREAM: the events
+    parquet replays through a file-source stream into the watermarked
+    per-window equi-width value histogram
+    (`streaming/events.py::windowed_drift_bins`, boundaries frozen from
+    the corpus min/max as driver literals), then the tiny windowed
+    histogram rolls up to a smoothed PSI against the full-corpus
+    baseline (`psi_per_window`).  The oracle replays the IDENTICAL
+    arithmetic — Spark's width_bucket semantics spelled out as the same
+    double expression shape (bucket width first, then divide, trunc),
+    the same +1 smoothing, the same ln term order — so the gate
+    value-checks the streamed histogram AND the drift math through one
+    9-dp-rounded number per window: any histogram cell error flips the
+    window's PSI.
+
+    Scale: stream state is (window, bin) cells — bounded by the
+    watermark and the bin count, independent of event volume; PSI is a
+    post-aggregation batch pass over the window-domain table."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.sources.tables import load_tables
+    from results_ingestor_spark.streaming.events import (
+        psi_per_window, read_events_stream, run_to_memory,
+        windowed_drift_bins)
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    lo, hi = batch.agg(F.min("value"), F.max("value")).first()
+    run_to_memory(
+        windowed_drift_bins(read_events_stream(spark, sf_dir), lo, hi),
+        "streaming_drift_monitor_mem", output_mode="complete")
+    bins = spark.table("streaming_drift_monitor_mem")
+    baseline = (batch.groupBy(
+        F.width_bucket("value", F.lit(lo), F.lit(hi), F.lit(10))
+        .alias("bin")).agg(F.count("*").alias("n")))
+    return psi_per_window(bins, baseline)

@@ -507,3 +507,36 @@ def test_ntz_normalization_keeps_pushdown_and_fuses(spark, sf_dir):
     after = sp.splitlines()[sp.splitlines().index(cast_proj[-1]):]
     assert any("FileScan" in l for l in after[:3]), (
         "cast Project must sit directly on the events FileScan")
+
+
+def test_rrf_hybrid_bounded_lists_and_broadcasts(plans):
+    """Hybrid RRF: both input rankings must be k-bounded before the
+    fusion — the lexical side via TakeOrderedAndProject (never a
+    corpus-wide sort), the semantic side via the broadcast probe join —
+    and nothing in the plan may fall back to a cartesian product."""
+    p = plans("search_rrf_hybrid")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_chunks_partitioned_window_no_global_sort(plans):
+    """CDC chunking: the prefix-sum window must be doc_id-partitioned
+    (running chunk ids never cross documents, so no global window), and
+    the only text-carrying shuffle is the (doc_id, chunk) assembly —
+    the census groupBy ships hashes."""
+    p = plans("dedup_cdc_chunks")
+    # the window's partition spec carries doc_id — a global (empty
+    # partition) window would print a windowspecdefinition starting at
+    # the ORDER column instead
+    assert "windowspecdefinition(doc_id" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+    assert "CartesianProduct" not in p
+
+
+def test_retrieval_eval_joins_topk_not_corpus(plans):
+    """Label joins must hit the k-bounded top-k table via broadcast,
+    never shuffle the embedding corpus for relevance labels."""
+    p = plans("retrieval_eval_label_topk")
+    assert p.count("BroadcastExchange") >= 2  # probe set + label maps
+    assert "CartesianProduct" not in p
