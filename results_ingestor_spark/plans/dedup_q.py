@@ -931,3 +931,80 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_occ"),
                  F.min("doc_id").cast("long").alias("first_doc"))
             .where(F.col("n_docs") >= 2))
+
+
+_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query("dedup_threshold_curve", oracle=f"""
+WITH sig AS ({_minhash_sql()}),
+keyed AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM cand
+  JOIN sig a ON a.doc_id = id_a
+  JOIN sig b ON b.doc_id = id_b),
+th AS (SELECT CAST(unnest([{", ".join(str(x) for x in _CURVE_THRESHOLDS)}])
+               AS DOUBLE) AS threshold),
+per AS (
+  SELECT threshold, id_a, id_b
+  FROM verified CROSS JOIN th WHERE j >= threshold),
+pa AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped_keep_first
+  FROM per GROUP BY threshold),
+tt AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_in_pairs
+  FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM per)
+  GROUP BY threshold)
+SELECT threshold, n_pairs, n_docs_in_pairs, n_dropped_keep_first
+FROM pa JOIN tt USING (threshold)""")
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy tuning curve: for each candidate Jaccard threshold
+    (0.5..0.9), how many verified near-dup pairs survive, how many
+    docs participate in ≥1 pair, and how many docs the
+    drop-if-near-dup-of-a-lower-id policy would remove.  This is the
+    table a curation team reads BEFORE picking the threshold — the
+    marginal cost of tightening from 0.8 to 0.7 in docs dropped.
+    (The direct-pair drop rule is a deterministic policy of its own;
+    cluster-transitive selection is `dedup_canonical_keep_best`.)
+
+    Scale: one LSH pipeline run (band-key equi-join, verify on
+    candidates only) feeds all five thresholds — the per-threshold
+    explode multiplies only the VERIFIED PAIR table (tiny), never the
+    corpus, and the curve aggregates to five rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                              "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .select("id_a", "id_b", j.alias("j")))
+    per = (verified
+           .select("id_a", "id_b", "j",
+                   F.explode(F.array(*[F.lit(float(x))
+                                       for x in _CURVE_THRESHOLDS]))
+                   .alias("threshold"))
+           .where(F.col("j") >= F.col("threshold")))
+    pa = (per.groupBy("threshold")
+          .agg(F.count("*").alias("n_pairs"),
+               F.countDistinct("id_b").alias("n_dropped_keep_first")))
+    touched = (per.select("threshold",
+                          F.explode(F.array("id_a", "id_b")).alias("d"))
+               .groupBy("threshold")
+               .agg(F.countDistinct("d").alias("n_docs_in_pairs")))
+    return (pa.join(touched, "threshold")
+            .select("threshold", "n_pairs", "n_docs_in_pairs",
+                    "n_dropped_keep_first"))

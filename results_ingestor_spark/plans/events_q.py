@@ -901,3 +901,50 @@ def distinct_users_cumulative_hll(spark: SparkSession,
                         Window.unboundedFollowing))
                     .alias("hll_within_5pct"))
             .orderBy("day"))
+
+
+@query("events_cep_pattern_match", oracle="""
+WITH j AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      AS journey
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+  CAST(len(regexp_extract_all(journey, 's[cv]*p')) AS BIGINT)
+    AS n_conversion_paths,
+  CAST(len(regexp_extract_all(journey, 'e{2,}')) AS BIGINT)
+    AS n_error_bursts
+FROM j""")
+def events_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match, SQL-style: each user's
+    event history becomes an ordered symbol string (first letter of the
+    event type, (ts, event_id)-ordered), and sequence patterns become
+    regular expressions over it — `s[cv]*p` counts signup→purchase
+    journeys interrupted only by clicks/views (the CEP twin of the
+    funnel entries, but counting EVERY non-overlapping occurrence, not
+    first-touch), `e{2,}` counts consecutive-error bursts.  Both
+    engines run the same RE2-compatible patterns over the same string,
+    so the match counts are value-checked.
+
+    Scale: one user-keyed shuffle builds the per-user string (the same
+    budget sessionization pays); the regex scan is a map stage over
+    one row per user.  Journey strings are events-per-user long — for
+    entities with unbounded history, segment by (user, month) first,
+    the same bounding a production CEP engine applies to its NFA
+    state."""
+    j = (load_tables(spark, sf_dir, ("events",))["events"]
+         .groupBy("user_id")
+         .agg(F.count("*").alias("n_events"),
+              F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("ts", "event_id", "event_type"))),
+                      lambda s: F.substring(s["event_type"], 1, 1)),
+                  "").alias("journey")))
+    return j.select(
+        "user_id", "n_events",
+        F.size(F.regexp_extract_all("journey", F.lit("s[cv]*p"), 0))
+        .cast("long").alias("n_conversion_paths"),
+        F.size(F.regexp_extract_all("journey", F.lit("e{2,}"), 0))
+        .cast("long").alias("n_error_bursts"))

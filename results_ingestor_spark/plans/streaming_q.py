@@ -231,3 +231,48 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.width_bucket("value", F.lit(lo), F.lit(hi), F.lit(10))
         .alias("bin")).agg(F.count("*").alias("n")))
     return psi_per_window(bins, baseline)
+
+
+@query("streaming_enriched_tier_counts", oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+  coalesce(c.c_mktsegment, 'unknown') AS tier,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2""")
+def streaming_enriched_tier_counts(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment composed with a stateful aggregate, run
+    for real: the events stream broadcast-joins the customer dimension
+    (user_id → market segment, the per-micro-batch dim rescan pattern
+    from `streaming/events.py::enrich_stream_with_users`) and the
+    enriched stream flows into a watermarked per-(hour, tier) windowed
+    aggregate, availableNow into a complete-mode memory sink.  The
+    oracle is the batch meaning — LEFT JOIN + group by hour/segment —
+    so the gate value-checks the join AND the windowed state together.
+
+    Scale: the static side broadcasts into every micro-batch (no join
+    state, dim updates visible at batch boundaries); aggregate state is
+    (window, tier) cells bounded by the watermark.  This is the shape a
+    real-time segmented-KPI dashboard runs unbounded."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.sources.tables import load_tables
+    from results_ingestor_spark.streaming.events import (
+        enrich_stream_with_users, read_events_stream, run_to_memory)
+    dim = (load_tables(spark, sf_dir, ("customer",))["customer"]
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("tier")))
+    enriched = enrich_stream_with_users(
+        read_events_stream(spark, sf_dir), dim)
+    agg = (enriched
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
+                .cast("double").alias("total_value"))
+           .select(F.col("w.start").alias("window_start"), "tier",
+                   "n", "total_value"))
+    run_to_memory(agg, "streaming_enriched_tier_counts_mem",
+                  output_mode="complete")
+    return spark.table("streaming_enriched_tier_counts_mem")

@@ -237,3 +237,29 @@ def test_corpus_schema_pin_all_tables_all_sfs(spark):
                     f"{sf}/{tname}.{col}: expected {typ}, got "
                     f"{got.get(col)} — corpus regeneration changed the "
                     "physical schema; fix sources/tables.py normalization")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across landed parquet batches — the at-rest
+    reality of any long-lived ingest directory: an early batch lacks a
+    column a later batch adds.  mergeSchema=true unions the schemas
+    (missing columns read as NULL), which is the contract the
+    align_schema operator provides at the frame level, applied at the
+    storage layer."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(f"{base}/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None       # old batch: evolved col → NULL
+    assert rows[2]["score"] == 9.5
+    # default (no merge) keeps reads cheap: one footer's schema wins —
+    # the production default; evolution is an explicit opt-in
+    plain = spark.read.parquet(base)
+    assert set(plain.columns) <= {"id", "name", "score", "batch"}

@@ -532,6 +532,11 @@ def test_cdc_chunks_partitioned_window_no_global_sort(plans):
     assert "windowspecdefinition(doc_id" in p
     assert "Exchange rangepartitioning" not in p  # no global sort
     assert "CartesianProduct" not in p
+    # tokens cross the wire ONCE: the chunk assembly's groupBy(doc_id,
+    # chunk) must reuse the window's doc_id hash partitioning
+    # (HashPartitioning(doc_id) satisfies the clustered distribution on
+    # the superset key), so exactly one doc_id exchange appears
+    assert p.count("Exchange hashpartitioning(doc_id") == 1
 
 
 def test_retrieval_eval_joins_topk_not_corpus(plans):

@@ -111,6 +111,8 @@ WHITELIST_BNLJ = {
         "against the k-bounded top-k table",
     "search_rrf_hybrid": "1-row corpus avgdl broadcast (bm25 contract) "
         "+ broadcast probe vector vs candidates",
+    "streaming_drift_monitor": "1-row baseline-total broadcast "
+        "(psi_per_window's smoothing divisor)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -182,6 +184,9 @@ WHITELIST_GLOBALWIN = {
     "events_max_drawdown": "running-peak windows over the day domain",
     "search_rrf_hybrid": "rank windows over TakeOrdered 50-row lists "
         "(k-bounded by construction; fusion joins two 50-row frames)",
+    "streaming_drift_monitor": "share window is window_start-partitioned "
+        "over the (window, bin) cell table; the SinglePartition exchange "
+        "is the 1-row baseline-total combine",
 }
 
 
@@ -221,4 +226,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
