@@ -1021,3 +1021,114 @@ def quality_classifier_calibration(spark: SparkSession,
                     ((F.col("bin").cast("double") + F.lit(1.0))
                      / F.lit(10.0)).alias("p_hi"),
                     "n_docs", "n_pos", "pos_rate", "mean_z"))
+
+
+def _er_blocking_recall_oracle() -> str:
+    from results_ingestor_spark.operators.election import CONTEST_PRECINCT_SQL
+    return f"""
+WITH RECURSIVE frame AS ({CONTEST_PRECINCT_SQL}),
+recs AS (
+  SELECT DISTINCT candidate, first_name,
+    coalesce(middle_name, '') AS middle_name, last_name
+  FROM frame),
+r AS (
+  SELECT concat_ws('|', candidate, first_name, middle_name, last_name)
+           AS rec_id,
+         first_name, middle_name, last_name
+  FROM recs),
+k AS (
+  SELECT rec_id, first_name, middle_name, last_name,
+    unnest([length(last_name), length(last_name) - 1]) AS nkey
+  FROM r),
+cand AS (
+  SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b,
+    a.last_name AS la, b.last_name AS lb,
+    a.first_name AS fa, b.first_name AS fb,
+    a.middle_name AS ma, b.middle_name AS mb
+  FROM k a JOIN k b ON a.nkey = b.nkey AND a.rec_id < b.rec_id),
+truth AS (
+  SELECT id_a, id_b, la = lb AS caught
+  FROM cand
+  WHERE levenshtein(la, lb) <= 1 AND levenshtein(fa, fb) <= 1
+    AND (ma = mb OR ma = '' OR mb = '')),
+exact_cand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_exact FROM (
+    SELECT 1 FROM r a JOIN r b
+      ON a.last_name = b.last_name AND a.rec_id < b.rec_id)),
+band_cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_band FROM cand)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_records,
+  CAST(COUNT(*) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+  round(CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS recall,
+  (SELECT n_cand_exact FROM exact_cand) AS n_cand_exact,
+  (SELECT n_cand_band FROM band_cand) AS n_cand_band
+FROM truth"""
+
+
+@query("er_blocking_recall", oracle=_er_blocking_recall_oracle())
+def er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the ER pipeline: what fraction of
+    TRUE fuzzy matches (levenshtein ≤ 1 on BOTH names, compatible
+    middles) does the production exact-last-name blocking actually
+    reach?  Ground truth comes from length-band blocking — each record
+    emits keys len(last) and len(last)−1, and levenshtein ≤ 1 implies
+    a length difference ≤ 1, so every true match shares a band key by
+    pigeonhole (the pHash-banding completeness argument): the truth
+    set is COMPLETE yet built from an equi-join, never all-pairs.
+    Reports truth/caught counts, recall, and both blockings' candidate
+    volumes — the recall-vs-cost trade the blocking key is chosen by.
+
+    Scale: the audit runs on the DISTINCT RECORD layer (dim-sized by
+    construction — entity records, not event rows), the same layer the
+    ER pipeline itself pairs on; both blockings are equi-joins."""
+    from results_ingestor_spark.operators.election import (
+        contest_precinct_frame)
+    frame = contest_precinct_frame(spark, sf_dir)
+    recs = (frame.select(
+        "candidate", "first_name",
+        F.coalesce("middle_name", F.lit("")).alias("middle_name"),
+        "last_name").distinct())
+    r = recs.select(
+        F.concat_ws("|", "candidate", "first_name", "middle_name",
+                    "last_name").alias("rec_id"),
+        "first_name", "middle_name", "last_name")
+    k = r.select(
+        "rec_id", "first_name", "middle_name", "last_name",
+        F.explode(F.array(F.length("last_name"),
+                          F.length("last_name") - 1)).alias("nkey"))
+    a = k.select(F.col("nkey"), F.col("rec_id").alias("id_a"),
+                 F.col("last_name").alias("la"),
+                 F.col("first_name").alias("fa"),
+                 F.col("middle_name").alias("ma"))
+    b = k.select(F.col("nkey"), F.col("rec_id").alias("id_b"),
+                 F.col("last_name").alias("lb"),
+                 F.col("first_name").alias("fb"),
+                 F.col("middle_name").alias("mb"))
+    cand = (a.join(b, "nkey")
+            .where(F.col("id_a") < F.col("id_b"))
+            .drop("nkey").distinct())
+    truth = (cand
+             .where(F.levenshtein("la", "lb") <= 1)
+             .where(F.levenshtein("fa", "fb") <= 1)
+             .where((F.col("ma") == F.col("mb"))
+                    | (F.col("ma") == "") | (F.col("mb") == ""))
+             .select((F.col("la") == F.col("lb")).alias("caught")))
+    stats = truth.agg(
+        F.count("*").alias("n_true"),
+        F.sum(F.when(F.col("caught"), 1).otherwise(0)).cast("long")
+        .alias("n_caught"))
+    ra = r.select(F.col("rec_id").alias("id_a"),
+                  F.col("last_name").alias("block"))
+    rb = r.select(F.col("rec_id").alias("id_b"),
+                  F.col("last_name").alias("block"))
+    n_exact = (ra.join(rb, "block").where(F.col("id_a") < F.col("id_b"))
+               .agg(F.count("*").alias("n_cand_exact")))
+    n_band = cand.agg(F.count("*").alias("n_cand_band"))
+    n_recs = r.agg(F.count("*").alias("n_records"))
+    return (n_recs.join(F.broadcast(stats)).join(F.broadcast(n_exact))
+            .join(F.broadcast(n_band))
+            .select("n_records", "n_true", "n_caught",
+                    F.round(F.col("n_caught").cast("double")
+                            / F.col("n_true"), 6).alias("recall"),
+                    "n_cand_exact", "n_cand_band"))

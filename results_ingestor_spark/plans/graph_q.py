@@ -396,3 +396,53 @@ def graph_degree_assortativity(spark: SparkSession,
                     - F.col("sy") * F.col("sy")).cast("double"))
     return s.select(F.col("m").alias("n_edge_ends"),
                     F.round(num / den, 9).alias("assortativity"))
+
+
+@query("graph_adamic_adar_topk", oracle=f"""
+WITH e AS ({_EDGES} HAVING COUNT(*) >= 2),
+sym AS ({_SYM}),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+wedge AS (
+  SELECT s1.v AS a, s2.v AS b,
+    CAST(COUNT(*) AS BIGINT) AS cn,
+    round(SUM(CAST(1 AS DOUBLE) / ln(deg.d)), 9) AS aa
+  FROM sym s1
+  JOIN deg ON deg.u = s1.u AND deg.d >= 2
+  JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY 1, 2)
+SELECT a, b, cn, aa FROM wedge
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
+ORDER BY aa DESC, a, b LIMIT 20""")
+def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the strong co-purchase graph:
+    common neighbors weighted by 1/ln(degree), so a shared HUB counts
+    for little and a shared niche part counts for a lot — the standard
+    fix for common-neighbor counting's popularity bias
+    (`graph_common_neighbors` is the unweighted sibling).  Wedge
+    centers need degree ≥ 2 (ln 1 = 0 would blow up the weight; a
+    degree-1 node can't center a wedge anyway).  Scores are rounded
+    to 9 dp BEFORE ranking (the house libm-ulp rule) with (a, b)
+    tie-breaks, so the top-20 is engine-portable.
+
+    Scale: identical wedge-enumeration budget to common-neighbors —
+    Σ deg² bounded by the weight-threshold blocking; the degree join
+    adds one broadcast of the node-domain degree table."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li, min_weight=2)
+    sym = (edges.select("u", "v")
+           .union(edges.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    s1 = (sym.join(F.broadcast(deg.where(F.col("d") >= 2)), "u")
+          .select(F.col("u").alias("c"), F.col("v").alias("a"), "d"))
+    s2 = sym.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    wedge = (s1.join(s2, "c")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("cn"),
+                  F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 9)
+                  .alias("aa")))
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return (wedge.join(adj, ["a", "b"], "left_anti")
+            .orderBy(F.desc("aa"), F.asc("a"), F.asc("b"))
+            .limit(20))

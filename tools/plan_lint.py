@@ -113,6 +113,8 @@ WHITELIST_BNLJ = {
         "+ broadcast probe vector vs candidates",
     "streaming_drift_monitor": "1-row baseline-total broadcast "
         "(psi_per_window's smoothing divisor)",
+    "er_blocking_recall": "1-row audit-stat combines (the report's "
+        "whole output; both blockings are equi-joins)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
