@@ -1762,3 +1762,194 @@ def stats_ewma_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(w * F.col("yb")) / F.sum(w), 6).alias("yhat"),
                  F.count("*").alias("n_lags"))
             .orderBy("x"))
+
+
+@query("events_seasonal_decompose_daily", oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+tr AS (
+  SELECT d, y,
+    SUM(y) OVER w AS s7,
+    CAST(COUNT(*) OVER w AS BIGINT) AS w7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+full7 AS (
+  SELECT d, y, s7, 7 * y - s7 AS k, isodow(d) - 1 AS dow
+  FROM tr WHERE w7 = 7),
+seas AS (
+  SELECT dow, CAST(SUM(k) AS BIGINT) AS sk,
+    CAST(COUNT(*) AS BIGINT) AS nd
+  FROM full7 GROUP BY dow)
+SELECT d, y,
+  round(CAST(s7 AS DOUBLE) / 7, 9) AS trend,
+  round(CAST(sk AS DOUBLE) / (7 * nd), 9) AS seasonal,
+  round(CAST(k AS DOUBLE) / 7
+        - CAST(sk AS DOUBLE) / (7 * nd), 9) AS resid
+FROM full7 JOIN seas USING (dow)""")
+def events_seasonal_decompose_daily(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event-count
+    series: trend = centered 7-day moving average, seasonal = per-
+    day-of-week mean of the detrended series, residual = remainder —
+    the decomposition behind every 'is Monday really our slow day or
+    is that the trend' question (`events_dow_hour_heatmap` shows the
+    raw grid; this separates it from drift).  Edge days without a full
+    7-day window are dropped (partial-window MAs are biased).
+
+    Exactness: with the full window, 7·detrended = 7y − Σ₇y is an
+    INTEGER, so trend/seasonal/residual are integer ratios with one
+    terminal double division each — no float accumulation anywhere,
+    identical cross-engine.
+
+    Scale: the whole computation lives on the day-domain layer after
+    one hash-agg of the corpus; the MA window and dow join are
+    O(days)."""
+    from pyspark.sql import Window as W
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (ev.groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("y")))
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "y", F.sum("y").over(w).alias("s7"),
+        F.count("*").over(w).alias("w7"))
+    full7 = (tr.where(F.col("w7") == 7)
+             .select("d", "y", "s7",
+                     (F.lit(7) * F.col("y") - F.col("s7")).alias("k"),
+                     F.weekday("d").alias("dow")))
+    seas = (full7.groupBy("dow")
+            .agg(F.sum("k").alias("sk"), F.count("*").alias("nd")))
+    return (full7.join(F.broadcast(seas), "dow")
+            .select("d", "y",
+                    F.round(F.col("s7").cast("double") / 7, 9)
+                    .alias("trend"),
+                    F.round(F.col("sk").cast("double")
+                            / (7 * F.col("nd")), 9).alias("seasonal"),
+                    F.round(F.col("k").cast("double") / 7
+                            - F.col("sk").cast("double")
+                            / (7 * F.col("nd")), 9).alias("resid")))
+
+
+@query("stats_cuped_adjusted_lift", oracle="""
+WITH mid AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE)
+         + to_days(CAST(
+             datediff('day', CAST(date_trunc('day', MIN(ts)) AS DATE),
+                      CAST(date_trunc('day', MAX(ts)) AS DATE)) // 2
+             AS INTEGER)) AS cutover
+  FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+clicks AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE) < cutover
+             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE) >= cutover
+             THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN mid
+  WHERE event_type = 'click' GROUP BY user_id),
+pu AS (
+  SELECT u.user_id, u.user_id % 2 = 1 AS treated,
+    coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+  FROM users u LEFT JOIN clicks c USING (user_id)),
+m AS (
+  SELECT
+    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n1,
+    CAST(SUM(CASE WHEN treated THEN x ELSE 0 END) AS DECIMAL(38,0)) AS sx1,
+    CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS DECIMAL(38,0)) AS sy1,
+    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+         AS DECIMAL(38,0)) AS n0,
+    CAST(SUM(CASE WHEN NOT treated THEN x ELSE 0 END)
+         AS DECIMAL(38,0)) AS sx0,
+    CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END)
+         AS DECIMAL(38,0)) AS sy0
+  FROM pu)
+SELECT CAST(n AS BIGINT) AS n_users,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
+  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS raw_lift,
+  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 9)
+    AS cuped_lift,
+  round((CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE))
+        / (CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS var_reduction
+FROM m""")
+def stats_cuped_adjusted_lift(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    pre-period click counts are the covariate, post-period counts the
+    metric, cutover at the corpus day-midpoint (the DiD entry's
+    convention), deterministic assignment (odd user_id = treated).
+    θ = cov(x,y)/var(x) from n-scaled EXACT integer centered moments
+    (the regression_value_vs_time lesson: center in DECIMAL, divide
+    once in double); the adjusted lift uses the algebraic identity
+    mean(y*) = mean(y) − θ(mean(x) − x̄), so NO per-user doubles are
+    ever summed — group means come from integer sums and the whole
+    readout is five scalar divisions.  var_reduction = ρ²(x,y), the
+    theoretical variance saving CUPED delivers.
+
+    Scale: one user-keyed count agg + one 12-number moment row; the
+    experiment readout is O(1) after the per-user layer, however many
+    users."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mid = ev.agg(
+        F.date_add(
+            F.to_date(F.min("ts")),
+            (F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+             / F.lit(2)).cast("int")).alias("cutover"))
+    users = ev.select("user_id").distinct()
+    clicks = (ev.where(F.col("event_type") == "click")
+              .crossJoin(F.broadcast(mid))
+              .groupBy("user_id")
+              .agg(F.sum(F.when(F.to_date("ts") < F.col("cutover"), 1)
+                         .otherwise(0)).alias("x"),
+                   F.sum(F.when(F.to_date("ts") >= F.col("cutover"), 1)
+                         .otherwise(0)).alias("y")))
+    pu = (users.join(clicks, "user_id", "left")
+          .select((F.col("user_id") % 2 == 1).alias("treated"),
+                  F.coalesce("x", F.lit(0)).alias("x"),
+                  F.coalesce("y", F.lit(0)).alias("y")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pu.agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("x")).alias("sx"), dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        dec(F.sum(F.when(F.col("treated"), 1).otherwise(0))).alias("n1"),
+        dec(F.sum(F.when(F.col("treated"), F.col("x")).otherwise(0)))
+        .alias("sx1"),
+        dec(F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0)))
+        .alias("sy1"),
+        dec(F.sum(F.when(~F.col("treated"), 1).otherwise(0))).alias("n0"),
+        dec(F.sum(F.when(~F.col("treated"), F.col("x")).otherwise(0)))
+        .alias("sx0"),
+        dec(F.sum(F.when(~F.col("treated"), F.col("y")).otherwise(0)))
+        .alias("sy0"))
+    d = lambda c: c.cast("double")  # noqa: E731
+    sxy_c = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    sxx_c = d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    syy_c = d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    theta = sxy_c / sxx_c
+    raw = d(F.col("sy1")) / d(F.col("n1")) - d(F.col("sy0")) / d(F.col("n0"))
+    dx = d(F.col("sx1")) / d(F.col("n1")) - d(F.col("sx0")) / d(F.col("n0"))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(theta, 9).alias("theta"),
+        F.round(raw, 9).alias("raw_lift"),
+        F.round(raw - theta * dx, 9).alias("cuped_lift"),
+        F.round((sxy_c * sxy_c) / (sxx_c * syy_c), 9)
+        .alias("var_reduction"))

@@ -115,6 +115,8 @@ WHITELIST_BNLJ = {
         "(psi_per_window's smoothing divisor)",
     "er_blocking_recall": "1-row audit-stat combines (the report's "
         "whole output; both blockings are equi-joins)",
+    "stats_cuped_adjusted_lift": "1-row cutover-date broadcast (DiD "
+        "convention) + 1-row moment combine",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -189,6 +191,8 @@ WHITELIST_GLOBALWIN = {
     "streaming_drift_monitor": "share window is window_start-partitioned "
         "over the (window, bin) cell table; the SinglePartition exchange "
         "is the 1-row baseline-total combine",
+    "events_seasonal_decompose_daily": "centered-MA window over the "
+        "bounded day domain (same contract as SES/Bollinger)",
 }
 
 
