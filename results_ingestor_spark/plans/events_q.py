@@ -948,3 +948,35 @@ def events_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_conversion_paths"),
         F.size(F.regexp_extract_all("journey", F.lit("e{2,}"), 0))
         .cast("long").alias("n_error_bursts"))
+
+
+@query("dq_freshness_by_type", oracle="""
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+  CAST(epoch_us(m) - epoch_us(MAX(ts)) AS BIGINT) AS staleness_us,
+  CAST(SUM(CASE WHEN ts > m - INTERVAL 24 HOUR THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_last_24h
+FROM events CROSS JOIN mx GROUP BY event_type, m""")
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: per event type, the last event seen, how
+    far it lags the corpus frontier (staleness), and trailing-24h
+    volume — the is-this-feed-still-alive dashboard every ingest
+    pipeline needs (the time twin of `dq_referential_integrity`'s
+    key audit; a type whose staleness grows while others stay at zero
+    is a dead upstream, visible before any count anomaly).
+
+    Scale: one hash-agg over (type) with integer-µs arithmetic; the
+    corpus frontier is a 1-row broadcast."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mx = ev.agg(F.max("ts").alias("m"))
+    return (ev.crossJoin(F.broadcast(mx))
+            .groupBy("event_type", "m")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("ts").alias("last_ts"),
+                 F.sum(F.when(F.col("ts") > F.col("m")
+                              - F.expr("INTERVAL 24 HOURS"), 1)
+                       .otherwise(0)).cast("long").alias("n_last_24h"))
+            .select("event_type", "n_events", "last_ts",
+                    (F.unix_micros("m") - F.unix_micros("last_ts"))
+                    .alias("staleness_us"), "n_last_24h"))

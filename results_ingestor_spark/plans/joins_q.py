@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.asof import (
-    asof_join_backward, range_join_bucketed)
+    asof_join_backward, asof_join_forward, range_join_bucketed)
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -346,3 +346,78 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(credit).cast("decimal(38,6)")
                  .alias("attributed_revenue"))
             .orderBy("channel"))
+
+
+@query("asof_join_nearest_signup", oracle="""
+WITH signups AS (
+  SELECT user_id, ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+purchases AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+bwd AS (
+  SELECT p.user_id, p.ts, s.ts AS b_ts
+  FROM purchases p
+  ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts),
+fwd AS (
+  SELECT p.user_id, p.ts, s.ts AS f_ts
+  FROM purchases p
+  ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts < s.ts)
+SELECT b.user_id, CAST(b.ts AS TIMESTAMP) AS ts,
+  CAST(CASE
+    WHEN b_ts IS NULL THEN f_ts
+    WHEN f_ts IS NULL THEN b_ts
+    WHEN epoch_us(b.ts) - epoch_us(b_ts)
+         <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_ts
+    ELSE f_ts END AS TIMESTAMP) AS matched_ts,
+  CASE
+    WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+    WHEN b_ts IS NULL THEN 'forward'
+    WHEN f_ts IS NULL THEN 'backward'
+    WHEN epoch_us(b.ts) - epoch_us(b_ts)
+         <= epoch_us(f_ts) - epoch_us(b.ts) THEN 'backward'
+    ELSE 'forward' END AS direction
+FROM bwd b JOIN fwd f ON f.user_id = b.user_id AND f.ts = b.ts""")
+def asof_join_nearest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each purchase matched to the closest signup
+    in EITHER direction (ties to the earlier one), completing the
+    as-of family (backward = state as of the event, forward = next
+    action, nearest = best temporal alignment, the sensor-fusion /
+    record-linkage variant).  Composed from the same two carry-window
+    passes the directional entries use, then a per-row min-gap pick —
+    the oracle runs DuckDB's native ASOF both ways and applies the
+    identical tie rule, so two different algorithms must agree.
+
+    Scale: two asof passes = two user-keyed shuffles over (key, ts,
+    payload) rows; the pick is a map stage on the purchase layer."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts").distinct())
+    signups = (ev.where(F.col("event_type") == "signup")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("signup_event_id")))
+    bwd = asof_join_backward(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload={"signup_event_id": "sid_b"}
+    ).select("user_id", "ts", F.col("matched_ts").alias("b_ts"))
+    fwd = asof_join_forward(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload={"signup_event_id": "sid_f"}
+    ).select(F.col("user_id").alias("f_uid"), F.col("ts").alias("f_ts0"),
+             F.col("matched_ts").alias("f_ts"))
+    j = bwd.join(fwd, (F.col("user_id") == F.col("f_uid"))
+                 & (F.col("ts") == F.col("f_ts0")))
+    gap_b = F.unix_micros("ts") - F.unix_micros("b_ts")
+    gap_f = F.unix_micros("f_ts") - F.unix_micros("ts")
+    nearest = (F.when(F.col("b_ts").isNull(), F.col("f_ts"))
+               .when(F.col("f_ts").isNull(), F.col("b_ts"))
+               .when(gap_b <= gap_f, F.col("b_ts"))
+               .otherwise(F.col("f_ts")))
+    direction = (F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(),
+                        F.lit(None).cast("string"))
+                 .when(F.col("b_ts").isNull(), F.lit("forward"))
+                 .when(F.col("f_ts").isNull(), F.lit("backward"))
+                 .when(gap_b <= gap_f, F.lit("backward"))
+                 .otherwise(F.lit("forward")))
+    return j.select("user_id", "ts", nearest.alias("matched_ts"),
+                    direction.alias("direction"))

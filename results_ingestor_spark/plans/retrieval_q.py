@@ -219,3 +219,78 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rrf.alias("rrf"))
             .orderBy(F.desc("rrf"), F.asc("id"))
             .limit(10))
+
+
+_FILT_K = 10        # result depth
+_FILT_OVER = 30     # post-filter over-fetch depth
+
+
+@query("ann_filtered_topk", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    (c.label % 2 = 0) AS allowed,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 5),
+pre AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, cand_id) AS rn
+    FROM s WHERE allowed) WHERE rn <= {_FILT_K}),
+over_fetch AS (
+  SELECT query_id, cand_id, allowed FROM (
+    SELECT query_id, cand_id, allowed,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, cand_id) AS rn
+    FROM s) WHERE rn <= {_FILT_OVER}),
+post AS (
+  SELECT query_id, cand_id FROM over_fetch WHERE allowed)
+SELECT p.query_id,
+  CAST(COUNT(po.cand_id) AS BIGINT) AS n_postfilter_hits,
+  round(CAST(COUNT(po.cand_id) AS DOUBLE) / {_FILT_K}, 6)
+    AS postfilter_recall
+FROM pre p
+LEFT JOIN post po ON po.query_id = p.query_id AND po.cand_id = p.cand_id
+GROUP BY p.query_id""")
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, both ways production systems do it:
+    PRE-filter (restrict candidates to the metadata predicate — here
+    even labels — then exact top-10; always correct) vs POST-filter
+    (take the unfiltered top-30, then apply the predicate; the
+    shortcut engines take when the filter can't push into the index).
+    Reports, per query, how many of the TRUE filtered top-10 the
+    post-filter shortcut recovered — the recall loss is the classic
+    filtered-ANN pitfall: when the predicate is selective, the
+    over-fetched list is exhausted before k survivors appear.
+
+    Scale: two broadcast-probe scans (the ann_cosine_topk budget);
+    the pre-filter restriction pushes into the candidate scan as a
+    data filter — at 100 TB the pre-filter path reads only the
+    predicate's partitions, which is exactly why metadata predicates
+    belong IN the index scan, the fact this entry measures."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    queries = e.where(F.col("vec_id") < 5)
+    allowed = e.where(F.col("label") % 2 == 0)
+    pre = brute_force_topk(allowed, queries, k=_FILT_K) \
+        .select("query_id", "cand_id")
+    over = brute_force_topk(e, queries, k=_FILT_OVER)
+    post = (over.join(F.broadcast(
+                e.select(F.col("vec_id").alias("cand_id"), "label")),
+                "cand_id")
+            .where(F.col("label") % 2 == 0)
+            .select("query_id", "cand_id"))
+    return (pre.join(post.withColumnRenamed("cand_id", "hit_id"),
+                     (pre["query_id"] == post["query_id"])
+                     & (F.col("cand_id") == F.col("hit_id")), "left")
+            .groupBy(pre["query_id"].alias("query_id"))
+            .agg(F.count("hit_id").alias("n_postfilter_hits"),
+                 F.round(F.count("hit_id").cast("double") / _FILT_K, 6)
+                 .alias("postfilter_recall")))

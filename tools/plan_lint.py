@@ -117,6 +117,9 @@ WHITELIST_BNLJ = {
         "whole output; both blockings are equi-joins)",
     "stats_cuped_adjusted_lift": "1-row cutover-date broadcast (DiD "
         "convention) + 1-row moment combine",
+    "dq_freshness_by_type": "1-row corpus-frontier broadcast",
+    "ann_filtered_topk": "broadcast probe-vector set vs candidates "
+        "(ann_cosine_topk contract), both search legs",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
