@@ -88,3 +88,84 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
     probes = pts.where(F.col("point_id") % 100 == 0)
     return knn_within(pts, probes, _KNN_RADIUS, 3)
+
+
+_GF_N = 10      # number of geofence rectangles
+_GF_SIDE = 2000  # rectangle side
+_GF_CELL = 2000  # blocking-grid cell size
+
+_GF_REGIONS = f"""
+  SELECT r AS region_id,
+    ('0x' || substr(md5('rx' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
+      % {10000 - _GF_SIDE} AS rx,
+    ('0x' || substr(md5('ry' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
+      % {10000 - _GF_SIDE} AS ry
+  FROM (SELECT unnest(range(0, {_GF_N})) AS r)"""
+
+
+@query("spatial_geofence_assign", oracle=f"""
+WITH p AS ({_PTS}),
+regions AS ({_GF_REGIONS}),
+rcells AS (
+  SELECT region_id, rx, ry, cx, cy
+  FROM regions,
+  LATERAL (SELECT unnest(range(rx // {_GF_CELL},
+                               (rx + {_GF_SIDE} - 1) // {_GF_CELL} + 1))
+             AS cx),
+  LATERAL (SELECT unnest(range(ry // {_GF_CELL},
+                               (ry + {_GF_SIDE} - 1) // {_GF_CELL} + 1))
+             AS cy)),
+hits AS (
+  SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM p JOIN rcells
+    ON p.x // {_GF_CELL} = rcells.cx AND p.y // {_GF_CELL} = rcells.cy
+   AND p.x >= rx AND p.x < rx + {_GF_SIDE}
+   AND p.y >= ry AND p.y < ry + {_GF_SIDE}
+  GROUP BY region_id)
+SELECT region_id, CAST(rx AS BIGINT) AS rx, CAST(ry AS BIGINT) AS ry,
+  coalesce(n_points, 0) AS n_points
+FROM regions LEFT JOIN hits USING (region_id)""")
+def spatial_geofence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence assignment — count points inside each of 10 md5-derived
+    rectangles — via the scale-safe CELL-BLOCKED containment join: each
+    region explodes into the grid cells it overlaps (≤4 here), points
+    key to their cell, and the join is an EQUI-join on (cx, cy) with an
+    exact integer containment residual.  This is how a geofence join
+    stays a hash join at any scale; the naive form (broadcast rectangle
+    theta-join) degrades to a nested loop whose cost is points×regions.
+    Regions with zero points still report (left join from the region
+    table) — absence is signal in a geofence dashboard.
+
+    Scale: the region-cell table is tiny and broadcast; points shuffle
+    NOWHERE (cell key is computed map-side, the join is broadcast), and
+    the count agg is region-domain."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    pts = _points(spark, sf_dir)
+    r = spark.range(_GF_N).select(
+        F.col("id").cast("long").alias("region_id"),
+        (md5_long(F.concat(F.lit("rx"), F.col("id").cast("string")))
+         % (10000 - _GF_SIDE)).alias("rx"),
+        (md5_long(F.concat(F.lit("ry"), F.col("id").cast("string")))
+         % (10000 - _GF_SIDE)).alias("ry"))
+    rcells = (r.select(
+        "region_id", "rx", "ry",
+        F.explode(F.sequence(
+            F.expr(f"rx div {_GF_CELL}"),
+            F.expr(f"(rx + {_GF_SIDE} - 1) div {_GF_CELL}"))).alias("cx"))
+        .select("region_id", "rx", "ry", "cx",
+                F.explode(F.sequence(
+                    F.expr(f"ry div {_GF_CELL}"),
+                    F.expr(f"(ry + {_GF_SIDE} - 1) div {_GF_CELL}")))
+                .alias("cy")))
+    pc = pts.select("point_id", "x", "y",
+                    F.expr(f"x div {_GF_CELL}").alias("cx"),
+                    F.expr(f"y div {_GF_CELL}").alias("cy"))
+    hits = (pc.join(F.broadcast(rcells), ["cx", "cy"])
+            .where((F.col("x") >= F.col("rx"))
+                   & (F.col("x") < F.col("rx") + _GF_SIDE)
+                   & (F.col("y") >= F.col("ry"))
+                   & (F.col("y") < F.col("ry") + _GF_SIDE))
+            .groupBy("region_id").agg(F.count("*").alias("n_points")))
+    return (r.join(hits, "region_id", "left")
+            .select("region_id", "rx", "ry",
+                    F.coalesce("n_points", F.lit(0)).alias("n_points")))
