@@ -446,3 +446,59 @@ def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wedge.join(adj, ["a", "b"], "left_anti")
             .orderBy(F.desc("aa"), F.asc("a"), F.asc("b"))
             .limit(20))
+
+
+def _sssp_weighted_oracle(rounds: int = 4) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT u, MIN(dist) AS dist FROM (
+    SELECT u, dist FROM {prev}
+    UNION ALL
+    SELECT sym.v AS u, p.dist + sym.w AS dist
+    FROM {prev} p JOIN sym ON sym.u = p.u)
+  GROUP BY u)""")
+        prev = f"d{i}"
+    return f"""
+WITH e AS MATERIALIZED ({_EDGES}),
+sym AS MATERIALIZED (
+  SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+seeds AS (SELECT DISTINCT u FROM sym WHERE u % 199 = 0),
+d0 AS (SELECT u, CAST(0 AS BIGINT) AS dist FROM seeds),{",".join(steps)}
+SELECT u, CAST(dist AS BIGINT) AS dist
+FROM {prev} ORDER BY dist, u LIMIT 50"""
+
+
+@query("graph_sssp_weighted", oracle=_sssp_weighted_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED multi-source shortest paths: 4 bounded Bellman-Ford
+    relaxations where traversing an edge costs its co-purchase weight
+    (the hop-distance entry's sibling; integer costs keep every
+    distance exact, so no float-path ambiguity exists).  Returns the
+    50 closest nodes to the seed set — the landmark-distance shape
+    used for graph embeddings and routing QC.  Each round is one
+    edge-keyed join + a node-keyed min — the shuffle-per-round
+    contract shared by PageRank/LPA/k-core/SSSP; the derived edge list
+    is materialized once (localCheckpoint) so rounds don't re-run the
+    co-purchase self-join.  The oracle unrolls the identical 4
+    relaxations as MATERIALIZED CTEs."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    e = copurchase_edges(li)
+    sym = (e.select("u", "v", "w")
+           .unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"), "w"))
+           .localCheckpoint())
+    dist = (sym.where(F.col("u") % 199 == 0).select("u").distinct()
+            .select("u", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint())
+    for _ in range(4):
+        relaxed = (dist.join(sym, "u")
+                   .select(F.col("v").alias("u"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("u").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return (dist.select("u", F.col("dist").cast("long").alias("dist"))
+            .orderBy("dist", "u").limit(50))
