@@ -980,3 +980,47 @@ def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_events", "last_ts",
                     (F.unix_micros("m") - F.unix_micros("last_ts"))
                     .alias("staleness_us"), "n_last_24h"))
+
+
+@query("events_stickiness_dau_mau", oracle="""
+WITH days AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1),
+tw AS (
+  SELECT d.d, d.dau,
+    (SELECT CAST(COUNT(DISTINCT e.user_id) AS BIGINT) FROM events e
+     WHERE CAST(date_trunc('day', e.ts) AS DATE)
+           BETWEEN d.d - 27 AND d.d) AS mau
+  FROM days d)
+SELECT d, dau, mau,
+  round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+FROM tw""")
+def events_stickiness_dau_mau(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — daily actives over trailing-28-day
+    actives, the engagement ratio product teams steer by (1.0 = every
+    monthly user shows up daily; the growth-accounting entry explains
+    WHO moved, this says how habitual the base is).  Trailing distinct
+    counts don't decompose over days (distinct isn't additive), so each
+    deduplicated (user, day) row EXPLODES into the 28 anchor days it
+    contributes to, and MAU is a per-anchor distinct count over an
+    EQUI-join — at corpus scale the documented swap is per-day
+    HLL sketches merged over the trailing window
+    (`distinct_users_cumulative_hll` holds that pattern).
+
+    Scale: the (user, day) layer is one dedup agg; the explode is a
+    bounded ×28 map stage and the join is day-keyed; DAU/MAU exact."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 27)))
+        .alias("ad"))
+    mau = (contrib.join(days.select(F.col("d").alias("ad"), "dau"), "ad")
+           .groupBy("ad", "dau")
+           .agg(F.countDistinct("user_id").alias("mau")))
+    return mau.select(F.col("ad").alias("d"), "dau", "mau",
+                      F.round(F.col("dau").cast("double")
+                              / F.col("mau"), 6).alias("stickiness"))
