@@ -276,3 +276,41 @@ def streaming_enriched_tier_counts(spark: SparkSession,
     run_to_memory(agg, "streaming_enriched_tier_counts_mem",
                   output_mode="complete")
     return spark.table("streaming_enriched_tier_counts_mem")
+
+
+@query("streaming_stateful_user_totals", oracle="""
+SELECT user_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS DOUBLE) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id""")
+def streaming_stateful_user_totals(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The CUSTOM-stateful escape hatch run for real: per-user running
+    totals via ``applyInPandasWithState`` (Arrow-batched Python state,
+    `streaming/events.py::running_user_totals`), availableNow replay,
+    update-mode memory sink — the code path an operator takes when its
+    state logic doesn't fit the built-in aggregates.  The value column
+    is projected to integer CENTS before the stateful op, so the
+    pandas float accumulation is exact int64 arithmetic and the
+    emitted totals are value-checkable against the batch aggregate
+    regardless of row arrival order (a raw double sum would be 1-ulp
+    order-sensitive).  Single-batch replay means each user's one
+    update row IS the final total; the oracle is the batch meaning.
+
+    Scale: state is (total, n) per user — two numbers, evicted by the
+    processing-time timeout in continuous deployments (timeout armed
+    only outside availableNow runs, see the helper's docstring)."""
+    from pyspark.sql import functions as F
+
+    from results_ingestor_spark.streaming.events import (
+        read_events_stream, run_to_memory, running_user_totals)
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long").alias("value"))
+    totals = running_user_totals(ev)
+    run_to_memory(totals, "streaming_stateful_user_totals_mem",
+                  output_mode="update")
+    return (spark.table("streaming_stateful_user_totals_mem")
+            .select("user_id", F.col("total").cast("double").alias("total"),
+                    F.col("n").cast("long").alias("n")))
