@@ -1132,3 +1132,118 @@ def er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_caught").cast("double")
                             / F.col("n_true"), 6).alias("recall"),
                     "n_cand_exact", "n_cand_band"))
+
+
+def _fs_oracle() -> str:
+    from results_ingestor_spark.operators.election import CONTEST_PRECINCT_SQL
+    return f"""
+WITH frame AS ({CONTEST_PRECINCT_SQL}),
+recs AS (
+  SELECT DISTINCT candidate, first_name,
+    coalesce(middle_name, '') AS middle_name, last_name
+  FROM frame),
+r AS (
+  SELECT concat_ws('|', candidate, first_name, middle_name, last_name)
+           AS rec_id,
+         first_name, middle_name, last_name
+  FROM recs),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+uf AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS ssq FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY first_name)),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+       FROM r WHERE middle_name <> ''),
+um AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS ssq FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r
+    WHERE middle_name <> '' GROUP BY middle_name)),
+w AS (
+  SELECT
+    log2(0.95 / (CAST(uf.ssq AS DOUBLE) / (nf.n * nf.n))) AS wa_f,
+    log2(0.05 / (1.0 - CAST(uf.ssq AS DOUBLE) / (nf.n * nf.n))) AS wd_f,
+    log2(0.90 / (CAST(um.ssq AS DOUBLE) / (nm.m * nm.m))) AS wa_m,
+    log2(0.10 / (1.0 - CAST(um.ssq AS DOUBLE) / (nm.m * nm.m))) AS wd_m
+  FROM nf, uf, nm, um)
+SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+  concat(CASE WHEN a.first_name = b.first_name THEN 'F' ELSE 'f' END,
+         CASE WHEN a.middle_name = '' OR b.middle_name = '' THEN '.'
+              WHEN a.middle_name = b.middle_name THEN 'M' ELSE 'm' END)
+    AS pattern,
+  round(CASE WHEN a.first_name = b.first_name THEN w.wa_f
+             ELSE w.wd_f END
+        + CASE WHEN a.middle_name = '' OR b.middle_name = '' THEN 0.0
+               WHEN a.middle_name = b.middle_name THEN w.wa_m
+               ELSE w.wd_m END, 6) AS fs_score
+FROM r a JOIN r b
+  ON a.last_name = b.last_name AND a.rec_id < b.rec_id
+CROSS JOIN w
+ORDER BY fs_score DESC, id_a, id_b LIMIT 100"""
+
+
+@query("er_fellegi_sunter_scores", oracle=_fs_oracle())
+def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record-linkage scoring (Fellegi-Sunter 1969) over
+    the blocked candidate-name pairs: each compared field contributes
+    log2(m/u) on agreement and log2((1-m)/(1-u)) on disagreement,
+    where m is the fixed within-match agreement rate (0.95 first name,
+    0.90 middle) and u — the chance two RANDOM records agree — is
+    estimated from the data as the sum of squared marginal frequencies
+    (exact integer sums, one double division).  Middle names are
+    compared only when both present ('.' in the pattern otherwise),
+    the standard missing-field treatment.  Replaces the hard
+    accept/reject rule of er_candidate_records with a calibrated
+    match weight a clerical-review queue can threshold.
+
+    Scale: blocking on last_name bounds the pair join exactly as in
+    the CC entry; the four u-statistics are integer hash aggregates
+    whose 1-row results broadcast onto the pair stream, so scoring is
+    map-only after the blocked join."""
+    from results_ingestor_spark.operators.election import (
+        contest_precinct_frame)
+    frame = contest_precinct_frame(spark, sf_dir)
+    recs = (frame.select(
+        "candidate", "first_name",
+        F.coalesce("middle_name", F.lit("")).alias("middle_name"),
+        "last_name").distinct())
+    r = recs.select(
+        F.concat_ws("|", "candidate", "first_name", "middle_name",
+                    "last_name").alias("rec_id"),
+        "first_name", "middle_name", "last_name")
+    n = r.agg(F.count("*").alias("n"))
+    uf = (r.groupBy("first_name").agg(F.count("*").alias("c"))
+          .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq_f")))
+    mid = r.where(F.col("middle_name") != "")
+    nm = mid.agg(F.count("*").alias("m"))
+    um = (mid.groupBy("middle_name").agg(F.count("*").alias("c"))
+          .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq_m")))
+    u_f = F.col("ssq_f").cast("double") / (F.col("n") * F.col("n"))
+    u_m = F.col("ssq_m").cast("double") / (F.col("m") * F.col("m"))
+    w = (n.crossJoin(F.broadcast(uf)).crossJoin(F.broadcast(nm))
+         .crossJoin(F.broadcast(um))
+         .select(F.log2(0.95 / u_f).alias("wa_f"),
+                 F.log2(0.05 / (1.0 - u_f)).alias("wd_f"),
+                 F.log2(0.90 / u_m).alias("wa_m"),
+                 F.log2(0.10 / (1.0 - u_m)).alias("wd_m")))
+    a = r.select(F.col("rec_id").alias("id_a"),
+                 F.col("first_name").alias("fa"),
+                 F.col("middle_name").alias("ma"),
+                 F.col("last_name").alias("block"))
+    b = r.select(F.col("rec_id").alias("id_b"),
+                 F.col("first_name").alias("fb"),
+                 F.col("middle_name").alias("mb"),
+                 F.col("last_name").alias("block"))
+    first_eq = F.col("fa") == F.col("fb")
+    mid_missing = (F.col("ma") == "") | (F.col("mb") == "")
+    mid_eq = F.col("ma") == F.col("mb")
+    pattern = F.concat(
+        F.when(first_eq, F.lit("F")).otherwise(F.lit("f")),
+        F.when(mid_missing, F.lit("."))
+         .when(mid_eq, F.lit("M")).otherwise(F.lit("m")))
+    score = (F.when(first_eq, F.col("wa_f")).otherwise(F.col("wd_f"))
+             + F.when(mid_missing, F.lit(0.0))
+                .when(mid_eq, F.col("wa_m")).otherwise(F.col("wd_m")))
+    return (a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
+            .crossJoin(F.broadcast(w))
+            .select("id_a", "id_b", pattern.alias("pattern"),
+                    F.round(score, 6).alias("fs_score"))
+            .orderBy(F.desc("fs_score"), "id_a", "id_b").limit(100))

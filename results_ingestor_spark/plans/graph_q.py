@@ -502,3 +502,69 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint())
     return (dist.select("u", F.col("dist").cast("long").alias("dist"))
             .orderBy("dist", "u").limit(50))
+
+
+@query("graph_local_clustering", oracle=f"""
+WITH e AS ({_EDGES}),
+es AS (SELECT u, v FROM e WHERE w >= 2),
+sym AS (SELECT u, v FROM es UNION ALL SELECT v, u FROM es),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT e1.u AS node FROM es e1
+      JOIN es e2 ON e1.v = e2.u
+      JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v FROM es e1
+      JOIN es e2 ON e1.v = e2.u
+      JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e2.v FROM es e1
+      JOIN es e2 ON e1.v = e2.u
+      JOIN es e3 ON e3.u = e1.u AND e3.v = e2.v) hits
+  GROUP BY node)
+SELECT deg.u AS node, deg.d AS degree,
+  CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+  round(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1.0)), 9) AS lcc
+FROM deg LEFT JOIN tri ON deg.u = tri.node
+WHERE deg.d >= 2
+ORDER BY lcc DESC, degree DESC, node LIMIT 100""")
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the strong
+    (weight >= 2) co-purchase graph: lcc(v) = 2*tri(v) / (d(v)*(d(v)-1))
+    — how close each node's neighborhood is to a clique, the standard
+    community-cohesion signal (Watts-Strogatz).  Triangles are
+    enumerated ONCE on the low<high oriented strong edge list (the
+    same canonical three-edge join as the global census) and each
+    match credits its three corners; integer counts divide once in
+    doubles.  Top-100 by (lcc, degree, node) — a unique ordering.
+
+    Scale: the weight threshold is the blocking knob that bounds the
+    wedge join (Σ deg² on the sparse graph); at larger scale the
+    degree-ordered orientation bounds fan-out by arboricity with the
+    identical plan shape.  Output is TakeOrdered — no global sort."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    es = copurchase_edges(li, min_weight=2).select("u", "v")
+    deg = degrees(es).withColumnRenamed("u", "node") \
+        .withColumnRenamed("d", "degree")
+    e1 = es.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = es.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = es.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (e1.join(e2, F.col("b") == F.col("b2"))
+            .join(e3, (F.col("a") == F.col("a3"))
+                  & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c"))
+    hits = (tris.select(F.col("a").alias("node"))
+            .unionAll(tris.select(F.col("b").alias("node")))
+            .unionAll(tris.select(F.col("c").alias("node"))))
+    t = hits.groupBy("node").agg(F.count("*").alias("t"))
+    lcc = (2.0 * F.coalesce(F.col("t"), F.lit(0))
+           / (F.col("degree") * (F.col("degree") - 1.0)))
+    return (deg.join(t, "node", "left")
+            .where(F.col("degree") >= 2)
+            .select("node", "degree",
+                    F.coalesce(F.col("t"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.round(lcc, 9).alias("lcc"))
+            .orderBy(F.desc("lcc"), F.desc("degree"), F.asc("node"))
+            .limit(100))

@@ -1165,3 +1165,47 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cur.alias("n_curated"),
                     F.round(cur.cast("double") / F.col("n_ingested"), 9)
                     .alias("yield_pct")))
+
+
+@query("privacy_dp_noisy_counts", oracle="""
+WITH grp AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+draw AS (
+  SELECT lang, source, n,
+    (2 * ('0x' || substr(md5('dp1:' || lang || ':' || source), 1, 13))
+           ::BIGINT + 1) / 9007199254740992.0 AS u
+  FROM grp)
+SELECT lang, source,
+  round(n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+            * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+FROM draw ORDER BY lang, source""")
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-differentially-private release of the per-(lang, source)
+    document counts via the Laplace mechanism (Dwork et al. 2006):
+    each cell adds Laplace(b = sensitivity/epsilon) noise with
+    sensitivity 1 (one document lands in exactly one cell) and
+    epsilon = 1.  The draw is the inverse-CDF transform
+    x = -b*sign(u-.5)*ln(1-2|u-.5|) of a uniform derived from
+    md5(cell key), so the mechanism is replayable: u = (2h+1)/2^53
+    with h the first 13 hex chars (52 bits) — exactly representable,
+    never 0 or 1, so ln() stays finite.  A real release would use a
+    fresh seed per publication; the deterministic seed here is what
+    makes the gate value-checkable.
+
+    Scale: one hash aggregate on the (lang, source) cell tuple
+    (map-side combine; output bounded by the domain, not the corpus)
+    and a map-only noise expression — bodies never move, and the
+    mechanism adds zero shuffles."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    grp = (t["documents"].groupBy("lang", "source")
+           .agg(F.count("*").alias("n")))
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit("dp1"), F.col("lang"),
+                          F.col("source"))), 1, 13), 16, 10).cast("bigint")
+    u = (2 * h + 1) / F.lit(float(1 << 53))
+    noise = (F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+             * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
+    return (grp.select("lang", "source",
+                       F.round(F.col("n") - noise, 6).alias("noisy_count"))
+            .orderBy("lang", "source"))

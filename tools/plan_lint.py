@@ -62,6 +62,10 @@ WHITELIST_BNLJ = {
     "events_gap_distribution": "1-row gap-total broadcast combine",
     "events_changepoint_hourly": "1-row global-moment broadcast combine",
     "customers_at_risk_churn": "1-row corpus-horizon broadcast",
+    "feature_target_encoding_loo": "1-row grand-mean broadcast; the "
+        "segment stats join is a broadcast equi-join",
+    "er_fellegi_sunter_scores": "1-row m/u weight broadcast; the pair "
+        "join itself is blocked on last_name",
     "survival_km_signup_to_purchase": "1-row horizon + subject-total "
         "broadcasts",
     "events_markov_stationary": "1-row state-count broadcast; the "
