@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.similarity import (
@@ -958,3 +958,145 @@ def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tok_id"), "embedding")
     return maxsim_topk(e.where(F.col("doc_id") >= 2),
                        e.where(F.col("doc_id") < 2), k=10)
+
+
+@query("ann_dim_truncation_recall", oracle=f"""
+WITH nf AS ({_NORM_SQL}),
+tr AS (
+  SELECT vec_id, embedding[1:16] AS emb16 FROM embeddings),
+nt AS (
+  SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       FROM (SELECT unnest(emb16) AS x))) AS nrm
+  FROM tr),
+full_s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN nf nq ON nq.vec_id = q.vec_id
+  JOIN nf nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 5),
+full_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rn
+    FROM full_s) WHERE rn <= 10),
+tr_s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.emb16) AS xa, unnest(c.emb16) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM tr q
+  JOIN tr c ON q.vec_id <> c.vec_id
+  JOIN nt nq ON nq.vec_id = q.vec_id
+  JOIN nt nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 5),
+tr_k AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rn
+    FROM tr_s) WHERE rn <= 10)
+SELECT f.query_id,
+  CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits,
+  round(COUNT(t.cand_id) / 10.0, 6) AS recall_at_10
+FROM full_k f LEFT JOIN tr_k t
+  ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+GROUP BY f.query_id ORDER BY f.query_id""")
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: how much of the
+    exact full-dimension (64-d) top-10 neighborhood survives when the
+    index stores only the FIRST 16 dimensions — the storage/recall
+    trade every embedding pipeline prices before shipping a truncated
+    index (4x smaller vectors, quarter the dot-product FLOPs).
+    Computes both exact rankings in-plan and reports per-probe
+    recall@10 of the truncated ranking against the full one.
+
+    Scale: both legs are the whitelisted broadcast-probe brute-force
+    shape (probe set bounded by construction); the truncated leg's
+    slice happens map-side before the join, so it moves 16 floats, not
+    64.  The recall join is per-probe k-bounded (10 rows a side)."""
+    from results_ingestor_spark.operators.similarity import brute_force_topk
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = e16.where(F.col("vec_id") < 5)
+    full_k = brute_force_topk(e, q, k=10)
+    tr_k = brute_force_topk(e16, q16, k=10)
+    matched = (full_k.select("query_id", "cand_id")
+               .join(tr_k.select("query_id", "cand_id",
+                                 F.lit(1).alias("hit")),
+                     ["query_id", "cand_id"], "left"))
+    return (matched.groupBy("query_id")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("n_hits"),
+                 F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0), 6)
+                 .alias("recall_at_10"))
+            .orderBy("query_id"))
+
+
+@query("knn_label_accuracy", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+    c.vec_id AS cand_id, c.label AS cand_label,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 20),
+topk AS (
+  SELECT query_id, true_label, cand_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rn
+    FROM s) WHERE rn <= 10),
+votes AS (
+  SELECT query_id, true_label, cand_label,
+    CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, true_label, cand_label),
+pred AS (
+  SELECT query_id, true_label, cand_label AS pred_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, cand_label) AS rn
+    FROM votes) WHERE rn = 1)
+SELECT query_id, true_label, pred_label, n_votes,
+  pred_label = true_label AS correct
+FROM pred ORDER BY query_id""")
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label agreement in embedding space: for each probe vector,
+    the majority label among its 10 exact nearest neighbors vs its own
+    label — the standard embedding-quality / label-noise diagnostic (a
+    probe whose neighborhood votes against it is either mislabeled or
+    sits on a class boundary).  Majority ties break toward the
+    smallest label id, mirrored exactly in the oracle.
+
+    Scale: the probe set is bounded by construction (broadcast
+    brute-force leg, the whitelisted ANN shape); voting is a k-bounded
+    per-probe aggregate, so everything after the similarity join
+    touches at most probes x k rows."""
+    from results_ingestor_spark.operators.similarity import brute_force_topk
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 20)
+    topk = brute_force_topk(e, q, k=10)
+    lab = (topk.join(e.select(F.col("vec_id").alias("query_id"),
+                              F.col("label").alias("true_label")),
+                     "query_id")
+           .join(e.select(F.col("vec_id").alias("cand_id"),
+                          F.col("label").alias("cand_label")), "cand_id"))
+    votes = (lab.groupBy("query_id", "true_label", "cand_label")
+             .agg(F.count("*").alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label"))
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", "true_label",
+                    F.col("cand_label").alias("pred_label"), "n_votes",
+                    (F.col("cand_label") == F.col("true_label"))
+                    .alias("correct"))
+            .orderBy("query_id"))

@@ -1117,3 +1117,84 @@ def tokenizer_fertility_by_lang(spark: SparkSession,
                  .alias("fertility"),
                  F.round(F.sum("c").cast("double") / F.sum("b"), 6)
                  .alias("chars_per_token")))
+
+
+@query("text_rake_keywords", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk),
+ns AS (
+  SELECT doc_id, t[i] AS w, i,
+    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM pos WHERE t[i] NOT IN ({_STOP_LIST})),
+phr AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen,
+    string_agg(w, ' ' ORDER BY i) AS ptext
+  FROM ns GROUP BY doc_id, grp
+  HAVING COUNT(*) <= 4),
+inst AS (SELECT ns.w, phr.plen FROM ns
+         JOIN phr ON ns.doc_id = phr.doc_id AND ns.grp = phr.grp),
+ws AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(plen) AS BIGINT) AS deg
+  FROM inst GROUP BY w),
+dist AS (
+  SELECT ptext, plen, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM phr GROUP BY ptext, plen),
+pw AS (SELECT ptext, unnest(string_split(ptext, ' ')) AS w FROM dist),
+terms AS (
+  SELECT pw.ptext, CAST(ws.deg AS DOUBLE) / ws.freq AS term
+  FROM pw JOIN ws ON pw.w = ws.w),
+scored AS (
+  SELECT ptext,
+    round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6)
+      AS rake_score
+  FROM terms GROUP BY ptext)
+SELECT d.ptext AS keyword, d.plen, d.n_occ, s.rake_score
+FROM dist d JOIN scored s ON d.ptext = s.ptext
+ORDER BY rake_score DESC, keyword LIMIT 50""")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (length <= 4); each word
+    scores deg(w)/freq(w) — degree counts co-membership weight (sum of
+    phrase lengths it appears in), frequency its raw instance count —
+    and a phrase scores the sum over its words.  Top-50 corpus
+    keywords by score.  The per-phrase double sum folds LEFT over the
+    SORTED term list in both engines (Spark ``aggregate`` /
+    DuckDB ``list_reduce``), so the float accumulation order is
+    pinned; terms themselves are one exact-integer division each.
+
+    Scale: phrase assembly is a per-doc window (doc-bounded
+    partitions), word stats are hash aggregates on the vocabulary, and
+    the phrase-word join is vocabulary-keyed — no step carries
+    unbounded state, and the final top-50 is TakeOrdered."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = t["documents"].select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
+    wseq = Window.partitionBy("doc_id").orderBy("i")
+    ns = (tk.where(~F.col("w").isin(*sorted(STOPWORDS)))
+          .withColumn("grp", F.col("i") - F.row_number().over(wseq)))
+    phr = (ns.groupBy("doc_id", "grp")
+           .agg(F.count("*").alias("plen"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "w"))),
+                        lambda s: s["w"]), " ").alias("ptext"))
+           .where(F.col("plen") <= 4))
+    inst = ns.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    ws = (inst.groupBy("w")
+          .agg(F.count("*").alias("freq"),
+               F.sum("plen").cast("long").alias("deg")))
+    dist = (phr.groupBy("ptext", "plen")
+            .agg(F.count("*").alias("n_occ")))
+    pw = dist.select("ptext", F.explode(F.split("ptext", " ")).alias("w"))
+    terms = pw.join(ws, "w").select(
+        "ptext", (F.col("deg").cast("double") / F.col("freq")).alias("term"))
+    scored = (terms.groupBy("ptext")
+              .agg(F.round(
+                  F.aggregate(F.array_sort(F.collect_list("term")),
+                              F.lit(0.0), lambda a, x: a + x), 6)
+                  .alias("rake_score")))
+    return (dist.join(scored, "ptext")
+            .select(F.col("ptext").alias("keyword"), "plen", "n_occ",
+                    "rake_score")
+            .orderBy(F.desc("rake_score"), "keyword").limit(50))

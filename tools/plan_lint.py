@@ -88,6 +88,10 @@ WHITELIST_BNLJ = {
     "ann_maxsim_topk": "broadcast query-token matrix vs candidate tokens "
         "(late-interaction rerank; probe side bounded by construction)",
     "ann_ivf_recall_check": "recall gate joins two top-k lists per probe",
+    "ann_dim_truncation_recall": "recall gate joins two brute-force "
+        "top-k lists; probe set bounded by construction",
+    "knn_label_accuracy": "broadcast probe set brute-force leg; voting "
+        "is probes x k bounded",
     "ann_pq_adc_recall_check": "recall gate joins two top-k lists per probe",
     "ann_ivf_tuning_curve": "broadcast probe set per nprobe sweep; each "
         "leg is the whitelisted ivf/brute-force probe join",
