@@ -343,3 +343,65 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("total_dec").cast("double").alias("total"),
                      "mn", "mx", same.alias("matches_direct"))
             .orderBy("event_type"))
+
+
+@query("incremental_join_view_merge", oracle="""
+WITH enr AS (
+  SELECT n.n_name, o.o_orderdate,
+    CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(y) AS DOUBLE) AS revenue,
+  TRUE AS matches_direct
+FROM enr GROUP BY n_name ORDER BY n_name""")
+def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view — the step up
+    from incremental_agg_merge's single-table case: the materialized
+    view revenue-per-nation (orders x customer x nation) is split into
+    the state built from history (orderdate < 1997-01-01) and the
+    delta from the new batch (>= 1997-01-01); the delta is enriched
+    through the SAME dimension joins and algebraically merged
+    (count+count, decimal sum+sum).  The plan verifies merged ==
+    direct recompute per nation (`matches_direct`, bit-exact because
+    sums are DECIMAL) — the IVM contract that lets a nightly 100 TB
+    pipeline join-enrich only the new partition, never re-scanning
+    order history.
+
+    Scale: both legs broadcast the dims; the delta leg's fact scan is
+    partition-pruned by the date predicate (the pushed filter is the
+    whole point); merge cost is O(|nation|), not O(history)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    cust = (t["customer"].join(F.broadcast(t["nation"]),
+                               t["customer"].c_nationkey
+                               == t["nation"].n_nationkey)
+            .select("c_custkey", "n_name"))
+    enr = (t["orders"].join(cust,
+                            t["orders"].o_custkey == cust.c_custkey)
+           .select("n_name", "o_orderdate",
+                   F.col("o_totalprice").cast("decimal(18,2)").alias("y")))
+    cut = F.lit("1997-01-01").cast("date")
+    base = (enr.where(F.col("o_orderdate") < cut)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("bn"), F.sum("y").alias("bs")))
+    delta = (enr.where(F.col("o_orderdate") >= cut)
+             .groupBy("n_name")
+             .agg(F.count("*").alias("dn"), F.sum("y").alias("ds")))
+    merged = (base.select("n_name", F.col("bn").alias("pn"),
+                          F.col("bs").alias("ps"))
+              .unionByName(delta.select("n_name",
+                                        F.col("dn").alias("pn"),
+                                        F.col("ds").alias("ps")))
+              .groupBy("n_name")
+              .agg(F.sum("pn").cast("long").alias("n_orders"),
+                   F.sum("ps").alias("rev_dec")))
+    direct = (enr.groupBy(F.col("n_name").alias("nn2"))
+              .agg(F.count("*").alias("xn"), F.sum("y").alias("xs")))
+    j = merged.join(direct, merged.n_name == direct.nn2)
+    same = ((F.col("n_orders") == F.col("xn"))
+            & (F.col("rev_dec") == F.col("xs")))
+    return (j.select("n_name", "n_orders",
+                     F.col("rev_dec").cast("double").alias("revenue"),
+                     same.alias("matches_direct"))
+            .orderBy("n_name"))

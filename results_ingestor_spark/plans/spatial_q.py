@@ -169,3 +169,58 @@ def spatial_geofence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.join(hits, "region_id", "left")
             .select("region_id", "rx", "ry",
                     F.coalesce("n_points", F.lit(0)).alias("n_points")))
+
+
+@query("spatial_grid_density_hotspots", oracle=f"""
+WITH p AS ({_PTS}),
+cell AS (
+  SELECT x // 100 AS cx, y // 100 AS cy,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2),
+smear AS (
+  SELECT cell.cx + dx.d AS cx, cell.cy + dy.d AS cy, cell.n
+  FROM cell
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+  WHERE cell.cx + dx.d BETWEEN 0 AND 99
+    AND cell.cy + dy.d BETWEEN 0 AND 99),
+sm AS (
+  SELECT cx, cy, CAST(SUM(n) AS BIGINT) AS smoothed
+  FROM smear GROUP BY cx, cy)
+SELECT sm.cx, sm.cy, COALESCE(cell.n, 0) AS n_points, sm.smoothed
+FROM sm LEFT JOIN cell ON sm.cx = cell.cx AND sm.cy = cell.cy
+ORDER BY smoothed DESC, sm.cx, sm.cy LIMIT 20""")
+def spatial_grid_density_hotspots(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Grid-density hotspot detection (kernel-density-lite): bucket the
+    synthetic point cloud into 100x100 cells, then smooth each cell
+    with its 3x3 neighborhood sum — the box-kernel convolution that
+    turns raw per-cell counts into a hotspot surface robust to cell
+    boundaries.  The smear is map-side (each cell emits <= 9 offset
+    copies of its COUNT, never its points), so the convolution costs
+    9 x |cells|, independent of point count.  Top-20 by (smoothed,
+    cx, cy) — unique ordering, exact integers throughout.
+
+    Scale: two hash aggregates, both bounded by the grid (10^4 cells),
+    after a map-only cell assignment of the points — the shuffles
+    carry cell counts, not points, at any corpus size."""
+    pts = _points(spark, sf_dir)
+    cell = (pts.select((F.col("x") / 100).cast("long").alias("cx"),
+                       (F.col("y") / 100).cast("long").alias("cy"))
+            .groupBy("cx", "cy").agg(F.count("*").alias("n")))
+    offs = F.sequence(F.lit(-1), F.lit(1))
+    smear = (cell.select("cx", "cy", "n",
+                         F.explode(offs).alias("dx"))
+             .select("cx", "cy", "n", "dx", F.explode(offs).alias("dy"))
+             .select((F.col("cx") + F.col("dx")).alias("tx"),
+                     (F.col("cy") + F.col("dy")).alias("ty"), "n")
+             .where(F.col("tx").between(0, 99)
+                    & F.col("ty").between(0, 99)))
+    sm = (smear.groupBy(F.col("tx").alias("scx"), F.col("ty").alias("scy"))
+          .agg(F.sum("n").cast("long").alias("smoothed")))
+    return (sm.join(cell, (sm.scx == cell.cx) & (sm.scy == cell.cy),
+                    "left")
+            .select(F.col("scx").alias("cx"), F.col("scy").alias("cy"),
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_points"), "smoothed")
+            .orderBy(F.desc("smoothed"), "cx", "cy").limit(20))

@@ -1198,3 +1198,44 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("ptext").alias("keyword"), "plen", "n_occ",
                     "rake_score")
             .orderBy(F.desc("rake_score"), "keyword").limit(50))
+
+
+@query("text_langid_confusion", oracle=f"""
+WITH pred AS (
+  SELECT lang, {_PRED_SQL} AS predicted
+  FROM (SELECT lang, {_SCORES_SQL} FROM documents)),
+cell AS (
+  SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, predicted),
+tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS support FROM cell GROUP BY lang)
+SELECT c.lang, c.predicted, c.n, t.support,
+  round(CAST(c.n AS DOUBLE) / t.support, 6) AS row_share,
+  c.lang = c.predicted AS on_diagonal
+FROM cell c JOIN tot t ON c.lang = t.lang
+ORDER BY c.lang, c.predicted""")
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic: true label
+    (the corpus `lang` column) vs the marker-score argmax prediction,
+    with per-true-language support and row share — the evaluation
+    artifact that turns text_langid from a scorer into a measured
+    classifier (which languages bleed into which, and how hard).
+    Counts are exact integers; the one ratio divides once.
+
+    Scale: the classifier is a map-only expression; the matrix is a
+    hash aggregate bounded by langs² cells, and the support join is a
+    broadcast of the lang-domain totals."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = t["documents"].select("lang", *lang_scores())
+    pred = scored.select("lang", lang_predict().alias("predicted"))
+    cell = (pred.groupBy("lang", "predicted")
+            .agg(F.count("*").alias("n")))
+    tot = cell.groupBy(F.col("lang").alias("lg")).agg(
+        F.sum("n").cast("long").alias("support"))
+    return (cell.join(F.broadcast(tot), cell.lang == tot.lg)
+            .select("lang", "predicted", "n", "support",
+                    F.round(F.col("n").cast("double")
+                            / F.col("support"), 6).alias("row_share"),
+                    (F.col("lang") == F.col("predicted"))
+                    .alias("on_diagonal"))
+            .orderBy("lang", "predicted"))
