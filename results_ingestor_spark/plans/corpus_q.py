@@ -1247,3 +1247,76 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", pattern.alias("pattern"),
                     F.round(score, 6).alias("fs_score"))
             .orderBy(F.desc("fs_score"), "id_a", "id_b").limit(100))
+
+
+def _grad_match_oracle() -> str:
+    """Replay the GD chain to the final weights, compute the
+    validation-set gradient (doc_id % 19 == 0) with the trainer's own
+    round-9 quantization, then score every document by the dot product
+    of its per-example gradient with the validation gradient."""
+    js = range(_N_FEAT)
+    parts = _gd_chain()
+    z = " + ".join(f"f.x{j} * w.w{j}" for j in js)
+    gv = ", ".join(
+        f"round(avg((p - y) * x{j}), 9) AS g{j}" for j in js)
+    dot = " + ".join(f"(s.p - s.y) * s.x{j} * g.g{j}" for j in js)
+    return (",\n".join(parts) + f""",
+vp AS (
+  SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p
+  FROM feat f CROSS JOIN wt{_GD_ITERS} w
+  WHERE f.doc_id % 19 = 0),
+gv AS (SELECT {gv} FROM vp),
+sp AS (
+  SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p
+  FROM feat f CROSS JOIN wt{_GD_ITERS} w)
+SELECT s.doc_id, s.source, CAST(s.y AS DOUBLE) AS label,
+  round({dot}, 6) AS influence
+FROM sp s CROSS JOIN gv g
+ORDER BY influence DESC, s.doc_id LIMIT 50""")
+
+
+@query("data_selection_gradient_match", oracle=_grad_match_oracle())
+def data_selection_gradient_match(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Targeted data selection by gradient alignment (the LESS-style
+    influence proxy, Xia et al. 2024): after training the logistic
+    quality model, score every candidate document by the dot product
+    of its per-example gradient with the mean gradient of a target
+    ("validation") slice — one step of training on a high-scoring doc
+    moves validation loss down by ~lr x that dot product, so the
+    top-k by influence is the batch most worth adding next.  The
+    validation slice here is the deterministic doc_id % 19 subset (a
+    stand-in for a held-out target-domain set).  The validation
+    gradient is quantized to 9 dp exactly like the trainer's steps, so
+    both engines score against bit-identical vectors; per-doc scores
+    are one fixed-order expression, rounded before ranking.
+
+    Scale: training and the d+1-double validation gradient are the
+    whitelisted bounded-driver contracts of the GD family; scoring is
+    a pure map stage over candidates and the top-50 is TakeOrdered —
+    the selection sweep costs one corpus scan regardless of size."""
+    from results_ingestor_spark.operators.classifier import (
+        feature_columns, train_quality_classifier, _label)
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    w = train_quality_classifier(docs, iterations=_GD_ITERS,
+                                 lr=_GD_LR)[-1]["weights"]
+    feats = feature_columns()
+    d = len(feats)
+    base = docs.select("doc_id", "source",
+                       *[feats[j].alias(f"x{j}") for j in range(d)],
+                       _label().alias("y"))
+    z = sum(F.col(f"x{j}") * float(w[j]) for j in range(d))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = base.withColumn("p", p)
+    gval_row = (scored.where(F.col("doc_id") % 19 == 0)
+                .agg(*[F.round(F.avg((F.col("p") - F.col("y"))
+                                     * F.col(f"x{j}")), 9).alias(f"g{j}")
+                       for j in range(d)])
+                .first())  # d doubles to the driver (bounded contract)
+    dot = sum((F.col("p") - F.col("y")) * F.col(f"x{j}")
+              * float(gval_row[f"g{j}"]) for j in range(d))
+    return (scored.select("doc_id", "source",
+                          F.col("y").alias("label"),
+                          F.round(dot, 6).alias("influence"))
+            .orderBy(F.desc("influence"), "doc_id").limit(50))

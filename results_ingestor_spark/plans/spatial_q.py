@@ -15,7 +15,7 @@ mirroring the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.spatial import (
@@ -224,3 +224,78 @@ def spatial_grid_density_hotspots(spark: SparkSession,
                     F.coalesce("n", F.lit(0)).cast("long")
                     .alias("n_points"), "smoothed")
             .orderBy(F.desc("smoothed"), "cx", "cy").limit(20))
+
+
+@query("spatial_haversine_nearest", oracle=f"""
+WITH p AS ({_PTS}),
+geo AS (
+  SELECT point_id,
+    x * 120.0 / 10000.0 - 60.0 AS lat,
+    y * 360.0 / 10000.0 - 180.0 AS lon,
+    CAST(x * 120 // 10000 AS BIGINT) AS clat,
+    CAST(y * 360 // 10000 AS BIGINT) AS clon
+  FROM p),
+probes AS (SELECT * FROM geo WHERE point_id % 997 = 0),
+cand AS (
+  SELECT pr.point_id AS probe_id, g.point_id AS cand_id,
+    round(2.0 * 6371.0088 * asin(sqrt(
+      pow(sin(radians(g.lat - pr.lat) / 2.0), 2.0)
+      + cos(radians(pr.lat)) * cos(radians(g.lat))
+        * pow(sin(radians(g.lon - pr.lon) / 2.0), 2.0))), 6) AS dist_km
+  FROM probes pr
+  JOIN geo g ON g.clat BETWEEN pr.clat - 1 AND pr.clat + 1
+            AND g.clon BETWEEN pr.clon - 1 AND pr.clon + 1
+            AND g.point_id <> pr.point_id)
+SELECT probe_id, cand_id, dist_km FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY dist_km, cand_id) AS rn
+  FROM cand) WHERE rn = 1 ORDER BY probe_id""")
+def spatial_haversine_nearest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Great-circle nearest neighbor: points scatter onto real
+    (lat, lon) ranges, probes (point_id % 997) find their closest
+    neighbor WITHIN the 3x3 one-degree cell block by haversine
+    distance (R = 6371.0088 km) — the blocked geo-kNN that stays an
+    equi-join at planetary scale (candidates come from 9 cells, never
+    the globe; same contract as spatial_knn's radius).  Distances
+    round to 6 dp BEFORE ranking with a cand_id tie-break, so libm
+    trig ulps cannot reorder the pick.
+
+    Scale: cell assignment is map-only; the candidate join is
+    cell-keyed; per-probe ranking is k-bounded.  At real scale the
+    degree cells become a geohash prefix — identical plan shape."""
+    pts = _points(spark, sf_dir)
+    geo = pts.select(
+        "point_id",
+        (F.col("x") * 120.0 / 10000.0 - 60.0).alias("lat"),
+        (F.col("y") * 360.0 / 10000.0 - 180.0).alias("lon"),
+        (F.col("x") * 120 / 10000).cast("long").alias("clat"),
+        (F.col("y") * 360 / 10000).cast("long").alias("clon"))
+    probes = (geo.where(F.col("point_id") % 997 == 0)
+              .select(F.col("point_id").alias("probe_id"),
+                      F.col("lat").alias("plat"),
+                      F.col("lon").alias("plon"),
+                      F.col("clat").alias("pclat"),
+                      F.col("clon").alias("pclon")))
+    cells = probes.select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlat"))
+    cells = cells.select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlon"))
+    cells = cells.select(
+        "probe_id", "plat", "plon",
+        (F.col("pclat") + F.col("dlat")).alias("clat"),
+        (F.col("pclon") + F.col("dlon")).alias("clon"))
+    hav = (2.0 * 6371.0088 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("lat") - F.col("plat")) / 2.0), 2.0)
+        + F.cos(F.radians("plat")) * F.cos(F.radians("lat"))
+        * F.pow(F.sin(F.radians(F.col("lon") - F.col("plon")) / 2.0),
+                2.0))))
+    cand = (F.broadcast(cells).join(geo, ["clat", "clon"])
+            .where(F.col("point_id") != F.col("probe_id"))
+            .select("probe_id", F.col("point_id").alias("cand_id"),
+                    F.round(hav, 6).alias("dist_km")))
+    w = Window.partitionBy("probe_id").orderBy("dist_km", "cand_id")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("probe_id", "cand_id", "dist_km")
+            .orderBy("probe_id"))

@@ -1953,3 +1953,54 @@ def stats_cuped_adjusted_lift(spark: SparkSession,
         F.round(raw - theta * dx, 9).alias("cuped_lift"),
         F.round((sxy_c * sxy_c) / (sxx_c * syy_c), 9)
         .alias("var_reduction"))
+
+
+@query("stats_sample_size_two_proportions", oracle="""
+WITH base AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_obs,
+    CAST(count_if(value > 100.0) AS BIGINT) AS n_succ
+  FROM events GROUP BY event_type),
+rates AS (
+  SELECT event_type, n_obs, n_succ,
+    CAST(n_succ AS DOUBLE) / n_obs AS p1,
+    least(CAST(n_succ AS DOUBLE) / n_obs * 1.1, 0.999999) AS p2
+  FROM base)
+SELECT event_type, n_obs, round(p1, 9) AS p1, round(p2, 9) AS p2,
+  round(
+    pow(1.959963985 * sqrt(2.0 * ((p1 + p2) / 2.0)
+                           * (1.0 - (p1 + p2) / 2.0))
+        + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+    / ((p2 - p1) * (p2 - p1)), 4) AS n_per_arm
+FROM rates ORDER BY event_type""")
+def stats_sample_size_two_proportions(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Experiment power planning: per event type, the per-arm sample
+    size needed to detect a +10% relative lift in the success rate
+    (value > 100) at alpha = 0.05 two-sided, power = 0.8 — the
+    two-proportion z-test formula n = (z_a*sqrt(2*pbar*qbar) +
+    z_b*sqrt(p1*q1 + p2*q2))^2 / (p2-p1)^2 with the normal quantiles
+    as full-precision literals (1.959963985, 0.8416212336), so no
+    inverse-CDF appears in either engine.  Rates come from exact
+    integer counts; sqrt/pow are correctly-rounded IEEE ops, so the
+    only cross-engine slack is the final rounding.
+
+    Scale: one hash aggregate on the type domain; the formula is a
+    1-row-per-type map expression."""
+    t = load_tables(spark, sf_dir, ("events",))
+    base = (t["events"].groupBy("event_type")
+            .agg(F.count("*").alias("n_obs"),
+                 F.count_if(F.col("value") > 100.0).alias("n_succ")))
+    p1 = F.col("n_succ").cast("double") / F.col("n_obs")
+    p2 = F.least(p1 * 1.1, F.lit(0.999999))
+    pbar = (p1 + p2) / 2.0
+    num = F.pow(F.lit(1.959963985)
+                * F.sqrt(2.0 * pbar * (1.0 - pbar))
+                + F.lit(0.8416212336)
+                * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+    n = num / ((p2 - p1) * (p2 - p1))
+    return (base.select("event_type", "n_obs",
+                        F.round(p1, 9).alias("p1"),
+                        F.round(p2, 9).alias("p2"),
+                        F.round(n, 4).alias("n_per_arm"))
+            .orderBy("event_type"))
