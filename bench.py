@@ -74,6 +74,11 @@ HEADLINE = [
     # fusion (BM25 + cosine lists, RRF)
     "dedup_cdc_chunks",
     "search_rrf_hybrid",
+    # round 4d: corpus-wide RAKE phrase mining (per-doc window + two
+    # vocab-keyed joins) and the LESS-style gradient-alignment selection
+    # sweep (GD train + map-only influence scoring over the corpus)
+    "text_rake_keywords",
+    "data_selection_gradient_match",
 ]
 
 

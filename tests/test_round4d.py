@@ -122,3 +122,36 @@ def test_hotspot_smoothing_dominates_center(spark, sf_dir):
     for r in rows:
         assert 0 <= r.cx <= 99 and 0 <= r.cy <= 99
         assert r.smoothed >= r.n_points >= 0
+
+
+def test_gradient_match_scores_sorted_and_bounded(spark, sf_dir):
+    rows = QUERIES["data_selection_gradient_match"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    scores = [r.influence for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(math.isfinite(s) for s in scores)
+    assert all(r.label in (0.0, 1.0) for r in rows)
+
+
+def test_sample_size_formula_properties(spark, sf_dir):
+    rows = QUERIES["stats_sample_size_two_proportions"](spark, sf_dir) \
+        .collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.p1 < 1.0 and r.p1 < r.p2 <= 0.999999
+        assert r.n_per_arm > 0
+        # closed-form recompute with the same literals
+        pbar = (r.p1 + r.p2) / 2.0
+        num = (1.959963985 * math.sqrt(2.0 * pbar * (1.0 - pbar))
+               + 0.8416212336 * math.sqrt(r.p1 * (1.0 - r.p1)
+                                          + r.p2 * (1.0 - r.p2))) ** 2
+        assert abs(r.n_per_arm - num / (r.p2 - r.p1) ** 2) < 0.02
+
+
+def test_haversine_nearest_within_block_bound(spark, sf_dir):
+    rows = QUERIES["spatial_haversine_nearest"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 3x3 one-degree block at |lat| <= 60: diagonal < 360 km
+        assert 0.0 <= r.dist_km < 360.0
+        assert r.cand_id != r.probe_id
