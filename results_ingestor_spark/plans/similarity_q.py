@@ -1100,3 +1100,65 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cand_label") == F.col("true_label"))
                     .alias("correct"))
             .orderBy("query_id"))
+
+
+def _ivf_stats_oracle(n_clusters: int = 10, n_iter: int = 3) -> str:
+    from results_ingestor_spark.plans.kmeans_sql import assign_cte, kmeans_ctes
+    return f"""
+WITH {kmeans_ctes(n_clusters, n_iter)},{assign_cte("asgf")},
+sizes AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM asgf GROUP BY cid),
+allc AS (
+  SELECT c.cid, COALESCE(s.n_vecs, 0) AS n_vecs
+  FROM cent{n_iter} c LEFT JOIN sizes s ON c.cid = s.cid),
+g AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+    CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS ssq,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM allc)
+SELECT a.cid, a.n_vecs,
+  round(CAST(a.n_vecs AS DOUBLE) / g.total, 6) AS share,
+  round(g.k * CAST(g.ssq AS DOUBLE) / (g.total * g.total), 6)
+    AS imbalance_factor
+FROM allc a CROSS JOIN g ORDER BY a.cid"""
+
+
+@query("ann_ivf_index_stats", oracle=_ivf_stats_oracle())
+def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-centroid posting-list sizes and the
+    imbalance factor lambda = k * sum(s_i^2) / (sum s_i)^2 (Jegou et
+    al.'s measure; 1.0 = perfectly balanced) — THE number that predicts
+    real nprobe latency, because probe cost follows list sizes, not
+    k.  A quantizer whose lambda drifts up as the corpus grows is due
+    for retraining; empty cells (dead centroids) report explicitly.
+    Training replays the shared deterministic k-means; sizes are exact
+    integers and both ratios divide once.
+
+    Scale: assignment is the map-only broadcast-centroid fold; sizes
+    are a k-bounded hash agg; the 1-row moment broadcast is the
+    whitelisted scalar-combine shape."""
+    from results_ingestor_spark.operators.similarity import (
+        assign_centroid_expr, kmeans_centroids)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    cents = kmeans_centroids(e, n_clusters=10, n_iter=3)
+    asg = e.select(assign_centroid_expr(cents, "embedding").alias("cid"))
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("nv"))
+    allc = (spark.range(len(cents))
+            .select(F.col("id").cast("int").alias("cid"))
+            .join(sizes, "cid", "left")
+            .select("cid", F.coalesce("nv", F.lit(0)).cast("long")
+                    .alias("n_vecs")))
+    g = allc.agg(F.sum("n_vecs").cast("long").alias("total"),
+                 F.sum(F.col("n_vecs") * F.col("n_vecs")).cast("long")
+                 .alias("ssq"),
+                 F.count("*").alias("k"))
+    return (allc.crossJoin(F.broadcast(g))
+            .select("cid", "n_vecs",
+                    F.round(F.col("n_vecs").cast("double")
+                            / F.col("total"), 6).alias("share"),
+                    F.round(F.col("k") * F.col("ssq").cast("double")
+                            / (F.col("total") * F.col("total")), 6)
+                    .alias("imbalance_factor"))
+            .orderBy("cid"))

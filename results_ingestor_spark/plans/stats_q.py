@@ -2004,3 +2004,96 @@ def stats_sample_size_two_proportions(spark: SparkSession,
                         F.round(p2, 9).alias("p2"),
                         F.round(n, 4).alias("n_per_arm"))
             .orderBy("event_type"))
+
+
+# ln(0.30/0.25) and ln(0.70/0.75) as full-precision literals so the
+# per-row LLR is pure IEEE arithmetic over exact integer counts — no
+# libm call appears in either engine (the boundary literal ln(19)
+# likewise).  SPRT with alpha = beta = 0.05.
+_SPRT_L1 = "CAST(0.1823215567939546 AS DOUBLE)"
+_SPRT_L0 = "CAST(-0.06899287148695143 AS DOUBLE)"
+_SPRT_A = "CAST(2.9444389791664403 AS DOUBLE)"
+
+
+@query("stats_sprt_monitoring", oracle=f"""
+WITH seq AS (
+  SELECT event_type,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS n,
+    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM events),
+llr AS (
+  SELECT event_type, n, s,
+    round(s * {_SPRT_L1} + (n - s) * {_SPRT_L0}, 9) AS llr
+  FROM seq),
+crossed AS (
+  SELECT event_type, n, s, llr,
+    CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1'
+         WHEN llr <= -{_SPRT_A} THEN 'accept_h0' END AS decision,
+    row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn
+  FROM llr
+  WHERE llr >= {_SPRT_A} OR llr <= -{_SPRT_A}),
+final AS (
+  SELECT event_type, n, s, llr,
+    row_number() OVER (PARTITION BY event_type ORDER BY n DESC) AS rn
+  FROM llr)
+SELECT f.event_type,
+  COALESCE(c.decision, 'continue') AS decision,
+  CAST(COALESCE(c.n, f.n) AS BIGINT) AS n_at,
+  COALESCE(c.s, f.s) AS s_at,
+  COALESCE(c.llr, f.llr) AS llr
+FROM final f LEFT JOIN (SELECT * FROM crossed WHERE rn = 1) c
+  USING (event_type)
+WHERE f.rn = 1 ORDER BY f.event_type""")
+def stats_sprt_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test as an always-on A/B
+    monitor: per event type, walk the event stream in (ts, event_id)
+    order accumulating the log-likelihood ratio of H1 (success rate
+    0.30) vs H0 (0.25), success = value > 100; report the FIRST
+    boundary crossing (ln(19) for alpha = beta = 0.05) or 'continue'
+    with the final LLR.  This is the peeking-safe alternative to
+    fixed-horizon tests — the error guarantee holds at every look.
+    Determinism: the cumulative success count is an exact integer
+    window sum; the LLR is one IEEE expression over it with the log
+    constants as full-precision literals, so no libm call exists to
+    drift and the boundary compare is on a 9-dp-rounded value.
+
+    Scale: one per-type ordered window (types partition the stream;
+    at real scale the key is (experiment, metric) — millions of small
+    partitions) and two k-bounded row_number picks."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.row_number().over(w).alias("n"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("s"))
+    llr_c = F.round(F.col("s") * 0.1823215567939546
+                    + (F.col("n") - F.col("s")) * -0.06899287148695143, 9)
+    llr = seq.select("event_type", "n", "s", llr_c.alias("llr"))
+    a = 2.9444389791664403
+    crossed = (llr.where((F.col("llr") >= a) | (F.col("llr") <= -a))
+               .withColumn("decision",
+                           F.when(F.col("llr") >= a, "accept_h1")
+                           .otherwise("accept_h0"))
+               .withColumn("rn", F.row_number().over(
+                   Window.partitionBy("event_type").orderBy("n")))
+               .where(F.col("rn") == 1)
+               .select(F.col("event_type").alias("et"),
+                       F.col("decision"),
+                       F.col("n").alias("cn"), F.col("s").alias("cs"),
+                       F.col("llr").alias("cllr")))
+    final = (llr.withColumn("rn", F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("n"))))
+        .where(F.col("rn") == 1))
+    return (final.join(crossed, final.event_type == crossed.et, "left")
+            .select("event_type",
+                    F.coalesce("decision", F.lit("continue"))
+                    .alias("decision"),
+                    F.coalesce("cn", "n").cast("long").alias("n_at"),
+                    F.coalesce("cs", "s").alias("s_at"),
+                    F.coalesce("cllr", "llr").alias("llr"))
+            .orderBy("event_type"))

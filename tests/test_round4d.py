@@ -155,3 +155,29 @@ def test_haversine_nearest_within_block_bound(spark, sf_dir):
         # 3x3 one-degree block at |lat| <= 60: diagonal < 360 km
         assert 0.0 <= r.dist_km < 360.0
         assert r.cand_id != r.probe_id
+
+
+def test_sprt_decision_consistency(spark, sf_dir):
+    rows = QUERIES["stats_sprt_monitoring"](spark, sf_dir).collect()
+    assert rows
+    a = 2.9444389791664403
+    for r in rows:
+        assert 0 <= r.s_at <= r.n_at
+        if r.decision == "accept_h1":
+            assert r.llr >= a
+        elif r.decision == "accept_h0":
+            assert r.llr <= -a
+        else:
+            assert r.decision == "continue" and -a < r.llr < a
+
+
+def test_ivf_index_stats_identities(spark, sf_dir):
+    rows = QUERIES["ann_ivf_index_stats"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    total = sum(r.n_vecs for r in rows)
+    lam = rows[0].imbalance_factor
+    assert all(abs(r.imbalance_factor - lam) < 1e-12 for r in rows)
+    assert lam >= 0.999999  # Cauchy-Schwarz: lambda >= 1
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(lam - round(10 * sum(r.n_vecs**2 for r in rows)
+                           / total**2, 6)) < 1e-9

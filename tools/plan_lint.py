@@ -95,6 +95,8 @@ WHITELIST_BNLJ = {
     "ann_pq_adc_recall_check": "recall gate joins two top-k lists per probe",
     "ann_ivf_tuning_curve": "broadcast probe set per nprobe sweep; each "
         "leg is the whitelisted ivf/brute-force probe join",
+    "ann_ivf_index_stats": "1-row size-moment broadcast over the "
+        "k-bounded cluster-size table",
     # 1-row aggregate combines
     "tfidf_top_terms": "1-row doc-count broadcast",
     "text_bm25_topk": "1-row corpus avgdl broadcast",
