@@ -2097,3 +2097,355 @@ def stats_sprt_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cs", "s").alias("s_at"),
                     F.coalesce("cllr", "llr").alias("llr"))
             .orderBy("event_type"))
+
+
+# One-way ANOVA / Kruskal-Wallis share a pattern: the k per-group terms
+# are doubles, so their sum is order-sensitive.  Both engines fold them
+# with a cumulative window ORDER BY event_type and read the last row —
+# order-fixed IEEE addition, identical bits cross-engine (the same
+# device as the hourly cumsums, applied to a k-row group table).
+_ANOVA_F = """round(((bsum - sd * sd / nn) / (k - 1))
+  / ((qd - bsum) / (nn - k)), 9)"""
+
+
+@query("stats_anova_oneway_f", oracle=f"""
+WITH g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM({_VDEC}) AS s,
+    SUM({_VDEC} * {_VDEC}) AS q
+  FROM events GROUP BY event_type),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(s) AS DOUBLE) AS sd,
+    CAST(SUM(q) AS DOUBLE) AS qd
+  FROM g),
+b AS (
+  SELECT bsum FROM (
+    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS bsum,
+           row_number() OVER (ORDER BY event_type DESC) AS rn
+    FROM g) WHERE rn = 1)
+SELECT k, nn AS n_total,
+  round(bsum - sd * sd / nn, 6) AS ss_between,
+  round(qd - bsum, 6) AS ss_within,
+  {_ANOVA_F} AS f_stat
+FROM tot CROSS JOIN b""")
+def stats_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for `value` across all event types —
+    the k-group generalization of the Welch entry (does ANY type have
+    a different mean?).  Per-group (n, Σv, Σv²) accumulate as exact
+    DECIMAL moments (order-free partial aggregation); the one
+    order-sensitive piece — Σᵢ sᵢ²/nᵢ, a k-term double sum — is folded
+    by a cumulative window ORDER BY event_type so both engines add in
+    the same order, and the F expression is shared SQL text.
+
+    Scale: one hash aggregation over events (map-side partials carry
+    three moments per type), then all arithmetic happens on the k-row
+    group table; the ordered fold is a k-row window, never data-sized."""
+    t = load_tables(spark, sf_dir, ("events",))
+    g = t["events"].groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(_VDEC)).alias("s"),
+        F.sum(F.expr(f"{_VDEC} * {_VDEC}")).alias("q"))
+    tot = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("double").alias("sd"),
+        F.sum("q").cast("double").alias("qd"))
+    w = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    b = (g.select(F.sum(term).over(w).alias("bsum"),
+                  F.row_number().over(Window.orderBy(F.desc("event_type")))
+                  .alias("rn"))
+         .where(F.col("rn") == 1).select("bsum"))
+    return (tot.crossJoin(F.broadcast(b))
+            .select("k", F.col("nn").alias("n_total"),
+                    F.round(F.col("bsum") - F.col("sd") * F.col("sd")
+                            / F.col("nn"), 6).alias("ss_between"),
+                    F.round(F.col("qd") - F.col("bsum"), 6)
+                    .alias("ss_within"),
+                    F.expr(_ANOVA_F).alias("f_stat")))
+
+
+_KW_H = """round((12.0 * tsum / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0))
+  / (1.0 - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE) * nn * nn - nn)), 9)"""
+
+
+@query("stats_kruskal_wallis", oracle=f"""
+WITH s AS (
+  SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY value, event_type),
+v AS (
+  SELECT value, CAST(SUM(c) AS BIGINT) AS cv FROM s GROUP BY value),
+r AS (
+  SELECT value, cv,
+    2 * (SUM(cv) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) - cv)
+      + cv + 1 AS rank2
+  FROM v),
+per AS (
+  SELECT s.event_type,
+    CAST(SUM(s.c) AS BIGINT) AS n_i,
+    CAST(SUM(s.c * r.rank2) AS BIGINT) AS r2_i
+  FROM s JOIN r ON s.value = r.value
+  GROUP BY s.event_type),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_i) AS BIGINT) AS nn
+  FROM per),
+tie AS (
+  SELECT CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS ties FROM v),
+tf AS (
+  SELECT tsum FROM (
+    SELECT SUM(CAST(r2_i AS DOUBLE) * CAST(r2_i AS DOUBLE) / (4.0 * n_i))
+             OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS tsum,
+           row_number() OVER (ORDER BY event_type DESC) AS rn
+    FROM per) WHERE rn = 1)
+SELECT k, nn AS n_total, {_KW_H} AS h_tie_adj
+FROM tot CROSS JOIN tie CROSS JOIN tf""")
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (rank one-way ANOVA) across all event types —
+    the nonparametric sibling of stats_anova_oneway_f, built on the
+    same integer midrank device as Mann-Whitney: over DISTINCT values,
+    twice the average rank of a value with count c and cum-before p is
+    2p + c + 1, so each group's doubled rank sum 2Rᵢ = Σ c·(2p+c+1)
+    stays BIGINT; H uses Σ(2Rᵢ)²/(4nᵢ) with the tie correction
+    1 − Σ(c³−c)/(N³−N).  The k-term double fold and the final H are
+    order-fixed shared SQL text (ANOVA contract).
+
+    Scale: ranks live on the distinct-value layer (MWU contract: the
+    global-order window is bounded by the value domain, not rows);
+    group moments are one hash aggregation; everything after is k-row."""
+    t = load_tables(spark, sf_dir, ("events",))
+    s = t["events"].groupBy("value", "event_type").agg(
+        F.count("*").cast("long").alias("c"))
+    v = s.groupBy("value").agg(F.sum("c").cast("long").alias("cv"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    r = v.select(
+        "value", "cv",
+        (2 * (F.sum("cv").over(wv) - F.col("cv")) + F.col("cv") + 1)
+        .alias("rank2"))
+    per = (s.join(F.broadcast(r), "value")
+           .groupBy("event_type")
+           .agg(F.sum("c").cast("long").alias("n_i"),
+                F.sum(F.col("c") * F.col("rank2")).cast("long")
+                .alias("r2_i")))
+    tot = per.agg(F.count("*").cast("long").alias("k"),
+                  F.sum("n_i").cast("long").alias("nn"))
+    tie = r.agg(F.sum(F.col("cv") * F.col("cv") * F.col("cv")
+                      - F.col("cv")).cast("long").alias("ties"))
+    wt = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0)
+    term = (F.col("r2_i").cast("double") * F.col("r2_i").cast("double")
+            / (4.0 * F.col("n_i")))
+    tf = (per.select(F.sum(term).over(wt).alias("tsum"),
+                     F.row_number().over(
+                         Window.orderBy(F.desc("event_type"))).alias("rn"))
+          .where(F.col("rn") == 1).select("tsum"))
+    return (tot.crossJoin(F.broadcast(tie)).crossJoin(F.broadcast(tf))
+            .select("k", F.col("nn").alias("n_total"),
+                    F.expr(_KW_H).alias("h_tie_adj")))
+
+
+# Spearman / Pearson over lineitem quantity vs discount.  Both engines
+# compute the exact integer-centered moments (the regression_value_vs_time
+# lesson: center BEFORE the double cast) and share the final expression.
+_RHO = """round(CAST(num AS DOUBLE)
+  / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)"""
+_QINT = "CAST(l_quantity AS BIGINT)"
+_DCENT = "CAST(round(l_discount * 100) AS BIGINT)"
+
+
+@query("stats_spearman_rho", oracle=f"""
+WITH li AS (
+  SELECT {_QINT} AS x, {_DCENT} AS y FROM lineitem),
+cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY x),
+cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY y),
+rx AS (
+  SELECT x, 2 * (SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c)
+             + c + 1 AS r2
+  FROM cx),
+ry AS (
+  SELECT y, 2 * (SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c)
+             + c + 1 AS r2
+  FROM cy),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(rx.r2 AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(ry.r2 AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(rx.r2 AS DECIMAL(38,0)) * rx.r2) AS sxx,
+    SUM(CAST(ry.r2 AS DECIMAL(38,0)) * ry.r2) AS syy,
+    SUM(CAST(rx.r2 AS DECIMAL(38,0)) * ry.r2) AS sxy,
+    SUM(CAST(li.x AS DECIMAL(38,0))) AS vx,
+    SUM(CAST(li.y AS DECIMAL(38,0))) AS vy,
+    SUM(CAST(li.x AS DECIMAL(38,0)) * li.x) AS vxx,
+    SUM(CAST(li.y AS DECIMAL(38,0)) * li.y) AS vyy,
+    SUM(CAST(li.x AS DECIMAL(38,0)) * li.y) AS vxy
+  FROM li JOIN rx ON li.x = rx.x JOIN ry ON li.y = ry.y)
+SELECT n,
+  (SELECT {_RHO} FROM (SELECT n * sxy - sx * sy AS num,
+                              n * sxx - sx * sx AS dx,
+                              n * syy - sy * sy AS dy)) AS spearman_rho,
+  (SELECT {_RHO} FROM (SELECT n * vxy - vx * vy AS num,
+                              n * vxx - vx * vx AS dx,
+                              n * vyy - vy * vy AS dy)) AS pearson_r
+FROM m""")
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with Pearson alongside) between
+    l_quantity and l_discount — the monotone-association measure a
+    pricing analysis reaches for when the relationship needn't be
+    linear.  Ranks use the integer midrank device (2·rank = 2p + c + 1
+    over each variable's DISTINCT-value table), so BOTH correlations
+    run through one exact DECIMAL moment pass with integer centering
+    n·Σxy − Σx·Σy BEFORE any double cast (the regression entry's
+    cancellation lesson); the final ratio is shared SQL text.
+    Discount re-enters as exact cents so the rank/group key is integer
+    on both engines.
+
+    Scale: the rank maps live on the 50-value quantity / 11-value
+    discount domains (broadcast joins back to the fact table); the
+    moment pass is one map-side-combined aggregation, no data-sized
+    shuffle anywhere."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select(
+        F.expr(_QINT).alias("x"), F.expr(_DCENT).alias("y"))
+    d38 = "decimal(38,0)"
+
+    def rank2(df: DataFrame, key: str) -> DataFrame:
+        c = df.groupBy(key).agg(F.count("*").cast("long").alias("c"))
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        return c.select(
+            key,
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1)
+            .alias("r2"))
+
+    rx = rank2(li, "x").withColumnRenamed("r2", "rx2")
+    ry = rank2(li, "y").withColumnRenamed("r2", "ry2")
+    j = li.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rx2").cast(d38)).alias("sx"),
+        F.sum(F.col("ry2").cast(d38)).alias("sy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast(d38) * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("x").cast(d38)).alias("vx"),
+        F.sum(F.col("y").cast(d38)).alias("vy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("vxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("vyy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("vxy"))
+    rho_s = (m.select("n", (F.col("n") * F.col("sxy")
+                            - F.col("sx") * F.col("sy")).alias("num"),
+                      (F.col("n") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")).alias("dx"),
+                      (F.col("n") * F.col("syy")
+                       - F.col("sy") * F.col("sy")).alias("dy"))
+             .select("n", F.expr(_RHO).alias("spearman_rho")))
+    rho_p = (m.select((F.col("n") * F.col("vxy")
+                       - F.col("vx") * F.col("vy")).alias("num"),
+                      (F.col("n") * F.col("vxx")
+                       - F.col("vx") * F.col("vx")).alias("dx"),
+                      (F.col("n") * F.col("vyy")
+                       - F.col("vy") * F.col("vy")).alias("dy"))
+             .select(F.expr(_RHO).alias("pearson_r")))
+    return rho_s.crossJoin(F.broadcast(rho_p))
+
+
+_PERM_R = 64  # label permutations
+
+
+def _perm_bit_sql(r: str = "r") -> str:
+    """Deterministic relabel bit: low bit of md5('pm' || r || ':' || id)
+    — identical expression in both engines (bootstrap-weight contract)."""
+    return (f"(('0x' || substr(md5('pm' || {r} || ':' || event_id), 1, 15))"
+            f"::bigint & 1)")
+
+
+_PERM_D = """round(CAST(s1 AS DOUBLE) / n1
+  - CAST(s0 AS DOUBLE) / (nn - n1), 9)"""
+
+
+@query("stats_permutation_test_mean", oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, {_VDEC} AS v
+  FROM events WHERE event_type IN ('click', 'view')),
+obs AS (
+  SELECT n1 AS n_click, nn - n1 AS n_view, abs({_PERM_D}) AS d_obs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+          CAST(count_if(event_type = 'click') AS BIGINT) AS n1,
+          SUM(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS s1,
+          SUM(CASE WHEN event_type <> 'click' THEN v ELSE 0 END) AS s0
+        FROM ev)),
+rep AS (
+  SELECT r,
+    CAST(COUNT(*) AS BIGINT) AS nn,
+    CAST(SUM(bit) AS BIGINT) AS n1,
+    SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS s1,
+    SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS s0
+  FROM (SELECT v, r, {_perm_bit_sql()} AS bit
+        FROM ev CROSS JOIN (SELECT unnest(range(0, {_PERM_R})) AS r))
+  GROUP BY r),
+ext AS (
+  SELECT CAST(count_if(abs({_PERM_D}) >= (SELECT d_obs FROM obs)) AS BIGINT)
+           AS n_extreme
+  FROM rep)
+SELECT n_click, n_view,
+  d_obs AS abs_mean_diff,
+  n_extreme,
+  round((1.0 + n_extreme) / (1.0 + {_PERM_R}), 9) AS p_value
+FROM obs CROSS JOIN ext""")
+def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test for the click-vs-view mean
+    difference — the assumption-free significance check that backs the
+    Welch/Mann-Whitney entries: relabel every row 64 times with
+    a deterministic md5-derived coin (bootstrap-weight contract: the
+    same expression text runs in both engines, so even the resampling
+    is value-checked), recompute |mean₁ − mean₀| per permutation, and
+    report the add-one-smoothed p-value.  Group sums accumulate as
+    exact DECIMALs; each replica's statistic is one shared double
+    expression over its 9-dp-rounded value.
+
+    Scale: replicas are generated map-side (explode), partials combine
+    per replica, and the shuffle carries 64 rows of exact
+    moments; the extreme-count compare is over 64 rows against a
+    1-row broadcast."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = (t["events"].where(F.col("event_type").isin("click", "view"))
+          .select("event_id", "event_type", F.expr(_VDEC).alias("v")))
+    d_expr = F.expr(_PERM_D)
+    obs = (ev.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("n1"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("v"))
+              .otherwise(F.lit(0).cast("decimal(12,2)"))).alias("s1"),
+        F.sum(F.when(F.col("event_type") != "click", F.col("v"))
+              .otherwise(F.lit(0).cast("decimal(12,2)"))).alias("s0"))
+        .select(F.col("n1").alias("n_click"),
+                (F.col("nn") - F.col("n1")).alias("n_view"),
+                F.abs(d_expr).alias("d_obs")))
+    h = md5_long(F.concat(F.lit("pm"), F.col("r").cast("string"),
+                          F.lit(":"), F.col("event_id").cast("string")))
+    rep = (ev.select("v", "event_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(_PERM_R - 1)))
+                     .alias("r"))
+           .withColumn("bit", h.bitwiseAND(F.lit(1)))
+           .groupBy("r")
+           .agg(F.count("*").cast("long").alias("nn"),
+                F.sum("bit").cast("long").alias("n1"),
+                F.sum(F.when(F.col("bit") == 1, F.col("v"))
+                      .otherwise(F.lit(0).cast("decimal(12,2)")))
+                .alias("s1"),
+                F.sum(F.when(F.col("bit") == 0, F.col("v"))
+                      .otherwise(F.lit(0).cast("decimal(12,2)")))
+                .alias("s0")))
+    ext = (rep.select(F.abs(d_expr).alias("d"))
+           .join(F.broadcast(obs.select("d_obs")))
+           .agg(F.count_if(F.col("d") >= F.col("d_obs")).cast("long")
+                .alias("n_extreme")))
+    return (obs.crossJoin(F.broadcast(ext))
+            .select("n_click", "n_view",
+                    F.col("d_obs").alias("abs_mean_diff"),
+                    "n_extreme",
+                    F.round((1.0 + F.col("n_extreme"))
+                            / (1.0 + _PERM_R), 9).alias("p_value")))

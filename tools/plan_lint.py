@@ -130,6 +130,12 @@ WHITELIST_BNLJ = {
     "dq_freshness_by_type": "1-row corpus-frontier broadcast",
     "ann_filtered_topk": "broadcast probe-vector set vs candidates "
         "(ann_cosine_topk contract), both search legs",
+    "stats_anova_oneway_f": "1-row moment combine x k-row ordered fold",
+    "stats_kruskal_wallis": "1-row moment/tie combines over the k-row "
+        "group table",
+    "stats_spearman_rho": "1-row Spearman x Pearson moment combine",
+    "stats_permutation_test_mean": "1-row observed-stat broadcast over "
+        "the 64-row replica table",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -206,6 +212,12 @@ WHITELIST_GLOBALWIN = {
         "is the 1-row baseline-total combine",
     "events_seasonal_decompose_daily": "centered-MA window over the "
         "bounded day domain (same contract as SES/Bollinger)",
+    "stats_anova_oneway_f": "ordered k-row fold over the event-type "
+        "group table (order-fixed double summation)",
+    "stats_kruskal_wallis": "midrank window over distinct metric "
+        "values (mann-whitney contract) + ordered k-row fold",
+    "stats_spearman_rho": "rank windows over the 50-value quantity / "
+        "11-value discount domains",
 }
 
 
