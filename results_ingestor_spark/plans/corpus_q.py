@@ -1320,3 +1320,65 @@ def data_selection_gradient_match(spark: SparkSession,
                           F.col("y").alias("label"),
                           F.round(dot, 6).alias("influence"))
             .orderBy(F.desc("influence"), "doc_id").limit(50))
+
+
+@query("source_unigram_kl", oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token),
+s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM c GROUP BY source),
+g AS (SELECT token, CAST(SUM(c) AS BIGINT) AS gt FROM c GROUP BY token),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+term AS (
+  SELECT c.source, c.token, c.c,
+    round(CAST(c.c AS DOUBLE) / s.st, 9) AS p,
+    round(CAST(g.gt AS DOUBLE) / tot.n, 9) AS q,
+    round((CAST(c.c AS DOUBLE) / s.st)
+          * ln((CAST(c.c AS DOUBLE) / s.st)
+               / (CAST(g.gt AS DOUBLE) / tot.n)), 9) AS kl_contrib
+  FROM c JOIN s USING (source) JOIN g USING (token) CROSS JOIN tot),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY kl_contrib DESC, token) AS rn
+  FROM term)
+SELECT source, token, c AS n_tok, p, q, kl_contrib
+FROM r WHERE rn <= 10""")
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution divergence from the corpus: the
+    top-10 tokens by KL contribution p·ln(p/q) for each source, where
+    p is the token's in-source share and q its corpus share — the
+    mixture diagnostic a training-data pipeline runs to see WHICH
+    tokens make a source distinctive before reweighting it
+    (drift_psi convention: divergence is emitted per term, never
+    float-summed across rows; ranking is on the 9-dp-rounded
+    contribution with token tie-breaks so the top-k is
+    engine-portable).
+
+    Scale: token counts combine map-side; the source and corpus
+    totals are a source-domain and vocabulary-domain aggregate; the
+    rank window is source-partitioned over the bounded vocabulary."""
+    from results_ingestor_spark.operators.text import tokens
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "source", F.explode(tokens()).alias("token"))
+    c = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("c"))
+    s = c.groupBy("source").agg(F.sum("c").cast("long").alias("st"))
+    g = c.groupBy("token").agg(F.sum("c").cast("long").alias("gt"))
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("st")
+    q = F.col("gt").cast("double") / F.col("n")
+    term = (c.join(F.broadcast(s), "source")
+            .join(F.broadcast(g), "token")
+            .join(F.broadcast(tot))
+            .select("source", "token", "c",
+                    F.round(p, 9).alias("p"),
+                    F.round(q, 9).alias("q"),
+                    F.round(p * F.log(p / q), 9).alias("kl_contrib")))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("kl_contrib"), F.asc("token"))
+    return (term.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("source", "token", F.col("c").alias("n_tok"),
+                    "p", "q", "kl_contrib"))

@@ -568,3 +568,59 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(lcc, 9).alias("lcc"))
             .orderBy(F.desc("lcc"), F.desc("degree"), F.asc("node"))
             .limit(100))
+
+
+@query("graph_jaccard_topk", oracle=f"""
+WITH e AS ({_EDGES} HAVING COUNT(*) >= 2),
+sym AS ({_SYM}),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+wedge AS (
+  SELECT s1.v AS a, s2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY 1, 2),
+j AS (
+  SELECT a, b, cn,
+    round(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 9) AS jaccard
+  FROM wedge JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
+SELECT a, b, cn, jaccard FROM j
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
+ORDER BY jaccard DESC, a, b LIMIT 20""")
+def graph_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard neighborhood-similarity link prediction on the strong
+    co-purchase graph: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for non-adjacent
+    pairs — the normalized sibling of `graph_common_neighbors` (raw
+    counts favor hubs) and the integer-exact sibling of
+    `graph_adamic_adar_topk`: intersection and union sizes are BIGINT,
+    so the only float is one final division, rounded to 9 dp before
+    ranking with (a, b) tie-breaks.
+
+    Scale: the same wedge-enumeration budget as common-neighbors
+    (Σ deg² bounded by the weight-threshold blocking); degrees join
+    from the broadcast node-domain table; the candidate anti-join is
+    an equi-join on the pair key."""
+    from results_ingestor_spark.operators.graph import copurchase_edges
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li, min_weight=2)
+    sym = (edges.select("u", "v")
+           .union(edges.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    wedge = (s1.join(s2, "c")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").cast("long").alias("cn")))
+    da = F.broadcast(deg.select(F.col("u").alias("a"),
+                                F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("u").alias("b"),
+                                F.col("d").alias("db")))
+    jac = (wedge.join(da, "a").join(db, "b")
+           .select("a", "b", "cn",
+                   F.round(F.col("cn").cast("double")
+                           / (F.col("da") + F.col("db") - F.col("cn")), 9)
+                   .alias("jaccard")))
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return (jac.join(adj, ["a", "b"], "left_anti")
+            .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+            .limit(20))

@@ -18,6 +18,8 @@ the DuckDB oracles replay the exact ranked lists.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -294,3 +296,94 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("hit_id").alias("n_postfilter_hits"),
                  F.round(F.count("hit_id").cast("double") / _FILT_K, 6)
                  .alias("postfilter_recall")))
+
+
+# NDCG discounts 1/log2(i+1) and their prefix sums (the ideal DCG for
+# m relevant docs) as full-precision Python literals embedded in BOTH
+# engines' SQL — no libm log2 call exists at query time to drift.
+_NDCG_DISC = [1.0 / math.log2(i + 1) for i in range(1, _EVAL_K + 1)]
+_NDCG_IDCG = [sum(_NDCG_DISC[:m]) for m in range(_EVAL_K + 1)]
+_DISC_CASE = ("CASE rn " + " ".join(
+    f"WHEN {i + 1} THEN {d!r}" for i, d in enumerate(_NDCG_DISC)) + " END")
+_IDCG_CASE = ("CASE least(n_label_rel, 10) " + " ".join(
+    f"WHEN {m} THEN {v!r}" for m, v in enumerate(_NDCG_IDCG)) + " END")
+
+
+@query("search_ndcg_at_k", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < {_N_EVAL_QUERIES}),
+topk AS (
+  SELECT query_id, cand_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rn
+    FROM s) WHERE rn <= {_EVAL_K}),
+j AS (
+  SELECT t.query_id, CAST(ql.label AS BIGINT) AS q_label,
+    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel, t.rn
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings cl ON cl.vec_id = t.cand_id),
+f AS (
+  SELECT query_id, q_label, rn,
+    CAST(SUM(rel) OVER w AS BIGINT) AS nrel,
+    SUM(CAST(rel AS DOUBLE) * {_DISC_CASE}) OVER w AS dcg
+  FROM j
+  WINDOW w AS (PARTITION BY query_id ORDER BY rn ROWS UNBOUNDED PRECEDING)),
+lc AS (
+  SELECT CAST(label AS BIGINT) AS q_label,
+    CAST(COUNT(*) - 1 AS BIGINT) AS n_label_rel
+  FROM embeddings GROUP BY label)
+SELECT query_id, q_label, nrel AS n_rel_at_k,
+  round(dcg / {_IDCG_CASE}, 9) AS ndcg_at_k
+FROM f JOIN lc USING (q_label) WHERE rn = {_EVAL_K}""")
+def search_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 for the label-supervised retrieval setup — the
+    position-discounted quality score that separates "found 3 hits at
+    ranks 1-3" from "found 3 hits at ranks 8-10", which precision@k
+    (retrieval_eval_label_topk) cannot.  Discounts 1/log₂(i+1) and the
+    ideal-DCG prefix sums enter BOTH engines as full-precision Python
+    literals (no runtime log2 to drift); the per-query DCG folds in
+    rank order through a cumulative window (order-fixed IEEE
+    addition), and the ideal divisor is a pure table lookup on
+    min(corpus-relevant-count, 10).
+
+    Scale: the brute-force leg is the whitelisted broadcast-probe scan
+    (ann_cosine_topk contract); everything after the top-k window is
+    queries × k rows; the label-count table is label-domain-sized and
+    broadcast."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    topk = brute_force_topk(
+        e, e.where(F.col("vec_id") < _N_EVAL_QUERIES), k=_EVAL_K)
+    ql = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("label").cast("long").alias("q_label"))
+    cl = e.select(F.col("vec_id").alias("cand_id"),
+                  F.col("label").alias("c_label"))
+    j = (topk.join(F.broadcast(ql), "query_id")
+         .join(F.broadcast(cl), "cand_id")
+         .withColumn("rel", F.when(F.col("c_label") == F.col("q_label"),
+                                   1).otherwise(0)))
+    w = (Window.partitionBy("query_id").orderBy("rn")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    f = j.select(
+        "query_id", "q_label", "rn",
+        F.sum("rel").over(w).cast("long").alias("nrel"),
+        F.sum(F.col("rel").cast("double") * F.expr(_DISC_CASE)).over(w)
+        .alias("dcg"))
+    lc = e.groupBy(F.col("label").cast("long").alias("q_label")).agg(
+        (F.count("*") - 1).cast("long").alias("n_label_rel"))
+    return (f.where(F.col("rn") == _EVAL_K)
+            .join(F.broadcast(lc), "q_label")
+            .select("query_id", "q_label",
+                    F.col("nrel").alias("n_rel_at_k"),
+                    F.round(F.col("dcg") / F.expr(_IDCG_CASE), 9)
+                    .alias("ndcg_at_k")))

@@ -219,3 +219,49 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type",
                     F.sum("__first").over(w_run)
                     .alias("running_distinct_users")))
+
+
+@query("orders_monthly_streaks", oracle="""
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+  FROM orders),
+i AS (
+  SELECT o_custkey, mi,
+    mi - row_number() OVER (PARTITION BY o_custkey ORDER BY mi) AS grp
+  FROM m),
+st AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS len
+  FROM i GROUP BY o_custkey, grp),
+lg AS (
+  SELECT o_custkey, MAX(len) AS longest FROM st GROUP BY o_custkey)
+SELECT longest AS streak_months,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM lg GROUP BY longest ORDER BY longest""")
+def orders_monthly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest run of CONSECUTIVE calendar months
+    in which each customer placed at least one order, reported as a
+    streak-length histogram — the classic retention question ("how
+    many customers sustained an n-month habit?") answered with the
+    month_index − row_number island key, the standard O(n log n)
+    window device (no self-join, no recursion).
+
+    Scale: everything is keyed by customer — the distinct, the island
+    window, and the per-customer max all share one hash partitioning
+    (a single exchange); the histogram is a streak-length-domain
+    aggregate."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    m = (t["orders"]
+         .select("o_custkey",
+                 (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                 .cast("long").alias("mi"))
+         .distinct())
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    i = m.select("o_custkey", "mi",
+                 (F.col("mi") - F.row_number().over(w)).alias("grp"))
+    st = (i.groupBy("o_custkey", "grp")
+          .agg(F.count("*").cast("long").alias("len")))
+    lg = st.groupBy("o_custkey").agg(F.max("len").alias("longest"))
+    return (lg.groupBy(F.col("longest").alias("streak_months"))
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .orderBy("streak_months"))

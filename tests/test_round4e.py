@@ -82,3 +82,84 @@ def test_permutation_test_p_and_observed_stat(spark, sf_dir):
     assert math.isclose(row.p_value, (1 + row.n_extreme) / 65.0,
                         rel_tol=1e-9)
     assert 1 / 65.0 <= row.p_value <= 1.0
+
+
+def test_source_unigram_kl_shape_and_sign(spark, sf_dir):
+    rows = QUERIES["source_unigram_kl"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        assert 0 < r.p <= 1 and 0 < r.q <= 1
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert len(rs) == 10, src
+        # the top contributor is an over-represented token: p > q
+        top = max(rs, key=lambda r: r.kl_contrib)
+        assert top.kl_contrib > 0 and top.p > top.q
+
+
+def test_monthly_streaks_matches_pandas_model(spark, sf_dir):
+    rows = QUERIES["orders_monthly_streaks"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("orders",))
+    pdf = t["orders"].select("o_custkey", "o_orderdate").toPandas()
+    pdf["mi"] = (pdf["o_orderdate"].map(lambda d: d.year * 12 + d.month))
+    hist = {}
+    for _, months in pdf.groupby("o_custkey")["mi"]:
+        ms = sorted(set(months))
+        best = run = 1
+        for a, b in zip(ms, ms[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        hist[best] = hist.get(best, 0) + 1
+    assert {(r.streak_months, r.n_customers) for r in rows} == set(hist.items())
+    assert sum(r.n_customers for r in rows) == pdf["o_custkey"].nunique()
+
+
+def test_jaccard_topk_matches_neighbor_sets(spark, sf_dir):
+    from results_ingestor_spark.operators.graph import copurchase_edges
+    rows = QUERIES["graph_jaccard_topk"](spark, sf_dir).collect()
+    assert rows
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = {(r.u, r.v) for r in copurchase_edges(li, min_weight=2)
+             .select("u", "v").collect()}
+    nbr = {}
+    for u, v in edges:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    for r in rows:
+        assert (r.a, r.b) not in edges and (r.b, r.a) not in edges
+        inter = nbr[r.a] & nbr[r.b]
+        union = nbr[r.a] | nbr[r.b]
+        assert r.cn == len(inter)
+        assert math.isclose(r.jaccard, len(inter) / len(union),
+                            abs_tol=1e-9)
+        assert 0 < r.jaccard <= 1
+
+
+def test_ndcg_matches_numpy_model(spark, sf_dir):
+    import numpy as np
+    rows = QUERIES["search_ndcg_at_k"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    pdf = t["embeddings"].toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    labels = dict(zip(pdf["vec_id"], pdf["label"]))
+    disc = 1.0 / np.log2(np.arange(2, 12))
+    by_q = {r.query_id: r for r in rows}
+    assert len(by_q) == 20
+    for q in range(20):
+        qi = int(np.where(ids == q)[0][0])
+        sims = np.round(mat @ mat[qi], 9)
+        order = sorted((i for i in range(len(ids)) if ids[i] != q),
+                       key=lambda i: (-sims[i], ids[i]))[:10]
+        rel = np.array([1 if labels[ids[i]] == labels[q] else 0
+                        for i in order], dtype=float)
+        dcg = float((rel * disc).sum())
+        n_rel_corpus = sum(1 for v, l in labels.items()
+                           if l == labels[q] and v != q)
+        idcg = float(disc[:min(n_rel_corpus, 10)].sum())
+        want = dcg / idcg if idcg else 0.0
+        got = by_q[q]
+        assert got.n_rel_at_k == int(rel.sum())
+        assert math.isclose(got.ndcg_at_k, want, abs_tol=1e-6), (q, want)
+        assert 0.0 <= got.ndcg_at_k <= 1.0

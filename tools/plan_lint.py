@@ -136,6 +136,10 @@ WHITELIST_BNLJ = {
     "stats_spearman_rho": "1-row Spearman x Pearson moment combine",
     "stats_permutation_test_mean": "1-row observed-stat broadcast over "
         "the 64-row replica table",
+    "source_unigram_kl": "1-row corpus-total broadcast",
+    "search_ndcg_at_k": "broadcast probe-vector set vs candidates "
+        "(ann_cosine_topk contract) + broadcast label joins against "
+        "the k-bounded top-k table",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -218,6 +222,9 @@ WHITELIST_GLOBALWIN = {
         "values (mann-whitney contract) + ordered k-row fold",
     "stats_spearman_rho": "rank windows over the 50-value quantity / "
         "11-value discount domains",
+    "source_unigram_kl": "rank window is source-partitioned over the "
+        "bounded vocabulary; the SinglePartition exchange is the 1-row "
+        "corpus-total combine",
 }
 
 
