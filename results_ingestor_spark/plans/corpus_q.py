@@ -1382,3 +1382,71 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 10)
             .select("source", "token", F.col("c").alias("n_tok"),
                     "p", "q", "kl_contrib"))
+
+
+# Interpolated Kneser-Ney probability — one shared double expression
+# over five integer counts (D = 0.75 literal in both engines).
+_KN_P = """(greatest(CAST(c_bi AS DOUBLE) - 0.75, 0.0) / c_ctx
+  + (0.75 * nfol / c_ctx) * (CAST(npre AS DOUBLE) / nbt))"""
+
+
+@query("lm_bigram_kneser_ney", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+       FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx,
+         CAST(COUNT(*) AS BIGINT) AS nfol
+       FROM cb GROUP BY w1),
+c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM cb GROUP BY w2),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM cb),
+scored AS (
+  SELECT bg.doc_id,
+    CAST(round(ln({_KN_P}), 9) AS DECIMAL(18, 9)) AS lp
+  FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
+  CROSS JOIN v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob_kn
+FROM scored GROUP BY doc_id""")
+def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (absolute discount
+    D = 0.75) — the smoothing KenLM actually ships, beside the add-one
+    baseline of `lm_bigram_perplexity`: the discounted bigram mass is
+    redistributed through the CONTINUATION unigram (how many distinct
+    contexts a word follows, not how often it occurs), which is what
+    makes KN the default perplexity filter for training corpora.  All
+    five inputs (bigram count, context total, follower types,
+    predecessor types, total bigram types) are exact BIGINTs; the
+    probability is one shared double expression, and the per-bigram
+    ln() is rounded to 9 dp and summed as DECIMAL (order-independent —
+    the add-one entry's determinism contract).
+
+    Scale: two count shuffles keyed on (w1, w2)/(w1) — stop-bigram
+    skew is AQE's skew-join case; the type totals live on the
+    vocabulary domain; scoring is equi-joins back to the bigram
+    stream."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    bg = (t["documents"]
+          .select("doc_id", F.explode(F.arrays_zip(
+              F.slice(tk, 1, n - 1).alias("w1"),
+              F.slice(tk, 2, n - 1).alias("w2"))).alias("pz"))
+          .select("doc_id", F.col("pz.w1").alias("w1"),
+                  F.col("pz.w2").alias("w2")))
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c_bi"))
+    c1 = cb.groupBy("w1").agg(
+        F.sum("c_bi").cast("long").alias("c_ctx"),
+        F.count("*").cast("long").alias("nfol"))
+    c2 = cb.groupBy("w2").agg(F.count("*").cast("long").alias("npre"))
+    v = cb.agg(F.count("*").cast("long").alias("nbt"))
+    lp = F.round(F.log(F.expr(_KN_P)), 9).cast("decimal(18,9)")
+    scored = (bg.join(cb, ["w1", "w2"]).join(c1, ["w1"]).join(c2, ["w2"])
+              .crossJoin(F.broadcast(v))
+              .select("doc_id", lp.alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+                 .alias("avg_logprob_kn")))

@@ -624,3 +624,68 @@ def graph_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (jac.join(adj, ["a", "b"], "left_anti")
             .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
             .limit(20))
+
+
+@query("graph_hits_bipartite_topk", oracle="""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+h1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY c),
+a1 AS (SELECT e.p, CAST(SUM(h1.s) AS BIGINT) AS s
+       FROM e JOIN h1 USING (c) GROUP BY e.p),
+h2 AS (SELECT e.c, CAST(SUM(a1.s) AS BIGINT) AS s
+       FROM e JOIN a1 USING (p) GROUP BY e.c),
+a2 AS (SELECT e.p, CAST(SUM(h2.s) AS BIGINT) AS s
+       FROM e JOIN h2 USING (c) GROUP BY e.p),
+hm AS (SELECT MAX(s) AS m FROM h2),
+am AS (SELECT MAX(s) AS m FROM a2),
+hubs AS (
+  SELECT 'hub' AS side, c AS node, s AS score,
+    round(CAST(s AS DOUBLE) / hm.m, 9) AS norm_score
+  FROM h2 CROSS JOIN hm ORDER BY s DESC, c LIMIT 20),
+auths AS (
+  SELECT 'authority' AS side, p AS node, s AS score,
+    round(CAST(s AS DOUBLE) / am.m, 9) AS norm_score
+  FROM a2 CROSS JOIN am ORDER BY s DESC, p LIMIT 20)
+SELECT * FROM hubs UNION ALL SELECT * FROM auths""")
+def graph_hits_bipartite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the bipartite customer→part purchase
+    graph, two synchronous iterations: hub(c) alternates with
+    authority(p) = Σ hub over edges.  Kept UNNORMALIZED so every score
+    is an exact BIGINT (power iteration is scale-invariant; per-round
+    L1/L2 normalization only prevents float overflow, which integers
+    don't have at fixed depth) — the one double is the reported
+    max-normalized score, a single division.  Top-20 each side with id
+    tie-breaks.
+
+    Scale: each iteration is one equi-join of the edge list with the
+    current score table plus one aggregation keyed on the opposite
+    side — the PageRank per-round budget on a bipartite graph; the
+    max is a 1-row broadcast at report time only."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    e = (t["orders"].select("o_custkey", "o_orderkey")
+         .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+               F.col("o_orderkey") == F.col("l_orderkey"))
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+         .distinct())
+    h1 = e.groupBy("c").agg(F.count("*").cast("long").alias("s"))
+    a1 = (e.join(h1, "c").groupBy("p")
+          .agg(F.sum("s").cast("long").alias("s")))
+    h2 = (e.join(a1, "p").groupBy("c")
+          .agg(F.sum("s").cast("long").alias("s")))
+    a2 = (e.join(h2, "c").groupBy("p")
+          .agg(F.sum("s").cast("long").alias("s")))
+
+    def top(df: DataFrame, key: str, side: str) -> DataFrame:
+        m = df.agg(F.max("s").alias("m"))
+        return (df.crossJoin(F.broadcast(m))
+                .orderBy(F.desc("s"), F.asc(key))
+                .limit(20)
+                .select(F.lit(side).alias("side"),
+                        F.col(key).alias("node"),
+                        F.col("s").alias("score"),
+                        F.round(F.col("s").cast("double") / F.col("m"), 9)
+                        .alias("norm_score")))
+
+    return top(h2, "c", "hub").unionAll(top(a2, "p", "authority"))

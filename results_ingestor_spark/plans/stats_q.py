@@ -2449,3 +2449,132 @@ def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_extreme",
                     F.round((1.0 + F.col("n_extreme"))
                             / (1.0 + _PERM_R), 9).alias("p_value")))
+
+
+_BH_R = 64  # permutations per hypothesis
+
+
+def _bh_bit_sql() -> str:
+    """Deterministic size-preserving relabel: a uniform md5 draw mod N
+    is below the group size n1 with probability n1/N — the integer
+    device that lets an UNBALANCED two-group permutation test stay
+    value-checked (the Bernoulli(1/2) coin of the two-sample entry
+    would test the wrong null here)."""
+    return ("(('0x' || substr(md5('bh' || event_type || ':' || r || ':' "
+            "|| event_id), 1, 15))::bigint % nn) < n1")
+
+
+@query("stats_benjamini_hochberg", oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, {_VDEC} AS v FROM events),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn, SUM(v) AS sv FROM ev),
+gt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1, SUM(v) AS s1
+  FROM ev GROUP BY event_type),
+obs AS (
+  SELECT event_type,
+    abs(round(CAST(s1 AS DOUBLE) / n1
+              - CAST(sv - s1 AS DOUBLE) / (nn - n1), 9)) AS d_obs
+  FROM gt CROSS JOIN tot),
+x AS (
+  SELECT g.event_type, r, ev.v,
+    CASE WHEN {_bh_bit_sql().replace("event_type", "g.event_type")}
+         THEN 1 ELSE 0 END AS bit
+  FROM ev
+  CROSS JOIN (SELECT unnest(range(0, {_BH_R})) AS r)
+  CROSS JOIN tot
+  JOIN gt g ON true),
+rep AS (
+  SELECT event_type, r,
+    CAST(COUNT(*) AS BIGINT) AS nr,
+    CAST(SUM(bit) AS BIGINT) AS n1r,
+    SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS s1r,
+    SUM(v) AS svr
+  FROM x GROUP BY event_type, r),
+pv AS (
+  SELECT rep.event_type,
+    round((1.0 + count_if(
+      abs(round(CAST(s1r AS DOUBLE) / n1r
+                - CAST(svr - s1r AS DOUBLE) / (nr - n1r), 9)) >= o.d_obs))
+      / (1.0 + {_BH_R}), 9) AS p_raw
+  FROM rep JOIN obs o USING (event_type)
+  GROUP BY rep.event_type),
+rk AS (
+  SELECT event_type, p_raw,
+    CAST(row_number() OVER (ORDER BY p_raw, event_type) AS BIGINT) AS p_rank,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv),
+adj AS (
+  SELECT event_type, p_raw, p_rank,
+    round(least(1.0, MIN(p_raw * m / p_rank)
+      OVER (ORDER BY p_rank DESC ROWS UNBOUNDED PRECEDING)), 9) AS p_bh
+  FROM rk)
+SELECT event_type, p_raw, p_rank, p_bh,
+  p_bh <= 0.10 AS reject_fdr10
+FROM adj ORDER BY event_type""")
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over one permutation test PER
+    EVENT TYPE (each type's mean vs the rest) — the multiple-testing
+    step an experimentation platform runs when it peeks at many
+    metrics at once.  The per-hypothesis p-values are deterministic:
+    relabeling preserves group-size expectations via a uniform md5
+    draw mod N compared against the group count (so the unbalanced
+    null is the right one, and the same expression text runs in both
+    engines); BH's step-up adjusted p is the running tail-minimum of
+    p·m/rank, capped at 1, over the m-row hypothesis table.
+
+    Scale: the explode is rows × types × replicas, combined map-side
+    to types × replicas moment rows; everything after lives on the
+    m-row (metric-domain) table."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "event_type",
+                            F.expr(_VDEC).alias("v"))
+    tot = ev.agg(F.count("*").cast("long").alias("nn"),
+                 F.sum("v").alias("sv"))
+    gt = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n1"), F.sum("v").alias("s1"))
+    d_of = lambda s1, n1, sv, nn: F.abs(F.round(
+        s1.cast("double") / n1 - (sv - s1).cast("double") / (nn - n1), 9))
+    obs = (gt.crossJoin(F.broadcast(tot))
+           .select("event_type",
+                   d_of(F.col("s1"), F.col("n1"), F.col("sv"),
+                        F.col("nn")).alias("d_obs")))
+    h = md5_long(F.concat(F.lit("bh"), F.col("event_type"), F.lit(":"),
+                          F.col("r").cast("string"), F.lit(":"),
+                          F.col("event_id").cast("string")))
+    x = (ev.select("event_id", "v",
+                   F.explode(F.sequence(F.lit(0), F.lit(_BH_R - 1)))
+                   .alias("r"))
+         .crossJoin(F.broadcast(tot))
+         .crossJoin(F.broadcast(gt.select("event_type", "n1")))
+         .withColumn("bit", F.when(h % F.col("nn") < F.col("n1"), 1)
+                     .otherwise(0)))
+    rep = (x.groupBy("event_type", "r")
+           .agg(F.count("*").cast("long").alias("nr"),
+                F.sum("bit").cast("long").alias("n1r"),
+                F.sum(F.when(F.col("bit") == 1, F.col("v"))
+                      .otherwise(F.lit(0).cast("decimal(12,2)")))
+                .alias("s1r"),
+                F.sum("v").alias("svr")))
+    d_rep = d_of(F.col("s1r"), F.col("n1r"), F.col("svr"), F.col("nr"))
+    pv = (rep.join(F.broadcast(obs), "event_type")
+          .groupBy("event_type")
+          .agg(F.round((1.0 + F.count_if(d_rep >= F.col("d_obs")))
+                       / (1.0 + _BH_R), 9).alias("p_raw")))
+    wr = Window.orderBy("p_raw", "event_type")
+    rk = pv.select("event_type", "p_raw",
+                   F.row_number().over(wr).cast("long").alias("p_rank"),
+                   F.count("*").over(
+                       Window.partitionBy()).cast("long").alias("m"))
+    wt = Window.orderBy(F.desc("p_rank")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    adj = rk.select(
+        "event_type", "p_raw", "p_rank",
+        F.round(F.least(F.lit(1.0),
+                        F.min(F.col("p_raw") * F.col("m") / F.col("p_rank"))
+                        .over(wt)), 9).alias("p_bh"))
+    return (adj.select("event_type", "p_raw", "p_rank", "p_bh",
+                       (F.col("p_bh") <= 0.10).alias("reject_fdr10"))
+            .orderBy("event_type"))

@@ -163,3 +163,107 @@ def test_ndcg_matches_numpy_model(spark, sf_dir):
         assert got.n_rel_at_k == int(rel.sum())
         assert math.isclose(got.ndcg_at_k, want, abs_tol=1e-6), (q, want)
         assert 0.0 <= got.ndcg_at_k <= 1.0
+
+
+def test_hits_matches_python_model(spark, sf_dir):
+    rows = QUERIES["graph_hits_bipartite_topk"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].select("o_custkey", "o_orderkey").toPandas()
+    li = t["lineitem"].select("l_orderkey", "l_partkey").toPandas()
+    e = (o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+         [["o_custkey", "l_partkey"]].drop_duplicates())
+    pairs = list(zip(e["o_custkey"], e["l_partkey"]))
+    h1, a1, h2, a2 = {}, {}, {}, {}
+    for c, _ in pairs:
+        h1[c] = h1.get(c, 0) + 1
+    for c, p in pairs:
+        a1[p] = a1.get(p, 0) + h1[c]
+    for c, p in pairs:
+        h2[c] = h2.get(c, 0) + a1[p]
+    for c, p in pairs:
+        a2[p] = a2.get(p, 0) + h2[c]
+    hubs = sorted(h2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    auths = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_h = [(r.node, r.score) for r in rows if r.side == "hub"]
+    got_a = [(r.node, r.score) for r in rows if r.side == "authority"]
+    assert got_h == hubs and got_a == auths
+    for r in rows:
+        assert 0 < r.norm_score <= 1.0
+
+
+def test_bh_adjustment_is_stepup_monotone(spark, sf_dir):
+    rows = sorted(QUERIES["stats_benjamini_hochberg"](spark, sf_dir)
+                  .collect(), key=lambda r: r.p_rank)
+    m = len(rows)
+    assert sorted(r.p_rank for r in rows) == list(range(1, m + 1))
+    # recompute the step-up adjustment from the raw p-values
+    tail_min = 1.0
+    want = {}
+    for r in sorted(rows, key=lambda r: -r.p_rank):
+        tail_min = min(tail_min, r.p_raw * m / r.p_rank)
+        want[r.event_type] = min(1.0, tail_min)
+    for r in rows:
+        assert math.isclose(r.p_bh, want[r.event_type], abs_tol=1e-9)
+        assert r.p_raw <= r.p_bh + 1e-12
+        assert r.reject_fdr10 == (r.p_bh <= 0.10)
+    # adjusted p is monotone in rank order
+    for a, b in zip(rows, rows[1:]):
+        assert a.p_bh <= b.p_bh + 1e-12
+
+
+def test_kneser_ney_matches_python_model(spark, sf_dir):
+    rows = {r.doc_id: r for r in
+            QUERIES["lm_bigram_kneser_ney"](spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("doc_id", "text").toPandas()
+    cb, c1, nfol, npre = {}, {}, {}, {}
+    docs = {}
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        docs[did] = bgs
+        for b in bgs:
+            cb[b] = cb.get(b, 0) + 1
+    for (w1, w2), c in cb.items():
+        c1[w1] = c1.get(w1, 0) + c
+        nfol[w1] = nfol.get(w1, 0) + 1
+        npre[w2] = npre.get(w2, 0) + 1
+    nbt = len(cb)
+    for did, bgs in list(docs.items())[:50]:
+        lps = []
+        for w1, w2 in bgs:
+            p = (max(cb[(w1, w2)] - 0.75, 0.0) / c1[w1]
+                 + (0.75 * nfol[w1] / c1[w1]) * (npre[w2] / nbt))
+            lps.append(round(math.log(p), 9))
+        want = sum(lps) / len(lps)
+        got = rows[did]
+        assert got.n_bigrams == len(bgs)
+        assert math.isclose(got.avg_logprob_kn, want, abs_tol=1e-5), did
+
+
+def test_kneser_ney_probabilities_sum_to_one(spark, sf_dir):
+    """KN is a proper conditional distribution: for a fixed context w1,
+    Σ_w2 P(w2|w1) over the full vocabulary == 1 (the discount mass
+    exactly funds the continuation back-off).  Checked in pure Python
+    for the highest-frequency context."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("text").toPandas()
+    cb, c1, nfol, npre = {}, {}, {}, {}
+    vocab = set()
+    for text in pdf["text"]:
+        toks = text.split(" ")
+        vocab.update(toks)
+        for b in zip(toks, toks[1:]):
+            cb[b] = cb.get(b, 0) + 1
+    for (w1, w2), c in cb.items():
+        c1[w1] = c1.get(w1, 0) + c
+        nfol[w1] = nfol.get(w1, 0) + 1
+        npre[w2] = npre.get(w2, 0) + 1
+    nbt = len(cb)
+    w1 = max(c1, key=c1.get)
+    total = sum(
+        max(cb.get((w1, w2), 0) - 0.75, 0.0) / c1[w1]
+        + (0.75 * nfol[w1] / c1[w1]) * (npre.get(w2, 0) / nbt)
+        for w2 in vocab)
+    # continuation mass sums to Σ npre / nbt == 1 over the vocabulary
+    assert math.isclose(total, 1.0, rel_tol=1e-9)

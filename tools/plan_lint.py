@@ -140,6 +140,12 @@ WHITELIST_BNLJ = {
     "search_ndcg_at_k": "broadcast probe-vector set vs candidates "
         "(ann_cosine_topk contract) + broadcast label joins against "
         "the k-bounded top-k table",
+    "stats_benjamini_hochberg": "1-row corpus-moment broadcast into "
+        "the replica explode; observed-stat join is metric-keyed",
+    "lm_bigram_kneser_ney": "1-row bigram-type-total broadcast "
+        "(lm_bigram_perplexity contract)",
+    "graph_hits_bipartite_topk": "1-row max-score broadcasts at "
+        "report time",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -225,6 +231,8 @@ WHITELIST_GLOBALWIN = {
     "source_unigram_kl": "rank window is source-partitioned over the "
         "bounded vocabulary; the SinglePartition exchange is the 1-row "
         "corpus-total combine",
+    "stats_benjamini_hochberg": "BH rank / tail-min windows run over "
+        "the m-row hypothesis table (metric domain, 5 rows here)",
 }
 
 
