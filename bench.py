@@ -79,6 +79,12 @@ HEADLINE = [
     # sweep (GD train + map-only influence scoring over the corpus)
     "text_rake_keywords",
     "data_selection_gradient_match",
+    # round 4e: two-round integer HITS on the bipartite purchase graph
+    # (per-round equi-join + opposite-side agg) and interpolated
+    # Kneser-Ney scoring (adds continuation-count joins to the add-one
+    # LM's budget)
+    "graph_hits_bipartite_topk",
+    "lm_bigram_kneser_ney",
 ]
 
 

@@ -986,3 +986,68 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "segment",
                     F.round(te, 2).alias("te_loo"))
             .orderBy("o_orderkey"))
+
+
+@query("rfm_segment_migration", oracle="""
+WITH span AS (
+  SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2
+           AS mid_us
+  FROM orders),
+half AS (
+  SELECT o_custkey AS custkey,
+    CASE WHEN epoch_us(o_orderdate) < mid_us THEN 1 ELSE 2 END AS h,
+    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders CROSS JOIN span),
+base AS (
+  SELECT custkey, h, SUM(price) AS monetary
+  FROM half GROUP BY custkey, h),
+scored AS (
+  SELECT custkey, h,
+    CAST(ntile(5) OVER (PARTITION BY h ORDER BY monetary, custkey)
+         AS INT) AS m
+  FROM base)
+SELECT a.m AS seg_h1, b.m AS seg_h2,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored a JOIN scored b
+  ON a.custkey = b.custkey AND a.h = 1 AND b.h = 2
+GROUP BY a.m, b.m ORDER BY seg_h1, seg_h2""")
+def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-quintile migration matrix between the first and second
+    halves of the order history: where did each customer's spend tier
+    move? — the segment-flow report a growth team reads next after the
+    static RFM census (`customer_rfm_segments`).  Quintiles are
+    assigned per half with (monetary, custkey) tie-breaks over exact
+    decimal spend, so bucket membership is engine-portable; the matrix
+    counts customers active in BOTH halves (joiners/churners are the
+    complement and belong to growth_accounting_weekly).
+
+    Scale: two customer-keyed aggregations sharing one exchange; the
+    quintile windows run per half over the customer-level aggregate
+    (the documented approx-quantile bucket-edge swap applies at corpus
+    scale); the self-join is customer-keyed."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    span = o.agg(F.expr(
+        "(min(unix_micros(cast(o_orderdate as timestamp)))"
+        " + max(unix_micros(cast(o_orderdate as timestamp)))) div 2")
+        .alias("mid_us"))
+    half = (o.join(F.broadcast(span))
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.when(us < F.col("mid_us"), 1).otherwise(2).alias("h"),
+                    F.col("o_totalprice").cast("decimal(12,2)")
+                    .alias("price")))
+    base = half.groupBy("custkey", "h").agg(F.sum("price").alias("monetary"))
+    scored = base.select(
+        "custkey", "h",
+        F.ntile(5).over(Window.partitionBy("h")
+                        .orderBy("monetary", "custkey"))
+        .cast("int").alias("m"))
+    a = scored.where(F.col("h") == 1).select("custkey",
+                                             F.col("m").alias("seg_h1"))
+    b = scored.where(F.col("h") == 2).select("custkey",
+                                             F.col("m").alias("seg_h2"))
+    return (a.join(b, "custkey")
+            .groupBy("seg_h1", "seg_h2")
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .orderBy("seg_h1", "seg_h2"))

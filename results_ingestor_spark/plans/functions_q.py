@@ -3,7 +3,7 @@ percentiles, approximate sketches (SURVEY §2.4)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -405,3 +405,73 @@ def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("rev_dec").cast("double").alias("revenue"),
                      same.alias("matches_direct"))
             .orderBy("n_name"))
+
+
+_KMV_K = 64
+_2POW60 = 1152921504606846976  # md5_long draws are uniform on [0, 2^60)
+
+
+@query("sketch_kmv_distinct", oracle=f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5('kmv:'
+      || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)), 1, 15))::BIGINT
+      AS h
+  FROM events),
+r AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM d),
+ex AS (
+  SELECT event_type,
+    CAST(COUNT(DISTINCT CAST(value AS DECIMAL(12,2))) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type),
+kth AS (
+  SELECT event_type, nd, h AS hk FROM r WHERE rn = {_KMV_K})
+SELECT ex.event_type, ex.n_exact,
+  round(CASE WHEN kth.event_type IS NULL THEN CAST(ex.n_exact AS DOUBLE)
+        ELSE ({_KMV_K} - 1) * CAST({_2POW60} AS DOUBLE) / kth.hk END, 6)
+    AS kmv_est,
+  round(abs(CASE WHEN kth.event_type IS NULL THEN CAST(ex.n_exact AS DOUBLE)
+            ELSE ({_KMV_K} - 1) * CAST({_2POW60} AS DOUBLE) / kth.hk END
+            - ex.n_exact) / ex.n_exact, 6) AS rel_err
+FROM ex LEFT JOIN kth USING (event_type)
+ORDER BY ex.event_type""")
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k = 64) per event type,
+    reported against the exact count — the third member of the
+    cardinality-sketch family (HLL merges, theta set-algebra): keep the
+    k smallest md5 hash values of the keys; the k-th smallest, as a
+    fraction of the hash space, estimates density, so
+    est = (k−1)/u_(k).  Because the draw is md5 the whole sketch is
+    value-checked, not just its contract; groups with fewer than k
+    distinct keys report exactly (the KMV degenerate case).
+
+    Scale: the distinct and the per-group rank window both key on
+    event_type; at real scale the rank window is replaced by a
+    per-partition top-k merge (TakeOrdered shape) — the estimate only
+    ever needs the k smallest, never a full sort."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    d = (ev.select("event_type",
+                   md5_long(F.col("value").cast("decimal(12,2)")
+                            .cast("string"), seed="kmv:")
+                   .alias("h"))
+         .distinct())
+    wr = Window.partitionBy("event_type").orderBy("h")
+    r = d.select("event_type", "h", F.row_number().over(wr).alias("rn"))
+    kth = (r.where(F.col("rn") == _KMV_K)
+           .select("event_type", F.col("h").alias("hk")))
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("value").cast("decimal(12,2)"))
+        .cast("long").alias("n_exact"))
+    est = F.when(F.col("hk").isNull(), F.col("n_exact").cast("double")) \
+        .otherwise((_KMV_K - 1) * F.lit(float(_2POW60)) / F.col("hk"))
+    return (ex.join(F.broadcast(kth), "event_type", "left")
+            .select("event_type", "n_exact",
+                    F.round(est, 6).alias("kmv_est"),
+                    F.round(F.abs(est - F.col("n_exact"))
+                            / F.col("n_exact"), 6).alias("rel_err"))
+            .orderBy("event_type"))

@@ -2578,3 +2578,72 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (adj.select("event_type", "p_raw", "p_rank", "p_bh",
                        (F.col("p_bh") <= 0.10).alias("reject_fdr10"))
             .orderBy("event_type"))
+
+
+# Cochran-Armitage z: numerator and variance kernel are exact integers
+# (DECIMAL); the single shared expression does one sqrt and division.
+_CA_Z = """round(CAST(num AS DOUBLE)
+  / sqrt(CAST(rr AS DOUBLE) * (nn - rr)
+         * CAST(vker AS DOUBLE) / nn), 9)"""
+
+
+@query("stats_cochran_armitage_trend", oracle=f"""
+WITH g AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS w,
+    CAST(COUNT(*) AS BIGINT) AS n_i,
+    CAST(count_if(l_returnflag = 'R') AS BIGINT) AS r_i
+  FROM lineitem GROUP BY 1),
+m AS (
+  SELECT
+    CAST(SUM(n_i) AS BIGINT) AS nn,
+    CAST(SUM(r_i) AS BIGINT) AS rr,
+    SUM(CAST(w AS DECIMAL(38,0)) * r_i) AS swr,
+    SUM(CAST(w AS DECIMAL(38,0)) * n_i) AS swn,
+    SUM(CAST(w AS DECIMAL(38,0)) * w * n_i) AS swwn
+  FROM g)
+SELECT nn AS n_total, rr AS n_success,
+  CAST(num AS DOUBLE) / nn AS trend_numer_scaled,
+  {_CA_Z} AS z
+FROM (SELECT nn, rr,
+        nn * swr - rr * swn AS num,
+        nn * swwn - swn * swn AS vker
+      FROM m)""")
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for TREND in proportions across ordered
+    groups: does the return rate (l_returnflag = 'R') drift
+    monotonically with the discount level (scores w = discount cents,
+    0..10)?  The chi-square entry asks "any association"; CA spends its
+    single degree of freedom on the ordered alternative, which is what
+    a dose-response / price-ladder analysis wants.  Numerator
+    N·Σwᵢrᵢ − R·Σwᵢnᵢ and variance kernel N·Σwᵢ²nᵢ − (Σwᵢnᵢ)² are
+    exact integer DECIMALs (centering BEFORE the double cast — the
+    regression lesson); z is one shared expression.
+
+    Scale: one hash aggregation to the 11-row discount-score table;
+    everything after is k-row arithmetic."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    g = (t["lineitem"]
+         .groupBy(F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+                  .alias("w"))
+         .agg(F.count("*").cast("long").alias("n_i"),
+              F.count_if(F.col("l_returnflag") == "R").cast("long")
+              .alias("r_i")))
+    d38 = "decimal(38,0)"
+    m = g.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("r_i").cast("long").alias("rr"),
+        F.sum(F.col("w").cast(d38) * F.col("r_i")).alias("swr"),
+        F.sum(F.col("w").cast(d38) * F.col("n_i")).alias("swn"),
+        F.sum(F.col("w").cast(d38) * F.col("w") * F.col("n_i"))
+        .alias("swwn"))
+    inner = m.select(
+        "nn", "rr",
+        (F.col("nn") * F.col("swr") - F.col("rr") * F.col("swn"))
+        .alias("num"),
+        (F.col("nn") * F.col("swwn") - F.col("swn") * F.col("swn"))
+        .alias("vker"))
+    return inner.select(
+        F.col("nn").alias("n_total"), F.col("rr").alias("n_success"),
+        (F.col("num").cast("double") / F.col("nn"))
+        .alias("trend_numer_scaled"),
+        F.expr(_CA_Z).alias("z"))

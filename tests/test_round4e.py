@@ -267,3 +267,57 @@ def test_kneser_ney_probabilities_sum_to_one(spark, sf_dir):
         for w2 in vocab)
     # continuation mass sums to Σ npre / nbt == 1 over the vocabulary
     assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_rfm_migration_marginals(spark, sf_dir):
+    rows = QUERIES["rfm_segment_migration"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("orders",))
+    pdf = t["orders"].select("o_custkey", "o_orderdate").toPandas()
+    mid = (pdf["o_orderdate"].map(lambda d: d.timestamp()).min()
+           + pdf["o_orderdate"].map(lambda d: d.timestamp()).max()) / 2
+    h1 = set(pdf[pdf["o_orderdate"].map(lambda d: d.timestamp()) < mid]
+             ["o_custkey"])
+    h2 = set(pdf[pdf["o_orderdate"].map(lambda d: d.timestamp()) >= mid]
+             ["o_custkey"])
+    both = len(h1 & h2)
+    assert sum(r.n_customers for r in rows) == both
+    # quintile marginals: each h1 segment holds ~1/5 of the h1-active
+    # customers that survived into h2 — bounded by the ntile remainder
+    for s in range(1, 6):
+        m = sum(r.n_customers for r in rows if r.seg_h1 == s)
+        assert m <= len(h1) // 5 + 1
+
+
+def test_kmv_matches_hashlib_model(spark, sf_dir):
+    import hashlib
+    rows = QUERIES["sketch_kmv_distinct"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("events",))
+    pdf = t["events"].select("event_type", "value").toPandas()
+    pdf["dec"] = pdf["value"].map(lambda v: f"{v:.2f}")
+    for r in rows:
+        vals = set(pdf[pdf.event_type == r.event_type]["dec"])
+        assert r.n_exact == len(vals)
+        hs = sorted(int(hashlib.md5(f"kmv:{v}".encode())
+                        .hexdigest()[:15], 16) for v in vals)
+        if len(hs) < 64:
+            want = float(len(hs))
+        else:
+            want = 63 * 2**60 / hs[63]
+        assert math.isclose(r.kmv_est, want, rel_tol=1e-6)
+        assert math.isclose(r.rel_err, abs(want - len(vals)) / len(vals),
+                            abs_tol=1e-5)
+
+
+def test_cochran_armitage_matches_pandas_model(spark, sf_dir):
+    row = QUERIES["stats_cochran_armitage_trend"](spark, sf_dir).collect()[0]
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pdf = t["lineitem"].select("l_discount", "l_returnflag").toPandas()
+    pdf["w"] = (pdf["l_discount"] * 100).round().astype("int64")
+    pdf["r"] = (pdf["l_returnflag"] == "R").astype("int64")
+    g = pdf.groupby("w").agg(n=("r", "size"), r=("r", "sum"))
+    nn, rr = len(pdf), int(pdf["r"].sum())
+    num = nn * (g.index * g["r"]).sum() - rr * (g.index * g["n"]).sum()
+    vker = nn * (g.index**2 * g["n"]).sum() - (g.index * g["n"]).sum()**2
+    z = num / math.sqrt(rr * (nn - rr) * vker / nn)
+    assert row.n_total == nn and row.n_success == rr
+    assert math.isclose(row.z, z, rel_tol=1e-6)

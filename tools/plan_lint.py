@@ -146,6 +146,7 @@ WHITELIST_BNLJ = {
         "(lm_bigram_perplexity contract)",
     "graph_hits_bipartite_topk": "1-row max-score broadcasts at "
         "report time",
+    "rfm_segment_migration": "1-row date-midpoint broadcast",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -233,6 +234,9 @@ WHITELIST_GLOBALWIN = {
         "corpus-total combine",
     "stats_benjamini_hochberg": "BH rank / tail-min windows run over "
         "the m-row hypothesis table (metric domain, 5 rows here)",
+    "rfm_segment_migration": "quintile windows run per half over the "
+        "customer-level aggregate (customer_rfm_segments contract: "
+        "documented approx-quantile bucket-edge swap at corpus scale)",
 }
 
 
