@@ -299,3 +299,85 @@ def spatial_haversine_nearest(spark: SparkSession,
             .where(F.col("rn") == 1)
             .select("probe_id", "cand_id", "dist_km")
             .orderBy("probe_id"))
+
+
+_DB_EPS = 250   # DBSCAN radius
+_DB_MINPTS = 5  # neighborhood size INCLUDING the point itself
+
+
+@query("spatial_dbscan_roles", oracle=f"""
+WITH p AS ({_PTS}),
+pairs AS (
+  SELECT a.point_id AS a, b.point_id AS b
+  FROM p a JOIN p b
+    ON b.x BETWEEN a.x - {_DB_EPS} AND a.x + {_DB_EPS}
+   AND b.y BETWEEN a.y - {_DB_EPS} AND a.y + {_DB_EPS}
+   AND a.point_id < b.point_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_DB_EPS * _DB_EPS}),
+sym AS (SELECT a AS u, b AS v FROM pairs
+        UNION ALL SELECT b AS u, a AS v FROM pairs),
+ncnt AS (
+  SELECT p.point_id, coalesce(s.c, 0) + 1 AS nsize
+  FROM p LEFT JOIN (SELECT u, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM sym GROUP BY u) s
+    ON s.u = p.point_id),
+core AS (SELECT point_id FROM ncnt WHERE nsize >= {_DB_MINPTS}),
+border AS (
+  SELECT DISTINCT sym.u AS point_id
+  FROM sym JOIN core ON core.point_id = sym.v
+  WHERE sym.u NOT IN (SELECT point_id FROM core)),
+roles AS (
+  SELECT n.point_id, n.nsize,
+    CASE WHEN c.point_id IS NOT NULL THEN 'core'
+         WHEN b.point_id IS NOT NULL THEN 'border'
+         ELSE 'noise' END AS role
+  FROM ncnt n
+  LEFT JOIN core c ON c.point_id = n.point_id
+  LEFT JOIN border b ON b.point_id = n.point_id)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(MAX(nsize) AS BIGINT) AS max_neighborhood,
+  round(CAST(SUM(nsize) AS DOUBLE) / COUNT(*), 9) AS avg_neighborhood
+FROM roles GROUP BY role ORDER BY role""")
+def spatial_dbscan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point-role census (eps = 250, minPts = 5): core points
+    (≥ minPts points in their eps-neighborhood, self included), border
+    points (non-core within eps of a core), noise — the
+    density-clustering classification step, run entirely through the
+    grid-blocked radius join (no n² anywhere).  Cluster EXTRACTION is
+    connected components over core-core edges — the machinery
+    `dedup_clusters` already demonstrates — so this entry reports the
+    converged, iteration-free half of DBSCAN exactly.
+
+    Scale: one grid-blocked pair join (cell side = eps, 3×3
+    replication, integer d² residual), one node-keyed count, two
+    semi-join classifications.  The oracle cross-checks with DuckDB's
+    interval IEJoin — a genuinely different algorithm."""
+    p = _points(spark, sf_dir)
+    pairs = radius_pairs(p, _DB_EPS).select("a", "b")
+    sym = (pairs.union(pairs.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .select(F.col("a").alias("u"), F.col("b").alias("v")))
+    cnt = sym.groupBy("u").agg(F.count("*").cast("long").alias("c"))
+    ncnt = (p.select("point_id")
+            .join(cnt, p.point_id == cnt.u, "left")
+            .select("point_id",
+                    (F.coalesce("c", F.lit(0)) + 1).alias("nsize")))
+    core = ncnt.where(F.col("nsize") >= _DB_MINPTS).select("point_id")
+    border = (sym.join(core.withColumnRenamed("point_id", "v"), "v")
+              .select(F.col("u").alias("point_id")).distinct()
+              .join(core, "point_id", "left_anti"))
+    roles = (ncnt
+             .join(core.withColumn("is_core", F.lit(1)), "point_id", "left")
+             .join(border.withColumn("is_border", F.lit(1)),
+                   "point_id", "left")
+             .select("nsize",
+                     F.when(F.col("is_core") == 1, "core")
+                     .when(F.col("is_border") == 1, "border")
+                     .otherwise("noise").alias("role")))
+    return (roles.groupBy("role")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.max("nsize").cast("long").alias("max_neighborhood"),
+                 F.round(F.sum("nsize").cast("double") / F.count("*"), 9)
+                 .alias("avg_neighborhood"))
+            .orderBy("role"))

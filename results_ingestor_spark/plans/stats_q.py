@@ -2647,3 +2647,51 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("num").cast("double") / F.col("nn"))
         .alias("trend_numer_scaled"),
         F.expr(_CA_Z).alias("z"))
+
+
+# Wilson 95% score interval — one shared expression over (s, n);
+# z is a full-precision literal, no inverse-normal call at runtime.
+_WILSON = """round((p_hat + zz / (2 * n)
+    {sign} 1.959963984540054 * sqrt(p_hat * (1 - p_hat) / n
+                                    + zz / (4 * n * n)))
+  / (1 + zz / n), 9)"""
+
+
+@query("stats_wilson_ci_proportion", oracle=f"""
+WITH g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(count_if(value > 100) AS BIGINT) AS s
+  FROM events GROUP BY event_type),
+e AS (
+  SELECT event_type, n, s,
+    CAST(s AS DOUBLE) / n AS p_hat,
+    1.959963984540054 * 1.959963984540054 AS zz
+  FROM g)
+SELECT event_type, n, s,
+  round(p_hat, 9) AS p_hat,
+  {_WILSON.format(sign="-")} AS ci_lo,
+  {_WILSON.format(sign="+")} AS ci_hi
+FROM e ORDER BY event_type""")
+def stats_wilson_ci_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-type success proportion
+    (success = value > 100) — the binomial CI that behaves at extreme
+    p̂ and small n where the Wald interval collapses; the toolbox
+    companion of the odds-ratio and two-proportion entries.  z is a
+    full-precision literal (no inverse-normal at runtime); counts are
+    exact integers and both bounds are one shared expression.
+
+    Scale: one hash aggregation to the type-domain table; map-only
+    after."""
+    t = load_tables(spark, sf_dir, ("events",))
+    g = t["events"].groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("value") > 100).cast("long").alias("s"))
+    e = g.select("event_type", "n", "s",
+                 (F.col("s").cast("double") / F.col("n")).alias("p_hat"),
+                 F.lit(1.959963984540054 * 1.959963984540054).alias("zz"))
+    return (e.select("event_type", "n", "s",
+                     F.round("p_hat", 9).alias("p_hat"),
+                     F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
+                     F.expr(_WILSON.format(sign="+")).alias("ci_hi"))
+            .orderBy("event_type"))

@@ -147,6 +147,8 @@ WHITELIST_BNLJ = {
     "graph_hits_bipartite_topk": "1-row max-score broadcasts at "
         "report time",
     "rfm_segment_migration": "1-row date-midpoint broadcast",
+    "privacy_dp_median_expmech": "1-row total / 1-row pick broadcasts "
+        "over the distinct-value candidate layer",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -237,6 +239,8 @@ WHITELIST_GLOBALWIN = {
     "rfm_segment_migration": "quintile windows run per half over the "
         "customer-level aggregate (customer_rfm_segments contract: "
         "documented approx-quantile bucket-edge swap at corpus scale)",
+    "privacy_dp_median_expmech": "rank window over distinct metric "
+        "values (mann-whitney contract); selection is TakeOrdered(1)",
 }
 
 
