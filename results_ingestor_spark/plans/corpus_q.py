@@ -1450,3 +1450,71 @@ def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.round(F.sum("lp").cast("double") / F.count("*"), 6)
                  .alias("avg_logprob_kn")))
+
+
+def _wordpiece_chain(n_merges: int) -> list[str]:
+    """Unrolled-CTE replay of the WordPiece trainer — the BPE chain
+    (`_bpe_chain`) plus a per-iteration symbol-count CTE; the argmax
+    ranks on score = pair_count / (count(a)·count(b)), one IEEE double
+    division of exact integers (correctly rounded, so bit-identical
+    across engines with no pre-rank rounding needed)."""
+    d1, d2 = "e'\\x01'", "e'\\x02'"
+    parts = [f"""vocab AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+seg0 AS MATERIALIZED (
+  SELECT word, cnt, array_to_string(
+    [{d1} || word[i] ||
+     CASE WHEN i = length(word) THEN '</w>' ELSE '' END || {d2}
+     for i in range(1, length(word) + 1)], '') AS seg
+  FROM vocab)"""]
+    for i in range(n_merges):
+        parts.append(f"""
+t{i} AS (
+  SELECT cnt, string_split(seg[2 : length(seg) - 1], {d2} || {d1}) AS t
+  FROM seg{i}),
+s{i} AS (
+  SELECT s, CAST(SUM(cnt) AS BIGINT) AS sc FROM (
+    SELECT cnt, unnest(t) AS s FROM t{i}) GROUP BY s),
+p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, unnest([[t[j], t[j + 1]] for j in range(1, len(t))]) AS pr
+    FROM t{i})
+  GROUP BY pr[1], pr[2]),
+m{i} AS (
+  SELECT p.a, p.b, p.c,
+    CAST(p.c AS DOUBLE) / (sa.sc * sb.sc) AS score
+  FROM p{i} p JOIN s{i} sa ON sa.s = p.a JOIN s{i} sb ON sb.s = p.b
+  ORDER BY score DESC, p.a, p.b LIMIT 1),
+seg{i + 1} AS MATERIALIZED (
+  SELECT s.word, s.cnt,
+    replace(s.seg, {d1} || m.a || {d2} || {d1} || m.b || {d2},
+            {d1} || m.a || m.b || {d2}) AS seg
+  FROM seg{i} s CROSS JOIN m{i} m)""")
+    return parts
+
+
+def _wordpiece_train_oracle(n_merges: int = 8) -> str:
+    rows = [f"""SELECT CAST({i} AS INTEGER) AS merge_rank, a AS "left",
+  b AS "right", a || b AS merged, c AS pair_count,
+  round(score, 12) AS score FROM m{i}"""
+            for i in range(n_merges)]
+    return ("WITH " + ",".join(_wordpiece_chain(n_merges)) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+@query("wordpiece_train_merges", oracle=_wordpiece_train_oracle())
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 WordPiece merges (BERT's trainer): the BPE loop with the
+    likelihood-ratio objective count(ab)/(count(a)·count(b)) — merges
+    that most improve a unigram LM's corpus likelihood, which promotes
+    cohesive units over merely frequent ones (see
+    operators/wordpiece.py for the scale contract).  Value-checked:
+    the oracle unrolls the trainer as CTEs, and the selection score is
+    one exact-integer IEEE division, so both engines pick identical
+    merge sequences with no pre-rank rounding."""
+    from results_ingestor_spark.operators.wordpiece import (
+        train_wordpiece_merges)
+    t = load_tables(spark, sf_dir, ("documents",))
+    return train_wordpiece_merges(t["documents"], n_merges=8)

@@ -1162,3 +1162,81 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("total") * F.col("total")), 6)
                     .alias("imbalance_factor"))
             .orderBy("cid"))
+
+
+def _knn_graph_oracle(k: int = 3) -> str:
+    """DuckDB twin of ann_knn_graph_banded: same md5-derived planes,
+    same 4x4-bit band keys, same per-node rounded-cosine top-k."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+b AS (SELECT vec_id, ({_lsh_bucket_sql()}) AS bkt FROM v),
+keyed AS (
+  SELECT vec_id, bidx, (bkt >> (4 * bidx)) & 15 AS bkey
+  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bidx)),
+cand AS (
+  SELECT DISTINCT l.vec_id AS src, r.vec_id AS nbr
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.vec_id <> r.vec_id),
+n AS ({_NORM_SQL}),
+scored AS (
+  SELECT src, nbr,
+    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+           FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb))
+          / (na.nrm * nb.nrm), 9) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = src
+  JOIN embeddings c ON c.vec_id = nbr
+  JOIN n na ON na.vec_id = src
+  JOIN n nb ON nb.vec_id = nbr)
+SELECT src, nbr, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY src
+                               ORDER BY cosine DESC, nbr) AS rn
+  FROM scored) WHERE rn <= {k}"""
+
+
+@query("ann_knn_graph_banded", oracle=_knn_graph_oracle())
+def ann_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH over the whole embedding corpus (top-3
+    neighbors per node) — the building block under semantic dedup,
+    graph-based ANN indexes, and label propagation over embeddings.
+    Candidate pairs come from the banded sign-bit LSH equi-join
+    (dedup_embedding_cosine's scale contract: the shuffle carries
+    (band_key, vec_id), vector bodies move only for candidates, and no
+    all-pairs join exists); exact rounded cosine ranks candidates
+    per node.  Nodes whose bands collide with nothing emit no rows —
+    the standard LSH-graph recall trade, measured by the recall-check
+    siblings.
+
+    Scale: identical budget to the dedup path plus one
+    node-partitioned top-k window over the candidate lists."""
+    from results_ingestor_spark.functions.vector import cosine_similarity
+    from results_ingestor_spark.operators.similarity import bucket_expr
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = ensure_min_parallelism(t["embeddings"]).select("vec_id", "embedding")
+    bkt = e.select("vec_id", bucket_expr("embedding", 64).alias("bkt"))
+    keyed = bkt.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("bidx"),
+                     F.shiftright(F.col("bkt"), 4 * j).bitwiseAND(F.lit(15))
+                     .alias("bkey"))
+            for j in range(4)])).alias("band"),
+    ).select("vec_id", "band.bidx", "band.bkey")
+    cand = (keyed.alias("l").join(keyed.alias("r"), ["bidx", "bkey"])
+            .where(F.col("l.vec_id") != F.col("r.vec_id"))
+            .select(F.col("l.vec_id").alias("src"),
+                    F.col("r.vec_id").alias("nbr"))
+            .distinct())
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    c = e.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb"))
+    scored = (cand.join(a, "src").join(c, "nbr")
+              .select("src", "nbr",
+                      F.round(cosine_similarity("va", "vb"), 9)
+                      .alias("cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3))

@@ -2695,3 +2695,77 @@ def stats_wilson_ci_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
                      F.expr(_WILSON.format(sign="+")).alias("ci_hi"))
             .orderBy("event_type"))
+
+
+@query("dq_outlier_iqr_fences", oracle=f"""
+WITH s AS (
+  SELECT event_type, {_VDEC} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, value),
+cum AS (
+  SELECT event_type, v, c,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM s),
+q AS (
+  SELECT event_type,
+    MIN(CASE WHEN 4 * cum >= n THEN v END) AS q1,
+    MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) AS q3,
+    MAX(n) AS n
+  FROM cum GROUP BY event_type),
+f AS (
+  SELECT event_type, n, q1, q3,
+    q1 - 1.5 * (q3 - q1) AS lo,
+    q3 + 1.5 * (q3 - q1) AS hi
+  FROM q)
+SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+  f.q1, f.q3,
+  round(CAST(f.lo AS DOUBLE), 9) AS fence_lo,
+  round(CAST(f.hi AS DOUBLE), 9) AS fence_hi,
+  CAST(count_if(e.v < f.lo OR e.v > f.hi) AS BIGINT) AS n_outliers
+FROM f JOIN (SELECT event_type, {_VDEC} AS v FROM events) e
+  USING (event_type)
+GROUP BY f.event_type, f.n, f.q1, f.q3, f.lo, f.hi
+ORDER BY f.event_type""")
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type: exact type-7-free
+    quartiles (smallest value whose scaled cumulative count clears
+    n/4 and 3n/4 — the inverted-CDF definition, integer compares only),
+    1.5·IQR fences, and the out-of-fence row count — the per-metric
+    data-quality screen that feeds an anomaly triage queue.  Quartiles
+    are exact DECIMALs so the fence arithmetic is one shared double
+    expression.
+
+    Scale: quantiles live on the per-type distinct-value layer
+    (type-partitioned windows); the outlier count is one broadcast
+    join of the k-row fence table back to the stream."""
+    t = load_tables(spark, sf_dir, ("events",))
+    s = (t["events"]
+         .groupBy("event_type", F.expr(_VDEC).alias("v"))
+         .agg(F.count("*").cast("long").alias("c")))
+    wp = Window.partitionBy("event_type")
+    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select("event_type", "v",
+                   F.sum("c").over(wc).alias("cum"),
+                   F.sum("c").over(wp).alias("n"))
+    q = (cum.groupBy("event_type")
+         .agg(F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v")))
+              .alias("q1"),
+              F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"),
+                           F.col("v"))).alias("q3"),
+              F.max("n").cast("long").alias("n")))
+    f = q.select("event_type", "n", "q1", "q3",
+                 (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+                 .alias("lo"),
+                 (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+                 .alias("hi"))
+    e = t["events"].select("event_type", F.expr(_VDEC).alias("v"))
+    return (e.join(F.broadcast(f), "event_type")
+            .groupBy("event_type", "n", "q1", "q3", "lo", "hi")
+            .agg(F.count_if((F.col("v") < F.col("lo"))
+                            | (F.col("v") > F.col("hi"))).cast("long")
+                 .alias("n_outliers"))
+            .select("event_type", "n", "q1", "q3",
+                    F.round("lo", 9).alias("fence_lo"),
+                    F.round("hi", 9).alias("fence_hi"), "n_outliers")
+            .orderBy("event_type"))

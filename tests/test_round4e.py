@@ -380,3 +380,99 @@ def test_wilson_ci_brackets_phat_and_matches_formula(spark, sf_dir):
         assert math.isclose(r.ci_hi, center + half, abs_tol=1e-9)
         assert r.ci_lo <= p <= r.ci_hi
         assert 0.0 <= r.ci_lo <= r.ci_hi <= 1.0
+
+
+def test_knn_graph_edges_verified_brute_force(spark, sf_dir):
+    import numpy as np
+    rows = QUERIES["ann_knn_graph_banded"](spark, sf_dir).collect()
+    assert rows
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    pdf = t["embeddings"].toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(float)
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+        got = float(nrm[idx[r.src]] @ nrm[idx[r.nbr]])
+        assert math.isclose(r.cosine, round(got, 9), abs_tol=2e-9)
+        assert r.src != r.nbr
+    for src, nbrs in by_src.items():
+        assert len(nbrs) <= 3
+        ranked = sorted(nbrs, key=lambda r: r.rn)
+        cos = [r.cosine for r in ranked]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_iqr_fences_match_pandas_model(spark, sf_dir):
+    rows = QUERIES["dq_outlier_iqr_fences"](spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    for r in rows:
+        vs = sorted(pdf[pdf.event_type == r.event_type]["v"])
+        n = len(vs)
+        q1 = vs[math.ceil(n / 4) - 1]
+        q3 = vs[math.ceil(3 * n / 4) - 1]
+        assert float(r.q1) == q1 and float(r.q3) == q3
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        assert math.isclose(r.fence_lo, lo, abs_tol=1e-6)
+        assert math.isclose(r.fence_hi, hi, abs_tol=1e-6)
+        assert r.n_outliers == sum(1 for v in vs if v < lo or v > hi)
+
+
+def test_wordpiece_golden_prefers_cohesive_pair(spark):
+    """Hand-checked corpus where BPE and WordPiece disagree: (x, y</w>)
+    is the most FREQUENT pair (count 5), but its symbols are common, so
+    the likelihood ratio prefers the perfectly-cohesive singleton pair
+    (y, b</w>) with score 1/(1·1) = 1 — the known WordPiece bias toward
+    rare-but-exclusive pairs that production trainers temper with a
+    min-frequency floor."""
+    from results_ingestor_spark.operators.wordpiece import (
+        train_wordpiece_merges)
+    docs = spark.createDataFrame(
+        [(0, "xy xy xy xy qz"), (1, "xy xa yb qz")], ["doc_id", "text"])
+    out = train_wordpiece_merges(docs, n_merges=1).collect()[0]
+    assert (out.left, out.right) == ("y", "b</w>")
+    assert math.isclose(out.score, 1.0, abs_tol=1e-12)
+    # hand-check the runner-up algebra: (q, z</w>) = 2/(2·2) = 0.5
+    # outranks the frequent (x, y</w>) = 5/(6·5) ≈ 0.167
+
+
+def test_wordpiece_matches_python_model(spark, sf_dir):
+    """Replay the trainer in pure Python on the corpus and compare the
+    full 8-merge trajectory."""
+    from results_ingestor_spark.plans import QUERIES as Q
+    rows = sorted(Q["wordpiece_train_merges"](spark, sf_dir).collect(),
+                  key=lambda r: r.merge_rank)
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("text").toPandas()
+    vocab = {}
+    for text in pdf["text"]:
+        for w in text.split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    segs = {w: [*w[:-1], w[-1] + "</w>"] for w in vocab}
+    for r in rows:
+        pc, sc = {}, {}
+        for w, cnt in vocab.items():
+            s = segs[w]
+            for x in s:
+                sc[x] = sc.get(x, 0) + cnt
+            for aa, bb in zip(s, s[1:]):
+                pc[(aa, bb)] = pc.get((aa, bb), 0) + cnt
+        # deterministic argmax with (score desc, a asc, b asc)
+        best = min(pc, key=lambda p: (-(pc[p] / (sc[p[0]] * sc[p[1]])),
+                                      p[0], p[1]))
+        assert (r.left, r.right) == best, r.merge_rank
+        assert r.pair_count == pc[best]
+        # apply greedy non-overlapping merge
+        a, b = best
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
