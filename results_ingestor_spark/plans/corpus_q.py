@@ -1518,3 +1518,41 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_wordpiece_merges)
     t = load_tables(spark, sf_dir, ("documents",))
     return train_wordpiece_merges(t["documents"], n_merges=8)
+
+
+def _wordpiece_tokenize_oracle(n_merges: int = 8) -> str:
+    """Replay the WordPiece train chain to its final segmentation, then
+    the per-document aggregates (the BPE-apply device on the WP chain)."""
+    parts = _wordpiece_chain(n_merges)
+    return ("WITH " + ",".join(parts) + f""",
+sub AS (
+  SELECT word,
+    CAST(length(seg) - length(replace(seg, e'\\x01', '')) AS BIGINT)
+      AS n_sub,
+    CAST(length(word) AS BIGINT) AS n_chr
+  FROM seg{n_merges}),
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT w.doc_id, COUNT(*) AS n_words,
+  CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+  round(CAST(SUM(s.n_chr) AS DOUBLE) / CAST(SUM(s.n_sub) AS BIGINT), 6)
+    AS chars_per_subword
+FROM w JOIN sub s ON s.word = w.word
+WHERE w.word <> ''
+GROUP BY w.doc_id""")
+
+
+@query("wordpiece_tokenize_docs", oracle=_wordpiece_tokenize_oracle())
+def wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained 8-merge WordPiece vocabulary to every
+    document → per-doc subword counts and compression — the apply half
+    of `wordpiece_train_merges`, sharing `tokenize_with_merges`'s
+    vocabulary-sized fold-and-join contract (segmentation work is done
+    once per distinct word, pure JVM expression folds)."""
+    from results_ingestor_spark.operators.bpe import tokenize_with_merges
+    from results_ingestor_spark.operators.wordpiece import (
+        train_wordpiece_merges)
+    t = load_tables(spark, sf_dir, ("documents",))
+    m = train_wordpiece_merges(t["documents"], n_merges=8)
+    pairs = [(r["left"], r["right"]) for r in m.collect()]
+    return tokenize_with_merges(t["documents"], pairs)

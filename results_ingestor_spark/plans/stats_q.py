@@ -2769,3 +2769,50 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("lo", 9).alias("fence_lo"),
                     F.round("hi", 9).alias("fence_hi"), "n_outliers")
             .orderBy("event_type"))
+
+
+@query("stats_g_test_lang_source", oracle="""
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+m AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS rl FROM c GROUP BY lang),
+s AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM c GROUP BY source),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c)
+SELECT c.lang, c.source, c.o,
+  round(CAST(m.rl AS DOUBLE) * s.cs / t.n, 9) AS expected,
+  round(2.0 * c.o * ln(CAST(c.o AS DOUBLE) * t.n / (m.rl * s.cs)), 9)
+    AS g_contrib
+FROM c JOIN m USING (lang) JOIN s USING (source) CROSS JOIN t
+ORDER BY c.lang, c.source""")
+def stats_g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of lang × source
+    independence: per-cell contributions 2·o·ln(o/e) — the
+    information-theoretically exact sibling of `chi2_lang_source`
+    (G = 2N·MI(lang; source) in nats, so the same table doubles as a
+    mutual-information report).  PSI convention: contributions are
+    emitted per cell, never float-summed across rows; observed counts
+    and both marginals are exact BIGINTs, e and the contribution are
+    one shared expression each.
+
+    Scale: one hash aggregation on the (lang, source) cell domain plus
+    two marginal aggregates — all bounded by the domain, never the
+    corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = t["documents"].groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o"))
+    m = c.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    s = c.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    tot = c.agg(F.sum("o").cast("long").alias("n"))
+    return (c.join(F.broadcast(m), "lang")
+            .join(F.broadcast(s), "source")
+            .crossJoin(F.broadcast(tot))
+            .select("lang", "source", "o",
+                    F.round(F.col("rl").cast("double") * F.col("cs")
+                            / F.col("n"), 9).alias("expected"),
+                    F.round(2.0 * F.col("o")
+                            * F.log(F.col("o").cast("double") * F.col("n")
+                                    / (F.col("rl") * F.col("cs"))), 9)
+                    .alias("g_contrib"))
+            .orderBy("lang", "source"))

@@ -476,3 +476,42 @@ def test_wordpiece_matches_python_model(spark, sf_dir):
                     out.append(s[i])
                     i += 1
             segs[w] = out
+
+
+def test_wordpiece_tokenize_conserves_words(spark, sf_dir):
+    rows = QUERIES["wordpiece_tokenize_docs"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("doc_id", "text").toPandas()
+    words = {d: len([w for w in tx.split(" ") if w])
+             for d, tx in zip(pdf["doc_id"], pdf["text"])}
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(words)
+    for d, r in got.items():
+        assert r.n_words == words[d]
+        # merges only ever shrink the symbol count, never below n_words
+        assert r.n_words <= r.n_subwords
+        assert r.chars_per_subword > 0
+
+
+def test_g_test_matches_mutual_information(spark, sf_dir):
+    rows = QUERIES["stats_g_test_lang_source"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("lang", "source").toPandas()
+    n = len(pdf)
+    cells = pdf.groupby(["lang", "source"]).size()
+    rl = pdf.groupby("lang").size()
+    cs = pdf.groupby("source").size()
+    g_total = 0.0
+    for r in rows:
+        o = cells[(r.lang, r.source)]
+        assert r.o == o
+        e = rl[r.lang] * cs[r.source] / n
+        assert math.isclose(r.expected, e, rel_tol=1e-9)
+        want = 2.0 * o * math.log(o / e)
+        assert math.isclose(r.g_contrib, want, abs_tol=1e-6)
+        g_total += want
+    # G = 2N * MI in nats: recompute MI directly
+    mi = sum((cells[(l, s)] / n)
+             * math.log(cells[(l, s)] * n / (rl[l] * cs[s]))
+             for (l, s) in cells.index)
+    assert math.isclose(g_total, 2.0 * n * mi, rel_tol=1e-9)

@@ -149,6 +149,8 @@ WHITELIST_BNLJ = {
     "rfm_segment_migration": "1-row date-midpoint broadcast",
     "privacy_dp_median_expmech": "1-row total / 1-row pick broadcasts "
         "over the distinct-value candidate layer",
+    "stats_g_test_lang_source": "1-row grand-total broadcast "
+        "(chi2_lang_source contract)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
