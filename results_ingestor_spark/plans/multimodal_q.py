@@ -127,3 +127,49 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         perceptual_hashes, phash_near_dup_pairs)
     t = load_tables(spark, sf_dir, ("documents",))
     return phash_near_dup_pairs(perceptual_hashes(t["documents"]))
+
+
+@query("multimodal_patch_grid", oracle="""
+WITH d AS (
+  SELECT doc_id,
+    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+    CAST(doc_id % 1080 + 1 AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, w AS width, h AS height,
+  (w + 15) // 16 AS n_patches_x,
+  (h + 15) // 16 AS n_patches_y,
+  ((w + 15) // 16) * ((h + 15) // 16) AS n_patches,
+  ((w + 15) // 16) * ((h + 15) // 16) + 1 AS seq_len_with_cls,
+  ((w + 15) // 16) * 16 - w AS pad_x,
+  ((h + 15) // 16) * 16 - h AS pad_y,
+  ((((h + 15) // 16) - 1) * 16 * w + (((w + 15) // 16) - 1) * 16) * 3
+    AS last_patch_byte_offset
+FROM d ORDER BY doc_id""")
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 16×16 patch-grid planning over the synthetic image
+    dimensions (the png-header entry's width/height convention): patch
+    counts per axis, total sequence length with the CLS token, the
+    zero-padding each axis needs, and the byte offset of the LAST
+    patch in an RGB row-major buffer — the addressing arithmetic a
+    vision-preprocessing stage must get right before any pixel moves.
+    Everything is exact integer expressions in codegen; the oracle
+    states the ground truth independently.
+
+    Scale: pure map stage over metadata columns; bodies are never
+    touched (the offsets exist so a later mapInPandas kernel can slice
+    without decoding)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = (F.col("doc_id") % 1920 + 1).cast("long")
+    h = (F.col("doc_id") % 1080 + 1).cast("long")
+    npx = F.floor((w + 15) / 16).cast("long")
+    npy = F.floor((h + 15) / 16).cast("long")
+    return (t["documents"].select(
+        "doc_id", w.alias("width"), h.alias("height"),
+        npx.alias("n_patches_x"), npy.alias("n_patches_y"),
+        (npx * npy).alias("n_patches"),
+        (npx * npy + 1).alias("seq_len_with_cls"),
+        (npx * 16 - w).alias("pad_x"),
+        (npy * 16 - h).alias("pad_y"),
+        (((npy - 1) * 16 * w + (npx - 1) * 16) * 3)
+        .alias("last_patch_byte_offset"))
+        .orderBy("doc_id"))

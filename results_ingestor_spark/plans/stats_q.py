@@ -2816,3 +2816,75 @@ def stats_g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / (F.col("rl") * F.col("cs"))), 9)
                     .alias("g_contrib"))
             .orderBy("lang", "source"))
+
+
+_PGLM_ITERS = 8
+_PGLM_LR = 0.05
+
+
+def _pglm_oracle() -> str:
+    """Unrolled-CTE replay of the Poisson-GLM gradient descent (the
+    logistic GD-chain device applied to the log link): hourly counts,
+    then wt0 → … → wt8 with weights rounded to 9 dp after every step
+    so the cross-partition summation noise is quantized away in both
+    engines identically."""
+    parts = ["""hourly AS (
+  SELECT CAST(hour(ts) AS DOUBLE) / 23.0 AS x1,
+    CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY date_trunc('hour', ts), hour(ts))""",
+             "wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1)"]
+    for i in range(_PGLM_ITERS):
+        parts.append(f"""
+p{i} AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
+         FROM hourly h CROSS JOIN wt{i} w),
+g{i} AS (SELECT avg(lam - y) AS g0, avg((lam - y) * x1) AS g1,
+                avg(lam - y * ln(greatest(lam, 1e-300))) AS nll
+         FROM p{i}),
+wt{i + 1} AS (SELECT round(w.w0 - {_PGLM_LR} * g.g0, 9) AS w0,
+                     round(w.w1 - {_PGLM_LR} * g.g1, 9) AS w1
+              FROM wt{i} w CROSS JOIN g{i} g)""")
+    return ("WITH " + ",".join(parts) + f""",
+fin AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
+        FROM hourly h CROSS JOIN wt{_PGLM_ITERS} w)
+SELECT CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
+  (SELECT w0 FROM wt{_PGLM_ITERS}) AS w0,
+  (SELECT w1 FROM wt{_PGLM_ITERS}) AS w1,
+  round(avg(lam - y * ln(greatest(lam, 1e-300))), 6) AS mean_nll
+FROM fin""")
+
+
+@query("events_poisson_glm_hourly", oracle=_pglm_oracle())
+def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression (log link) of hourly event counts on the
+    hour-of-day — the GLM beside the logistic classifier: 8 batch
+    gradient-descent steps on the Poisson negative log-likelihood,
+    each ONE aggregation over the bounded hourly layer, with weights
+    rounded to 9 dp per step (the classifier-GD determinism device) so
+    the unrolled-CTE oracle replays the trajectory bit-for-bit.  The
+    two weights are the only driver state per iteration.
+
+    Scale: the hourly layer is time-domain-bounded; each step is a
+    map-side-combined aggregate; the corpus is touched once to build
+    the layer."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (t["events"]
+              .groupBy(F.date_trunc("hour", "ts").alias("h"),
+                       F.hour("ts").alias("hod"))
+              .agg(F.count("*").cast("double").alias("y"))
+              .select((F.col("hod").cast("double") / 23.0).alias("x1"),
+                      "y")
+              .localCheckpoint(eager=True))
+    w0 = w1 = 0.0
+    for _ in range(_PGLM_ITERS):
+        lam = F.exp(F.lit(w0) + F.lit(w1) * F.col("x1"))
+        row = hourly.agg(
+            F.avg(lam - F.col("y")).alias("g0"),
+            F.avg((lam - F.col("y")) * F.col("x1")).alias("g1")).first()
+        w0 = round(w0 - _PGLM_LR * row["g0"], 9)
+        w1 = round(w1 - _PGLM_LR * row["g1"], 9)
+    lam = F.exp(F.lit(w0) + F.lit(w1) * F.col("x1"))
+    nll = lam - F.col("y") * F.log(F.greatest(lam, F.lit(1e-300)))
+    return hourly.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.lit(w0).alias("w0"), F.lit(w1).alias("w1"),
+        F.round(F.avg(nll), 6).alias("mean_nll"))

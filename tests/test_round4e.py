@@ -515,3 +515,42 @@ def test_g_test_matches_mutual_information(spark, sf_dir):
              * math.log(cells[(l, s)] * n / (rl[l] * cs[s]))
              for (l, s) in cells.index)
     assert math.isclose(g_total, 2.0 * n * mi, rel_tol=1e-9)
+
+
+def test_poisson_glm_trajectory_matches_python(spark, sf_dir):
+    row = QUERIES["events_poisson_glm_hourly"](spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    pdf["hkey"] = pdf["ts"].map(lambda t: (t.year, t.month, t.day, t.hour))
+    pdf["hod"] = pdf["ts"].map(lambda t: t.hour)
+    hourly = pdf.groupby(["hkey", "hod"]).size().reset_index(name="y")
+    xs = (hourly["hod"] / 23.0).to_numpy()
+    ys = hourly["y"].to_numpy(dtype=float)
+    w0 = w1 = 0.0
+    for _ in range(8):
+        lam = [math.exp(w0 + w1 * x) for x in xs]
+        g0 = sum(l - y for l, y in zip(lam, ys)) / len(ys)
+        g1 = sum((l - y) * x for l, y, x in zip(lam, ys, xs)) / len(ys)
+        w0 = round(w0 - 0.05 * g0, 9)
+        w1 = round(w1 - 0.05 * g1, 9)
+    assert row.n_hours == len(hourly)
+    assert math.isclose(row.w0, w0, abs_tol=1e-8)
+    assert math.isclose(row.w1, w1, abs_tol=1e-8)
+    lam = [math.exp(w0 + w1 * x) for x in xs]
+    nll = sum(l - y * math.log(max(l, 1e-300))
+              for l, y in zip(lam, ys)) / len(ys)
+    assert math.isclose(row.mean_nll, nll, abs_tol=1e-5)
+
+
+def test_patch_grid_arithmetic(spark, sf_dir):
+    rows = QUERIES["multimodal_patch_grid"](spark, sf_dir).collect()
+    for r in rows[:200]:
+        w, h = r.doc_id % 1920 + 1, r.doc_id % 1080 + 1
+        npx, npy = -(-w // 16), -(-h // 16)
+        assert (r.width, r.height) == (w, h)
+        assert (r.n_patches_x, r.n_patches_y) == (npx, npy)
+        assert r.n_patches == npx * npy
+        assert r.seq_len_with_cls == npx * npy + 1
+        assert r.pad_x == npx * 16 - w and 0 <= r.pad_x < 16
+        assert r.pad_y == npy * 16 - h and 0 <= r.pad_y < 16
+        assert r.last_patch_byte_offset == \
+            ((npy - 1) * 16 * w + (npx - 1) * 16) * 3
