@@ -2888,3 +2888,170 @@ def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_hours"),
         F.lit(w0).alias("w0"), F.lit(w1).alias("w1"),
         F.round(F.avg(nll), 6).alias("mean_nll"))
+
+
+@query("stats_levene_brown_forsythe", oracle=f"""
+WITH s AS (
+  SELECT event_type, {_VDEC} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, value),
+cum AS (
+  SELECT event_type, v, c,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM s),
+med AS (
+  SELECT event_type, MIN(v) AS m
+  FROM cum WHERE 2 * cum >= n GROUP BY event_type),
+z AS (
+  SELECT e.event_type, abs({_VDEC} - med.m) AS z
+  FROM events e JOIN med USING (event_type)),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(z) AS s, SUM(z * z) AS q
+  FROM z GROUP BY event_type),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(q) AS DOUBLE) AS qd
+  FROM g),
+b AS (
+  SELECT bsum FROM (
+    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS bsum,
+           row_number() OVER (ORDER BY event_type DESC) AS rn
+    FROM g) WHERE rn = 1)
+SELECT k, nn AS n_total, {_ANOVA_F} AS w_stat
+FROM tot CROSS JOIN b""")
+def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with median centers) for
+    EQUAL VARIANCES across event types — the assumption check behind
+    stats_anova_oneway_f, and robust where the classic mean-centered
+    Levene is not: W is the one-way ANOVA F computed on the absolute
+    deviations |v − median(group)|.  Group medians come from the exact
+    inverted-CDF over the per-type distinct-value layer (IQR-fences
+    contract); deviations are exact DECIMALs, and the k-term fold plus
+    the final F reuse the ANOVA entry's order-fixed shared text.
+
+    Scale: one distinct-value pass for medians (type-partitioned
+    windows), one broadcast of the k-row median table back to the
+    stream, one moment aggregation."""
+    t = load_tables(spark, sf_dir, ("events",))
+    s = (t["events"]
+         .groupBy("event_type", F.expr(_VDEC).alias("v"))
+         .agg(F.count("*").cast("long").alias("c")))
+    wp = Window.partitionBy("event_type")
+    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select("event_type", "v",
+                   F.sum("c").over(wc).alias("cum"),
+                   F.sum("c").over(wp).alias("n"))
+    med = (cum.where(2 * F.col("cum") >= F.col("n"))
+           .groupBy("event_type").agg(F.min("v").alias("m")))
+    z = (t["events"].join(F.broadcast(med), "event_type")
+         .select("event_type",
+                 F.abs(F.expr(_VDEC) - F.col("m")).alias("z")))
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("q"))
+    tot = g.agg(F.count("*").cast("long").alias("k"),
+                F.sum("n").cast("long").alias("nn"),
+                F.sum("s").cast("double").alias("sd"),
+                F.sum("q").cast("double").alias("qd"))
+    w = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0)
+    term = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    b = (g.select(F.sum(term).over(w).alias("bsum"),
+                  F.row_number().over(Window.orderBy(F.desc("event_type")))
+                  .alias("rn"))
+         .where(F.col("rn") == 1).select("bsum"))
+    return (tot.crossJoin(F.broadcast(b))
+            .select("k", F.col("nn").alias("n_total"),
+                    F.expr(_ANOVA_F).alias("w_stat")))
+
+
+_FANO = """round(CAST(nh * (nh * q - s * s) AS DOUBLE)
+  / (CAST(nh AS DOUBLE) * (nh - 1) * s), 9)"""
+
+
+@query("events_overdispersion_fano", oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS nh,
+    CAST(SUM(y) AS BIGINT) AS s,
+    CAST(SUM(y * y) AS BIGINT) AS q
+  FROM hourly GROUP BY event_type)
+SELECT event_type, nh AS n_hours,
+  round(CAST(s AS DOUBLE) / nh, 9) AS mean_per_hour,
+  {_FANO} AS fano,
+  {_FANO} > 1.5 AS overdispersed
+FROM m ORDER BY event_type""")
+def events_overdispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of the hourly count series
+    per event type — the overdispersion check that decides whether the
+    Poisson GLM's equal-mean-variance assumption holds (Fano ≈ 1 for
+    Poisson arrivals; ≫ 1 means bursty traffic wants a negative
+    binomial).  Moments are exact BIGINTs with integer centering
+    n·Σy² − (Σy)² before the single shared double expression.
+
+    Scale: one (type, hour) aggregation — bounded by the time domain —
+    then k-row arithmetic."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (t["events"]
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").cast("long").alias("y")))
+    m = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"))
+    return (m.select("event_type", F.col("nh").alias("n_hours"),
+                     F.round(F.col("s").cast("double") / F.col("nh"), 9)
+                     .alias("mean_per_hour"),
+                     F.expr(_FANO).alias("fano"),
+                     (F.expr(_FANO) > 1.5).alias("overdispersed"))
+            .orderBy("event_type"))
+
+
+@query("experiment_srm_check", oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id,
+    ('0x' || substr(md5('srm:' || user_id), 1, 15))::BIGINT % 2 AS arm
+  FROM events),
+c AS (
+  SELECT CAST(count_if(arm = 0) AS BIGINT) AS n0,
+    CAST(count_if(arm = 1) AS BIGINT) AS n1
+  FROM u)
+SELECT n0, n1,
+  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 9) AS chi2,
+  CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 10.828 AS srm_detected
+FROM c""")
+def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a 50/50 hash-based experiment
+    assignment (arm = md5(user) mod 2): the chi-square statistic for a
+    two-cell equal-split reduces to (n0−n1)²/(n0+n1), flagged at the
+    industry-standard α = 0.001 (10.828, the 1-df critical value as a
+    literal).  SRM is the first gate an experimentation platform runs
+    before reading any metric — a triggered check means the bucketing
+    or logging pipeline is broken, not the treatment.  The assignment
+    hash is the deterministic md5 tier, so the whole check is
+    value-checked.
+
+    Scale: one distinct on user_id (map-side combine) + a 2-cell
+    aggregate."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("events",))
+    u = (t["events"]
+         .select(F.col("user_id"))
+         .distinct()
+         .select((md5_long(F.col("user_id").cast("string"), seed="srm:")
+                  % 2).alias("arm")))
+    c = u.agg(F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
+              F.count_if(F.col("arm") == 1).cast("long").alias("n1"))
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+            ).cast("double") / (F.col("n0") + F.col("n1"))
+    return c.select("n0", "n1",
+                    F.round(chi2, 9).alias("chi2"),
+                    (chi2 > 10.828).alias("srm_detected"))

@@ -554,3 +554,51 @@ def test_patch_grid_arithmetic(spark, sf_dir):
         assert r.pad_y == npy * 16 - h and 0 <= r.pad_y < 16
         assert r.last_patch_byte_offset == \
             ((npy - 1) * 16 * w + (npx - 1) * 16) * 3
+
+
+def test_brown_forsythe_matches_pandas_model(spark, sf_dir):
+    row = QUERIES["stats_levene_brown_forsythe"](spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    devs, groups = [], []
+    for g, vals in pdf.groupby("event_type")["v"]:
+        vs = sorted(vals)
+        med = vs[math.ceil(len(vs) / 2) - 1]  # inverted-CDF median
+        devs += [abs(v - med) for v in vals]
+        groups += [g] * len(vals)
+    import pandas as pd
+    z = pd.DataFrame({"g": groups, "z": devs})
+    gg = z.groupby("g")["z"]
+    nn, k = len(z), gg.ngroups
+    ssb = sum(s * s / n for s, n in zip(gg.sum(), gg.count())) \
+        - z["z"].sum() ** 2 / nn
+    ssw = (z["z"] ** 2).sum() - sum(
+        s * s / n for s, n in zip(gg.sum(), gg.count()))
+    w = (ssb / (k - 1)) / (ssw / (nn - k))
+    assert row.k == k and row.n_total == nn
+    assert math.isclose(row.w_stat, w, rel_tol=1e-6)
+
+
+def test_fano_matches_pandas_model(spark, sf_dir):
+    rows = QUERIES["events_overdispersion_fano"](spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    pdf["h"] = pdf["ts"].map(lambda t: (t.year, t.month, t.day, t.hour))
+    for r in rows:
+        y = pdf[pdf.event_type == r.event_type].groupby("h").size()
+        assert r.n_hours == len(y)
+        fano = y.var(ddof=1) / y.mean()
+        assert math.isclose(r.mean_per_hour, y.mean(), rel_tol=1e-9)
+        assert math.isclose(r.fano, fano, rel_tol=1e-6)
+        assert r.overdispersed == (fano > 1.5)
+
+
+def test_srm_counts_match_hashlib(spark, sf_dir):
+    import hashlib
+    row = QUERIES["experiment_srm_check"](spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    arms = [int(hashlib.md5(f"srm:{u}".encode()).hexdigest()[:15], 16) % 2
+            for u in set(pdf["user_id"])]
+    n0, n1 = arms.count(0), arms.count(1)
+    assert (row.n0, row.n1) == (n0, n1)
+    chi2 = (n0 - n1) ** 2 / (n0 + n1)
+    assert math.isclose(row.chi2, chi2, rel_tol=1e-9)
+    assert row.srm_detected == (chi2 > 10.828)

@@ -151,6 +151,8 @@ WHITELIST_BNLJ = {
         "over the distinct-value candidate layer",
     "stats_g_test_lang_source": "1-row grand-total broadcast "
         "(chi2_lang_source contract)",
+    "stats_levene_brown_forsythe": "1-row moment combine x k-row "
+        "ordered fold (ANOVA contract)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
@@ -243,6 +245,9 @@ WHITELIST_GLOBALWIN = {
         "documented approx-quantile bucket-edge swap at corpus scale)",
     "privacy_dp_median_expmech": "rank window over distinct metric "
         "values (mann-whitney contract); selection is TakeOrdered(1)",
+    "stats_levene_brown_forsythe": "median windows are "
+        "type-partitioned over distinct values; the SinglePartition "
+        "exchange is the ANOVA-contract k-row ordered fold",
 }
 
 
