@@ -1051,3 +1051,74 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("seg_h1", "seg_h2")
             .agg(F.count("*").cast("long").alias("n_customers"))
             .orderBy("seg_h1", "seg_h2"))
+
+
+_ALS_ROUNDS = 2  # full alternations
+
+
+def _als_oracle() -> str:
+    """Unrolled-CTE replay of the rank-1 ALS: ratings, v0 = 1, then
+    per-half-step closed-form least squares with values rounded to
+    9 dp (quantizing cross-partition summation noise, the GD-chain
+    device applied to distributed state)."""
+    parts = ["""r AS MATERIALIZED (
+  SELECT o.o_custkey AS c, l.l_partkey AS p,
+    CAST(COUNT(*) AS BIGINT) AS r
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)""",
+             "v0 AS (SELECT DISTINCT p, 1.0 AS v FROM r)"]
+    for i in range(_ALS_ROUNDS):
+        parts.append(f"""
+u{i + 1} AS (
+  SELECT r.c, round(SUM(r.r * v.v) / SUM(v.v * v.v), 9) AS u
+  FROM r JOIN v{i} v USING (p) GROUP BY r.c),
+v{i + 1} AS (
+  SELECT r.p, round(SUM(r.r * u.u) / SUM(u.u * u.u), 9) AS v
+  FROM r JOIN u{i + 1} u USING (c) GROUP BY r.p)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT p AS partkey, round(v, 6) AS score
+FROM v{_ALS_ROUNDS}
+ORDER BY round(v, 6) DESC, p LIMIT 20""")
+
+
+@query("als_rank1_factorization", oracle=_als_oracle())
+def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating least squares on the customer × part
+    purchase-count matrix — the collaborative-filtering trainer as a
+    Spark iterative algorithm: each half-step is the exact 1-D
+    least-squares solution u_c = Σrᵥ/Σv² (resp. v_p), i.e. one
+    equi-join of the ratings with the opposite factor plus one keyed
+    aggregation — the per-round budget of a PageRank step.  Factor
+    values are rounded to 9 dp per half-step (the GD determinism
+    device applied to DISTRIBUTED state) so the unrolled-CTE oracle
+    replays both alternations; the top-20 parts rank on 6-dp scores
+    with id tie-breaks.  Rank-1 ALS is the power iteration of the
+    rating matrix — the first singular direction, the "overall
+    popularity vs. heavy-buyer" axis a recommender factors out first.
+
+    Scale: ratings materialize once (one fact shuffle); each
+    half-step shuffles factor-keyed partial sums, never the matrix."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    r = (t["orders"].select("o_custkey", "o_orderkey")
+         .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+               F.col("o_orderkey") == F.col("l_orderkey"))
+         .groupBy(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+         .agg(F.count("*").cast("long").alias("r"))
+         .localCheckpoint(eager=True))
+    v = r.select("p").distinct().withColumn("v", F.lit(1.0))
+    for _ in range(_ALS_ROUNDS):
+        u = (r.join(v, "p")
+             .groupBy("c")
+             .agg(F.round(F.sum(F.col("r") * F.col("v"))
+                          / F.sum(F.col("v") * F.col("v")), 9)
+                  .alias("u")))
+        v = (r.join(u, "c")
+             .groupBy("p")
+             .agg(F.round(F.sum(F.col("r") * F.col("u"))
+                          / F.sum(F.col("u") * F.col("u")), 9)
+                  .alias("v")))
+    return (v.select(F.col("p").alias("partkey"),
+                     F.round("v", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("partkey"))
+            .limit(20))

@@ -602,3 +602,31 @@ def test_srm_counts_match_hashlib(spark, sf_dir):
     chi2 = (n0 - n1) ** 2 / (n0 + n1)
     assert math.isclose(row.chi2, chi2, rel_tol=1e-9)
     assert row.srm_detected == (chi2 > 10.828)
+
+
+def test_als_matches_python_model(spark, sf_dir):
+    rows = QUERIES["als_rank1_factorization"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].select("o_custkey", "o_orderkey").toPandas()
+    li = t["lineitem"].select("l_orderkey", "l_partkey").toPandas()
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    r = m.groupby(["o_custkey", "l_partkey"]).size()
+    by_c, by_p = {}, {}
+    for (c, p), cnt in r.items():
+        by_c.setdefault(c, []).append((p, cnt))
+        by_p.setdefault(p, []).append((c, cnt))
+    v = {p: 1.0 for p in by_p}
+    u = {}
+    for _ in range(2):
+        u = {c: round(sum(cnt * v[p] for p, cnt in items)
+                      / sum(v[p] ** 2 for p, _ in items), 9)
+             for c, items in by_c.items()}
+        v = {p: round(sum(cnt * u[c] for c, cnt in items)
+                      / sum(u[c] ** 2 for c, _ in items), 9)
+             for p, items in by_p.items()}
+    want = sorted(((p, round(val, 6)) for p, val in v.items()),
+                  key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.partkey, r.score) for r in rows]
+    assert got == want
+    # the first factor axis is positive (popularity direction)
+    assert all(s > 0 for _, s in got)
