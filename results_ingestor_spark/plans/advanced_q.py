@@ -1122,3 +1122,69 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("v", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("partkey"))
             .limit(20))
+
+
+@query("dq_order_total_reconciliation", oracle="""
+WITH line AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS recomputed
+  FROM lineitem GROUP BY l_orderkey),
+r AS (
+  SELECT o.o_orderkey,
+    CAST(o.o_totalprice AS DECIMAL(12,2)) AS stored,
+    line.recomputed,
+    CASE WHEN line.l_orderkey IS NULL THEN NULL
+      ELSE CAST(round(abs(CAST(o.o_totalprice AS DECIMAL(12,2))
+                          - line.recomputed)
+                      / CAST(o.o_totalprice AS DOUBLE), 9)
+           AS DECIMAL(18,9)) END AS rel_err
+  FROM orders o LEFT JOIN line ON line.l_orderkey = o.o_orderkey)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(count_if(rel_err IS NULL) AS BIGINT) AS n_no_lines,
+  CAST(count_if(abs(stored - recomputed) <= 0.01) AS BIGINT)
+    AS n_reconciled_1c,
+  round(CAST(AVG(rel_err) AS DOUBLE), 9) AS avg_rel_err,
+  round(CAST(MAX(rel_err) AS DOUBLE), 9) AS max_rel_err
+FROM r""")
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table value reconciliation: does the order header's
+    o_totalprice equal Σ extendedprice·(1−discount)·(1+tax) over its
+    lines? — the TPC-H business rule, run as a data-quality audit
+    (on this synthetic corpus the invariant does NOT hold, which is
+    precisely what the audit exists to surface: headers and lines are
+    drawn independently).  Line recomputation is exact DECIMAL
+    arithmetic (discount/tax re-enter as exact 2-dp decimals); the
+    relative error is rounded to 9 dp and summed as DECIMAL so the
+    average is order-independent (the LM-scoring device).
+
+    Scale: one orderkey-keyed aggregation joined to the header
+    (co-partitioned at rest under the documented bucketing); the
+    report is one row."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    line = (t["lineitem"]
+            .groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                       * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                       * (1 + F.col("l_tax").cast("decimal(4,2)")))
+                 .alias("recomputed")))
+    o = t["orders"].select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)")
+        .alias("stored"))
+    r = (o.join(line, o.o_orderkey == line.l_orderkey, "left")
+         .select("stored", "recomputed",
+                 F.when(F.col("l_orderkey").isNotNull(),
+                        F.round(F.abs(F.col("stored")
+                                      - F.col("recomputed"))
+                                / F.col("stored").cast("double"), 9)
+                        .cast("decimal(18,9)")).alias("rel_err")))
+    return r.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count_if(F.col("rel_err").isNull()).cast("long")
+        .alias("n_no_lines"),
+        F.count_if(F.abs(F.col("stored") - F.col("recomputed")) <= 0.01)
+        .cast("long").alias("n_reconciled_1c"),
+        F.round(F.avg("rel_err").cast("double"), 9).alias("avg_rel_err"),
+        F.round(F.max("rel_err").cast("double"), 9).alias("max_rel_err"))

@@ -689,3 +689,103 @@ def graph_hits_bipartite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("norm_score")))
 
     return top(h2, "c", "hub").unionAll(top(a2, "p", "authority"))
+
+
+def _lpa_modularity_oracle(n_iter: int = 3) -> str:
+    """LPA chain (same CTEs as `_lpa_oracle`) extended with the
+    per-community Newman modularity contribution
+    q_c = int2_c/2m' − (d_c/2m')² over exact integer edge/degree
+    counts (2m' = |sym|; int2_c counts both directions)."""
+    parts = [f"WITH e AS ({_EDGES})",
+             "es AS (SELECT u, v FROM e WHERE w >= 2)",
+             "sym AS (SELECT u, v FROM es UNION ALL SELECT v, u FROM es)",
+             "nodes AS (SELECT DISTINCT u AS v FROM sym)",
+             "l0 AS (SELECT v, v AS label FROM nodes)"]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.u AS v, l.label, COUNT(*) AS c "
+            f"FROM sym s JOIN l{i - 1} l ON s.v = l.v GROUP BY 1, 2)")
+        parts.append(
+            f"b{i} AS (SELECT v, label FROM ("
+            f"SELECT v, label, row_number() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, label ASC) AS rn "
+            f"FROM c{i}) WHERE rn = 1)")
+        parts.append(
+            f"l{i} AS (SELECT l.v, coalesce(b.label, l.label) AS label "
+            f"FROM l{i - 1} l LEFT JOIN b{i} b ON b.v = l.v)")
+    return (",\n".join(parts) + f""",
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym),
+msize AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM l{n_iter} GROUP BY label),
+internal AS (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS int2
+  FROM sym s
+  JOIN l{n_iter} la ON la.v = s.u
+  JOIN l{n_iter} lb ON lb.v = s.v
+  WHERE la.label = lb.label GROUP BY la.label),
+dsum AS (
+  SELECT la.label, CAST(SUM(deg.d) AS BIGINT) AS dc
+  FROM deg JOIN l{n_iter} la ON la.v = deg.u GROUP BY la.label)
+SELECT ms.label AS community, ms.n_members,
+  coalesce(i.int2, 0) // 2 AS internal_edges,
+  ds.dc AS degree_sum,
+  round(CAST(coalesce(i.int2, 0) AS DOUBLE) / m2.m2
+        - (CAST(ds.dc AS DOUBLE) / m2.m2)
+          * (CAST(ds.dc AS DOUBLE) / m2.m2), 9) AS q_contrib
+FROM msize ms
+LEFT JOIN internal i ON i.label = ms.label
+JOIN dsum ds ON ds.label = ms.label
+CROSS JOIN m2
+ORDER BY ms.n_members DESC, community LIMIT 20""")
+
+
+@query("graph_lpa_modularity", oracle=_lpa_modularity_oracle())
+def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities (the quality score that
+    says whether the partition is better than chance): per-community
+    contribution q_c = int₂/2m − (d_c/2m)², emitted per community
+    (PSI convention — the reader's Σq_c is modularity Q) for the 20
+    largest communities.  Every input — internal directed-edge count,
+    community degree sum, 2m — is an exact BIGINT from equi-joins of
+    the symmetrized edge list with the label table; q_c is one shared
+    double expression.
+
+    Scale: the label join is node-keyed; the internal-edge count joins
+    labels onto each edge endpoint (two broadcast-able node-domain
+    joins); no pair enumeration beyond the existing edge list."""
+    from results_ingestor_spark.operators.graph import (copurchase_edges,
+                                                        lpa_communities)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li, min_weight=2)
+    labels = lpa_communities(edges, n_iter=3)
+    sym = (edges.select("u", "v")
+           .union(edges.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    m2 = sym.agg(F.count("*").cast("long").alias("m2"))
+    la = labels.select(F.col("v").alias("u"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("v").alias("vv"), F.col("label").alias("lv"))
+    msize = (labels.groupBy("label")
+             .agg(F.count("*").cast("long").alias("n_members")))
+    internal = (sym.join(la, "u")
+                .join(lb, sym.v == F.col("vv"))
+                .where(F.col("lu") == F.col("lv"))
+                .groupBy(F.col("lu").alias("label"))
+                .agg(F.count("*").cast("long").alias("int2")))
+    dsum = (deg.join(la, "u")
+            .groupBy(F.col("lu").alias("label"))
+            .agg(F.sum("d").cast("long").alias("dc")))
+    i2 = F.coalesce(F.col("int2"), F.lit(0))
+    q = (i2.cast("double") / F.col("m2")
+         - (F.col("dc").cast("double") / F.col("m2"))
+         * (F.col("dc").cast("double") / F.col("m2")))
+    return (msize.join(internal, "label", "left")
+            .join(dsum, "label")
+            .crossJoin(F.broadcast(m2))
+            .select(F.col("label").alias("community"), "n_members",
+                    F.floor(i2 / 2).cast("long").alias("internal_edges"),
+                    F.col("dc").alias("degree_sum"),
+                    F.round(q, 9).alias("q_contrib"))
+            .orderBy(F.desc("n_members"), F.asc("community"))
+            .limit(20))

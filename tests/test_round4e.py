@@ -630,3 +630,52 @@ def test_als_matches_python_model(spark, sf_dir):
     assert got == want
     # the first factor axis is positive (popularity direction)
     assert all(s > 0 for _, s in got)
+
+
+def test_lpa_modularity_matches_python_model(spark, sf_dir):
+    from results_ingestor_spark.operators.graph import (copurchase_edges,
+                                                        lpa_communities)
+    rows = QUERIES["graph_lpa_modularity"](spark, sf_dir).collect()
+    assert rows
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li, min_weight=2)
+    lab = {r.v: r.label for r in lpa_communities(edges, n_iter=3).collect()}
+    sym = [(r.u, r.v) for r in edges.select("u", "v").collect()]
+    sym = sym + [(v, u) for u, v in sym]
+    m2 = len(sym)
+    int2, dsum = {}, {}
+    for u, v in sym:
+        dsum[lab[u]] = dsum.get(lab[u], 0) + 1
+        if lab[u] == lab[v]:
+            int2[lab[u]] = int2.get(lab[u], 0) + 1
+    for r in rows:
+        assert r.internal_edges == int2.get(r.community, 0) // 2
+        assert r.degree_sum == dsum[r.community]
+        q = (int2.get(r.community, 0) / m2
+             - (dsum[r.community] / m2) ** 2)
+        assert math.isclose(r.q_contrib, q, abs_tol=1e-9)
+    # total modularity over ALL communities is within [-0.5, 1]
+    qtot = sum(int2.get(c, 0) / m2 - (d / m2) ** 2
+               for c, d in dsum.items())
+    assert -0.5 <= qtot <= 1.0
+
+
+def test_order_reconciliation_matches_pandas(spark, sf_dir):
+    row = QUERIES["dq_order_total_reconciliation"](spark, sf_dir).collect()[0]
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].select("o_orderkey", "o_totalprice").toPandas()
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice",
+                              "l_discount", "l_tax").toPandas()
+    li["rec"] = (li["l_extendedprice"].round(2)
+                 * (1 - li["l_discount"].round(2))
+                 * (1 + li["l_tax"].round(2)))
+    rec = li.groupby("l_orderkey")["rec"].sum()
+    n_no_lines = sum(1 for k in o["o_orderkey"] if k not in rec.index)
+    assert row.n_orders == len(o)
+    assert row.n_no_lines == n_no_lines
+    n_rec = sum(1 for k, tp in zip(o["o_orderkey"], o["o_totalprice"])
+                if k in rec.index and abs(round(tp, 2) - rec[k]) <= 0.011)
+    # decimal vs float rounding can disagree only within a hair of the
+    # 1-cent boundary; assert the census within that tolerance band
+    assert abs(row.n_reconciled_1c - n_rec) <= 2
+    assert 0 <= row.avg_rel_err <= row.max_rel_err

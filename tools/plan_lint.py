@@ -153,6 +153,8 @@ WHITELIST_BNLJ = {
         "(chi2_lang_source contract)",
     "stats_levene_brown_forsythe": "1-row moment combine x k-row "
         "ordered fold (ANOVA contract)",
+    "graph_lpa_modularity": "1-row 2m edge-total broadcast over the "
+        "community-domain table",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
