@@ -1276,3 +1276,64 @@ def privacy_dp_median_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tot.select(F.col("nn").alias("n"))
             .crossJoin(F.broadcast(truth))
             .crossJoin(F.broadcast(pick)))
+
+
+@query("privacy_randomized_response", oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events),
+truth AS (
+  SELECT u.user_id,
+    CASE WHEN EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = u.user_id
+                        AND e.event_type = 'purchase')
+         THEN 1 ELSE 0 END AS y
+  FROM u),
+rr AS (
+  SELECT user_id, y,
+    ('0x' || substr(md5('rr:' || user_id), 1, 15))::BIGINT % 4 AS coin
+  FROM truth),
+rep AS (
+  SELECT user_id,
+    CASE WHEN coin < 2 THEN y WHEN coin = 2 THEN 1 ELSE 0 END AS reported
+  FROM rr),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(reported) AS BIGINT) AS n_yes,
+    (SELECT CAST(SUM(y) AS BIGINT) FROM truth) AS n_true
+  FROM rep)
+SELECT n, n_yes, n_true,
+  round(CAST(n_true AS DOUBLE) / n, 9) AS true_rate,
+  round((2.0 * n_yes / n) - 0.5, 9) AS estimated_rate
+FROM c""")
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized response — LOCAL differential privacy, the
+    client-side sibling of the central-DP Laplace/exponential entries:
+    each user answers "did you purchase?" truthfully with probability
+    1/2, else answers a fixed yes/no coin (ε = ln 3 per response).
+    The debiased estimator 2·p̂_yes − 1/2 recovers the population rate
+    without any row revealing its truth.  Both coins come from one
+    md5 draw mod 4, so the mechanism — noise included — is
+    value-checked, and the estimate sits beside the true rate so the
+    privacy/accuracy trade is visible.
+
+    Scale: one user-keyed semi-aggregate for truth, a map-only
+    response stage, and a 1-row census."""
+    from results_ingestor_spark.functions.hashing import md5_long
+    t = load_tables(spark, sf_dir, ("events",))
+    truth = (t["events"]
+             .groupBy("user_id")
+             .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")))
+    coin = md5_long(F.col("user_id").cast("string"), seed="rr:") % 4
+    rep = truth.select(
+        "y",
+        F.when(coin < 2, F.col("y"))
+        .when(coin == 2, F.lit(1)).otherwise(F.lit(0)).alias("reported"))
+    return (rep.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("reported").cast("long").alias("n_yes"),
+                    F.sum("y").cast("long").alias("n_true"))
+            .select("n", "n_yes", "n_true",
+                    F.round(F.col("n_true").cast("double") / F.col("n"), 9)
+                    .alias("true_rate"),
+                    F.round(2.0 * F.col("n_yes") / F.col("n") - 0.5, 9)
+                    .alias("estimated_rate")))

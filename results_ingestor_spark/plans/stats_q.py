@@ -3055,3 +3055,59 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("n0", "n1",
                     F.round(chi2, 9).alias("chi2"),
                     (chi2 > 10.828).alias("srm_detected"))
+
+
+@query("stats_capture_recapture", oracle="""
+WITH span AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+  FROM events),
+h1 AS (SELECT DISTINCT user_id FROM events CROSS JOIN span
+       WHERE epoch_us(ts) < mid_us),
+h2 AS (SELECT DISTINCT user_id FROM events CROSS JOIN span
+       WHERE epoch_us(ts) >= mid_us),
+c AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM h1) AS n1,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM h2) AS n2,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM h1 JOIN h2 USING (user_id)) AS m,
+    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+      AS n_observed)
+SELECT n1, n2, m, n_observed,
+  round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 9)
+    AS chapman_estimate
+FROM c""")
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman's bias-corrected Lincoln-Petersen)
+    population estimate: treat the two time-halves of the event stream
+    as independent "captures" of the user population and estimate the
+    TOTAL population — including never-observed users — from the
+    overlap: N̂ = (n₁+1)(n₂+1)/(m+1) − 1.  The estimator ecology and
+    epidemiology use for census undercount, applied to the question
+    "how many users exist, not just how many we logged?"  All four
+    inputs are exact distinct counts; the estimate is one shared
+    expression.
+
+    Scale: two user-keyed distincts sharing one exchange + a key
+    intersection (semi-join)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = t["events"].agg(F.expr(
+        "(min(unix_micros(cast(ts as timestamp)))"
+        " + max(unix_micros(cast(ts as timestamp)))) div 2")
+        .alias("mid_us"))
+    e = t["events"].join(F.broadcast(span))
+    h1 = e.where(us < F.col("mid_us")).select("user_id").distinct()
+    h2 = e.where(us >= F.col("mid_us")).select("user_id").distinct()
+    n1 = h1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = h2.agg(F.count("*").cast("long").alias("n2"))
+    m = (h1.join(h2, "user_id")
+         .agg(F.count("*").cast("long").alias("m")))
+    no = t["events"].agg(
+        F.count_distinct("user_id").cast("long").alias("n_observed"))
+    est = F.round((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+                  / (F.col("m") + 1) - 1, 9)
+    return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(no))
+            .select("n1", "n2", "m", "n_observed",
+                    est.alias("chapman_estimate")))

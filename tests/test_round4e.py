@@ -679,3 +679,42 @@ def test_order_reconciliation_matches_pandas(spark, sf_dir):
     # 1-cent boundary; assert the census within that tolerance band
     assert abs(row.n_reconciled_1c - n_rec) <= 2
     assert 0 <= row.avg_rel_err <= row.max_rel_err
+
+
+def test_randomized_response_debiasing(spark, sf_dir):
+    import hashlib
+    row = QUERIES["privacy_randomized_response"](spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    users = sorted(set(pdf["user_id"]))
+    buyers = set(pdf[pdf.event_type == "purchase"]["user_id"])
+    n_yes = 0
+    for u in users:
+        coin = int(hashlib.md5(f"rr:{u}".encode()).hexdigest()[:15],
+                   16) % 4
+        y = 1 if u in buyers else 0
+        n_yes += y if coin < 2 else (1 if coin == 2 else 0)
+    assert row.n == len(users)
+    assert row.n_yes == n_yes
+    assert row.n_true == len(buyers)
+    assert math.isclose(row.estimated_rate,
+                        2 * n_yes / len(users) - 0.5, abs_tol=1e-9)
+    # the estimator is unbiased; with ~n users the deviation is
+    # bounded by a generous 5/sqrt(n)
+    assert abs(row.estimated_rate - row.true_rate) \
+        <= 5 / math.sqrt(row.n) + 1e-9
+
+
+def test_capture_recapture_matches_pandas(spark, sf_dir):
+    row = QUERIES["stats_capture_recapture"](spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    ts = pdf["ts"].map(lambda t: t.timestamp() * 1_000_000)
+    mid = (ts.min() + ts.max()) // 2
+    h1 = set(pdf[ts < mid]["user_id"])
+    h2 = set(pdf[ts >= mid]["user_id"])
+    m = len(h1 & h2)
+    assert (row.n1, row.n2, row.m) == (len(h1), len(h2), m)
+    assert row.n_observed == len(h1 | h2)
+    want = (len(h1) + 1) * (len(h2) + 1) / (m + 1) - 1
+    assert math.isclose(row.chapman_estimate, want, rel_tol=1e-9)
+    # the estimate can never fall below the observed union
+    assert row.chapman_estimate >= row.m

@@ -155,6 +155,8 @@ WHITELIST_BNLJ = {
         "ordered fold (ANOVA contract)",
     "graph_lpa_modularity": "1-row 2m edge-total broadcast over the "
         "community-domain table",
+    "stats_capture_recapture": "1-row midpoint + four 1-row count "
+        "combines (the report's whole output)",
 }
 WHITELIST_GLOBALWIN = {
     # windows whose input is pre-aggregated to a bounded domain
