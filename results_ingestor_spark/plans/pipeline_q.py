@@ -1337,3 +1337,58 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("true_rate"),
                     F.round(2.0 * F.col("n_yes") / F.col("n") - 0.5, 9)
                     .alias("estimated_rate")))
+
+
+@query("sampling_neyman_allocation", oracle="""
+WITH g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS nh,
+    SUM(CAST(value AS DECIMAL(12,2))) AS s,
+    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
+  FROM events GROUP BY event_type),
+sd AS (
+  SELECT event_type, nh,
+    sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nh) / (nh - 1))
+      AS sh
+  FROM g),
+w AS (
+  SELECT event_type, nh, round(sh, 9) AS sh,
+    nh * round(sh, 9) AS wt,
+    SUM(nh * round(sh, 9)) OVER () AS wtot
+  FROM sd)
+SELECT event_type, nh AS stratum_size, sh AS stratum_sd,
+  round(wt / wtot, 9) AS alloc_share,
+  CAST(floor(1000 * wt / wtot) AS BIGINT) AS n_sampled_of_1000
+FROM w ORDER BY event_type""")
+def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for a stratified sample of 1000 rows:
+    each stratum (event type) receives budget ∝ Nₕ·Sₕ — the allocation
+    minimizing the variance of the stratified mean, the design step
+    survey sampling runs before `sampling_stratified_split` draws
+    anything.  Strata moments are exact DECIMALs; the standard
+    deviation is rounded to 9 dp BEFORE the weight products so the
+    share arithmetic is identical in both engines, and the m-row
+    share window runs over the stratum domain.
+
+    Scale: one hash aggregation to the k-row stratum table; the
+    allocation is k-row arithmetic."""
+    t = load_tables(spark, sf_dir, ("events",))
+    g = t["events"].groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        F.sum(F.col("value").cast("decimal(12,2)")
+              * F.col("value").cast("decimal(12,2)")).alias("q"))
+    sh = F.round(F.sqrt((F.col("q").cast("double")
+                         - F.col("s").cast("double") * F.col("s")
+                         / F.col("nh")) / (F.col("nh") - 1)), 9)
+    w = g.select("event_type", "nh", sh.alias("sh"),
+                 (F.col("nh") * sh).alias("wt"))
+    w = w.withColumn("wtot", F.sum("wt").over(Window.partitionBy()))
+    return (w.select("event_type",
+                     F.col("nh").alias("stratum_size"),
+                     F.col("sh").alias("stratum_sd"),
+                     F.round(F.col("wt") / F.col("wtot"), 9)
+                     .alias("alloc_share"),
+                     F.floor(1000 * F.col("wt") / F.col("wtot"))
+                     .cast("long").alias("n_sampled_of_1000"))
+            .orderBy("event_type"))

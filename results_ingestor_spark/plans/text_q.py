@@ -1239,3 +1239,44 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("lang") == F.col("predicted"))
                     .alias("on_diagonal"))
             .orderBy("lang", "predicted"))
+
+
+_COMPRESS_SCHEMA = ("doc_id long, n_chars long, n_compressed long, "
+                    "compression_ratio double")
+
+
+@query("quality_compression_ratio")  # zlib — no SQL twin; see docstring
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressibility quality signal (the Gopher/C4 heuristic:
+    text that compresses too well is repetitive boilerplate; too
+    poorly, likely binary junk): per-doc DEFLATE ratio through an
+    Arrow `mapInPandas` kernel batching zlib level-6 over the column.
+
+    Rows-only by necessity — DuckDB has no DEFLATE surface — with the
+    compensating exact gate the policy requires: zlib is
+    deterministic for a fixed level, so `tests/test_round4e.py`
+    recomputes every byte count in plain Python and pins the output
+    cell-for-cell (a stronger check than the oracle would be, just
+    not cross-engine).
+
+    Scale: map-only Arrow stage — the canonical "Python only where
+    the JVM genuinely can't" case; ~10 MB/s/core for zlib-6 is the
+    budget, and the stage pipelines with the scan."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def kernel(batches):
+        import zlib
+        import pandas as pd
+        for b in batches:
+            comp = b["text"].map(
+                lambda s: len(zlib.compress(s.encode("utf-8"), 6)))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "n_chars": b["text"].str.len().astype("int64"),
+                "n_compressed": comp.astype("int64"),
+                "compression_ratio": (b["text"].str.len()
+                                      / comp).round(6)})
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (t["documents"].select("doc_id", "text")
+            .mapInPandas(kernel, _COMPRESS_SCHEMA))

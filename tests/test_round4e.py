@@ -718,3 +718,49 @@ def test_capture_recapture_matches_pandas(spark, sf_dir):
     assert math.isclose(row.chapman_estimate, want, rel_tol=1e-9)
     # the estimate can never fall below the observed union
     assert row.chapman_estimate >= row.m
+
+
+def test_neyman_allocation_matches_pandas(spark, sf_dir):
+    rows = QUERIES["sampling_neyman_allocation"](spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    g = pdf.groupby("event_type")["v"]
+    sds = {t: round(vals.std(ddof=1), 9) for t, vals in g}
+    ns = dict(g.count())
+    wtot = sum(ns[t] * sds[t] for t in ns)
+    total_alloc = 0
+    for r in rows:
+        assert r.stratum_size == ns[r.event_type]
+        assert math.isclose(r.stratum_sd, sds[r.event_type], abs_tol=2e-9)
+        share = ns[r.event_type] * sds[r.event_type] / wtot
+        assert math.isclose(r.alloc_share, share, abs_tol=1e-6)
+        assert r.n_sampled_of_1000 == math.floor(1000 * share)
+        total_alloc += r.n_sampled_of_1000
+    # floor rounding loses at most k-1 of the 1000-row budget
+    assert 1000 - len(rows) < total_alloc <= 1000
+    assert math.isclose(sum(r.alloc_share for r in rows), 1.0,
+                        abs_tol=1e-6)
+
+
+def test_compression_ratio_matches_zlib_exactly(spark, sf_dir):
+    """The rows-only entry's compensating gate: recompute every byte
+    count with plain-Python zlib — exact, because DEFLATE at a fixed
+    level is deterministic."""
+    import zlib
+    rows = {r.doc_id: r for r in
+            QUERIES["quality_compression_ratio"](spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("doc_id", "text").toPandas()
+    assert set(rows) == set(pdf["doc_id"])
+    for d, tx in zip(pdf["doc_id"], pdf["text"]):
+        r = rows[d]
+        comp = len(zlib.compress(tx.encode("utf-8"), 6))
+        assert r.n_chars == len(tx)
+        assert r.n_compressed == comp
+        assert math.isclose(r.compression_ratio,
+                            round(len(tx) / comp, 6), abs_tol=1e-9)
+        # short docs can EXPAND under DEFLATE (header overhead); the
+        # signal still separates — bound per-doc loosely, corpus-mean
+        # strictly below
+        assert 0.5 < r.compression_ratio < 50.0
+    mean_ratio = sum(r.compression_ratio for r in rows.values()) / len(rows)
+    assert mean_ratio > 1.0

@@ -252,6 +252,8 @@ WHITELIST_GLOBALWIN = {
     "stats_levene_brown_forsythe": "median windows are "
         "type-partitioned over distinct values; the SinglePartition "
         "exchange is the ANOVA-contract k-row ordered fold",
+    "sampling_neyman_allocation": "share-of-total window over the "
+        "k-row stratum table",
 }
 
 
