@@ -3111,3 +3111,88 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(no))
             .select("n1", "n2", "m", "n_observed",
                     est.alias("chapman_estimate")))
+
+
+# 2e0 (not 2.0): DuckDB types a dotted literal as DECIMAL, which would
+# silently shift the whole expression into decimal arithmetic there
+# while Spark stays in doubles; the exponent form is DOUBLE in both.
+_RUNS_Z = """round((CAST(r AS DOUBLE) - (2e0 * na * nb / nn + 1))
+  / sqrt(2e0 * na * nb * (2e0 * na * nb - nn)
+         / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 9)"""
+
+
+@query("stats_runs_test", oracle=f"""
+WITH med AS (
+  SELECT event_type, MIN(v) AS m FROM (
+    SELECT event_type, v, cum, n FROM (
+      SELECT event_type, {_VDEC} AS v,
+        SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(COUNT(*)) OVER (PARTITION BY event_type) AS n
+      FROM events GROUP BY event_type, value))
+  WHERE 2 * cum >= n GROUP BY event_type),
+s AS (
+  SELECT e.event_type,
+    CASE WHEN {_VDEC} > med.m THEN 1 ELSE 0 END AS sgn,
+    row_number() OVER (PARTITION BY e.event_type
+                       ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN med ON med.event_type = e.event_type
+  WHERE {_VDEC} <> med.m),
+l AS (
+  SELECT event_type, sgn,
+    lag(sgn) OVER (PARTITION BY event_type ORDER BY rn) AS prev
+  FROM s),
+c AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+         AS BIGINT) AS r,
+    CAST(count_if(sgn = 1) AS BIGINT) AS na,
+    CAST(count_if(sgn = 0) AS BIGINT) AS nb,
+    CAST(COUNT(*) AS BIGINT) AS nn
+  FROM l GROUP BY event_type)
+SELECT event_type, r AS n_runs, na AS n_above, nb AS n_below,
+  {_RUNS_Z} AS z
+FROM c ORDER BY event_type""")
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the time-ordered
+    sequence of above/below-median values RANDOM, or does it trend /
+    oscillate? — the serial-independence check behind every i.i.d.
+    assumption in the two-sample entries.  Median-equal values drop
+    (the standard convention); runs count via one ordered lag; z uses
+    the exact run-count moments with all inputs integer until the one
+    shared expression.
+
+    Scale: the per-type ordered window follows the SPRT contract (at
+    real scale the key is (experiment, metric) — many small
+    partitions); everything else is a k-row aggregate."""
+    t = load_tables(spark, sf_dir, ("events",))
+    s0 = (t["events"]
+          .groupBy("event_type", F.expr(_VDEC).alias("v"))
+          .agg(F.count("*").alias("c")))
+    wp = Window.partitionBy("event_type")
+    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    med = (s0.select("event_type", "v",
+                     F.sum("c").over(wc).alias("cum"),
+                     F.sum("c").over(wp).alias("n"))
+           .where(2 * F.col("cum") >= F.col("n"))
+           .groupBy("event_type").agg(F.min("v").alias("m")))
+    e = (t["events"].join(F.broadcast(med), "event_type")
+         .where(F.expr(_VDEC) != F.col("m"))
+         .select("event_type", "ts", "event_id",
+                 F.when(F.expr(_VDEC) > F.col("m"), 1).otherwise(0)
+                 .alias("sgn")))
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lg = e.select("event_type", "sgn",
+                  F.lag("sgn").over(wo).alias("prev"))
+    c = lg.groupBy("event_type").agg(
+        F.sum(F.when(F.col("prev").isNull()
+                     | (F.col("sgn") != F.col("prev")), 1).otherwise(0))
+        .cast("long").alias("r"),
+        F.count_if(F.col("sgn") == 1).cast("long").alias("na"),
+        F.count_if(F.col("sgn") == 0).cast("long").alias("nb"),
+        F.count("*").cast("long").alias("nn"))
+    return (c.select("event_type", F.col("r").alias("n_runs"),
+                     F.col("na").alias("n_above"),
+                     F.col("nb").alias("n_below"),
+                     F.expr(_RUNS_Z).alias("z"))
+            .orderBy("event_type"))

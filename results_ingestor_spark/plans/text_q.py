@@ -1280,3 +1280,74 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return (t["documents"].select("doc_id", "text")
             .mapInPandas(kernel, _COMPRESS_SCHEMA))
+
+
+@query("text_dispersion_gries_dp", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token),
+dt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dtot FROM c GROUP BY doc_id),
+ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ctot,
+         CAST(COUNT(*) AS BIGINT) AS ndocs
+       FROM c GROUP BY token),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
+term AS (
+  SELECT c.token,
+    CAST(round(abs(CAST(c.c AS DOUBLE) / ct.ctot
+                   - CAST(dt.dtot AS DOUBLE) / tt.t), 9)
+         AS DECIMAL(18,9)) AS term,
+    CAST(round(CAST(dt.dtot AS DOUBLE) / tt.t, 9)
+         AS DECIMAL(18,9)) AS w
+  FROM c JOIN dt USING (doc_id) JOIN ct USING (token) CROSS JOIN tt),
+dp AS (
+  SELECT token,
+    round(0.5e0 * (CAST(SUM(term) AS DOUBLE)
+                   + (1 - CAST(SUM(w) AS DOUBLE))), 9) AS dp
+  FROM term GROUP BY token)
+SELECT dp.token, ct.ctot AS n_occurrences, ct.ndocs AS n_docs, dp.dp
+FROM dp JOIN ct USING (token)
+ORDER BY dp.dp DESC, dp.token LIMIT 20""")
+def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' deviation-of-proportions dispersion per token — the
+    corpus-linguistics burstiness measure a curation pipeline uses to
+    separate evenly-spread vocabulary from document-clumped tokens
+    (DP near 0 = the token's occurrences follow the document sizes;
+    near 1 = concentrated in few docs): DP = ½·Σ_d |share_d − w_d|,
+    with the absent-document mass folded in as 1 − Σ_present w_d.
+    Per-(token, doc) terms are rounded to 9 dp and summed as DECIMAL
+    (the LM-scoring device — cross-doc float addition is
+    order-dependent); the top-20 ranks on the rounded DP with token
+    tie-breaks.
+
+    Scale: the inverted (token, doc) index is the only corpus-sized
+    table; doc weights and token totals are domain-sized broadcasts."""
+    from results_ingestor_spark.operators.text import tokens
+    t = load_tables(spark, sf_dir, ("documents",))
+    c = (t["documents"]
+         .select("doc_id", F.explode(tokens()).alias("token"))
+         .groupBy("doc_id", "token")
+         .agg(F.count("*").cast("long").alias("c")))
+    dt = c.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dtot"))
+    ct = c.groupBy("token").agg(F.sum("c").cast("long").alias("ctot"),
+                                F.count("*").cast("long").alias("ndocs"))
+    tt = c.agg(F.sum("c").cast("long").alias("t"))
+    term = (c.join(F.broadcast(dt), "doc_id")
+            .join(ct.select("token", "ctot"), "token")
+            .crossJoin(F.broadcast(tt))
+            .select("token",
+                    F.round(F.abs(F.col("c").cast("double") / F.col("ctot")
+                                  - F.col("dtot").cast("double")
+                                  / F.col("t")), 9)
+                    .cast("decimal(18,9)").alias("term"),
+                    F.round(F.col("dtot").cast("double") / F.col("t"), 9)
+                    .cast("decimal(18,9)").alias("w")))
+    dp = (term.groupBy("token")
+          .agg(F.round(0.5 * (F.sum("term").cast("double")
+                              + (1 - F.sum("w").cast("double"))), 9)
+               .alias("dp")))
+    return (dp.join(ct, "token")
+            .select("token", F.col("ctot").alias("n_occurrences"),
+                    F.col("ndocs").alias("n_docs"), "dp")
+            .orderBy(F.desc("dp"), F.asc("token"))
+            .limit(20))

@@ -764,3 +764,52 @@ def test_compression_ratio_matches_zlib_exactly(spark, sf_dir):
         assert 0.5 < r.compression_ratio < 50.0
     mean_ratio = sum(r.compression_ratio for r in rows.values()) / len(rows)
     assert mean_ratio > 1.0
+
+
+def test_runs_test_matches_python_model(spark, sf_dir):
+    rows = QUERIES["stats_runs_test"](spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    for r in rows:
+        sub = pdf[pdf.event_type == r.event_type].sort_values(
+            ["ts", "event_id"])
+        vs = sorted(sub["v"])
+        med = vs[math.ceil(len(vs) / 2) - 1]
+        signs = [1 if v > med else 0 for v in sub["v"] if v != med]
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        na, nb = signs.count(1), signs.count(0)
+        nn = na + nb
+        assert (r.n_runs, r.n_above, r.n_below) == (runs, na, nb)
+        mu = 2 * na * nb / nn + 1
+        var = 2 * na * nb * (2 * na * nb - nn) / (nn * nn * (nn - 1))
+        assert math.isclose(r.z, (runs - mu) / math.sqrt(var),
+                            rel_tol=1e-6)
+
+
+def test_gries_dp_matches_python_model(spark, sf_dir):
+    rows = QUERIES["text_dispersion_gries_dp"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("doc_id", "text").toPandas()
+    cnt, dtot, ctot, ndocs = {}, {}, {}, {}
+    for d, tx in zip(pdf["doc_id"], pdf["text"]):
+        for w in tx.split(" "):
+            cnt[(d, w)] = cnt.get((d, w), 0) + 1
+    for (d, w), c in cnt.items():
+        dtot[d] = dtot.get(d, 0) + c
+        ctot[w] = ctot.get(w, 0) + c
+        ndocs[w] = ndocs.get(w, 0) + 1
+    T = sum(dtot.values())
+    for r in rows:
+        assert r.n_occurrences == ctot[r.token]
+        assert r.n_docs == ndocs[r.token]
+        term = presw = 0.0
+        for (d, w), c in cnt.items():
+            if w != r.token:
+                continue
+            term += round(abs(c / ctot[w] - dtot[d] / T), 9)
+            presw += round(dtot[d] / T, 9)
+        want = round(0.5 * (term + (1 - presw)), 9)
+        assert math.isclose(r.dp, want, abs_tol=2e-9)
+        assert 0.0 <= r.dp <= 1.0
+    # ranked descending: the top-20 are the burstiest tokens
+    dps = [r.dp for r in rows]
+    assert dps == sorted(dps, reverse=True)
