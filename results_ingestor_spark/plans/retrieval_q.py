@@ -387,3 +387,158 @@ def search_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nrel").alias("n_rel_at_k"),
                     F.round(F.col("dcg") / F.expr(_IDCG_CASE), 9)
                     .alias("ndcg_at_k")))
+
+
+_DIR_MU = 2000.0  # Dirichlet smoothing prior (Zhai & Lafferty 2001)
+
+
+@query("search_dirichlet_lm_topk", oracle=f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+coll AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+ctf AS (
+  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS ctf
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok IN ('join', 'scan', 'merge')
+  GROUP BY tok),
+pw AS (
+  SELECT term, ctf, {_DIR_MU} * (CAST(ctf AS DOUBLE) / t) AS mu_pw
+  FROM ctf CROSS JOIN coll),
+c AS (SELECT SUM(ln(mu_pw)) AS const FROM pw),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok IN ('join', 'scan', 'merge')
+  GROUP BY doc_id, tok),
+adj AS (
+  SELECT doc_id, SUM(ln(tf + mu_pw) - ln(mu_pw)) AS adj
+  FROM tf JOIN pw USING (term) GROUP BY doc_id),
+scored AS (
+  SELECT dl.doc_id,
+    round(coalesce(adj.adj, 0) + c.const
+          - 3 * ln(dl.dl + {_DIR_MU}), 6) AS ql_score
+  FROM dl LEFT JOIN adj ON adj.doc_id = dl.doc_id CROSS JOIN c)
+SELECT doc_id, ql_score FROM scored
+ORDER BY ql_score DESC, doc_id LIMIT 10""")
+def search_dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, mu=2000) for the fixed query join/scan/merge — the
+    language-modeling scoring family BM25's probabilistic one is
+    usually benchmarked against: score(d) = sum_w ln(tf + mu*P(w|C))
+    - |Q|*ln(|d| + mu).  Computed the way sparse IR engines do:
+    rewrite as [sum over PRESENT terms of ln(tf+mu*pw) - ln(mu*pw)]
+    + [sum_w ln(mu*pw)] - |Q|*ln(len+mu), so the per-(doc,term) table
+    only holds postings (query-term hits), the middle sum is a 1-row
+    broadcast constant, and every absent term costs nothing.  Scores
+    round to 6 dp BEFORE the top-10 rank with doc_id tie-breaks (the
+    tfidf libm-ulp rule).
+
+    Scale: collection stats (ctf, total tokens) are 3-row/1-row
+    broadcasts; the postings table is query-term-sized; the final
+    score is a map-only projection over per-doc lengths followed by
+    TakeOrderedAndProject — no corpus-wide shuffle beyond the postings
+    aggregate BM25 already pays."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    coll = dl.agg(F.sum("dl").cast("long").alias("t"))
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term").isin(*_BM25_TERMS)))
+    ctf = toks.groupBy("term").agg(F.count("*").cast("long").alias("ctf"))
+    pw = (ctf.crossJoin(F.broadcast(coll))
+          .select("term", "ctf",
+                  (F.lit(_DIR_MU) * (F.col("ctf").cast("double")
+                                     / F.col("t"))).alias("mu_pw")))
+    const = pw.agg(F.sum(F.log("mu_pw")).alias("const"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    adj = (tf.join(F.broadcast(pw), "term")
+           .groupBy("doc_id")
+           .agg(F.sum(F.log(F.col("tf") + F.col("mu_pw"))
+                      - F.log("mu_pw")).alias("adj")))
+    return (dl.join(adj, "doc_id", "left")
+            .crossJoin(F.broadcast(const))
+            .select("doc_id",
+                    F.round(F.coalesce("adj", F.lit(0.0)) + F.col("const")
+                            - 3 * F.log(F.col("dl") + _DIR_MU), 6)
+                    .alias("ql_score"))
+            .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+            .limit(10))
+
+
+_RM3_LAMBDA = 0.5   # original-query interpolation weight
+_RM3_FB_DOCS = 10   # feedback depth
+_RM3_TERMS = 20     # expansion vocabulary cut
+
+
+@query("search_rm3_expansion", oracle=f"""
+WITH bm AS ({_bm25_ranked_sql()}),
+fb AS (SELECT doc_id FROM bm WHERE rb <= {_RM3_FB_DOCS}),
+ftok AS (
+  SELECT d.doc_id, unnest({_TOKS}) AS term
+  FROM documents d JOIN fb USING (doc_id)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ft FROM ftok),
+fterm AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS fb_tf,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_fb_docs
+  FROM ftok GROUP BY term)
+SELECT term, fb_tf, n_fb_docs,
+  round((1 - {_RM3_LAMBDA}) * (CAST(fb_tf AS DOUBLE) / ft)
+        + CASE WHEN term IN ('join', 'scan', 'merge')
+               THEN {_RM3_LAMBDA} / 3 ELSE 0 END, 9) AS rm3_weight
+FROM fterm CROSS JOIN tot
+ORDER BY rm3_weight DESC, term LIMIT {_RM3_TERMS}""")
+def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    models + Abdul-Jaleel et al.'s interpolation): take the BM25
+    top-10 for join/scan/merge as the feedback set, estimate the
+    relevance model P(w|R) as the MLE over the concatenated feedback
+    docs (sum of tf / total feedback tokens), and interpolate with the
+    uniform original query at lambda=0.5 — the expanded query a search
+    engine would re-run.  Reports the top-20 expansion terms with
+    their feedback tf, document spread, and RM3 weight (rounded to
+    9 dp before ranking, term tie-breaks).
+
+    Scale: the feedback set is k-bounded BY CONSTRUCTION (10 doc ids
+    broadcast out of the BM25 ranking, the MMR-pool contract), so the
+    explode runs on exactly 10 documents whatever the corpus size;
+    the relevance-model estimate is a feedback-vocabulary-sized
+    aggregate and the rank cut is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    avgdl = dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+                   F.count("*").alias("n"))
+    tf = (docs.where(F.col("doc_id") != 0)
+          .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .where(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (idf * (F.col("tf") * (_BM25_K1 + 1))
+                  / (F.col("tf") + _BM25_K1
+                     * (1 - _BM25_B
+                        + _BM25_B * F.col("dl") / F.col("avgdl"))))
+    fb = (tf.join(F.broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .join(F.broadcast(avgdl))
+          .groupBy("doc_id")
+          .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+          .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RM3_FB_DOCS)
+          .select("doc_id"))
+    ftok = (docs.join(F.broadcast(fb), "doc_id")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("term")))
+    tot = ftok.agg(F.count("*").cast("long").alias("ft"))
+    fterm = ftok.groupBy("term").agg(
+        F.count("*").cast("long").alias("fb_tf"),
+        F.countDistinct("doc_id").cast("long").alias("n_fb_docs"))
+    weight = F.round(
+        (1 - _RM3_LAMBDA) * (F.col("fb_tf").cast("double") / F.col("ft"))
+        + F.when(F.col("term").isin(*_BM25_TERMS),
+                 F.lit(_RM3_LAMBDA / 3)).otherwise(0.0), 9)
+    return (fterm.crossJoin(F.broadcast(tot))
+            .select("term", "fb_tf", "n_fb_docs",
+                    weight.alias("rm3_weight"))
+            .orderBy(F.desc("rm3_weight"), F.asc("term"))
+            .limit(_RM3_TERMS))
