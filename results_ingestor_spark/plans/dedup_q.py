@@ -1008,3 +1008,55 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pa.join(touched, "threshold")
             .select("threshold", "n_pairs", "n_docs_in_pairs",
                     "n_dropped_keep_first"))
+
+
+_STITCH_K = 3  # boundary width in tokens
+
+
+@query("dedup_boundary_stitch", oracle=f"""
+WITH e AS (
+  SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM documents
+  WHERE len({_TOKS}) >= {2 * _STITCH_K}),
+l AS (SELECT doc_id AS left_doc,
+        array_to_string(t[n-{_STITCH_K - 1}:n], ' ') AS boundary FROM e),
+r AS (SELECT doc_id AS right_doc,
+        array_to_string(t[1:{_STITCH_K}], ' ') AS boundary FROM e),
+p AS (
+  SELECT left_doc, right_doc, boundary FROM l JOIN r USING (boundary)
+  WHERE left_doc <> right_doc),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total FROM p)
+SELECT left_doc, right_doc, boundary, n_pairs_total
+FROM p CROSS JOIN c
+ORDER BY left_doc, right_doc LIMIT 50""")
+def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-boundary stitch detection: find document pairs where one
+    document's last 3 tokens equal another's first 3 — the signature of
+    a source record split across extraction shards (a crawl page cut at
+    a fetch boundary, a log rotated mid-record).  A stitching pass
+    would re-join such pairs before dedup so the halves don't each
+    survive as "unique" documents.
+
+    Shape: each side is reduced map-side to (doc_id, 3-token boundary
+    string) — a ~20-byte key — and the candidate set is a plain
+    equi-join on that key, the LSH-band pattern: no all-pairs scan, and
+    the shuffle never carries document bodies.  At 100 TB the boundary
+    string would be xxhash64-ed to 8 bytes with an equality verify on
+    the collision pairs; here the literal string IS the key so the
+    DuckDB twin replays it exactly.  The 1-row pair-count aggregate is
+    broadcast back onto the top-50 deterministic sample."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    k = _STITCH_K
+    e = (t["documents"]
+         .select("doc_id", F.split("text", " ").alias("t"))
+         .where(F.size("t") >= 2 * k))
+    left = e.select(F.col("doc_id").alias("left_doc"),
+                    F.concat_ws(" ", F.slice("t", -k, k)).alias("boundary"))
+    right = e.select(F.col("doc_id").alias("right_doc"),
+                     F.concat_ws(" ", F.slice("t", 1, k)).alias("boundary"))
+    pairs = (left.join(right, "boundary")
+             .where(F.col("left_doc") != F.col("right_doc")))
+    total = pairs.agg(F.count("*").cast("long").alias("n_pairs_total"))
+    return (pairs.crossJoin(F.broadcast(total))
+            .select("left_doc", "right_doc", "boundary", "n_pairs_total")
+            .orderBy("left_doc", "right_doc")
+            .limit(50))

@@ -1392,3 +1392,66 @@ def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.floor(1000 * F.col("wt") / F.col("wtot"))
                      .cast("long").alias("n_sampled_of_1000"))
             .orderBy("event_type"))
+
+
+_COMPACT_SHARDS = 64
+
+
+@query("layout_compaction_bins", oracle=f"""
+WITH s AS (
+  SELECT {_DOC_HASH_SQL} % {_COMPACT_SHARDS} AS shard,
+    CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1),
+tgt AS (SELECT CAST(4 * MAX(bytes) AS BIGINT) AS tgt FROM s),
+b AS (
+  SELECT shard, bytes,
+    CAST(coalesce(SUM(bytes) OVER (ORDER BY shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM s),
+a AS (
+  SELECT shard, bytes, CAST(cum_before // tgt AS BIGINT) AS bin
+  FROM b CROSS JOIN tgt)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_shards,
+  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+  string_agg(CAST(shard AS VARCHAR), '|' ORDER BY shard) AS shards
+FROM a GROUP BY bin ORDER BY bin""")
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the lakehouse OPTIMIZE step):
+    group the 64 hash-shards of the documents table into write bins of
+    roughly 4x-the-largest-shard bytes by running-sum assignment —
+    shards are walked in key order and a new bin starts whenever the
+    cumulative size crosses a target multiple, so each bin's inputs are
+    contiguous in shard order (preserving any at-rest clustering) and
+    every bin lands near the target size.  Emits the compaction
+    manifest: bin id, member shards, byte totals.
+
+    Shape: one 64-row aggregate (shard -> bytes), a 1-row broadcast for
+    the target, and a prefix-sum window over the BOUNDED shard domain —
+    64 rows whatever the corpus size, the pack_sequences_cumsum
+    contract, so the global window is not a scale hazard.  All
+    arithmetic is exact BIGINT (integer division for bin ids), so both
+    engines assign identical bins."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    s = (t["documents"]
+         .select((F.expr(_DOC_HASH) % _COMPACT_SHARDS).alias("shard"),
+                 "n_chars")
+         .groupBy("shard")
+         .agg(F.sum("n_chars").cast("long").alias("bytes")))
+    tgt = s.agg((4 * F.max("bytes")).cast("long").alias("tgt"))
+    w = (Window.orderBy("shard")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    b = s.select("shard", "bytes",
+                 F.coalesce(F.sum("bytes").over(w), F.lit(0))
+                 .cast("long").alias("cum_before"))
+    a = (b.crossJoin(F.broadcast(tgt))
+         .select("shard", "bytes",
+                 F.expr("CAST(cum_before DIV tgt AS BIGINT)").alias("bin")))
+    return (a.groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_shards"),
+                 F.sum("bytes").cast("long").alias("total_bytes"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("shard")),
+                                 lambda x: x.cast("string")), "|")
+                 .alias("shards"))
+            .orderBy("bin"))

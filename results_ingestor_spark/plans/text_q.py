@@ -1351,3 +1351,67 @@ def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ndocs").alias("n_docs"), "dp")
             .orderBy(F.desc("dp"), F.asc("token"))
             .limit(20))
+
+
+@query("text_novelty_unique_ngrams", oracle=f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+      unnest([array_to_string(t[i:i+3], ' ')
+              for i in range(1, len(t) - 2)]) AS gram
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents))),
+df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram),
+nov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique
+  FROM g JOIN df USING (gram) GROUP BY doc_id)
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+  CAST(SUM(n_unique) AS BIGINT) AS sum_unique,
+  round(CAST(SUM(n_unique) AS DOUBLE) / SUM(n_grams), 9) AS novelty_micro,
+  CAST(COUNT(*) FILTER (WHERE n_unique = n_grams) AS BIGINT)
+    AS n_fully_novel
+FROM nov JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source""")
+def text_novelty_unique_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty census: per source, what fraction of documents'
+    word-4-grams occur nowhere else in the corpus (document frequency
+    exactly 1)?  Low novelty marks template/boilerplate-heavy sources a
+    pretraining mix would down-weight; the per-doc variant (n_unique ==
+    n_grams) counts documents that share no 4-gram with any other.
+    The micro-average is the ratio of two exact BIGINT sums — one
+    double division, so both engines emit the identical bit pattern
+    (the summation-order rule: never average per-row doubles).
+
+    Shape: distinct (doc, gram) map-side, one gram-keyed aggregate for
+    df, join back, then two source-keyed aggregates — the
+    duplicate-passages shuffle plus a skinny (doc_id, 2×long) pass.  At
+    100 TB grams are xxhash64-ed before the shuffle; df=1 detection is
+    hash-exact since a collision only ever lowers novelty."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 4 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 4))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    g = (t["documents"]
+         .select("doc_id", F.explode(grams).alias("gram"))
+         .distinct())
+    dfreq = g.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    nov = (g.join(dfreq, "gram")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_grams"),
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                .cast("long").alias("n_unique")))
+    return (nov.join(t["documents"].select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_grams").cast("long").alias("sum_grams"),
+                 F.sum("n_unique").cast("long").alias("sum_unique"),
+                 F.sum(F.when(F.col("n_unique") == F.col("n_grams"), 1)
+                       .otherwise(0)).cast("long").alias("n_fully_novel"))
+            .select("source", "n_docs", "sum_grams", "sum_unique",
+                    F.round(F.col("sum_unique").cast("double")
+                            / F.col("sum_grams"), 9).alias("novelty_micro"),
+                    "n_fully_novel")
+            .orderBy("source"))

@@ -37,6 +37,11 @@ WHITELIST_BNLJ = {
     "q22_global_sales_opportunity": "1-row global scalar broadcast",
     "lm_bigram_perplexity": "1-row vocabulary size broadcast",
     "events_gapfill_hourly": "tiny hour-spine grid fill",
+    "text_dispersion_gries_dp": "1-row corpus-total broadcast",
+    "dedup_boundary_stitch": "1-row pair-count broadcast",
+    "layout_compaction_bins": "1-row compaction-target broadcast",
+    "search_dirichlet_lm_topk": "1-row collection-constant broadcast",
+    "search_rm3_expansion": "1-row feedback-total broadcast",
     "chi2_lang_source": "1-row totals broadcast",
     "drift_psi_time_halves": "1-row totals broadcast",
     "market_basket_rules": "1-row order-count broadcast",
@@ -170,6 +175,7 @@ WHITELIST_GLOBALWIN = {
     "cusum_user_drift": "per-user prefix scan (partitioned upstream)",
     "zorder_cluster_key": "demo of at-rest layout; write-time sort",
     "pack_sequences_cumsum": "per-shard window (partitioned)",
+    "layout_compaction_bins": "prefix sum over the 64-row shard aggregate",
     "bollinger_hourly_value": "hourly layer is bounded",
     "events_hourly_anomaly": "hourly layer is bounded",
     "dedup_clusters_summary": "cluster histogram is bounded",
