@@ -3196,3 +3196,99 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("nb").alias("n_below"),
                      F.expr(_RUNS_Z).alias("z"))
             .orderBy("event_type"))
+
+
+_LB_CRIT_DF6 = 12.5915872437  # chi-square upper 5% critical value, df=6
+
+
+def _ljung_box_oracle() -> str:
+    leads = ", ".join(
+        f"lead(y, {k}) OVER (ORDER BY bucket) AS lead{k}"
+        for k in range(1, _ACF_MAX_LAG + 1))
+    lag_aggs = ", ".join(
+        f"CAST(SUM(y * lead{k}) AS BIGINT) AS p{k}, "
+        f"CAST(SUM(CASE WHEN lead{k} IS NOT NULL THEN y END) AS BIGINT)"
+        f" AS a{k}, "
+        f"CAST(SUM(lead{k}) AS BIGINT) AS b{k}"
+        for k in range(1, _ACF_MAX_LAG + 1))
+    r = {k: (f"round(CAST(n * n * p{k} - n * s * (a{k} + b{k})"
+             f" + (n - {k}) * s * s AS DOUBLE)"
+             f" / (CAST(n AS DOUBLE) * (n * q - s * s)), 9)")
+         for k in range(1, _ACF_MAX_LAG + 1)}
+    terms = " + ".join(f"r{k} * r{k} / (n - {k})"
+                       for k in range(1, _ACF_MAX_LAG + 1))
+    rcols = ", ".join(f"{r[k]} AS r{k}"
+                      for k in range(1, _ACF_MAX_LAG + 1))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+l AS (SELECT y, {leads} FROM h),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+    CAST(SUM(y * y) AS BIGINT) AS q, {lag_aggs}
+  FROM l),
+rr AS (SELECT n, {rcols} FROM g)
+SELECT CAST(n AS BIGINT) AS n_hours,
+  CAST({_ACF_MAX_LAG} AS INT) AS max_lag,
+  round(n * (n + 2) * ({terms}), 6) AS q_stat,
+  CAST({_LB_CRIT_DF6} AS DOUBLE) AS q_crit,
+  round(n * (n + 2) * ({terms}), 6) > {_LB_CRIT_DF6} AS reject_whiteness
+FROM rr"""
+
+
+@query("stats_ljung_box_hourly", oracle=_ljung_box_oracle())
+def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on the hourly event-count
+    series: Q = n(n+2) * SUM_{k=1..6} r_k^2 / (n-k), rejecting "the
+    series is white noise" when Q exceeds the chi-square(df=6) 5%
+    critical value — the standard pre-check before fitting the
+    EWMA/OLS forecasters this family already ships (autocorrelated
+    residuals invalidate their intervals).
+
+    Cross-engine determinism: each r_k comes from the same
+    exact-BIGINT algebraic expansion as events_acf_hourly (one double
+    division per lag, rounded to 9 dp BEFORE squaring), and the six
+    Q terms are summed as one fixed left-associated expression in both
+    engines — never a SUM() over an unordered lag table — so Q is
+    bit-identical.  The critical value is a literal (neither engine
+    has a chi-square CDF; df and alpha are fixed by construction).
+
+    Scale: identical to the ACF plan — all windows run on the
+    O(hours) aggregate layer, one 1-row global reduce."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"]
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count("*").alias("y")))
+    w = Window.orderBy("bucket")
+    lead_cols = [F.lead("y", k).over(w).alias(f"lead{k}")
+                 for k in range(1, _ACF_MAX_LAG + 1)]
+    l = h.select("y", *lead_cols)
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("q")]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lk = F.col(f"lead{k}")
+        aggs += [
+            F.sum(F.col("y") * lk).cast("long").alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("y"))).cast("long")
+             .alias(f"a{k}"),
+            F.sum(lk).cast("long").alias(f"b{k}"),
+        ]
+    g = l.agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    rks = [F.round(
+        (n * n * F.col(f"p{k}") - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+         + (n - k) * s * s).cast("double")
+        / (n.cast("double") * (n * q - s * s)), 9)
+        for k in range(1, _ACF_MAX_LAG + 1)]
+    terms = rks[0] * rks[0] / (n - 1)
+    for k in range(2, _ACF_MAX_LAG + 1):
+        terms = terms + rks[k - 1] * rks[k - 1] / (n - k)
+    q_stat = F.round((n * (n + 2)) * terms, 6)
+    return g.select(
+        n.cast("long").alias("n_hours"),
+        F.lit(_ACF_MAX_LAG).cast("int").alias("max_lag"),
+        q_stat.alias("q_stat"),
+        F.lit(_LB_CRIT_DF6).alias("q_crit"),
+        (q_stat > _LB_CRIT_DF6).alias("reject_whiteness"))

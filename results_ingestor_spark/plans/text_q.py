@@ -1415,3 +1415,177 @@ def text_novelty_unique_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("sum_grams"), 9).alias("novelty_micro"),
                     "n_fully_novel")
             .orderBy("source"))
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query("quality_gopher_rules", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS} AS t,
+    len({_TOKS}) AS n,
+    length(replace(text, ' ', '')) AS c,
+    length(text) - length(replace(text, '#', '')) AS n_hash
+  FROM documents),
+f AS (
+  SELECT source,
+    NOT (n BETWEEN 50 AND 100000) AS fail_wc,
+    NOT (c >= 3 * n AND c <= 10 * n) AS fail_mwl,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 10 < n * 8
+      AS fail_alpha,
+    len(list_intersect(list_distinct(t),
+        [{", ".join(f"'{w}'" for w in _GOPHER_STOPS)}])) < 2 AS fail_stop,
+    n_hash * 10 > n AS fail_symbol
+  FROM d)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) FILTER (WHERE fail_wc) AS BIGINT) AS n_fail_word_count,
+  CAST(COUNT(*) FILTER (WHERE fail_mwl) AS BIGINT) AS n_fail_mean_word_len,
+  CAST(COUNT(*) FILTER (WHERE fail_alpha) AS BIGINT) AS n_fail_alpha_frac,
+  CAST(COUNT(*) FILTER (WHERE fail_stop) AS BIGINT) AS n_fail_stopwords,
+  CAST(COUNT(*) FILTER (WHERE fail_symbol) AS BIGINT) AS n_fail_symbol,
+  CAST(COUNT(*) FILTER (WHERE NOT (fail_wc OR fail_mwl OR fail_alpha
+                                   OR fail_stop OR fail_symbol)) AS BIGINT)
+    AS n_keep,
+  CAST(COUNT(*) FILTER (WHERE NOT (fail_wc OR fail_mwl OR fail_alpha
+                                   OR fail_symbol)) AS BIGINT)
+    AS n_keep_ex_stopword,
+  round(CAST(COUNT(*) FILTER (WHERE NOT (fail_wc OR fail_mwl OR fail_alpha
+                                         OR fail_stop OR fail_symbol))
+             AS DOUBLE) / COUNT(*), 9) AS keep_rate
+FROM f GROUP BY source ORDER BY source""")
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText rule-based quality filter (Rae et al.
+    2021, published thresholds): word count in [50, 100000], mean word
+    length in [3, 10], >=80% of words containing an alphabetic
+    character, at least 2 of the 8 designated English stopwords
+    present, and a symbol(#)-to-word ratio <= 0.1.  Emits the
+    per-source failure census — which rule fires how often decides
+    whether a source is worth keeping in the pretraining mix.  On the
+    synthetic corpus the stopword rule fires on EVERY document (its
+    vocabulary contains only "the" from the 8-word list) — the rule
+    working as designed on non-English-prose text — so the census also
+    reports n_keep_ex_stopword, the keep count under the four
+    prose-agnostic rules, which does discriminate here.
+
+    Every rule is an EXACT integer comparison (bounds cross-multiplied:
+    ``c >= 3n AND c <= 10n`` instead of ``c/n BETWEEN 3 AND 10``;
+    ``alpha*10 < n*8`` instead of ``alpha/n < 0.8``), so no float sits
+    under a threshold and both engines flag identical documents.  One
+    narrow map stage of array expressions and a 20-group aggregate —
+    no Python, one tiny shuffle; at 100 TB the per-doc flags pipeline
+    into the same scan as the other quality signals."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    c = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_hash = (F.length("text")
+              - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in _GOPHER_STOPS])))
+    fails = {
+        "fail_wc": ~n.between(50, 100000),
+        "fail_mwl": ~((c >= 3 * n) & (c <= 10 * n)),
+        "fail_alpha": n_alpha * 10 < n * 8,
+        "fail_stop": n_stop < 2,
+        "fail_symbol": n_hash * 10 > n,
+    }
+    keep_ex = ~fails["fail_wc"] & ~fails["fail_mwl"] \
+        & ~fails["fail_alpha"] & ~fails["fail_symbol"]
+    keep = keep_ex & ~fails["fail_stop"]
+    d = t["documents"].select(
+        "source", keep.alias("keep"), keep_ex.alias("keep_ex"),
+        *[v.alias(k) for k, v in fails.items()])
+    cnt = [F.sum(F.col(k).cast("long")).cast("long").alias(a)
+           for k, a in [("fail_wc", "n_fail_word_count"),
+                        ("fail_mwl", "n_fail_mean_word_len"),
+                        ("fail_alpha", "n_fail_alpha_frac"),
+                        ("fail_stop", "n_fail_stopwords"),
+                        ("fail_symbol", "n_fail_symbol")]]
+    return (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"), *cnt,
+                 F.sum(F.col("keep").cast("long")).cast("long")
+                 .alias("n_keep"),
+                 F.sum(F.col("keep_ex").cast("long")).cast("long")
+                 .alias("n_keep_ex_stopword"))
+            .select("source", "n_docs", "n_fail_word_count",
+                    "n_fail_mean_word_len", "n_fail_alpha_frac",
+                    "n_fail_stopwords", "n_fail_symbol", "n_keep",
+                    "n_keep_ex_stopword",
+                    F.round(F.col("n_keep").cast("double")
+                            / F.col("n_docs"), 9).alias("keep_rate"))
+            .orderBy("source"))
+
+
+_MATTR_W = 25
+
+
+@query("text_mattr_diversity", oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS} AS t, len({_TOKS}) AS n FROM documents),
+m AS (
+  SELECT doc_id, source, n,
+    CASE WHEN n >= {_MATTR_W} THEN
+      [len(list_distinct(t[s:s + {_MATTR_W - 1}]))
+       for s in range(1, n - {_MATTR_W} + 2)]
+    ELSE [len(list_distinct(t))] END AS dw
+  FROM d),
+p AS (
+  SELECT doc_id, source, n,
+    CAST(len(dw) AS BIGINT) AS n_windows,
+    CAST(list_sum(dw) AS BIGINT) AS sum_distinct,
+    CASE WHEN n >= {_MATTR_W} THEN {_MATTR_W} ELSE n END AS w_eff
+  FROM m)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_windows) AS BIGINT) AS sum_windows,
+  CAST(SUM(sum_distinct) AS BIGINT) AS sum_distinct,
+  round(CAST(SUM(CASE WHEN n >= {_MATTR_W} THEN sum_distinct END)
+             AS DOUBLE)
+        / ({_MATTR_W} * SUM(CASE WHEN n >= {_MATTR_W} THEN n_windows END)),
+        9) AS mattr_micro
+FROM p GROUP BY source ORDER BY source""")
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall
+    2010): slide a 25-token window over each document, count distinct
+    types per window, and average — the lexical-diversity measure that,
+    unlike raw TTR (quality_lexical_diversity), does NOT shrink with
+    document length, so sources of different lengths are comparable.
+    Documents shorter than the window fall back to whole-doc TTR and
+    are EXCLUDED from the micro-average (their single window has a
+    different denominator); their windows still count in sum_windows.
+
+    Shape: the whole computation is per-row array expressions —
+    transform(sequence) over slices, no explode, no shuffle before the
+    20-group rollup — and every quantity is an exact BIGINT until the
+    single final division.  Cost is O(n_tokens × 25) comparisons per
+    doc, JVM-side; at 100 TB one caps the scan at the first ~2k tokens
+    per doc (the diversity estimate saturates long before that), which
+    keeps the per-row cost constant."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = _MATTR_W
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    dw = F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(1), n - w + 1),
+                    lambda s: F.size(F.array_distinct(
+                        F.slice(toks, s, w))))
+    ).otherwise(F.array(F.size(F.array_distinct(toks))))
+    p = t["documents"].select(
+        "source", n.alias("n"),
+        F.size(dw).cast("long").alias("n_windows"),
+        F.aggregate(dw, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_distinct"))
+    long_doc = F.col("n") >= w
+    return (p.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_windows").cast("long").alias("sum_windows"),
+                 F.sum("sum_distinct").cast("long").alias("sum_distinct"),
+                 F.round(
+                     F.sum(F.when(long_doc, F.col("sum_distinct")))
+                     .cast("double")
+                     / (w * F.sum(F.when(long_doc, F.col("n_windows")))),
+                     9).alias("mattr_micro"))
+            .orderBy("source"))

@@ -1,0 +1,111 @@
+"""Semantic invariants for the round-4g additions (Gopher rule
+filter, Ljung-Box whiteness test, MATTR lexical diversity).  The
+oracle gate checks cross-engine equality; these recompute each result
+with an independent Python reference so an edit changing the math
+identically in both engines still trips."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from results_ingestor_spark.plans import QUERIES
+from results_ingestor_spark.sources.tables import load_tables
+
+_STOPS = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+
+def _docs(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select("doc_id", "source", "text").collect()
+
+
+def test_gopher_rules_match_python_model(spark, sf_dir):
+    rows = {r.source: r for r in
+            QUERIES["quality_gopher_rules"](spark, sf_dir).collect()}
+    agg = defaultdict(lambda: defaultdict(int))
+    for r in _docs(spark, sf_dir):
+        toks = r.text.split(" ")
+        n = len(toks)
+        c = len(r.text.replace(" ", ""))
+        fails = {
+            "n_fail_word_count": not (50 <= n <= 100000),
+            "n_fail_mean_word_len": not (3 * n <= c <= 10 * n),
+            "n_fail_alpha_frac":
+                10 * sum(1 for x in toks
+                         if any(ch.isalpha() and ch.isascii() for ch in x))
+                < 8 * n,
+            "n_fail_stopwords": len(set(toks) & _STOPS) < 2,
+            "n_fail_symbol": 10 * r.text.count("#") > n,
+        }
+        a = agg[r.source]
+        a["n_docs"] += 1
+        for k, v in fails.items():
+            a[k] += int(v)
+        a["n_keep"] += int(not any(fails.values()))
+        a["n_keep_ex_stopword"] += int(not any(
+            v for k, v in fails.items() if k != "n_fail_stopwords"))
+    assert set(rows) == set(agg)
+    for src, a in agg.items():
+        got = rows[src]
+        for k in ("n_docs", "n_fail_word_count", "n_fail_mean_word_len",
+                  "n_fail_alpha_frac", "n_fail_stopwords", "n_fail_symbol",
+                  "n_keep", "n_keep_ex_stopword"):
+            assert getattr(got, k) == a[k], (src, k)
+        assert got.keep_rate == round(a["n_keep"] / a["n_docs"], 9)
+    # the synthetic vocabulary holds only "the" from the 8-word list, so
+    # the stopword rule (correctly) rejects everything here, while the
+    # prose-agnostic rules must discriminate, not pass/fail everything
+    total = sum(a["n_docs"] for a in agg.values())
+    assert sum(a["n_fail_stopwords"] for a in agg.values()) == total
+    kept_ex = sum(a["n_keep_ex_stopword"] for a in agg.values())
+    assert 0 < kept_ex < total
+
+
+def test_ljung_box_matches_python_model(spark, sf_dir):
+    row = QUERIES["stats_ljung_box_hourly"](spark, sf_dir).collect()[0]
+    t = load_tables(spark, sf_dir, ("events",))
+    cnt = defaultdict(int)
+    for r in t["events"].select("ts").collect():
+        cnt[r.ts.replace(minute=0, second=0, microsecond=0)] += 1
+    y = [cnt[k] for k in sorted(cnt)]
+    n = len(y)
+    mean = sum(y) / n
+    den = sum((v - mean) ** 2 for v in y)
+    q = 0.0
+    for k in range(1, 7):
+        rk = round(sum((y[i] - mean) * (y[i + k] - mean)
+                       for i in range(n - k)) / den, 9)
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert row.n_hours == n
+    assert math.isclose(row.q_stat, q, rel_tol=0, abs_tol=5e-6)
+    assert row.reject_whiteness == (round(q, 6) > 12.5915872437)
+
+
+def test_mattr_matches_python_model(spark, sf_dir):
+    rows = {r.source: r for r in
+            QUERIES["text_mattr_diversity"](spark, sf_dir).collect()}
+    W = 25
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, windows, distinct, long_d
+    long_w = defaultdict(int)
+    for r in _docs(spark, sf_dir):
+        toks = r.text.split(" ")
+        n = len(toks)
+        a = agg[r.source]
+        a[0] += 1
+        if n >= W:
+            wins = [len(set(toks[s:s + W])) for s in range(n - W + 1)]
+            a[3] += sum(wins)
+            long_w[r.source] += len(wins)
+        else:
+            wins = [len(set(toks))]
+        a[1] += len(wins)
+        a[2] += sum(wins)
+    for src, (docs, wins, dist, long_dist) in agg.items():
+        got = rows[src]
+        assert (got.n_docs, got.sum_windows, got.sum_distinct) == \
+            (docs, wins, dist), src
+        assert got.mattr_micro == round(long_dist / (W * long_w[src]), 9)
+        # MATTR is a ratio of distinct-to-window-size, strictly in (0, 1]
+        assert 0.0 < got.mattr_micro <= 1.0

@@ -211,6 +211,8 @@ WHITELIST_GLOBALWIN = {
         "shard-rank swap at corpus scale",
     "events_acf_hourly": "lead window over the hourly layer (bounded "
         "by the time domain)",
+    "stats_ljung_box_hourly": "lead window over the hourly layer "
+        "(bounded by the time domain, same contract as events_acf_hourly)",
     "privacy_t_closeness": "window is QI-partitioned; the "
         "SinglePartition exchange is the 1-row corpus-total combine",
     "events_gap_distribution": "lag window is user-partitioned; the "
