@@ -1455,3 +1455,78 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  lambda x: x.cast("string")), "|")
                  .alias("shards"))
             .orderBy("bin"))
+
+
+_PSEUDO_SPACE = 65536  # 16-bit pseudonym space
+
+
+@query("privacy_pseudonym_collisions", oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+p AS (
+  SELECT ('0x' || substr(md5('pseudo:' || user_id::VARCHAR), 1, 15))::BIGINT
+           % {_PSEUDO_SPACE} AS pseudonym
+  FROM u),
+b AS (SELECT pseudonym, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM p GROUP BY pseudonym),
+s AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n_users,
+    CAST(COUNT(*) AS BIGINT) AS n_pseudonyms,
+    CAST(COUNT(*) FILTER (WHERE n_users >= 2) AS BIGINT) AS n_collided,
+    CAST(SUM(n_users) FILTER (WHERE n_users >= 2) AS BIGINT)
+      AS n_users_in_collisions,
+    CAST(MAX(n_users) AS BIGINT) AS max_bucket
+  FROM b)
+SELECT n_users, CAST({_PSEUDO_SPACE} AS BIGINT) AS space_size,
+  n_pseudonyms, n_collided,
+  coalesce(n_users_in_collisions, 0) AS n_users_in_collisions, max_bucket,
+  round({_PSEUDO_SPACE} * (1 - pow(1 - 1.0 / {_PSEUDO_SPACE}, n_users)), 6)
+    AS expected_pseudonyms,
+  round(CAST(n_users - n_pseudonyms AS DOUBLE) / n_users, 9)
+    AS collision_loss_rate
+FROM s""")
+def privacy_pseudonym_collisions(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Pseudonymization collision audit: hash every distinct user into
+    a 16-bit pseudonym space (the salted-hash tokenization a privacy
+    pipeline applies before sharing event data) and census the birthday
+    collisions — how many pseudonyms carry >= 2 real users, the worst
+    bucket, and the loss rate (collided users become indistinguishable,
+    which is GOOD for privacy but corrupts per-user analytics).  The
+    observed distinct-pseudonym count is compared with the uniform-
+    hashing expectation S(1 − (1−1/S)^u), so a skewed salt or broken
+    hash shows up as a gap between the two columns.
+
+    Determinism: the pseudonym is the same md5-derived integer in both
+    engines (seeded 'pseudo:'), all counts are exact BIGINT, and the
+    one transcendental (pow) is rounded to 6 dp.  Shape: distinct
+    users, one map-side hash, a pseudonym-keyed count — the space is
+    65,536 buckets so the second aggregate is bounded; at 100 TB the
+    pseudonym space widens (48-64 bits) and this audit is the check
+    that the chosen width keeps collision_loss_rate ~0."""
+    t = load_tables(spark, sf_dir, ("events",))
+    pseudo = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("pseudo:"), F.col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint") % _PSEUDO_SPACE)
+    b = (t["events"].select("user_id").distinct()
+         .select(pseudo.alias("pseudonym"))
+         .groupBy("pseudonym")
+         .agg(F.count("*").cast("long").alias("n_users")))
+    ge2 = F.col("n_users") >= 2
+    s = b.agg(F.sum("n_users").cast("long").alias("n_users"),
+              F.count("*").cast("long").alias("n_pseudonyms"),
+              F.sum(ge2.cast("long")).cast("long").alias("n_collided"),
+              F.sum(F.when(ge2, F.col("n_users"))).cast("long")
+               .alias("n_users_in_collisions"),
+              F.max("n_users").cast("long").alias("max_bucket"))
+    space = float(_PSEUDO_SPACE)
+    return s.select(
+        "n_users", F.lit(_PSEUDO_SPACE).cast("long").alias("space_size"),
+        "n_pseudonyms", "n_collided",
+        F.coalesce("n_users_in_collisions", F.lit(0))
+         .alias("n_users_in_collisions"),
+        "max_bucket",
+        F.round(space * (1 - F.pow(F.lit(1 - 1.0 / space),
+                                   F.col("n_users"))), 6)
+         .alias("expected_pseudonyms"),
+        F.round((F.col("n_users") - F.col("n_pseudonyms")).cast("double")
+                / F.col("n_users"), 9).alias("collision_loss_rate"))

@@ -1589,3 +1589,154 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (w * F.sum(F.when(long_doc, F.col("n_windows")))),
                      9).alias("mattr_micro"))
             .orderBy("source"))
+
+
+_MCNEMAR_CRIT_DF1 = 3.8414588207  # chi-square upper 5% critical, df=1
+
+
+@query("quality_rater_agreement", oracle=f"""
+WITH d AS (
+  SELECT {_TOKS} AS t, len({_TOKS}) AS n,
+    length(replace(text, ' ', '')) AS c,
+    length(text) - length(replace(text, '#', '')) AS n_hash
+  FROM documents),
+r AS (
+  SELECT
+    (len(list_distinct(t)) * 100 >= n * 35
+     AND len(list_filter(t, x -> x = 'the' OR x = 'a')) * 100 >= n
+     AND len(list_filter(t, x -> x = 'the' OR x = 'a')) * 100 <= n * 15)
+      AS rater_a,
+    (n BETWEEN 50 AND 100000 AND c >= 3 * n AND c <= 10 * n
+     AND len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 10
+         >= n * 8
+     AND n_hash * 10 <= n) AS rater_b
+  FROM d),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(*) FILTER (WHERE rater_a AND rater_b) AS BIGINT) AS n11,
+    CAST(COUNT(*) FILTER (WHERE rater_a AND NOT rater_b) AS BIGINT) AS n10,
+    CAST(COUNT(*) FILTER (WHERE NOT rater_a AND rater_b) AS BIGINT) AS n01,
+    CAST(COUNT(*) FILTER (WHERE NOT rater_a AND NOT rater_b) AS BIGINT)
+      AS n00
+  FROM r)
+SELECT n AS n_docs, n11, n10, n01, n00,
+  round(CAST(n11 + n00 AS DOUBLE) / n, 9) AS po,
+  round(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+             AS DOUBLE) / (n * n), 9) AS pe,
+  round((CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+              + (n01 + n00) * (n10 + n00)) AS DOUBLE))
+        / (n * n - ((n11 + n10) * (n11 + n01)
+                    + (n01 + n00) * (n10 + n00))), 9) AS kappa,
+  round(CASE WHEN n10 + n01 > 0 THEN
+    CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+      / (n10 + n01) ELSE 0.0 END, 9) AS mcnemar_stat,
+  CASE WHEN n10 + n01 > 0 THEN
+    round(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+          / (n10 + n01), 9) > {_MCNEMAR_CRIT_DF1}
+  ELSE FALSE END AS raters_differ
+FROM m""")
+def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between the two rule-based quality
+    filters this repo ships — rater A = the lexical-diversity keep rule
+    (quality_lexical_diversity), rater B = the prose-agnostic Gopher
+    rules (quality_gopher_rules ex-stopword) — as Cohen's kappa plus
+    McNemar's paired test (continuity-corrected) on the disagreement
+    cells.  This is the annotation-pipeline question "do two labelers
+    systematically disagree, and in which direction?" asked of
+    automated labelers; kappa near 0 means the filters capture
+    independent signals (both worth running), McNemar rejecting means
+    one filter is systematically stricter.
+
+    Determinism: both raters are exact integer-comparison rules
+    (thresholds cross-multiplied, e.g. ``distinct*100 >= n*35`` for
+    TTR >= 0.35), the 2x2 confusion matrix is exact BIGINT, and kappa
+    is computed from the n²-scaled identity
+    (n·agree − chance) / (n² − chance) — ONE double division.  One
+    narrow map + a 1-row reduce; nothing here shuffles more than four
+    counters at any corpus size."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    c = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_hash = (F.length("text")
+              - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    rater_a = ((F.size(F.array_distinct(toks)) * 100 >= n * 35)
+               & (n_stop * 100 >= n) & (n_stop * 100 <= n * 15))
+    rater_b = (n.between(50, 100000) & (c >= 3 * n) & (c <= 10 * n)
+               & (F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+                  * 10 >= n * 8)
+               & (n_hash * 10 <= n))
+    r = t["documents"].select(rater_a.alias("ra"), rater_b.alias("rb"))
+    cell = (lambda p: F.sum(p.cast("long")).cast("long"))
+    m = r.agg(F.count("*").cast("long").alias("n"),
+              cell(F.col("ra") & F.col("rb")).alias("n11"),
+              cell(F.col("ra") & ~F.col("rb")).alias("n10"),
+              cell(~F.col("ra") & F.col("rb")).alias("n01"),
+              cell(~F.col("ra") & ~F.col("rb")).alias("n00"))
+    nn, n11, n10 = F.col("n"), F.col("n11"), F.col("n10")
+    n01, n00 = F.col("n01"), F.col("n00")
+    chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    diff = F.abs(n10 - n01)
+    mcn = F.when(n10 + n01 > 0,
+                 F.round(((diff - 1) * (diff - 1)).cast("double")
+                         / (n10 + n01), 9)).otherwise(F.lit(0.0))
+    return m.select(
+        nn.alias("n_docs"), "n11", "n10", "n01", "n00",
+        F.round((n11 + n00).cast("double") / nn, 9).alias("po"),
+        F.round(chance.cast("double") / (nn * nn), 9).alias("pe"),
+        F.round((nn * (n11 + n00) - chance).cast("double")
+                / (nn * nn - chance), 9).alias("kappa"),
+        mcn.alias("mcnemar_stat"),
+        F.when(n10 + n01 > 0, mcn > _MCNEMAR_CRIT_DF1)
+         .otherwise(F.lit(False)).alias("raters_differ"))
+
+
+@query("text_term_burstiness", oracle=f"""
+WITH tf AS (
+  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS ctf,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT term, ctf, df,
+  round(n * (1 - exp(-(CAST(ctf AS DOUBLE) / n))), 6) AS expected_df,
+  round(CAST(df AS DOUBLE)
+        / (n * (1 - exp(-(CAST(ctf AS DOUBLE) / n)))), 6) AS burstiness
+FROM tf CROSS JOIN nn
+WHERE ctf >= 20
+ORDER BY burstiness, term LIMIT 20""")
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): compare each term's
+    observed document frequency with the Poisson-unigram expectation
+    E[df] = N(1 − e^(−ctf/N)).  Terms whose occurrences CLUMP into few
+    documents (df far below expected, ratio << 1) are topical/keyword
+    terms; ratio ≈ 1 marks function words spread evenly.  Returns the
+    20 burstiest terms with collection frequency >= 20 — the corpus
+    diagnostic that finds boilerplate keys and topic markers without
+    any labels.
+
+    Determinism: ctf, df, N are exact BIGINTs; ctf/N is one exact
+    double division, and the single transcendental (exp) can differ in
+    the last ulp between libm and the JVM, so BOTH the expectation and
+    the ratio are rounded to 6 dp before the rank — the ordering key is
+    bit-identical across engines (the tfidf_top_terms rule).  Shape:
+    one (doc,term)-distinct-capable aggregate for (ctf, df) — partial
+    map-side combine, term-keyed shuffle of counters only — a 1-row N
+    broadcast, and a TakeOrdered top-20."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (t["documents"]
+          .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("term")
+          .agg(F.count("*").cast("long").alias("ctf"),
+               F.countDistinct("doc_id").cast("long").alias("df")))
+    nn = t["documents"].agg(F.count("*").cast("long").alias("n"))
+    e_df = F.col("n") * (1 - F.exp(-(F.col("ctf").cast("double")
+                                     / F.col("n"))))
+    return (tf.where(F.col("ctf") >= 20)
+            .join(F.broadcast(nn))
+            .select("term", "ctf", "df",
+                    F.round(e_df, 6).alias("expected_df"),
+                    F.round(F.col("df").cast("double") / e_df, 6)
+                    .alias("burstiness"))
+            .orderBy("burstiness", "term").limit(20))

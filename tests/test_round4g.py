@@ -1,5 +1,5 @@
 """Semantic invariants for the round-4g additions (Gopher rule
-filter, Ljung-Box whiteness test, MATTR lexical diversity).  The
+filter, Ljung-Box whiteness test, MATTR diversity, rater agreement, term burstiness, pseudonym collisions).  The
 oracle gate checks cross-engine equality; these recompute each result
 with an independent Python reference so an edit changing the math
 identically in both engines still trips."""
@@ -109,3 +109,85 @@ def test_mattr_matches_python_model(spark, sf_dir):
         assert got.mattr_micro == round(long_dist / (W * long_w[src]), 9)
         # MATTR is a ratio of distinct-to-window-size, strictly in (0, 1]
         assert 0.0 < got.mattr_micro <= 1.0
+
+
+def test_rater_agreement_matches_python_model(spark, sf_dir):
+    row = QUERIES["quality_rater_agreement"](spark, sf_dir).collect()[0]
+    n11 = n10 = n01 = n00 = 0
+    for r in _docs(spark, sf_dir):
+        toks = r.text.split(" ")
+        n = len(toks)
+        c = len(r.text.replace(" ", ""))
+        stop = sum(1 for x in toks if x in ("the", "a"))
+        ra = (len(set(toks)) * 100 >= 35 * n
+              and n <= stop * 100 <= 15 * n)
+        rb = (50 <= n <= 100000 and 3 * n <= c <= 10 * n
+              and 10 * sum(1 for x in toks
+                           if any(ch.isalpha() and ch.isascii()
+                                  for ch in x)) >= 8 * n
+              and 10 * r.text.count("#") <= n)
+        if ra and rb:
+            n11 += 1
+        elif ra:
+            n10 += 1
+        elif rb:
+            n01 += 1
+        else:
+            n00 += 1
+    tot = n11 + n10 + n01 + n00
+    assert (row.n_docs, row.n11, row.n10, row.n01, row.n00) == \
+        (tot, n11, n10, n01, n00)
+    po = (n11 + n00) / tot
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / tot ** 2
+    assert math.isclose(row.kappa, (po - pe) / (1 - pe), abs_tol=5e-9)
+    # kappa is bounded and the confusion matrix is non-degenerate here
+    assert -1.0 <= row.kappa <= 1.0
+    assert 0 < n11 + n10 and 0 < n01 + n00
+
+
+def test_burstiness_matches_python_model(spark, sf_dir):
+    rows = QUERIES["text_term_burstiness"](spark, sf_dir).collect()
+    ctf, dfc = defaultdict(int), defaultdict(set)
+    docs = _docs(spark, sf_dir)
+    for r in docs:
+        for w in r.text.split(" "):
+            ctf[w] += 1
+            dfc[w].add(r.doc_id)
+    n = len(docs)
+    scored = []
+    for w, f in ctf.items():
+        if f < 20:
+            continue
+        e = n * (1 - math.exp(-f / n))
+        scored.append((round(len(dfc[w]) / e, 6), w, f, len(dfc[w]),
+                       round(e, 6)))
+    scored.sort(key=lambda x: (x[0], x[1]))
+    want = scored[:20]
+    assert [(r.burstiness, r.term, r.ctf, r.df, r.expected_df)
+            for r in rows] == want
+    # clumping can only REDUCE df below the Poisson expectation
+    assert all(r.burstiness <= 1.0 + 1e-6 for r in rows)
+
+
+def test_pseudonym_collisions_match_python_model(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+    row = QUERIES["privacy_pseudonym_collisions"](spark, sf_dir) \
+        .collect()[0]
+    t = load_tables(spark, sf_dir, ("events",))
+    users = {r.user_id for r in t["events"].select("user_id")
+             .distinct().collect()}
+    buckets = Counter(
+        int(hashlib.md5(f"pseudo:{u}".encode()).hexdigest()[:15], 16)
+        % 65536 for u in users)
+    n_coll = sum(1 for v in buckets.values() if v >= 2)
+    assert row.n_users == len(users)
+    assert row.n_pseudonyms == len(buckets)
+    assert row.n_collided == n_coll
+    assert row.n_users_in_collisions == sum(
+        v for v in buckets.values() if v >= 2)
+    assert row.max_bucket == max(buckets.values())
+    exp = 65536 * (1 - (1 - 1 / 65536) ** len(users))
+    assert math.isclose(row.expected_pseudonyms, exp, abs_tol=2e-6)
+    # the audit's contract: distinct pseudonyms near uniform expectation
+    assert abs(row.n_pseudonyms - exp) < 6 * math.sqrt(exp)

@@ -38,6 +38,7 @@ WHITELIST_BNLJ = {
     "lm_bigram_perplexity": "1-row vocabulary size broadcast",
     "events_gapfill_hourly": "tiny hour-spine grid fill",
     "text_dispersion_gries_dp": "1-row corpus-total broadcast",
+    "text_term_burstiness": "1-row corpus-size broadcast",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "search_dirichlet_lm_topk": "1-row collection-constant broadcast",
