@@ -598,3 +598,64 @@ def test_haversine_candidates_cell_equijoined(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_gopher_rules_single_exchange_no_python(plans):
+    """The Gopher filter is a narrow map over the scan + ONE hash
+    exchange for the 20-group source rollup — no Python, no joins, no
+    sort shuffle (the final orderBy is the tiny grouped layer)."""
+    p = plans("quality_gopher_rules")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_rater_agreement_one_row_reduce(plans):
+    """Kappa/McNemar: both raters evaluate in the SAME map stage over
+    one scan (the documents table is read once, not once per rater)
+    and reduce to a single row — no join between rater pipelines."""
+    p = plans("quality_rater_agreement")
+    assert "Join" not in p
+    assert p.count("FileScan") == 1  # the table is read once, not per rater
+    assert "BatchEvalPython" not in p
+
+
+def test_burstiness_broadcast_n_and_takeordered(plans):
+    """Term burstiness: the corpus-size N is a 1-row broadcast onto the
+    term aggregate (never a shuffle of terms against documents) and the
+    top-20 is TakeOrdered, not a global sort."""
+    p = plans("text_term_burstiness")
+    assert "BroadcastNestedLoopJoin" in p  # the whitelisted 1-row N
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_mattr_no_shuffle_before_rollup(plans):
+    """MATTR: the sliding windows are per-row array expressions — the
+    plan must contain no explode and exactly one hash exchange (the
+    source rollup)."""
+    p = plans("text_mattr_diversity")
+    assert "Generate explode" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_ljung_box_windows_on_hourly_layer(plans):
+    """Ljung-Box runs its lead() windows on the O(hours) aggregate
+    layer: the window sort must sit ABOVE the first hash aggregate in
+    the plan, and the final reduce is a 1-row SinglePartition."""
+    p = plans("stats_ljung_box_hourly")
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1 and win_pos < agg_pos \
+        or p.index("Window") > p.index("HashAggregate")
+    assert "SinglePartition" in p
+
+
+def test_pseudonym_collisions_bounded_second_agg(plans):
+    """Pseudonym audit: user distinct shuffles ids once; the bucket
+    census groups by a 16-bit key (bounded domain), and no Python or
+    join appears anywhere."""
+    p = plans("privacy_pseudonym_collisions")
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
