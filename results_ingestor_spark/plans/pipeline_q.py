@@ -1530,3 +1530,90 @@ def privacy_pseudonym_collisions(spark: SparkSession,
          .alias("expected_pseudonyms"),
         F.round((F.col("n_users") - F.col("n_pseudonyms")).cast("double")
                 / F.col("n_users"), 9).alias("collision_loss_rate"))
+
+
+_PRUNE_GROUPS = 32
+_PRUNE_LO, _PRUNE_HI = 40, 60  # point-lookup band on n_chars
+
+
+@query("layout_pruning_effectiveness", oracle=f"""
+WITH b AS (SELECT CAST(MIN(n_chars) AS BIGINT) AS lo,
+                  CAST(MAX(n_chars) AS BIGINT) AS hi
+           FROM documents),
+g AS (
+  SELECT 'hash_layout' AS layout,
+    {_DOC_HASH_SQL} % {_PRUNE_GROUPS} AS grp, n_chars
+  FROM documents
+  UNION ALL
+  SELECT 'clustered_layout' AS layout,
+    CAST(least(({_PRUNE_GROUPS} * (n_chars - lo)) // (hi - lo + 1),
+               {_PRUNE_GROUPS - 1}) AS BIGINT) AS grp, n_chars
+  FROM documents CROSS JOIN b),
+mm AS (
+  SELECT layout, grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(MIN(n_chars) AS BIGINT) AS mn, CAST(MAX(n_chars) AS BIGINT) AS mx
+  FROM g GROUP BY layout, grp)
+SELECT layout,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(COUNT(*) FILTER (WHERE mx >= {_PRUNE_LO} AND mn <= {_PRUNE_HI})
+       AS BIGINT) AS n_groups_scanned,
+  CAST(SUM(n_rows) FILTER (WHERE mx >= {_PRUNE_LO} AND mn <= {_PRUNE_HI})
+       AS BIGINT) AS n_rows_scanned,
+  CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+  round(CAST(COUNT(*) FILTER (WHERE mx >= {_PRUNE_LO}
+                              AND mn <= {_PRUNE_HI}) AS DOUBLE)
+        / COUNT(*), 9) AS scan_fraction
+FROM mm GROUP BY layout ORDER BY layout""")
+def layout_pruning_effectiveness(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Row-group pruning simulator — the at-rest-layout decision tool:
+    assign every document to one of 32 simulated row groups under two
+    layouts (hash-sharded ingest order vs clustered by the filter key
+    n_chars), compute each group's min/max footer statistics, and
+    report how many groups a point-band predicate
+    (n_chars in [40, 60]) must scan under each.  A hash layout
+    leaves every group's [min,max] spanning the domain (scan_fraction
+    ~1.0); the clustered layout confines the band to ~the groups that
+    actually hold it — the measured argument for write-time sorting
+    (zorder_cluster_key's single-key special case) before a 100 TB
+    corpus lands on disk.
+
+    Determinism: group ids are exact integer arithmetic (the clustered
+    bin uses BIGINT scaled division over the corpus [lo, hi] from a
+    1-row broadcast), min/max/count are exact, one double division.
+    Shape: two map-side group assignments off one scan, a 64-row
+    (layout, grp) aggregate, then a 2-row rollup — footer-statistics
+    volume, never data volume, crosses the shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    b = d.agg(F.min("n_chars").cast("long").alias("lo"),
+              F.max("n_chars").cast("long").alias("hi"))
+    hash_g = d.select(
+        F.lit("hash_layout").alias("layout"),
+        (F.expr(_DOC_HASH) % _PRUNE_GROUPS).alias("grp"), "n_chars")
+    clus_g = (d.crossJoin(F.broadcast(b))
+              .select(F.lit("clustered_layout").alias("layout"),
+                      F.least(
+                          F.expr(f"CAST(({_PRUNE_GROUPS} * (n_chars - lo))"
+                                 " DIV (hi - lo + 1) AS BIGINT)"),
+                          F.lit(_PRUNE_GROUPS - 1).cast("long"))
+                      .alias("grp"),
+                      "n_chars"))
+    mm = (hash_g.unionByName(clus_g)
+          .groupBy("layout", "grp")
+          .agg(F.count("*").cast("long").alias("n_rows"),
+               F.min("n_chars").cast("long").alias("mn"),
+               F.max("n_chars").cast("long").alias("mx")))
+    hit = (F.col("mx") >= _PRUNE_LO) & (F.col("mn") <= _PRUNE_HI)
+    return (mm.groupBy("layout")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.sum(hit.cast("long")).cast("long")
+                  .alias("n_groups_scanned"),
+                 F.sum(F.when(hit, F.col("n_rows"))).cast("long")
+                  .alias("n_rows_scanned"),
+                 F.sum("n_rows").cast("long").alias("n_rows_total"))
+            .select("layout", "n_groups", "n_groups_scanned",
+                    "n_rows_scanned", "n_rows_total",
+                    F.round(F.col("n_groups_scanned").cast("double")
+                            / F.col("n_groups"), 9).alias("scan_fraction"))
+            .orderBy("layout"))

@@ -1740,3 +1740,61 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("df").cast("double") / e_df, 6)
                     .alias("burstiness"))
             .orderBy("burstiness", "term").limit(20))
+
+
+@query("text_vocab_concentration", oracle=f"""
+WITH tf AS (
+  SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY source, tok),
+s AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS vocab,
+    CAST(SUM(f) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT) AS n_hapax,
+    CAST(SUM(f * (f - 1)) AS BIGINT) AS coll2
+  FROM tf GROUP BY source)
+SELECT source, vocab, n_tokens, n_hapax,
+  round(CAST(n_hapax AS DOUBLE) / vocab, 9) AS hapax_ratio,
+  round(CAST(coll2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 9)
+    AS simpson_lambda,
+  round(CAST(n_tokens AS DOUBLE) * (n_tokens - 1) / coll2, 6)
+    AS effective_vocab
+FROM s ORDER BY source""")
+def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration: hapax-legomena ratio (the
+    share of a source's vocabulary used exactly once — high for fresh
+    prose, low for templated output) and the unbiased Simpson index
+    λ = Σf(f−1) / (F(F−1)) — the probability two tokens drawn WITHOUT
+    replacement are the same type, whose reciprocal is the "effective
+    vocabulary size".  Together with Zipf/Heaps/entropy these place
+    each source on the boilerplate-vs-diverse axis for mixture
+    weighting; λ is also exactly the per-source 2-gram collision rate
+    dedup candidate volume scales with.
+
+    Determinism: the collision count Σf(f−1) is exact BIGINT (the
+    KMV/birthday trick — no per-term p_i² doubles are ever summed, so
+    no float summation order exists); each output is ONE double
+    division.  Shape: one (source, term)-keyed aggregate with map-side
+    combine, then a 20-group rollup — counters only in the shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (t["documents"]
+          .select("source", F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("source", "term")
+          .agg(F.count("*").cast("long").alias("f")))
+    s = (tf.groupBy("source")
+         .agg(F.count("*").cast("long").alias("vocab"),
+              F.sum("f").cast("long").alias("n_tokens"),
+              F.sum((F.col("f") == 1).cast("long")).cast("long")
+               .alias("n_hapax"),
+              F.sum(F.col("f") * (F.col("f") - 1)).cast("long")
+               .alias("coll2")))
+    nt = F.col("n_tokens")
+    return s.select(
+        "source", "vocab", "n_tokens", "n_hapax",
+        F.round(F.col("n_hapax").cast("double") / F.col("vocab"), 9)
+         .alias("hapax_ratio"),
+        F.round(F.col("coll2").cast("double") / (nt * (nt - 1)), 9)
+         .alias("simpson_lambda"),
+        F.round(nt.cast("double") * (nt - 1) / F.col("coll2"), 6)
+         .alias("effective_vocab")).orderBy("source")

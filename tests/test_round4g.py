@@ -191,3 +191,62 @@ def test_pseudonym_collisions_match_python_model(spark, sf_dir):
     assert math.isclose(row.expected_pseudonyms, exp, abs_tol=2e-6)
     # the audit's contract: distinct pseudonyms near uniform expectation
     assert abs(row.n_pseudonyms - exp) < 6 * math.sqrt(exp)
+
+
+def test_vocab_concentration_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    rows = {r.source: r for r in
+            QUERIES["text_vocab_concentration"](spark, sf_dir).collect()}
+    per_src = defaultdict(Counter)
+    for r in _docs(spark, sf_dir):
+        per_src[r.source].update(r.text.split(" "))
+    for src, cnt in per_src.items():
+        got = rows[src]
+        F_tot = sum(cnt.values())
+        coll2 = sum(f * (f - 1) for f in cnt.values())
+        hapax = sum(1 for f in cnt.values() if f == 1)
+        assert (got.vocab, got.n_tokens, got.n_hapax) == \
+            (len(cnt), F_tot, hapax), src
+        assert got.simpson_lambda == round(coll2 / (F_tot * (F_tot - 1)), 9)
+        assert got.effective_vocab == round(F_tot * (F_tot - 1) / coll2, 6)
+        # tight bound for the unbiased estimator: inverse-lambda is
+        # maximized by the uniform distribution, where it equals
+        # V(F-1)/(F-V)  (slightly ABOVE V - the without-replacement
+        # correction), and it can never fall below 1
+        V = len(cnt)
+        assert 1.0 <= got.effective_vocab \
+            <= V * (F_tot - 1) / (F_tot - V) + 1e-6
+
+
+def test_layout_pruning_clustered_beats_hash(spark, sf_dir):
+    rows = {r.layout: r for r in
+            QUERIES["layout_pruning_effectiveness"](spark, sf_dir)
+            .collect()}
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id", "n_chars").collect()
+    lo = min(r.n_chars for r in docs)
+    hi = max(r.n_chars for r in docs)
+    groups = defaultdict(lambda: [10**9, -1, 0])
+    import hashlib
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        for layout, grp in (
+                ("hash_layout", h % 32),
+                ("clustered_layout",
+                 min(32 * (r.n_chars - lo) // (hi - lo + 1), 31))):
+            g = groups[(layout, grp)]
+            g[0] = min(g[0], r.n_chars)
+            g[1] = max(g[1], r.n_chars)
+            g[2] += 1
+    for layout in ("hash_layout", "clustered_layout"):
+        ms = [(mn, mx, n) for (la, _), (mn, mx, n) in groups.items()
+              if la == layout]
+        scanned = [(mn, mx, n) for mn, mx, n in ms
+                   if mx >= 40 and mn <= 60]
+        got = rows[layout]
+        assert got.n_groups == len(ms)
+        assert got.n_groups_scanned == len(scanned)
+        assert got.n_rows_scanned == sum(n for _, _, n in scanned)
+    # the whole point: clustering the key must prune MORE than hashing
+    assert rows["clustered_layout"].scan_fraction \
+        < rows["hash_layout"].scan_fraction

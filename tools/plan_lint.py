@@ -41,6 +41,7 @@ WHITELIST_BNLJ = {
     "text_term_burstiness": "1-row corpus-size broadcast",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
+    "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
     "search_dirichlet_lm_topk": "1-row collection-constant broadcast",
     "search_rm3_expansion": "1-row feedback-total broadcast",
     "chi2_lang_source": "1-row totals broadcast",
