@@ -1024,3 +1024,63 @@ def events_stickiness_dau_mau(spark: SparkSession,
     return mau.select(F.col("ad").alias("d"), "dau", "mau",
                       F.round(F.col("dau").cast("double")
                               / F.col("mau"), 6).alias("stickiness"))
+
+
+@query("events_bot_regularity", oracle="""
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+m AS (
+  SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+    CAST(SUM(gap) AS DECIMAL(38,0)) AS sg,
+    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0)) AS sgg
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+  HAVING COUNT(gap) >= 9),
+c AS (
+  SELECT user_id, n_gaps,
+    CAST(sg AS BIGINT) // n_gaps AS mean_gap_us,
+    round(CAST(n_gaps * (n_gaps * sgg - sg * sg) AS DOUBLE)
+          / CAST((n_gaps - 1) * sg * sg AS DOUBLE), 9) AS cv2
+  FROM m)
+SELECT user_id, n_gaps, mean_gap_us, cv2, cv2 < 0.1 AS is_bot_like
+FROM c ORDER BY cv2, user_id LIMIT 20""")
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detector: per user, the squared coefficient of
+    variation of inter-event gaps.  Human traffic is bursty (a Poisson
+    process has CV² ≈ 1); schedulers and scrapers fire on near-fixed
+    intervals (CV² → 0) — the curation signal that keeps machine
+    traffic out of behavioral training data.  Emits the 20 most
+    regular users with >= 9 gaps and the CV² < 0.1 bot verdict.
+
+    Determinism: gaps are exact integer microseconds from a
+    user-partitioned lag (ties broken by event_id); Σg and Σg² stay in
+    DECIMAL(38,0) (µs² overflows BIGINT — the CUPED lesson), and
+    CV² = n(nΣg² − (Σg)²) / ((n−1)(Σg)²) is ONE double division of
+    exact decimals (the mean gap is exact integer floor division —
+    an 11-digit µs mean under round(·,6) would exceed double
+    precision).  Shape: one user-keyed window + one user-keyed
+    aggregate (same shuffle key, AQE chains them), then TakeOrdered —
+    gap moments, never event payloads, cross the wire."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = t["events"].select(
+        "user_id",
+        (F.unix_micros("ts")
+         - F.lag(F.unix_micros("ts")).over(w)).alias("gap"))
+    m = (g.where(F.col("gap").isNotNull())
+         .groupBy("user_id")
+         .agg(F.count("gap").cast("long").alias("n_gaps"),
+              F.sum("gap").cast("decimal(38,0)").alias("sg"),
+              F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+               .cast("decimal(38,0)").alias("sgg"))
+         .where(F.col("n_gaps") >= 9))
+    n, sg, sgg = F.col("n_gaps"), F.col("sg"), F.col("sgg")
+    cv2 = F.round((n * (n * sgg - sg * sg)).cast("double")
+                  / ((n - 1) * sg * sg).cast("double"), 9)
+    return (m.select("user_id", "n_gaps",
+                     F.expr("CAST(sg AS BIGINT) DIV n_gaps").alias("mean_gap_us"),
+                     cv2.alias("cv2"))
+            .select("*", (F.col("cv2") < 0.1).alias("is_bot_like"))
+            .orderBy("cv2", "user_id").limit(20))

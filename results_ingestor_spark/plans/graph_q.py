@@ -789,3 +789,50 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(q, 9).alias("q_contrib"))
             .orderBy(F.desc("n_members"), F.asc("community"))
             .limit(20))
+
+
+@query("graph_global_transitivity", oracle=f"""
+WITH e AS ({_EDGES}),
+sym AS ({_SYM}),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT n_wedges, n_triangles,
+  round(CASE WHEN n_wedges > 0
+        THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 9)
+    AS transitivity
+FROM w CROSS JOIN t""")
+def graph_global_transitivity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Global transitivity (clustering coefficient of the whole
+    graph): C = 3·triangles / wedges, where wedges = Σ d(d−1)/2 over
+    node degrees — the one-number answer to "how clique-ish is the
+    co-purchase graph", complementing the per-node local coefficients
+    this family already ships.  C near the random-graph baseline means
+    co-purchases are independent; C >> baseline means basket
+    communities are real structure the LPA/k-core entries can mine.
+
+    Exact BIGINT wedge and triangle counts (d(d−1)/2 is integer —
+    d(d−1) is always even), one double expression at the end.  Shape:
+    the triangle join runs on the low→high ORIENTED edge list (each
+    triangle counted once, the standard distributed formulation), the
+    wedge count is a degree aggregate — two 1-row broadcasts combine.
+    Cites the reference's summary-stat pattern
+    (ingestor_precinct.py:125-132) applied to graph structure."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li)
+    deg = degrees(edges)
+    w = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+                .alias("n_wedges"))
+    t = triangle_count(edges).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"))
+    return (w.crossJoin(F.broadcast(t))
+            .select("n_wedges", "n_triangles",
+                    F.round(F.when(F.col("n_wedges") > 0,
+                                   3.0 * F.col("n_triangles")
+                                   / F.col("n_wedges"))
+                            .otherwise(F.lit(0.0)), 9)
+                    .alias("transitivity")))

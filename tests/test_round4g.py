@@ -1,8 +1,9 @@
-"""Semantic invariants for the round-4g additions (Gopher rule
-filter, Ljung-Box whiteness test, MATTR diversity, rater agreement, term burstiness, pseudonym collisions).  The
-oracle gate checks cross-engine equality; these recompute each result
-with an independent Python reference so an edit changing the math
-identically in both engines still trips."""
+"""Semantic invariants for the round-4g/4h/4i/4j additions (Gopher
+rules, Ljung-Box, MATTR, rater agreement, burstiness, pseudonym
+collisions, vocab concentration, layout pruning, transitivity, bot
+regularity).  The oracle gate checks cross-engine equality;
+these recompute each result with an independent Python reference so an
+edit changing the math identically in both engines still trips."""
 
 from __future__ import annotations
 
@@ -250,3 +251,56 @@ def test_layout_pruning_clustered_beats_hash(spark, sf_dir):
     # the whole point: clustering the key must prune MORE than hashing
     assert rows["clustered_layout"].scan_fraction \
         < rows["hash_layout"].scan_fraction
+
+
+def test_global_transitivity_matches_python_model(spark, sf_dir):
+    row = QUERIES["graph_global_transitivity"](spark, sf_dir).collect()[0]
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    orders = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        orders[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v] - {u, v})
+    tri //= 3
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+    assert row.transitivity == round(3.0 * tri / wedges, 9)
+    # every triangle contributes exactly 3 wedges
+    assert 3 * tri <= wedges
+
+
+def test_bot_regularity_matches_python_model(spark, sf_dir):
+    rows = QUERIES["events_bot_regularity"](spark, sf_dir).collect()
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts", "event_id").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        us = r.ts.timestamp() * 1_000_000
+        per_user[r.user_id].append((r.ts, r.event_id, round(us)))
+    scored = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        gaps = [b[2] - a[2] for a, b in zip(evs, evs[1:])]
+        n = len(gaps)
+        if n < 9:
+            continue
+        sg, sgg = sum(gaps), sum(g * g for g in gaps)
+        cv2 = round(n * (n * sgg - sg * sg) / ((n - 1) * sg * sg), 9)
+        scored.append((cv2, u, n, sg // n))
+    scored.sort()
+    want = scored[:20]
+    assert [(r.cv2, r.user_id, r.n_gaps, r.mean_gap_us)
+            for r in rows] == want
+    assert all(r.is_bot_like == (r.cv2 < 0.1) for r in rows)

@@ -39,6 +39,7 @@ WHITELIST_BNLJ = {
     "events_gapfill_hourly": "tiny hour-spine grid fill",
     "text_dispersion_gries_dp": "1-row corpus-total broadcast",
     "text_term_burstiness": "1-row corpus-size broadcast",
+    "graph_global_transitivity": "two 1-row summary-stat broadcasts",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
