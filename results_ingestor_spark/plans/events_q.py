@@ -1084,3 +1084,67 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      cv2.alias("cv2"))
             .select("*", (F.col("cv2") < 0.1).alias("is_bot_like"))
             .orderBy("cv2", "user_id").limit(20))
+
+
+_GAP_CURVE_MIN = (5, 15, 30, 60)
+
+
+@query("events_session_gap_curve", oracle=f"""
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events),
+t AS (SELECT unnest([{", ".join(str(m) for m in _GAP_CURVE_MIN)}])
+        AS threshold_min),
+b AS (
+  SELECT threshold_min,
+    CAST(COUNT(*) FILTER (WHERE gap > CAST(threshold_min AS BIGINT) * 60000000)
+         AS BIGINT) AS n_boundary_gaps
+  FROM g CROSS JOIN t
+  WHERE gap IS NOT NULL GROUP BY threshold_min)
+SELECT threshold_min,
+  n_users + n_boundary_gaps AS n_sessions,
+  round(CAST(n_events AS DOUBLE) / (n_users + n_boundary_gaps), 6)
+    AS avg_events_per_session
+FROM b CROSS JOIN tot ORDER BY threshold_min""")
+def events_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap-threshold sensitivity curve: from ONE
+    per-user lag pass, the session count and mean session size the
+    30-minute-gap convention would produce at 5/15/30/60-minute
+    thresholds — #sessions = #users + #gaps exceeding the threshold,
+    an identity, so no re-sessionization per candidate.  This is the
+    tuning table read before committing events_sessionize's gap
+    parameter (the dedup_threshold_curve pattern applied to sessions).
+
+    Determinism: gaps are integer microseconds (event_id tie-break),
+    thresholds exact literals, ONE double division per row.  Shape:
+    one user-partitioned window, a ×4 threshold explode of the skinny
+    (gap) column — never of events — and a 4-row aggregate + 1-row
+    totals broadcast."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (t["events"]
+         .select("user_id",
+                 (F.unix_micros("ts")
+                  - F.lag(F.unix_micros("ts")).over(w)).alias("gap"))
+         .where(F.col("gap").isNotNull()))
+    tot = t["events"].agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"))
+    b = (g.select("gap", F.explode(F.array(
+            *[F.lit(m) for m in _GAP_CURVE_MIN])).alias("threshold_min"))
+         .groupBy("threshold_min")
+         .agg(F.sum((F.col("gap") > F.col("threshold_min").cast("long")
+                          * 60000000)
+                    .cast("long")).cast("long").alias("n_boundary_gaps")))
+    sess = F.col("n_users") + F.col("n_boundary_gaps")
+    return (b.crossJoin(F.broadcast(tot))
+            .select("threshold_min", sess.alias("n_sessions"),
+                    F.round(F.col("n_events").cast("double") / sess, 6)
+                    .alias("avg_events_per_session"))
+            .orderBy("threshold_min"))

@@ -173,3 +173,109 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((npy - 1) * 16 * w + (npx - 1) * 16) * 3)
         .alias("last_patch_byte_offset"))
         .orderBy("doc_id"))
+
+
+_AR_BUCKETS = """CASE
+  WHEN 8 * w < 3 * h THEN '1:4'
+  WHEN 8 * w < 5 * h THEN '1:2'
+  WHEN 8 * w < 7 * h THEN '3:4'
+  WHEN 6 * w < 7 * h THEN '1:1'
+  WHEN 3 * w < 5 * h THEN '4:3'
+  WHEN w < 3 * h THEN '2:1'
+  ELSE '4:1' END"""
+
+_AR_TARGET_A = ("CASE bucket WHEN '1:4' THEN 1 WHEN '1:2' THEN 1 "
+                "WHEN '3:4' THEN 3 WHEN '1:1' THEN 1 WHEN '4:3' THEN 4 "
+                "WHEN '2:1' THEN 2 ELSE 4 END")
+_AR_TARGET_B = ("CASE bucket WHEN '1:4' THEN 4 WHEN '1:2' THEN 2 "
+                "WHEN '3:4' THEN 4 WHEN '1:1' THEN 1 WHEN '4:3' THEN 3 "
+                "WHEN '2:1' THEN 1 ELSE 1 END")
+
+_AR_KEPT = """CASE
+  WHEN w * b > h * a THEN ((h * a) {div} b) * h
+  WHEN w * b < h * a THEN w * ((w * b) {div} a)
+  ELSE w * h END"""
+
+
+@query("multimodal_aspect_bucketing", oracle=f"""
+WITH img AS (
+  SELECT doc_id,
+    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+    CAST(doc_id % 1080 + 1 AS BIGINT) AS h
+  FROM documents),
+bkt AS (
+  SELECT doc_id, w, h, {_AR_BUCKETS} AS bucket FROM img),
+tgt AS (
+  SELECT doc_id, w, h, bucket,
+    CAST({_AR_TARGET_A} AS BIGINT) AS a,
+    CAST({_AR_TARGET_B} AS BIGINT) AS b
+  FROM bkt),
+k AS (
+  SELECT bucket, w, h,
+    {_AR_KEPT.format(div='//')} AS kept_bucket,
+    least(w, h) * least(w, h) AS kept_square
+  FROM tgt),
+s AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+    CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+    CAST(SUM(kept_square) AS BIGINT) AS kept_square,
+    CAST(SUM(kept_bucket) AS BIGINT) AS kept_bucket
+  FROM k GROUP BY bucket),
+tot AS (SELECT CAST(SUM(n_images) AS BIGINT) AS n FROM s)
+SELECT bucket, n_images,
+  round(CAST(n_images AS DOUBLE) / n, 9) AS share,
+  total_pixels,
+  round(1.0 - CAST(kept_square AS DOUBLE) / total_pixels, 9)
+    AS square_crop_loss,
+  round(1.0 - CAST(kept_bucket AS DOUBLE) / total_pixels, 9)
+    AS bucket_crop_loss
+FROM s CROSS JOIN tot ORDER BY bucket""")
+def multimodal_aspect_bucketing(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing census (the SDXL/NovelAI batching trick):
+    assign each image to the nearest of 7 canonical aspect buckets
+    (1:4 … 4:1, band edges as EXACT cross-multiplied integer
+    comparisons — no float ratio ever exists) and measure, per bucket,
+    the pixel loss of cropping to the bucket's ratio versus the naive
+    square center-crop.  bucket_crop_loss << square_crop_loss is the
+    measured justification for ratio-bucketed batching in a multimodal
+    training pipeline; the share column sizes the per-bucket batch
+    queues.  Width/height derive from doc_id exactly as
+    multimodal_png_header_parse's convention.
+
+    Determinism: kept-pixel counts use integer floor division on
+    BIGINT (both engines floor on positive integers), sums are exact,
+    one double division per output column.  Shape: pure map expressions
+    + a 7-group aggregate + a 1-row share divisor — image METADATA
+    only; payload bytes never leave the scan at 100 TB."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    img = t["documents"].select(
+        (F.col("doc_id") % 1920 + 1).cast("long").alias("w"),
+        (F.col("doc_id") % 1080 + 1).cast("long").alias("h"))
+    bkt = img.select("w", "h", F.expr(_AR_BUCKETS).alias("bucket"))
+    tgt = bkt.select("w", "h", "bucket",
+                     F.expr(_AR_TARGET_A).cast("long").alias("a"),
+                     F.expr(_AR_TARGET_B).cast("long").alias("b"))
+    k = tgt.select(
+        "bucket", "w", "h",
+        F.expr(_AR_KEPT.format(div="DIV")).alias("kept_bucket"),
+        (F.least("w", "h") * F.least("w", "h")).alias("kept_square"))
+    s = (k.groupBy("bucket")
+         .agg(F.count("*").cast("long").alias("n_images"),
+              F.sum(F.col("w") * F.col("h")).cast("long")
+               .alias("total_pixels"),
+              F.sum("kept_square").cast("long").alias("kept_square"),
+              F.sum("kept_bucket").cast("long").alias("kept_bucket")))
+    tot = s.agg(F.sum("n_images").cast("long").alias("n"))
+    return (s.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_images",
+                    F.round(F.col("n_images").cast("double")
+                            / F.col("n"), 9).alias("share"),
+                    "total_pixels",
+                    F.round(1.0 - F.col("kept_square").cast("double")
+                            / F.col("total_pixels"), 9)
+                    .alias("square_crop_loss"),
+                    F.round(1.0 - F.col("kept_bucket").cast("double")
+                            / F.col("total_pixels"), 9)
+                    .alias("bucket_crop_loss"))
+            .orderBy("bucket"))

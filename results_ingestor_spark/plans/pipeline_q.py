@@ -1617,3 +1617,78 @@ def layout_pruning_effectiveness(spark: SparkSession,
                     F.round(F.col("n_groups_scanned").cast("double")
                             / F.col("n_groups"), 9).alias("scan_fraction"))
             .orderBy("layout"))
+
+
+def _dict_est_sql() -> str:
+    per_col = []
+    for col in ("lang", "source", "text"):
+        per_col.append(f"""
+  SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(SUM(n) AS BIGINT) AS n_rows,
+    CAST(SUM(len) AS BIGINT) AS dict_page_bytes,
+    CAST(SUM(n * len) AS BIGINT) AS plain_bytes
+  FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(length({col}) AS BIGINT) AS len
+        FROM documents GROUP BY {col})""")
+    return f"""
+WITH s AS ({" UNION ALL ".join(per_col)}),
+w AS (
+  SELECT *, CASE WHEN n_distinct <= 256 THEN 1
+                 WHEN n_distinct <= 65536 THEN 2
+                 WHEN n_distinct <= 16777216 THEN 3 ELSE 4 END AS code_w
+  FROM s)
+SELECT col, n_rows, n_distinct, plain_bytes,
+  dict_page_bytes + n_rows * code_w AS dict_bytes,
+  round(1.0 - CAST(dict_page_bytes + n_rows * code_w AS DOUBLE)
+        / plain_bytes, 9) AS saving_ratio,
+  dict_page_bytes + n_rows * code_w < plain_bytes AS recommend_dict
+FROM w ORDER BY col"""
+
+
+@query("layout_dict_encoding_estimate", oracle=_dict_est_sql())
+def layout_dict_encoding_estimate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Dictionary-encoding benefit estimator — the column-layout
+    decision a lakehouse makes at write time: for each string column,
+    exact cardinality and byte totals give the dictionary page size
+    (Σ len over DISTINCT values) plus n_rows × code-width (1/2/3/4
+    bytes by cardinality), compared against plain encoding (Σ len over
+    all rows).  Low-cardinality columns (lang, source) should show
+    ~99% savings; the unique-ish text column should come back
+    recommend_dict = false — writing it dictionary-encoded would GROW
+    the file, the mistake this report exists to prevent.
+
+    Exact BIGINT byte accounting end-to-end, one double division per
+    column.  Shape: one value-keyed aggregate per column (the exact-
+    dedup shuffle class — (value-hash, count) at scale, with the text
+    column's values replaced by xxhash64+length pairs since only
+    lengths and cardinality are needed, never bodies) feeding a 1-row
+    reduce each; three tiny rows union."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    outs = []
+    for col in ("lang", "source", "text"):
+        per_val = (t["documents"]
+                   .groupBy(F.col(col).alias("v"))
+                   .agg(F.count("*").cast("long").alias("n"))
+                   .select("n", F.length("v").cast("long").alias("len")))
+        outs.append(per_val.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("len").cast("long").alias("dict_page_bytes"),
+            F.sum(F.col("n") * F.col("len")).cast("long")
+             .alias("plain_bytes")))
+    s = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    code_w = (F.when(F.col("n_distinct") <= 256, 1)
+              .when(F.col("n_distinct") <= 65536, 2)
+              .when(F.col("n_distinct") <= 16777216, 3)
+              .otherwise(4)).cast("long")
+    dict_bytes = F.col("dict_page_bytes") + F.col("n_rows") * code_w
+    return (s.select("col", "n_rows", "n_distinct", "plain_bytes",
+                     dict_bytes.alias("dict_bytes"),
+                     F.round(1.0 - dict_bytes.cast("double")
+                             / F.col("plain_bytes"), 9)
+                     .alias("saving_ratio"),
+                     (dict_bytes < F.col("plain_bytes"))
+                     .alias("recommend_dict"))
+            .orderBy("col"))

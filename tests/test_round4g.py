@@ -1,7 +1,7 @@
-"""Semantic invariants for the round-4g/4h/4i/4j additions (Gopher
+"""Semantic invariants for the round-4g..4k additions (Gopher
 rules, Ljung-Box, MATTR, rater agreement, burstiness, pseudonym
 collisions, vocab concentration, layout pruning, transitivity, bot
-regularity).  The oracle gate checks cross-engine equality;
+regularity, session gap curve, dict encoding, aspect bucketing).  The oracle gate checks cross-engine equality;
 these recompute each result with an independent Python reference so an
 edit changing the math identically in both engines still trips."""
 
@@ -304,3 +304,101 @@ def test_bot_regularity_matches_python_model(spark, sf_dir):
     assert [(r.cv2, r.user_id, r.n_gaps, r.mean_gap_us)
             for r in rows] == want
     assert all(r.is_bot_like == (r.cv2 < 0.1) for r in rows)
+
+
+def test_session_gap_curve_matches_python_model(spark, sf_dir):
+    rows = {r.threshold_min: r for r in
+            QUERIES["events_session_gap_curve"](spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts", "event_id").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_id))
+    gaps = []
+    for evs in per_user.values():
+        evs.sort()
+        gaps += [round((b[0] - a[0]).total_seconds() * 1e6)
+                 for a, b in zip(evs, evs[1:])]
+    n_users, n_events = len(per_user), len(ev)
+    prev_sessions = None
+    for m in (5, 15, 30, 60):
+        boundaries = sum(1 for g in gaps if g > m * 60_000_000)
+        sess = n_users + boundaries
+        got = rows[m]
+        assert got.n_sessions == sess, m
+        assert got.avg_events_per_session == round(n_events / sess, 6)
+        # monotone: a larger gap threshold can only merge sessions
+        if prev_sessions is not None:
+            assert sess <= prev_sessions
+        prev_sessions = sess
+
+
+def test_dict_encoding_estimate_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    rows = {r.col: r for r in
+            QUERIES["layout_dict_encoding_estimate"](spark, sf_dir)
+            .collect()}
+    t = load_tables(spark, sf_dir, ("documents",))
+    pdf = t["documents"].select("lang", "source", "text").toPandas()
+    for col in ("lang", "source", "text"):
+        cnt = Counter(pdf[col])
+        nd = len(cnt)
+        width = 1 if nd <= 256 else 2 if nd <= 65536 else \
+            3 if nd <= 16777216 else 4
+        plain = sum(len(v) * n for v, n in cnt.items())
+        dict_b = sum(len(v) for v in cnt) + len(pdf) * width
+        got = rows[col]
+        assert (got.n_rows, got.n_distinct, got.plain_bytes,
+                got.dict_bytes) == (len(pdf), nd, plain, dict_b), col
+        assert got.recommend_dict == (dict_b < plain)
+    # the report's raison d'etre: dict wins on categoricals, loses on text
+    assert rows["lang"].recommend_dict and rows["source"].recommend_dict
+    assert not rows["text"].recommend_dict
+
+
+def test_aspect_bucketing_matches_python_model(spark, sf_dir):
+    rows = {r.bucket: r for r in
+            QUERIES["multimodal_aspect_bucketing"](spark, sf_dir)
+            .collect()}
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id").collect()
+    targets = {"1:4": (1, 4), "1:2": (1, 2), "3:4": (3, 4), "1:1": (1, 1),
+               "4:3": (4, 3), "2:1": (2, 1), "4:1": (4, 1)}
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        w, h = r.doc_id % 1920 + 1, r.doc_id % 1080 + 1
+        if 8 * w < 3 * h:
+            b = "1:4"
+        elif 8 * w < 5 * h:
+            b = "1:2"
+        elif 8 * w < 7 * h:
+            b = "3:4"
+        elif 6 * w < 7 * h:
+            b = "1:1"
+        elif 3 * w < 5 * h:
+            b = "4:3"
+        elif w < 3 * h:
+            b = "2:1"
+        else:
+            b = "4:1"
+        ta, tb = targets[b]
+        if w * tb > h * ta:
+            kept = ((h * ta) // tb) * h
+        elif w * tb < h * ta:
+            kept = w * ((w * tb) // ta)
+        else:
+            kept = w * h
+        a = agg[b]
+        a[0] += 1
+        a[1] += w * h
+        a[2] += min(w, h) ** 2
+        a[3] += kept
+    assert set(rows) == set(agg)
+    for b, (n, px, ksq, kb) in agg.items():
+        got = rows[b]
+        assert (got.n_images, got.total_pixels) == (n, px), b
+        assert got.square_crop_loss == round(1.0 - ksq / px, 9)
+        assert got.bucket_crop_loss == round(1.0 - kb / px, 9)
+        # cropping to the assigned (nearest) ratio never loses more
+        # pixels than forcing a square
+        assert got.bucket_crop_loss <= got.square_crop_loss + 1e-9

@@ -40,6 +40,8 @@ WHITELIST_BNLJ = {
     "text_dispersion_gries_dp": "1-row corpus-total broadcast",
     "text_term_burstiness": "1-row corpus-size broadcast",
     "graph_global_transitivity": "two 1-row summary-stat broadcasts",
+    "events_session_gap_curve": "1-row users/events-total broadcast",
+    "multimodal_aspect_bucketing": "1-row share-divisor broadcast",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
@@ -234,6 +236,8 @@ WHITELIST_GLOBALWIN = {
         "layer (one row per doc, not per token)",
     "growth_accounting_weekly": "lag/lead window is user-partitioned; "
         "the SinglePartition exchange is the 1-row horizon combine",
+    "events_session_gap_curve": "lag window is user-partitioned; the "
+        "SinglePartition exchange is the 1-row totals combine",
     "distinct_users_cumulative_hll": "expanding merge window over the "
         "day domain (per-day sketch partials)",
     "events_max_drawdown": "running-peak windows over the day domain",
