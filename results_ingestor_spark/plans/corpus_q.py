@@ -1556,3 +1556,142 @@ def wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = train_wordpiece_merges(t["documents"], n_merges=8)
     pairs = [(r["left"], r["right"]) for r in m.collect()]
     return tokenize_with_merges(t["documents"], pairs)
+
+
+def _er_golden_oracle() -> str:
+    from results_ingestor_spark.operators.election import CONTEST_PRECINCT_SQL
+    return f"""
+WITH RECURSIVE frame AS ({CONTEST_PRECINCT_SQL}),
+recs AS (
+  SELECT DISTINCT candidate, first_name,
+    coalesce(middle_name, '') AS middle_name, last_name
+  FROM frame),
+r AS (
+  SELECT concat_ws('|', candidate, first_name, middle_name, last_name)
+           AS rec_id,
+         candidate, first_name, middle_name, last_name
+  FROM recs),
+e AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+  FROM r a JOIN r b
+    ON a.last_name = b.last_name AND a.rec_id < b.rec_id
+   AND levenshtein(a.first_name, b.first_name) <= 1
+   AND (a.middle_name = b.middle_name
+        OR a.middle_name = '' OR b.middle_name = '')),
+edges AS (SELECT id_a AS a, id_b AS b FROM e
+          UNION SELECT id_b, id_a FROM e),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT rc.a, ed.b FROM reach rc JOIN edges ed ON rc.b = ed.a),
+reps AS (
+  SELECT a AS rec_id, least(a, min(b)) AS cluster_rep
+  FROM reach GROUP BY a),
+labeled AS (
+  SELECT r.rec_id, r.first_name, r.middle_name, r.last_name,
+    coalesce(p.cluster_rep, r.rec_id) AS cluster_rep
+  FROM r LEFT JOIN reps p ON p.rec_id = r.rec_id),
+fc AS (
+  SELECT cluster_rep, first_name, CAST(COUNT(*) AS BIGINT) AS c
+  FROM labeled GROUP BY 1, 2),
+gf AS (
+  SELECT cluster_rep, first_name AS golden_first FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_rep
+      ORDER BY c DESC, first_name) AS rn FROM fc) WHERE rn = 1),
+mc AS (
+  SELECT cluster_rep, middle_name, CAST(COUNT(*) AS BIGINT) AS c
+  FROM labeled WHERE middle_name <> '' GROUP BY 1, 2),
+gm AS (
+  SELECT cluster_rep, middle_name AS golden_middle FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_rep
+      ORDER BY c DESC, middle_name) AS rn FROM mc) WHERE rn = 1),
+agg AS (
+  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_records,
+    CAST(COUNT(DISTINCT first_name) AS BIGINT) AS n_first_variants,
+    MIN(last_name) AS golden_last
+  FROM labeled GROUP BY cluster_rep)
+SELECT a.cluster_rep, a.n_records, a.n_first_variants,
+  gf.golden_first, coalesce(gm.golden_middle, '') AS golden_middle,
+  a.golden_last
+FROM agg a
+JOIN gf USING (cluster_rep)
+LEFT JOIN gm USING (cluster_rep)
+ORDER BY a.cluster_rep"""
+
+
+@query("er_golden_record", oracle=_er_golden_oracle())
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the MDM step AFTER entity
+    resolution: for every resolved entity (er_candidate_records'
+    clusters), fuse the member records into one canonical record by
+    deterministic survivorship rules: most-frequent first name
+    (tie → lexicographic least), most-frequent NON-EMPTY middle name
+    ('' only when no member has one), and the blocked-on last name.
+    n_first_variants flags entities whose members still disagree — the
+    manual-review queue.
+
+    The oracle replays the full recursive-CTE resolution then applies
+    identical mode-with-tie-break windows, so the entire
+    resolve→survive pipeline is value-checked end-to-end.  Shape: the
+    er_candidate_records budget (blocked pair join + CC rounds) plus
+    two cluster-keyed mode windows and one cluster aggregate — all on
+    the RECORD-level table (dimension-sized, distinct name tuples),
+    never on raw rows."""
+    from results_ingestor_spark.operators.dedup import connected_components
+    from results_ingestor_spark.operators.election import (
+        contest_precinct_frame)
+    frame = contest_precinct_frame(spark, sf_dir)
+    recs = (frame.select(
+        "candidate", "first_name",
+        F.coalesce("middle_name", F.lit("")).alias("middle_name"),
+        "last_name").distinct())
+    r = recs.select(
+        F.concat_ws("|", "candidate", "first_name", "middle_name",
+                    "last_name").alias("rec_id"),
+        "first_name", "middle_name", "last_name")
+    a = r.select(F.col("rec_id").alias("id_a"),
+                 F.col("first_name").alias("fa"),
+                 F.col("middle_name").alias("ma"),
+                 F.col("last_name").alias("block"))
+    b = r.select(F.col("rec_id").alias("id_b"),
+                 F.col("first_name").alias("fb"),
+                 F.col("middle_name").alias("mb"),
+                 F.col("last_name").alias("block"))
+    edges = (a.join(b, "block")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(F.levenshtein("fa", "fb") <= 1)
+             .where((F.col("ma") == F.col("mb"))
+                    | (F.col("ma") == "") | (F.col("mb") == ""))
+             .select("id_a", "id_b"))
+    labels = connected_components(edges, r.select("rec_id"),
+                                  id_col="rec_id")
+    labeled = r.join(labels, "rec_id")
+    fc = (labeled.groupBy("cluster_rep", "first_name")
+          .agg(F.count("*").alias("c")))
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("c"), F.asc("first_name"))
+    gf = (fc.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") == 1)
+          .select("cluster_rep", F.col("first_name").alias("golden_first")))
+    mc = (labeled.where(F.col("middle_name") != "")
+          .groupBy("cluster_rep", "middle_name")
+          .agg(F.count("*").alias("c")))
+    wm = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("c"), F.asc("middle_name"))
+    gm = (mc.withColumn("rn", F.row_number().over(wm))
+          .where(F.col("rn") == 1)
+          .select("cluster_rep",
+                  F.col("middle_name").alias("golden_middle")))
+    agg = (labeled.groupBy("cluster_rep")
+           .agg(F.count("*").cast("long").alias("n_records"),
+                F.countDistinct("first_name").cast("long")
+                 .alias("n_first_variants"),
+                F.min("last_name").alias("golden_last")))
+    return (agg.join(gf, "cluster_rep")
+            .join(gm, "cluster_rep", "left")
+            .select("cluster_rep", "n_records", "n_first_variants",
+                    "golden_first",
+                    F.coalesce("golden_middle", F.lit(""))
+                     .alias("golden_middle"),
+                    "golden_last")
+            .orderBy("cluster_rep"))

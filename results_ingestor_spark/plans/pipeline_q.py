@@ -1692,3 +1692,68 @@ def layout_dict_encoding_estimate(spark: SparkSession,
                      (dict_bytes < F.col("plain_bytes"))
                      .alias("recommend_dict"))
             .orderBy("col"))
+
+
+@query("privacy_generalization_ladder", oracle="""
+WITH qid AS (
+  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket
+  FROM documents),
+grp AS (
+  SELECT
+    CASE WHEN GROUPING(lang) = 1 THEN 'L3:none'
+         WHEN GROUPING(len_bucket) = 1 THEN 'L2:lang'
+         WHEN GROUPING(source) = 1 THEN 'L1:lang+len'
+         ELSE 'L0:lang+source+len' END AS level,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM qid
+  GROUP BY GROUPING SETS ((lang, source, len_bucket),
+                          (lang, len_bucket), (lang), ())
+)
+SELECT level,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(count_if(k < 5) AS BIGINT) AS n_groups_below_5,
+  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+    AS n_docs_below_5,
+  MIN(k) >= 5 AS satisfies_k5
+FROM grp GROUP BY level ORDER BY level""")
+def privacy_generalization_ladder(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder: evaluate ALL coarsening
+    levels of the QI tuple in ONE pass — full (lang, source,
+    length-bucket), drop source, drop the length bucket, full
+    suppression — and report each level's min k and sub-k=5 exposure.
+    This is the decision table behind the k-anonymity audit
+    (privacy_k_anonymity): instead of re-running the census per
+    candidate generalization, a single GROUPING SETS aggregate yields
+    the whole lattice path, and the release pipeline picks the least
+    coarse level with satisfies_k5 = true.
+
+    Determinism: levels are labeled from per-column GROUPING() bits
+    (0/1 semantics identical in both engines — never the packed
+    grouping id, whose bit order is engine-defined); counts exact.
+    Shape: one grouping-sets hash aggregate (each input row feeds 4
+    cells map-side) over the QI columns only + a 4-row rollup — the
+    k_anonymity budget ×4, still bounded by the QI domain."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    qid = t["documents"].select(
+        "lang", "source",
+        F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_bucket"))
+    level = (F.when(F.grouping("lang") == 1, "L3:none")
+             .when(F.grouping("len_bucket") == 1, "L2:lang")
+             .when(F.grouping("source") == 1, "L1:lang+len")
+             .otherwise("L0:lang+source+len"))
+    grp = (qid.groupingSets(
+               [["lang", "source", "len_bucket"],
+                ["lang", "len_bucket"], ["lang"], []],
+               "lang", "source", "len_bucket")
+           .agg(level.alias("level"), F.count("*").alias("k")))
+    return (grp.groupBy("level")
+            .agg(F.count("*").cast("long").alias("n_groups"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.count_if(F.col("k") < 5).cast("long")
+                  .alias("n_groups_below_5"),
+                 F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+                  .cast("long").alias("n_docs_below_5"),
+                 (F.min("k") >= 5).alias("satisfies_k5"))
+            .orderBy("level"))

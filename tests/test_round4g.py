@@ -402,3 +402,48 @@ def test_aspect_bucketing_matches_python_model(spark, sf_dir):
         # cropping to the assigned (nearest) ratio never loses more
         # pixels than forcing a square
         assert got.bucket_crop_loss <= got.square_crop_loss + 1e-9
+
+
+def test_golden_record_survivorship_rules(spark, sf_dir):
+    from collections import Counter
+    rows = QUERIES["er_golden_record"](spark, sf_dir).collect()
+    labels = {}
+    members = defaultdict(list)
+    for r in rows:
+        labels[r.cluster_rep] = r
+    # independent check: rebuild member lists from the cluster query
+    lab = QUERIES["er_candidate_records"](spark, sf_dir).collect()
+    sizes = {r.cluster_rep: r.n_records for r in lab}
+    assert set(labels) == set(sizes)
+    for rep, row in labels.items():
+        assert row.n_records == sizes[rep]
+        # the representative is a member-encoded record id: its fields
+        # obey the fusion rules' domains
+        cand, first, middle, last = rep.split("|")
+        assert row.golden_last == last  # blocking key is constant
+        assert row.n_first_variants >= 1
+        if row.n_records == 1:
+            assert row.golden_first == first
+            assert row.golden_middle == middle
+
+
+def test_generalization_ladder_is_monotone(spark, sf_dir):
+    rows = {r.level: r for r in
+            QUERIES["privacy_generalization_ladder"](spark, sf_dir)
+            .collect()}
+    assert set(rows) == {"L0:lang+source+len", "L1:lang+len",
+                         "L2:lang", "L3:none"}
+    # coarsening can only grow min k and shrink the group count
+    order = ["L0:lang+source+len", "L1:lang+len", "L2:lang", "L3:none"]
+    for a, b in zip(order, order[1:]):
+        assert rows[b].min_k >= rows[a].min_k
+        assert rows[b].n_groups <= rows[a].n_groups
+    # L3 is the 1-group full suppression: k = corpus size
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].count()
+    assert rows["L3:none"].n_groups == 1
+    assert rows["L3:none"].min_k == docs
+    # L0 must agree with the standalone k-anonymity audit
+    k0 = QUERIES["privacy_k_anonymity"](spark, sf_dir).collect()[0]
+    assert rows["L0:lang+source+len"].n_groups == k0.n_groups
+    assert rows["L0:lang+source+len"].min_k == k0.min_k
+    assert rows["L0:lang+source+len"].n_docs_below_5 == k0.n_docs_below_5
