@@ -1148,3 +1148,66 @@ def events_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_events").cast("double") / sess, 6)
                     .alias("avg_events_per_session"))
             .orderBy("threshold_min"))
+
+
+_DECAY_CAP_DAYS = 40  # contributions past the cap are defined as zero
+
+
+@query("events_decayed_leaderboard", oracle=f"""
+WITH mx AS (
+  SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS as_of FROM events),
+ages AS (
+  SELECT user_id,
+    datediff('day', CAST(date_trunc('day', ts) AS DATE), as_of) AS age
+  FROM events CROSS JOIN mx),
+sc AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN age <= {_DECAY_CAP_DAYS}
+             THEN CAST(2 AS BIGINT) << ({_DECAY_CAP_DAYS} - age)
+             ELSE 0 END) AS BIGINT) AS scaled,
+    CAST(COUNT(*) FILTER (WHERE age <= {_DECAY_CAP_DAYS}) AS BIGINT)
+      AS n_recent
+  FROM ages GROUP BY user_id)
+SELECT user_id, n_recent, scaled,
+  round(CAST(scaled AS DOUBLE) / {float(2 ** (_DECAY_CAP_DAYS + 1))}, 9)
+    AS decayed_score
+FROM sc WHERE scaled > 0
+ORDER BY scaled DESC, user_id LIMIT 20""")
+def events_decayed_leaderboard(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity leaderboard (half-life = 1 day):
+    each event contributes 2^(−age_days) to its user's score, so
+    yesterday's action counts half of today's — the "trending now"
+    ranking that a raw count leaderboard gets wrong by rewarding
+    stale bulk activity.  Events older than 40 days are DEFINED to
+    contribute zero (their weight is < 1e-12 — the cap is the exact
+    semantics, not an approximation knob).
+
+    Exactness: scores are summed as the INTEGER 2^(cap − age) — a
+    shifted BIGINT, so the ranking (and ties) are exact integer
+    comparisons; the display score divides by 2^(cap+1) ONCE at the
+    end.  No transcendental ever runs per row — the float-decay trap
+    (summing exp() in engine-dependent order) never opens.  Shape:
+    1-row as-of broadcast, map-side age/weight, one user-keyed
+    aggregate, TakeOrdered top-20."""
+    t = load_tables(spark, sf_dir, ("events",))
+    mx = t["events"].agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("as_of"))
+    ages = (t["events"].crossJoin(F.broadcast(mx))
+            .select("user_id",
+                    F.datediff("as_of",
+                               F.date_trunc("day", "ts").cast("date"))
+                    .alias("age")))
+    recent = F.col("age") <= _DECAY_CAP_DAYS
+    w = F.when(recent, F.expr(
+        f"shiftleft(CAST(2 AS BIGINT), {_DECAY_CAP_DAYS} - age)")
+    ).otherwise(0)
+    sc = (ages.groupBy("user_id")
+          .agg(F.sum(w).cast("long").alias("scaled"),
+               F.sum(recent.cast("long")).cast("long").alias("n_recent")))
+    return (sc.where(F.col("scaled") > 0)
+            .select("user_id", "n_recent", "scaled",
+                    F.round(F.col("scaled").cast("double")
+                            / float(2 ** (_DECAY_CAP_DAYS + 1)), 9)
+                    .alias("decayed_score"))
+            .orderBy(F.desc("scaled"), F.asc("user_id")).limit(20))

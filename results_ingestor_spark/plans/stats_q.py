@@ -3292,3 +3292,107 @@ def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_stat.alias("q_stat"),
         F.lit(_LB_CRIT_DF6).alias("q_crit"),
         (q_stat > _LB_CRIT_DF6).alias("reject_whiteness"))
+
+
+def _haar_oracle() -> str:
+    return """
+WITH h AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS hr,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
+spine AS (
+  SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hr FROM bounds),
+y0 AS (
+  SELECT spine.hr - (SELECT lo FROM bounds) AS idx,
+    coalesce(h.y, 0) AS y
+  FROM spine LEFT JOIN h ON h.hr = spine.hr),
+l1 AS (
+  SELECT idx // 2 AS idx, CAST(SUM(CASE WHEN idx % 2 = 0 THEN y
+                                        ELSE -y END) AS BIGINT) AS d,
+    CAST(SUM(y) AS BIGINT) AS a, COUNT(*) AS m
+  FROM y0 GROUP BY idx // 2),
+l2 AS (
+  SELECT idx // 2 AS idx, CAST(SUM(CASE WHEN idx % 2 = 0 THEN a
+                                        ELSE -a END) AS BIGINT) AS d,
+    CAST(SUM(a) AS BIGINT) AS a, COUNT(*) AS m
+  FROM l1 WHERE m = 2 GROUP BY idx // 2),
+l3 AS (
+  SELECT idx // 2 AS idx, CAST(SUM(CASE WHEN idx % 2 = 0 THEN a
+                                        ELSE -a END) AS BIGINT) AS d,
+    CAST(SUM(a) AS BIGINT) AS a, COUNT(*) AS m
+  FROM l2 WHERE m = 2 GROUP BY idx // 2),
+e AS (
+  SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(d * d) AS BIGINT) AS energy FROM l1 WHERE m = 2
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(d * d) AS BIGINT)
+  FROM l2 WHERE m = 2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(d * d) AS BIGINT)
+  FROM l3 WHERE m = 2)
+SELECT CAST(level AS INT) AS level, n_pairs, energy,
+  round(CAST(energy AS DOUBLE) / (CAST(2 AS BIGINT) << (level - 1)), 6)
+    AS normalized_energy
+FROM e ORDER BY level"""
+
+
+@query("stats_haar_energy_hourly", oracle=_haar_oracle())
+def stats_haar_energy_hourly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the ZERO-FILLED hourly
+    event-count series: unnormalized Haar details d = (left − right)
+    at scales 2h/4h/8h, energy = Σd² per level — which timescale the
+    variance lives at.  High level-1 energy means hour-to-hour jitter;
+    energy climbing with level means slow regime swings — the
+    multi-resolution companion to the ACF/Ljung-Box entries that a
+    single correlogram can't separate.  Missing hours are zero-filled
+    from an explicit spine so pair alignment is calendar-anchored, not
+    observation-anchored.
+
+    Exactness: counts, details, and energies are BIGINT end-to-end
+    (the unnormalized transform never divides); the per-level 1/2^level
+    normalization happens ONCE per output row in double.  Odd tails at
+    each level are dropped (m = 2 pairs only), identically in both
+    engines.  Shape: everything runs on the O(hours) layer — spine
+    explode, three halving aggregates, a 3-row report."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"]
+         .groupBy((F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+                  .cast("long").alias("hr"))
+         .agg(F.count("*").cast("long").alias("y")))
+    bounds = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = (bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        F.col("lo")))
+    y0 = (spine.join(h, "hr", "left")
+          .select((F.col("hr") - F.col("lo")).alias("idx"),
+                  F.coalesce("y", F.lit(0)).cast("long").alias("a")))
+
+    def halve(df):
+        sgn = F.when(F.col("idx") % 2 == 0, F.col("a")) \
+            .otherwise(-F.col("a"))
+        return (df.groupBy((F.col("idx") / 2).cast("long").alias("idx"))
+                .agg(F.sum(sgn).cast("long").alias("d"),
+                     F.sum("a").cast("long").alias("a"),
+                     F.count("*").alias("m")))
+
+    l1 = halve(y0)
+    l2 = halve(l1.where(F.col("m") == 2))
+    l3 = halve(l2.where(F.col("m") == 2))
+    outs = []
+    for lvl, df in ((1, l1), (2, l2), (3, l3)):
+        outs.append(
+            df.where(F.col("m") == 2)
+            .agg(F.lit(lvl).cast("int").alias("level"),
+                 F.count("*").cast("long").alias("n_pairs"),
+                 F.sum(F.col("d") * F.col("d")).cast("long")
+                  .alias("energy")))
+    e = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return (e.select("level", "n_pairs", "energy",
+                     F.round(F.col("energy").cast("double")
+                             / F.expr("shiftleft(CAST(2 AS BIGINT), "
+                                      "level - 1)"), 6)
+                     .alias("normalized_energy"))
+            .orderBy("level"))

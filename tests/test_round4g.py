@@ -447,3 +447,53 @@ def test_generalization_ladder_is_monotone(spark, sf_dir):
     assert rows["L0:lang+source+len"].n_groups == k0.n_groups
     assert rows["L0:lang+source+len"].min_k == k0.min_k
     assert rows["L0:lang+source+len"].n_docs_below_5 == k0.n_docs_below_5
+
+
+def test_decayed_leaderboard_matches_python_model(spark, sf_dir):
+    rows = QUERIES["events_decayed_leaderboard"](spark, sf_dir).collect()
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts").collect()
+    as_of = max(r.ts for r in ev).date()
+    scores = defaultdict(lambda: [0, 0])
+    for r in ev:
+        age = (as_of - r.ts.date()).days
+        if age <= 40:
+            s = scores[r.user_id]
+            s[0] += 2 << (40 - age)
+            s[1] += 1
+    want = sorted(((v[0], u, v[1]) for u, v in scores.items() if v[0] > 0),
+                  key=lambda x: (-x[0], x[1]))[:20]
+    assert [(r.scaled, r.user_id, r.n_recent) for r in rows] == want
+    for r in rows:
+        assert r.decayed_score == round(r.scaled / 2 ** 41, 9)
+    # exact integer ranking: strictly non-increasing scaled scores
+    assert all(a.scaled >= b.scaled for a, b in zip(rows, rows[1:]))
+
+
+def test_haar_energy_matches_python_model(spark, sf_dir):
+    rows = {r.level: r for r in
+            QUERIES["stats_haar_energy_hourly"](spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("ts").collect()
+    cnt = defaultdict(int)
+    for r in ev:
+        cnt[r.ts.replace(minute=0, second=0, microsecond=0)] += 1
+    lo, hi = min(cnt), max(cnt)
+    series, cur = [], lo
+    from datetime import timedelta
+    while cur <= hi:
+        series.append(cnt.get(cur, 0))
+        cur += timedelta(hours=1)
+    total_sq = sum(v * v for v in series)
+    a = series
+    for lvl in (1, 2, 3):
+        pairs = [(a[i], a[i + 1]) for i in range(0, len(a) - 1, 2)]
+        d = [x - y for x, y in pairs]
+        energy = sum(v * v for v in d)
+        got = rows[lvl]
+        assert (got.n_pairs, got.energy) == (len(pairs), energy), lvl
+        assert got.normalized_energy == round(energy / 2 ** lvl, 6)
+        a = [x + y for x, y in pairs]
+    # Parseval sanity: total detail energy (normalized) never exceeds
+    # the series' total sum of squares
+    assert sum(rows[k].energy / 2 ** k for k in rows) <= total_sq

@@ -42,6 +42,7 @@ WHITELIST_BNLJ = {
     "graph_global_transitivity": "two 1-row summary-stat broadcasts",
     "events_session_gap_curve": "1-row users/events-total broadcast",
     "multimodal_aspect_bucketing": "1-row share-divisor broadcast",
+    "events_decayed_leaderboard": "1-row as-of-date broadcast",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
