@@ -1757,3 +1757,63 @@ def privacy_generalization_ladder(spark: SparkSession,
                   .cast("long").alias("n_docs_below_5"),
                  (F.min("k") >= 5).alias("satisfies_k5"))
             .orderBy("level"))
+
+
+_CKSUM_MOD = (1 << 61) - 1  # Mersenne prime: wrap-free BIGINT modular sum
+_CKSUM_TABLES = {
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+}
+
+
+def _cksum_sql() -> str:
+    legs = []
+    for tbl, cols in _CKSUM_TABLES.items():
+        cat = "concat_ws(chr(31), " + ", ".join(cols) + ")"
+        legs.append(f"""
+  SELECT '{tbl}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(('0x' || substr(md5({cat}), 1, 15))::BIGINT
+             % {_CKSUM_MOD})::HUGEINT % {_CKSUM_MOD} AS BIGINT)
+      AS checksum
+  FROM {tbl}""")
+    return ("WITH u AS (" + " UNION ALL ".join(legs)
+            + ") SELECT tbl, n_rows, checksum FROM u ORDER BY tbl")
+
+
+@query("dq_table_checksum", oracle=_cksum_sql())
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum — the replication /
+    migration / backup-restore verifier: every row canonicalizes to a
+    unit-separator-joined string, hashes to a 60-bit md5-derived
+    integer, and the MODULAR SUM over the Mersenne prime 2^61−1
+    collapses the whole table to one BIGINT that any row mutation,
+    loss, or duplication changes (the sum is commutative, so the check
+    is insensitive to row order and partitioning — exactly what a
+    distributed copy needs).  Two copies match iff (n_rows, checksum)
+    match per table.
+
+    Determinism: md5 prefix → BIGINT is the repo-standard replayable
+    hash; the per-row residue stays under 2^61−1 and the running sum
+    accumulates in 128-bit (DECIMAL(38,0) / HUGEINT — headroom for
+    ~2^65 rows) with ONE outer modulo at the end, so overflow
+    semantics never differ between engines at any corpus size.  Shape: pure map + 1-row reduce per table; the cheapest
+    possible full-content audit — one scan, 16 bytes of state per
+    partition, runs per-partition for incremental verification."""
+    t = load_tables(spark, sf_dir, tuple(_CKSUM_TABLES))
+    outs = []
+    for tbl, cols in _CKSUM_TABLES.items():
+        row_h = (F.conv(F.substring(
+            F.md5(F.concat_ws("\x1f",
+                              *[F.col(c).cast("string") for c in cols])),
+            1, 15), 16, 10).cast("bigint") % _CKSUM_MOD)
+        outs.append(t[tbl].agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("long").alias("n_rows"),
+            (F.sum(row_h.cast("decimal(38,0)"))
+             % F.lit(_CKSUM_MOD).cast("decimal(38,0)"))
+            .cast("long").alias("checksum")))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.orderBy("tbl")

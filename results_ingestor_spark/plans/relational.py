@@ -818,3 +818,60 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum("rev").cast("double"), 9)
                  .alias("repeat_revenue_share"))
             .orderBy("segment"))
+
+
+@query("orders_aging_buckets", oracle="""
+WITH mx AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+    datediff('day', o_orderdate, as_of) AS age
+  FROM orders CROSS JOIN mx
+  WHERE o_orderstatus <> 'F'),
+b AS (
+  SELECT CASE WHEN age <= 30 THEN '0-30'
+              WHEN age <= 60 THEN '31-60'
+              WHEN age <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket,
+    v
+  FROM o),
+s AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(v) AS DECIMAL(18,2)) AS open_value
+  FROM b GROUP BY bucket),
+tot AS (SELECT CAST(SUM(open_value) AS DECIMAL(18,2)) AS t FROM s)
+SELECT bucket, n_orders, open_value,
+  round(CAST(open_value AS DOUBLE) / CAST(t AS DOUBLE), 9) AS value_share
+FROM s CROSS JOIN tot ORDER BY bucket""")
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report (the AR-aging pattern): orders not yet
+    finished (o_orderstatus <> 'F') bucketed by days outstanding as of
+    the corpus's latest order date — 0-30 / 31-60 / 61-90 / 90+ —
+    with exact-decimal open value and each bucket's share.  The
+    standard operations dashboard for backlog risk: value piling into
+    90+ is the early-warning signal.
+
+    Determinism: ages are integer day differences from a 1-row as-of
+    broadcast; money stays DECIMAL until the single share division.
+    Shape: pushed status filter at the scan, map-side bucketing, a
+    4-group aggregate + 1-row total — counters only in the shuffle."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    mx = t["orders"].agg(F.max("o_orderdate").alias("as_of"))
+    o = (t["orders"].where(F.col("o_orderstatus") != "F")
+         .crossJoin(F.broadcast(mx))
+         .select(F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+                 F.datediff("as_of", "o_orderdate").alias("age")))
+    bucket = (F.when(F.col("age") <= 30, "0-30")
+              .when(F.col("age") <= 60, "31-60")
+              .when(F.col("age") <= 90, "61-90")
+              .otherwise("90+"))
+    s = (o.select(bucket.alias("bucket"), "v")
+         .groupBy("bucket")
+         .agg(F.count("*").cast("long").alias("n_orders"),
+              F.sum("v").cast("decimal(18,2)").alias("open_value")))
+    tot = s.agg(F.sum("open_value").cast("decimal(18,2)").alias("t"))
+    return (s.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_orders", "open_value",
+                    F.round(F.col("open_value").cast("double")
+                            / F.col("t").cast("double"), 9)
+                    .alias("value_share"))
+            .orderBy("bucket"))

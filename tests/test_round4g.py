@@ -497,3 +497,57 @@ def test_haar_energy_matches_python_model(spark, sf_dir):
     # Parseval sanity: total detail energy (normalized) never exceeds
     # the series' total sum of squares
     assert sum(rows[k].energy / 2 ** k for k in rows) <= total_sq
+
+
+def test_aging_buckets_match_python_model(spark, sf_dir):
+    rows = {r.bucket: r for r in
+            QUERIES["orders_aging_buckets"](spark, sf_dir).collect()}
+    o = load_tables(spark, sf_dir, ("orders",))["orders"] \
+        .select("o_orderdate", "o_orderstatus", "o_totalprice").collect()
+    as_of = max(r.o_orderdate for r in o)
+    from decimal import ROUND_HALF_UP, Decimal
+    two = Decimal("0.01")
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in o:
+        if r.o_orderstatus == "F":
+            continue
+        age = (as_of - r.o_orderdate).days
+        b = "0-30" if age <= 30 else "31-60" if age <= 60 \
+            else "61-90" if age <= 90 else "90+"
+        agg[b][0] += 1
+        agg[b][1] += Decimal(repr(r.o_totalprice)).quantize(
+            two, rounding=ROUND_HALF_UP)
+    assert set(rows) == set(agg)
+    tot = sum(v[1] for v in agg.values())
+    for b, (n, v) in agg.items():
+        assert rows[b].n_orders == n, b
+        assert rows[b].open_value == v
+        assert rows[b].value_share == round(float(v) / float(tot), 9)
+
+
+def test_table_checksum_detects_any_mutation(spark, sf_dir):
+    import hashlib
+    rows = {r.tbl: r for r in
+            QUERIES["dq_table_checksum"](spark, sf_dir).collect()}
+    MOD = (1 << 61) - 1
+    t = load_tables(spark, sf_dir, ("nation",))
+    vals = [(r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in t["nation"].collect()]
+
+    def cksum(rws):
+        s = 0
+        for tup in rws:
+            cat = "\x1f".join(str(x) for x in tup)
+            s += int(hashlib.md5(cat.encode()).hexdigest()[:15], 16) % MOD
+        return s % MOD
+
+    assert rows["nation"].n_rows == len(vals)
+    assert rows["nation"].checksum == cksum(vals)
+    # order independence: shuffled copy checksums identically
+    assert cksum(list(reversed(vals))) == rows["nation"].checksum
+    # sensitivity: any single-field mutation changes the checksum
+    mutated = [(k, n + "X", rk) if i == 0 else (k, n, rk)
+               for i, (k, n, rk) in enumerate(vals)]
+    assert cksum(mutated) != rows["nation"].checksum
+    # a dropped row changes it too
+    assert cksum(vals[1:]) != rows["nation"].checksum

@@ -43,6 +43,7 @@ WHITELIST_BNLJ = {
     "events_session_gap_curve": "1-row users/events-total broadcast",
     "multimodal_aspect_bucketing": "1-row share-divisor broadcast",
     "events_decayed_leaderboard": "1-row as-of-date broadcast",
+    "orders_aging_buckets": "1-row as-of-date + 1-row total broadcasts",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
