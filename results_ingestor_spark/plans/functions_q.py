@@ -475,3 +475,75 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.abs(est - F.col("n_exact"))
                             / F.col("n_exact"), 6).alias("rel_err"))
             .orderBy("event_type"))
+
+
+_AMS_K = 16  # independent estimators; median-of-16
+
+
+def _ams_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, CAST(u AS BIGINT) AS j,
+    CASE WHEN ('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+         THEN 1 ELSE -1 END AS sgn
+  FROM events CROSS JOIN (SELECT unnest(range(0, {_AMS_K})) AS u) g),
+z AS (SELECT j, CAST(SUM(sgn) AS BIGINT) AS z FROM s GROUP BY j),
+est AS (
+  SELECT z * z AS e, row_number() OVER (ORDER BY z * z, j) AS rn
+  FROM z),
+med AS (SELECT CAST(e AS BIGINT) AS ams_f2 FROM est
+        WHERE rn = {_AMS_K // 2 + 1}),
+ex AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2,
+    CAST(SUM(c) AS BIGINT) AS n_rows
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+        GROUP BY user_id))
+SELECT n_rows, exact_f2, ams_f2,
+  round(abs(CAST(ams_f2 AS DOUBLE) - exact_f2) / exact_f2, 6)
+    AS rel_error
+FROM ex CROSS JOIN med"""
+
+
+@query("sketch_ams_f2_selfjoin", oracle=_ams_sql())
+def sketch_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy):
+    estimate F2 = Σ_k f_k² of the user_id column — EXACTLY the output
+    size of a self-join on that key, the number a planner needs before
+    committing to a per-user pair join (sessional pattern mining,
+    audience overlap) — from 16 counters of ±1 signs instead of a full
+    per-key census.  Reported beside the exact F2 with the realized
+    relative error, so the sketch is value-checked AND its accuracy
+    contract is visible.
+
+    Determinism: signs are md5-parity (seeded j:user), each Z_j is an
+    exact BIGINT, the estimate is the exact upper median of 16 integer
+    Z², and one double division yields the error.  Shape: a ×16
+    map-side sign explode → 16-row aggregate (16 BIGINTs of state
+    total, any corpus size); the exact side is one user-keyed count —
+    present only to grade the sketch, dropped in production."""
+    t = load_tables(spark, sf_dir, ("events",))
+    seeds = F.explode(F.array(*[F.lit(j) for j in range(_AMS_K)]))
+    s = t["events"].select("user_id", seeds.alias("j"))
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("j").cast("string"),
+            F.col("user_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint") % 2 == 0, 1).otherwise(-1)
+    z = (s.select(F.col("j").cast("long").alias("j"), sgn.alias("sgn"))
+         .groupBy("j").agg(F.sum("sgn").cast("long").alias("z")))
+    med = (z.select((F.col("z") * F.col("z")).alias("e"), "j")
+           .withColumn("rn", F.row_number().over(
+               Window.orderBy(F.col("e").asc(), F.col("j").asc())))
+           .where(F.col("rn") == _AMS_K // 2 + 1)
+           .select(F.col("e").cast("long").alias("ams_f2")))
+    ex = (t["events"].groupBy("user_id")
+          .agg(F.count("*").cast("long").alias("c"))
+          .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                .alias("exact_f2"),
+               F.sum("c").cast("long").alias("n_rows")))
+    return (ex.crossJoin(F.broadcast(med))
+            .select("n_rows", "exact_f2", "ams_f2",
+                    F.round(F.abs(F.col("ams_f2").cast("double")
+                                  - F.col("exact_f2"))
+                            / F.col("exact_f2"), 6).alias("rel_error")))

@@ -1817,3 +1817,67 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         u = u.unionByName(o)
     return u.orderBy("tbl")
+
+
+_SKEW_PARTS = 32
+
+
+def _skew_sql() -> str:
+    legs = []
+    for tbl, key in (("events", "user_id"), ("lineitem", "l_orderkey")):
+        legs.append(f"""
+  SELECT '{tbl}.{key}' AS join_key,
+    ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT
+      % {_SKEW_PARTS} AS part,
+    CAST(COUNT(*) AS BIGINT) AS load
+  FROM {tbl} GROUP BY 1, 2""")
+    return f"""
+WITH loads AS ({" UNION ALL ".join(legs)})
+SELECT join_key,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(load) AS BIGINT) AS n_rows,
+  CAST(MAX(load) AS BIGINT) AS max_load,
+  round({_SKEW_PARTS} * CAST(MAX(load) AS DOUBLE) / SUM(load), 6)
+    AS imbalance,
+  round(CAST(MAX(load) AS DOUBLE) / SUM(load), 9) AS top_part_share
+FROM loads GROUP BY join_key ORDER BY join_key"""
+
+
+@query("dq_partition_skew_census", oracle=_skew_sql())
+def dq_partition_skew_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew census — the pre-flight check before a
+    big keyed join: simulate hash partitioning of each candidate join
+    key into 32 partitions (md5-derived bucket, a uniform-hash proxy:
+    real skew comes from key MULTIPLICITY, which any uniform hash
+    preserves) and report the imbalance factor max/mean and the
+    hottest partition's share.  imbalance ≈ 1 means AQE can coalesce
+    freely; imbalance >> 1 is the measured trigger for salting
+    (operators/skew.py) or AQE skew-join on that key.
+
+    Exact BIGINT loads; two double divisions per key.  Shape: one
+    (key-hash % 32) aggregate per audited key — partition COUNTERS,
+    never rows, cross the wire; the report is 2 rows."""
+    t = load_tables(spark, sf_dir, ("events", "lineitem"))
+    legs = []
+    for tbl, key in (("events", "user_id"), ("lineitem", "l_orderkey")):
+        part = (F.conv(F.substring(
+            F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % _SKEW_PARTS)
+        legs.append(
+            t[tbl].groupBy(part.alias("part"))
+            .agg(F.count("*").cast("long").alias("load"))
+            .select(F.lit(f"{tbl}.{key}").alias("join_key"),
+                    "part", "load"))
+    loads = legs[0].unionByName(legs[1])
+    return (loads.groupBy("join_key")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("load").cast("long").alias("n_rows"),
+                 F.max("load").cast("long").alias("max_load"))
+            .select("join_key", "n_parts", "n_rows", "max_load",
+                    F.round(_SKEW_PARTS
+                            * F.col("max_load").cast("double")
+                            / F.col("n_rows"), 6).alias("imbalance"),
+                    F.round(F.col("max_load").cast("double")
+                            / F.col("n_rows"), 9).alias("top_part_share"))
+            .orderBy("join_key"))

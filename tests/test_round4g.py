@@ -551,3 +551,53 @@ def test_table_checksum_detects_any_mutation(spark, sf_dir):
     assert cksum(mutated) != rows["nation"].checksum
     # a dropped row changes it too
     assert cksum(vals[1:]) != rows["nation"].checksum
+
+
+def test_ams_f2_matches_python_model(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+    row = QUERIES["sketch_ams_f2_selfjoin"](spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id").collect()
+    cnt = Counter(r.user_id for r in ev)
+    exact = sum(c * c for c in cnt.values())
+    assert row.n_rows == len(ev)
+    assert row.exact_f2 == exact
+    zs = []
+    for j in range(16):
+        z = 0
+        for u, c in cnt.items():
+            h = int(hashlib.md5(f"{j}:{u}".encode()).hexdigest()[:15], 16)
+            z += (1 if h % 2 == 0 else -1) * c
+        zs.append((z * z, j))
+    zs.sort()
+    assert row.ams_f2 == zs[8][0]  # upper median of 16
+    assert row.rel_error == round(abs(row.ams_f2 - exact) / exact, 6)
+    # the AMS guarantee at 16 estimators: median within a small
+    # constant factor of the truth (loose bound, deterministic here)
+    assert row.ams_f2 <= 5 * exact and exact <= 5 * row.ams_f2
+
+
+def test_partition_skew_census_matches_python_model(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+    rows = {r.join_key: r for r in
+            QUERIES["dq_partition_skew_census"](spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir, ("events", "lineitem"))
+    for tbl, key, jk in (("events", "user_id", "events.user_id"),
+                         ("lineitem", "l_orderkey",
+                          "lineitem.l_orderkey")):
+        vals = [getattr(r, key) for r in t[tbl].select(key).collect()]
+        parts = Counter(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 32
+            for v in vals)
+        got = rows[jk]
+        assert got.n_parts == len(parts)
+        assert got.n_rows == len(vals)
+        assert got.max_load == max(parts.values())
+        assert got.imbalance == round(32 * max(parts.values())
+                                      / len(vals), 6)
+        assert got.top_part_share == round(max(parts.values())
+                                           / len(vals), 9)
+        # the hottest partition is at least the uniform share
+        assert got.imbalance >= 1.0 - 1e-9

@@ -44,6 +44,7 @@ WHITELIST_BNLJ = {
     "multimodal_aspect_bucketing": "1-row share-divisor broadcast",
     "events_decayed_leaderboard": "1-row as-of-date broadcast",
     "orders_aging_buckets": "1-row as-of-date + 1-row total broadcasts",
+    "sketch_ams_f2_selfjoin": "1-row median-estimate broadcast",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
@@ -271,6 +272,8 @@ WHITELIST_GLOBALWIN = {
         "exchange is the ANOVA-contract k-row ordered fold",
     "sampling_neyman_allocation": "share-of-total window over the "
         "k-row stratum table",
+    "sketch_ams_f2_selfjoin": "median rank window over the 16-row "
+        "estimator table",
 }
 
 
