@@ -1881,3 +1881,90 @@ def dq_partition_skew_census(spark: SparkSession,
                     F.round(F.col("max_load").cast("double")
                             / F.col("n_rows"), 9).alias("top_part_share"))
             .orderBy("join_key"))
+
+
+@query("dataset_temporal_split_leakage", oracle="""
+WITH b AS (
+  SELECT MIN(ts) AS lo, MAX(ts) AS hi,
+    MIN(ts) + (MAX(ts) - MIN(ts)) / 3 AS t1,
+    MIN(ts) + 2 * ((MAX(ts) - MIN(ts)) / 3) AS t2
+  FROM events),
+s AS (
+  SELECT user_id,
+    CASE WHEN ts < t1 THEN 'train' WHEN ts < t2 THEN 'val'
+         ELSE 'test' END AS split
+  FROM events CROSS JOIN b),
+u AS (SELECT DISTINCT user_id, split,
+        CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END
+          AS ord FROM s),
+c AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY split),
+ov AS (
+  SELECT a.split AS split_a, bb.split AS split_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM u a JOIN u bb ON a.user_id = bb.user_id AND a.ord < bb.ord
+  GROUP BY 1, 2)
+SELECT split_a, split_b, n_shared,
+  ca.n_users AS n_users_a, cb.n_users AS n_users_b,
+  round(CAST(n_shared AS DOUBLE) / cb.n_users, 9) AS leakage_into_b
+FROM ov
+JOIN c ca ON ca.split = split_a
+JOIN c cb ON cb.split = split_b
+ORDER BY split_a, split_b""")
+def dataset_temporal_split_leakage(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split with USER-level leakage audit:
+    events split by time terciles (the honest split for behavioral
+    models — a hash split would let the model memorize its test users'
+    pasts), then the overlap matrix of user sets across splits.
+    leakage_into_b = the share of a later split's users already seen
+    earlier: near-1.0 means per-user metrics measure memorization, and
+    the fix (user-disjoint or cold-start-only evaluation) is applied
+    BEFORE training, which is why this audit exists as a pipeline
+    gate.
+
+    Determinism: tercile boundaries are exact timestamp arithmetic
+    from a 1-row broadcast; membership and overlaps are exact counts.
+    Shape: distinct (user, split) — a skinny two-column shuffle — one
+    user-keyed self-join bounded by 3 splits per user, a 3-row census
+    and a 3-row overlap matrix."""
+    t = load_tables(spark, sf_dir, ("events",))
+    b = t["events"].agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    b = b.select(
+        "lo", "hi",
+        (F.unix_micros("lo")
+         + ((F.unix_micros("hi") - F.unix_micros("lo")) / 3)
+         .cast("long")).alias("t1us"),
+        (F.unix_micros("lo")
+         + 2 * ((F.unix_micros("hi") - F.unix_micros("lo")) / 3)
+         .cast("long")).alias("t2us"))
+    s = (t["events"].crossJoin(F.broadcast(b))
+         .select("user_id",
+                 F.when(F.unix_micros("ts") < F.col("t1us"), "train")
+                 .when(F.unix_micros("ts") < F.col("t2us"), "val")
+                 .otherwise("test").alias("split")))
+    u = s.distinct()
+    ordx = (F.when(F.col("split") == "train", 0)
+            .when(F.col("split") == "val", 1).otherwise(2))
+    c = u.groupBy("split").agg(F.count("*").cast("long").alias("n_users"))
+    a = u.select("user_id", F.col("split").alias("split_a"),
+                 ordx.alias("ord_a"))
+    bb = u.select("user_id", F.col("split").alias("split_b"),
+                  ordx.alias("ord_b"))
+    ov = (a.join(bb, "user_id")
+          .where(F.col("ord_a") < F.col("ord_b"))
+          .groupBy("split_a", "split_b")
+          .agg(F.count("*").cast("long").alias("n_shared")))
+    ca = c.select(F.col("split").alias("split_a"),
+                  F.col("n_users").alias("n_users_a"))
+    cb = c.select(F.col("split").alias("split_b"),
+                  F.col("n_users").alias("n_users_b"))
+    return (ov.join(F.broadcast(ca), "split_a")
+            .join(F.broadcast(cb), "split_b")
+            .select("split_a", "split_b", "n_shared",
+                    "n_users_a", "n_users_b",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.col("n_users_b"), 9)
+                    .alias("leakage_into_b"))
+            .orderBy("split_a", "split_b"))

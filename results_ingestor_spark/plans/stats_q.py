@@ -3396,3 +3396,113 @@ def stats_haar_energy_hourly(spark: SparkSession,
                                       "level - 1)"), 6)
                      .alias("normalized_energy"))
             .orderBy("level"))
+
+
+_PC_MOMENTS_SQL = """
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s_q,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s_p,
+    SUM(CAST(l_discount AS DECIMAL(12,2))) AS s_d,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_quantity AS DECIMAL(12,2))) AS s_qq,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_pp,
+    SUM(CAST(l_discount AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS s_dd,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_qp,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS s_qd,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(l_discount AS DECIMAL(12,2))) AS s_pd
+  FROM lineitem"""
+
+_PC_R = ("round((n * CAST(s{xy} AS DOUBLE)"
+         " - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+         " / sqrt((n * CAST(s_{x}{x} AS DOUBLE)"
+         "   - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+         " * (n * CAST(s_{y}{y} AS DOUBLE)"
+         "   - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 9)")
+
+
+@query("stats_partial_correlation", oracle=f"""
+WITH m AS ({_PC_MOMENTS_SQL}),
+r AS (
+  SELECT n,
+    {_PC_R.format(xy="_qp", x="q", y="p")} AS r_qp,
+    {_PC_R.format(xy="_qd", x="q", y="d")} AS r_qd,
+    {_PC_R.format(xy="_pd", x="p", y="d")} AS r_pd
+  FROM m),
+p AS (
+  SELECT 'quantity~extendedprice | discount' AS pair, n,
+    r_qp AS r_xy, r_qd AS r_xz, r_pd AS r_yz FROM r
+  UNION ALL
+  SELECT 'quantity~discount | extendedprice', n, r_qd, r_qp, r_pd FROM r
+  UNION ALL
+  SELECT 'extendedprice~discount | quantity', n, r_pd, r_qp, r_qd FROM r)
+SELECT pair, n, r_xy,
+  round((r_xy - r_xz * r_yz)
+        / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)), 9) AS r_partial
+FROM p ORDER BY pair""")
+def stats_partial_correlation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Partial correlation — does each pairwise association survive
+    CONTROLLING for the third variable?  For the lineitem triple
+    (quantity, extendedprice, discount): r_xy.z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)).  A raw r that collapses toward 0 in the
+    partial column was confounding (the third variable drove both) —
+    the first causal-hygiene step beyond corr_matrix_exact's raw
+    matrix, computed from the SAME nine exact-DECIMAL moments in the
+    same single pass.
+
+    Determinism: each first-order r is rounded to 9 dp BEFORE entering
+    the partial formula (the tfidf rule: identical inputs → identical
+    doubles), and the partial expression is one fixed-shape double
+    computation.  Shape: one 9-moment aggregate, a 3-row report."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    d = F.col
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    m = t["lineitem"].agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).alias("s_q"),
+        F.sum(dec("l_extendedprice")).alias("s_p"),
+        F.sum(dec("l_discount")).alias("s_d"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).alias("s_qq"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+         .alias("s_pp"),
+        F.sum(dec("l_discount") * dec("l_discount")).alias("s_dd"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("s_qp"),
+        F.sum(dec("l_quantity") * dec("l_discount")).alias("s_qd"),
+        F.sum(dec("l_extendedprice") * dec("l_discount")).alias("s_pd"))
+
+    def r_of(sxy, sx, sy, sxx, syy):
+        n = d("n")
+        return F.round(
+            (n * d(sxy).cast("double") - d(sx).cast("double")
+             * d(sy).cast("double"))
+            / F.sqrt((n * d(sxx).cast("double") - d(sx).cast("double")
+                      * d(sx).cast("double"))
+                     * (n * d(syy).cast("double") - d(sy).cast("double")
+                        * d(sy).cast("double"))), 9)
+
+    r = m.select(
+        "n",
+        r_of("s_qp", "s_q", "s_p", "s_qq", "s_pp").alias("r_qp"),
+        r_of("s_qd", "s_q", "s_d", "s_qq", "s_dd").alias("r_qd"),
+        r_of("s_pd", "s_p", "s_d", "s_pp", "s_dd").alias("r_pd"))
+    rows = [
+        ("quantity~extendedprice | discount", "r_qp", "r_qd", "r_pd"),
+        ("quantity~discount | extendedprice", "r_qd", "r_qp", "r_pd"),
+        ("extendedprice~discount | quantity", "r_pd", "r_qp", "r_qd"),
+    ]
+    outs = [r.select(F.lit(nm).alias("pair"), "n",
+                     d(xy).alias("r_xy"), d(xz).alias("r_xz"),
+                     d(yz).alias("r_yz"))
+            for nm, xy, xz, yz in rows]
+    p = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return (p.select("pair", "n", "r_xy",
+                     F.round((d("r_xy") - d("r_xz") * d("r_yz"))
+                             / F.sqrt((1 - d("r_xz") * d("r_xz"))
+                                      * (1 - d("r_yz") * d("r_yz"))), 9)
+                     .alias("r_partial"))
+            .orderBy("pair"))

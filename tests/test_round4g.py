@@ -601,3 +601,60 @@ def test_partition_skew_census_matches_python_model(spark, sf_dir):
                                            / len(vals), 9)
         # the hottest partition is at least the uniform share
         assert got.imbalance >= 1.0 - 1e-9
+
+
+def test_partial_correlation_matches_python_model(spark, sf_dir):
+    rows = {r.pair: r for r in
+            QUERIES["stats_partial_correlation"](spark, sf_dir).collect()}
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"] \
+        .select("l_quantity", "l_extendedprice", "l_discount").collect()
+    import numpy as np
+    q = np.array([float(r.l_quantity) for r in li])
+    p = np.array([float(r.l_extendedprice) for r in li])
+    dd = np.array([float(r.l_discount) for r in li])
+
+    def r(a, b):
+        return round(float(np.corrcoef(a, b)[0, 1]), 9)
+
+    r_qp, r_qd, r_pd = r(q, p), r(q, dd), r(p, dd)
+    import math as _m
+    cases = {
+        "quantity~extendedprice | discount": (r_qp, r_qd, r_pd),
+        "quantity~discount | extendedprice": (r_qd, r_qp, r_pd),
+        "extendedprice~discount | quantity": (r_pd, r_qp, r_qd),
+    }
+    for pair, (rxy, rxz, ryz) in cases.items():
+        want = (rxy - rxz * ryz) / _m.sqrt((1 - rxz ** 2) * (1 - ryz ** 2))
+        got = rows[pair]
+        assert math.isclose(got.r_xy, rxy, abs_tol=2e-7), pair
+        assert math.isclose(got.r_partial, want, abs_tol=2e-6), pair
+        assert -1.0 <= got.r_partial <= 1.0
+
+
+def test_temporal_split_leakage_matches_python_model(spark, sf_dir):
+    rows = {(r.split_a, r.split_b): r for r in
+            QUERIES["dataset_temporal_split_leakage"](spark, sf_dir)
+            .collect()}
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts").collect()
+    lo = min(r.ts for r in ev)
+    hi = max(r.ts for r in ev)
+    span_us = round((hi - lo).total_seconds() * 1e6)
+    t1 = span_us // 3
+    t2 = 2 * (span_us // 3)
+    splits = defaultdict(set)
+    for r in ev:
+        off = round((r.ts - lo).total_seconds() * 1e6)
+        s = "train" if off < t1 else "val" if off < t2 else "test"
+        splits[s].add(r.user_id)
+    for (a, b), got in rows.items():
+        shared = len(splits[a] & splits[b])
+        assert got.n_shared == shared, (a, b)
+        assert got.n_users_a == len(splits[a])
+        assert got.n_users_b == len(splits[b])
+        assert got.leakage_into_b == round(shared / len(splits[b]), 9)
+    # CHRONOLOGICAL upper triangle: split_a is always the earlier
+    # split, so leakage_into_b reads "share of the later split's users
+    # already seen earlier"
+    assert set(rows) <= {("train", "val"), ("train", "test"),
+                         ("val", "test")}

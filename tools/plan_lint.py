@@ -45,6 +45,7 @@ WHITELIST_BNLJ = {
     "events_decayed_leaderboard": "1-row as-of-date broadcast",
     "orders_aging_buckets": "1-row as-of-date + 1-row total broadcasts",
     "sketch_ams_f2_selfjoin": "1-row median-estimate broadcast",
+    "dataset_temporal_split_leakage": "1-row tercile-boundary broadcast",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
