@@ -836,3 +836,67 @@ def graph_global_transitivity(spark: SparkSession,
                                    / F.col("n_wedges"))
                             .otherwise(F.lit(0.0)), 9)
                     .alias("transitivity")))
+
+
+_RC_KS = (2, 4, 8, 16)
+
+
+@query("graph_rich_club", oracle=f"""
+WITH e AS ({_EDGES}),
+sym AS ({_SYM}),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+ed AS (
+  SELECT least(du.d, dv.d) AS mindeg
+  FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _RC_KS)}]) AS k),
+nk AS (
+  SELECT k, CAST(count_if(d > k) AS BIGINT) AS n_nodes
+  FROM deg CROSS JOIN ks GROUP BY k),
+ek AS (
+  SELECT k, CAST(count_if(mindeg > k) AS BIGINT) AS n_edges
+  FROM ed CROSS JOIN ks GROUP BY k)
+SELECT CAST(nk.k AS BIGINT) AS k, n_nodes, n_edges,
+  CASE WHEN n_nodes >= 2 THEN
+    round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 9)
+  ELSE NULL END AS phi
+FROM nk JOIN ek USING (k) ORDER BY k""")
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón): among nodes with
+    degree > k, what fraction of the possible edges between them
+    actually exist?  A rising φ(k) means the graph's hubs wire to each
+    other — popular parts co-purchase with other popular parts — which
+    changes epidemic/cascade behavior and makes hub-based shortcuts
+    (landmark routing, cache warming) effective.  Evaluated at
+    k ∈ (2, 4, 8, 16) from one degree table and one edge pass:
+    E_k = edges whose BOTH endpoints exceed k = count over
+    min(deg_u, deg_v), so no per-k re-join happens.
+
+    Exact BIGINT node/edge counts; one double division per k.  Shape:
+    degree aggregate + edge⋈degree equi-joins (degree table is
+    node-sized, broadcastable) + a ×4 scalar k explode of COUNTERS."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = copurchase_edges(li)
+    deg = degrees(edges)
+    du = deg.select(F.col("u").alias("eu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("dv"))
+    ed = (edges.join(du, F.col("u") == F.col("eu"))
+          .join(dv, F.col("v") == F.col("ev"))
+          .select(F.least("du", "dv").alias("mindeg")))
+    ks = F.explode(F.array(*[F.lit(k) for k in _RC_KS])).alias("k")
+    nk = (deg.select("d", ks)
+          .groupBy("k")
+          .agg(F.count_if(F.col("d") > F.col("k")).cast("long")
+               .alias("n_nodes")))
+    ek = (ed.select("mindeg", ks)
+          .groupBy("k")
+          .agg(F.count_if(F.col("mindeg") > F.col("k")).cast("long")
+               .alias("n_edges")))
+    return (nk.join(ek, "k")
+            .select(F.col("k").cast("long").alias("k"), "n_nodes",
+                    "n_edges",
+                    F.when(F.col("n_nodes") >= 2,
+                           F.round(2.0 * F.col("n_edges")
+                                   / (F.col("n_nodes")
+                                      * (F.col("n_nodes") - 1)), 9))
+                    .alias("phi"))
+            .orderBy("k"))

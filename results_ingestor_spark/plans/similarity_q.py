@@ -1240,3 +1240,45 @@ def ann_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3))
+
+
+@query("embedding_hubness_census", oracle=f"""
+WITH g AS ({_knn_graph_oracle()}),
+alln AS (SELECT vec_id FROM embeddings),
+indeg AS (
+  SELECT alln.vec_id,
+    CAST(coalesce(cnt.c, 0) AS BIGINT) AS in_degree
+  FROM alln LEFT JOIN (
+    SELECT nbr, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY nbr) cnt
+    ON cnt.nbr = alln.vec_id)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM indeg GROUP BY in_degree ORDER BY in_degree""")
+def embedding_hubness_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Hubness census of the kNN graph (k-occurrence distribution):
+    how many nodes appear in 0, 1, 2… other nodes' top-3 neighbor
+    lists.  Hubness is the high-dimensional pathology that silently
+    degrades ANN retrieval — a few "hub" vectors show up in everyone's
+    neighbor list (inflating their influence in semantic dedup and
+    kNN voting) while "anti-hubs" (in-degree 0) are never retrieved at
+    all.  A heavy right tail here is the measured trigger for
+    hubness-correction (mutual-kNN or cosine re-centering) before
+    trusting the kNN-graph consumers this family ships.
+
+    Builds on ann_knn_graph_banded's exact pipeline (same LSH bands,
+    same rounded-cosine top-3) and adds ONE neighbor-keyed count plus
+    a left join against all nodes (so anti-hubs are counted, not
+    dropped) and a bounded histogram aggregate — in-degree is at most
+    n, in practice tiny.  The oracle replays the identical graph."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    g = ann_knn_graph_banded(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    alln = ensure_min_parallelism(t["embeddings"]).select("vec_id")
+    cnt = g.groupBy(F.col("nbr").alias("vec_id")) \
+        .agg(F.count("*").cast("long").alias("c"))
+    indeg = (alln.join(cnt, "vec_id", "left")
+             .select(F.coalesce("c", F.lit(0)).cast("long")
+                     .alias("in_degree")))
+    return (indeg.groupBy("in_degree")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .orderBy("in_degree"))

@@ -658,3 +658,50 @@ def test_temporal_split_leakage_matches_python_model(spark, sf_dir):
     # already seen earlier"
     assert set(rows) <= {("train", "val"), ("train", "test"),
                          ("val", "test")}
+
+
+def test_hubness_census_matches_knn_graph(spark, sf_dir):
+    rows = {r.in_degree: r.n_nodes for r in
+            QUERIES["embedding_hubness_census"](spark, sf_dir).collect()}
+    g = QUERIES["ann_knn_graph_banded"](spark, sf_dir).collect()
+    from collections import Counter
+    indeg = Counter(r.nbr for r in g)
+    n_all = load_tables(spark, sf_dir, ("embeddings",))["embeddings"] \
+        .count()
+    hist = Counter(indeg.values())
+    hist[0] = n_all - len(indeg)
+    assert rows == {k: v for k, v in hist.items() if v > 0}
+    # census conserves nodes and graph edges
+    assert sum(rows.values()) == n_all
+    assert sum(k * v for k, v in rows.items()) == len(g)
+
+
+def test_rich_club_matches_python_model(spark, sf_dir):
+    rows = {r.k: r for r in
+            QUERIES["graph_rich_club"](spark, sf_dir).collect()}
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    orders = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        orders[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    prev_phi = None
+    for k in (2, 4, 8, 16):
+        nodes = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for u, v in edges if u in nodes and v in nodes)
+        got = rows[k]
+        assert got.n_nodes == len(nodes), k
+        assert got.n_edges == ek, k
+        if len(nodes) >= 2:
+            assert got.phi == round(2 * ek / (len(nodes)
+                                              * (len(nodes) - 1)), 9)
+        else:
+            assert got.phi is None
