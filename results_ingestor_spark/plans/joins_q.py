@@ -421,3 +421,79 @@ def asof_join_nearest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.lit("forward")))
     return j.select("user_id", "ts", nearest.alias("matched_ts"),
                     direction.alias("direction"))
+
+
+_TD_CAP = 7  # lookback days; also the decay cap
+
+
+@query("attribution_time_decay", oracle=f"""
+WITH touches AS (
+  SELECT user_id, ts, max(event_type) AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts),
+purchases AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS rev
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.user_id, p.ts AS pts, p.rev, t.touch_type,
+    CAST(2 AS BIGINT) << ({_TD_CAP}
+      - CAST((epoch_us(p.ts) - epoch_us(t.ts)) // 86400000000 AS BIGINT))
+      AS w
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id AND t.ts <= p.ts
+   AND epoch_us(p.ts) - epoch_us(t.ts) <= {_TD_CAP} * 86400000000),
+tot AS (
+  SELECT user_id, pts, CAST(SUM(w) AS BIGINT) AS s
+  FROM pairs GROUP BY user_id, pts),
+contrib AS (
+  SELECT touch_type AS channel,
+    CAST(round(CAST(rev AS DOUBLE) * w / s, 6) AS DECIMAL(18,6)) AS c
+  FROM pairs JOIN tot USING (user_id, pts))
+SELECT channel,
+  CAST(COUNT(*) AS BIGINT) AS n_credits,
+  CAST(SUM(c) AS DECIMAL(38,6)) AS attributed_revenue
+FROM contrib GROUP BY channel ORDER BY channel""")
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the third standard model
+    beside last-touch and U-shaped: every click/view in the 7-day
+    lookback shares the purchase's revenue with weight 2^(−age_days)
+    (half-life one day), normalized per journey.  Recency-weighted
+    credit is what growth teams actually bill channels on.
+
+    Exactness: weights are SHIFTED BIGINTs 2^(cap−age) (the decayed-
+    leaderboard trick), the per-journey normalizer is an exact integer
+    sum, and each contribution snaps to DECIMAL(18,6) BEFORE the
+    channel sum — so the final revenue totals are exact decimal sums
+    of identical snapped values in both engines (never a float
+    accumulation).  Shape: touches⋈purchases is a user-keyed equi-join
+    with a range residual (the U-shaped journey pattern), one journey
+    normalizer agg on the same key, a channel rollup."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    touches = (ev.where(F.col("event_type").isin("click", "view"))
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_type").alias("touch_type"))
+               .select("user_id", F.col("ts").alias("tts"), "touch_type"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("pts"),
+                         F.col("value").cast("decimal(12,2)").alias("rev")))
+    age_us = F.unix_micros("pts") - F.unix_micros("tts")
+    pairs = (purchases.join(touches, "user_id")
+             .where((F.col("tts") <= F.col("pts"))
+                    & (age_us <= _TD_CAP * 86_400_000_000))
+             .select("user_id", "pts", "rev", "touch_type",
+                     F.expr(f"shiftleft(CAST(2 AS BIGINT), {_TD_CAP} - "
+                            "CAST((unix_micros(pts) - unix_micros(tts))"
+                            " DIV 86400000000 AS BIGINT))").alias("w")))
+    tot = (pairs.groupBy("user_id", "pts")
+           .agg(F.sum("w").cast("long").alias("s")))
+    contrib = (pairs.join(tot, ["user_id", "pts"])
+               .select(F.col("touch_type").alias("channel"),
+                       F.round(F.col("rev").cast("double") * F.col("w")
+                               / F.col("s"), 6).cast("decimal(18,6)")
+                       .alias("c")))
+    return (contrib.groupBy("channel")
+            .agg(F.count("*").cast("long").alias("n_credits"),
+                 F.sum("c").cast("decimal(38,6)")
+                  .alias("attributed_revenue"))
+            .orderBy("channel"))

@@ -9,7 +9,7 @@ oracle can verify the whole Python-side path value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.multimodal import (
@@ -279,3 +279,72 @@ def multimodal_aspect_bucketing(spark: SparkSession,
                             / F.col("total_pixels"), 9)
                     .alias("bucket_crop_loss"))
             .orderBy("bucket"))
+
+
+@query("multimodal_vad_segments", oracle=f"""
+WITH ch AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+    round(list_sum([ord(substr(text, CAST(i * {CHUNK_SIZE} + j AS INT), 1))
+                    for j in range(1, {CHUNK_SIZE + 1})])
+          / {CHUNK_SIZE}.0, 6) AS energy
+  FROM (SELECT doc_id, text,
+          unnest(range(strlen(text) // {CHUNK_SIZE})) AS i
+        FROM documents WHERE doc_id < 100)),
+thr AS (
+  SELECT doc_id, round(AVG(energy), 6) AS thr FROM ch GROUP BY doc_id),
+v AS (
+  SELECT ch.doc_id, chunk_idx,
+    chunk_idx - row_number()
+      OVER (PARTITION BY ch.doc_id ORDER BY chunk_idx) AS island
+  FROM ch JOIN thr ON thr.doc_id = ch.doc_id
+  WHERE energy > thr),
+seg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM v GROUP BY doc_id, island),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_chunks FROM ch
+  GROUP BY doc_id)
+SELECT tot.doc_id, total_chunks,
+  CAST(coalesce(SUM(seg_len), 0) AS BIGINT) AS voiced_chunks,
+  CAST(COUNT(seg_len) AS BIGINT) AS n_segments,
+  CAST(coalesce(MAX(seg_len), 0) AS BIGINT) AS longest_segment
+FROM tot LEFT JOIN seg ON seg.doc_id = tot.doc_id
+GROUP BY tot.doc_id, total_chunks ORDER BY tot.doc_id""")
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over the audio-shaped
+    chunk energies (multimodal_chunk_energy's Arrow kernel): chunks
+    louder than the clip's own mean energy are "voiced", and maximal
+    runs of voiced chunks — gaps-and-islands on chunk index — become
+    speech segments.  Per clip: total/voiced chunk counts, segment
+    count, and the longest segment, i.e. the pre-transcription split
+    plan an audio pipeline feeds to its ASR stage (only voiced
+    segments get transcribed; the split points bound per-task size).
+
+    Adaptive threshold = the clip's OWN mean (rounded 6 dp on both
+    sides, so the voiced set is bit-identical).  Shape: the
+    mapInPandas energy kernel (sanctioned Arrow path) → doc-keyed mean
+    → doc-partitioned islands window → two doc-keyed aggregates; every
+    stage shares the doc_id shuffle key."""
+    from results_ingestor_spark.operators.multimodal import chunk_energy
+    t = load_tables(spark, sf_dir, ("documents",))
+    ch = chunk_energy(t["documents"].where(F.col("doc_id") < 100))
+    thr = ch.groupBy("doc_id").agg(F.round(F.avg("energy"), 6)
+                                   .alias("thr"))
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    v = (ch.join(thr, "doc_id")
+         .where(F.col("energy") > F.col("thr"))
+         .select("doc_id", "chunk_idx",
+                 (F.col("chunk_idx") - F.row_number().over(w))
+                 .alias("island")))
+    seg = (v.groupBy("doc_id", "island")
+           .agg(F.count("*").cast("long").alias("seg_len")))
+    tot = ch.groupBy("doc_id").agg(F.count("*").cast("long")
+                                   .alias("total_chunks"))
+    return (tot.join(seg, "doc_id", "left")
+            .groupBy("doc_id", "total_chunks")
+            .agg(F.coalesce(F.sum("seg_len"), F.lit(0)).cast("long")
+                 .alias("voiced_chunks"),
+                 F.count("seg_len").cast("long").alias("n_segments"),
+                 F.coalesce(F.max("seg_len"), F.lit(0)).cast("long")
+                 .alias("longest_segment"))
+            .orderBy("doc_id"))

@@ -705,3 +705,70 @@ def test_rich_club_matches_python_model(spark, sf_dir):
                                               * (len(nodes) - 1)), 9)
         else:
             assert got.phi is None
+
+
+def test_time_decay_attribution_matches_python_model(spark, sf_dir):
+    from decimal import Decimal
+    rows = {r.channel: r for r in
+            QUERIES["attribution_time_decay"](spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts", "event_type", "value").collect()
+    touches = defaultdict(dict)
+    purchases = []
+    for r in ev:
+        if r.event_type in ("click", "view"):
+            cur = touches[r.user_id].get(r.ts)
+            if cur is None or r.event_type > cur:
+                touches[r.user_id][r.ts] = r.event_type
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for p in purchases:
+        cand = [(ts, ty) for ts, ty in touches[p.user_id].items()
+                if ts <= p.ts
+                and (p.ts - ts).total_seconds() * 1e6 <= 7 * 86400e6]
+        if not cand:
+            continue
+        ws = {}
+        for ts, ty in cand:
+            age = int(round((p.ts - ts).total_seconds() * 1e6)
+                      ) // 86_400_000_000
+            ws[(ts, ty)] = 2 << (7 - age)
+        s = sum(ws.values())
+        rev = round(float(p.value), 2)
+        for (ts, ty), w in ws.items():
+            c = Decimal(str(round(rev * w / s, 6)))
+            agg[ty][0] += 1
+            agg[ty][1] += c
+    assert set(rows) == set(agg)
+    for ch, (n, total) in agg.items():
+        assert rows[ch].n_credits == n, ch
+        assert rows[ch].attributed_revenue == total, ch
+
+
+def test_vad_segments_match_energy_runs(spark, sf_dir):
+    rows = {r.doc_id: r for r in
+            QUERIES["multimodal_vad_segments"](spark, sf_dir).collect()}
+    en = defaultdict(dict)
+    for r in QUERIES["multimodal_chunk_energy"](spark, sf_dir).collect():
+        en[r.doc_id][r.chunk_idx] = r.energy
+    assert set(rows) == set(en)
+    for doc, ch in en.items():
+        thr = round(sum(ch.values()) / len(ch), 6)
+        voiced = sorted(i for i, e in ch.items() if e > thr)
+        segs = []
+        for i in voiced:
+            if segs and i == segs[-1][1] + 1:
+                segs[-1][1] = i
+            else:
+                segs.append([i, i])
+        got = rows[doc]
+        assert got.total_chunks == len(ch)
+        assert got.voiced_chunks == len(voiced)
+        assert got.n_segments == len(segs)
+        assert got.longest_segment == max(
+            (b - a + 1 for a, b in segs), default=0)
+        # an adaptive mean threshold always leaves BOTH classes
+        # non-empty for a non-constant signal
+        if len(set(ch.values())) > 1:
+            assert 0 < got.voiced_chunks < got.total_chunks
