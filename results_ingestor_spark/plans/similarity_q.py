@@ -1282,3 +1282,58 @@ def embedding_hubness_census(spark: SparkSession,
     return (indeg.groupBy("in_degree")
             .agg(F.count("*").cast("long").alias("n_nodes"))
             .orderBy("in_degree"))
+
+
+@query("embedding_isotropy_score", oracle=f"""
+WITH n AS ({_NORM_SQL}),
+flat AS (
+  SELECT e.vec_id, generate_subscripts(e.embedding, 1) - 1 AS i,
+    CAST(unnest(e.embedding) AS DOUBLE) / n.nrm AS v
+  FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+s AS (SELECT i, SUM(v) AS sd FROM flat GROUP BY i),
+g AS (
+  SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+    SUM(sd * sd) AS sum_sq
+  FROM s)
+SELECT n_vecs,
+  round(sqrt(sum_sq) / n_vecs, 6) AS mean_vector_norm,
+  round((sum_sq - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6)
+    AS avg_pairwise_cosine
+FROM g""")
+def embedding_isotropy_score(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Isotropy of the embedding space (Ethayarajh 2019's anisotropy
+    diagnostic): the average pairwise cosine between ALL normalized
+    vectors, computed WITHOUT any pair enumeration via the identity
+    Σ_{{i≠j}} v̂_i·v̂_j = ‖Σv̂‖² − n.  Contextual-embedding spaces are
+    notoriously anisotropic (everything points the same way), which
+    silently breaks cosine-threshold dedup and ANN recall; an average
+    cosine well above 0 is the measured trigger for mean-centering
+    before the embedding consumers this family ships.  Also emits the
+    mean-vector norm (0 for perfectly isotropic, 1 for collinear).
+
+    The n²-pair quantity from an O(n·d) pass: per-dimension sums of
+    normalized components (64 groups, map-side combine — partials,
+    not vectors, cross the shuffle), one 64-row reduce.  Double
+    summation order differs at ~1e-16 relative between engines; both
+    outputs are O(1)-magnitude and snapped at 6 dp (the covariance
+    entry's contract)."""
+    from results_ingestor_spark.functions.vector import l2_norm
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = ensure_min_parallelism(t["embeddings"])
+    flat = (e.select((F.posexplode(F.transform(
+                "embedding", lambda x: x.cast("double") /
+                l2_norm("embedding"))))
+            .alias("i", "v")))
+    s = flat.groupBy("i").agg(F.sum("v").alias("sd"))
+    cnt = e.agg(F.count("*").cast("long").alias("n_vecs"))
+    g = (s.agg(F.sum(F.col("sd") * F.col("sd")).alias("sum_sq"))
+         .crossJoin(F.broadcast(cnt)))
+    n = F.col("n_vecs")
+    return g.select(
+        "n_vecs",
+        F.round(F.sqrt("sum_sq") / n, 6).alias("mean_vector_norm"),
+        F.round((F.col("sum_sq") - n)
+                / (n.cast("double") * (n - 1)), 6)
+         .alias("avg_pairwise_cosine"))

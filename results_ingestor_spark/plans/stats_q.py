@@ -3495,11 +3495,12 @@ def stats_partial_correlation(spark: SparkSession,
         ("quantity~discount | extendedprice", "r_qd", "r_qp", "r_pd"),
         ("extendedprice~discount | quantity", "r_pd", "r_qp", "r_qd"),
     ]
-    outs = [r.select(F.lit(nm).alias("pair"), "n",
-                     d(xy).alias("r_xy"), d(xz).alias("r_xz"),
-                     d(yz).alias("r_yz"))
-            for nm, xy, xz, yz in rows]
-    p = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    trio = F.explode(F.array(*[
+        F.struct(F.lit(nm).alias("pair"), d(xy).alias("r_xy"),
+                 d(xz).alias("r_xz"), d(yz).alias("r_yz"))
+        for nm, xy, xz, yz in rows])).alias("t")
+    p = r.select("n", trio).select(
+        "t.pair", "n", "t.r_xy", "t.r_xz", "t.r_yz")
     return (p.select("pair", "n", "r_xy",
                      F.round((d("r_xy") - d("r_xz") * d("r_yz"))
                              / F.sqrt((1 - d("r_xz") * d("r_xz"))

@@ -659,3 +659,88 @@ def test_pseudonym_collisions_bounded_second_agg(plans):
     p = plans("privacy_pseudonym_collisions")
     assert "BatchEvalPython" not in p
     assert "Join" not in p
+
+
+def test_golden_record_windows_cluster_partitioned(plans):
+    """Survivorship: the mode windows must be cluster-partitioned (no
+    empty partition spec) and no Python appears anywhere — the whole
+    resolve→survive pipeline is joins + windows."""
+    p = plans("er_golden_record")
+    assert "BatchEvalPython" not in p
+    assert "windowspecdefinition(cluster_rep" in p
+
+
+def test_generalization_ladder_single_expand_aggregate(plans):
+    """GROUPING SETS must compile to ONE Expand + aggregate over the
+    QI columns — four levels from one pass, not four scans."""
+    p = plans("privacy_generalization_ladder")
+    assert p.count("FileScan") == 1
+    assert "Expand" in p
+
+
+def test_decayed_leaderboard_takeordered_integer_rank(plans):
+    """Trending ranks on the exact integer score: TakeOrdered top-20,
+    no global sort, no Python."""
+    p = plans("events_decayed_leaderboard")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_table_checksum_map_reduce_only(plans):
+    """The checksum is scan → hash → 1-row reduce per table: no joins,
+    no windows, no Python — the cheapest possible full-content audit."""
+    p = plans("dq_table_checksum")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_skew_census_counters_only(plans):
+    """The skew audit aggregates (bucket, count) per key — two scans,
+    two small aggregates, no join of row-level data."""
+    p = plans("dq_partition_skew_census")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_partial_correlation_single_pass(plans):
+    """All nine moments come from ONE lineitem scan; the 3-row report
+    is unions of projections over the same 1-row aggregate."""
+    p = plans("stats_partial_correlation")
+    assert p.count("FileScan") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_rich_club_broadcasts_degree_table(plans):
+    """The degree table joins the edge list via broadcast (node-sized
+    side), and the ×4 k-explode runs on counters, not edges."""
+    p = plans("graph_rich_club")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_isotropy_no_pair_join(plans):
+    """The n²-pair average cosine must come from the sum-vector
+    identity: no join between embedding rows anywhere in the plan —
+    one explode, a 64-group aggregate, a 1-row reduce."""
+    p = plans("embedding_isotropy_score")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Generate posexplode" in p or "Generate explode" in p
+
+
+def test_vad_segments_share_doc_shuffle_key(plans):
+    """VAD: islands window and both aggregates are doc_id-keyed; the
+    Arrow kernel is the sanctioned FlatMapGroups/MapInPandas path,
+    never row-Python."""
+    p = plans("multimodal_vad_segments")
+    assert "BatchEvalPython" not in p
+    assert "windowspecdefinition(doc_id" in p
+
+
+def test_time_decay_attribution_no_cartesian(plans):
+    """Journeys pair via the user_id equi-join with a range residual —
+    no cartesian/BNLJ; contributions snap before the channel agg."""
+    p = plans("attribution_time_decay")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
