@@ -772,3 +772,29 @@ def test_vad_segments_match_energy_runs(spark, sf_dir):
         # non-empty for a non-constant signal
         if len(set(ch.values())) > 1:
             assert 0 < got.voiced_chunks < got.total_chunks
+
+
+def test_isotropy_matches_python_model(spark, sf_dir):
+    import numpy as np
+    row = QUERIES["embedding_isotropy_score"](spark, sf_dir).collect()[0]
+    vecs = [np.array(r.embedding, dtype=np.float64) for r in
+            load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+            .select("embedding").collect()]
+    V = np.stack([v / np.linalg.norm(v) for v in vecs])
+    n = len(V)
+    S = V.sum(axis=0)
+    sum_sq = float(S @ S)
+    assert row.n_vecs == n
+    assert math.isclose(row.mean_vector_norm,
+                        math.sqrt(sum_sq) / n, abs_tol=2e-6)
+    want = (sum_sq - n) / (n * (n - 1))
+    assert math.isclose(row.avg_pairwise_cosine, want, abs_tol=2e-6)
+    # identity check against a literal O(n^2) pair average on a sample
+    idx = list(range(0, n, max(1, n // 50)))
+    samp = V[idx]
+    m = len(samp)
+    pair_avg = (np.sum(samp @ samp.T) - m) / (m * (m - 1))
+    # the sample mean cosine should be in the same ballpark (not a
+    # strict equality — different pair population)
+    assert abs(pair_avg - want) < 0.2
+    assert -1.0 <= row.avg_pairwise_cosine <= 1.0
