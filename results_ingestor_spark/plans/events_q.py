@@ -1211,3 +1211,87 @@ def events_decayed_leaderboard(spark: SparkSession,
                             / float(2 ** (_DECAY_CAP_DAYS + 1)), 9)
                     .alias("decayed_score"))
             .orderBy(F.desc("scaled"), F.asc("user_id")).limit(20))
+
+
+@query("events_reliability_report", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+per_sess AS (
+  SELECT user_id, session_id,
+    CAST(count_if(event_type = 'error') AS BIGINT) AS n_err
+  FROM sess GROUP BY user_id, session_id),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+    CAST(count_if(n_err = 0) AS BIGINT) AS n_error_free
+  FROM per_sess),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors
+  FROM events)
+SELECT n_events, n_errors,
+  round(CAST(n_errors AS DOUBLE) / n_events, 9) AS error_rate,
+  round(CAST(n_events - n_errors AS DOUBLE) / n_errors, 6)
+    AS mean_events_between_errors,
+  n_sessions, n_error_free,
+  round(CAST(n_error_free AS DOUBLE) / n_sessions, 9)
+    AS crash_free_session_rate
+FROM e CROSS JOIN g""")
+def events_reliability_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Reliability KPIs — the mobile/ops dashboard numbers: overall
+    error rate, mean non-error events between errors (the MTBF
+    analogue in event units), and the crash-free-session rate, where
+    sessions follow events_sessionize's exact 30-minute-gap
+    convention so the two entries never disagree about what a session
+    is.  crash_free_session_rate is THE app-reliability KPI; its
+    denominator (sessions, not events) is what makes it robust to
+    power users.
+
+    Exact integer counts end-to-end, three double divisions in the
+    1-row report.  Shape: one user-partitioned sessionize window, a
+    (user, session) error count, two 1-row reduces broadcast-joined."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t["events"].select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                  > 1_800_000_000), 1).otherwise(0).alias("new_session"))
+    sess = marked.select(
+        "user_id", "event_type",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"))
+    per_sess = (sess.groupBy("user_id", "session_id")
+                .agg(F.count_if(F.col("event_type") == "error")
+                     .cast("long").alias("n_err")))
+    g = per_sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_if(F.col("n_err") == 0).cast("long")
+         .alias("n_error_free"))
+    e = t["events"].agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_if(F.col("event_type") == "error").cast("long")
+         .alias("n_errors"))
+    return (e.crossJoin(F.broadcast(g))
+            .select("n_events", "n_errors",
+                    F.round(F.col("n_errors").cast("double")
+                            / F.col("n_events"), 9).alias("error_rate"),
+                    F.round((F.col("n_events") - F.col("n_errors"))
+                            .cast("double") / F.col("n_errors"), 6)
+                    .alias("mean_events_between_errors"),
+                    "n_sessions", "n_error_free",
+                    F.round(F.col("n_error_free").cast("double")
+                            / F.col("n_sessions"), 9)
+                    .alias("crash_free_session_rate")))

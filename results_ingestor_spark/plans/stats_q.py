@@ -3507,3 +3507,93 @@ def stats_partial_correlation(spark: SparkSession,
                                       * (1 - d("r_yz") * d("r_yz"))), 9)
                      .alias("r_partial"))
             .orderBy("pair"))
+
+
+_TUKEY_Q_CRIT = 3.858  # studentized range, k=5 groups, df=inf, alpha=.05
+
+
+@query("stats_tukey_hsd", oracle=f"""
+WITH g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM({_VDEC}) AS s,
+    SUM({_VDEC} * {_VDEC}) AS q
+  FROM events GROUP BY event_type),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(q) AS DOUBLE) AS qd
+  FROM g),
+b AS (
+  SELECT bsum FROM (
+    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS bsum,
+           row_number() OVER (ORDER BY event_type DESC) AS rn
+    FROM g) WHERE rn = 1),
+mse AS (
+  SELECT (qd - bsum) / (nn - k) AS mse FROM tot CROSS JOIN b),
+m AS (SELECT event_type, n, round(CAST(s AS DOUBLE) / n, 9) AS mean
+      FROM g),
+pairs AS (
+  SELECT a.event_type AS type_a, bb.event_type AS type_b,
+    round(a.mean - bb.mean, 6) AS mean_diff,
+    round(abs(a.mean - bb.mean)
+          / sqrt(mse / 2 * (1.0 / a.n + 1.0 / bb.n)), 6) AS q_stat
+  FROM m a JOIN m bb ON a.event_type < bb.event_type CROSS JOIN mse)
+SELECT type_a, type_b, mean_diff, q_stat,
+  q_stat > {_TUKEY_Q_CRIT} AS significant
+FROM pairs ORDER BY type_a, type_b""")
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc contrasts — the step AFTER the
+    one-way ANOVA this family ships (stats_anova_oneway_f): all 10
+    pairwise event-type mean differences tested against the
+    studentized-range critical value (k=5, df→∞ literal), with the
+    Kramer 1/n_a + 1/n_b correction for unequal group sizes.  The
+    ANOVA says "some group differs"; this says WHICH pairs do, at a
+    family-wise 5% — the multiple-comparisons discipline the BH-FDR
+    entry applies to p-values, applied here to contrasts.
+
+    Determinism: group moments are exact DECIMAL; MSE reuses the
+    ANOVA's ordered-window fold (fixed summation order); means snap
+    to 9 dp before differencing; q statistics snap to 6 dp before the
+    literal comparison.  Shape: one 5-group aggregate, a 10-row pair
+    join on the GROUP table (k², never rows), a 1-row MSE broadcast."""
+    t = load_tables(spark, sf_dir, ("events",))
+    vdec = F.col("value").cast("decimal(12,2)")
+    g = (t["events"].groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(vdec).alias("s"),
+              F.sum(vdec * vdec).alias("q")))
+    tot = g.agg(F.count("*").cast("long").alias("k"),
+                F.sum("n").cast("long").alias("nn"),
+                F.sum("q").cast("double").alias("qd"))
+    wfold = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0)
+    b = (g.select(F.sum(F.col("s").cast("double")
+                        * F.col("s").cast("double") / F.col("n"))
+                  .over(wfold).alias("bsum"),
+                  F.row_number().over(
+                      Window.orderBy(F.desc("event_type"))).alias("rn"))
+         .where(F.col("rn") == 1).select("bsum"))
+    mse = (tot.crossJoin(F.broadcast(b))
+           .select(((F.col("qd") - F.col("bsum"))
+                    / (F.col("nn") - F.col("k"))).alias("mse")))
+    m = g.select("event_type", "n",
+                 F.round(F.col("s").cast("double") / F.col("n"), 9)
+                 .alias("mean"))
+    a = m.select(F.col("event_type").alias("type_a"),
+                 F.col("n").alias("na"), F.col("mean").alias("ma"))
+    bb = m.select(F.col("event_type").alias("type_b"),
+                  F.col("n").alias("nb"), F.col("mean").alias("mb"))
+    q_stat = F.round(
+        F.abs(F.col("ma") - F.col("mb"))
+        / F.sqrt(F.col("mse") / 2
+                 * (1.0 / F.col("na") + 1.0 / F.col("nb"))), 6)
+    return (a.join(bb, F.col("type_a") < F.col("type_b"))
+            .crossJoin(F.broadcast(mse))
+            .select("type_a", "type_b",
+                    F.round(F.col("ma") - F.col("mb"), 6)
+                    .alias("mean_diff"),
+                    q_stat.alias("q_stat"),
+                    (q_stat > _TUKEY_Q_CRIT).alias("significant"))
+            .orderBy("type_a", "type_b"))

@@ -798,3 +798,79 @@ def test_isotropy_matches_python_model(spark, sf_dir):
     # strict equality — different pair population)
     assert abs(pair_avg - want) < 0.2
     assert -1.0 <= row.avg_pairwise_cosine <= 1.0
+
+
+def test_reliability_report_matches_python_model(spark, sf_dir):
+    from datetime import timedelta
+    row = QUERIES["events_reliability_report"](spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts", "event_id", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    n_sessions = n_error_free = 0
+    for evs in per_user.values():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        sessions, cur = [], [evs[0]]
+        for a, b in zip(evs, evs[1:]):
+            if b[0] - a[0] > timedelta(minutes=30):
+                sessions.append(cur)
+                cur = []
+            cur.append(b)
+        sessions.append(cur)
+        n_sessions += len(sessions)
+        n_error_free += sum(1 for s in sessions
+                            if not any(e[2] == "error" for e in s))
+    n_events = len(ev)
+    n_errors = sum(1 for r in ev if r.event_type == "error")
+    assert (row.n_events, row.n_errors) == (n_events, n_errors)
+    assert (row.n_sessions, row.n_error_free) == (n_sessions,
+                                                  n_error_free)
+    assert row.error_rate == round(n_errors / n_events, 9)
+    assert row.mean_events_between_errors == round(
+        (n_events - n_errors) / n_errors, 6)
+    assert row.crash_free_session_rate == round(
+        n_error_free / n_sessions, 9)
+    # session count must agree with the 30-min point on the gap curve
+    curve = {r.threshold_min: r.n_sessions for r in
+             QUERIES["events_session_gap_curve"](spark, sf_dir).collect()}
+    assert curve[30] == n_sessions
+
+
+def test_tukey_hsd_matches_python_model(spark, sf_dir):
+    rows = {(r.type_a, r.type_b): r for r in
+            QUERIES["stats_tukey_hsd"](spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("event_type", "value").collect()
+    from decimal import ROUND_HALF_UP, Decimal
+    two = Decimal("0.01")
+    g = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for r in ev:
+        v = Decimal(repr(r.value)).quantize(two, rounding=ROUND_HALF_UP)
+        e = g[r.event_type]
+        e[0] += 1
+        e[1] += v
+        e[2] += v * v
+    k = len(g)
+    nn = sum(e[0] for e in g.values())
+    bsum = 0.0
+    for t in sorted(g):  # the ANOVA ordered fold
+        n, s, _ = g[t]
+        bsum += float(s) * float(s) / n
+    qd = sum(float(e[2]) for e in g.values())
+    mse = (qd - bsum) / (nn - k)
+    types = sorted(g)
+    n_sig = 0
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            ta, tb = types[i], types[j]
+            ma = round(float(g[ta][1]) / g[ta][0], 9)
+            mb = round(float(g[tb][1]) / g[tb][0], 9)
+            q = abs(ma - mb) / math.sqrt(
+                mse / 2 * (1 / g[ta][0] + 1 / g[tb][0]))
+            got = rows[(ta, tb)]
+            assert math.isclose(got.mean_diff, ma - mb, abs_tol=2e-6)
+            assert math.isclose(got.q_stat, q, abs_tol=5e-5)
+            assert got.significant == (got.q_stat > 3.858)
+            n_sig += int(got.significant)
+    assert len(rows) == k * (k - 1) // 2

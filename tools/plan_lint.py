@@ -46,6 +46,9 @@ WHITELIST_BNLJ = {
     "orders_aging_buckets": "1-row as-of-date + 1-row total broadcasts",
     "sketch_ams_f2_selfjoin": "1-row median-estimate broadcast",
     "dataset_temporal_split_leakage": "1-row tercile-boundary broadcast",
+    "events_reliability_report": "two 1-row KPI combines",
+    "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
+        "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
     "layout_compaction_bins": "1-row compaction-target broadcast",
     "layout_pruning_effectiveness": "1-row corpus-minmax broadcast",
@@ -254,6 +257,10 @@ WHITELIST_GLOBALWIN = {
         "bounded day domain (same contract as SES/Bollinger)",
     "stats_anova_oneway_f": "ordered k-row fold over the event-type "
         "group table (order-fixed double summation)",
+    "stats_tukey_hsd": "ANOVA-contract ordered k-row fold for MSE",
+    "events_reliability_report": "sessionize window is "
+        "user-partitioned; the SinglePartition exchanges are the two "
+        "1-row KPI combines",
     "stats_kruskal_wallis": "midrank window over distinct metric "
         "values (mann-whitney contract) + ordered k-row fold",
     "stats_spearman_rho": "rank windows over the 50-value quantity / "
