@@ -85,6 +85,13 @@ HEADLINE = [
     # LM's budget)
     "graph_hits_bipartite_topk",
     "lm_bigram_kneser_ney",
+    # round 4 final: published-rule quality filtering (pure expression
+    # throughput over the full text column), the (doc,gram)-distinct
+    # novelty census (the duplicate-passages shuffle class), and the
+    # one-BIGINT-per-table content checksum (cheapest full scan audit)
+    "quality_gopher_rules",
+    "text_novelty_unique_ngrams",
+    "dq_table_checksum",
 ]
 
 
