@@ -3597,3 +3597,79 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q_stat.alias("q_stat"),
                     (q_stat > _TUKEY_Q_CRIT).alias("significant"))
             .orderBy("type_a", "type_b"))
+
+
+@query("stats_james_stein_shrinkage", oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM({_VDEC}) AS s, SUM({_VDEC} * {_VDEC}) AS q
+  FROM events GROUP BY event_type),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(q) AS DOUBLE) AS qd
+  FROM g),
+m AS (
+  SELECT event_type, n, round(CAST(s AS DOUBLE) / n, 9) AS mean,
+    round(sd / nn, 9) AS grand,
+    (qd - sd * sd / nn) / (nn - k) AS mse, k
+  FROM g CROSS JOIN tot),
+dev AS (
+  SELECT SUM((mean - grand) * (mean - grand)) AS ssdev FROM m),
+f AS (
+  SELECT greatest(0.0, 1.0 - (SELECT k - 3 FROM m LIMIT 1)
+                  * (SELECT mse / (SELECT MIN(n) FROM m) FROM m LIMIT 1)
+                  / ssdev) AS shrink
+  FROM dev)
+SELECT event_type, n, mean,
+  round(grand + shrink * (mean - grand), 6) AS js_mean,
+  round(shrink, 6) AS shrink_factor
+FROM m CROSS JOIN f ORDER BY event_type""")
+def stats_james_stein_shrinkage(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of the per-event-type means toward the
+    grand mean — the empirical-Bayes estimator that DOMINATES raw
+    group means in total squared error whenever k >= 4 groups share a
+    noise level: each group mean moves toward the pool by
+    1 − (k−3)·σ̂²_mean / Σ(x̄_g − x̄)², clamped at 0.  This is the
+    per-segment-metric smoothing a dashboard needs when small segments
+    bounce (the LOO-target-encoding entry's statistical justification,
+    stated as an estimator).  σ̂²_mean uses the pooled within-group MSE
+    over the smallest group size — the conservative (most-shrinking)
+    choice, stated explicitly.
+
+    Determinism: means/grand snap to 9 dp; the shrink factor and
+    shrunk means are fixed-shape double expressions snapped at 6.
+    Shape: one 5-group moment aggregate, 1-row combines — the ANOVA
+    budget exactly."""
+    t = load_tables(spark, sf_dir, ("events",))
+    vdec = F.col("value").cast("decimal(12,2)")
+    g = (t["events"].groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(vdec).alias("s"), F.sum(vdec * vdec).alias("q")))
+    tot = g.agg(F.count("*").cast("long").alias("k"),
+                F.sum("n").cast("long").alias("nn"),
+                F.sum("s").cast("double").alias("sd"),
+                F.sum("q").cast("double").alias("qd"))
+    m = (g.crossJoin(F.broadcast(tot))
+         .select("event_type", "n", "k",
+                 F.round(F.col("s").cast("double") / F.col("n"), 9)
+                 .alias("mean"),
+                 F.round(F.col("sd") / F.col("nn"), 9).alias("grand"),
+                 ((F.col("qd") - F.col("sd") * F.col("sd") / F.col("nn"))
+                  / (F.col("nn") - F.col("k"))).alias("mse")))
+    dev = m.agg(F.sum((F.col("mean") - F.col("grand"))
+                      * (F.col("mean") - F.col("grand"))).alias("ssdev"),
+                F.min("n").alias("min_n"),
+                F.max("k").alias("k"),
+                F.max("mse").alias("mse"))
+    f = dev.select(F.greatest(
+        F.lit(0.0),
+        1.0 - (F.col("k") - 3) * (F.col("mse") / F.col("min_n"))
+        / F.col("ssdev")).alias("shrink"))
+    return (m.crossJoin(F.broadcast(f))
+            .select("event_type", "n", "mean",
+                    F.round(F.col("grand") + F.col("shrink")
+                            * (F.col("mean") - F.col("grand")), 6)
+                    .alias("js_mean"),
+                    F.round("shrink", 6).alias("shrink_factor"))
+            .orderBy("event_type"))

@@ -1798,3 +1798,74 @@ def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("simpson_lambda"),
         F.round(nt.cast("double") * (nt - 1) / F.col("coll2"), 6)
          .alias("effective_vocab")).orderBy("source")
+
+
+_KEYNESS_SRC = "src0"
+
+
+@query("text_keyness_dunning", oracle=f"""
+WITH tok AS (
+  SELECT source = '{_KEYNESS_SRC}' AS focus, unnest({_TOKS}) AS term
+  FROM documents),
+c AS (
+  SELECT term,
+    CAST(count_if(focus) AS BIGINT) AS a,
+    CAST(count_if(NOT focus) AS BIGINT) AS b
+  FROM tok GROUP BY term),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+  FROM c),
+g AS (
+  SELECT term, a, b,
+    round(2.0 * (
+      CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * (ta + tb)
+                                  / (CAST(ta AS DOUBLE) * (a + b)))
+           ELSE 0.0 END
+      + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * (ta + tb)
+                                    / (CAST(tb AS DOUBLE) * (a + b)))
+             ELSE 0.0 END), 6) AS g2,
+    CAST(a AS DOUBLE) * tb > CAST(b AS DOUBLE) * ta AS overused
+  FROM c CROSS JOIN tot
+  WHERE a + b >= 10)
+SELECT term, a AS n_focus, b AS n_rest, g2, overused
+FROM g ORDER BY g2 DESC, term LIMIT 20""")
+def text_keyness_dunning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness by Dunning's log-likelihood ratio (Dunning 1993) — the
+    corpus-linguistics standard for "which terms characterize THIS
+    source against the rest": per term, the G² statistic of the 2×2
+    (focus vs rest) × (term vs other-tokens) table, reported with the
+    direction (over/under-used in the focus source '{_KEYNESS_SRC}').
+    Unlike raw frequency ratios, G² is stable for rare terms and,
+    unlike PMI, doesn't explode on hapaxes — which is why keyword
+    lists in corpus studies use it.
+
+    Determinism: counts exact BIGINT; each G² is one fixed-shape
+    double expression (two ln calls on exact-integer ratios), snapped
+    to 6 dp BEFORE ranking (the tfidf rule); the direction flag is an
+    exact integer cross-product comparison.  Shape: one term-keyed
+    count aggregate with map-side combine, a 1-row totals broadcast,
+    TakeOrdered top-20."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        (F.col("source") == _KEYNESS_SRC).alias("focus"),
+        F.explode(F.split("text", " ")).alias("term"))
+    c = (tok.groupBy("term")
+         .agg(F.count_if("focus").cast("long").alias("a"),
+              F.count_if(~F.col("focus")).cast("long").alias("b")))
+    tot = c.agg(F.sum("a").cast("long").alias("ta"),
+                F.sum("b").cast("long").alias("tb"))
+    a, b = F.col("a"), F.col("b")
+    ta, tb = F.col("ta"), F.col("tb")
+    term1 = F.when(a > 0, a * F.log(a.cast("double") * (ta + tb)
+                                    / (ta.cast("double") * (a + b)))) \
+        .otherwise(F.lit(0.0))
+    term2 = F.when(b > 0, b * F.log(b.cast("double") * (ta + tb)
+                                    / (tb.cast("double") * (a + b)))) \
+        .otherwise(F.lit(0.0))
+    return (c.where(a + b >= 10)
+            .join(F.broadcast(tot))
+            .select("term", a.alias("n_focus"), b.alias("n_rest"),
+                    F.round(2.0 * (term1 + term2), 6).alias("g2"),
+                    (a.cast("double") * tb > b.cast("double") * ta)
+                    .alias("overused"))
+            .orderBy(F.desc("g2"), F.asc("term")).limit(20))

@@ -874,3 +874,67 @@ def test_tukey_hsd_matches_python_model(spark, sf_dir):
             assert got.significant == (got.q_stat > 3.858)
             n_sig += int(got.significant)
     assert len(rows) == k * (k - 1) // 2
+
+
+def test_james_stein_matches_python_model(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+    rows = {r.event_type: r for r in
+            QUERIES["stats_james_stein_shrinkage"](spark, sf_dir)
+            .collect()}
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("event_type", "value").collect()
+    two = Decimal("0.01")
+    g = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for r in ev:
+        v = Decimal(repr(r.value)).quantize(two, rounding=ROUND_HALF_UP)
+        e = g[r.event_type]
+        e[0] += 1
+        e[1] += v
+        e[2] += v * v
+    k = len(g)
+    nn = sum(e[0] for e in g.values())
+    sd = float(sum(e[1] for e in g.values()))
+    qd = float(sum(e[2] for e in g.values()))
+    grand = round(sd / nn, 9)
+    mse = (qd - sd * sd / nn) / (nn - k)
+    means = {t: round(float(e[1]) / e[0], 9) for t, e in g.items()}
+    ssdev = sum((m - grand) ** 2 for m in means.values())
+    min_n = min(e[0] for e in g.values())
+    shrink = max(0.0, 1.0 - (k - 3) * (mse / min_n) / ssdev)
+    for t, m in means.items():
+        got = rows[t]
+        assert got.mean == m
+        assert math.isclose(got.js_mean,
+                            grand + shrink * (m - grand), abs_tol=2e-6)
+        assert math.isclose(got.shrink_factor, shrink, abs_tol=2e-6)
+    # shrinkage moves every mean strictly TOWARD the grand mean
+    for t, m in means.items():
+        assert abs(rows[t].js_mean - grand) <= abs(m - grand) + 1e-9
+    assert 0.0 <= rows[list(means)[0]].shrink_factor <= 1.0
+
+
+def test_keyness_matches_python_model(spark, sf_dir):
+    rows = QUERIES["text_keyness_dunning"](spark, sf_dir).collect()
+    from collections import Counter
+    a_cnt, b_cnt = Counter(), Counter()
+    for r in _docs(spark, sf_dir):
+        tgt = a_cnt if r.source == "src0" else b_cnt
+        tgt.update(r.text.split(" "))
+    ta, tb = sum(a_cnt.values()), sum(b_cnt.values())
+    scored = []
+    for term in set(a_cnt) | set(b_cnt):
+        a, b = a_cnt.get(term, 0), b_cnt.get(term, 0)
+        if a + b < 10:
+            continue
+        g2 = 0.0
+        if a > 0:
+            g2 += a * math.log(a * (ta + tb) / (ta * (a + b)))
+        if b > 0:
+            g2 += b * math.log(b * (ta + tb) / (tb * (a + b)))
+        scored.append((round(2 * g2, 6), term, a, b, a * tb > b * ta))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    want = [(t, a, b, g, o) for g, t, a, b, o in scored[:20]]
+    assert [(r.term, r.n_focus, r.n_rest, r.g2, r.overused)
+            for r in rows] == want
+    # G2 is a likelihood ratio: non-negative everywhere
+    assert all(r.g2 >= -1e-9 for r in rows)

@@ -47,6 +47,9 @@ WHITELIST_BNLJ = {
     "sketch_ams_f2_selfjoin": "1-row median-estimate broadcast",
     "dataset_temporal_split_leakage": "1-row tercile-boundary broadcast",
     "events_reliability_report": "two 1-row KPI combines",
+    "stats_james_stein_shrinkage": "1-row moment + shrink-factor "
+        "combines over the k-row group table",
+    "text_keyness_dunning": "1-row corpus-totals broadcast",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
