@@ -1968,3 +1968,86 @@ def dataset_temporal_split_leakage(spark: SparkSession,
                             / F.col("n_users_b"), 9)
                     .alias("leakage_into_b"))
             .orderBy("split_a", "split_b"))
+
+
+_MUS_N = 100  # sampling points (the audit's sample-size parameter)
+
+
+@query("sampling_monetary_unit", oracle=f"""
+WITH o AS (
+  SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+c AS (
+  SELECT o_orderkey, cents,
+    CAST(coalesce(SUM(cents) OVER (ORDER BY o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM o),
+tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS t,
+    CAST(SUM(cents) // {_MUS_N} AS BIGINT) AS iv
+  FROM o),
+st AS (
+  SELECT iv, ('0x' || substr(md5('mus'), 1, 15))::BIGINT % iv AS start
+  FROM tot),
+pts AS (
+  SELECT start + CAST(k AS BIGINT) * iv AS p
+  FROM st CROSS JOIN (SELECT unnest(range(0, {_MUS_N})) AS k)),
+hit AS (
+  SELECT o_orderkey, cents, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM c JOIN pts ON p >= cum_before AND p < cum_before + cents
+  GROUP BY o_orderkey, cents),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_selected FROM hit)
+SELECT o_orderkey, cents, n_hits, n_selected
+FROM hit CROSS JOIN ns
+ORDER BY o_orderkey LIMIT 50""")
+def sampling_monetary_unit(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Monetary-unit (dollar-unit) sampling — the audit-profession
+    standard: every CENT of order value is a sampling unit, so orders
+    are selected with probability proportional to value, and an order
+    big enough to straddle several systematic points is hit multiple
+    times (its n_hits weights the audit extrapolation).  Systematic
+    selection: 100 points at interval T/100 from an md5-derived
+    deterministic start, intersected with each order's [cum_before,
+    cum_before+value) cent range.
+
+    Exactness: money works in integer CENTS end-to-end (no float in
+    the design at all); the point set is generated from a 1-row
+    (start, interval) broadcast and joined by exact integer range
+    containment.  Shape: one prefix-sum window over the order ledger
+    (at 100 TB: per-partition subtotals + boundary handoff — the
+    pack_sequences_cumsum contract) and a 100-row broadcast range
+    join; the audit sample is ~100 rows whatever the ledger size."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint").alias("cents"))
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, -1)
+    c = o.select("o_orderkey", "cents",
+                 F.coalesce(F.sum("cents").over(w), F.lit(0))
+                 .cast("long").alias("cum_before"))
+    tot = o.agg(F.sum("cents").cast("long").alias("t"),
+                F.expr(f"CAST(SUM(cents) DIV {_MUS_N} AS BIGINT)")
+                .alias("iv"))
+    st = tot.select(
+        "iv",
+        (F.conv(F.substring(F.md5(F.lit("mus")), 1, 15), 16, 10)
+         .cast("bigint") % F.col("iv")).alias("start"))
+    pts = (st.select("start", "iv",
+                     F.explode(F.sequence(F.lit(0), F.lit(_MUS_N - 1)))
+                     .alias("k"))
+           .select((F.col("start") + F.col("k").cast("long")
+                    * F.col("iv")).alias("p")))
+    hit = (c.join(F.broadcast(pts),
+                  (F.col("p") >= F.col("cum_before"))
+                  & (F.col("p") < F.col("cum_before") + F.col("cents")))
+           .groupBy("o_orderkey", "cents")
+           .agg(F.count("*").cast("long").alias("n_hits")))
+    ns = hit.agg(F.count("*").cast("long").alias("n_selected"))
+    return (hit.crossJoin(F.broadcast(ns))
+            .select("o_orderkey", "cents", "n_hits", "n_selected")
+            .orderBy("o_orderkey").limit(50))

@@ -1869,3 +1869,68 @@ def text_keyness_dunning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (a.cast("double") * tb > b.cast("double") * ta)
                     .alias("overused"))
             .orderBy(F.desc("g2"), F.asc("term")).limit(20))
+
+
+@query("text_vocabulary_richness", oracle=f"""
+WITH tf AS (
+  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS r
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok),
+fof AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+tot AS (
+  SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+    CAST(SUM(n_r) AS BIGINT) AS v_obs,
+    CAST(coalesce(SUM(n_r) FILTER (WHERE r = 1), 0) AS BIGINT) AS n1,
+    CAST(coalesce(SUM(n_r) FILTER (WHERE r = 2), 0) AS BIGINT) AS n2
+  FROM fof)
+SELECT n_tokens, v_obs, n1, n2,
+  round(CAST(n1 AS DOUBLE) / n_tokens, 9) AS gt_missing_mass,
+  round(CASE WHEN n2 > 0
+        THEN v_obs + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2)
+        ELSE v_obs + CAST(n1 AS DOUBLE) * (n1 - 1) / 2.0 END, 6)
+    AS chao1_estimate,
+  round(CASE WHEN n1 > 0 THEN 2.0 * n2 / n1 ELSE 0.0 END, 6)
+    AS gt_adjusted_r1
+FROM tot""")
+def text_vocabulary_richness(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Vocabulary-richness estimators from the frequency-of-frequencies
+    table: the Good-Turing missing mass n₁/N (the probability the NEXT
+    token is an unseen type — how much more corpus is worth collecting
+    for vocabulary coverage), the Good-Turing adjusted count for
+    singletons r₁* = 2n₂/n₁ (the smoothing kernel under Katz/KN
+    backoff), and the Chao1 lower bound on TRUE vocabulary size
+    V + n₁²/2n₂ (the species-richness estimator applied to types).
+    Together these answer "how much vocabulary is this corpus still
+    missing" — the tokenizer-sizing and corpus-collection planning
+    numbers, complementing the Heaps-law growth fit.
+
+    Determinism: the term-count and frequency-of-frequency layers are
+    exact BIGINT; each estimator is one fixed-shape double expression
+    (bias-corrected Chao1 branch when n₂ = 0, stated).  Shape: two
+    chained aggregates (term counts → count histogram, both map-side
+    combining) and a 1-row report."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (t["documents"]
+          .select(F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("term").agg(F.count("*").cast("long").alias("r")))
+    fof = tf.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("v_obs"),
+        F.coalesce(F.sum(F.when(F.col("r") == 1, F.col("n_r"))),
+                   F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("r") == 2, F.col("n_r"))),
+                   F.lit(0)).cast("long").alias("n2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    chao1 = F.when(n2 > 0,
+                   F.col("v_obs") + n1.cast("double") * n1 / (2.0 * n2)) \
+        .otherwise(F.col("v_obs")
+                   + n1.cast("double") * (n1 - 1) / 2.0)
+    return tot.select(
+        "n_tokens", "v_obs", "n1", "n2",
+        F.round(n1.cast("double") / F.col("n_tokens"), 9)
+         .alias("gt_missing_mass"),
+        F.round(chao1, 6).alias("chao1_estimate"),
+        F.round(F.when(n1 > 0, 2.0 * n2 / n1).otherwise(F.lit(0.0)), 6)
+         .alias("gt_adjusted_r1"))

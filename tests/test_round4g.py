@@ -938,3 +938,47 @@ def test_keyness_matches_python_model(spark, sf_dir):
             for r in rows] == want
     # G2 is a likelihood ratio: non-negative everywhere
     assert all(r.g2 >= -1e-9 for r in rows)
+
+
+def test_vocabulary_richness_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    row = QUERIES["text_vocabulary_richness"](spark, sf_dir).collect()[0]
+    cnt = Counter()
+    for r in _docs(spark, sf_dir):
+        cnt.update(r.text.split(" "))
+    N = sum(cnt.values())
+    V = len(cnt)
+    n1 = sum(1 for c in cnt.values() if c == 1)
+    n2 = sum(1 for c in cnt.values() if c == 2)
+    assert (row.n_tokens, row.v_obs, row.n1, row.n2) == (N, V, n1, n2)
+    assert row.gt_missing_mass == round(n1 / N, 9)
+    if n2 > 0:
+        assert row.chao1_estimate == round(V + n1 * n1 / (2 * n2), 6)
+    assert row.gt_adjusted_r1 == round(2 * n2 / n1 if n1 else 0.0, 6)
+    # Chao1 is a LOWER bound estimator: never below the observed V
+    assert row.chao1_estimate >= V
+
+
+def test_monetary_unit_sampling_matches_python_model(spark, sf_dir):
+    import hashlib
+    rows = QUERIES["sampling_monetary_unit"](spark, sf_dir).collect()
+    o = load_tables(spark, sf_dir, ("orders",))["orders"] \
+        .select("o_orderkey", "o_totalprice").collect()
+    ledger = sorted((r.o_orderkey, round(r.o_totalprice * 100))
+                    for r in o)
+    T = sum(c for _, c in ledger)
+    iv = T // 100
+    start = int(hashlib.md5(b"mus").hexdigest()[:15], 16) % iv
+    pts = [start + k * iv for k in range(100)]
+    cum, hits = 0, {}
+    for key, cents in ledger:
+        n = sum(1 for p in pts if cum <= p < cum + cents)
+        if n:
+            hits[key] = (cents, n)
+        cum += cents
+    want = sorted(hits.items())[:50]
+    assert [(r.o_orderkey, (r.cents, r.n_hits)) for r in rows] == want
+    assert all(r.n_selected == len(hits) for r in rows)
+    # systematic PPS: every point lands in exactly one order, so total
+    # hits == number of points, and selection prob ∝ value by design
+    assert sum(n for _, (_, n) in hits.items()) == 100

@@ -50,6 +50,8 @@ WHITELIST_BNLJ = {
     "stats_james_stein_shrinkage": "1-row moment + shrink-factor "
         "combines over the k-row group table",
     "text_keyness_dunning": "1-row corpus-totals broadcast",
+    "sampling_monetary_unit": "100-row sampling-point broadcast range "
+        "join (the MUS design; points, not orders, broadcast)",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -191,6 +193,9 @@ WHITELIST_GLOBALWIN = {
     "zorder_cluster_key": "demo of at-rest layout; write-time sort",
     "pack_sequences_cumsum": "per-shard window (partitioned)",
     "layout_compaction_bins": "prefix sum over the 64-row shard aggregate",
+    "sampling_monetary_unit": "ledger prefix sum (two-level "
+        "subtotal+boundary handoff at scale, pack_sequences_cumsum "
+        "contract)",
     "bollinger_hourly_value": "hourly layer is bounded",
     "events_hourly_anomaly": "hourly layer is bounded",
     "dedup_clusters_summary": "cluster histogram is bounded",
