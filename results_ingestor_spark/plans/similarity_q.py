@@ -1337,3 +1337,63 @@ def embedding_isotropy_score(spark: SparkSession,
         F.round((F.col("sum_sq") - n)
                 / (n.cast("double") * (n - 1)), 6)
          .alias("avg_pairwise_cosine"))
+
+
+@query("embedding_intrinsic_dim_twonn", oracle=f"""
+WITH g AS ({_knn_graph_oracle(2)}),
+rr AS (
+  SELECT src,
+    MAX(CASE WHEN rn = 1 THEN 1.0 - cosine END) AS r1,
+    MAX(CASE WHEN rn = 2 THEN 1.0 - cosine END) AS r2
+  FROM g GROUP BY src HAVING COUNT(*) = 2),
+mu AS (
+  SELECT src, round(ln(r2 / r1), 9) AS mu
+  FROM rr WHERE r1 > 0 AND r2 >= r1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_valid, SUM(mu) AS smu FROM mu),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM embeddings)
+SELECT n_points, n_valid,
+  round(CAST(n_valid AS DOUBLE) / smu, 6) AS intrinsic_dim,
+  round(smu / n_valid, 9) AS mean_mu
+FROM agg CROSS JOIN np""")
+def embedding_intrinsic_dim_twonn(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): from
+    each point's two nearest neighbors alone, μ = ln(r₂/r₁) is
+    Pareto(id)-distributed, so the MLE is id = n/Σμ.  The intrinsic
+    dimension — how many degrees of freedom the embeddings actually
+    use, regardless of their ambient 64 — is the number that predicts
+    ANN difficulty (LSH/IVF recall decays with id, not with ambient
+    dim) and detects representation collapse (id ≪ ambient after bad
+    fine-tuning).  Distances are cosine distances from the BANDED kNN
+    graph (ann_knn_graph_banded's exact pipeline, r₁ > 0 duplicates
+    dropped, stated), so the whole estimator replays in SQL and the
+    oracle checks it end-to-end.
+
+    Each μ snaps to 9 dp; the Σμ float sum is order-noisy at ~1e-16
+    relative and the output snaps at 6 (the covariance contract).
+    Shape: the kNN-graph budget + a per-src 2-row pivot + a 1-row
+    MLE."""
+    g = ann_knn_graph_banded(spark, sf_dir)
+    rr = (g.where(F.col("rn") <= 2)
+          .groupBy("src")
+          .agg(F.max(F.when(F.col("rn") == 1, 1.0 - F.col("cosine")))
+               .alias("r1"),
+               F.max(F.when(F.col("rn") == 2, 1.0 - F.col("cosine")))
+               .alias("r2"),
+               F.count("*").alias("m"))
+          .where(F.col("m") == 2))
+    mu = (rr.where((F.col("r1") > 0) & (F.col("r2") >= F.col("r1")))
+          .select(F.round(F.log(F.col("r2") / F.col("r1")), 9)
+                  .alias("mu")))
+    agg = mu.agg(F.count("*").cast("long").alias("n_valid"),
+                 F.sum("mu").alias("smu"))
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    np_ = t["embeddings"].agg(F.count("*").cast("long")
+                              .alias("n_points"))
+    return (agg.crossJoin(F.broadcast(np_))
+            .select("n_points", "n_valid",
+                    F.round(F.col("n_valid").cast("double")
+                            / F.col("smu"), 6).alias("intrinsic_dim"),
+                    F.round(F.col("smu") / F.col("n_valid"), 9)
+                    .alias("mean_mu")))

@@ -1934,3 +1934,75 @@ def text_vocabulary_richness(spark: SparkSession,
         F.round(chao1, 6).alias("chao1_estimate"),
         F.round(F.when(n1 > 0, 2.0 * n2 / n1).otherwise(F.lit(0.0)), 6)
          .alias("gt_adjusted_r1"))
+
+
+@query("text_bigram_entropy_rate", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk)),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+       GROUP BY w1, w2),
+cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cx FROM bc GROUP BY w1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v_bigrams FROM bc),
+hj AS (
+  SELECT SUM(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+    AS h_joint
+  FROM bc CROSS JOIN tot),
+hc AS (
+  SELECT SUM(-(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n))
+    AS h_context
+  FROM cc CROSS JOIN tot)
+SELECT n AS n_bigrams, v_bigrams,
+  round(h_joint, 6) AS h_joint_nats,
+  round(h_context, 6) AS h_context_nats,
+  round(h_joint - h_context, 6) AS h_conditional_nats,
+  round(exp(h_joint - h_context), 6) AS perplexity_per_token
+FROM tot CROSS JOIN hj CROSS JOIN hc""")
+def text_bigram_entropy_rate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Entropy rate of the corpus under a bigram model (Shannon's
+    estimate of language information content): the conditional entropy
+    H(W₂|W₁) = H(W₁,W₂) − H(W₁) over adjacent-token pairs, with its
+    per-token perplexity e^H — the compressibility floor a bigram
+    coder can reach, and the single number that separates repetitive/
+    templated corpora (low rate) from diverse prose (high).  Pairs
+    with the Kneser-Ney and perplexity entries: those SCORE documents
+    under a model; this measures the corpus's own rate.
+
+    The entropy sums run over the bigram-type table (unordered float
+    aggregation — per-term values are identical in both engines, the
+    summation-order noise is ~1e-13 and outputs snap at 6 dp, the
+    covariance contract).  Shape: one (w1,w2) count aggregate with
+    map-side combine, its w1 marginal, a 1-row N broadcast, three
+    1-row reduces."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    grams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(element_at(split(text, ' '), i) AS w1, "
+        "element_at(split(text, ' '), i + 1) AS w2))")
+    bc = (t["documents"]
+          .select(F.explode(grams).alias("g"))
+          .select("g.w1", "g.w2")
+          .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c")))
+    cc = bc.groupBy("w1").agg(F.sum("c").cast("long").alias("cx"))
+    tot = bc.agg(F.sum("c").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("v_bigrams"))
+    hj = (bc.crossJoin(F.broadcast(tot))
+          .agg(F.sum(-(F.col("c").cast("double") / F.col("n"))
+                     * F.log(F.col("c").cast("double") / F.col("n")))
+               .alias("h_joint")))
+    hc = (cc.crossJoin(F.broadcast(tot))
+          .agg(F.sum(-(F.col("cx").cast("double") / F.col("n"))
+                     * F.log(F.col("cx").cast("double") / F.col("n")))
+               .alias("h_context")))
+    return (tot.crossJoin(F.broadcast(hj)).crossJoin(F.broadcast(hc))
+            .select(F.col("n").alias("n_bigrams"), "v_bigrams",
+                    F.round("h_joint", 6).alias("h_joint_nats"),
+                    F.round("h_context", 6).alias("h_context_nats"),
+                    F.round(F.col("h_joint") - F.col("h_context"), 6)
+                    .alias("h_conditional_nats"),
+                    F.round(F.exp(F.col("h_joint") - F.col("h_context")),
+                            6).alias("perplexity_per_token")))

@@ -982,3 +982,45 @@ def test_monetary_unit_sampling_matches_python_model(spark, sf_dir):
     # systematic PPS: every point lands in exactly one order, so total
     # hits == number of points, and selection prob ∝ value by design
     assert sum(n for _, (_, n) in hits.items()) == 100
+
+
+def test_twonn_matches_knn_graph(spark, sf_dir):
+    row = QUERIES["embedding_intrinsic_dim_twonn"](spark, sf_dir) \
+        .collect()[0]
+    g = QUERIES["ann_knn_graph_banded"](spark, sf_dir).collect()
+    per_src = defaultdict(dict)
+    for r in g:
+        if r.rn <= 2:
+            per_src[r.src][r.rn] = 1.0 - r.cosine
+    mus = []
+    for src, rr in per_src.items():
+        if len(rr) == 2 and rr[1] > 0 and rr[2] >= rr[1]:
+            mus.append(round(math.log(rr[2] / rr[1]), 9))
+    assert row.n_valid == len(mus)
+    assert math.isclose(row.intrinsic_dim, len(mus) / sum(mus),
+                        abs_tol=1e-4)
+    # a 64-dim ambient space bounds the estimate loosely from above;
+    # the estimator must be positive
+    assert 0 < row.intrinsic_dim < 200
+
+
+def test_entropy_rate_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    row = QUERIES["text_bigram_entropy_rate"](spark, sf_dir).collect()[0]
+    bc, cc = Counter(), Counter()
+    for r in _docs(spark, sf_dir):
+        toks = r.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+            cc[a] += 1
+    N = sum(bc.values())
+    hj = -sum(c / N * math.log(c / N) for c in bc.values())
+    hctx = -sum(c / N * math.log(c / N) for c in cc.values())
+    assert (row.n_bigrams, row.v_bigrams) == (N, len(bc))
+    assert math.isclose(row.h_joint_nats, hj, abs_tol=1e-5)
+    assert math.isclose(row.h_context_nats, hctx, abs_tol=1e-5)
+    assert math.isclose(row.h_conditional_nats, hj - hctx, abs_tol=2e-5)
+    # information theory bounds: 0 <= H(W2|W1) <= H(W1,W2), and the
+    # per-token perplexity can't exceed the bigram vocabulary
+    assert -1e-9 <= row.h_conditional_nats <= row.h_joint_nats + 1e-9
+    assert row.perplexity_per_token <= len(cc) + 1

@@ -52,6 +52,9 @@ WHITELIST_BNLJ = {
     "text_keyness_dunning": "1-row corpus-totals broadcast",
     "sampling_monetary_unit": "100-row sampling-point broadcast range "
         "join (the MUS design; points, not orders, broadcast)",
+    "embedding_isotropy_score": "1-row n-vecs broadcast",
+    "embedding_intrinsic_dim_twonn": "1-row point-count broadcast",
+    "text_bigram_entropy_rate": "1-row N + entropy-scalar broadcasts",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -290,6 +293,9 @@ WHITELIST_GLOBALWIN = {
         "k-row stratum table",
     "sketch_ams_f2_selfjoin": "median rank window over the 16-row "
         "estimator table",
+    "embedding_intrinsic_dim_twonn": "kNN-graph top-k window "
+        "(src-partitioned, ann_knn_graph_banded contract); the "
+        "SinglePartition exchange is the 1-row MLE combine",
 }
 
 
