@@ -3673,3 +3673,94 @@ def stats_james_stein_shrinkage(spark: SparkSession,
                     .alias("js_mean"),
                     F.round("shrink", 6).alias("shrink_factor"))
             .orderBy("event_type"))
+
+
+def _mase_oracle() -> str:
+    legs = []
+    for name, lag in (("naive_lag1", 1), ("seasonal_naive_lag24", 24),
+                      ("mean_forecast", 0)):
+        if lag:
+            legs.append(f"""
+  SELECT '{name}' AS model,
+    CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+    CAST(SUM(abs(y - lag{lag})) AS DOUBLE) AS abs_err_sum
+  FROM l WHERE lag{lag} IS NOT NULL""")
+        else:
+            # |y - S/N| = |y*N - S| / N: the scaled sum stays BIGINT
+            legs.append(f"""
+  SELECT '{name}', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(abs(y * nh - sy)) AS DOUBLE) / MAX(nh)
+  FROM l CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+                       CAST(SUM(y) AS BIGINT) AS sy FROM h) m""")
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+l AS (
+  SELECT y,
+    lag(y, 1) OVER (ORDER BY bucket) AS lag1,
+    lag(y, 24) OVER (ORDER BY bucket) AS lag24
+  FROM h),
+e AS ({" UNION ALL ".join(legs)}),
+base AS (SELECT abs_err_sum AS bs, n_forecasts AS bn FROM e
+         WHERE model = 'naive_lag1')
+SELECT model, n_forecasts,
+  round(CAST(abs_err_sum AS DOUBLE) / n_forecasts, 6) AS mae,
+  round((CAST(abs_err_sum AS DOUBLE) / n_forecasts)
+        / (CAST(bs AS DOUBLE) / bn), 6) AS mase
+FROM e CROSS JOIN base ORDER BY model"""
+
+
+@query("stats_forecast_accuracy_mase", oracle=_mase_oracle())
+def stats_forecast_accuracy_mase(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoreboard with MASE (Hyndman & Koehler
+    2006) — the scale-free metric that makes forecast errors
+    comparable across series: MAE of each baseline divided by the MAE
+    of the one-step naive forecast.  Models: naive (carry last hour),
+    seasonal naive (carry the same hour yesterday — MASE < 1 here
+    PROVES a daily cycle worth modeling), and the constant
+    in-sample-mean forecast.  This is the evaluation harness the
+    EWMA/SES forecast entries should be judged by, shipped as data.
+
+    Exactness: hourly counts are integers, so the naive/seasonal
+    absolute-error sums are exact; the mean-forecast leg avoids the
+    float-sum trap via |y − S/N| = |y·N − S|/N (one exact BIGINT sum,
+    one division); final ratios snap at 6.
+    Shape: lag windows on the O(hours) layer, three 1-row legs, a
+    1-row base broadcast."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"]
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count("*").cast("long").alias("y")))
+    w = Window.orderBy("bucket")
+    l = h.select("y", F.lag("y", 1).over(w).alias("lag1"),
+                 F.lag("y", 24).over(w).alias("lag24"))
+    legs = []
+    for name, lagcol in (("naive_lag1", "lag1"),
+                         ("seasonal_naive_lag24", "lag24")):
+        legs.append(
+            l.where(F.col(lagcol).isNotNull())
+            .agg(F.lit(name).alias("model"),
+                 F.count("*").cast("long").alias("n_forecasts"),
+                 F.sum(F.abs(F.col("y") - F.col(lagcol))).cast("double")
+                  .alias("abs_err_sum_d")))
+    mu = h.agg(F.count("*").cast("long").alias("nh"),
+               F.sum("y").cast("long").alias("sy"))
+    legs.append(
+        l.crossJoin(F.broadcast(mu))
+        .agg(F.lit("mean_forecast").alias("model"),
+             F.count("*").cast("long").alias("n_forecasts"),
+             (F.sum(F.abs(F.col("y") * F.col("nh") - F.col("sy")))
+              .cast("double") / F.max("nh")).alias("abs_err_sum_d")))
+    e = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    base = (e.where(F.col("model") == "naive_lag1")
+            .select(F.col("abs_err_sum_d").alias("bs"),
+                    F.col("n_forecasts").alias("bn")))
+    mae = F.col("abs_err_sum_d").cast("double") / F.col("n_forecasts")
+    return (e.crossJoin(F.broadcast(base))
+            .select("model", "n_forecasts",
+                    F.round(mae, 6).alias("mae"),
+                    F.round(mae / (F.col("bs").cast("double")
+                                   / F.col("bn")), 6).alias("mase"))
+            .orderBy("model"))

@@ -1024,3 +1024,32 @@ def test_entropy_rate_matches_python_model(spark, sf_dir):
     # per-token perplexity can't exceed the bigram vocabulary
     assert -1e-9 <= row.h_conditional_nats <= row.h_joint_nats + 1e-9
     assert row.perplexity_per_token <= len(cc) + 1
+
+
+def test_mase_matches_python_model(spark, sf_dir):
+    rows = {r.model: r for r in
+            QUERIES["stats_forecast_accuracy_mase"](spark, sf_dir)
+            .collect()}
+    cnt = defaultdict(int)
+    for r in load_tables(spark, sf_dir, ("events",))["events"] \
+            .select("ts").collect():
+        cnt[r.ts.replace(minute=0, second=0, microsecond=0)] += 1
+    y = [cnt[k] for k in sorted(cnt)]
+    n = len(y)
+    mae1 = sum(abs(a - b) for a, b in zip(y[1:], y)) / (n - 1)
+    mae24 = sum(abs(y[i] - y[i - 24]) for i in range(24, n)) / (n - 24)
+    S = sum(y)
+    mae_mu = sum(abs(v * n - S) for v in y) / n / n
+    got1, got24 = rows["naive_lag1"], rows["seasonal_naive_lag24"]
+    gotm = rows["mean_forecast"]
+    assert got1.n_forecasts == n - 1
+    assert got24.n_forecasts == n - 24
+    assert gotm.n_forecasts == n
+    assert math.isclose(got1.mae, mae1, abs_tol=1e-5)
+    assert math.isclose(got24.mae, mae24, abs_tol=1e-5)
+    assert math.isclose(gotm.mae, mae_mu, abs_tol=1e-5)
+    assert got1.mase == 1.0  # the scale itself
+    assert math.isclose(got24.mase, mae24 / mae1, abs_tol=1e-4)
+    # MASE is a positive ratio (on near-white noise the in-sample
+    # mean legitimately beats the one-step naive: sigma vs sigma*sqrt2)
+    assert got24.mase > 0 and gotm.mase > 0

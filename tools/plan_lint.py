@@ -55,6 +55,7 @@ WHITELIST_BNLJ = {
     "embedding_isotropy_score": "1-row n-vecs broadcast",
     "embedding_intrinsic_dim_twonn": "1-row point-count broadcast",
     "text_bigram_entropy_rate": "1-row N + entropy-scalar broadcasts",
+    "stats_forecast_accuracy_mase": "1-row mean/base-MAE broadcasts",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -269,6 +270,9 @@ WHITELIST_GLOBALWIN = {
     "stats_anova_oneway_f": "ordered k-row fold over the event-type "
         "group table (order-fixed double summation)",
     "stats_tukey_hsd": "ANOVA-contract ordered k-row fold for MSE",
+    "stats_forecast_accuracy_mase": "lag windows over the hourly "
+        "layer (ACF contract); the SinglePartition exchanges are the "
+        "1-row leg reduces",
     "events_reliability_report": "sessionize window is "
         "user-partitioned; the SinglePartition exchanges are the two "
         "1-row KPI combines",
