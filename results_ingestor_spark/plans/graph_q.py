@@ -900,3 +900,74 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       * (F.col("n_nodes") - 1)), 9))
                     .alias("phi"))
             .orderBy("k"))
+
+
+@query("graph_brand_homophily", oracle=f"""
+WITH e AS ({_EDGES}),
+be AS (
+  SELECT pu.p_brand AS bu, pv.p_brand AS bv
+  FROM e JOIN part pu ON pu.p_partkey = e.u
+         JOIN part pv ON pv.p_partkey = e.v),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+    CAST(count_if(bu = bv) AS BIGINT) AS same
+  FROM be),
+c AS (
+  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2,
+    CAST(COUNT(*) AS BIGINT) AS n_brands
+  FROM (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT bu AS b FROM be UNION ALL SELECT bv FROM be)
+    GROUP BY b))
+SELECT m AS n_edges, same AS n_same_brand, n_brands,
+  round(CAST(same AS DOUBLE) / m, 9) AS same_share,
+  round(CAST(sum_c2 AS DOUBLE) / (4.0 * m * m), 9) AS expected_share,
+  round(CAST(4 * m * same - sum_c2 AS DOUBLE)
+        / (4 * m * m - sum_c2), 9) AS assortativity_r
+FROM m CROSS JOIN c""")
+def graph_brand_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute homophily of the co-purchase graph (Newman's discrete
+    assortativity): do parts co-purchase within their own BRAND more
+    than degree-weighted chance predicts?  r = (4m·same − Σc_b²) /
+    (4m² − Σc_b²), where same counts same-brand edges and c_b counts
+    brand-b edge ENDPOINTS — the closed form of (Σe_bb − Σa_b²)/(1 −
+    Σa_b²) with every quantity an exact BIGINT and ONE terminal
+    division.  r > 0 means brand-loyal baskets (brand is a useful
+    blocking key for this graph's algorithms); r ≈ 0 means brand is
+    noise to them.  Complements graph_degree_assortativity (degree
+    homophily) with the categorical-attribute version.
+
+    Shape: edge list joined twice to the part dim (broadcast,
+    dim-sized), one edge census + one brand-endpoint census, two 1-row
+    combines."""
+    li = load_tables(spark, sf_dir, ("lineitem", "part"))
+    edges = copurchase_edges(li["lineitem"])
+    brand = li["part"].select("p_partkey", "p_brand")
+    be = (edges
+          .join(F.broadcast(brand.select(
+              F.col("p_partkey").alias("u"),
+              F.col("p_brand").alias("bu"))), "u")
+          .join(F.broadcast(brand.select(
+              F.col("p_partkey").alias("v"),
+              F.col("p_brand").alias("bv"))), "v")
+          .select("bu", "bv"))
+    m = be.agg(F.count("*").cast("long").alias("m"),
+               F.count_if(F.col("bu") == F.col("bv")).cast("long")
+                .alias("same"))
+    ends = be.select(F.col("bu").alias("b")).unionAll(
+        be.select(F.col("bv").alias("b")))
+    c = (ends.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+         .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+               .alias("sum_c2"),
+              F.count("*").cast("long").alias("n_brands")))
+    mm, same, sc2 = F.col("m"), F.col("same"), F.col("sum_c2")
+    return (m.crossJoin(F.broadcast(c))
+            .select(mm.alias("n_edges"), same.alias("n_same_brand"),
+                    "n_brands",
+                    F.round(same.cast("double") / mm, 9)
+                    .alias("same_share"),
+                    F.round(sc2.cast("double") / (4.0 * mm * mm), 9)
+                    .alias("expected_share"),
+                    F.round((4 * mm * same - sc2).cast("double")
+                            / (4 * mm * mm - sc2), 9)
+                    .alias("assortativity_r")))

@@ -875,3 +875,109 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("t").cast("double"), 9)
                     .alias("value_share"))
             .orderBy("bucket"))
+
+
+@query("abc_xyz_matrix", oracle="""
+WITH li AS (
+  SELECT l.l_partkey AS part,
+    CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         AS DECIMAL(18,4)) AS rev,
+    CAST(date_trunc('week', o.o_orderdate) AS DATE) AS wk,
+    CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+pr AS (
+  SELECT part, CAST(SUM(rev) AS DECIMAL(38,4)) AS rev
+  FROM li GROUP BY part),
+ranked AS (
+  SELECT part, rev,
+    SUM(rev) OVER (ORDER BY rev DESC, part) AS cum,
+    SUM(rev) OVER () AS tot
+  FROM pr),
+abc AS (
+  SELECT part,
+    CASE WHEN CAST(cum AS DOUBLE) <= 0.8 * CAST(tot AS DOUBLE) THEN 'A'
+         WHEN CAST(cum AS DOUBLE) <= 0.95 * CAST(tot AS DOUBLE) THEN 'B'
+         ELSE 'C' END AS abc
+  FROM ranked),
+wkly AS (
+  SELECT part, wk, CAST(SUM(qty) AS BIGINT) AS q
+  FROM li GROUP BY part, wk),
+mom AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(q) AS BIGINT) AS s,
+    CAST(SUM(q * q) AS BIGINT) AS qq
+  FROM wkly GROUP BY part),
+xyz AS (
+  SELECT part,
+    CASE WHEN n < 2 THEN 'Z'
+         WHEN n * (n * qq - s * s) * 100
+              <= (n - 1) * s * s * 25 THEN 'X'
+         WHEN n * (n * qq - s * s) * 100
+              <= (n - 1) * s * s * 100 THEN 'Y'
+         ELSE 'Z' END AS xyz
+  FROM mom)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (part)
+GROUP BY abc, xyz ORDER BY abc, xyz""")
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix — the supply-chain planning grid that
+    crosses revenue importance (A = first 80% of cumulative revenue,
+    B = next 15%, C = tail) with demand PREDICTABILITY from the
+    squared coefficient of variation of weekly quantities (X: CV² <=
+    0.25, steady; Y: <= 1.0; Z: erratic or single-week).  AX parts get
+    tight service levels and automation; CZ parts get made-to-order —
+    the 9-cell census is the policy table.
+
+    Exactness: revenue in exact DECIMAL with the cumulative ranking of
+    abc_inventory_classes; CV² thresholds are CROSS-MULTIPLIED exact
+    BIGINT comparisons (n(nΣq²−(Σq)²)·100 <= (n−1)(Σq)²·k — the bot
+    detector's algebra, zero float thresholds).  Shape: two part-keyed
+    aggregates (revenue, weekly moments) sharing the shuffle key, the
+    dim-sized cumulative window (abc contract), a 9-cell census."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = (t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_partkey").alias("part"),
+                F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")), 4)
+                .cast("decimal(18,4)").alias("rev"),
+                F.date_trunc("week", "o_orderdate").cast("date")
+                .alias("wk"),
+                F.col("l_quantity").cast("long").alias("qty")))
+    pr = li.groupBy("part").agg(F.sum("rev").cast("decimal(38,4)")
+                                .alias("rev"))
+    wcum = Window.orderBy(F.desc("rev"), F.asc("part")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = pr.select(
+        "part", "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("tot"))
+    abc = ranked.select(
+        "part",
+        F.when(F.col("cum").cast("double")
+               <= 0.8 * F.col("tot").cast("double"), "A")
+        .when(F.col("cum").cast("double")
+              <= 0.95 * F.col("tot").cast("double"), "B")
+        .otherwise("C").alias("abc"))
+    wkly = li.groupBy("part", "wk").agg(F.sum("qty").cast("long")
+                                        .alias("q"))
+    mom = wkly.groupBy("part").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"))
+    n, s, qq = F.col("n"), F.col("s"), F.col("qq")
+    num = n * (n * qq - s * s) * 100
+    den = (n - 1) * s * s
+    xyz = mom.select(
+        "part",
+        F.when(n < 2, "Z")
+        .when(num <= den * 25, "X")
+        .when(num <= den * 100, "Y")
+        .otherwise("Z").alias("xyz"))
+    return (abc.join(xyz, "part")
+            .groupBy("abc", "xyz")
+            .agg(F.count("*").cast("long").alias("n_parts"))
+            .orderBy("abc", "xyz"))

@@ -1053,3 +1053,80 @@ def test_mase_matches_python_model(spark, sf_dir):
     # MASE is a positive ratio (on near-white noise the in-sample
     # mean legitimately beats the one-step naive: sigma vs sigma*sqrt2)
     assert got24.mase > 0 and gotm.mase > 0
+
+
+def test_abc_xyz_matches_python_model(spark, sf_dir):
+    from decimal import Decimal
+    rows = {(r.abc, r.xyz): r.n_parts for r in
+            QUERIES["abc_xyz_matrix"](spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    od = {r.o_orderkey: r.o_orderdate for r in
+          t["orders"].select("o_orderkey", "o_orderdate").collect()}
+    rev = defaultdict(Decimal)
+    wk = defaultdict(lambda: defaultdict(int))
+    for r in t["lineitem"].select("l_orderkey", "l_partkey",
+                                  "l_extendedprice", "l_discount",
+                                  "l_quantity").collect():
+        rv = Decimal(str(round(r.l_extendedprice
+                               * (1 - r.l_discount), 4)))
+        rev[r.l_partkey] += rv
+        d = od[r.l_orderkey]
+        week = d - __import__("datetime").timedelta(
+            days=(d.weekday()))
+        wk[r.l_partkey][week] += int(r.l_quantity)
+    tot = sum(rev.values())
+    cum = Decimal(0)
+    abc = {}
+    for part, rv in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += rv
+        abc[part] = ("A" if float(cum) <= 0.8 * float(tot)
+                     else "B" if float(cum) <= 0.95 * float(tot)
+                     else "C")
+    want = defaultdict(int)
+    for part, weeks in wk.items():
+        qs = list(weeks.values())
+        n, s, qq = len(qs), sum(qs), sum(q * q for q in qs)
+        if n < 2:
+            x = "Z"
+        elif n * (n * qq - s * s) * 100 <= (n - 1) * s * s * 25:
+            x = "X"
+        elif n * (n * qq - s * s) * 100 <= (n - 1) * s * s * 100:
+            x = "Y"
+        else:
+            x = "Z"
+        want[(abc[part], x)] += 1
+    assert rows == dict(want)
+    # conservation: the matrix partitions the part population
+    assert sum(rows.values()) == len(rev)
+
+
+def test_brand_homophily_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    row = QUERIES["graph_brand_homophily"](spark, sf_dir).collect()[0]
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    brand = {r.p_partkey: r.p_brand for r in
+             t["part"].select("p_partkey", "p_brand").collect()}
+    orders = defaultdict(set)
+    for r in t["lineitem"].select("l_orderkey", "l_partkey").collect():
+        orders[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    m = len(edges)
+    same = sum(1 for u, v in edges if brand[u] == brand[v])
+    ends = Counter()
+    for u, v in edges:
+        ends[brand[u]] += 1
+        ends[brand[v]] += 1
+    sc2 = sum(c * c for c in ends.values())
+    assert (row.n_edges, row.n_same_brand, row.n_brands) == \
+        (m, same, len(ends))
+    assert row.assortativity_r == round(
+        (4 * m * same - sc2) / (4 * m * m - sc2), 9)
+    # r is bounded by 1 and its sign matches observed-vs-expected
+    assert row.assortativity_r <= 1.0
+    assert (row.assortativity_r > 0) == (row.same_share
+                                         > row.expected_share)

@@ -56,6 +56,7 @@ WHITELIST_BNLJ = {
     "embedding_intrinsic_dim_twonn": "1-row point-count broadcast",
     "text_bigram_entropy_rate": "1-row N + entropy-scalar broadcasts",
     "stats_forecast_accuracy_mase": "1-row mean/base-MAE broadcasts",
+    "graph_brand_homophily": "two 1-row census combines",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -251,6 +252,8 @@ WHITELIST_GLOBALWIN = {
         "the bounded duration-days domain",
     "abc_inventory_classes": "Pareto ranking window over the part "
         "aggregate (dim-sized)",
+    "abc_xyz_matrix": "Pareto ranking window over the part aggregate "
+        "(dim-sized, abc contract)",
     "text_heaps_law_fit": "growth-curve window over the document "
         "layer (one row per doc, not per token)",
     "growth_accounting_weekly": "lag/lead window is user-partitioned; "
