@@ -1397,3 +1397,64 @@ def embedding_intrinsic_dim_twonn(spark: SparkSession,
                             / F.col("smu"), 6).alias("intrinsic_dim"),
                     F.round(F.col("smu") / F.col("n_valid"), 9)
                     .alias("mean_mu")))
+
+
+@query("embedding_mmd_linear", oracle="""
+WITH flat AS (
+  SELECT label % 2 = 0 AS grp,
+    generate_subscripts(embedding, 1) - 1 AS i,
+    CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+s AS (
+  SELECT i,
+    SUM(CASE WHEN grp THEN v END) AS sa,
+    SUM(CASE WHEN NOT grp THEN v END) AS sb
+  FROM flat GROUP BY i),
+n AS (
+  SELECT CAST(count_if(label % 2 = 0) AS BIGINT) AS na,
+    CAST(count_if(label % 2 = 1) AS BIGINT) AS nb
+  FROM embeddings),
+g AS (
+  SELECT SUM((sa / na - sb / nb) * (sa / na - sb / nb)) AS mmd2
+  FROM s CROSS JOIN n)
+SELECT na, nb,
+  round(mmd2, 6) AS mmd2_linear,
+  round(sqrt(mmd2), 6) AS mean_distance
+FROM g CROSS JOIN n""")
+def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between the two
+    label-parity groups of the embedding corpus: MMD² = ‖μ_A − μ_B‖²,
+    the two-sample representation-drift test (Gretton et al.) in its
+    cheapest kernel — zero pair enumeration, just per-dimension group
+    means.  This is the monitor a feature-store runs between
+    yesterday's and today's embedding batches: MMD² rising means the
+    encoder or the upstream distribution moved, BEFORE any downstream
+    metric notices.  Complements the per-dimension covariance entry
+    (shape drift) with a single location-drift scalar.
+
+    Per-dimension float sums carry ~1e-16 summation-order noise and
+    outputs snap at 6 dp (the covariance/isotropy contract).  Shape:
+    one explode → 64-group aggregate with map-side combine (group
+    sums, never vectors, shuffle), a 1-row count broadcast, a 64-row
+    reduce."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = ensure_min_parallelism(t["embeddings"])
+    flat = e.select((F.col("label") % 2 == 0).alias("grp"),
+                    F.posexplode(F.transform(
+                        "embedding", lambda x: x.cast("double")))
+                    .alias("i", "v"))
+    s = (flat.groupBy("i")
+         .agg(F.sum(F.when(F.col("grp"), F.col("v"))).alias("sa"),
+              F.sum(F.when(~F.col("grp"), F.col("v"))).alias("sb")))
+    n = e.agg(F.count_if(F.col("label") % 2 == 0).cast("long")
+               .alias("na"),
+              F.count_if(F.col("label") % 2 == 1).cast("long")
+               .alias("nb"))
+    diff = (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+    g = (s.crossJoin(F.broadcast(n))
+         .agg(F.sum(diff * diff).alias("mmd2"),
+              F.max("na").alias("na"), F.max("nb").alias("nb")))
+    return g.select("na", "nb",
+                    F.round("mmd2", 6).alias("mmd2_linear"),
+                    F.round(F.sqrt("mmd2"), 6).alias("mean_distance"))

@@ -3764,3 +3764,98 @@ def stats_forecast_accuracy_mase(spark: SparkSession,
                     F.round(mae / (F.col("bs").cast("double")
                                    / F.col("bn")), 6).alias("mase"))
             .orderBy("model"))
+
+
+_WSR_CRIT = 1.9599639845
+
+
+@query("stats_wilcoxon_signed_rank", oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+    CAST(count_if(event_type = 'click') AS BIGINT) AS c_click,
+    CAST(count_if(event_type = 'view') AS BIGINT) AS c_view
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+d AS (
+  SELECT c_click - c_view AS d, abs(c_click - c_view) AS ad
+  FROM h WHERE c_click <> c_view),
+r AS (
+  SELECT d, ad,
+    CAST(2 * rank() OVER (ORDER BY ad)
+         + COUNT(*) OVER (PARTITION BY ad) - 1 AS BIGINT) AS mr2
+  FROM d),
+ties AS (
+  SELECT CAST(coalesce(SUM(t * t * t - t), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY ad)
+  WHERE t > 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN d > 0 THEN mr2 ELSE 0 END) AS BIGINT) AS r2pos
+  FROM r),
+z AS (
+  SELECT n, r2pos, tie_term,
+    r2pos - n * (n + 1) / 2 AS diff2,
+    2.0 * sqrt((CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)
+                - tie_term / 2.0) / 24.0) AS den
+  FROM s CROSS JOIN ties)
+SELECT n AS n_pairs, CAST(r2pos AS DOUBLE) / 2 AS w_plus,
+  round((diff2 - CASE WHEN diff2 > 0 THEN 1
+                      WHEN diff2 < 0 THEN -1 ELSE 0 END) / den, 6) AS z,
+  abs(round((diff2 - CASE WHEN diff2 > 0 THEN 1
+                          WHEN diff2 < 0 THEN -1 ELSE 0 END)
+            / den, 6)) > 1.9599639845 AS reject_symmetry
+FROM z""")
+def stats_wilcoxon_signed_rank(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED hourly counts (clicks vs
+    views matched by hour) — the nonparametric paired twin of the
+    Mann-Whitney entry: within-hour differencing removes the shared
+    diurnal cycle, so the test asks whether one event type
+    systematically exceeds the other at the SAME times, which the
+    unpaired test dilutes.  Zero differences drop (the standard
+    Wilcoxon rule), midranks handle tied magnitudes, and the normal
+    approximation carries the tie-corrected variance + continuity
+    correction.
+
+    Exactness: midranks are half-integers, so DOUBLED midranks
+    2·rank + t − 1 keep W's sum in BIGINT; the tie term Σ(t³−t) is
+    BIGINT; z is one fixed-shape double.  Shape: one hourly
+    conditional aggregate, a midrank window over the bounded hourly
+    layer (MWU contract), two 1-row combines."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"].where(F.col("event_type").isin("click", "view"))
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count_if(F.col("event_type") == "click").cast("long")
+               .alias("c_click"),
+              F.count_if(F.col("event_type") == "view").cast("long")
+               .alias("c_view")))
+    d = (h.where(F.col("c_click") != F.col("c_view"))
+         .select((F.col("c_click") - F.col("c_view")).alias("d"),
+                 F.abs(F.col("c_click") - F.col("c_view")).alias("ad")))
+    w_rank = Window.orderBy("ad")
+    w_tie = Window.partitionBy("ad")
+    r = d.select("d", (2 * F.rank().over(w_rank)
+                       + F.count("*").over(w_tie) - 1).cast("long")
+                 .alias("mr2"))
+    ties = (d.groupBy("ad").agg(F.count("*").cast("long").alias("t"))
+            .where(F.col("t") > 1)
+            .agg(F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t")
+                                  - F.col("t")), F.lit(0))
+                 .cast("long").alias("tie_term")))
+    s = r.agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("d") > 0, F.col("mr2")).otherwise(0))
+               .cast("long").alias("r2pos"))
+    z = (s.crossJoin(F.broadcast(ties))
+         .select("n", "r2pos", "tie_term",
+                 (F.col("r2pos")
+                  - F.col("n") * (F.col("n") + 1) / 2).alias("diff2"),
+                 (2.0 * F.sqrt((F.col("n").cast("double")
+                                * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                                - F.col("tie_term") / 2.0) / 24.0))
+                 .alias("den")))
+    cont = (F.when(F.col("diff2") > 0, 1)
+            .when(F.col("diff2") < 0, -1).otherwise(0))
+    zz = F.round((F.col("diff2") - cont) / F.col("den"), 6)
+    return z.select(F.col("n").alias("n_pairs"),
+                    (F.col("r2pos").cast("double") / 2).alias("w_plus"),
+                    zz.alias("z"),
+                    (F.abs(zz) > _WSR_CRIT).alias("reject_symmetry"))

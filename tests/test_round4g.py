@@ -1130,3 +1130,55 @@ def test_brand_homophily_matches_python_model(spark, sf_dir):
     assert row.assortativity_r <= 1.0
     assert (row.assortativity_r > 0) == (row.same_share
                                          > row.expected_share)
+
+
+def test_wilcoxon_signed_rank_matches_python_model(spark, sf_dir):
+    row = QUERIES["stats_wilcoxon_signed_rank"](spark, sf_dir) \
+        .collect()[0]
+    cnt = defaultdict(lambda: [0, 0])
+    for r in load_tables(spark, sf_dir, ("events",))["events"] \
+            .select("ts", "event_type").collect():
+        if r.event_type in ("click", "view"):
+            h = r.ts.replace(minute=0, second=0, microsecond=0)
+            cnt[h][0 if r.event_type == "click" else 1] += 1
+    diffs = [c - v for c, v in cnt.values() if c != v]
+    n = len(diffs)
+    order = sorted(abs(d) for d in diffs)
+    # midranks
+    from collections import Counter
+    pos_of = {}
+    i = 0
+    cc = Counter(order)
+    for ad in sorted(cc):
+        t = cc[ad]
+        pos_of[ad] = (2 * (i + 1) + t - 1) / 2  # midrank
+        i += t
+    w_plus = sum(pos_of[abs(d)] for d in diffs if d > 0)
+    tie = sum(t ** 3 - t for t in cc.values() if t > 1)
+    mu = n * (n + 1) / 4
+    sd = math.sqrt((n * (n + 1) * (2 * n + 1) - tie / 2) / 24)
+    diff = w_plus - mu
+    z = (diff - 0.5 * (1 if diff > 0 else -1 if diff < 0 else 0)) / sd
+    assert row.n_pairs == n
+    assert row.w_plus == w_plus
+    assert math.isclose(row.z, z, abs_tol=2e-6)
+    assert row.reject_symmetry == (abs(row.z) > 1.9599639845)
+    # W+ is bounded by the total rank sum
+    assert 0 <= row.w_plus <= n * (n + 1) / 2
+
+
+def test_mmd_linear_matches_python_model(spark, sf_dir):
+    import numpy as np
+    row = QUERIES["embedding_mmd_linear"](spark, sf_dir).collect()[0]
+    a, b = [], []
+    for r in load_tables(spark, sf_dir, ("embeddings",))["embeddings"] \
+            .select("embedding", "label").collect():
+        (a if r.label % 2 == 0 else b).append(
+            np.array(r.embedding, dtype=np.float64))
+    ma, mb = np.mean(a, axis=0), np.mean(b, axis=0)
+    mmd2 = float(np.sum((ma - mb) ** 2))
+    assert (row.na, row.nb) == (len(a), len(b))
+    assert math.isclose(row.mmd2_linear, mmd2, abs_tol=2e-6)
+    assert math.isclose(row.mean_distance, math.sqrt(mmd2), abs_tol=2e-6)
+    # MMD^2 is a squared norm: non-negative, and consistent with its root
+    assert row.mmd2_linear >= 0

@@ -57,6 +57,8 @@ WHITELIST_BNLJ = {
     "text_bigram_entropy_rate": "1-row N + entropy-scalar broadcasts",
     "stats_forecast_accuracy_mase": "1-row mean/base-MAE broadcasts",
     "graph_brand_homophily": "two 1-row census combines",
+    "stats_wilcoxon_signed_rank": "1-row tie-term + moment combines",
+    "embedding_mmd_linear": "1-row group-count broadcast",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -281,6 +283,8 @@ WHITELIST_GLOBALWIN = {
         "1-row KPI combines",
     "stats_kruskal_wallis": "midrank window over distinct metric "
         "values (mann-whitney contract) + ordered k-row fold",
+    "stats_wilcoxon_signed_rank": "midrank window over the bounded "
+        "hourly difference layer (mann-whitney contract)",
     "stats_spearman_rho": "rank windows over the 50-value quantity / "
         "11-value discount domains",
     "source_unigram_kl": "rank window is source-partitioned over the "
