@@ -1188,3 +1188,54 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long").alias("n_reconciled_1c"),
         F.round(F.avg("rel_err").cast("double"), 9).alias("avg_rel_err"),
         F.round(F.max("rel_err").cast("double"), 9).alias("max_rel_err"))
+
+
+@query("dq_duplicate_payment_candidates", oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(o_totalprice AS DECIMAL(12,2)) AS amount, o_orderdate
+  FROM orders),
+p AS (
+  SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+    a.o_custkey AS custkey, a.amount,
+    a.o_orderdate AS date_a, b.o_orderdate AS date_b,
+    datediff('day', a.o_orderdate, b.o_orderdate) AS gap_days
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.amount = b.amount
+   AND a.o_orderkey < b.o_orderkey
+   AND datediff('day', a.o_orderdate, b.o_orderdate) BETWEEN -7 AND 7)
+SELECT key_a, key_b, custkey, amount, date_a, date_b, gap_days
+FROM p ORDER BY custkey, amount, key_a, key_b LIMIT 50""")
+def dq_duplicate_payment_candidates(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the forensic-accounting audit:
+    two orders by the SAME customer for the IDENTICAL amount within
+    ±7 days are double-billing candidates (the classic AP-audit rule;
+    exact-amount + short-window is the highest-precision tier before
+    fuzzy-amount tiers widen recall).  Emits the candidate pairs with
+    their day gap for the review queue.
+
+    Shape: the pair join is BLOCKED on the exact (custkey, amount)
+    key — the ER/LSH blocking pattern, so candidates are bounded by
+    per-(customer, amount) multiplicity, never a date-range scan of
+    the ledger; the ±7-day band is a residual predicate on the
+    blocked pairs.  Exact DECIMAL amounts and integer day gaps."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+        "o_orderdate")
+    a = o.select(F.col("o_orderkey").alias("key_a"),
+                 F.col("o_custkey").alias("custkey"), "amount",
+                 F.col("o_orderdate").alias("date_a"))
+    b = o.select(F.col("o_orderkey").alias("key_b"),
+                 F.col("o_custkey").alias("custkey"), "amount",
+                 F.col("o_orderdate").alias("date_b"))
+    gap = F.datediff("date_b", "date_a")
+    return (a.join(b, ["custkey", "amount"])
+            .where((F.col("key_a") < F.col("key_b"))
+                   & gap.between(-7, 7))
+            .select("key_a", "key_b", "custkey", "amount",
+                    "date_a", "date_b", gap.alias("gap_days"))
+            .orderBy("custkey", "amount", "key_a", "key_b")
+            .limit(50))

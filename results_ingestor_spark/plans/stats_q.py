@@ -3859,3 +3859,54 @@ def stats_wilcoxon_signed_rank(spark: SparkSession,
                     (F.col("r2pos").cast("double") / 2).alias("w_plus"),
                     zz.alias("z"),
                     (F.abs(zz) > _WSR_CRIT).alias("reject_symmetry"))
+
+
+_HILL_XMIN = 10  # tail threshold: users with >= 10 events
+
+
+@query("stats_hill_tail_index", oracle=f"""
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+tail AS (
+  SELECT round(ln(CAST(x AS DOUBLE) / {_HILL_XMIN}), 9) AS lx
+  FROM c WHERE x >= {_HILL_XMIN}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM c),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, SUM(lx) AS slx FROM tail)
+SELECT n_users, n_tail,
+  CAST({_HILL_XMIN} AS BIGINT) AS xmin,
+  round(1.0 + CAST(n_tail AS DOUBLE) / slx, 6) AS alpha_hat,
+  round((CAST(n_tail AS DOUBLE) / slx)
+        / sqrt(CAST(n_tail AS DOUBLE)), 6) AS alpha_se
+FROM s CROSS JOIN tot""")
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the activity distribution's tail exponent
+    (Hill 1975 / the Clauset-Shalizi-Newman power-law MLE with fixed
+    x_min): α̂ = 1 + n_tail / Σ ln(x_i/x_min) over users with at
+    least 10 events, with the asymptotic standard error
+    (α̂−1)/√n.  α near 2 means extreme heavy tails (a few users
+    dominate every sum — plan for skew-joins and capped contributions);
+    α > 3 means finite variance and ordinary estimators behave.  The
+    per-key version of what the Zipf entry fits for term frequencies,
+    pointed at the skew-planning question.
+
+    Determinism: each ln snaps to 9 dp before the (order-noisy at
+    ~1e-16) float sum; outputs snap at 6 (the covariance contract).
+    Shape: one user-keyed count, a filtered map, two 1-row reduces."""
+    t = load_tables(spark, sf_dir, ("events",))
+    c = (t["events"].groupBy("user_id")
+         .agg(F.count("*").cast("long").alias("x")))
+    tail = (c.where(F.col("x") >= _HILL_XMIN)
+            .select(F.round(F.log(F.col("x").cast("double")
+                                  / _HILL_XMIN), 9).alias("lx")))
+    tot = c.agg(F.count("*").cast("long").alias("n_users"))
+    s = tail.agg(F.count("*").cast("long").alias("n_tail"),
+                 F.sum("lx").alias("slx"))
+    inv = F.col("n_tail").cast("double") / F.col("slx")
+    return (s.crossJoin(F.broadcast(tot))
+            .select("n_users", "n_tail",
+                    F.lit(_HILL_XMIN).cast("long").alias("xmin"),
+                    F.round(1.0 + inv, 6).alias("alpha_hat"),
+                    F.round(inv / F.sqrt(F.col("n_tail").cast("double")),
+                            6).alias("alpha_se")))

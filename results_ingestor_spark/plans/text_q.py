@@ -1834,7 +1834,7 @@ def text_keyness_dunning(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-linguistics standard for "which terms characterize THIS
     source against the rest": per term, the G² statistic of the 2×2
     (focus vs rest) × (term vs other-tokens) table, reported with the
-    direction (over/under-used in the focus source '{_KEYNESS_SRC}').
+    direction (over/under-used in the focus source 'src0').
     Unlike raw frequency ratios, G² is stable for rare terms and,
     unlike PMI, doesn't explode on hapaxes — which is why keyword
     lists in corpus studies use it.

@@ -1182,3 +1182,47 @@ def test_mmd_linear_matches_python_model(spark, sf_dir):
     assert math.isclose(row.mean_distance, math.sqrt(mmd2), abs_tol=2e-6)
     # MMD^2 is a squared norm: non-negative, and consistent with its root
     assert row.mmd2_linear >= 0
+
+
+def test_duplicate_payments_match_python_model(spark, sf_dir):
+    rows = QUERIES["dq_duplicate_payment_candidates"](spark, sf_dir) \
+        .collect()
+    o = load_tables(spark, sf_dir, ("orders",))["orders"] \
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderdate").collect()
+    blocks = defaultdict(list)
+    for r in o:
+        blocks[(r.o_custkey, round(r.o_totalprice, 2))].append(
+            (r.o_orderkey, r.o_orderdate))
+    pairs = []
+    for (ck, amt), mem in blocks.items():
+        mem.sort()
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                gap = (mem[j][1] - mem[i][1]).days
+                if -7 <= gap <= 7:
+                    pairs.append((ck, amt, mem[i][0], mem[j][0], gap))
+    pairs.sort()
+    want = pairs[:50]
+    assert [(r.custkey, float(r.amount), r.key_a, r.key_b, r.gap_days)
+            for r in rows] == want
+    # blocking invariant: every pair shares customer AND exact amount
+    assert all(r.gap_days == (r.date_b - r.date_a).days for r in rows)
+
+
+def test_hill_tail_index_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    row = QUERIES["stats_hill_tail_index"](spark, sf_dir).collect()[0]
+    cnt = Counter(r.user_id for r in
+                  load_tables(spark, sf_dir, ("events",))["events"]
+                  .select("user_id").collect())
+    xs = [c for c in cnt.values() if c >= 10]
+    slx = sum(round(math.log(x / 10), 9) for x in xs)
+    alpha = 1 + len(xs) / slx
+    assert row.n_users == len(cnt)
+    assert row.n_tail == len(xs)
+    assert math.isclose(row.alpha_hat, alpha, abs_tol=2e-6)
+    assert math.isclose(row.alpha_se,
+                        (alpha - 1) / math.sqrt(len(xs)), abs_tol=2e-6)
+    # a power-law exponent from counts >= xmin is always > 1
+    assert row.alpha_hat > 1.0
