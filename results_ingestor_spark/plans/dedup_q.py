@@ -1060,3 +1060,130 @@ def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("left_doc", "right_doc", "boundary", "n_pairs_total")
             .orderBy("left_doc", "right_doc")
             .limit(50))
+
+
+_SCURVE_CONFIGS = ((4, 4), (8, 2), (2, 8), (8, 4), (16, 2))
+_SCURVE_GRID = tuple(round(0.05 * i, 2) for i in range(1, 20))
+
+
+@query("dedup_lsh_s_curve", oracle=f"""
+WITH cfg AS (
+  SELECT b, r FROM (VALUES {", ".join(f"({b}, {r})"
+                                      for b, r in _SCURVE_CONFIGS)})
+    AS t(b, r)),
+s AS (SELECT unnest([{", ".join(str(s) for s in _SCURVE_GRID)}]) AS sim),
+curve AS (
+  SELECT b, r, sim,
+    round(1.0 - pow(1.0 - pow(sim, r), b), 9) AS p_candidate
+  FROM cfg CROSS JOIN s)
+SELECT b, r, CAST(round(sim * 100, 0) AS INT) AS sim_pct, p_candidate,
+  b * r AS n_hashes
+FROM curve ORDER BY b, r, sim_pct""")
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic LSH S-curve P(candidate) = 1 − (1 − s^r)^b for the
+    production configuration (b=4 bands × r=4 rows — the constants in
+    operators/dedup.py) and four alternatives at the same or doubled
+    hash budget — the THEORY table read next to the EMPIRICAL
+    dedup_threshold_curve when tuning: where each configuration's
+    probability jump sits decides the effective Jaccard threshold, and
+    br = hash budget decides the cost.  (4,4) jumps near s≈0.55 — the
+    0.5-threshold family choice, now stated as data.
+
+    Pure closed-form doubles over literal grids (identical pow chains
+    in both engines, snapped at 9); no table scan — the one entry
+    whose input is the DESIGN SPACE, not the corpus (sf_dir unused,
+    accepted for the uniform entry signature)."""
+    cfg = spark.createDataFrame(list(_SCURVE_CONFIGS), "b int, r int")
+    s = spark.createDataFrame([(x,) for x in _SCURVE_GRID], "sim double")
+    curve = (cfg.crossJoin(F.broadcast(s))
+             .select("b", "r", "sim",
+                     F.round(1.0 - F.pow(1.0 - F.pow("sim", F.col("r")),
+                                         F.col("b")), 9)
+                     .alias("p_candidate")))
+    return (curve.select("b", "r",
+                         F.round(F.col("sim") * 100, 0).cast("int")
+                         .alias("sim_pct"),
+                         "p_candidate",
+                         (F.col("b") * F.col("r")).alias("n_hashes"))
+            .orderBy("b", "r", "sim_pct"))
+
+
+_BLOOM_TARGETS = (0.01, 0.001, 0.0001)
+
+
+def _bloom_sizing_sql() -> str:
+    legs = []
+    for p in _BLOOM_TARGETS:
+        legs.append(f"""
+  SELECT n_keys, 'target_fpr_{p}' AS config,
+    CAST(ceil(-(n_keys * ln({p})) / (ln(2) * ln(2))) AS BIGINT) AS m_bits,
+    CAST(greatest(1, round(
+      (ceil(-(n_keys * ln({p})) / (ln(2) * ln(2))) / n_keys) * ln(2), 0))
+      AS BIGINT) AS k,
+    round(CAST({p} AS DOUBLE), 9) AS fpr
+  FROM n""")
+    return f"""
+WITH n AS (
+  SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995),
+cur AS (
+  SELECT n_keys, 'current_8KiB_k3' AS config,
+    CAST(65536 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
+    round(pow(1.0 - exp(-3.0 * n_keys / 65536), 3), 9) AS fpr
+  FROM n),
+tgt AS ({" UNION ALL ".join(legs)})
+SELECT config, n_keys, m_bits, k, fpr,
+  CAST((m_bits + 7) // 8 AS BIGINT) AS bytes
+FROM (SELECT * FROM cur UNION ALL SELECT * FROM tgt)
+ORDER BY config"""
+
+
+@query("join_bloom_sizing_table", oracle=_bloom_sizing_sql())
+def join_bloom_sizing_table(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing table for the runtime-filter pattern
+    (join_bloom_prefilter's design knob, computed from the corpus):
+    given the ACTUAL build-side cardinality (distinct urgent-1995
+    order keys), the current 8 KiB / k=3 filter's implied false-
+    positive rate (1 − e^(−kn/m))^k, and for each target FPR the
+    textbook optimal m = ⌈−n·ln p / ln²2⌉ bits and k = round(m/n·ln 2)
+    hashes.  The table is what decides whether 8 KiB still holds when
+    the dim grows 100× — the sizing question every runtime-filter
+    deployment revisits.
+
+    One COUNT(DISTINCT) over the pushed-filter scan; everything else
+    is closed-form doubles on that 1-row cardinality (identical
+    ln/exp/pow chains, snapped at 9)."""
+    import math
+    t = load_tables(spark, sf_dir, ("orders",))
+    n = (t["orders"]
+         .where((F.col("o_orderpriority") == "1-URGENT")
+                & (F.year("o_orderdate") == 1995))
+         .agg(F.countDistinct("o_orderkey").cast("long")
+              .alias("n_keys")))
+    ln2 = 0.6931471805599453
+    cur = n.select(
+        "n_keys", F.lit("current_8KiB_k3").alias("config"),
+        F.lit(65536).cast("long").alias("m_bits"),
+        F.lit(3).cast("long").alias("k"),
+        F.round(F.pow(1.0 - F.exp(-3.0 * F.col("n_keys") / 65536), 3), 9)
+         .alias("fpr"))
+    legs = [cur]
+    for p in _BLOOM_TARGETS:
+        m_bits = F.ceil(-(F.col("n_keys") * math.log(p))
+                        / (ln2 * ln2)).cast("long")
+        legs.append(n.select(
+            "n_keys", F.lit(f"target_fpr_{p}").alias("config"),
+            m_bits.alias("m_bits"),
+            F.greatest(F.lit(1).cast("long"),
+                       F.round((m_bits / F.col("n_keys")) * ln2, 0)
+                       .cast("long")).alias("k"),
+            F.round(F.lit(float(p)), 9).alias("fpr")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (u.select("config", "n_keys", "m_bits", "k", "fpr",
+                     F.expr("CAST((m_bits + 7) DIV 8 AS BIGINT)")
+                     .alias("bytes"))
+            .orderBy("config"))

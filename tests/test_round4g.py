@@ -1226,3 +1226,41 @@ def test_hill_tail_index_matches_python_model(spark, sf_dir):
                         (alpha - 1) / math.sqrt(len(xs)), abs_tol=2e-6)
     # a power-law exponent from counts >= xmin is always > 1
     assert row.alpha_hat > 1.0
+
+
+def test_lsh_s_curve_matches_closed_form(spark, sf_dir):
+    rows = QUERIES["dedup_lsh_s_curve"](spark, sf_dir).collect()
+    for r in rows:
+        s = r.sim_pct / 100
+        assert r.p_candidate == round(1 - (1 - s ** r.r) ** r.b, 9)
+        assert r.n_hashes == r.b * r.r
+    # the production (4,4) curve crosses 0.5 between s=0.5 and s=0.65
+    prod = {r.sim_pct: r.p_candidate for r in rows
+            if (r.b, r.r) == (4, 4)}
+    assert prod[50] < 0.5 < prod[65]
+    # monotone in s for every configuration
+    by_cfg = defaultdict(list)
+    for r in rows:
+        by_cfg[(r.b, r.r)].append((r.sim_pct, r.p_candidate))
+    for pts in by_cfg.values():
+        pts.sort()
+        assert all(a[1] <= b[1] + 1e-12 for a, b in zip(pts, pts[1:]))
+
+
+def test_bloom_sizing_matches_textbook_formulas(spark, sf_dir):
+    rows = {r.config: r for r in
+            QUERIES["join_bloom_sizing_table"](spark, sf_dir).collect()}
+    n = rows["current_8KiB_k3"].n_keys
+    cur = rows["current_8KiB_k3"]
+    assert cur.fpr == round((1 - math.exp(-3 * n / 65536)) ** 3, 9)
+    ln2 = math.log(2)
+    for p in (0.01, 0.001, 0.0001):
+        got = rows[f"target_fpr_{p}"]
+        m = math.ceil(-(n * math.log(p)) / ln2 ** 2)
+        assert got.m_bits == m
+        assert got.k == max(1, round(m / n * ln2))
+        assert got.bytes == (m + 7) // 8
+        # tighter targets need monotonically more bits
+    assert (rows["target_fpr_0.0001"].m_bits
+            > rows["target_fpr_0.001"].m_bits
+            > rows["target_fpr_0.01"].m_bits)

@@ -60,6 +60,8 @@ WHITELIST_BNLJ = {
     "stats_wilcoxon_signed_rank": "1-row tie-term + moment combines",
     "embedding_mmd_linear": "1-row group-count broadcast",
     "stats_hill_tail_index": "1-row population-count broadcast",
+    "dedup_lsh_s_curve": "19-row literal similarity grid broadcast "
+        "(design-space table, no corpus scan)",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
