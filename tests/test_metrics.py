@@ -44,3 +44,33 @@ def test_shuffle_payload_is_aggregate_sized(spark, sf_dir):
     m = execution_metrics(df)
     assert m["shuffle bytes written"] > 0
     assert m["shuffle bytes written"] < 0.01 * m["size of files read"]
+
+
+def test_novelty_census_shuffles_grams_not_bodies(spark, sf_dir):
+    """The n-gram novelty census (the duplicate-passages shuffle
+    class) measured: its shuffle traffic is bounded by a small
+    multiple of the scanned bytes — the (doc, gram)-distinct explode
+    multiplies ROWS, but map-side combine keeps the keyed shuffles
+    from amplifying bytes by the gram fan-out (~doc_len×), which is
+    what would happen if bodies or uncombined grams crossed the
+    wire."""
+    import __spark_entry__ as entry
+    df = entry.queries()["text_novelty_unique_ngrams"](spark, sf_dir)
+    m = execution_metrics(df)
+    assert m["shuffle bytes written"] > 0
+    # grams-per-doc is ~50; the wire must carry far less than the
+    # exploded volume (50x scan) — single-digit multiples of the scan
+    assert m["shuffle bytes written"] < 8 * m["size of files read"]
+
+
+def test_gopher_filter_shuffles_counters_only(spark, sf_dir):
+    """The Gopher rule filter measured: per-source integer counters
+    are the ONLY shuffle payload — orders of magnitude under the
+    scanned text bytes."""
+    import __spark_entry__ as entry
+    df = entry.queries()["quality_gopher_rules"](spark, sf_dir)
+    m = execution_metrics(df)
+    assert m["shuffle bytes written"] > 0
+    # at sf0.001 fixed per-partition row overhead dominates the 20
+    # counter rows; the ratio only shrinks as data grows
+    assert m["shuffle bytes written"] < 0.05 * m["size of files read"]
