@@ -1458,3 +1458,119 @@ def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("na", "nb",
                     F.round("mmd2", 6).alias("mmd2_linear"),
                     F.round(F.sqrt("mmd2"), 6).alias("mean_distance"))
+
+
+@query("embedding_whitening_effect", oracle="""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+st AS (
+  SELECT i, round(AVG(v), 9) AS m,
+    round(sqrt(AVG(v * v) - AVG(v) * AVG(v)), 9) AS sd
+  FROM flat GROUP BY i),
+arrs AS (
+  SELECT list(m ORDER BY i) AS means, list(sd ORDER BY i) AS stds
+  FROM st),
+zed AS (
+  SELECT vec_id,
+    [(CAST(embedding[i] AS DOUBLE) - means[i]) / stds[i]
+     for i in range(1, len(embedding) + 1)] AS z
+  FROM embeddings CROSS JOIN arrs),
+norms AS (
+  SELECT vec_id, z,
+    sqrt((SELECT SUM(x * x) FROM (SELECT unnest(z) AS x))) AS nz
+  FROM zed),
+nflat AS (
+  SELECT generate_subscripts(z, 1) AS i, unnest(z) / nz AS v
+  FROM norms),
+sums AS (SELECT i, SUM(v) AS sd2 FROM nflat GROUP BY i),
+after AS (
+  SELECT SUM(sd2 * sd2) AS ss FROM sums),
+-- the BEFORE side replays embedding_isotropy_score
+bnorm AS (
+  SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       FROM (SELECT unnest(embedding) AS x))) AS nrm
+  FROM embeddings),
+bflat AS (
+  SELECT generate_subscripts(e.embedding, 1) AS i,
+    CAST(unnest(e.embedding) AS DOUBLE) / b.nrm AS v
+  FROM embeddings e JOIN bnorm b ON b.vec_id = e.vec_id),
+bsums AS (SELECT i, SUM(v) AS sd2 FROM bflat GROUP BY i),
+before AS (SELECT SUM(sd2 * sd2) AS ss FROM bsums),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT n_vecs,
+  round((before.ss - n_vecs)
+        / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) AS avg_cos_before,
+  round((after.ss - n_vecs)
+        / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) AS avg_cos_after
+FROM before CROSS JOIN after CROSS JOIN n""")
+def embedding_whitening_effect(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Measured isotropy GAIN from diagonal whitening: standardize
+    every dimension ((v−μ_d)/σ_d), re-normalize, and recompute the
+    average pairwise cosine with the same ‖Σv̂‖²−n identity as
+    embedding_isotropy_score — before vs after in one plan.  Diagonal
+    whitening is the cheap first correction for anisotropic embedding
+    spaces (full ZCA needs the eigendecomposition, which lives in the
+    rows-only PCA entry); |avg cosine| collapsing toward 0 here is the
+    measured justification for applying it before cosine-threshold
+    dedup.  Mean-centering alone makes the mean vector EXACTLY zero,
+    so avg_cos_after ≈ 0 is also a correctness signal, not just an
+    improvement.
+
+    Per-dim μ/σ snap to 9 dp before entering the transform (both
+    engines transform identical vectors); per-dim sums carry the usual
+    ~1e-16 order noise and outputs snap at 6 (the covariance
+    contract).  Shape: one explode for stats (64 groups), the 64-value
+    μ/σ arrays broadcast back as ONE row, a map-side transform, one
+    more 64-group reduce — two skinny shuffles total."""
+    from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = ensure_min_parallelism(t["embeddings"])
+    flat = e.select("vec_id",
+                    F.posexplode(F.transform(
+                        "embedding", lambda x: x.cast("double")))
+                    .alias("i0", "v"))
+    st = (flat.groupBy("i0")
+          .agg(F.round(F.avg("v"), 9).alias("m"),
+               F.round(F.sqrt(F.avg(F.col("v") * F.col("v"))
+                              - F.avg("v") * F.avg("v")), 9).alias("sd")))
+    arrs = st.agg(
+        F.array_sort(F.collect_list(F.struct("i0", "m"))).alias("ms"),
+        F.array_sort(F.collect_list(F.struct("i0", "sd"))).alias("sds"))
+    arrs = arrs.select(
+        F.transform("ms", lambda s: s["m"]).alias("means"),
+        F.transform("sds", lambda s: s["sd"]).alias("stds"))
+    zed = (e.crossJoin(F.broadcast(arrs))
+           .select(F.expr(
+               "transform(sequence(1, size(embedding)), i -> "
+               "(CAST(element_at(embedding, i) AS DOUBLE)"
+               " - element_at(means, i)) / element_at(stds, i))")
+               .alias("z")))
+    nz = F.sqrt(F.aggregate("z", F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    nflat = (zed.select(F.col("z"), nz.alias("nz"))
+             .select(F.posexplode(F.transform(
+                 "z", lambda x: x / F.col("nz"))).alias("i", "v")))
+    after = (nflat.groupBy("i").agg(F.sum("v").alias("sd2"))
+             .agg(F.sum(F.col("sd2") * F.col("sd2")).alias("ss_after")))
+    from results_ingestor_spark.functions.vector import l2_norm
+    bflat = e.select(F.posexplode(F.transform(
+        "embedding",
+        lambda x: x.cast("double") / l2_norm("embedding")))
+        .alias("i", "v"))
+    before = (bflat.groupBy("i").agg(F.sum("v").alias("sd2"))
+              .agg(F.sum(F.col("sd2") * F.col("sd2"))
+                   .alias("ss_before")))
+    n = e.agg(F.count("*").cast("long").alias("n_vecs"))
+    nn = F.col("n_vecs")
+    return (before.crossJoin(F.broadcast(after))
+            .crossJoin(F.broadcast(n))
+            .select("n_vecs",
+                    F.round((F.col("ss_before") - nn)
+                            / (nn.cast("double") * (nn - 1)), 6)
+                    .alias("avg_cos_before"),
+                    F.round((F.col("ss_after") - nn)
+                            / (nn.cast("double") * (nn - 1)), 6)
+                    .alias("avg_cos_after")))

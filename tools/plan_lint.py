@@ -62,6 +62,8 @@ WHITELIST_BNLJ = {
     "stats_hill_tail_index": "1-row population-count broadcast",
     "dedup_lsh_s_curve": "19-row literal similarity grid broadcast "
         "(design-space table, no corpus scan)",
+    "embedding_whitening_effect": "1-row mu/sigma-array broadcast "
+        "(64 doubles) + 1-row before/after combines",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
