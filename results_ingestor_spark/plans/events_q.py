@@ -1295,3 +1295,129 @@ def events_reliability_report(spark: SparkSession,
                     F.round(F.col("n_error_free").cast("double")
                             / F.col("n_sessions"), 9)
                     .alias("crash_free_session_rate")))
+
+
+_LR_CRIT = 3.8414588207  # chi-square df=1, 5%
+
+
+@query("stats_logrank_test", oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (
+  SELECT su.user_id, MIN(e.ts) AS p_ts
+  FROM su JOIN events e ON e.user_id = su.user_id
+   AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+  GROUP BY su.user_id),
+horizon AS (SELECT MAX(ts) AS h FROM events),
+subj AS (
+  SELECT su.user_id, su.user_id % 2 = 1 AS grp1,
+    CAST((epoch_us(coalesce(pu.p_ts, horizon.h))
+          - epoch_us(su.s_ts)) // 86400000000 AS BIGINT) AS t_days,
+    pu.p_ts IS NOT NULL AS ev
+  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+  CROSS JOIN horizon),
+tot AS (
+  SELECT CAST(count_if(grp1) AS BIGINT) AS n01,
+    CAST(count_if(NOT grp1) AS BIGINT) AS n02
+  FROM subj),
+risk AS (
+  SELECT t_days,
+    CAST(count_if(ev AND grp1) AS BIGINT) AS d1,
+    CAST(count_if(ev AND NOT grp1) AS BIGINT) AS d2,
+    CAST(count_if(grp1) AS BIGINT) AS x1,
+    CAST(count_if(NOT grp1) AS BIGINT) AS x2
+  FROM subj GROUP BY t_days),
+w AS (
+  SELECT t_days, d1, d2,
+    n01 - CAST(coalesce(SUM(x1) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n1,
+    n02 - CAST(coalesce(SUM(x2) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n2
+  FROM risk CROSS JOIN tot),
+terms AS (
+  SELECT d1,
+    round(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2), 9) AS e1,
+    round(CASE WHEN n1 + n2 > 1 THEN
+      CAST(d1 + d2 AS DOUBLE) * n1 * n2 * (n1 + n2 - d1 - d2)
+      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))
+      ELSE 0.0 END, 9) AS v
+  FROM w WHERE d1 + d2 > 0),
+s AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1) AS e1, SUM(v) AS v
+  FROM terms)
+SELECT o1 AS observed_grp1, round(e1, 6) AS expected_grp1,
+  round((o1 - e1) * (o1 - e1) / v, 6) AS chi2,
+  round((o1 - e1) * (o1 - e1) / v, 6) > 3.8414588207
+    AS reject_equal_survival
+FROM s""")
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two user-parity cohorts'
+    signup→purchase survival curves — THE standard comparison test for
+    censored time-to-event data, pairing with the Kaplan-Meier entry
+    (survival_km_signup_to_purchase, whose exact subject table and
+    censoring convention this reuses): at every event time, observed
+    group-1 conversions compare against the hypergeometric
+    expectation d·n₁/n, variance-weighted into one chi-square.
+    Deterministic cohorts (odd user_id — the CUPED assignment).
+
+    Per-time E and V snap to 9 dp before the (order-noisy ~1e-16)
+    float sums; outputs snap at 6.  Shape: the KM budget — subject
+    table, per-time census, two cumulative at-risk windows over the
+    bounded duration-days domain — plus a 1-row chi-square."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    su = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    pu = (su.join(ev.where(F.col("event_type") == "purchase")
+                  .select("user_id", F.col("ts").alias("e_ts")),
+                  "user_id")
+          .where(F.col("e_ts") >= F.col("s_ts"))
+          .groupBy("user_id").agg(F.min("e_ts").alias("p_ts")))
+    horizon = ev.agg(F.max("ts").alias("h"))
+    subj = (su.join(pu, "user_id", "left")
+            .crossJoin(F.broadcast(horizon))
+            .select((F.col("user_id") % 2 == 1).alias("grp1"),
+                    ((F.unix_micros(F.coalesce("p_ts", "h"))
+                      - F.unix_micros("s_ts"))
+                     / 86_400_000_000).cast("long").alias("t_days"),
+                    F.col("p_ts").isNotNull().alias("ev")))
+    tot = subj.agg(F.count_if("grp1").cast("long").alias("n01"),
+                   F.count_if(~F.col("grp1")).cast("long").alias("n02"))
+    risk = (subj.groupBy("t_days")
+            .agg(F.count_if(F.col("ev") & F.col("grp1")).cast("long")
+                  .alias("d1"),
+                 F.count_if(F.col("ev") & ~F.col("grp1")).cast("long")
+                  .alias("d2"),
+                 F.count_if("grp1").cast("long").alias("x1"),
+                 F.count_if(~F.col("grp1")).cast("long").alias("x2")))
+    wbefore = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w = (risk.crossJoin(F.broadcast(tot))
+         .select("t_days", "d1", "d2",
+                 (F.col("n01") - F.coalesce(F.sum("x1").over(wbefore),
+                                            F.lit(0)).cast("long"))
+                 .alias("n1"),
+                 (F.col("n02") - F.coalesce(F.sum("x2").over(wbefore),
+                                            F.lit(0)).cast("long"))
+                 .alias("n2")))
+    d1, d2, n1, n2 = (F.col(c) for c in ("d1", "d2", "n1", "n2"))
+    dt, nt = d1 + d2, n1 + n2
+    terms = (w.where(dt > 0)
+             .select("d1",
+                     F.round(dt.cast("double") * n1 / nt, 9).alias("e1"),
+                     F.round(F.when(nt > 1,
+                                    dt.cast("double") * n1 * n2
+                                    * (nt - dt)
+                                    / (nt.cast("double") * nt * (nt - 1)))
+                             .otherwise(F.lit(0.0)), 9).alias("v")))
+    s = terms.agg(F.sum("d1").cast("long").alias("o1"),
+                  F.sum("e1").alias("e1"), F.sum("v").alias("v"))
+    chi2 = F.round((F.col("o1") - F.col("e1"))
+                   * (F.col("o1") - F.col("e1")) / F.col("v"), 6)
+    return s.select(F.col("o1").alias("observed_grp1"),
+                    F.round("e1", 6).alias("expected_grp1"),
+                    chi2.alias("chi2"),
+                    (chi2 > _LR_CRIT).alias("reject_equal_survival"))

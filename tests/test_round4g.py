@@ -1293,3 +1293,42 @@ def test_whitening_effect_matches_python_model(spark, sf_dir):
     # is already near-isotropic, so "strictly shrinks" is NOT a valid
     # claim here - near-zero is)
     assert abs(row.avg_cos_after) < 0.01
+
+
+def test_logrank_matches_python_model(spark, sf_dir):
+    row = QUERIES["stats_logrank_test"](spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("user_id", "ts", "event_type").collect()
+    signup, purchase = {}, {}
+    horizon = max(r.ts for r in ev)
+    for r in ev:
+        if r.event_type == "signup":
+            signup[r.user_id] = min(r.ts, signup.get(r.user_id, r.ts))
+    for r in ev:
+        if (r.event_type == "purchase" and r.user_id in signup
+                and r.ts >= signup[r.user_id]):
+            purchase[r.user_id] = min(r.ts,
+                                      purchase.get(r.user_id, r.ts))
+    subj = []
+    for u, s in signup.items():
+        end = purchase.get(u, horizon)
+        t = int((end - s).total_seconds() * 1e6) // 86_400_000_000
+        subj.append((u % 2 == 1, t, u in purchase))
+    times = sorted({t for _, t, e in subj if e})
+    o1 = e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in subj if g and tt >= t)
+        n2 = sum(1 for g, tt, _ in subj if not g and tt >= t)
+        d1 = sum(1 for g, tt, e in subj if g and e and tt == t)
+        d2 = sum(1 for g, tt, e in subj if not g and e and tt == t)
+        dt, nt = d1 + d2, n1 + n2
+        o1 += d1
+        e1 += round(dt * n1 / nt, 9)
+        if nt > 1:
+            v += round(dt * n1 * n2 * (nt - dt) / (nt ** 2 * (nt - 1)), 9)
+    assert row.observed_grp1 == o1
+    assert math.isclose(row.expected_grp1, e1, abs_tol=2e-5)
+    chi2 = (o1 - e1) ** 2 / v
+    assert math.isclose(row.chi2, chi2, abs_tol=1e-3)
+    # random parity assignment: survival curves should NOT differ
+    assert not row.reject_equal_survival

@@ -64,6 +64,7 @@ WHITELIST_BNLJ = {
         "(design-space table, no corpus scan)",
     "embedding_whitening_effect": "1-row mu/sigma-array broadcast "
         "(64 doubles) + 1-row before/after combines",
+    "stats_logrank_test": "1-row horizon/cohort-total broadcasts",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -257,6 +258,9 @@ WHITELIST_GLOBALWIN = {
         "the SinglePartition exchange is the 1-row horizon combine",
     "survival_km_signup_to_purchase": "KM product window runs over "
         "the bounded duration-days domain",
+    "stats_logrank_test": "cumulative at-risk windows over the "
+        "bounded duration-days domain (KM contract); SinglePartition "
+        "is the 1-row chi-square combine",
     "abc_inventory_classes": "Pareto ranking window over the part "
         "aggregate (dim-sized)",
     "abc_xyz_matrix": "Pareto ranking window over the part aggregate "
