@@ -2006,3 +2006,89 @@ def text_bigram_entropy_rate(spark: SparkSession,
                     .alias("h_conditional_nats"),
                     F.round(F.exp(F.col("h_joint") - F.col("h_context")),
                             6).alias("perplexity_per_token")))
+
+
+_KW_CRIT_DF19 = 30.1435272056  # chi-square df=19 (20 sources), 5%
+
+
+@query("source_ranking_concordance", oracle=f"""
+WITH tf AS (
+  SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY source, tok),
+met AS (
+  SELECT source,
+    round(CAST(count_if(f = 1) AS DOUBLE) / COUNT(*), 9) AS hapax_ratio,
+    round(CAST(COUNT(*) AS DOUBLE) / SUM(f), 9) AS type_token,
+    CAST(SUM(f) AS BIGINT) AS n_tokens
+  FROM tf GROUP BY source),
+r AS (
+  SELECT source,
+    row_number() OVER (ORDER BY hapax_ratio, source) AS r1,
+    row_number() OVER (ORDER BY type_token, source) AS r2,
+    row_number() OVER (ORDER BY n_tokens, source) AS r3
+  FROM met),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sum_r2,
+    CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sum_r
+  FROM r)
+SELECT n AS n_sources,
+  round((12.0 * (sum_r2 - CAST(sum_r AS DOUBLE) * sum_r / n))
+        / (9.0 * n * (n * n - 1)), 6) AS kendalls_w,
+  round(3 * (n - 1) * (12.0 * (sum_r2
+                               - CAST(sum_r AS DOUBLE) * sum_r / n))
+        / (9.0 * n * (n * n - 1)), 6) AS chi2,
+  round(3 * (n - 1) * (12.0 * (sum_r2
+                               - CAST(sum_r AS DOUBLE) * sum_r / n))
+        / (9.0 * n * (n * n - 1)), 6) > {_KW_CRIT_DF19}
+    AS rankings_agree
+FROM s""")
+def source_ranking_concordance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Kendall's W concordance across three independent per-source
+    quality signals — hapax ratio, type-token ratio, and corpus size —
+    each ranking the 20 sources: W near 1 means the signals agree on
+    which sources are "good" (one can gate on any of them); W near 0
+    means they measure DIFFERENT things and the mixture policy needs
+    all three.  This is the meta-analysis a curation team runs before
+    collapsing its signal zoo into one score; the chi-square
+    m(n−1)W tests agreement against the random-rankings null.
+
+    Determinism: metrics snap to 9 dp and ranks break ties by source
+    name (exact ties of 9-dp continuous ratios are measure-zero; the
+    tie-break is stated), so the rank matrix is identical in both
+    engines and S = Σ(R_i)² stays exact BIGINT; W is one fixed-shape
+    double.  Shape: one (source, term) aggregate, three rank windows
+    over the 20-row source table, a 1-row reduce."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (t["documents"]
+          .select("source", F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("source", "term")
+          .agg(F.count("*").cast("long").alias("f")))
+    met = (tf.groupBy("source")
+           .agg(F.round(F.count_if(F.col("f") == 1).cast("double")
+                        / F.count("*"), 9).alias("hapax_ratio"),
+                F.round(F.count("*").cast("double") / F.sum("f"), 9)
+                 .alias("type_token"),
+                F.sum("f").cast("long").alias("n_tokens")))
+    r = met.select(
+        "source",
+        F.row_number().over(Window.orderBy("hapax_ratio", "source"))
+         .alias("r1"),
+        F.row_number().over(Window.orderBy("type_token", "source"))
+         .alias("r2"),
+        F.row_number().over(Window.orderBy("n_tokens", "source"))
+         .alias("r3"))
+    rsum = F.col("r1") + F.col("r2") + F.col("r3")
+    s = r.agg(F.count("*").cast("long").alias("n"),
+              F.sum(rsum * rsum).cast("long").alias("sum_r2"),
+              F.sum(rsum).cast("long").alias("sum_r"))
+    n, sr2, sr = F.col("n"), F.col("sum_r2"), F.col("sum_r")
+    w = (12.0 * (sr2 - sr.cast("double") * sr / n)) \
+        / (9.0 * n * (n * n - 1))
+    chi2 = F.round(3 * (n - 1) * w, 6)
+    return s.select(n.alias("n_sources"),
+                    F.round(w, 6).alias("kendalls_w"),
+                    chi2.alias("chi2"),
+                    (chi2 > _KW_CRIT_DF19).alias("rankings_agree"))

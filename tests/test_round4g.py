@@ -1332,3 +1332,33 @@ def test_logrank_matches_python_model(spark, sf_dir):
     assert math.isclose(row.chi2, chi2, abs_tol=1e-3)
     # random parity assignment: survival curves should NOT differ
     assert not row.reject_equal_survival
+
+
+def test_concordance_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    row = QUERIES["source_ranking_concordance"](spark, sf_dir) \
+        .collect()[0]
+    per_src = defaultdict(Counter)
+    for r in _docs(spark, sf_dir):
+        per_src[r.source].update(r.text.split(" "))
+    met = {}
+    for src, cnt in per_src.items():
+        F_tot = sum(cnt.values())
+        met[src] = (round(sum(1 for c in cnt.values() if c == 1)
+                          / len(cnt), 9),
+                    round(len(cnt) / F_tot, 9), F_tot)
+    srcs = sorted(met)
+    ranks = defaultdict(int)
+    for axis in range(3):
+        order = sorted(srcs, key=lambda s: (met[s][axis], s))
+        for i, s in enumerate(order, 1):
+            ranks[s] += i
+    n, m = len(srcs), 3
+    sum_r = sum(ranks.values())
+    sum_r2 = sum(v * v for v in ranks.values())
+    w = (12 * (sum_r2 - sum_r * sum_r / n)) / (m * m * n * (n * n - 1))
+    assert row.n_sources == n
+    assert math.isclose(row.kendalls_w, w, abs_tol=2e-6)
+    assert math.isclose(row.chi2, m * (n - 1) * w, abs_tol=5e-5)
+    # W is a normalized concordance: within [0, 1]
+    assert -1e-9 <= row.kendalls_w <= 1.0 + 1e-9

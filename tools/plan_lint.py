@@ -261,6 +261,8 @@ WHITELIST_GLOBALWIN = {
     "stats_logrank_test": "cumulative at-risk windows over the "
         "bounded duration-days domain (KM contract); SinglePartition "
         "is the 1-row chi-square combine",
+    "source_ranking_concordance": "three rank windows over the "
+        "20-row source table; SinglePartition is the 1-row W combine",
     "abc_inventory_classes": "Pareto ranking window over the part "
         "aggregate (dim-sized)",
     "abc_xyz_matrix": "Pareto ranking window over the part aggregate "
