@@ -971,3 +971,89 @@ def graph_brand_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((4 * mm * same - sc2).cast("double")
                             / (4 * mm * mm - sc2), 9)
                     .alias("assortativity_r")))
+
+
+@query("graph_edge_churn_halves", oracle=f"""
+WITH mid AS (
+  SELECT CAST(date_trunc('day', MIN(o_orderdate)) AS DATE)
+    + to_days(CAST(datediff('day',
+        CAST(date_trunc('day', MIN(o_orderdate)) AS DATE),
+        CAST(date_trunc('day', MAX(o_orderdate)) AS DATE)) // 2
+      AS INTEGER)) AS cutover
+  FROM orders),
+e1 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  CROSS JOIN mid WHERE o.o_orderdate < cutover),
+e2 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  CROSS JOIN mid WHERE o.o_orderdate >= cutover),
+c AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_before,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_after,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM e1 JOIN e2 USING (u, v)) AS n_stable)
+SELECT n_before, n_after, n_stable,
+  n_before - n_stable AS n_lost,
+  n_after - n_stable AS n_new,
+  round(CAST(n_stable AS DOUBLE)
+        / (n_before + n_after - n_stable), 9) AS edge_jaccard
+FROM c""")
+def graph_edge_churn_halves(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Temporal graph churn: build the co-purchase edge set separately
+    for the first and second halves of the order history (day-midpoint
+    cutover — the DiD/CUPED convention) and measure edge overlap —
+    stable/new/lost edge counts and the edge Jaccard.  A co-purchase
+    graph whose edges churn wholesale between halves says basket
+    structure is seasonal/transient, and any model trained on the
+    full-history graph (PageRank ranks, LPA communities, link
+    prediction) is averaging over regimes — the STALENESS question
+    every graph consumer should ask before trusting a static snapshot.
+
+    Exact distinct-edge counts; one double division.  Shape: two
+    date-pruned edge constructions (the copurchase self-join budget,
+    each reading only its half after pushdown through the orders
+    join), one (u,v)-keyed intersection equi-join, a 1-row report."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    mid = t["orders"].agg(
+        F.date_trunc("day", F.min("o_orderdate")).cast("date")
+        .alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).cast("date")
+        .alias("hi"))
+    mid = mid.select(F.date_add(
+        "lo", (F.datediff("hi", "lo") / 2).cast("int")).alias("cutover"))
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    od = t["orders"].select("o_orderkey", "o_orderdate")
+
+    def half(pred):
+        keys = (od.crossJoin(F.broadcast(mid)).where(pred)
+                .select(F.col("o_orderkey").alias("l_orderkey")))
+        l = li.join(keys, "l_orderkey")
+        a = l.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b = l.select("l_orderkey", F.col("l_partkey").alias("v"))
+        return (a.join(b, "l_orderkey")
+                .where(F.col("u") < F.col("v"))
+                .select("u", "v").distinct())
+
+    e1 = half(F.col("o_orderdate") < F.col("cutover"))
+    e2 = half(F.col("o_orderdate") >= F.col("cutover"))
+    n1 = e1.agg(F.count("*").cast("long").alias("n_before"))
+    n2 = e2.agg(F.count("*").cast("long").alias("n_after"))
+    ns = (e1.join(e2, ["u", "v"])
+          .agg(F.count("*").cast("long").alias("n_stable")))
+    c = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(ns))
+    nb, na, nst = F.col("n_before"), F.col("n_after"), F.col("n_stable")
+    return c.select(
+        "n_before", "n_after", "n_stable",
+        (nb - nst).alias("n_lost"), (na - nst).alias("n_new"),
+        F.round(nst.cast("double") / (nb + na - nst), 9)
+         .alias("edge_jaccard"))

@@ -2051,3 +2051,62 @@ def sampling_monetary_unit(spark: SparkSession,
     return (hit.crossJoin(F.broadcast(ns))
             .select("o_orderkey", "cents", "n_hits", "n_selected")
             .orderBy("o_orderkey").limit(50))
+
+
+def _fd_sql() -> str:
+    legs = []
+    for det, dep in (("source", "lang"), ("lang", "source")):
+        legs.append(f"""
+  SELECT '{det} -> {dep}' AS fd,
+    CAST(COUNT(*) AS BIGINT) AS n_determinant_values,
+    CAST(SUM(n) AS BIGINT) AS n_rows,
+    CAST(SUM(n - top) AS BIGINT) AS n_violations,
+    round(1.0 - CAST(SUM(n - top) AS DOUBLE) / SUM(n), 9) AS confidence,
+    CAST(count_if(n = top) AS BIGINT) AS n_exact_groups
+  FROM (
+    SELECT {det}, CAST(SUM(c) AS BIGINT) AS n,
+      CAST(MAX(c) AS BIGINT) AS top
+    FROM (SELECT {det}, {dep}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY {det}, {dep})
+    GROUP BY {det})""")
+    return ("WITH u AS (" + " UNION ALL ".join(legs)
+            + ") SELECT * FROM u ORDER BY fd")
+
+
+@query("dq_functional_dependency_strength", oracle=_fd_sql())
+def dq_functional_dependency_strength(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency profiling (the TANE-family
+    question asked statistically): how close do source → lang and
+    lang → source come to holding?  Confidence = 1 − (rows that would
+    have to change for the FD to hold exactly)/rows — the g3 error
+    measure — plus the count of determinant groups where it already
+    holds exactly.  High source→lang confidence says sources are
+    language-pure (lang is derivable, a candidate for normalization);
+    low says multilingual sources are real and lang must stay a
+    physical column.  This is the schema-design evidence a modeler
+    reads before declaring dependencies.
+
+    Exact integer counts (majority class per determinant via MAX over
+    the (det, dep) census), one double division per FD.  Shape: one
+    (det, dep) aggregate + one det-level rollup per direction — both
+    domain-bounded, counters-only shuffles."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    legs = []
+    for det, dep in (("source", "lang"), ("lang", "source")):
+        census = (t["documents"].groupBy(det, dep)
+                  .agg(F.count("*").cast("long").alias("c")))
+        grp = (census.groupBy(det)
+               .agg(F.sum("c").cast("long").alias("n"),
+                    F.max("c").cast("long").alias("top")))
+        legs.append(grp.agg(
+            F.lit(f"{det} -> {dep}").alias("fd"),
+            F.count("*").cast("long").alias("n_determinant_values"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.col("n") - F.col("top")).cast("long")
+             .alias("n_violations"),
+            F.round(1.0 - F.sum(F.col("n") - F.col("top")).cast("double")
+                    / F.sum("n"), 9).alias("confidence"),
+            F.count_if(F.col("n") == F.col("top")).cast("long")
+             .alias("n_exact_groups")))
+    return legs[0].unionByName(legs[1]).orderBy("fd")

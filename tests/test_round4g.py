@@ -1362,3 +1362,59 @@ def test_concordance_matches_python_model(spark, sf_dir):
     assert math.isclose(row.chi2, m * (n - 1) * w, abs_tol=5e-5)
     # W is a normalized concordance: within [0, 1]
     assert -1e-9 <= row.kendalls_w <= 1.0 + 1e-9
+
+
+def test_edge_churn_matches_python_model(spark, sf_dir):
+    row = QUERIES["graph_edge_churn_halves"](spark, sf_dir).collect()[0]
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    od = {r.o_orderkey: r.o_orderdate for r in
+          t["orders"].select("o_orderkey", "o_orderdate").collect()}
+    lo, hi = min(od.values()), max(od.values())
+    import datetime
+    cut = lo + datetime.timedelta(days=(hi - lo).days // 2)
+    halves = {True: defaultdict(set), False: defaultdict(set)}
+    for r in t["lineitem"].select("l_orderkey", "l_partkey").collect():
+        halves[od[r.l_orderkey] < cut][r.l_orderkey].add(r.l_partkey)
+
+    def edges(orders):
+        es = set()
+        for parts in orders.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    es.add((ps[i], ps[j]))
+        return es
+
+    e1, e2 = edges(halves[True]), edges(halves[False])
+    assert (row.n_before, row.n_after) == (len(e1), len(e2))
+    assert row.n_stable == len(e1 & e2)
+    assert row.n_lost == len(e1 - e2) and row.n_new == len(e2 - e1)
+    assert row.edge_jaccard == round(len(e1 & e2) / len(e1 | e2), 9)
+
+
+def test_fd_strength_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    rows = {r.fd: r for r in
+            QUERIES["dq_functional_dependency_strength"](spark, sf_dir)
+            .collect()}
+    docs = _docs(spark, sf_dir)
+    lang_of = {}
+    for r in load_tables(spark, sf_dir, ("documents",))["documents"] \
+            .select("doc_id", "lang", "source").collect():
+        lang_of[r.doc_id] = (r.source, r.lang)
+    for det_i, dep_i, name in ((0, 1, "source -> lang"),
+                               (1, 0, "lang -> source")):
+        groups = defaultdict(Counter)
+        for src, lang in lang_of.values():
+            pair = (src, lang)
+            groups[pair[det_i]][pair[dep_i]] += 1
+        n_rows = sum(sum(c.values()) for c in groups.values())
+        viol = sum(sum(c.values()) - max(c.values())
+                   for c in groups.values())
+        got = rows[name]
+        assert got.n_determinant_values == len(groups)
+        assert got.n_rows == n_rows
+        assert got.n_violations == viol
+        assert got.confidence == round(1 - viol / n_rows, 9)
+        # confidence is a share, and exact groups obey their definition
+        assert 0 <= got.confidence <= 1

@@ -65,6 +65,7 @@ WHITELIST_BNLJ = {
     "embedding_whitening_effect": "1-row mu/sigma-array broadcast "
         "(64 doubles) + 1-row before/after combines",
     "stats_logrank_test": "1-row horizon/cohort-total broadcasts",
+    "graph_edge_churn_halves": "1-row cutover-date + census broadcasts",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
