@@ -1239,3 +1239,56 @@ def dq_duplicate_payment_candidates(spark: SparkSession,
                     "date_a", "date_b", gap.alias("gap_days"))
             .orderBy("custkey", "amount", "key_a", "key_b")
             .limit(50))
+
+
+_LDU_CRIT_DF9 = 16.9189776046  # chi-square df=9, 5%
+
+
+@query("dq_last_digit_uniformity", oracle=f"""
+WITH d AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 10
+    AS digit
+  FROM orders),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+chi AS (
+  SELECT SUM((CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) / 10)
+             * (n - CAST(nn AS DOUBLE) / 10) / (CAST(nn AS DOUBLE) / 10))
+    AS chi2
+  FROM c CROSS JOIN tot)
+SELECT nn AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_digits_seen,
+  round(chi2, 6) AS chi2,
+  round(chi2, 6) > {_LDU_CRIT_DF9} AS reject_uniform
+FROM chi CROSS JOIN tot""")
+def dq_last_digit_uniformity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Last-digit uniformity test — Benford's forensic companion:
+    GENUINE transaction amounts have uniformly random final cent
+    digits, while fabricated or rounded figures cluster (0/5-heavy
+    endings are the classic fraud tell).  Pearson chi-square of the
+    terminal cent digit against uniform(10), df = 9; pairs with
+    benford_first_digit (which tests the FIRST digit against the
+    log law) to bracket the number from both ends.
+
+    Exact integer digits from exact-cent arithmetic; the chi-square
+    sums 10 bounded cell terms (float order noise ~1e-15, snapped at
+    6).  Shape: one map + 10-cell aggregate + 1-row test."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = t["orders"].select(
+        ((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+         .cast("long") % 10).alias("digit"))
+    c = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("nn"),
+                F.count("*").cast("long").alias("n_digits_seen"))
+    exp = F.col("nn").cast("double") / 10
+    chi = (c.crossJoin(F.broadcast(tot))
+           .agg(F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp)
+                .alias("chi2"),
+                F.max("nn").alias("n_rows"),
+                F.max("n_digits_seen").alias("n_digits_seen")))
+    return chi.select(
+        "n_rows", "n_digits_seen",
+        F.round("chi2", 6).alias("chi2"),
+        (F.round("chi2", 6) > _LDU_CRIT_DF9).alias("reject_uniform"))

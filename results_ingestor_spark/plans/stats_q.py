@@ -3910,3 +3910,104 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 + inv, 6).alias("alpha_hat"),
                     F.round(inv / F.sqrt(F.col("n_tail").cast("double")),
                             6).alias("alpha_se")))
+
+
+_CCF_MAX_LAG = 3
+
+
+def _ccf_oracle() -> str:
+    cols, rows = [], []
+    for k in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1):
+        tag = f"m{k}".replace("-", "n")
+        cols.append(
+            f"CAST(SUM(x * lead_y_{tag}) AS BIGINT) AS p_{tag}, "
+            f"CAST(SUM(CASE WHEN lead_y_{tag} IS NOT NULL THEN x END) "
+            f"AS BIGINT) AS a_{tag}, "
+            f"CAST(SUM(lead_y_{tag}) AS BIGINT) AS b_{tag}, "
+            f"CAST(COUNT(lead_y_{tag}) AS BIGINT) AS m_{tag}")
+        rows.append(f"""
+  SELECT {k} AS lag,
+    round((m_{tag} * CAST(p_{tag} AS DOUBLE) - CAST(a_{tag} AS DOUBLE)
+           * b_{tag})
+          / (sqrt(m_{tag} * CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             * sqrt(m_{tag} * CAST(qy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * sy)), 6) AS ccf
+  FROM g""")
+    leads = ", ".join(
+        f"lead(y, {k}) OVER (ORDER BY bucket) AS lead_y_"
+        + f"m{k}".replace("-", "n")
+        for k in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+    CAST(count_if(event_type = 'click') AS BIGINT) AS x,
+    CAST(count_if(event_type = 'purchase') AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+l AS (SELECT x, y, {leads} FROM h),
+g AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS qx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS qy,
+    {", ".join(cols)}
+  FROM l)
+SELECT lag, ccf FROM ({" UNION ALL ".join(rows)}) ORDER BY lag"""
+
+
+@query("events_ccf_click_purchase", oracle=_ccf_oracle())
+def events_ccf_click_purchase(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly click and
+    purchase series at lags −3…+3: a peak at positive lag k means
+    clicks LEAD purchases by k hours (the causal-direction and
+    conversion-latency hint the same-hour correlation can't give);
+    the 0-lag value is the contemporaneous coupling.  The cross twin
+    of events_acf_hourly, sharing its exact-BIGINT expansion — the
+    simplification of using whole-series x/y moments in the
+    denominator (rather than per-lag truncated ones) is the standard
+    CCF estimator convention and is applied identically in both
+    engines.
+
+    All products/sums BIGINT until one double expression per lag,
+    snapped at 6.  Shape: one hourly conditional aggregate, lead()
+    windows over the O(hours) layer, a 1-row moment reduce exploded
+    into 7 report rows."""
+    t = load_tables(spark, sf_dir, ("events",))
+    h = (t["events"]
+         .where(F.col("event_type").isin("click", "purchase"))
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+         .agg(F.count_if(F.col("event_type") == "click").cast("long")
+               .alias("x"),
+              F.count_if(F.col("event_type") == "purchase").cast("long")
+               .alias("y")))
+    w = Window.orderBy("bucket")
+    lags = list(range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1))
+    l = h.select("x", "y",
+                 *[F.lead("y", k).over(w)
+                   .alias(f"m{k}".replace("-", "n"))
+                   for k in lags])
+    aggs = [F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("qx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("qy")]
+    for k in lags:
+        tag = f"m{k}".replace("-", "n")
+        lk = F.col(tag)
+        aggs += [F.sum(F.col("x") * lk).cast("long").alias(f"p_{tag}"),
+                 F.sum(F.when(lk.isNotNull(), F.col("x"))).cast("long")
+                  .alias(f"a_{tag}"),
+                 F.sum(lk).cast("long").alias(f"b_{tag}"),
+                 F.count(lk).cast("long").alias(f"cnt_{tag}")]
+    g = l.agg(*aggs)
+    structs = []
+    for k in lags:
+        tag = f"m{k}".replace("-", "n")
+        m = F.col(f"cnt_{tag}")
+        num = (m * F.col(f"p_{tag}").cast("double")
+               - F.col(f"a_{tag}").cast("double") * F.col(f"b_{tag}"))
+        den = (F.sqrt(m * F.col("qx").cast("double")
+                      - F.col("sx").cast("double") * F.col("sx"))
+               * F.sqrt(m * F.col("qy").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy")))
+        structs.append(F.struct(F.lit(k).alias("lag"),
+                                F.round(num / den, 6).alias("ccf")))
+    return (g.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.lag", "r.ccf").orderBy("lag"))

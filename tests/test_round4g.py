@@ -1418,3 +1418,50 @@ def test_fd_strength_matches_python_model(spark, sf_dir):
         assert got.confidence == round(1 - viol / n_rows, 9)
         # confidence is a share, and exact groups obey their definition
         assert 0 <= got.confidence <= 1
+
+
+def test_ccf_matches_python_model(spark, sf_dir):
+    rows = {r.lag: r.ccf for r in
+            QUERIES["events_ccf_click_purchase"](spark, sf_dir)
+            .collect()}
+    cnt = defaultdict(lambda: [0, 0])
+    for r in load_tables(spark, sf_dir, ("events",))["events"] \
+            .select("ts", "event_type").collect():
+        if r.event_type in ("click", "purchase"):
+            h = r.ts.replace(minute=0, second=0, microsecond=0)
+            cnt[h][0 if r.event_type == "click" else 1] += 1
+    keys = sorted(cnt)
+    x = [cnt[k][0] for k in keys]
+    y = [cnt[k][1] for k in keys]
+    n = len(x)
+    sx, qx = sum(x), sum(v * v for v in x)
+    sy, qy = sum(y), sum(v * v for v in y)
+    for k in range(-3, 4):
+        pairs = [(x[i], y[i + k]) for i in range(n)
+                 if 0 <= i + k < n]
+        m = len(pairs)
+        p = sum(a * b for a, b in pairs)
+        a = sum(a for a, _ in pairs)
+        b = sum(b for _, b in pairs)
+        want = (m * p - a * b) / (
+            math.sqrt(m * qx - sx * sx) * math.sqrt(m * qy - sy * sy))
+        assert math.isclose(rows[k], want, abs_tol=2e-6), k
+    # a correlation-like quantity stays within loose unit bounds
+    assert all(abs(v) <= 1.5 for v in rows.values())
+
+
+def test_last_digit_uniformity_matches_python_model(spark, sf_dir):
+    from collections import Counter
+    row = QUERIES["dq_last_digit_uniformity"](spark, sf_dir).collect()[0]
+    digs = Counter(round(r.o_totalprice * 100) % 10 for r in
+                   load_tables(spark, sf_dir, ("orders",))["orders"]
+                   .select("o_totalprice").collect())
+    n = sum(digs.values())
+    chi2 = sum((c - n / 10) ** 2 / (n / 10) for c in digs.values())
+    # absent digits contribute the full expected mass
+    chi2 += (10 - len(digs)) * (n / 10)
+    assert row.n_rows == n
+    assert row.n_digits_seen == len(digs)
+    if len(digs) == 10:
+        assert math.isclose(row.chi2, chi2, abs_tol=2e-5)
+    assert row.reject_uniform == (row.chi2 > 16.9189776046)

@@ -66,6 +66,7 @@ WHITELIST_BNLJ = {
         "(64 doubles) + 1-row before/after combines",
     "stats_logrank_test": "1-row horizon/cohort-total broadcasts",
     "graph_edge_churn_halves": "1-row cutover-date + census broadcasts",
+    "dq_last_digit_uniformity": "1-row digit-census total broadcast",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -247,6 +248,8 @@ WHITELIST_GLOBALWIN = {
         "by the time domain)",
     "stats_ljung_box_hourly": "lead window over the hourly layer "
         "(bounded by the time domain, same contract as events_acf_hourly)",
+    "events_ccf_click_purchase": "lead windows over the hourly layer "
+        "(ACF contract); SinglePartition is the 1-row moment reduce",
     "privacy_t_closeness": "window is QI-partitioned; the "
         "SinglePartition exchange is the 1-row corpus-total combine",
     "events_gap_distribution": "lag window is user-partitioned; the "
