@@ -1421,3 +1421,137 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("e1", 6).alias("expected_grp1"),
                     chi2.alias("chi2"),
                     (chi2 > _LR_CRIT).alias("reject_equal_survival"))
+
+
+_RAYLEIGH_CRIT = 2.9957  # -ln(0.05): Rayleigh z critical at 5%
+
+import math as _math
+
+_HOUR_COS = tuple(_math.cos(2 * _math.pi * h / 24) for h in range(24))
+_HOUR_SIN = tuple(_math.sin(2 * _math.pi * h / 24) for h in range(24))
+
+
+def _rayleigh_oracle() -> str:
+    c_terms = " + ".join(
+        f"count_if(hr = {h}) * ({_HOUR_COS[h]!r})" for h in range(24))
+    s_terms = " + ".join(
+        f"count_if(hr = {h}) * ({_HOUR_SIN[h]!r})" for h in range(24))
+    return f"""
+WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hr FROM events
+           WHERE event_type = 'purchase'),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    round({c_terms}, 6) AS c,
+    round({s_terms}, 6) AS s
+  FROM e)
+SELECT n AS n_events,
+  round(sqrt(c * c + s * s) / n, 6) AS resultant_length,
+  CAST(round((CASE WHEN atan2(s, c) < 0
+              THEN atan2(s, c) + 2 * pi() ELSE atan2(s, c) END)
+             * 24 / (2 * pi()), 0) AS BIGINT) % 24 AS peak_hour,
+  round((c * c + s * s) / n, 6) AS rayleigh_z,
+  round((c * c + s * s) / n, 6) > {_RAYLEIGH_CRIT}
+    AS reject_uniform_hours
+FROM m"""
+
+
+@query("events_peak_hour_rayleigh", oracle=_rayleigh_oracle())
+def events_peak_hour_rayleigh(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Rayleigh test for diurnal concentration of PURCHASES, treating
+    hour-of-day as a circular variable: the resultant vector of unit
+    phasors at each event's hour gives (a) the mean direction = the
+    PEAK HOUR, correctly wrapping midnight (an arithmetic mean of
+    hours puts the peak of a 23h-1h burst at noon), (b) the resultant
+    length R̄ (0 = uniform, 1 = all in one hour), and (c) the Rayleigh
+    z = nR̄² significance against uniform hours.  Complements
+    events_seasonality_strength (variance-explained, no direction) and
+    the dow×hour heatmap (visual, no test).
+
+    Determinism: the 24 cos/sin weights are PYTHON-EVALUATED literals
+    embedded in both plans — no transcendental runs at query time
+    except one atan2 on 6-dp-snapped C,S; all counts exact.  Shape:
+    one 24-cell conditional aggregate, a 1-row report."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = (t["events"].where(F.col("event_type") == "purchase")
+         .select(F.hour("ts").cast("long").alias("hr")))
+    c_expr = sum((F.count_if(F.col("hr") == h) * float(_HOUR_COS[h])
+                  for h in range(1, 24)),
+                 F.count_if(F.col("hr") == 0) * float(_HOUR_COS[0]))
+    s_expr = sum((F.count_if(F.col("hr") == h) * float(_HOUR_SIN[h])
+                  for h in range(1, 24)),
+                 F.count_if(F.col("hr") == 0) * float(_HOUR_SIN[0]))
+    m = e.agg(F.count("*").cast("long").alias("n"),
+              F.round(c_expr, 6).alias("c"),
+              F.round(s_expr, 6).alias("s"))
+    ang = F.atan2(F.col("s"), F.col("c"))
+    ang = F.when(ang < 0, ang + 2 * _math.pi).otherwise(ang)
+    z = F.round((F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+                / F.col("n"), 6)
+    return m.select(
+        F.col("n").alias("n_events"),
+        F.round(F.sqrt(F.col("c") * F.col("c")
+                       + F.col("s") * F.col("s")) / F.col("n"), 6)
+         .alias("resultant_length"),
+        (F.round(ang * 24 / (2 * _math.pi), 0).cast("long") % 24)
+        .alias("peak_hour"),
+        z.alias("rayleigh_z"),
+        (z > _RAYLEIGH_CRIT).alias("reject_uniform_hours"))
+
+
+@query("events_capacity_profile", oracle="""
+WITH dh AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(hour(ts) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_days,
+    list_sort(list(c)) AS cs,
+    CAST(MAX(c) AS BIGINT) AS peak,
+    CAST(SUM(c) AS BIGINT) AS total
+  FROM dh GROUP BY hr)
+SELECT hr AS hour_of_day, n_days,
+  CAST(cs[CAST((n_days + 1) // 2 AS INT)] AS BIGINT) AS median_load,
+  CAST(cs[CAST(greatest(1, (n_days * 95 + 99) // 100) AS INT)]
+       AS BIGINT) AS p95_load,
+  peak AS peak_load,
+  round(CAST(total AS DOUBLE) / n_days, 6) AS mean_load
+FROM p ORDER BY hour_of_day""")
+def events_capacity_profile(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Capacity-planning load profile: for each hour-of-day, the
+    distribution of that hour's event volume ACROSS DAYS — median,
+    (ceil-convention) p95, peak, mean.  The dow×hour heatmap shows
+    average seasonality; capacity is provisioned to the P95/peak of
+    each hour's across-days distribution, which averages hide — this
+    is the table an SRE turns into autoscaling schedules.
+
+    Exact order statistics: per-hour day-loads collect into a sorted
+    integer array (bounded by the day count, the cohort contract) and
+    the median/p95 are exact elements at (n+1)//2 and ceil(0.95n) —
+    both engines index the identical sorted list.  Shape: one
+    (day, hour) aggregate, a 24-group rollup carrying day-count-sized
+    arrays."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dh = (t["events"]
+          .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"),
+                   F.hour("ts").cast("long").alias("hr"))
+          .agg(F.count("*").cast("long").alias("c")))
+    p = (dh.groupBy("hr")
+         .agg(F.count("*").cast("long").alias("n_days"),
+              F.array_sort(F.collect_list("c")).alias("cs"),
+              F.max("c").cast("long").alias("peak"),
+              F.sum("c").cast("long").alias("total")))
+    med_idx = ((F.col("n_days") + 1) / 2).cast("int")
+    p95_idx = F.greatest(F.lit(1),
+                         ((F.col("n_days") * 95 + 99) / 100).cast("int"))
+    return (p.select(F.col("hr").alias("hour_of_day"), "n_days",
+                     F.element_at("cs", med_idx).cast("long")
+                     .alias("median_load"),
+                     F.element_at("cs", p95_idx).cast("long")
+                     .alias("p95_load"),
+                     F.col("peak").alias("peak_load"),
+                     F.round(F.col("total").cast("double")
+                             / F.col("n_days"), 6).alias("mean_load"))
+            .orderBy("hour_of_day"))

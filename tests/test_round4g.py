@@ -1465,3 +1465,46 @@ def test_last_digit_uniformity_matches_python_model(spark, sf_dir):
     if len(digs) == 10:
         assert math.isclose(row.chi2, chi2, abs_tol=2e-5)
     assert row.reject_uniform == (row.chi2 > 16.9189776046)
+
+
+def test_rayleigh_matches_python_model(spark, sf_dir):
+    row = QUERIES["events_peak_hour_rayleigh"](spark, sf_dir) \
+        .collect()[0]
+    hrs = [r.ts.hour for r in
+           load_tables(spark, sf_dir, ("events",))["events"]
+           .select("ts", "event_type").collect()
+           if r.event_type == "purchase"]
+    n = len(hrs)
+    C = round(sum(math.cos(2 * math.pi * h / 24) for h in hrs), 6)
+    S = round(sum(math.sin(2 * math.pi * h / 24) for h in hrs), 6)
+    assert row.n_events == n
+    assert math.isclose(row.resultant_length,
+                        math.sqrt(C * C + S * S) / n, abs_tol=2e-6)
+    assert math.isclose(row.rayleigh_z, (C * C + S * S) / n,
+                        abs_tol=2e-5)
+    ang = math.atan2(S, C)
+    if ang < 0:
+        ang += 2 * math.pi
+    assert row.peak_hour == round(ang * 24 / (2 * math.pi)) % 24
+    # resultant length is a normalized magnitude in [0, 1]
+    assert 0.0 <= row.resultant_length <= 1.0
+
+
+def test_capacity_profile_matches_python_model(spark, sf_dir):
+    rows = {r.hour_of_day: r for r in
+            QUERIES["events_capacity_profile"](spark, sf_dir).collect()}
+    loads = defaultdict(lambda: defaultdict(int))
+    for r in load_tables(spark, sf_dir, ("events",))["events"] \
+            .select("ts").collect():
+        loads[r.ts.hour][r.ts.date()] += 1
+    for hr, per_day in loads.items():
+        cs = sorted(per_day.values())
+        n = len(cs)
+        got = rows[hr]
+        assert got.n_days == n
+        assert got.median_load == cs[(n + 1) // 2 - 1]
+        assert got.p95_load == cs[max(1, (n * 95 + 99) // 100) - 1]
+        assert got.peak_load == cs[-1]
+        assert got.mean_load == round(sum(cs) / n, 6)
+        # ordering of the order statistics
+        assert got.median_load <= got.p95_load <= got.peak_load
