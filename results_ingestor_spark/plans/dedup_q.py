@@ -1187,3 +1187,140 @@ def join_bloom_sizing_table(spark: SparkSession,
                      F.expr("CAST((m_bits + 7) DIV 8 AS BIGINT)")
                      .alias("bytes"))
             .orderBy("config"))
+
+
+@query("dedup_lsh_bucket_stats", oracle=f"""
+WITH sigt AS ({_minhash_sql()}),
+keyedt AS (
+  SELECT doc_id, unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigt),
+bk AS (
+  SELECT bidx, bkey, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM keyedt GROUP BY bidx, bkey)
+SELECT CAST(bidx AS INT) AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+  CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs_bound,
+  round(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 6) AS mean_bucket
+FROM bk GROUP BY bidx ORDER BY band""")
+def dedup_lsh_bucket_stats(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """LSH band-bucket capacity diagnostics — the dedup cost model
+    MEASURED before the join runs: per band, bucket count, the hottest
+    bucket, and Σ sz(sz−1)/2 = the exact upper bound on candidate
+    pairs that band will emit (the quantity the AMS-F2 sketch
+    estimates, computed exactly here on the band keys).  A band whose
+    candidate bound explodes relative to its siblings marks a
+    degenerate hash slice (too few bits, skewed shingles) — the
+    re-banding trigger, and the number that sizes the verify stage's
+    shuffle.  The IVF twin of this report is ann_ivf_index_stats.
+
+    Exact BIGINT bucket sizes and pair bounds (sz(sz−1) is even);
+    one double mean.  Shape: signatures map-side, one (band, key)
+    count, a 4-group rollup — counters only."""
+    from results_ingestor_spark.operators.dedup import with_minhash
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select(
+        "doc_id", "band0", "band1", "band2", "band3")
+    bands = F.array(*[F.col(f"band{b}") for b in range(4)])
+    keyed = sig.select(F.posexplode(bands).alias("bidx", "bkey"))
+    bk = (keyed.groupBy("bidx", "bkey")
+          .agg(F.count("*").cast("long").alias("sz")))
+    return (bk.groupBy(F.col("bidx").cast("int").alias("band"))
+            .agg(F.count("*").cast("long").alias("n_buckets"),
+                 F.max("sz").cast("long").alias("max_bucket"),
+                 F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+                  .alias("candidate_pairs_bound"),
+                 F.round(F.sum("sz").cast("double") / F.count("*"), 6)
+                  .alias("mean_bucket"))
+            .orderBy("band"))
+
+
+@query("dedup_transitivity_violation_rate", oracle=f"""
+WITH sigt AS ({_minhash_sql()}),
+keyedt AS (
+  SELECT doc_id, sh,
+    unnest([band0, band1, band2, band3]) AS bkey,
+    unnest([0, 1, 2, 3]) AS bidx
+  FROM sigt),
+candt AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM keyedt l JOIN keyedt r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+p AS (
+  SELECT id_a, id_b
+  FROM candt
+  JOIN sigt a ON a.doc_id = id_a
+  JOIN sigt b ON b.doc_id = id_b
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9)
+        >= 0.5),
+sym AS (SELECT id_a AS u, id_b AS v FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+wedge AS (
+  SELECT s1.v AS a, s1.u AS mid, s2.v AS c
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+closed AS (
+  SELECT w.a, w.mid, w.c
+  FROM wedge w JOIN p ON p.id_a = w.a AND p.id_b = w.c),
+s AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM wedge) AS n_wedges,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM closed) AS n_closed)
+SELECT n_pairs, n_wedges, n_closed,
+  n_wedges - n_closed AS n_open,
+  CASE WHEN n_wedges > 0 THEN
+    round(CAST(n_wedges - n_closed AS DOUBLE) / n_wedges, 9)
+  ELSE 0.0 END AS violation_rate
+FROM s""")
+def dedup_transitivity_violation_rate(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Is the near-duplicate relation transitive ENOUGH to collapse by
+    connected components?  Over the verified MinHash pairs (Jaccard
+    ≥ 0.5, exactly dedup_minhash_lsh's output), count wedges A~B~C and
+    how many close into A~C.  The violation rate IS the error the
+    cluster-collapse step (dedup_clusters + keep-first) commits:
+    components merge non-duplicates through chains when it's high —
+    the measured justification for (or against) the CC granularity,
+    read before trusting canonical selection.
+
+    Exact integer wedge/closure counts; one double rate.  Shape: the
+    LSH + verify budget, then a wedge self-join SYMMETRIZED on the
+    verified-pair table (pair-volume-bounded, not corpus) and one
+    equi-join back against the pairs — the common-neighbors wedge
+    pattern applied to the dedup graph."""
+    from results_ingestor_spark.operators.dedup import (
+        jaccard, lsh_candidate_pairs, with_minhash)
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("__sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("__sh").alias("sh_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    p = (pairs.join(a, "id_a").join(b, "id_b")
+         .where(F.round(j, 9) >= 0.5)
+         .select("id_a", "id_b"))
+    sym = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")) \
+        .unionAll(p.select(F.col("id_b").alias("u"),
+                           F.col("id_a").alias("v")))
+    s1 = sym.select(F.col("u").alias("mid"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("c"))
+    wedge = (s1.join(s2, "mid")
+             .where(F.col("a") < F.col("c")))
+    closed = wedge.join(p, (F.col("a") == F.col("id_a"))
+                        & (F.col("c") == F.col("id_b")))
+    np_ = p.agg(F.count("*").cast("long").alias("n_pairs"))
+    nw = wedge.agg(F.count("*").cast("long").alias("n_wedges"))
+    nc = closed.agg(F.count("*").cast("long").alias("n_closed"))
+    s = np_.crossJoin(F.broadcast(nw)).crossJoin(F.broadcast(nc))
+    open_ = F.col("n_wedges") - F.col("n_closed")
+    return s.select(
+        "n_pairs", "n_wedges", "n_closed", open_.alias("n_open"),
+        F.when(F.col("n_wedges") > 0,
+               F.round(open_.cast("double") / F.col("n_wedges"), 9))
+         .otherwise(F.lit(0.0)).alias("violation_rate"))

@@ -1508,3 +1508,47 @@ def test_capacity_profile_matches_python_model(spark, sf_dir):
         assert got.mean_load == round(sum(cs) / n, 6)
         # ordering of the order statistics
         assert got.median_load <= got.p95_load <= got.peak_load
+
+
+def test_lsh_bucket_stats_bound_actual_candidates(spark, sf_dir):
+    rows = QUERIES["dedup_lsh_bucket_stats"](spark, sf_dir).collect()
+    # the per-band pair bounds must cover the DISTINCT candidate pairs
+    # the actual LSH join emits (a pair can collide in several bands,
+    # so the summed bound >= distinct candidates)
+    from results_ingestor_spark.operators.dedup import (
+        lsh_candidate_pairs, with_minhash)
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = with_minhash(t["documents"]).select(
+        "doc_id", "band0", "band1", "band2", "band3")
+    n_cand = lsh_candidate_pairs(sig).count()
+    total_bound = sum(r.candidate_pairs_bound for r in rows)
+    assert total_bound >= n_cand
+    for r in rows:
+        assert r.max_bucket >= 1 and r.n_buckets >= 1
+        assert r.mean_bucket * r.n_buckets >= r.max_bucket - 1e-6
+
+
+def test_transitivity_violation_consistent_with_pairs(spark, sf_dir):
+    row = QUERIES["dedup_transitivity_violation_rate"](spark, sf_dir) \
+        .collect()[0]
+    pairs = {(r.id_a, r.id_b) for r in
+             QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+             .select("id_a", "id_b").collect()}
+    assert row.n_pairs == len(pairs)
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = closed = 0
+    for mid, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                wedges += 1
+                x, y = ns[i], ns[j]
+                if (x, y) in pairs or (y, x) in pairs:
+                    closed += 1
+    assert (row.n_wedges, row.n_closed) == (wedges, closed)
+    assert row.n_open == wedges - closed
+    if wedges:
+        assert row.violation_rate == round((wedges - closed) / wedges, 9)

@@ -67,6 +67,8 @@ WHITELIST_BNLJ = {
     "stats_logrank_test": "1-row horizon/cohort-total broadcasts",
     "graph_edge_churn_halves": "1-row cutover-date + census broadcasts",
     "dq_last_digit_uniformity": "1-row digit-census total broadcast",
+    "dedup_transitivity_violation_rate": "three 1-row census combines "
+        "(wedge join itself is pair-volume-bounded)",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
