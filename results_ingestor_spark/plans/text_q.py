@@ -2092,3 +2092,70 @@ def source_ranking_concordance(spark: SparkSession,
                     F.round(w, 6).alias("kendalls_w"),
                     chi2.alias("chi2"),
                     (chi2 > _KW_CRIT_DF19).alias("rankings_agree"))
+
+
+@query("text_theil_inequality_decomposition", oracle="""
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM d),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+    CAST(SUM(x) AS BIGINT) AS sg
+  FROM d GROUP BY source),
+t_tot AS (
+  SELECT SUM((CAST(x AS DOUBLE) * n / sx)
+             * ln(CAST(x AS DOUBLE) * n / sx)) / MAX(n) AS theil
+  FROM d CROSS JOIN tot),
+t_btw AS (
+  SELECT SUM((CAST(sg AS DOUBLE) / sx)
+             * ln((CAST(sg AS DOUBLE) * n) / (CAST(ng AS DOUBLE) * sx)))
+    AS theil_b
+  FROM g CROSS JOIN tot)
+SELECT (SELECT n FROM tot) AS n_docs,
+  round(theil, 6) AS theil_total,
+  round(theil_b, 6) AS theil_between,
+  round(theil - theil_b, 6) AS theil_within,
+  round(theil_b / theil, 6) AS between_share
+FROM t_tot CROSS JOIN t_btw""")
+def text_theil_inequality_decomposition(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Theil T inequality of document lengths with its EXACT
+    between/within-source decomposition — the property Gini famously
+    lacks: T = T_between + Σ weighted within-source T's, so
+    between_share says how much of the corpus's length inequality is
+    a SOURCE-mix effect (fix by re-weighting sources) versus
+    within-source spread (fix by per-source length filters).  The
+    additive split is the actionable part; the concentration entry's
+    Gini/HHI can only report the total.
+
+    Per-row x·ln(x) terms are identical doubles in both engines; the
+    (order-noisy ~1e-15) sums snap at 6, and the within term derives
+    from the additivity identity rather than a second per-row pass.
+    Shape: one 1-row moment reduce + one source-level aggregate."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "source", F.col("n_chars").cast("long").alias("x"))
+    tot = d.agg(F.count("*").cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"))
+    ratio = F.col("x").cast("double") * F.col("n") / F.col("sx")
+    t_tot = (d.crossJoin(F.broadcast(tot))
+             .agg((F.sum(ratio * F.log(ratio)) / F.max("n"))
+                  .alias("theil"),
+                  F.max("n").alias("n_docs")))
+    g = d.groupBy("source").agg(F.count("*").cast("long").alias("ng"),
+                                F.sum("x").cast("long").alias("sg"))
+    gr = (F.col("sg").cast("double") * F.col("n")
+          / (F.col("ng").cast("double") * F.col("sx")))
+    t_btw = (g.crossJoin(F.broadcast(tot))
+             .agg(F.sum((F.col("sg").cast("double") / F.col("sx"))
+                        * F.log(gr)).alias("theil_b")))
+    out = t_tot.crossJoin(F.broadcast(t_btw))
+    return out.select(
+        "n_docs",
+        F.round("theil", 6).alias("theil_total"),
+        F.round("theil_b", 6).alias("theil_between"),
+        F.round(F.col("theil") - F.col("theil_b"), 6)
+         .alias("theil_within"),
+        F.round(F.col("theil_b") / F.col("theil"), 6)
+         .alias("between_share"))

@@ -1552,3 +1552,36 @@ def test_transitivity_violation_consistent_with_pairs(spark, sf_dir):
     assert row.n_open == wedges - closed
     if wedges:
         assert row.violation_rate == round((wedges - closed) / wedges, 9)
+
+
+def test_theil_decomposition_additivity(spark, sf_dir):
+    row = QUERIES["text_theil_inequality_decomposition"](spark, sf_dir) \
+        .collect()[0]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("source", "n_chars").collect()
+    xs = [(r.source, r.n_chars) for r in docs]
+    n = len(xs)
+    sx = sum(x for _, x in xs)
+    mu = sx / n
+    theil = sum((x / mu) * math.log(x / mu) for _, x in xs) / n
+    groups = defaultdict(list)
+    for s, x in xs:
+        groups[s].append(x)
+    theil_b = sum((sum(g) / sx) * math.log((sum(g) / len(g)) / mu)
+                  for g in groups.values())
+    # the explicit within-group Theil must reproduce total - between
+    theil_w = sum((sum(g) / sx)
+                  * (sum((x / (sum(g) / len(g)))
+                         * math.log(x / (sum(g) / len(g))) for x in g)
+                     / len(g))
+                  for g in groups.values())
+    assert row.n_docs == n
+    assert math.isclose(row.theil_total, theil, abs_tol=2e-5)
+    assert math.isclose(row.theil_between, theil_b, abs_tol=2e-5)
+    assert math.isclose(row.theil_within, theil_w, abs_tol=5e-5)
+    # Theil's defining property: exact additive decomposition, and
+    # both components are non-negative
+    assert math.isclose(row.theil_total,
+                        row.theil_between + row.theil_within,
+                        abs_tol=3e-6)
+    assert row.theil_between >= -1e-9 and row.theil_within >= -1e-9

@@ -69,6 +69,8 @@ WHITELIST_BNLJ = {
     "dq_last_digit_uniformity": "1-row digit-census total broadcast",
     "dedup_transitivity_violation_rate": "three 1-row census combines "
         "(wedge join itself is pair-volume-bounded)",
+    "text_theil_inequality_decomposition": "1-row corpus-moment "
+        "broadcasts",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
