@@ -1555,3 +1555,106 @@ def events_capacity_profile(spark: SparkSession,
                      F.round(F.col("total").cast("double")
                              / F.col("n_days"), 6).alias("mean_load"))
             .orderBy("hour_of_day"))
+
+
+@query("events_burstiness_memory", oracle="""
+WITH g0 AS (
+  SELECT event_type, user_id, ts, event_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+      AS gap
+  FROM events),
+g AS (
+  SELECT event_type, gap,
+    lead(gap) OVER (PARTITION BY event_type, user_id
+                    ORDER BY ts, event_id) AS next_gap
+  FROM g0),
+m AS (
+  SELECT event_type,
+    CAST(COUNT(gap) AS BIGINT) AS n,
+    CAST(SUM(gap) AS DECIMAL(38,0)) AS s,
+    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0)) AS q,
+    CAST(COUNT(CASE WHEN gap IS NOT NULL AND next_gap IS NOT NULL
+               THEN 1 END) AS BIGINT) AS np,
+    CAST(SUM(CASE WHEN next_gap IS NOT NULL THEN gap END)
+         AS DECIMAL(38,0)) AS sa,
+    CAST(SUM(CASE WHEN gap IS NOT NULL THEN next_gap END)
+         AS DECIMAL(38,0)) AS sb,
+    CAST(SUM(CASE WHEN next_gap IS NOT NULL
+             THEN CAST(gap AS DECIMAL(38,0)) * gap END)
+         AS DECIMAL(38,0)) AS qa,
+    CAST(SUM(CASE WHEN gap IS NOT NULL
+             THEN CAST(next_gap AS DECIMAL(38,0)) * next_gap END)
+         AS DECIMAL(38,0)) AS qb,
+    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * next_gap)
+         AS DECIMAL(38,0)) AS pab
+  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+SELECT event_type, n AS n_gaps,
+  round((sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n
+         - CAST(s AS DOUBLE) / n)
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n
+           + CAST(s AS DOUBLE) / n), 6) AS burstiness_b,
+  round((CAST(np AS DOUBLE) * CAST(pab AS DOUBLE)
+         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        / (sqrt(CAST(np AS DOUBLE) * CAST(qa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+           * sqrt(CAST(np AS DOUBLE) * CAST(qb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+    AS memory_m
+FROM m ORDER BY event_type""")
+def events_burstiness_memory(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness and memory coefficients per event type
+    — the two numbers that place a point process on the B-M phase
+    diagram: B = (σ−μ)/(σ+μ) of inter-event gaps (−1 regular, 0
+    Poisson, →1 bursty) and M = Pearson correlation of CONSECUTIVE
+    gaps (long gaps following long gaps).  Human activity famously
+    sits at high B / low M; schedulers at B≈−1 — the per-TYPE
+    characterization complementing the per-user bot detector
+    (events_bot_regularity shares the gap machinery).  Gaps pair
+    within (type, user) streams so cross-user boundaries never form
+    a spurious pair.
+
+    Determinism: all moments in DECIMAL(38,0) (µs² overflow — the
+    CUPED lesson), each coefficient ONE fixed-shape double; the
+    consecutive-gap pairing uses lead() over the same window as the
+    gap itself.  Shape: two chained windows per (type, user)
+    partition, one type-keyed moment aggregate, a 5-row report."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("event_type", "user_id") \
+        .orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    g = t["events"].select(
+        "event_type", gap.alias("gap"),
+        F.lead(gap).over(w).alias("next_gap")).where(
+            F.col("gap").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")
+    both = F.col("next_gap").isNotNull()
+    m = g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n"),
+        F.sum("gap").cast("decimal(38,0)").alias("s"),
+        F.sum(dec(F.col("gap")) * F.col("gap"))
+         .cast("decimal(38,0)").alias("q"),
+        F.count(F.when(both, 1)).cast("long").alias("np"),
+        F.sum(F.when(both, F.col("gap"))).cast("decimal(38,0)")
+         .alias("sa"),
+        F.sum("next_gap").cast("decimal(38,0)").alias("sb"),
+        F.sum(F.when(both, dec(F.col("gap")) * F.col("gap")))
+         .cast("decimal(38,0)").alias("qa"),
+        F.sum(dec(F.col("next_gap")) * F.col("next_gap"))
+         .cast("decimal(38,0)").alias("qb"),
+        F.sum(dec(F.col("gap")) * F.col("next_gap"))
+         .cast("decimal(38,0)").alias("pab"))
+    nd = lambda c: F.col(c).cast("double")
+    sig = F.sqrt(nd("n") * nd("q") - nd("s") * nd("s")) / F.col("n")
+    mu = nd("s") / F.col("n")
+    b = F.round((sig - mu) / (sig + mu), 6)
+    mm = F.round((nd("np") * nd("pab") - nd("sa") * nd("sb"))
+                 / (F.sqrt(nd("np") * nd("qa") - nd("sa") * nd("sa"))
+                    * F.sqrt(nd("np") * nd("qb") - nd("sb") * nd("sb"))),
+                 6)
+    return (m.select("event_type", F.col("n").alias("n_gaps"),
+                     b.alias("burstiness_b"), mm.alias("memory_m"))
+            .orderBy("event_type"))

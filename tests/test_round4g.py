@@ -1585,3 +1585,42 @@ def test_theil_decomposition_additivity(spark, sf_dir):
                         row.theil_between + row.theil_within,
                         abs_tol=3e-6)
     assert row.theil_between >= -1e-9 and row.theil_within >= -1e-9
+
+
+def test_burstiness_memory_matches_python_model(spark, sf_dir):
+    rows = {r.event_type: r for r in
+            QUERIES["events_burstiness_memory"](spark, sf_dir).collect()}
+    streams = defaultdict(list)
+    for r in load_tables(spark, sf_dir, ("events",))["events"] \
+            .select("event_type", "user_id", "ts", "event_id").collect():
+        streams[(r.event_type, r.user_id)].append(
+            (r.ts, r.event_id))
+    gaps_by_type = defaultdict(list)
+    pairs_by_type = defaultdict(list)
+    for (et, _), evs in streams.items():
+        evs.sort()
+        gs = [round((b[0] - a[0]).total_seconds() * 1e6)
+              for a, b in zip(evs, evs[1:])]
+        gaps_by_type[et] += gs
+        pairs_by_type[et] += list(zip(gs, gs[1:]))
+    for et, gs in gaps_by_type.items():
+        n = len(gs)
+        mu = sum(gs) / n
+        sig = math.sqrt((n * sum(g * g for g in gs)
+                         - sum(gs) ** 2)) / n
+        got = rows[et]
+        assert got.n_gaps == n
+        assert math.isclose(got.burstiness_b, (sig - mu) / (sig + mu),
+                            abs_tol=2e-6)
+        ps = pairs_by_type[et]
+        m = len(ps)
+        sa, sb = sum(a for a, _ in ps), sum(b for _, b in ps)
+        qa = sum(a * a for a, _ in ps)
+        qb = sum(b * b for _, b in ps)
+        pab = sum(a * b for a, b in ps)
+        want_m = (m * pab - sa * sb) / (
+            math.sqrt(m * qa - sa * sa) * math.sqrt(m * qb - sb * sb))
+        assert math.isclose(got.memory_m, want_m, abs_tol=2e-6)
+        # B and M live on the phase diagram's bounded axes
+        assert -1.0 <= got.burstiness_b <= 1.0
+        assert -1.0 - 1e-9 <= got.memory_m <= 1.0 + 1e-9
