@@ -2110,3 +2110,85 @@ def dq_functional_dependency_strength(spark: SparkSession,
             F.count_if(F.col("n") == F.col("top")).cast("long")
              .alias("n_exact_groups")))
     return legs[0].unionByName(legs[1]).orderBy("fd")
+
+
+_DV_SHARDS = 64
+_DV_DELETE_PCT = 5  # simulated logical-delete rate
+
+
+@query("layout_deletion_vector_tradeoff", oracle=f"""
+WITH d AS (
+  SELECT {_DOC_HASH_SQL} % {_DV_SHARDS} AS shard,
+    CAST(n_chars AS BIGINT) AS bytes,
+    ('0x' || substr(md5('del:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 100 < {_DV_DELETE_PCT} AS deleted
+  FROM documents),
+s AS (
+  SELECT shard,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+    CAST(count_if(deleted) AS BIGINT) AS n_deleted,
+    CAST(SUM(CASE WHEN deleted THEN bytes ELSE 0 END) AS BIGINT)
+      AS deleted_bytes
+  FROM d GROUP BY shard)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_shards,
+  CAST(count_if(n_deleted > 0) AS BIGINT) AS n_shards_touched,
+  CAST(SUM(n_deleted) AS BIGINT) AS n_rows_deleted,
+  CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END)
+       AS BIGINT) AS cow_rewrite_bytes,
+  CAST(SUM((n_rows + 7) // 8) AS BIGINT) AS dv_bytes,
+  round(CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END)
+             AS DOUBLE)
+        / SUM(CASE WHEN n_deleted > 0
+              THEN deleted_bytes ELSE 0 END), 6)
+    AS cow_write_amplification,
+  round(CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END)
+             AS DOUBLE)
+        / SUM((n_rows + 7) // 8), 6) AS cow_over_dv_ratio
+FROM s""")
+def layout_deletion_vector_tradeoff(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Copy-on-write vs deletion-vector cost table — the
+    Iceberg/Delta merge-on-read design decision, computed from the
+    corpus: simulate a 5% hash-deterministic logical delete, then
+    compare (a) COW: every TOUCHED shard rewrites whole
+    (rewrite bytes / actually-deleted bytes = the write
+    amplification — scattered deletes touch nearly every shard, so
+    amplification explodes), against (b) DV: one bitmap bit per row
+    per shard (⌈n/8⌉ bytes).  cow_over_dv_ratio is the headline: how
+    many times more I/O the rewrite strategy pays at this delete
+    pattern — the evidence for enabling deletion vectors before a
+    GDPR-erasure or dedup-purge campaign.
+
+    Exact integers throughout (bitmap bytes by integer ceiling);
+    two double ratios.  Shape: one map-side shard/delete assignment,
+    a 64-row shard aggregate, a 1-row report."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        (F.expr(_DOC_HASH) % _DV_SHARDS).alias("shard"),
+        F.col("n_chars").cast("long").alias("bytes"),
+        ((F.conv(F.substring(F.md5(F.concat(
+            F.lit("del:"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("bigint") % 100) < _DV_DELETE_PCT)
+        .alias("deleted"))
+    s = (d.groupBy("shard")
+         .agg(F.count("*").cast("long").alias("n_rows"),
+              F.sum("bytes").cast("long").alias("shard_bytes"),
+              F.count_if("deleted").cast("long").alias("n_deleted"),
+              F.sum(F.when(F.col("deleted"), F.col("bytes"))
+                    .otherwise(0)).cast("long").alias("deleted_bytes")))
+    touched = F.col("n_deleted") > 0
+    cow = F.sum(F.when(touched, F.col("shard_bytes")).otherwise(0))
+    dvb = F.sum(F.expr("CAST((n_rows + 7) DIV 8 AS BIGINT)"))
+    return s.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.count_if(touched).cast("long").alias("n_shards_touched"),
+        F.sum("n_deleted").cast("long").alias("n_rows_deleted"),
+        cow.cast("long").alias("cow_rewrite_bytes"),
+        dvb.cast("long").alias("dv_bytes"),
+        F.round(cow.cast("double")
+                / F.sum(F.when(touched, F.col("deleted_bytes"))
+                        .otherwise(0)), 6)
+         .alias("cow_write_amplification"),
+        F.round(cow.cast("double") / dvb, 6).alias("cow_over_dv_ratio"))

@@ -1624,3 +1624,36 @@ def test_burstiness_memory_matches_python_model(spark, sf_dir):
         # B and M live on the phase diagram's bounded axes
         assert -1.0 <= got.burstiness_b <= 1.0
         assert -1.0 - 1e-9 <= got.memory_m <= 1.0 + 1e-9
+
+
+def test_deletion_vector_tradeoff_matches_python_model(spark, sf_dir):
+    import hashlib
+    row = QUERIES["layout_deletion_vector_tradeoff"](spark, sf_dir) \
+        .collect()[0]
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id", "n_chars").collect()
+    shards = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        dele = int(hashlib.md5(f"del:{r.doc_id}".encode())
+                   .hexdigest()[:15], 16) % 100 < 5
+        s = shards[h % 64]
+        s[0] += 1
+        s[1] += r.n_chars
+        if dele:
+            s[2] += 1
+            s[3] += r.n_chars
+    touched = [s for s in shards.values() if s[2] > 0]
+    cow = sum(s[1] for s in touched)
+    dv = sum((s[0] + 7) // 8 for s in shards.values())
+    assert row.n_shards == len(shards)
+    assert row.n_shards_touched == len(touched)
+    assert row.n_rows_deleted == sum(s[2] for s in shards.values())
+    assert row.cow_rewrite_bytes == cow
+    assert row.dv_bytes == dv
+    assert row.cow_write_amplification == round(
+        cow / sum(s[3] for s in touched), 6)
+    assert row.cow_over_dv_ratio == round(cow / dv, 6)
+    # the report's point: at a scattered 5% delete, COW amplification
+    # is large (touched shards rewrite whole)
+    assert row.cow_write_amplification > 2.0
