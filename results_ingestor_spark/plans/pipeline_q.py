@@ -2192,3 +2192,48 @@ def layout_deletion_vector_tradeoff(spark: SparkSession,
                         .otherwise(0)), 6)
          .alias("cow_write_amplification"),
         F.round(cow.cast("double") / dvb, 6).alias("cow_over_dv_ratio"))
+
+
+@query("dataset_source_influence_loo", oracle="""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+  FROM g)
+SELECT source, n AS n_docs,
+  round(CAST(ss AS DOUBLE) / nn, 6) AS corpus_mean_chars,
+  round(CAST(ss - s AS DOUBLE) / (nn - n), 6) AS loo_mean_chars,
+  round(CAST(ss AS DOUBLE) / nn
+        - CAST(ss - s AS DOUBLE) / (nn - n), 6) AS influence
+FROM g CROSS JOIN tot ORDER BY source""")
+def dataset_source_influence_loo(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean document
+    length — the cheapest data-valuation primitive: for every source,
+    what the corpus-level metric becomes WITHOUT it, computed in one
+    pass from totals-minus-group algebra (never 20 re-aggregations).
+    A source with large positive influence drags the corpus metric up;
+    the ranking is the first cut a data-buying or source-pruning
+    decision reads, and the same algebra applies to any additive
+    metric (quality score sums, token counts).
+
+    Exact BIGINT group/total moments; two double divisions per row.
+    Shape: one source aggregate + a 1-row totals broadcast — the LOO
+    is pure arithmetic on partials, which is the whole point."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    g = (t["documents"].groupBy("source")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("n_chars").cast("long").alias("s")))
+    tot = g.agg(F.sum("n").cast("long").alias("nn"),
+                F.sum("s").cast("long").alias("ss"))
+    full = F.col("ss").cast("double") / F.col("nn")
+    loo = (F.col("ss") - F.col("s")).cast("double") \
+        / (F.col("nn") - F.col("n"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("source", F.col("n").alias("n_docs"),
+                    F.round(full, 6).alias("corpus_mean_chars"),
+                    F.round(loo, 6).alias("loo_mean_chars"),
+                    F.round(full - loo, 6).alias("influence"))
+            .orderBy("source"))

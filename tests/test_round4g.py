@@ -1657,3 +1657,45 @@ def test_deletion_vector_tradeoff_matches_python_model(spark, sf_dir):
     # the report's point: at a scattered 5% delete, COW amplification
     # is large (touched shards rewrite whole)
     assert row.cow_write_amplification > 2.0
+
+
+def test_source_influence_loo_matches_python_model(spark, sf_dir):
+    rows = {r.source: r for r in
+            QUERIES["dataset_source_influence_loo"](spark, sf_dir)
+            .collect()}
+    g = defaultdict(lambda: [0, 0])
+    for r in load_tables(spark, sf_dir, ("documents",))["documents"] \
+            .select("source", "n_chars").collect():
+        g[r.source][0] += 1
+        g[r.source][1] += r.n_chars
+    nn = sum(v[0] for v in g.values())
+    ss = sum(v[1] for v in g.values())
+    full = ss / nn
+    total_influence = 0.0
+    for src, (n, s) in g.items():
+        got = rows[src]
+        loo = (ss - s) / (nn - n)
+        assert got.n_docs == n
+        assert got.corpus_mean_chars == round(full, 6)
+        assert got.loo_mean_chars == round(loo, 6)
+        assert got.influence == round(full - loo, 6)
+        total_influence += full - loo
+    # influences are signed deviations around the mean: they (weighted
+    # by the complement sizes) cancel — the unweighted sum is small
+    assert abs(total_influence) < abs(full) * 0.5
+
+
+def test_id_sequence_gaps_match_python_model(spark, sf_dir):
+    row = QUERIES["dq_id_sequence_gaps"](spark, sf_dir).collect()[0]
+    ids = sorted(r.o_orderkey for r in
+                 load_tables(spark, sf_dir, ("orders",))["orders"]
+                 .select("o_orderkey").collect())
+    gaps = [b - a - 1 for a, b in zip(ids, ids[1:]) if b - a > 1]
+    assert (row.min_id, row.max_id, row.n_ids) == \
+        (ids[0], ids[-1], len(ids))
+    assert row.n_gaps == len(gaps)
+    assert row.total_missing == sum(gaps)
+    assert row.largest_gap == (max(gaps) if gaps else 0)
+    assert row.density == round(len(ids) / (ids[-1] - ids[0] + 1), 9)
+    # conservation: observed + missing spans the id range exactly
+    assert row.n_ids + row.total_missing == row.max_id - row.min_id + 1

@@ -71,6 +71,9 @@ WHITELIST_BNLJ = {
         "(wedge join itself is pair-volume-bounded)",
     "text_theil_inequality_decomposition": "1-row corpus-moment "
         "broadcasts",
+    "dataset_source_influence_loo": "1-row corpus-totals broadcast "
+        "(LOO is totals-minus-group algebra)",
+    "dq_id_sequence_gaps": "1-row range-bounds broadcast",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
@@ -215,6 +218,9 @@ WHITELIST_GLOBALWIN = {
     "sampling_monetary_unit": "ledger prefix sum (two-level "
         "subtotal+boundary handoff at scale, pack_sequences_cumsum "
         "contract)",
+    "dq_id_sequence_gaps": "sorted-key lag scan (two-level boundary "
+        "handoff on range-partitioned ids at scale); SinglePartition "
+        "is the 1-row report combine",
     "bollinger_hourly_value": "hourly layer is bounded",
     "events_hourly_anomaly": "hourly layer is bounded",
     "dedup_clusters_summary": "cluster histogram is bounded",
