@@ -1249,8 +1249,13 @@ WITH d AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 10
     AS digit
   FROM orders),
-c AS (
+c0 AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+c AS (
+  SELECT CAST(g AS BIGINT) AS digit, CAST(coalesce(c0.n, 0) AS BIGINT)
+    AS n
+  FROM (SELECT unnest(range(0, 10)) AS g)
+  LEFT JOIN c0 ON c0.digit = g),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
 chi AS (
   SELECT SUM((CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) / 10)
@@ -1258,7 +1263,7 @@ chi AS (
     AS chi2
   FROM c CROSS JOIN tot)
 SELECT nn AS n_rows,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_digits_seen,
+  (SELECT CAST(count_if(n > 0) AS BIGINT) FROM c) AS n_digits_seen,
   round(chi2, 6) AS chi2,
   round(chi2, 6) > {_LDU_CRIT_DF9} AS reject_uniform
 FROM chi CROSS JOIN tot""")
@@ -1268,7 +1273,10 @@ def dq_last_digit_uniformity(spark: SparkSession,
     GENUINE transaction amounts have uniformly random final cent
     digits, while fabricated or rounded figures cluster (0/5-heavy
     endings are the classic fraud tell).  Pearson chi-square of the
-    terminal cent digit against uniform(10), df = 9; pairs with
+    terminal cent digit against uniform(10), df = 9, over the FULL
+    zero-filled 10-digit domain (an absent digit contributes its whole
+    expected mass — the most damning evidence must not vanish from the
+    statistic); pairs with
     benford_first_digit (which tests the FIRST digit against the
     log law) to bracket the number from both ends.
 
@@ -1279,9 +1287,15 @@ def dq_last_digit_uniformity(spark: SparkSession,
     d = t["orders"].select(
         ((F.col("o_totalprice").cast("decimal(12,2)") * 100)
          .cast("long") % 10).alias("digit"))
-    c = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    spine = spark.range(10).select(F.col("id").cast("long")
+                                   .alias("digit"))
+    c0 = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    c = (spine.join(c0, "digit", "left")
+         .select("digit", F.coalesce("n", F.lit(0)).cast("long")
+                 .alias("n")))
     tot = c.agg(F.sum("n").cast("long").alias("nn"),
-                F.count("*").cast("long").alias("n_digits_seen"))
+                F.count_if(F.col("n") > 0).cast("long")
+                 .alias("n_digits_seen"))
     exp = F.col("nn").cast("double") / 10
     chi = (c.crossJoin(F.broadcast(tot))
            .agg(F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp)

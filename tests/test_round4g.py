@@ -1457,13 +1457,11 @@ def test_last_digit_uniformity_matches_python_model(spark, sf_dir):
                    load_tables(spark, sf_dir, ("orders",))["orders"]
                    .select("o_totalprice").collect())
     n = sum(digs.values())
-    chi2 = sum((c - n / 10) ** 2 / (n / 10) for c in digs.values())
-    # absent digits contribute the full expected mass
-    chi2 += (10 - len(digs)) * (n / 10)
+    chi2 = sum((digs.get(d, 0) - n / 10) ** 2 / (n / 10)
+               for d in range(10))
     assert row.n_rows == n
     assert row.n_digits_seen == len(digs)
-    if len(digs) == 10:
-        assert math.isclose(row.chi2, chi2, abs_tol=2e-5)
+    assert math.isclose(row.chi2, chi2, abs_tol=2e-5)
     assert row.reject_uniform == (row.chi2 > 16.9189776046)
 
 
