@@ -1658,3 +1658,77 @@ def events_burstiness_memory(spark: SparkSession,
     return (m.select("event_type", F.col("n").alias("n_gaps"),
                      b.alias("burstiness_b"), mm.alias("memory_m"))
             .orderBy("event_type"))
+
+
+_SLO_BUDGET_PCT = 1  # 99% availability SLO -> 1% error budget
+
+
+@query("events_slo_burn_rate", oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS as_of FROM events),
+w AS (
+  SELECT
+    CAST(count_if(ts > as_of - INTERVAL 1 HOUR) AS BIGINT) AS ev1,
+    CAST(count_if(ts > as_of - INTERVAL 1 HOUR
+                  AND event_type = 'error') AS BIGINT) AS er1,
+    CAST(count_if(ts > as_of - INTERVAL 6 HOUR) AS BIGINT) AS ev6,
+    CAST(count_if(ts > as_of - INTERVAL 6 HOUR
+                  AND event_type = 'error') AS BIGINT) AS er6,
+    CAST(count_if(ts > as_of - INTERVAL 24 HOUR) AS BIGINT) AS ev24,
+    CAST(count_if(ts > as_of - INTERVAL 24 HOUR
+                  AND event_type = 'error') AS BIGINT) AS er24
+  FROM events CROSS JOIN mx),
+b AS (
+  SELECT ev1, er1, ev6, er6, ev24, er24,
+    round(100.0 * er1 / ev1 / {_SLO_BUDGET_PCT}, 6) AS burn_1h,
+    round(100.0 * er6 / ev6 / {_SLO_BUDGET_PCT}, 6) AS burn_6h,
+    round(100.0 * er24 / ev24 / {_SLO_BUDGET_PCT}, 6) AS burn_24h
+  FROM w)
+SELECT ev1 AS n_events_1h, er1 AS n_errors_1h, burn_1h,
+  burn_6h, burn_24h,
+  burn_1h > 14.4 AND burn_6h > 6.0 AS page_alert,
+  burn_6h > 6.0 AND burn_24h > 3.0 AS ticket_alert
+FROM b""")
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    rule, adapted to hourly granularity): against a 99% availability
+    SLO, burn rate = observed error ratio / error budget over trailing
+    1h/6h/24h windows ending at the corpus frontier.  A page fires on
+    fast burn confirmed by the medium window (1h > 14.4 AND 6h > 6 —
+    the workbook's 2%-budget-in-1-hour pace with its companion-window
+    guard against blips); a ticket on slow sustained burn (6h > 6 AND
+    24h > 3).  The pairing of windows is what kills both
+    false-page-on-blip and slow-leak-missed failure modes — shipped
+    here as the query a monitor evaluates each tick.
+
+    Exact trailing-window counts off a 1-row frontier broadcast (at
+    scale these come incrementally from the streaming drift/window
+    machinery); burn rates are one division each, snapped at 6."""
+    t = load_tables(spark, sf_dir, ("events",))
+    mx = t["events"].agg(F.max("ts").alias("as_of"))
+    d = t["events"].crossJoin(F.broadcast(mx))
+    us = lambda h: h * 3_600_000_000
+
+    def win(h, err):
+        cond = (F.unix_micros("ts")
+                > F.unix_micros("as_of") - us(h))
+        if err:
+            cond = cond & (F.col("event_type") == "error")
+        return F.count_if(cond).cast("long")
+
+    w = d.agg(win(1, False).alias("ev1"), win(1, True).alias("er1"),
+              win(6, False).alias("ev6"), win(6, True).alias("er6"),
+              win(24, False).alias("ev24"), win(24, True).alias("er24"))
+    burn = lambda er, ev: F.round(
+        100.0 * F.col(er) / F.col(ev) / _SLO_BUDGET_PCT, 6)
+    b = w.select("ev1", "er1",
+                 burn("er1", "ev1").alias("burn_1h"),
+                 burn("er6", "ev6").alias("burn_6h"),
+                 burn("er24", "ev24").alias("burn_24h"))
+    return b.select(
+        F.col("ev1").alias("n_events_1h"),
+        F.col("er1").alias("n_errors_1h"),
+        "burn_1h", "burn_6h", "burn_24h",
+        ((F.col("burn_1h") > 14.4) & (F.col("burn_6h") > 6.0))
+        .alias("page_alert"),
+        ((F.col("burn_6h") > 6.0) & (F.col("burn_24h") > 3.0))
+        .alias("ticket_alert"))

@@ -1697,3 +1697,32 @@ def test_id_sequence_gaps_match_python_model(spark, sf_dir):
     assert row.density == round(len(ids) / (ids[-1] - ids[0] + 1), 9)
     # conservation: observed + missing spans the id range exactly
     assert row.n_ids + row.total_missing == row.max_id - row.min_id + 1
+
+
+def test_slo_burn_rate_matches_python_model(spark, sf_dir):
+    from datetime import timedelta
+    row = QUERIES["events_slo_burn_rate"](spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir, ("events",))["events"] \
+        .select("ts", "event_type").collect()
+    as_of = max(r.ts for r in ev)
+
+    def window(h):
+        lo = as_of - timedelta(hours=h)
+        n = sum(1 for r in ev if r.ts > lo)
+        e = sum(1 for r in ev if r.ts > lo and r.event_type == "error")
+        return n, e
+
+    n1, e1 = window(1)
+    n6, e6 = window(6)
+    n24, e24 = window(24)
+    assert (row.n_events_1h, row.n_errors_1h) == (n1, e1)
+    assert row.burn_1h == round(100 * e1 / n1 / 1, 6)
+    assert row.burn_6h == round(100 * e6 / n6 / 1, 6)
+    assert row.burn_24h == round(100 * e24 / n24 / 1, 6)
+    assert row.page_alert == (row.burn_1h > 14.4 and row.burn_6h > 6.0)
+    assert row.ticket_alert == (row.burn_6h > 6.0
+                                and row.burn_24h > 3.0)
+    # the 24h window always holds enough of the ~20%-error stream to
+    # show a hard burn; the shorter windows can be sparse at tiny SF,
+    # so the alert CONJUNCTIONS are only consistency-checked above
+    assert row.burn_24h > 3.0

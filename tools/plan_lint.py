@@ -74,6 +74,7 @@ WHITELIST_BNLJ = {
     "dataset_source_influence_loo": "1-row corpus-totals broadcast "
         "(LOO is totals-minus-group algebra)",
     "dq_id_sequence_gaps": "1-row range-bounds broadcast",
+    "events_slo_burn_rate": "1-row frontier-timestamp broadcast",
     "stats_tukey_hsd": "1-row MSE broadcast; the pair join runs on "
         "the k-row group table",
     "dedup_boundary_stitch": "1-row pair-count broadcast",
