@@ -29,52 +29,59 @@ from results_ingestor_spark.plans import streaming_q  # noqa: E402,F401
 from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-3 together drove 112 distinct entries green
-# (relational/TPC-H in r1-r2, the dedup/ANN/text/curation/event heads in
-# r3).  Round 4 rotates the window per the round-3 verdict: keep the
-# flagship pipeline plus the two regression watches, and spend the other
-# 45 slots on entries NEVER driver-checked before — the graph, privacy,
-# spatial, stats/SPC, sketch, data-quality, corpus-training, and
-# streaming-sibling families — including the three swaps the verdict
-# named (the IVF/PQ recall GATES instead of the rows-only top-k entries,
-# and dedup_containment instead of pack_sequences_greedy).  Every name
-# below has a DuckDB oracle, so the gate can be 50/50 value-checked.
-# The r3 window entries stay registered and locally value-checked.
+# queries.  Rounds 1-4 together drove 157 distinct entries green.  Round
+# 5 rotates the window per the round-4 verdict: keep the flagship
+# pipeline plus the two regression watches, and spend the other 45 slots
+# on entries NEVER driver-checked before, drawn from the verdict's named
+# pools — the stats tail (ANOVA/Tukey, Kruskal-Wallis, Spearman, BH-FDR,
+# SPRT), events/behavioral analytics (OHLC, seasonal decompose, Markov
+# stationary, SLO burn-rate), quality/sampling (Neyman,
+# Horvitz-Thompson, monetary-unit), search (NDCG, RM3, Dirichlet-LM),
+# and layout/dq + relational kin.  The window deliberately includes all
+# four entries whose plan_lint whitelist cited a documented-but-
+# unimplemented two-level shard-rank swap (quality_classifier_auc,
+# pack_batches_length_bucketed, quality_quantile_normalize,
+# rfm_segment_migration) — round 5 implements those swaps, so the driver
+# value-checks the new plans.  streaming_multibatch_replay is round 5's
+# one new entry (verdict item 5: a gate whose watermark state is
+# genuinely evicted mid-replay).  Every name below has a DuckDB oracle,
+# so the gate can be 50/50 value-checked.  All prior window entries stay
+# registered and locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
     # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
     "agg_argminmax_conditional", "events_sessionize",
-    # graph family (never driver-checked before this round)
-    "graph_triangle_count", "graph_common_neighbors", "graph_pagerank_top20",
-    "graph_two_hop_reach", "graph_lpa_communities", "graph_k_core",
-    "graph_sssp_frontier", "graph_degree_assortativity",
-    # privacy family
-    "privacy_k_anonymity", "privacy_l_diversity", "privacy_t_closeness",
-    # spatial family
-    "spatial_radius_pairs", "spatial_knn",
-    # structured-streaming siblings (real availableNow runs, like the
-    # r3-green streaming_hourly_counts)
-    "streaming_session_windows", "streaming_interval_join",
-    # ANN/dedup: the verdict's three swaps + never-checked kin
-    "ann_ivf_recall_check", "ann_pq_adc_recall_check", "dedup_containment",
-    "contrastive_triplets", "dedup_minhash_quality",
-    "dedup_cross_source_matrix", "ann_incremental_topk",
-    # stats / SPC family heads
-    "corr_matrix_exact", "stats_welch_ttest", "stats_mann_whitney_u",
-    "stats_ks_two_sample", "stats_theil_sen_trend", "stats_bootstrap_ci_mean",
-    "cusum_user_drift", "events_changepoint_hourly",
-    "stats_ewma_forecast_hourly", "weighted_median_price",
-    # sketch family (approx_sketches was no_oracle in r1 — oracled since;
-    # map_functions errored in r1 on array columns — scalar output since)
-    "approx_sketches", "heavy_hitters_countmin", "sketch_merge_shards",
-    "distinct_users_cumulative_hll", "map_functions",
-    # corpus / training-data family
-    "quality_classifier_train", "er_candidate_records",
-    "dsir_importance_weights", "mixture_token_budget",
-    # text + multimodal + data-quality heads not yet driver-checked
-    "text_inverted_index", "text_pmi_cooccurrence",
-    "multimodal_png_header_parse", "dq_referential_integrity",
+    # stats tail — hypothesis testing / multiple comparisons
+    "stats_anova_oneway_f", "stats_tukey_hsd", "stats_kruskal_wallis",
+    "stats_spearman_rho", "stats_benjamini_hochberg", "stats_sprt_monitoring",
+    "stats_wilcoxon_signed_rank", "chi2_lang_source", "experiment_srm_check",
+    # stats tail — time series
+    "events_ohlc_hourly", "events_seasonal_decompose_daily",
+    "stats_mann_kendall_trend", "stats_ljung_box_hourly",
+    # events / behavioral analytics
+    "events_markov_stationary", "events_slo_burn_rate",
+    "survival_km_signup_to_purchase", "stats_logrank_test",
+    "cohort_ltv_curve", "events_transition_matrix", "growth_accounting_weekly",
+    # sampling / survey designs
+    "sampling_neyman_allocation", "sampling_monetary_unit",
+    "sampling_hash_uniform", "sampling_horvitz_thompson",
+    # the four two-level shard-rank swap targets (implemented this round)
+    "quality_classifier_auc", "pack_batches_length_bucketed",
+    "quality_quantile_normalize", "rfm_segment_migration",
+    # layout / data-quality kin
+    "layout_compaction_bins", "dq_table_checksum", "dq_partition_skew_census",
+    "dq_key_uniqueness", "dq_join_fanout_audit",
+    # search / retrieval
+    "search_ndcg_at_k", "search_rm3_expansion", "search_dirichlet_lm_topk",
+    "search_rrf_hybrid", "retrieval_eval_label_topk",
+    # relational analytics kin
+    "revenue_concentration_metrics", "abc_inventory_classes",
+    "repeat_purchase_rate", "orders_aging_buckets", "abc_xyz_matrix",
+    # corpus / entity-resolution tail
+    "er_fellegi_sunter_scores",
+    # round 5's one new entry: multi-micro-batch watermark-eviction gate
+    "streaming_multibatch_replay",
 ]
 
 

@@ -314,3 +314,35 @@ def streaming_stateful_user_totals(spark: SparkSession,
     return (spark.table("streaming_stateful_user_totals_mem")
             .select("user_id", F.col("total").cast("double").alias("total"),
                     F.col("n").cast("long").alias("n")))
+
+
+@query("streaming_multibatch_replay", oracle="""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n FROM agg
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)""")
+def streaming_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-micro-batch replay where the watermark genuinely evicts
+    state between batches — closing the single-batch scoping caveat the
+    other streaming gates document (`streaming_interval_join` above).
+    The events corpus lands as four files split on equal event-time
+    ranges with ascending mtimes, replays through a file stream with
+    ``maxFilesPerTrigger=1`` (so the oldest-first file source feeds
+    batches in event-time order and the watermark advances BETWEEN
+    batches), into a watermarked tumbling-hour count and an APPEND-mode
+    memory sink.  Append mode only emits a window once the watermark
+    passes its end, so mid-replay batches both emit finalized windows
+    and evict their state (numRowsRemoved>0 mid-run — pinned by
+    tests/test_streaming.py::test_multibatch_replay_evicts_midrun).
+    Because files land in event-time order no row is ever late, making
+    the emitted set deterministic: exactly the windows with
+    window_end <= final watermark = max(ts) - 2 hours — which is what
+    the batch-SQL oracle computes.  Helper:
+    `streaming/events.py::replay_multibatch_hourly`."""
+    from results_ingestor_spark.streaming.events import (
+        replay_multibatch_hourly)
+    result, _progress = replay_multibatch_hourly(spark, sf_dir)
+    return result

@@ -355,3 +355,87 @@ def streaming_dedup_within_watermark(events: DataFrame,
     return (events
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+
+
+def replay_multibatch_hourly(spark: SparkSession, sf_dir: str,
+                             n_files: int = 4,
+                             watermark: str = "2 hours"):
+    """Multi-micro-batch replay with REAL mid-replay watermark eviction.
+
+    The single-file availableNow gates above replay in ONE micro-batch,
+    so their watermark never evicts state mid-run (their docstrings say
+    so).  This helper closes that gap deterministically: it lands the
+    events corpus as ``n_files`` parquet files split on EQUAL EVENT-TIME
+    ranges, forces strictly ascending file modification times in
+    event-time order, and replays with ``maxFilesPerTrigger=1`` — so the
+    file source (oldest-mtime-first) feeds batches in event-time order
+    and the watermark advances monotonically BETWEEN batches.  Each
+    batch then genuinely finalizes + evicts the previous range's closed
+    windows (observable as numRowsRemoved>0 in mid-replay progress),
+    and append mode emits exactly the windows whose end the final
+    watermark passed: window_end <= max(ts) - delay.  Because files
+    land in event-time order, no row is ever late, so nothing is
+    dropped — the emitted set is a pure deterministic function of the
+    data, which is what makes this gate value-checkable.
+
+    Returns (result DataFrame from the memory sink, list of
+    StreamingQueryProgress dicts) — the progress list lets tests pin
+    that eviction really ran between micro-batches.
+
+    Scale: this IS the production backfill shape — a day's landed files
+    replayed in event-time order with bounded state: peak state is one
+    lateness-window of open windows, independent of backfill length.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from results_ingestor_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    tmp = tempfile.mkdtemp(prefix="multibatch_replay_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        os.makedirs(stream_dir)
+        span = (hi - lo) / n_files
+        for i in range(n_files):
+            a = lo + i * span
+            in_range = F.col("ts") >= F.lit(a)
+            if i < n_files - 1:
+                in_range &= F.col("ts") < F.lit(lo + (i + 1) * span)
+            stage = os.path.join(tmp, f"stage{i}")
+            ev.filter(in_range).coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"f{i}.parquet")
+            shutil.copy(part, dst)
+            # Strictly ascending integer mtimes: FileStreamSource with
+            # latestFirst=false (default) processes oldest-mtime first,
+            # making batch order — and therefore watermark progression —
+            # deterministic run-to-run.
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        schema = spark.read.parquet(os.path.join(stream_dir, "f0.parquet")).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(stream_dir))
+        agg = (stream
+               .withWatermark("ts", watermark)
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count("*").alias("n"))
+               .select(F.col("w.start").alias("window_start"), "event_type",
+                       F.col("n").cast("long").alias("n")))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (agg.writeStream.format("memory")
+                 .queryName("streaming_multibatch_replay_mem")
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+            progress = list(q.recentProgress)  # json-parsed dicts
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # The memory sink holds the emitted rows in memory — the staged
+        # files are no longer needed by the returned frame.
+        return spark.table("streaming_multibatch_replay_mem"), progress
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

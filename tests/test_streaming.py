@@ -398,3 +398,39 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, stream):
     raw = batch.count()
     assert got["k"] == distinct_keys       # every key survives
     assert distinct_keys <= got["n"] < raw  # real dedup happened
+
+
+def test_multibatch_replay_evicts_midrun(spark, sf_dir):
+    """The multi-micro-batch gate's load-bearing claims, pinned from the
+    actual StreamingQueryProgress: (1) the replay really ran >=4
+    micro-batches (maxFilesPerTrigger=1 over 4 event-time-ordered
+    files, plus the no-data flush batch); (2) watermark eviction really
+    ran MID-replay — some batch that is neither first nor last both
+    removed state rows and emitted finalized windows to the sink; (3)
+    the emitted set equals the batch-SQL meaning: windows whose end the
+    final watermark (max ts - 2h) passed, with per-window counts
+    matching a batch aggregate exactly."""
+    import datetime
+
+    from results_ingestor_spark.streaming.events import (
+        replay_multibatch_hourly)
+
+    result, progress = replay_multibatch_hourly(spark, sf_dir)
+    assert len(progress) >= 4, [p["batchId"] for p in progress]
+    mid = progress[1:-1]
+    assert any(
+        p["stateOperators"] and p["stateOperators"][0]["numRowsRemoved"] > 0
+        and p["sink"]["numOutputRows"] > 0 for p in mid
+    ), "no mid-replay batch evicted state and emitted rows"
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hi = ev.agg(F.max("ts")).first()[0]
+    w_final = hi - datetime.timedelta(hours=2)
+    expected = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("w.end") <= F.lit(w_final))
+                .select(F.col("w.start").alias("window_start"), "event_type",
+                        F.col("n").cast("long").alias("n")))
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
