@@ -73,3 +73,119 @@ def write_shuffled_shards(df: DataFrame, path: str, seed: int,
     (keyed.repartitionByRange(n_files, "shuffle_key")
      .sortWithinPartitions("shuffle_key")
      .write.mode("overwrite").parquet(path))
+
+
+def _order_consistent_shard(key, lo, hi, n_shards: int):
+    """Shard id that is NON-DECREASING in ``key`` — fixed-width buckets
+    over the observed [lo, hi] range.  x <= y  ⇒  shard(x) <= shard(y),
+    and equal keys always share a shard, so ranking within shards plus
+    cumulative shard offsets reconstructs the EXACT global order.  (Edge
+    cases: a constant column degenerates to one shard — still correct,
+    just unsharded; the max value clamps into the last shard.)"""
+    width = (hi - lo) / n_shards
+    raw = F.floor((key - lo) / width).cast("int")
+    return (F.when(hi <= lo, F.lit(0))
+            .otherwise(F.least(F.greatest(raw, F.lit(0)),
+                               F.lit(n_shards - 1))))
+
+
+def hex_prefix_key(col, chars: int = 15):
+    """Numeric key monotonic in the lexicographic order of a fixed-width
+    lowercase-hex string column (md5 output): the first ``chars`` hex
+    digits as a BIGINT.  15 digits = 60 bits < long range.  Rows tying
+    on the prefix get equal keys (same shard) — within-shard ordering on
+    the full string resolves them."""
+    return F.conv(F.substring(col, 1, chars), 16, 10).cast("long")
+
+
+def two_level_row_number(df: DataFrame, shard_key, order_cols,
+                         partition_cols=(), n_shards: int = 256,
+                         out_col: str = "__rn") -> DataFrame:
+    """Exact ``row_number() OVER (PARTITION BY partition_cols ORDER BY
+    order_cols)`` WITHOUT a single-partition window — the scale form of
+    a global ranking.
+
+    ``shard_key`` must be a numeric Column non-decreasing in the first
+    order column (the column itself for numerics; ``hex_prefix_key`` for
+    hex strings).  Rows shard on an order-consistent bucketing of that
+    key, rank within (partition_cols, shard) — every window partition is
+    ~1/n_shards of the data — and per-(partition, shard) row counts
+    cumulate into offsets that broadcast back.  The only non-sharded
+    window runs over the ≤ n_shards×|partition domain| count rows (the
+    same bounded combine as ``global_shuffle_index``).  Identical output
+    to the single-window form is pinned by
+    tests/test_operators_sharded.py against both orderings."""
+    pcols = list(partition_cols)
+    rng = df.agg(F.min(shard_key.cast("double")).alias("__lo"),
+                 F.max(shard_key.cast("double")).alias("__hi"))
+    keyed = (df.crossJoin(F.broadcast(rng))
+             .withColumn("__shard",
+                         _order_consistent_shard(
+                             shard_key.cast("double"), F.col("__lo"),
+                             F.col("__hi"), n_shards))
+             .drop("__lo", "__hi"))
+    w_in = Window.partitionBy(*pcols, "__shard").orderBy(*order_cols)
+    ranked = keyed.withColumn("__rk", F.row_number().over(w_in))
+    counts = keyed.groupBy(*pcols, "__shard").agg(F.count("*").alias("__n"))
+    w_off = (Window.partitionBy(*pcols).orderBy("__shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        *pcols, "__shard",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
+    return (ranked.join(F.broadcast(offsets), pcols + ["__shard"])
+            .withColumn(out_col,
+                        (F.col("__off") + F.col("__rk")).cast("long"))
+            .drop("__shard", "__rk", "__off"))
+
+
+def two_level_prefix_sum(df: DataFrame, shard_key, order_cols, weight_col,
+                         n_shards: int = 256,
+                         out_col: str = "__cum_before") -> DataFrame:
+    """Exact EXCLUSIVE prefix sum of ``weight_col`` in ``order_cols``
+    order without a single-partition window: within-shard running sum
+    (rowsBetween unboundedPreceding, -1) plus broadcast per-shard weight
+    offsets.  Rows must be unique under order_cols (distinct-domain
+    input) so "preceding rows" is well-defined — the AUC/Mann-Whitney
+    cumulative-count shape."""
+    rng = df.agg(F.min(shard_key.cast("double")).alias("__lo"),
+                 F.max(shard_key.cast("double")).alias("__hi"))
+    keyed = (df.crossJoin(F.broadcast(rng))
+             .withColumn("__shard",
+                         _order_consistent_shard(
+                             shard_key.cast("double"), F.col("__lo"),
+                             F.col("__hi"), n_shards))
+             .drop("__lo", "__hi"))
+    w_in = (Window.partitionBy("__shard").orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum_in = F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
+    counts = keyed.groupBy("__shard").agg(F.sum(weight_col).alias("__n"))
+    w_off = (Window.orderBy("__shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__shard", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        .alias("__off"))
+    return (keyed.withColumn("__cin", cum_in)
+            .join(F.broadcast(offsets), "__shard")
+            .withColumn(out_col, F.col("__off") + F.col("__cin"))
+            .drop("__shard", "__cin", "__off"))
+
+
+def _idiv(a, b):
+    """Exact floor division of non-negative long columns: (a - a%b) is
+    an exact multiple of b, so the double division is exact — no
+    near-quotient rounding at 2^50-scale counts (plain a/b→cast can
+    round UP across a bucket boundary there)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_row_number(rn, n_rows, n: int):
+    """Spark's exact ``ntile(n)`` semantics computed arithmetically from
+    a row_number and the partition row count: the first (n_rows mod n)
+    buckets take ceil(n_rows/n) rows, the rest floor(n_rows/n).  Lets a
+    two-level row_number replace a global ntile window."""
+    q = _idiv(n_rows, F.lit(n))            # floor bucket size
+    r = n_rows - q * n                     # buckets with one extra row
+    big_span = r * (q + 1)                 # rows covered by big buckets
+    return (F.when(rn <= big_span, _idiv(rn - 1, q + 1) + 1)
+            .otherwise(r + _idiv(rn - big_span - 1, q) + 1)
+            .cast("int"))

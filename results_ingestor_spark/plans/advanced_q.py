@@ -1022,9 +1022,13 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement and belong to growth_accounting_weekly).
 
     Scale: two customer-keyed aggregations sharing one exchange; the
-    quintile windows run per half over the customer-level aggregate
-    (the documented approx-quantile bucket-edge swap applies at corpus
-    scale); the self-join is customer-keyed."""
+    per-half quintiles run as the IMPLEMENTED two-level shard-rank —
+    exact row_number within 256 order-consistent monetary shards +
+    broadcast offsets, then ntile(5) recovered arithmetically from the
+    rank and the per-half count
+    (`operators/shuffle.py::two_level_row_number` /
+    `ntile_from_row_number`), so no half ever sorts in one partition;
+    the self-join is customer-keyed."""
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"]
     us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
@@ -1037,12 +1041,17 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(us < F.col("mid_us"), 1).otherwise(2).alias("h"),
                     F.col("o_totalprice").cast("decimal(12,2)")
                     .alias("price")))
+    from results_ingestor_spark.operators.shuffle import (
+        ntile_from_row_number, two_level_row_number)
     base = half.groupBy("custkey", "h").agg(F.sum("price").alias("monetary"))
-    scored = base.select(
-        "custkey", "h",
-        F.ntile(5).over(Window.partitionBy("h")
-                        .orderBy("monetary", "custkey"))
-        .cast("int").alias("m"))
+    rn = two_level_row_number(
+        base, F.col("monetary"), ["monetary", "custkey"],
+        partition_cols=["h"], out_col="__rn")
+    cnt = base.groupBy("h").agg(F.count("*").alias("__nh"))
+    scored = (rn.join(F.broadcast(cnt), "h")
+              .select("custkey", "h",
+                      ntile_from_row_number(
+                          F.col("__rn"), F.col("__nh"), 5).alias("m")))
     a = scored.where(F.col("h") == 1).select("custkey",
                                              F.col("m").alias("seg_h1"))
     b = scored.where(F.col("h") == 2).select("custkey",

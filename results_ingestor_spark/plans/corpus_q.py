@@ -926,11 +926,12 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape.
 
     Scale: one groupBy on the snapped score (distinct-value domain,
-    orders of magnitude smaller than rows), one cumulative window over
-    that domain (same contract as stats_mann_whitney_u; swaps to
-    two-level shard-rank + broadcast offsets — the corpus_global_shuffle
-    technique — when the score domain outgrows one partition), one 1-row
-    fold."""
+    orders of magnitude smaller than rows), then the cumulative count
+    over that domain runs as the IMPLEMENTED two-level shard prefix-sum
+    (within-shard running sum over 256 order-consistent score shards +
+    broadcast shard offsets, `operators/shuffle.py::two_level_prefix_sum`
+    — the corpus_global_shuffle technique, so the score domain never
+    needs to fit one partition), one 1-row fold."""
     from results_ingestor_spark.operators.classifier import (
         QUALITY_GATE_CHARS, feature_columns, train_quality_classifier)
     t = load_tables(spark, sf_dir, ("documents",))
@@ -942,12 +943,13 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = t["documents"].select(
         F.round(z, 9).alias("zs"),
         (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
+    from results_ingestor_spark.operators.shuffle import (
+        two_level_prefix_sum)
     v = sc.groupBy("zs").agg(F.count("*").alias("n"),
                              F.sum("yi").alias("pos"))
-    wcb = Window.orderBy("zs").rowsBetween(Window.unboundedPreceding, -1)
-    c = v.select(
-        "n", "pos",
-        F.coalesce(F.sum("n").over(wcb), F.lit(0)).alias("cb"))
+    c = two_level_prefix_sum(
+        v, F.col("zs"), ["zs"], F.col("n"), out_col="cb").select(
+        "n", "pos", "cb")
     d38 = "decimal(38,0)"
     s = c.agg(
         F.sum("pos").alias("npos"),

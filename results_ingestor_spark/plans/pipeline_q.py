@@ -775,11 +775,16 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile interpolation to drift cross-engine — and both orderings
     tie-break on doc_id, so every row is deterministic.
 
-    Scale: one per-source window, one pooled ranking (a global sort
-    here — the documented swap at corpus scale is approx_percentile
-    boundaries exactly like the perplexity-curriculum entry), an
+    Scale: one per-source window, one pooled ranking run as the
+    IMPLEMENTED two-level shard-rank (rank within 256 order-consistent
+    n_chars shards + broadcast offsets,
+    `operators/shuffle.py::two_level_row_number` — exact order
+    statistics with no single-partition sort; the approx_percentile
+    relaxation remains available when exactness can be traded), an
     integer-keyed equi join against the N-row order-statistic table,
     and a 1-row corpus-size broadcast."""
+    from results_ingestor_spark.operators.shuffle import (
+        two_level_row_number)
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"].select("doc_id", "source", "n_chars")
     tot = d.agg(F.count("*").alias("big_n"))
@@ -788,10 +793,9 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars",
         F.row_number().over(ws).alias("r"),
         F.count("*").over(Window.partitionBy("source")).alias("n_s"))
-    pooled = d.select(
-        F.col("n_chars").alias("calib"),
-        F.row_number().over(
-            Window.orderBy("n_chars", "doc_id")).alias("k"))
+    pooled = (two_level_row_number(
+        d, F.col("n_chars"), ["n_chars", "doc_id"], out_col="k")
+        .select(F.col("n_chars").alias("calib"), "k"))
     j = (ranked.crossJoin(F.broadcast(tot))
          .withColumn("k", F.expr("((2 * r - 1) * big_n) div (2 * n_s) + 1"))
          .join(pooled, "k"))
@@ -1068,19 +1072,26 @@ def pack_batches_length_bucketed(spark: SparkSession,
     the two deployment shapes for batched sequence compute).
 
     Scale: lengths are one narrow map; each strategy is a sort +
-    fixed-size grouping.  The global row_number here swaps to the
-    two-level shard-rank + broadcast-offsets technique
-    (corpus_global_shuffle) at corpus scale, and the summary is a
-    5-number fold per strategy."""
+    fixed-size grouping.  The global row_number runs as the IMPLEMENTED
+    two-level shard-rank: rows rank within 256 order-consistent shards
+    and broadcast shard offsets reconstruct the exact global position
+    (`operators/shuffle.py::two_level_row_number`, the
+    corpus_global_shuffle technique) — no window ever sees more than
+    ~1/256 of the corpus; the summary is a 5-number fold per
+    strategy."""
+    from results_ingestor_spark.operators.shuffle import (
+        hex_prefix_key, two_level_row_number)
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"].select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
 
-    def batched(order_cols: list, name: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
-        o = d.select("n_tokens",
-                     ((F.row_number().over(w) - 1) / _BATCH)
-                     .cast("long").alias("batch_id"))
+    def batched(shard_key, order_cols: list, name: str) -> DataFrame:
+        o = (two_level_row_number(d.withColumn("__k", order_cols[0]),
+                                  shard_key, ["__k", "doc_id"],
+                                  out_col="__rn")
+             .select("n_tokens",
+                     ((F.col("__rn") - 1) / _BATCH)
+                     .cast("long").alias("batch_id")))
         b = (o.groupBy("batch_id")
              .agg(F.count("*").alias("nb"),
                   F.max("n_tokens").alias("mx"),
@@ -1092,8 +1103,10 @@ def pack_batches_length_bucketed(spark: SparkSession,
             F.sum("sm").alias("real_tokens"),
             F.sum(F.col("nb") * F.col("mx")).alias("padded_tokens"))
 
-    s1 = batched([F.col("n_tokens"), F.col("doc_id")], "length_bucketed")
-    s2 = batched([F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+    s1 = batched(F.col("n_tokens"),
+                 [F.col("n_tokens"), F.col("doc_id")], "length_bucketed")
+    s2 = batched(hex_prefix_key(F.col("__k")),
+                 [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
                  "shuffled")
     u = s1.unionByName(s2)
     return u.select(

@@ -119,8 +119,12 @@ WHITELIST_BNLJ = {
     "growth_accounting_weekly": "1-row horizon broadcast",
     "stats_diff_in_diff_uplift": "1-row cutover-date broadcast",
     "quality_classifier_train": "d+1-double weight-row combines",
-    "quality_quantile_normalize": "1-row corpus-size broadcast; the "
-        "order-statistic join itself is integer-keyed",
+    "quality_quantile_normalize": "1-row corpus-size + shard-range "
+        "broadcasts; the order-statistic join itself is integer-keyed",
+    "quality_classifier_auc": "1-row shard-range broadcast (two-level "
+        "prefix-sum lo/hi bounds)",
+    "pack_batches_length_bucketed": "1-row shard-range broadcasts "
+        "(two-level rank lo/hi bounds, one per strategy)",
     "quality_classifier_score": "d+1-double weight-row combines",
     # broadcast probe/centroid sets: k probe vectors (or k x dim
     # centroid literals) against n candidates IS the intended
@@ -240,21 +244,23 @@ WHITELIST_GLOBALWIN = {
         "once per nprobe sweep leg",
     "corpus_global_shuffle": "rank within 256 shard partitions; offsets broadcast",
     "pct_of_parent_revenue": "grand-total share over the bounded hierarchy",
-    "quality_quantile_normalize": "pooled order-statistic ranking — "
-        "the documented approx_percentile swap applies at corpus scale "
-        "(same contract as curriculum_perplexity_buckets)",
+    "quality_quantile_normalize": "pooled ranking IMPLEMENTED as "
+        "two-level shard-rank (rank within 256 order-consistent "
+        "shards, broadcast offsets); remaining SinglePartition feeds "
+        "the <=256-row offset combine",
     "curriculum_perplexity_buckets":
         "windows are lang-partitioned; the SinglePartition exchange is "
         "the LM scorer's 1-row vocab combine (per-lang sort itself is "
         "the documented approx-quantile swap at scale)",
     "stats_mann_whitney_u": "rank window over distinct metric values "
         "(same contract as stats_ks_two_sample)",
-    "quality_classifier_auc": "midrank window over DISTINCT 9-dp "
-        "scores (mann-whitney contract); documented two-level "
-        "shard-rank swap when the score domain outgrows a partition",
-    "pack_batches_length_bucketed": "global row_number for fixed-size "
-        "batch ids; documented corpus_global_shuffle two-level "
-        "shard-rank swap at corpus scale",
+    "quality_classifier_auc": "cumulative count IMPLEMENTED as "
+        "two-level shard prefix-sum over the distinct 9-dp score "
+        "domain; remaining SinglePartition feeds the <=256-row offset "
+        "combine",
+    "pack_batches_length_bucketed": "batch-id row_number IMPLEMENTED "
+        "as two-level shard-rank per strategy; remaining "
+        "SinglePartition feeds the <=256-row offset combines",
     "events_acf_hourly": "lead window over the hourly layer (bounded "
         "by the time domain)",
     "stats_ljung_box_hourly": "lead window over the hourly layer "
@@ -318,9 +324,9 @@ WHITELIST_GLOBALWIN = {
         "corpus-total combine",
     "stats_benjamini_hochberg": "BH rank / tail-min windows run over "
         "the m-row hypothesis table (metric domain, 5 rows here)",
-    "rfm_segment_migration": "quintile windows run per half over the "
-        "customer-level aggregate (customer_rfm_segments contract: "
-        "documented approx-quantile bucket-edge swap at corpus scale)",
+    "rfm_segment_migration": "per-half quintiles IMPLEMENTED as "
+        "two-level shard-rank + arithmetic ntile; remaining "
+        "SinglePartition feeds the per-half <=256-row offset combine",
     "privacy_dp_median_expmech": "rank window over distinct metric "
         "values (mann-whitney contract); selection is TakeOrdered(1)",
     "stats_levene_brown_forsythe": "median windows are "
