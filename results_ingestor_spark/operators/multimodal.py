@@ -202,6 +202,29 @@ _PHASH_SIDE = 32  # 'image' side length the payload is shaped into
 _PHASH_LOW = 8    # low-frequency block kept from the DCT
 
 
+_PHASH_BASIS_SCALE = 1 << 20  # DCT basis quantization (≈6 dp)
+
+
+def phash_basis_q():
+    """The first _PHASH_LOW rows of the orthonormal DCT-II basis
+    (scipy.fft.dct(norm='ortho') equivalent), QUANTIZED to integers at
+    2^20 scale.  Only these rows are needed: the kept low block is
+    b[:8] @ img @ b[:8].T.  Quantizing makes the whole pHash pipeline
+    exact int64 arithmetic — bit-identical in any engine — instead of
+    float matmuls whose summation-order noise could flip a
+    near-median bit and change the hash cross-engine.  Magnitudes:
+    |b_q| < 2^18, so Σ_32 b·byte < 2^31 and Σ_32 b·t < 2^54 — no
+    overflow.  The same literals are inlined into the DuckDB oracle
+    (plans/multimodal_q.py::_phash_oracle)."""
+    import numpy as np
+    n = _PHASH_SIDE
+    k = np.arange(n)[:, None]
+    basis = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0] *= np.sqrt(0.5)
+    return np.round(basis[:_PHASH_LOW] * _PHASH_BASIS_SCALE).astype(np.int64)
+
+
 def fake_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: 64-bit perceptual hash (pHash) per payload.
 
@@ -209,28 +232,30 @@ def fake_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     DCT, keep the 8x8 low-frequency block, threshold at its median.
     Here the 'grayscale image' is the payload bytes tiled/truncated to
     32x32 (deterministic stand-in for the absent decoder); the DCT →
-    low-block → median-threshold pipeline is the real algorithm, done
-    with a plain numpy basis multiply (no scipy in the container).
+    low-block → median-threshold pipeline is the real algorithm, run
+    over the QUANTIZED integer basis (``phash_basis_q``) so every
+    product and sum is exact int64 and the hash is engine-portable —
+    value-checked against an unrolled-SQL DuckDB twin since round 5.
+    The median threshold compares 2·coef against the sum of the two
+    middle order statistics (median×2) to stay in integers.
     Identical payloads hash identically; near-identical 'images' differ
     in few bits — Hamming distance is the similarity metric.
     """
     import numpy as np
     n = _PHASH_SIDE
-    k = np.arange(n)[:, None]
-    # orthonormal DCT-II basis (scipy.fft.dct(norm='ortho') equivalent)
-    basis = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
-    basis *= np.sqrt(2.0 / n)
-    basis[0] *= np.sqrt(0.5)
+    bq = phash_basis_q()
     for pdf in batches:
         ids, hashes = [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = np.frombuffer(payload, dtype=np.uint8)
             need = n * n
             reps = -(-need // max(1, len(raw)))
-            img = np.tile(raw, reps)[:need].astype(np.float64).reshape(n, n)
-            dct = basis @ img @ basis.T
-            low = dct[:_PHASH_LOW, :_PHASH_LOW].ravel()
-            bits = low > np.median(low)
+            img = np.tile(raw, reps)[:need].astype(np.int64).reshape(n, n)
+            low = (bq @ img @ bq.T).ravel()
+            s = np.sort(low)
+            med2 = s[_PHASH_LOW * _PHASH_LOW // 2 - 1] \
+                + s[_PHASH_LOW * _PHASH_LOW // 2]
+            bits = 2 * low > med2
             h = np.uint64(0)
             for b in bits:
                 h = (h << np.uint64(1)) | np.uint64(bool(b))

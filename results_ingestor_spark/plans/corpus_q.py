@@ -707,7 +707,10 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.size(tk) >= 50).alias("n_docs_50plus_tokens"))
 
 
-@query("unigram_lm_train_vocab")  # iterative EM — no SQL twin
+# ROWS-ONLY (census 1/6): Viterbi-EM float DP — libm-sensitive exp/log
+# argmaxes no SQL replays; compensating gates = segmentation goldens +
+# Viterbi-likelihood monotonicity in tests/test_unigram_lm.py.
+@query("unigram_lm_train_vocab")
 def unigram_lm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer vocabulary, trained by
     Viterbi-EM (operators/unigram_lm.py): seed with every frequent
@@ -727,7 +730,9 @@ def unigram_lm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
-@query("unigram_lm_tokenize_docs")  # vocab is train-derived → rows-only
+# ROWS-ONLY (census 2/6): tokenization depends on the EM-trained vocab
+# above — same libm sensitivity; golden-pinned in test_unigram_lm.py.
+@query("unigram_lm_tokenize_docs")
 def unigram_lm_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained unigram vocab: per-doc subword counts and
     pieces-per-char compression, segmentation work bounded by the

@@ -693,7 +693,10 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("new_id").isNotNull().alias("is_dup")))
 
 
-@query("dedup_minhash_lsh_fast")  # xxhash64 tier — no SQL twin exists
+# ROWS-ONLY (census 3/6): Spark xxhash64 has no DuckDB implementation;
+# compensating gates = same-planted-dups pin vs the md5 tier in
+# tests/test_dedup.py + the measured hashing-stage breakdown below.
+@query("dedup_minhash_lsh_fast")
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION hash tier of the MinHash+LSH pipeline: identical
     shape to dedup_minhash_lsh but with xxhash64 base hashes

@@ -111,7 +111,70 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payloads(t["documents"])
 
 
-@query("multimodal_phash_neardup")  # DCT hash — no single-statement SQL twin
+def _phash_oracle() -> str:
+    """Unrolled-SQL replay of the ENTIRE pHash pipeline — byte tiling,
+    the 8x32 quantized-integer DCT factor matmuls, the doubled-median
+    threshold, MSB-first bit packing, signed-64 conversion, 4x16-bit
+    banding, and the pair join.  Possible because the kernel's basis is
+    quantized to integers (operators/multimodal.py::phash_basis_q), so
+    both engines do identical int64 arithmetic; the 256 basis literals
+    inline here (the kmeans_sql.py unrolled-replay device).  This
+    removed the entry from the rows-only census in round 5."""
+    from results_ingestor_spark.operators.multimodal import phash_basis_q
+    bq = phash_basis_q()
+    rows = ", ".join(
+        f"({u},{r},{int(bq[u, r])})"
+        for u in range(bq.shape[0]) for r in range(bq.shape[1]))
+    return f"""
+WITH b(u, r, w) AS (VALUES {rows}),
+d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+px AS (  -- 32x32 'image': payload bytes tiled/truncated, row-major
+  SELECT doc_id, CAST(p.i AS BIGINT) AS p,
+    ascii(substr(text, CAST(p.i % len AS INT) + 1, 1)) AS v
+  FROM d CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) p),
+t AS (  -- t[u,c] = sum_r b[u,r] * img[r,c]
+  SELECT doc_id, b.u AS u, (p % 32) AS c, SUM(b.w * v) AS tv
+  FROM px JOIN b ON b.r = (p // 32)
+  GROUP BY doc_id, b.u, p % 32),
+low AS (  -- dct[u,v] = sum_c t[u,c] * b[v,c]  (8x8 low block)
+  SELECT doc_id, t.u AS u, b2.u AS v, SUM(t.tv * b2.w) AS val
+  FROM t JOIN b b2 ON b2.r = t.c
+  GROUP BY doc_id, t.u, b2.u),
+ranked AS (
+  SELECT doc_id, u, v, val,
+    row_number() OVER (PARTITION BY doc_id ORDER BY val) AS rk
+  FROM low),
+med AS (  -- 2*median of the 64 coefs = sum of the two middle values
+  SELECT doc_id, SUM(val) AS med2 FROM ranked WHERE rk IN (32, 33)
+  GROUP BY doc_id),
+hb AS (  -- MSB-first bit pack, unsigned in HUGEINT
+  SELECT r.doc_id,
+    SUM(CASE WHEN 2 * val > med2
+        THEN CAST(1 AS HUGEINT) << (63 - (u * 8 + v))
+        ELSE CAST(0 AS HUGEINT) END) AS uh
+  FROM ranked r JOIN med USING (doc_id) GROUP BY r.doc_id),
+h AS (  -- two's-complement signed 64-bit, matching the kernel's int64
+  SELECT doc_id,
+    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+         THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT)
+      AS phash
+  FROM hb),
+keyed AS (
+  SELECT doc_id, phash, CAST(bb.band AS INT) AS bidx,
+    (phash >> (16 * CAST(bb.band AS INT))) & 65535 AS bkey
+  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+    l.phash AS pa, r.phash AS pb
+  FROM keyed l JOIN keyed r
+    ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+SELECT id_a, id_b,
+  CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+  bit_count(xor(pa, pb)) <= 3 AS is_near_dup
+FROM pairs"""
+
+
+@query("multimodal_phash_neardup", oracle=_phash_oracle())
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by 64-bit perceptual hash: the
     payload 'decodes' through the Arrow mapInPandas path into a pHash
@@ -120,9 +183,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3 surface via a 4x16-bit banded equi-join whose candidate
     set is pigeonhole-COMPLETE at that threshold — the result provably
     equals the all-pairs scan while shuffling only (band key, id).
-    Driver check is rows-only (no DCT in SQL); completeness vs brute
-    force, determinism, and exact-dup ⊂ hamming-0 are pinned in
-    tests/test_text_multimodal.py."""
+    VALUE-CHECKED since round 5: the basis quantizes to integers
+    (``phash_basis_q``), making the DCT exact int64 in both engines,
+    and the oracle replays tiling→matmul→threshold→banding in unrolled
+    SQL.  Completeness vs brute force, determinism, and exact-dup ⊂
+    hamming-0 stay pinned in tests/test_text_multimodal.py."""
     from results_ingestor_spark.operators.multimodal import (
         perceptual_hashes, phash_near_dup_pairs)
     t = load_tables(spark, sf_dir, ("documents",))

@@ -674,7 +674,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_upper(t["embeddings"], "embedding", 64)
 
 
-@query("embedding_pca_variance")  # eigen step — no SQL twin
+# ROWS-ONLY (census 4/6): the terminal numpy eigensolve has no SQL
+# form; the covariance INPUT is value-checked (embedding_covariance)
+# and the eigen step is numpy-pinned in tests.
+@query("embedding_pca_variance")
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 PCA eigenvalues with explained/cumulative variance ratios
     (operators/pca.py::pca_explained_variance) — the intrinsic-
@@ -690,7 +693,9 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_explained_variance(t["embeddings"], "embedding", 64, 8)
 
 
-@query("embedding_mahalanobis_outliers")  # Σ⁻¹ — no SQL twin
+# ROWS-ONLY (census 5/6): the d×d matrix inverse has no SQL form;
+# same value-checked covariance input + numpy pin as the PCA entry.
+@query("embedding_mahalanobis_outliers")
 def embedding_mahalanobis_outliers(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Top-20 embedding outliers by squared Mahalanobis distance

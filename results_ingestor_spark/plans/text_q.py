@@ -1245,7 +1245,10 @@ _COMPRESS_SCHEMA = ("doc_id long, n_chars long, n_compressed long, "
                     "compression_ratio double")
 
 
-@query("quality_compression_ratio")  # zlib — no SQL twin; see docstring
+# ROWS-ONLY (census 6/6): zlib DEFLATE has no DuckDB surface;
+# compensating EXACT gate: plain-Python zlib recompute pins every
+# byte count cell-for-cell in tests/test_round4e.py.
+@query("quality_compression_ratio")
 def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gzip-compressibility quality signal (the Gopher/C4 heuristic:
     text that compresses too well is repetitive boilerplate; too
