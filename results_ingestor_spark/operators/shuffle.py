@@ -100,7 +100,8 @@ def hex_prefix_key(col, chars: int = 15):
 
 def two_level_row_number(df: DataFrame, shard_key, order_cols,
                          partition_cols=(), n_shards: int = 256,
-                         out_col: str = "__rn") -> DataFrame:
+                         out_col: str = "__rn",
+                         static_shard=None) -> DataFrame:
     """Exact ``row_number() OVER (PARTITION BY partition_cols ORDER BY
     order_cols)`` WITHOUT a single-partition window — the scale form of
     a global ranking.
@@ -114,18 +115,35 @@ def two_level_row_number(df: DataFrame, shard_key, order_cols,
     window runs over the ≤ n_shards×|partition domain| count rows (the
     same bounded combine as ``global_shuffle_index``).  Identical output
     to the single-window form is pinned by
-    tests/test_operators_sharded.py against both orderings."""
+    tests/test_operators_sharded.py against both orderings.
+
+    ``static_shard`` (an int Column in [0, n_shards), order-consistent
+    with the first order column BY CONSTRUCTION — e.g. the first hex
+    byte of an md5 key) skips the min/max range job entirely: one less
+    scan when the shard domain is known a priori."""
     pcols = list(partition_cols)
-    rng = df.agg(F.min(shard_key.cast("double")).alias("__lo"),
-                 F.max(shard_key.cast("double")).alias("__hi"))
-    keyed = (df.crossJoin(F.broadcast(rng))
-             .withColumn("__shard",
-                         _order_consistent_shard(
-                             shard_key.cast("double"), F.col("__lo"),
-                             F.col("__hi"), n_shards))
-             .drop("__lo", "__hi"))
+    if static_shard is not None:
+        keyed = df.withColumn("__shard", static_shard.cast("int"))
+    else:
+        rng = df.agg(F.min(shard_key.cast("double")).alias("__lo"),
+                     F.max(shard_key.cast("double")).alias("__hi"))
+        keyed = (df.crossJoin(F.broadcast(rng))
+                 .withColumn("__shard",
+                             _order_consistent_shard(
+                                 shard_key.cast("double"), F.col("__lo"),
+                                 F.col("__hi"), n_shards))
+                 .drop("__lo", "__hi"))
     w_in = Window.partitionBy(*pcols, "__shard").orderBy(*order_cols)
     ranked = keyed.withColumn("__rk", F.row_number().over(w_in))
+    # The counts branch deliberately re-aggregates the INPUT rather
+    # than deriving from the ranked frame: Catalyst prunes it to the
+    # shard-key/partition columns only (a ~1-2% columnar re-scan with a
+    # map-side partial agg down to ≤n_shards×|partition domain| rows —
+    # pinned narrow in tests/test_operators_sharded.py), which at scale
+    # is strictly cheaper than the alternative that avoids the second
+    # scan by re-running the full-width shuffle+sort+window under the
+    # counts aggregate (exchange reuse doesn't fire across the two
+    # branches precisely BECAUSE their pruned schemas differ).
     counts = keyed.groupBy(*pcols, "__shard").agg(F.count("*").alias("__n"))
     w_off = (Window.partitionBy(*pcols).orderBy("__shard")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -158,6 +176,9 @@ def two_level_prefix_sum(df: DataFrame, shard_key, order_cols, weight_col,
     w_in = (Window.partitionBy("__shard").orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, -1))
     cum_in = F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
+    # Same deliberate two-branch shape as two_level_row_number: the
+    # counts branch is a pruned re-aggregation of the input (see the
+    # comment there for why that beats forcing exchange reuse).
     counts = keyed.groupBy("__shard").agg(F.sum(weight_col).alias("__n"))
     w_off = (Window.orderBy("__shard")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -1080,15 +1080,16 @@ def pack_batches_length_bucketed(spark: SparkSession,
     ~1/256 of the corpus; the summary is a 5-number fold per
     strategy."""
     from results_ingestor_spark.operators.shuffle import (
-        hex_prefix_key, two_level_row_number)
+        two_level_row_number)
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"].select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
 
-    def batched(shard_key, order_cols: list, name: str) -> DataFrame:
+    def batched(shard_key, order_cols: list, name: str,
+                static_shard=None) -> DataFrame:
         o = (two_level_row_number(d.withColumn("__k", order_cols[0]),
                                   shard_key, ["__k", "doc_id"],
-                                  out_col="__rn")
+                                  out_col="__rn", static_shard=static_shard)
              .select("n_tokens",
                      ((F.col("__rn") - 1) / _BATCH)
                      .cast("long").alias("batch_id")))
@@ -1105,9 +1106,12 @@ def pack_batches_length_bucketed(spark: SparkSession,
 
     s1 = batched(F.col("n_tokens"),
                  [F.col("n_tokens"), F.col("doc_id")], "length_bucketed")
-    s2 = batched(hex_prefix_key(F.col("__k")),
+    # md5 keys are uniform hex: the first byte IS an order-consistent
+    # 256-way shard, so no min/max range scan is needed
+    s2 = batched(None,
                  [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
-                 "shuffled")
+                 "shuffled",
+                 static_shard=F.conv(F.substring("__k", 1, 2), 16, 10))
     u = s1.unionByName(s2)
     return u.select(
         "strategy", "n_batches", "n_docs", "real_tokens", "padded_tokens",

@@ -126,3 +126,24 @@ def test_swap_entries_big_windows_are_sharded(spark, sf_dir):
                      if "__shard" not in h
                      and "source#" not in h and "h#" not in h]
         assert not unsharded, (name, unsharded)
+
+
+def test_two_level_counts_branch_scan_is_pruned(spark, sf_dir):
+    """The offsets need per-shard counts; rather than re-running the
+    full-width shuffle+sort+window (exchange reuse can't fire — the
+    branches prune to different schemas), the counts branch
+    re-aggregates the input and Catalyst prunes its scan to the
+    shard-key column alone.  Pin that: the plan has exactly two source
+    scans, and the narrower one reads only the ranking key — a ~1-2%
+    columnar re-scan at 100 TB, not a second full read."""
+    import re
+
+    d = _docs(spark, sf_dir)
+    plan = two_level_row_number(
+        d, F.col("n_chars"), ["n_chars", "doc_id"],
+        out_col="rn")._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    full = [s for s in schemas if s != "n_chars:bigint"]
+    # exactly ONE full-width scan; every other branch (the 1-row range
+    # agg under each side, the counts agg) prunes to the key column
+    assert len(full) == 1 and "doc_id" in full[0], schemas
