@@ -1043,7 +1043,11 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("price")))
     from results_ingestor_spark.operators.shuffle import (
         ntile_from_row_number, two_level_row_number)
-    base = half.groupBy("custkey", "h").agg(F.sum("price").alias("monetary"))
+    # Materialize the customer-half aggregate once: the two-level
+    # rank's branches and the per-half count would otherwise each
+    # re-scan orders and re-run the aggregation shuffle.
+    base = half.groupBy("custkey", "h").agg(
+        F.sum("price").alias("monetary")).localCheckpoint()
     rn = two_level_row_number(
         base, F.col("monetary"), ["monetary", "custkey"],
         partition_cols=["h"], out_col="__rn")

@@ -950,8 +950,11 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
     from results_ingestor_spark.operators.shuffle import (
         two_level_prefix_sum)
+    # Materialize the distinct-score table once (bounded by the 9-dp
+    # score domain): the two-level prefix-sum's branches would
+    # otherwise re-run the full score+aggregate — a second corpus scan.
     v = sc.groupBy("zs").agg(F.count("*").alias("n"),
-                             F.sum("yi").alias("pos"))
+                             F.sum("yi").alias("pos")).localCheckpoint()
     c = two_level_prefix_sum(
         v, F.col("zs"), ["zs"], F.col("n"), out_col="cb").select(
         "n", "pos", "cb")

@@ -786,7 +786,10 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.operators.shuffle import (
         two_level_row_number)
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"].select("doc_id", "source", "n_chars")
+    # One metadata scan shared by the per-source window, the pooled
+    # two-level ranking (both its branches), and the corpus count.
+    d = t["documents"].select("doc_id", "source",
+                              "n_chars").localCheckpoint()
     tot = d.agg(F.count("*").alias("big_n"))
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = d.select(
@@ -1082,8 +1085,13 @@ def pack_batches_length_bucketed(spark: SparkSession,
     from results_ingestor_spark.operators.shuffle import (
         two_level_row_number)
     t = load_tables(spark, sf_dir, ("documents",))
+    # Materialize the 2-long-per-doc length frame ONCE: the two-level
+    # rank's shard/count branches would otherwise each re-derive
+    # n_tokens from the TEXT column — three full text scans instead of
+    # one at corpus scale.  (graph_q's iteration convention.)
     d = t["documents"].select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).localCheckpoint()
 
     def batched(shard_key, order_cols: list, name: str,
                 static_shard=None) -> DataFrame:
