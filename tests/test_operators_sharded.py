@@ -147,3 +147,33 @@ def test_two_level_counts_branch_scan_is_pruned(spark, sf_dir):
     # exactly ONE full-width scan; every other branch (the 1-row range
     # agg under each side, the counts agg) prunes to the key column
     assert len(full) == 1 and "doc_id" in full[0], schemas
+
+
+def test_ntile_arithmetic_property_sweep(spark):
+    """Property sweep for the arithmetic ntile: across partition sizes
+    covering every residue class mod n for n in {2,3,5,7} (plus 1-row
+    and n_rows<n edges), the closed form from (row_number, count)
+    equals Spark's ntile in ONE job — each case is a window partition
+    of a synthetic frame."""
+    import itertools
+
+    from pyspark.sql import Row
+    cases = []
+    cid = 0
+    for n, size in itertools.product(
+            (2, 3, 5, 7), (1, 2, 3, 4, 5, 6, 7, 11, 29, 30, 31, 97)):
+        for rn in range(1, size + 1):
+            cases.append(Row(cid=cid, n=n, n_rows=size, rn=rn))
+        cid += 1
+    df = spark.createDataFrame(cases)
+    w = Window.partitionBy("cid").orderBy("rn")
+    mism = []
+    for n in (2, 3, 5, 7):
+        sub = (df.where(F.col("n") == n)
+               .withColumn("want", F.ntile(n).over(w))
+               .withColumn("got", ntile_from_row_number(
+                   F.col("rn"), F.col("n_rows"), n)))
+        bad = sub.where(F.col("want") != F.col("got")).count()
+        if bad:
+            mism.append((n, bad))
+    assert not mism, mism
