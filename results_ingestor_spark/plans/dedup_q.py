@@ -693,7 +693,15 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("new_id").isNotNull().alias("is_dup")))
 
 
-# ROWS-ONLY (census 3/6): Spark xxhash64 has no DuckDB implementation;
+# ROWS-ONLY (census 3/6): Spark xxhash64 has no DuckDB implementation,
+# and the obvious fallback oracle — the EXACT >=0.5 answer via a
+# shared-shingle equi-join — is wrong by construction: LSH banding has
+# probabilistic recall, and a round-5 measurement confirmed it misses
+# real pairs (sf0.1: fast tier 254 of 256 exact pairs, missing
+# (1103,1568) j=0.889 and (1568,2466) j=0.8; the md5 tier misses
+# (1171,1427) j=0.889 — all within the expected (1-s^4)^4 ~ 2% miss
+# rate at 16 hashes / 4 bands).  The md5 tier is value-checkable only
+# because its oracle REPLAYS the banding; replay is impossible here, so
 # compensating gates = same-planted-dups pin vs the md5 tier in
 # tests/test_dedup.py + the measured hashing-stage breakdown below.
 @query("dedup_minhash_lsh_fast")

@@ -49,6 +49,34 @@ def test_minhash_fast_path_same_planted_recall(spark, docs):
     assert hits / len(planted) >= 0.9
 
 
+def test_minhash_fast_tier_precision_vs_python_model(spark, sf_dir):
+    """The fast (xxhash64) tier is rows-only at the driver gate — LSH
+    banding recall is probabilistic (measured at sf0.1: 254 of 256
+    exact >=0.5 pairs; see the census comment in plans/dedup_q.py), so
+    no SQL oracle can value-check it.  This pin covers the half that
+    IS deterministic: PRECISION.  Every emitted pair must be a true
+    >=0.5 near-duplicate with its jaccard matching an independent
+    plain-Python shingle-set recompute from the raw text, to the same
+    9-dp rounding.
+    """
+    from results_ingestor_spark.plans.dedup_q import dedup_minhash_lsh_fast
+    out = dedup_minhash_lsh_fast(spark, sf_dir).collect()
+    assert out, "planted corpus must yield at least one near-dup pair"
+    texts = {r["doc_id"]: r["text"]
+             for r in load_tables(spark, sf_dir, ("documents",))
+             ["documents"].select("doc_id", "text").collect()}
+
+    def sh3(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    for r in out:
+        a, b = sh3(texts[r["id_a"]]), sh3(texts[r["id_b"]])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.5
+        assert round(j, 9) == r["jaccard"], (r["id_a"], r["id_b"])
+
+
 def test_simhash_near_dups_have_small_hamming(spark, docs):
     corpus = _mutated_corpus(docs)
     sig = simhash32(corpus)
