@@ -71,13 +71,22 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 8,
     pair_count), deterministic under the (count DESC, left ASC,
     right ASC) tie-break.
     """
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+
     spark = docs.sparkSession
+    # Storage lifecycle (operators/ckpt.py): the merge result is a
+    # driver-side list, so every vocab-sized checkpoint is releasable —
+    # superseded ones as soon as their successor's blocks exist (the
+    # next merge's .first() materializes the lazy checkpoint, so the
+    # parent release is delayed one iteration), all of them at return.
+    scope = CheckpointScope(docs)
     words = (docs
              .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
              .where(F.col("word") != "")
              .groupBy("word").agg(F.count("*").alias("cnt"))
              .select(_initial_symbols().alias("symbols"), "cnt"))
-    words = words.localCheckpoint(eager=True)  # vocab-sized, truncates lineage
+    words = scope.checkpoint(words)  # vocab-sized, truncates lineage
+    pending_release = None  # parent awaiting its successor's first compute
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
@@ -93,6 +102,10 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 8,
         top = (counts
                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
                .first())  # single-row driver collect, centroid-sized
+        # that .first() materialized the current `words` checkpoint, so
+        # its parent's blocks are no longer reachable from anything live
+        if pending_release is not None:
+            scope.release(pending_release)
         if top is None:
             break
         merges.append((rank, top["a"], top["b"], top["a"] + top["b"],
@@ -100,9 +113,12 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 8,
         # lazy checkpoint: lineage still truncates at first compute,
         # but no extra materialization job per merge (~30% faster at
         # sf0.1 with identical results)
-        words = (words
-                 .withColumn("symbols", _merge_fold(top["a"], top["b"]))
-                 .localCheckpoint(eager=False))
+        new_words = scope.checkpoint(
+            words.withColumn("symbols", _merge_fold(top["a"], top["b"])),
+            eager=False)
+        pending_release = words
+        words = new_words
+    scope.release_all_except()  # result is driver-side: release everything
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

@@ -1,0 +1,111 @@
+"""Bounded-storage lifecycle for iterative ``localCheckpoint`` loops.
+
+``df.localCheckpoint()`` persists its result as executor RDD blocks and
+offers no DataFrame-level unpersist, so in a long-lived session every
+call to an iterative operator (PageRank, LPA, connected components,
+k-core, SSSP, the tokenizer trainers) pins its edge-list-sized
+intermediates until the JVM happens to garbage-collect the RDD handles.
+Measured (round 5, local[32]): every ``pagerank()`` call added 2
+persistent RDDs — each a full co-purchase edge list — and five
+back-to-back calls held 10.  At 100 TB that evicts useful cache and
+eventually OOMs executors; the classic Pregel/GraphX loop unpersists
+the previous iteration for exactly this reason.
+
+``CheckpointScope`` attributes the blocks created by each
+``checkpoint()`` call (an RDD-id diff around the call — driver-side,
+single-threaded use) so superseded intermediates are released as soon
+as their successor is materialized, and everything except the final
+result is released before the operator returns.  Releasing is DANGEROUS
+for anything still reachable — a local checkpoint truncates lineage, so
+an unpersisted block cannot be recomputed (Spark raises
+CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — which is why the scope only ever
+releases frames the operator has explicitly superseded.
+
+Cleanup must never fail a query: the py4j surface
+(``JavaSparkContext.getPersistentRDDs``) is wrapped defensively and any
+cleanup error is swallowed — the worst case is the old behavior (blocks
+linger until JVM GC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def release_result(df: DataFrame) -> None:
+    """Release the checkpoint blocks backing an iterative operator's
+    RESULT once the caller is completely done with it.
+
+    Operators release their edge-list-sized intermediates before
+    returning, but the returned frame itself is backed by a
+    (result-sized) local checkpoint that must stay persisted while the
+    caller consumes it — the operator cannot know when that is.  A
+    caller that invokes an iterative operator many times in one session
+    can bound that residual too by calling this between invocations.
+    The frame is UNUSABLE afterwards (its lineage was truncated at the
+    checkpoint), so only call it after the last action on the result.
+    """
+    scope = getattr(df, "_ckpt_scope", None)
+    if scope is not None:
+        scope.release_all_except()
+
+
+def _jmap(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs()
+
+
+def _ids(spark) -> set[int]:
+    try:
+        return set(_jmap(spark).keySet().toArray())
+    except Exception:
+        return set()
+
+
+class CheckpointScope:
+    """Tracks which persistent-RDD ids each ``checkpoint()`` created so
+    the operator can release superseded iterations eagerly."""
+
+    def __init__(self, spark_or_df):
+        self._spark = getattr(spark_or_df, "sparkSession", spark_or_df)
+        # insertion-ordered: [(checkpointed DataFrame, owned RDD ids)]
+        self._owned: list[tuple[DataFrame, set[int]]] = []
+
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        # Lazy checkpoints register their persistence immediately too
+        # (blocks materialize on first compute), so the id diff
+        # attributes them correctly in both modes.
+        before = _ids(self._spark)
+        out = df.localCheckpoint(eager=eager)
+        self._owned.append((out, _ids(self._spark) - before))
+        return out
+
+    def _release_ids(self, ids: set[int]) -> None:
+        try:
+            jm = _jmap(self._spark)
+            for rid in ids:
+                rdd = jm.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; blocks then linger as before
+
+    def release(self, df: DataFrame) -> None:
+        """Release the blocks owned by one superseded checkpoint."""
+        for i, (owner, ids) in enumerate(self._owned):
+            if owner is df:
+                self._release_ids(ids)
+                del self._owned[i]
+                return
+
+    def release_all_except(self, *keep: DataFrame) -> None:
+        """Release every scope-owned checkpoint not listed in ``keep`` —
+        the operator's final step, leaving only the returned frame's
+        (result-sized, not edge-list-sized) blocks persisted."""
+        keep_ids = {id(k) for k in keep}
+        survivors = []
+        for owner, ids in self._owned:
+            if id(owner) in keep_ids:
+                survivors.append((owner, ids))
+            else:
+                self._release_ids(ids)
+        self._owned = survivors

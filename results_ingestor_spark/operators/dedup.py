@@ -173,28 +173,42 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     each round and nothing else.
     """
     from pyspark.sql import functions as F
-    sym = (edges.selectExpr("id_a AS src", "id_b AS dst")
-           .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
-           .localCheckpoint())
-    labels = vertices.select(F.col(id_col).alias("v"),
-                             F.col(id_col).alias("label")).localCheckpoint()
+
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+
+    # Storage lifecycle (operators/ckpt.py): each round's labeling
+    # supersedes the previous one (released right after the convergence
+    # check, which is the last consumer of the old labels); the edge
+    # list is released before returning, leaving only the final
+    # |V|-row labeling persisted.
+    scope = CheckpointScope(edges)
+    sym = scope.checkpoint(
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst")))
+    labels = scope.checkpoint(vertices.select(F.col(id_col).alias("v"),
+                                              F.col(id_col).alias("label")))
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels, sym["src"] == labels["v"])
                         .groupBy("dst").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["v"] == neighbor_min["dst"], "left")
-                      .select(F.col("v"),
-                              F.least(F.col("label"),
-                                      F.coalesce("nmin", F.col("label")))
-                              .alias("label"))).localCheckpoint()
+        new_labels = scope.checkpoint(
+            labels.join(neighbor_min,
+                        labels["v"] == neighbor_min["dst"], "left")
+            .select(F.col("v"),
+                    F.least(F.col("label"),
+                            F.coalesce("nmin", F.col("label")))
+                    .alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "v")
                    .where(F.col("n.label") != F.col("o.label")).take(1))
+        scope.release(labels)
         labels = new_labels
         if not changed:
             break
-    return labels.select(F.col("v").alias(id_col),
-                         F.col("label").alias("cluster_rep"))
+    scope.release_all_except(labels)
+    out = labels.select(F.col("v").alias(id_col),
+                        F.col("label").alias("cluster_rep"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def cdc_chunk_table(docs: DataFrame, mod: int = 16,

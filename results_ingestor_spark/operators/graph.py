@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.operators.ckpt import CheckpointScope
+
 
 def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
     """Undirected weighted part-co-purchase edges: (u, v, w) with
@@ -132,10 +134,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # 13.2 s, with 5×→10× scaling turning near-flat — the standard
     # Pregel shape (graph partitioned once at build, degrees computed
     # once).
-    sym = (symmetrize(edges).repartition("u").sortWithinPartitions("u")
-           .localCheckpoint())
-    deg = (sym.groupBy("u").agg(F.count("*").alias("d"))
-           .sortWithinPartitions("u").localCheckpoint())
+    # Storage lifecycle (operators/ckpt.py): the edge-list-sized
+    # checkpoints are RELEASED before returning — only the |V|-row rank
+    # table stays persisted.  Without this, every call pinned two full
+    # edge-list copies until JVM GC (measured: +2 persistent RDDs per
+    # call, 10 after five calls).
+    scope = CheckpointScope(edges)
+    sym = scope.checkpoint(
+        symmetrize(edges).repartition("u").sortWithinPartitions("u"))
+    deg = scope.checkpoint(sym.groupBy("u").agg(F.count("*").alias("d"))
+                           .sortWithinPartitions("u"))
     n_nodes = float(deg.count())
     ranks = deg.select("u", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
     for _ in range(iterations):
@@ -146,7 +154,10 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             F.col("v").alias("u"),
             (F.lit((1.0 - damping) / n_nodes)
              + F.lit(damping) * F.col("c")).alias("r"))
-    return ranks
+    final = scope.checkpoint(ranks)
+    scope.release_all_except(final)
+    final._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return final
 
 
 def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
@@ -169,10 +180,15 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     # 12M-edge 10× corpus — a smaller win than pagerank's because LPA's
     # per-round cost is dominated by the unavoidable (u,label) message
     # aggregation, which IS the algorithm).
-    sym = (symmetrize(edges).select("u", "v")
-           .repartition("v").sortWithinPartitions("v").localCheckpoint())
+    # Storage lifecycle (operators/ckpt.py): each round's label
+    # checkpoint supersedes the previous one, which is released
+    # immediately; the edge list is released before returning.  Only
+    # the final |V|-row labeling stays persisted.
+    scope = CheckpointScope(edges)
+    sym = scope.checkpoint(symmetrize(edges).select("u", "v")
+                           .repartition("v").sortWithinPartitions("v"))
     nodes = sym.select(F.col("u").alias("v")).distinct()
-    labels = nodes.select("v", F.col("v").alias("label")).localCheckpoint()
+    labels = scope.checkpoint(nodes.select("v", F.col("v").alias("label")))
     for _ in range(n_iter):
         counts = (sym.join(labels.withColumnRenamed("v", "nb"),
                            F.col("v") == F.col("nb"))
@@ -183,10 +199,13 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3) -> DataFrame:
                       .alias("m"))
                 .select(F.col("u").alias("v"),
                         (-F.col("m.nl")).alias("new_label")))
-        labels = (labels.join(best, "v", "left")
-                  .select("v", F.coalesce("new_label", "label")
-                          .alias("label"))
-                  .localCheckpoint())
+        new_labels = scope.checkpoint(
+            labels.join(best, "v", "left")
+            .select("v", F.coalesce("new_label", "label").alias("label")))
+        scope.release(labels)
+        labels = new_labels
+    scope.release_all_except(labels)
+    labels._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return labels
 
 
@@ -204,13 +223,23 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
     scale you would loop to fixpoint with an early-exit count check;
     the bounded form keeps the plan finite and cross-engine testable.
     """
-    sym = symmetrize(edges).localCheckpoint()
+    # Storage lifecycle (operators/ckpt.py): each peel's surviving edge
+    # list supersedes the previous one (released immediately); the
+    # returned per-node result is checkpointed so the last edge list
+    # can be released too.
+    scope = CheckpointScope(edges)
+    sym = scope.checkpoint(symmetrize(edges))
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select("u")
-        sym = (sym
-               .join(keep, "u", "left_semi")
-               .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-               .localCheckpoint())
-    return (sym.groupBy("u").agg(F.count("*").alias("core_degree"))
-            .where(F.col("core_degree") >= k))
+        new_sym = scope.checkpoint(
+            sym.join(keep, "u", "left_semi")
+               .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"))
+        scope.release(sym)
+        sym = new_sym
+    out = scope.checkpoint(
+        sym.groupBy("u").agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= k))
+    scope.release_all_except(out)
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out

@@ -138,8 +138,13 @@ def train_unigram_lm(docs: DataFrame, text_col: str = "text",
     prune to ``vocab_size`` multi-char pieces by probability (single
     chars always survive) → one final EM pass on the pruned inventory.
     """
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+
     spark = docs.sparkSession
-    words = word_counts(docs, text_col).localCheckpoint()
+    # Storage lifecycle: the returned vocab is driver-built, so the
+    # word-count checkpoint is released before returning.
+    scope = CheckpointScope(docs)
+    words = scope.checkpoint(word_counts(docs, text_col))
     seed = seed_pieces(words, seed_size).collect()  # piece-table sized
     total_w = sum(r["w"] for r in seed)
     logp = {r["piece"]: math.log(r["w"] / total_w) for r in seed}
@@ -164,6 +169,7 @@ def train_unigram_lm(docs: DataFrame, text_col: str = "text",
             keep = set(multi) | {p for p in logp if len(p) == 1}
             logp = {p: lp for p, lp in logp.items() if p in keep}
 
+    scope.release_all_except()
     rows = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
     vocab = spark.createDataFrame(
         [(p, round(lp, 9), i) for i, (p, lp) in enumerate(rows)],

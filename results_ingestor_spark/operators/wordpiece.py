@@ -47,13 +47,20 @@ def train_wordpiece_merges(docs: DataFrame, n_merges: int = 8,
     rounded to 12 dp for display; selection happens on the raw double
     (exact-integer division — no rounding needed for determinism)
     under the (score DESC, left ASC, right ASC) tie-break."""
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+
     spark = docs.sparkSession
+    # Storage lifecycle: driver-side result, so all vocab-sized
+    # checkpoints are releasable (one-iteration delay for lazy
+    # successors — see train_bpe_merges).
+    scope = CheckpointScope(docs)
     words = (docs
              .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
              .where(F.col("word") != "")
              .groupBy("word").agg(F.count("*").alias("cnt"))
              .select(_initial_symbols().alias("symbols"), "cnt"))
-    words = words.localCheckpoint(eager=True)
+    words = scope.checkpoint(words)
+    pending_release = None
 
     merges: list[tuple[int, str, str, str, int, float]] = []
     for rank in range(n_merges):
@@ -79,11 +86,16 @@ def train_wordpiece_merges(docs: DataFrame, n_merges: int = 8,
                            / (F.col("ca") * F.col("cb"))).alias("score")))
         top = (scored.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
                .first())  # single-row driver collect per merge
+        if pending_release is not None:
+            scope.release(pending_release)
         if top is None:
             break
         merges.append((rank, top["a"], top["b"], top["a"] + top["b"],
                        int(top["c"]), round(float(top["score"]), 12)))
-        words = (words
-                 .withColumn("symbols", _merge_fold(top["a"], top["b"]))
-                 .localCheckpoint(eager=False))
+        new_words = scope.checkpoint(
+            words.withColumn("symbols", _merge_fold(top["a"], top["b"])),
+            eager=False)
+        pending_release = words
+        words = new_words
+    scope.release_all_except()
     return spark.createDataFrame(merges, WP_SCHEMA)

@@ -27,6 +27,7 @@ from results_ingestor_spark.operators.graph import (
     pagerank,
     triangle_count,
 )
+from results_ingestor_spark.operators.ckpt import CheckpointScope
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -315,20 +316,24 @@ def graph_sssp_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copurchase_edges(li)
     # materialize the derived edge list once — 4 lazy relaxation rounds
     # would otherwise re-run the co-purchase self-join per round
-    sym = (e.select("u", "v")
-           .unionByName(e.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v")))
-           .localCheckpoint())
-    dist = (sym.where(F.col("u") % 199 == 0).select("u").distinct()
-            .select("u", F.lit(0).alias("dist"))
-            .localCheckpoint())
+    scope = CheckpointScope(li)
+    sym = scope.checkpoint(
+        e.select("u", "v")
+        .unionByName(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    dist = scope.checkpoint(
+        sym.where(F.col("u") % 199 == 0).select("u").distinct()
+        .select("u", F.lit(0).alias("dist")))
     for _ in range(4):
         relaxed = (dist.join(sym, "u")
                    .select(F.col("v").alias("u"),
                            (F.col("dist") + 1).alias("dist")))
-        dist = (dist.unionByName(relaxed)
-                .groupBy("u").agg(F.min("dist").alias("dist"))
-                .localCheckpoint())
+        new_dist = scope.checkpoint(
+            dist.unionByName(relaxed)
+            .groupBy("u").agg(F.min("dist").alias("dist")))
+        scope.release(dist)
+        dist = new_dist
+    scope.release_all_except(dist)
     return (dist.groupBy(F.col("dist").cast("long").alias("dist"))
             .agg(F.count("*").alias("n_nodes"))
             .orderBy("dist"))
@@ -486,20 +491,24 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxations as MATERIALIZED CTEs."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     e = copurchase_edges(li)
-    sym = (e.select("u", "v", "w")
-           .unionByName(e.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v"), "w"))
-           .localCheckpoint())
-    dist = (sym.where(F.col("u") % 199 == 0).select("u").distinct()
-            .select("u", F.lit(0).cast("long").alias("dist"))
-            .localCheckpoint())
+    scope = CheckpointScope(li)
+    sym = scope.checkpoint(
+        e.select("u", "v", "w")
+        .unionByName(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"), "w")))
+    dist = scope.checkpoint(
+        sym.where(F.col("u") % 199 == 0).select("u").distinct()
+        .select("u", F.lit(0).cast("long").alias("dist")))
     for _ in range(4):
         relaxed = (dist.join(sym, "u")
                    .select(F.col("v").alias("u"),
                            (F.col("dist") + F.col("w")).alias("dist")))
-        dist = (dist.unionByName(relaxed)
-                .groupBy("u").agg(F.min("dist").alias("dist"))
-                .localCheckpoint())
+        new_dist = scope.checkpoint(
+            dist.unionByName(relaxed)
+            .groupBy("u").agg(F.min("dist").alias("dist")))
+        scope.release(dist)
+        dist = new_dist
+    scope.release_all_except(dist)
     return (dist.select("u", F.col("dist").cast("long").alias("dist"))
             .orderBy("dist", "u").limit(50))
 

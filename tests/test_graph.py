@@ -71,15 +71,39 @@ def test_copurchase_edges_weights(spark):
     assert strong == {(10, 20): 2}
 
 
-def test_pagerank_reuses_edge_exchange(edges):
-    """The 3-iteration plan must not contain three independent
-    re-computations of the symmetrized-edge shuffle: Spark collapses
-    identical exchanges (ReusedExchange / exchange reuse under AQE),
-    keeping per-iteration cost at one rank-join, not one edge rebuild."""
+def test_pagerank_result_is_materialized_scan(edges):
+    """The iterative work happens ONCE inside pagerank() (edge list
+    checkpointed key-partitioned, 3 rank rounds); the returned frame is
+    backed by the final rank checkpoint, so re-consuming it is an RDD
+    scan — no join or shuffle re-executes per downstream action."""
     df = pagerank(edges, iterations=3)
-    df.collect()  # AQE resolves exchange reuse at runtime
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    assert "ExistingRDD" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_iterative_operators_release_intermediate_storage(spark, edges):
+    """Round-5 leak fix (operators/ckpt.py): every pagerank call used to
+    pin two edge-list-sized checkpoints until JVM GC (+2 persistent RDDs
+    per call).  Now each call may leave only its RESULT-sized final
+    checkpoint, and release_result() frees that too."""
+    from results_ingestor_spark.operators.ckpt import release_result
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    results = []
+    base = n_persistent()
+    for _ in range(3):
+        df = pagerank(edges, iterations=3)
+        df.collect()
+        results.append(df)
+    grown = n_persistent() - base
+    assert grown <= 3, f"expected <=1 residual per call, got {grown} for 3"
+    for df in results:
+        release_result(df)
+    assert n_persistent() <= base
 
 
 def test_lpa_known_answer_path_graph(spark):
