@@ -45,7 +45,13 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # dims (region/nation/supplier/part at test SFs) always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Single-JVM local mode does ALL execution in the driver heap; 8g on
+    # this 128 GiB host GC-thrashed under the interleaved bench (measured
+    # round 5: per-pass anchor spreads of 2-3x with 35-85 s spike passes
+    # at 8g vs tight 1.2x spreads at 24g — same min-statistics).  A real
+    # cluster sizes executor memory separately; this knob only exists for
+    # local mode.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.ui.enabled": "false",
 }
