@@ -85,6 +85,39 @@ _PRIORITY = [
 ]
 
 
+# Round-6 rotation slate, STAGED (not yet active): 45 never-driver-
+# checked entries drawn proportionally from the largest unverified
+# pools (stats 8, advanced 6, text 6, pipeline/similarity/corpus/
+# events 4 each, the rest 1-2), every one PRE-VERIFIED cell-for-cell
+# vs its DuckDB oracle at BOTH sf0.01 and sf0.1 this round
+# (2x45 checks, 0 failures) so next round's rotation is a one-line
+# swap with no correctness risk.  Keep the flagship 3 + 2 watches,
+# replace the other 45 _PRIORITY slots with:
+_ROUND6_SLATE = [
+    "bollinger_hourly_value", "histogram_equidepth_price",
+    "period_over_period_revenue", "market_basket_rules",
+    "stats_winsorized_mean", "events_ses_forecast", "events_acf_hourly",
+    "latency_percentile_bands", "lateral_explode_tokens",
+    "null_semantics", "scalar_subquery_above_avg", "cohort_retention",
+    "recursive_month_spine", "correlated_exists_orders",
+    "text_bigram_topk", "text_winnowing_fingerprint",
+    "quality_lexical_diversity", "vocab_coverage_95",
+    "text_zipf_rank_frequency", "quality_blocklist_rate",
+    "dataset_shard_stats", "quality_filter_top_half",
+    "sampling_language_balanced", "corpus_global_shuffle",
+    "embedding_label_stats", "embedding_scalar_quantization",
+    "embedding_pq_compression", "embedding_dim_stats",
+    "text_chunk_windows", "lm_bigram_perplexity", "bpe_train_merges",
+    "quality_classifier_score", "events_hourly_anomaly",
+    "events_user_entropy", "events_audience_overlap",
+    "events_interpolate_hourly", "dedup_exact_normalized",
+    "dedup_minhash_signatures", "graph_adamic_adar_topk",
+    "graph_sssp_weighted", "regexp_functions", "multimodal_chunk_energy",
+    "asof_join_forward_next_purchase", "streaming_dedup_exact",
+    "spatial_geofence_assign",
+]
+
+
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names unknown queries: {missing}"
