@@ -194,23 +194,34 @@ def kmeans_centroids(vectors: DataFrame, n_clusters: int = 10,
     doubles.  Only the centroids (k x dim) ever reach the driver, same as
     Spark MLlib's own KMeans; an empty cluster keeps its previous
     centroid."""
+    # Persist the projected view: seeding + every Lloyd iteration is its
+    # own job, and without this each one re-scans (and, for derived
+    # inputs, re-shuffles) the corpus — n_iter+1 scans instead of one.
+    # Same persist/unpersist contract as the PQ trainer
+    # (operators/quantization.py); at 100 TB use MEMORY_AND_DISK.
     v = vectors.select(F.col(id_col).alias("vid"),
-                       F.col(vec_col).cast("array<double>").alias("v"))
-    seeds = (v.orderBy(F.md5(F.col("vid").cast("string")), "vid")
-             .limit(n_clusters).collect())
-    cents = [list(r["v"]) for r in seeds]
-    for _ in range(n_iter):
-        assigned = v.select(
-            "v", assign_centroid_expr(cents, "v").alias("cid"))
-        rows = (assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
-                .groupBy("cid")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
-                     .alias("pm"))
-                .select("cid", F.transform("pm", lambda s: s["m"]).alias("c"))
-                .collect())
-        by_cid = {r["cid"]: list(r["c"]) for r in rows}
-        cents = [by_cid.get(i, cents[i]) for i in range(n_clusters)]
+                       F.col(vec_col).cast("array<double>").alias("v")
+                       ).persist()
+    try:
+        seeds = (v.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+                 .limit(n_clusters).collect())
+        cents = [list(r["v"]) for r in seeds]
+        for _ in range(n_iter):
+            assigned = v.select(
+                "v", assign_centroid_expr(cents, "v").alias("cid"))
+            rows = (assigned.select("cid",
+                                    F.posexplode("v").alias("pos", "x"))
+                    .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                    .groupBy("cid")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                         .alias("pm"))
+                    .select("cid",
+                            F.transform("pm", lambda s: s["m"]).alias("c"))
+                    .collect())
+            by_cid = {r["cid"]: list(r["c"]) for r in rows}
+            cents = [by_cid.get(i, cents[i]) for i in range(n_clusters)]
+    finally:
+        v.unpersist()
     return cents
 
 
