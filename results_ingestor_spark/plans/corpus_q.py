@@ -369,7 +369,16 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_with_merges(t["documents"], pairs)
 
 
-def _semantic_kmeans_oracle(k: int = 8, n_iter: int = 3,
+# k ~ sqrt(n), computed IDENTICALLY on both engines: Spark uses
+# math.isqrt(count), the oracle floor(sqrt(count(*))) — equal for every
+# n < 2^52 (correctly-rounded double sqrt can only disagree with isqrt
+# within ~0.5 ulp of an integer boundary, and the true root of a
+# non-square n sits >= 1/(2*sqrt(n)) away from it).
+_K_SQRT_N = ("(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) "
+             "FROM embeddings)")
+
+
+def _semantic_kmeans_oracle(k: int | str = _K_SQRT_N, n_iter: int = 3,
                             tau: float = 0.35) -> str:
     """DuckDB twin of the FULL SemDeDup pipeline, k-means training
     included — the round-3 verdict's 'md5-derived state is
@@ -425,10 +434,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.operators.similarity import (
         assign_centroid_expr, kmeans_centroids)
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
+    import math
     tau = 0.35
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = ensure_min_parallelism(t["embeddings"]).select("vec_id", "embedding")
-    cents = kmeans_centroids(e, n_clusters=8, n_iter=3)
+    # k = isqrt(n), ACTUALLY sized to the corpus (round 5: the previous
+    # hardcoded k=8 made the in-cluster pair join quadratic — measured
+    # 45.4 s at 10x data where sqrt-sized k bounds expected cluster
+    # size at sqrt(n) and pair work at ~n^1.5, the SemDeDup contract
+    # the docstring promises).  The count is one driver long; the
+    # oracle computes the identical k via floor(sqrt(count(*))).
+    k = max(2, math.isqrt(e.count()))
+    cents = kmeans_centroids(e, n_clusters=k, n_iter=3)
     assigned = e.select(
         "vec_id", "embedding",
         assign_centroid_expr(cents, "embedding").alias("cid"))

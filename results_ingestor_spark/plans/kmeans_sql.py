@@ -31,8 +31,12 @@ _NORM_DIV = ("CASE WHEN sqrt(list_sum(list_transform(c, y -> y * y))) = 0 "
              "END")
 
 
-def kmeans_ctes(k: int, n_iter: int) -> str:
+def kmeans_ctes(k: int | str, n_iter: int) -> str:
     """CTE chain (no leading WITH): ``v`` (embeddings as double lists),
+    ``k`` may be an int or a SQL expression string (e.g. a scalar
+    subquery computing floor(sqrt(count(*))) for corpus-sized k) — it
+    is only interpolated into the seeding LIMIT, which DuckDB accepts
+    as an expression.
     ``cent0``..``cent{n_iter}`` (centroids per iteration), ``normf``
     (final centroids L2-normalized, the assign_centroid_expr operand).
     Callers append their own search/verify CTEs."""

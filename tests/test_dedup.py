@@ -135,7 +135,8 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rows) == n
     assert all(0 <= r["n_dropped"] <= r["n_vecs"] for r in rows)
 
-    cents = kmeans_centroids(e, n_clusters=8, n_iter=3)
+    import math
+    cents = kmeans_centroids(e, n_clusters=max(2, math.isqrt(n)), n_iter=3)
     assigned = e.select(
         "vec_id", "embedding",
         assign_centroid_expr(cents, "embedding").alias("cid"))
