@@ -2,39 +2,67 @@
 
 Usage: python tools/scale_check.py [scaled_sf_dir]
 (default /tmp/scaledata/sf0.5 — generate with tools/gen_scale_corpus.py).
-Prints per-entry x1/x5 times, ratios sorted descending, and one JSON line.
+
+Runs every bench.HEADLINE entry at sf0.1 and at the scaled corpus
+through the noop sink (engine throughput, nothing collected), prints
+per-entry times, the time ratios sorted descending — anything near or
+above the corpus scale factor is a scaling bug to chase — and one JSON
+line with the raw numbers.  This sweep is what surfaced (and then
+confirmed the fixes for) the round-5 semantic-dedup k and spatial-kNN
+radius density drifts; see SCALE.md.
 """
-import sys, time, json
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
-import bench as B
-import __spark_entry__ as E
-from results_ingestor_spark.session import get_spark
-spark = get_spark("headlinescale")
-spark.sparkContext.setLogLevel("ERROR")
-qs = E.queries()
-results = {}
-for sf_dir, label in [("/root/testdata/sf0.1", "x1"),
-                      (sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata/sf0.5", "x5")]:
-    for name in B.HEADLINE:
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            results.setdefault(name, {})[label] = round(best, 3)
-            print(label, name, round(best, 3), flush=True)
-        except Exception as ex:
-            results.setdefault(name, {})[label] = f"ERR {type(ex).__name__}"
-            print(label, name, "ERR", str(ex)[:120], flush=True)
-print("RATIOS")
-for name, r in sorted(results.items(),
-                      key=lambda kv: -(kv[1]["x5"]/kv[1]["x1"]
-                                       if isinstance(kv[1].get("x5"), float)
-                                       and isinstance(kv[1].get("x1"), float) else 0)):
-    if isinstance(r.get("x5"), float) and isinstance(r.get("x1"), float):
-        print(f"{name}: {r['x1']} -> {r['x5']}  ratio {r['x5']/r['x1']:.2f}", flush=True)
-    else:
-        print(name, r, flush=True)
-print(json.dumps(results))
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import bench
+    import __spark_entry__ as entry
+    from results_ingestor_spark.session import get_spark
+
+    scaled = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata/sf0.5"
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    results: dict[str, dict[str, object]] = {}
+    for sf_dir, label in [("/root/testdata/sf0.1", "x1"), (scaled, "xN")]:
+        for name in bench.HEADLINE:
+            try:
+                qs[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).write.format("noop") \
+                        .mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                results.setdefault(name, {})[label] = round(best, 3)
+                print(label, name, round(best, 3), flush=True)
+            except Exception as ex:  # noqa: BLE001 — keep sweeping
+                results.setdefault(name, {})[label] = \
+                    f"ERR {type(ex).__name__}"
+                print(label, name, "ERR", str(ex)[:120], flush=True)
+
+    def ratio(r: dict[str, object]) -> float:
+        a, b = r.get("x1"), r.get("xN")
+        return b / a if isinstance(a, float) and isinstance(b, float) else 0.0
+
+    print("RATIOS")
+    for name, r in sorted(results.items(), key=lambda kv: -ratio(kv[1])):
+        if ratio(r):
+            print(f"{name}: {r['x1']} -> {r['xN']}  ratio {ratio(r):.2f}",
+                  flush=True)
+        else:
+            print(name, r, flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
