@@ -1,0 +1,66 @@
+"""Unit tests for the checkpoint storage-lifecycle scope
+(operators/ckpt.py) — the edge cases the operator integrations rely on.
+"""
+
+from __future__ import annotations
+
+from results_ingestor_spark.operators.ckpt import (
+    CheckpointScope, release_result)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_scope_attributes_and_releases_blocks(spark):
+    base = _n_persistent(spark)
+    scope = CheckpointScope(spark)
+    a = scope.checkpoint(spark.range(100))
+    b = scope.checkpoint(a.selectExpr("id * 2 AS id"))
+    assert _n_persistent(spark) == base + 2
+    scope.release(a)
+    assert _n_persistent(spark) == base + 1
+    assert b.count() == 100  # successor blocks independent of parent
+    scope.release_all_except()
+    assert _n_persistent(spark) == base
+
+
+def test_release_unknown_frame_is_a_noop(spark):
+    scope = CheckpointScope(spark)
+    kept = scope.checkpoint(spark.range(10))
+    scope.release(spark.range(5))   # never checkpointed through scope
+    scope.release(kept)
+    scope.release(kept)             # double release: no error
+    assert kept is not None
+
+
+def test_release_all_except_keeps_named_result(spark):
+    base = _n_persistent(spark)
+    scope = CheckpointScope(spark)
+    tmp = scope.checkpoint(spark.range(50))
+    final = scope.checkpoint(tmp.selectExpr("id + 1 AS id"))
+    scope.release_all_except(final)
+    assert _n_persistent(spark) == base + 1
+    assert final.count() == 50
+    final._ckpt_scope = scope
+    release_result(final)
+    assert _n_persistent(spark) == base
+    assert tmp is not None
+
+
+def test_lazy_checkpoint_registers_immediately(spark):
+    base = _n_persistent(spark)
+    scope = CheckpointScope(spark)
+    lazy = scope.checkpoint(spark.range(20), eager=False)
+    # lazy persistence registers before any blocks materialize, so the
+    # id-diff attribution (and later release) still works
+    assert _n_persistent(spark) == base + 1
+    assert lazy.count() == 20
+    scope.release_all_except()
+    assert _n_persistent(spark) == base
+
+
+def test_release_result_without_scope_attr_is_a_noop(spark):
+    df = spark.range(3)
+    release_result(df)  # plain frame, no _ckpt_scope: nothing happens
+    assert df.count() == 3
