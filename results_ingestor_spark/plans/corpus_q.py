@@ -446,9 +446,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle computes the identical k via floor(sqrt(count(*))).
     k = max(2, math.isqrt(e.count()))
     cents = kmeans_centroids(e, n_clusters=k, n_iter=3)
-    assigned = e.select(
+    # Materialize the assignment ONCE (CheckpointScope lifecycle): the
+    # k x dim literal-fold is the entry's most expensive expression and
+    # three consumers (both pair-join sides + the per-cluster census)
+    # would otherwise each recompute it over the full corpus.  The
+    # vector-sized checkpoint is released before returning; only the
+    # k-row result stays persisted.
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(e)
+    assigned = scope.checkpoint(e.select(
         "vec_id", "embedding",
-        assign_centroid_expr(cents, "embedding").alias("cid"))
+        assign_centroid_expr(cents, "embedding").alias("cid")))
     a = assigned.select(F.col("cid"), F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"))
     b = assigned.select(F.col("cid"), F.col("vec_id").alias("id_b"),
@@ -460,11 +468,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                .distinct())
     per_cluster = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     drops = dropped.groupBy("cid").agg(F.count("*").alias("n_dropped"))
-    return (per_cluster.join(drops, "cid", "left")
+    out = scope.checkpoint(per_cluster.join(drops, "cid", "left")
             .select("cid", "n_vecs",
                     F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
                     F.round(F.coalesce("n_dropped", F.lit(0))
                             / F.col("n_vecs"), 6).alias("drop_rate")))
+    scope.release_all_except(out)
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def _er_oracle() -> str:
