@@ -124,6 +124,18 @@ def _stage_ingest_csv(spark, sf_dir: str) -> str:
     return out
 
 
+def _run_noop(spark, qs, name: str, sf_dir: str) -> None:
+    """Run one registered query to completion through the noop sink,
+    then release any checkpoint blocks the plan scoped to its result
+    (operators/ckpt.py) — interleaved passes re-invoke every query,
+    and unreleased localCheckpoint blocks accumulate across calls (the
+    round-5-measured leak class)."""
+    from results_ingestor_spark.operators.ckpt import release_result
+    df = qs[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    release_result(df)
+
+
 def _run_ingest(spark, csv_dir: str) -> None:
     from results_ingestor_spark.operators.ingest import ingest_result_files
     ingest_result_files(spark, csv_dir).write.format(
@@ -196,14 +208,13 @@ def main() -> None:
     samples: dict[str, list[float]] = {
         n: [] for n in names + list(special)}
     for name in names:  # warm pass (JIT, file listing)
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _run_noop(spark, qs, name, sf_dir)
     for fn in special.values():
         fn()
     for _ in range(rounds):
         for name in names:
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format(
-                "noop").mode("overwrite").save()
+            _run_noop(spark, qs, name, sf_dir)
             samples[name].append(time.time() - t0)
         for name, fn in special.items():
             t0 = time.time()

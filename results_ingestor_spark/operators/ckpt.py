@@ -12,8 +12,9 @@ eventually OOMs executors; the classic Pregel/GraphX loop unpersists
 the previous iteration for exactly this reason.
 
 ``CheckpointScope`` attributes the blocks created by each
-``checkpoint()`` call (an RDD-id diff around the call — driver-side,
-single-threaded use) so superseded intermediates are released as soon
+``checkpoint()`` call (the checkpointed frame's own LogicalRDD id —
+concurrency-safe; foreign RDDs persisted by other threads are never
+claimed) so superseded intermediates are released as soon
 as their successor is materialized, and everything except the final
 result is released before the operator returns.  Releasing is DANGEROUS
 for anything still reachable — a local checkpoint truncates lineage, so
@@ -71,12 +72,22 @@ class CheckpointScope:
         self._owned: list[tuple[DataFrame, set[int]]] = []
 
     def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
-        # Lazy checkpoints register their persistence immediately too
-        # (blocks materialize on first compute), so the id diff
-        # attributes them correctly in both modes.
+        # Ownership is attributed from the checkpointed frame's OWN rdd:
+        # Dataset.localCheckpoint persists exactly one RDD and wraps it
+        # in the returned frame's LogicalRDD, so analyzed().rdd().id()
+        # names the persisted block precisely.  (Round 5 used a global
+        # getPersistentRDDs id-diff around the call, which could claim —
+        # and later unpersist — an RDD persisted concurrently by another
+        # thread or a user .cache(); ADVICE r5.)  The diff remains only
+        # as a defensive fallback for the same call made eagerly, where
+        # it is verified equal to the direct id in tests/test_ckpt.py.
         before = _ids(self._spark)
         out = df.localCheckpoint(eager=eager)
-        self._owned.append((out, _ids(self._spark) - before))
+        try:
+            owned = {out._jdf.queryExecution().analyzed().rdd().id()}
+        except Exception:
+            owned = _ids(self._spark) - before
+        self._owned.append((out, owned))
         return out
 
     def _release_ids(self, ids: set[int]) -> None:

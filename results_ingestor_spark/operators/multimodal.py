@@ -248,8 +248,10 @@ def fake_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, hashes = [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = np.frombuffer(payload, dtype=np.uint8)
+            if len(raw) == 0:  # empty payload → all-zero image (the
+                raw = np.zeros(1, dtype=np.uint8)  # oracle tiles 0s too)
             need = n * n
-            reps = -(-need // max(1, len(raw)))
+            reps = -(-need // len(raw))
             img = np.tile(raw, reps)[:need].astype(np.int64).reshape(n, n)
             low = (bq @ img @ bq.T).ravel()
             s = np.sort(low)

@@ -1045,9 +1045,12 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_row_number, two_level_row_number)
     # Materialize the customer-half aggregate once: the two-level
     # rank's branches and the per-half count would otherwise each
-    # re-scan orders and re-run the aggregation shuffle.
-    base = half.groupBy("custkey", "h").agg(
-        F.sum("price").alias("monetary")).localCheckpoint()
+    # re-scan orders and re-run the aggregation shuffle.  Scoped so
+    # repeated invocations don't pin the blocks forever (ADVICE r5).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    base = scope.checkpoint(half.groupBy("custkey", "h").agg(
+        F.sum("price").alias("monetary")))
     rn = two_level_row_number(
         base, F.col("monetary"), ["monetary", "custkey"],
         partition_cols=["h"], out_col="__rn")
@@ -1060,10 +1063,12 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              F.col("m").alias("seg_h1"))
     b = scored.where(F.col("h") == 2).select("custkey",
                                              F.col("m").alias("seg_h2"))
-    return (a.join(b, "custkey")
-            .groupBy("seg_h1", "seg_h2")
-            .agg(F.count("*").cast("long").alias("n_customers"))
-            .orderBy("seg_h1", "seg_h2"))
+    out = (a.join(b, "custkey")
+           .groupBy("seg_h1", "seg_h2")
+           .agg(F.count("*").cast("long").alias("n_customers"))
+           .orderBy("seg_h1", "seg_h2"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 _ALS_ROUNDS = 2  # full alternations
@@ -1112,13 +1117,15 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ratings materialize once (one fact shuffle); each
     half-step shuffles factor-keyed partial sums, never the matrix."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    r = (t["orders"].select("o_custkey", "o_orderkey")
-         .join(t["lineitem"].select("l_orderkey", "l_partkey"),
-               F.col("o_orderkey") == F.col("l_orderkey"))
-         .groupBy(F.col("o_custkey").alias("c"),
-                  F.col("l_partkey").alias("p"))
-         .agg(F.count("*").cast("long").alias("r"))
-         .localCheckpoint(eager=True))
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    r = scope.checkpoint(
+        t["orders"].select("o_custkey", "o_orderkey")
+        .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+        .agg(F.count("*").cast("long").alias("r")))
     v = r.select("p").distinct().withColumn("v", F.lit(1.0))
     for _ in range(_ALS_ROUNDS):
         u = (r.join(v, "p")
@@ -1131,10 +1138,12 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.round(F.sum(F.col("r") * F.col("u"))
                           / F.sum(F.col("u") * F.col("u")), 9)
                   .alias("v")))
-    return (v.select(F.col("p").alias("partkey"),
-                     F.round("v", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("partkey"))
-            .limit(20))
+    out = (v.select(F.col("p").alias("partkey"),
+                    F.round("v", 6).alias("score"))
+           .orderBy(F.desc("score"), F.asc("partkey"))
+           .limit(20))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("dq_order_total_reconciliation", oracle="""

@@ -370,11 +370,14 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # k ~ sqrt(n), computed IDENTICALLY on both engines: Spark uses
-# math.isqrt(count), the oracle floor(sqrt(count(*))) — equal for every
-# n < 2^52 (correctly-rounded double sqrt can only disagree with isqrt
-# within ~0.5 ulp of an integer boundary, and the true root of a
-# non-square n sits >= 1/(2*sqrt(n)) away from it).
-_K_SQRT_N = ("(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) "
+# max(2, math.isqrt(count)), the oracle GREATEST(2, floor(sqrt(
+# count(*)))) — isqrt and floor-sqrt are equal for every n < 2^52
+# (correctly-rounded double sqrt can only disagree with isqrt within
+# ~0.5 ulp of an integer boundary, and the true root of a non-square n
+# sits >= 1/(2*sqrt(n)) away from it), and the GREATEST mirrors the
+# Spark side's max(2, ...) clamp so corpora with n < 4 embeddings use
+# the same k in both engines (ADVICE r5).
+_K_SQRT_N = ("(SELECT GREATEST(2, CAST(floor(sqrt(count(*))) AS BIGINT)) "
              "FROM embeddings)")
 
 
@@ -981,8 +984,11 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the distinct-score table once (bounded by the 9-dp
     # score domain): the two-level prefix-sum's branches would
     # otherwise re-run the full score+aggregate — a second corpus scan.
-    v = sc.groupBy("zs").agg(F.count("*").alias("n"),
-                             F.sum("yi").alias("pos")).localCheckpoint()
+    # Scoped so repeated calls don't pin the blocks (ADVICE r5).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    v = scope.checkpoint(sc.groupBy("zs").agg(
+        F.count("*").alias("n"), F.sum("yi").alias("pos")))
     c = two_level_prefix_sum(
         v, F.col("zs"), ["zs"], F.col("n"), out_col="cb").select(
         "n", "pos", "cb")
@@ -998,11 +1004,13 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (F.col("npos") + 1).cast(d38)).cast("double")
     npd = F.col("npos").cast("double")
     nnd = F.col("nneg").cast("double")
-    return s.select(
+    out = s.select(
         F.col("npos").alias("n_pos"), F.col("nneg").alias("n_neg"),
         "n_scores",
         F.round(numer / (F.lit(2.0) * npd * nnd), 9).alias("auc"),
         F.round(numer / (npd * nnd) - F.lit(1.0), 9).alias("gini"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def _calibration_oracle() -> str:

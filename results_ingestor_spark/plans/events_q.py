@@ -553,25 +553,38 @@ sz AS (
 m AS (
   SELECT cohort, week_age,
     CAST(SUM(rev) AS DECIMAL(38,2)) AS week_rev
-  FROM rev GROUP BY cohort, week_age)
-SELECT m.cohort, m.week_age, sz.cohort_users,
-  CAST(SUM(week_rev) OVER (PARTITION BY m.cohort ORDER BY m.week_age
-                           ROWS UNBOUNDED PRECEDING)
-       AS DECIMAL(38,2)) AS cum_revenue,
-  round(CAST(SUM(week_rev) OVER (PARTITION BY m.cohort
-                                 ORDER BY m.week_age
-                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        / sz.cohort_users, 6) AS ltv_per_user
-FROM m JOIN sz ON sz.cohort = m.cohort
-ORDER BY m.cohort, m.week_age""")
+  FROM rev GROUP BY cohort, week_age),
+c AS (
+  SELECT m.cohort, m.week_age, sz.cohort_users,
+    CAST(SUM(week_rev) OVER (PARTITION BY m.cohort ORDER BY m.week_age
+                             ROWS UNBOUNDED PRECEDING)
+         AS DECIMAL(38,2)) AS cum_revenue
+  FROM m JOIN sz ON sz.cohort = m.cohort)
+SELECT cohort, week_age, cohort_users, cum_revenue,
+  CAST(CAST((CAST(cum_revenue * 100 AS BIGINT) * 10000)
+            // cohort_users AS DECIMAL(32,0)) * 0.000001
+       AS DECIMAL(38,6)) AS ltv_per_user
+FROM c
+ORDER BY cohort, week_age""")
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative lifetime value per signup cohort by weeks-since-
     first-seen — the revenue twin of cohort_retention (which counts
     the users; this sums what they spend).  Weekly grain because the
-    corpus spans ~a month; the shape is grain-agnostic.  Exact DECIMAL
-    revenue, cohort-partitioned running sums, one double division per
-    row for the per-user LTV; week age is integer microsecond
-    arithmetic (no engine interval types on the wire).
+    corpus spans ~a month; the shape is grain-agnostic.
+
+    Every emitted value is integer/DECIMAL-exact — no double anywhere
+    on the wire.  This is the round-6 fix for the one driver-red cell
+    of round 5 (VERDICT r5 item 1): the old plan computed ``week_age``
+    by *double* division then cast (a correctly-rounded quotient can
+    still land on the wrong side of an integer boundary) and
+    ``ltv_per_user`` as ``round(double, 6)`` evaluated independently
+    in two engines with different tie-break rules (Spark HALF_UP vs
+    DuckDB half-even).  Now ``week_age`` is integer ``DIV`` on BIGINT
+    microseconds (identical to the oracle's ``//`` — truncation and
+    floor agree because the age is non-negative by construction), and
+    ``ltv_per_user`` is micro-dollar integer floor division
+    (cum_cents * 10000 DIV users) re-scaled by an exact decimal
+    literal, so both engines must produce bit-identical DECIMAL(38,6).
 
     Scale: first-seen is one user-keyed agg; the curve is a
     (cohort, week_age) agg plus a cohort-partitioned window over the
@@ -584,11 +597,9 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (ev.where(F.col("event_type") == "purchase")
            .join(first_seen, "user_id")
            .select("cohort",
-                   ((F.unix_micros(F.date_trunc("week", "ts"))
-                     - F.unix_micros(F.col("cohort")
-                                     .cast("timestamp")))
-                    / F.lit(604_800_000_000)).cast("long")
-                   .alias("week_age"),
+                   F.expr("(unix_micros(date_trunc('week', ts))"
+                          " - unix_micros(CAST(cohort AS TIMESTAMP)))"
+                          " DIV 604800000000").alias("week_age"),
                    F.expr("CAST(value AS DECIMAL(12,2))").alias("rev")))
     sz = first_seen.groupBy("cohort").agg(
         F.count("*").alias("cohort_users"))
@@ -597,11 +608,15 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("cohort").orderBy("week_age")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = F.sum("week_rev").over(w).cast("decimal(38,2)")
-    return (m.join(F.broadcast(sz), "cohort")
-            .select("cohort", "week_age", "cohort_users",
-                    cum.alias("cum_revenue"),
-                    F.round(cum.cast("double") / F.col("cohort_users"), 6)
-                    .alias("ltv_per_user"))
+    curve = (m.join(F.broadcast(sz), "cohort")
+             .select("cohort", "week_age", "cohort_users",
+                     cum.alias("cum_revenue")))
+    return (curve
+            .withColumn(
+                "ltv_per_user",
+                F.expr("CAST(CAST((CAST(cum_revenue * 100 AS BIGINT)"
+                       " * 10000) DIV cohort_users AS DECIMAL(32,0))"
+                       " * 0.000001 AS DECIMAL(38,6))"))
             .orderBy("cohort", "week_age"))
 
 
@@ -751,10 +766,14 @@ def events_markov_stationary(spark: SparkSession,
            .where(F.col("to_type").isNotNull())
            .groupBy("from_type", "to_type").agg(F.count("*").alias("n")))
     w_row = Window.partitionBy("from_type")
-    m = cnt.select(
+    # Scoped checkpoint: the transition matrix feeds 6 power-iteration
+    # rounds; the scope hook lets callers release it (ADVICE r5).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    m = scope.checkpoint(cnt.select(
         "from_type", "to_type",
         F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
-        .alias("prob")).localCheckpoint()
+        .alias("prob")))
     states = m.select(F.col("from_type").alias("state")).distinct()
     n_states = states.crossJoin(
         F.broadcast(states.agg(F.count("*").alias("k"))))
@@ -765,8 +784,10 @@ def events_markov_stationary(spark: SparkSession,
               .groupBy(F.col("to_type").alias("state"))
               .agg(F.round(F.sum(F.col("pi") * F.col("prob")), 12)
                    .alias("pi")))
-    return pi.select("state", F.round("pi", 9).alias("pi")) \
+    out = pi.select("state", F.round("pi", 9).alias("pi")) \
         .orderBy("state")
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("growth_accounting_weekly", oracle="""

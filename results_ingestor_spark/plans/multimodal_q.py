@@ -127,10 +127,23 @@ def _phash_oracle() -> str:
         for u in range(bq.shape[0]) for r in range(bq.shape[1]))
     return f"""
 WITH b(u, r, w) AS (VALUES {rows}),
-d AS (SELECT doc_id, text, length(text) AS len FROM documents),
-px AS (  -- 32x32 'image': payload bytes tiled/truncated, row-major
+d AS (SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS len0,
+        GREATEST(1, octet_length(encode(text))) AS len
+      FROM documents),
+px AS (  -- 32x32 'image': payload BYTES tiled/truncated, row-major.
+  -- Byte access replays the kernel's UTF-8 tiling exactly (ADVICE r5:
+  -- character substr() diverges on any non-ASCII codepoint): each byte
+  -- is decoded from its hex pair, and GREATEST(1, octet_length) guards
+  -- the modulo like the kernel's max(1, len) — an empty payload is an
+  -- all-zero image in both engines.
   SELECT doc_id, CAST(p.i AS BIGINT) AS p,
-    ascii(substr(text, CAST(p.i % len AS INT) + 1, 1)) AS v
+    CASE WHEN len0 = 0 THEN 0 ELSE
+      16 * (strpos('0123456789ABCDEF',
+                   substr(hx, 2 * CAST(p.i % len AS INT) + 1, 1)) - 1)
+         + (strpos('0123456789ABCDEF',
+                   substr(hx, 2 * CAST(p.i % len AS INT) + 2, 1)) - 1)
+    END AS v
   FROM d CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) p),
 t AS (  -- t[u,c] = sum_r b[u,r] * img[r,c]
   SELECT doc_id, b.u AS u, (p % 32) AS c, SUM(b.w * v) AS tv

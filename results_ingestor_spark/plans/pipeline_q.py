@@ -788,8 +788,11 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     # One metadata scan shared by the per-source window, the pooled
     # two-level ranking (both its branches), and the corpus count.
-    d = t["documents"].select("doc_id", "source",
-                              "n_chars").localCheckpoint()
+    # Scoped so repeated calls don't pin the blocks (ADVICE r5).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    d = scope.checkpoint(
+        t["documents"].select("doc_id", "source", "n_chars"))
     tot = d.agg(F.count("*").alias("big_n"))
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = d.select(
@@ -802,8 +805,10 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (ranked.crossJoin(F.broadcast(tot))
          .withColumn("k", F.expr("((2 * r - 1) * big_n) div (2 * n_s) + 1"))
          .join(pooled, "k"))
-    return j.select("doc_id", "source", "n_chars",
-                    F.col("r").cast("long").alias("src_rank"), "calib")
+    out = j.select("doc_id", "source", "n_chars",
+                   F.col("r").cast("long").alias("src_rank"), "calib")
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 # ── split-leakage audit ──────────────────────────────────────────────
@@ -1088,10 +1093,12 @@ def pack_batches_length_bucketed(spark: SparkSession,
     # Materialize the 2-long-per-doc length frame ONCE: the two-level
     # rank's shard/count branches would otherwise each re-derive
     # n_tokens from the TEXT column — three full text scans instead of
-    # one at corpus scale.  (graph_q's iteration convention.)
-    d = t["documents"].select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    ).localCheckpoint()
+    # one at corpus scale.  (graph_q's iteration convention.)  Scoped
+    # so repeated calls don't pin the blocks (ADVICE r5).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    d = scope.checkpoint(t["documents"].select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")))
 
     def batched(shard_key, order_cols: list, name: str,
                 static_shard=None) -> DataFrame:
@@ -1121,11 +1128,13 @@ def pack_batches_length_bucketed(spark: SparkSession,
                  "shuffled",
                  static_shard=F.conv(F.substring("__k", 1, 2), 16, 10))
     u = s1.unionByName(s2)
-    return u.select(
+    out = u.select(
         "strategy", "n_batches", "n_docs", "real_tokens", "padded_tokens",
         F.round((F.col("padded_tokens") - F.col("real_tokens"))
                 .cast("double") / F.col("padded_tokens"), 9)
         .alias("waste_pct"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("pipeline_stage_attrition", oracle=f"""

@@ -2867,13 +2867,16 @@ def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate; the corpus is touched once to build
     the layer."""
     t = load_tables(spark, sf_dir, ("events",))
-    hourly = (t["events"]
-              .groupBy(F.date_trunc("hour", "ts").alias("h"),
-                       F.hour("ts").alias("hod"))
-              .agg(F.count("*").cast("double").alias("y"))
-              .select((F.col("hod").cast("double") / 23.0).alias("x1"),
-                      "y")
-              .localCheckpoint(eager=True))
+    # Scoped checkpoint: the hourly layer feeds every GD step; the
+    # scope hook lets callers release the blocks (ADVICE r5).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    hourly = scope.checkpoint(
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("h"),
+                 F.hour("ts").alias("hod"))
+        .agg(F.count("*").cast("double").alias("y"))
+        .select((F.col("hod").cast("double") / 23.0).alias("x1"), "y"))
     w0 = w1 = 0.0
     for _ in range(_PGLM_ITERS):
         lam = F.exp(F.lit(w0) + F.lit(w1) * F.col("x1"))
@@ -2884,10 +2887,12 @@ def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1 = round(w1 - _PGLM_LR * row["g1"], 9)
     lam = F.exp(F.lit(w0) + F.lit(w1) * F.col("x1"))
     nll = lam - F.col("y") * F.log(F.greatest(lam, F.lit(1e-300)))
-    return hourly.agg(
+    out = hourly.agg(
         F.count("*").cast("long").alias("n_hours"),
         F.lit(w0).alias("w0"), F.lit(w1).alias("w1"),
         F.round(F.avg(nll), 6).alias("mean_nll"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("stats_levene_brown_forsythe", oracle=f"""

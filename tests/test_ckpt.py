@@ -60,6 +60,54 @@ def test_lazy_checkpoint_registers_immediately(spark):
     assert _n_persistent(spark) == base
 
 
+def test_direct_attribution_matches_id_diff(spark):
+    # The scope owns exactly the frame's own LogicalRDD id — the same
+    # single id the old getPersistentRDDs diff measured (both modes).
+    scope = CheckpointScope(spark)
+    for eager in (True, False):
+        before = {int(i) for i in
+                  spark.sparkContext._jsc.getPersistentRDDs()
+                  .keySet().toArray()}
+        out = scope.checkpoint(spark.range(40), eager=eager)
+        after = {int(i) for i in
+                 spark.sparkContext._jsc.getPersistentRDDs()
+                 .keySet().toArray()}
+        assert scope._owned[-1][1] == after - before
+        assert scope._owned[-1][1] == {
+            out._jdf.queryExecution().analyzed().rdd().id()}
+    scope.release_all_except()
+
+
+def test_foreign_persist_inside_window_is_not_claimed(spark, monkeypatch):
+    # A concurrently-persisted RDD (another thread / user .cache())
+    # materializing between the scope's 'before' and 'after' snapshots
+    # must NOT be claimed and later released — the round-6 ownership
+    # fix (ADVICE r5).  The race is simulated by persisting a foreign
+    # RDD from inside the localCheckpoint call itself.
+    DF = type(spark.range(1))  # the concrete (classic) DataFrame class
+    base = _n_persistent(spark)
+    orig = DF.localCheckpoint
+    holder = {}
+
+    def racing(self, eager=True):
+        holder["foreign"] = spark.sparkContext.parallelize(
+            range(30), 4).persist()
+        holder["foreign"].count()
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", racing)
+    scope = CheckpointScope(spark)
+    ck = scope.checkpoint(spark.range(60))
+    monkeypatch.undo()
+    foreign = holder["foreign"]
+    assert all(foreign.id() not in ids for _, ids in scope._owned)
+    scope.release_all_except()
+    assert _n_persistent(spark) == base + 1  # foreign persist survives
+    assert foreign.count() == 30
+    foreign.unpersist()
+    assert ck is not None
+
+
 def test_release_result_without_scope_attr_is_a_noop(spark):
     df = spark.range(3)
     release_result(df)  # plain frame, no _ckpt_scope: nothing happens

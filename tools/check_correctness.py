@@ -51,6 +51,40 @@ def _rowset(cols, rows):
     )
 
 
+def engine_versions() -> dict[str, str]:
+    """Versions of every engine that touches a verified value — stamped
+    into each check run (and VERSIONS.md) so a driver-vs-local
+    divergence is attributable to an environment delta in one diff
+    (round-5 verdict item 3: the cohort_ltv_curve red cell was
+    undiagnosable because nothing recorded which Spark/DuckDB/pandas
+    produced which answer)."""
+    import platform
+
+    import duckdb
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+    out = {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "pandas": pandas.__version__,
+        "numpy": numpy.__version__,
+        "pyarrow": pyarrow.__version__,
+    }
+    try:  # JVM: only reachable with a live session
+        from pyspark.sql import SparkSession
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            out["java"] = (active.sparkContext._jvm
+                           .java.lang.System.getProperty("java.version"))
+            out["spark_runtime"] = active.version
+    except Exception:
+        pass
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -62,6 +96,8 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = get_spark("correctness-check")
+    import json
+    print("VERSIONS " + json.dumps(engine_versions(), sort_keys=True))
     qs, oracles = e.queries(), e.oracle_sql()
 
     con = duckdb.connect()
@@ -77,6 +113,12 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            # Release any checkpoint blocks the plan scoped to its
+            # result (operators/ckpt.py) — a 419-query sweep would
+            # otherwise accumulate every plan's materialized frames.
+            from results_ingestor_spark.operators.ckpt import (
+                release_result)
+            release_result(sdf)
         except Exception as ex:
             failures.append(name)
             print(f"FAIL {name}: spark error: {ex}")

@@ -35,13 +35,11 @@ def main() -> None:
     for sf_dir, label in [("/root/testdata/sf0.1", "x1"), (scaled, "xN")]:
         for name in bench.HEADLINE:
             try:
-                qs[name](spark, sf_dir).write.format("noop") \
-                    .mode("overwrite").save()  # warm
+                bench._run_noop(spark, qs, name, sf_dir)  # warm
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.time()
-                    qs[name](spark, sf_dir).write.format("noop") \
-                        .mode("overwrite").save()
+                    bench._run_noop(spark, qs, name, sf_dir)
                     best = min(best, time.time() - t0)
                 results.setdefault(name, {})[label] = round(best, 3)
                 print(label, name, round(best, 3), flush=True)
