@@ -29,92 +29,102 @@ from results_ingestor_spark.plans import streaming_q  # noqa: E402,F401
 from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-4 together drove 157 distinct entries green.  Round
-# 5 rotates the window per the round-4 verdict: keep the flagship
-# pipeline plus the two regression watches, and spend the other 45 slots
-# on entries NEVER driver-checked before, drawn from the verdict's named
-# pools — the stats tail (ANOVA/Tukey, Kruskal-Wallis, Spearman, BH-FDR,
-# SPRT), events/behavioral analytics (OHLC, seasonal decompose, Markov
-# stationary, SLO burn-rate), quality/sampling (Neyman,
-# Horvitz-Thompson, monetary-unit), search (NDCG, RM3, Dirichlet-LM),
-# and layout/dq + relational kin.  The window deliberately includes all
-# four entries whose plan_lint whitelist cited a documented-but-
-# unimplemented two-level shard-rank swap (quality_classifier_auc,
-# pack_batches_length_bucketed, quality_quantile_normalize,
-# rfm_segment_migration) — round 5 implements those swaps, so the driver
-# value-checks the new plans.  streaming_multibatch_replay is round 5's
-# one new entry (verdict item 5: a gate whose watermark state is
-# genuinely evicted mid-replay).  Every name below has a DuckDB oracle,
-# so the gate can be 50/50 value-checked.  All prior window entries stay
-# registered and locally value-checked.
+# queries.  Rounds 1-5 together drove 201 distinct entries green.
+# Round 6 activates the slate round 5 pre-verified (the r5 verdict's
+# item 2): keep the flagship pipeline plus the two permanent regression
+# watches, add cohort_ltv_curve as a third watch (round 5's one
+# driver-red cell — fixed this round with integer DIV week_age and
+# DECIMAL micro-dollar LTV; the verdict asked for it to stay in the
+# window until driver-green), and spend the other 44 slots on
+# never-driver-checked entries from _ROUND6_SLATE, each pre-verified
+# cell-for-cell at sf0.01 AND sf0.1 in round 5 (90 checks, 0 failures).
+# spatial_geofence_assign is the one slate entry deferred to round 7 to
+# make room for the cohort watch.  Every name below has a DuckDB
+# oracle, so the gate can be 50/50 value-checked.  All prior window
+# entries stay registered and locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
-    # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
-    "agg_argminmax_conditional", "events_sessionize",
-    # stats tail — hypothesis testing / multiple comparisons
-    "stats_anova_oneway_f", "stats_tukey_hsd", "stats_kruskal_wallis",
-    "stats_spearman_rho", "stats_benjamini_hochberg", "stats_sprt_monitoring",
-    "stats_wilcoxon_signed_rank", "chi2_lang_source", "experiment_srm_check",
-    # stats tail — time series
-    "events_ohlc_hourly", "events_seasonal_decompose_daily",
-    "stats_mann_kendall_trend", "stats_ljung_box_hourly",
-    # events / behavioral analytics
-    "events_markov_stationary", "events_slo_burn_rate",
-    "survival_km_signup_to_purchase", "stats_logrank_test",
-    "cohort_ltv_curve", "events_transition_matrix", "growth_accounting_weekly",
-    # sampling / survey designs
-    "sampling_neyman_allocation", "sampling_monetary_unit",
-    "sampling_hash_uniform", "sampling_horvitz_thompson",
-    # the four two-level shard-rank swap targets (implemented this round)
-    "quality_classifier_auc", "pack_batches_length_bucketed",
-    "quality_quantile_normalize", "rfm_segment_migration",
-    # layout / data-quality kin
-    "layout_compaction_bins", "dq_table_checksum", "dq_partition_skew_census",
-    "dq_key_uniqueness", "dq_join_fanout_audit",
-    # search / retrieval
-    "search_ndcg_at_k", "search_rm3_expansion", "search_dirichlet_lm_topk",
-    "search_rrf_hybrid", "retrieval_eval_label_topk",
-    # relational analytics kin
-    "revenue_concentration_metrics", "abc_inventory_classes",
-    "repeat_purchase_rate", "orders_aging_buckets", "abc_xyz_matrix",
-    # corpus / entity-resolution tail
-    "er_fellegi_sunter_scores",
-    # round 5's one new entry: multi-micro-batch watermark-eviction gate
-    "streaming_multibatch_replay",
-]
-
-
-# Round-6 rotation slate, STAGED (not yet active): 45 never-driver-
-# checked entries drawn proportionally from the largest unverified
-# pools (stats 8, advanced 6, text 6, pipeline/similarity/corpus/
-# events 4 each, the rest 1-2), every one PRE-VERIFIED cell-for-cell
-# vs its DuckDB oracle at BOTH sf0.01 and sf0.1 this round
-# (2x45 checks, 0 failures) so next round's rotation is a one-line
-# swap with no correctness risk.  Keep the flagship 3 + 2 watches,
-# replace the other 45 _PRIORITY slots with:
-_ROUND6_SLATE = [
+    # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix;
+    # r05 float-idiom fix (integer DIV + DECIMAL arithmetic)
+    "agg_argminmax_conditional", "events_sessionize", "cohort_ltv_curve",
+    # relational / windows / tpch kin
     "bollinger_hourly_value", "histogram_equidepth_price",
     "period_over_period_revenue", "market_basket_rules",
     "stats_winsorized_mean", "events_ses_forecast", "events_acf_hourly",
     "latency_percentile_bands", "lateral_explode_tokens",
     "null_semantics", "scalar_subquery_above_avg", "cohort_retention",
     "recursive_month_spine", "correlated_exists_orders",
+    # text / quality
     "text_bigram_topk", "text_winnowing_fingerprint",
     "quality_lexical_diversity", "vocab_coverage_95",
     "text_zipf_rank_frequency", "quality_blocklist_rate",
     "dataset_shard_stats", "quality_filter_top_half",
     "sampling_language_balanced", "corpus_global_shuffle",
+    # embeddings / similarity
     "embedding_label_stats", "embedding_scalar_quantization",
     "embedding_pq_compression", "embedding_dim_stats",
+    # corpus pipeline / LM
     "text_chunk_windows", "lm_bigram_perplexity", "bpe_train_merges",
-    "quality_classifier_score", "events_hourly_anomaly",
-    "events_user_entropy", "events_audience_overlap",
-    "events_interpolate_hourly", "dedup_exact_normalized",
-    "dedup_minhash_signatures", "graph_adamic_adar_topk",
-    "graph_sssp_weighted", "regexp_functions", "multimodal_chunk_energy",
+    "quality_classifier_score",
+    # events analytics
+    "events_hourly_anomaly", "events_user_entropy",
+    "events_audience_overlap", "events_interpolate_hourly",
+    # dedup
+    "dedup_exact_normalized", "dedup_minhash_signatures",
+    # graph / functions / multimodal
+    "graph_adamic_adar_topk", "graph_sssp_weighted", "regexp_functions",
+    "multimodal_chunk_energy",
+    # as-of join + streaming replay
     "asof_join_forward_next_purchase", "streaming_dedup_exact",
-    "spatial_geofence_assign",
+]
+
+
+# Round-7 rotation slate, STAGED (not yet active): 45 never-driver-
+# checked entries drawn proportionally from the largest unverified
+# pools (stats 7, advanced 6, text 5, similarity 4, pipeline 4,
+# corpus 4, events/dedup 3 each, the rest 1-2), every one to be
+# PRE-VERIFIED cell-for-cell vs its DuckDB oracle at BOTH sf0.01 and
+# sf0.1 this round so the round-7 rotation is a one-line swap.
+# spatial_geofence_assign is the round-6 slate entry deferred to make
+# room for the cohort_ltv_curve watch.
+_ROUND7_SLATE = [
+    # stats tail
+    "revenue_bridge_price_volume", "stats_odds_ratio_2x2",
+    "events_max_drawdown", "stats_diff_in_diff_uplift",
+    "stats_cuped_adjusted_lift", "stats_wilson_ci_proportion",
+    "dq_outlier_iqr_fences",
+    # advanced / dq
+    "scd2_status_history", "string_similarity_levenshtein",
+    "customer_rfm_segments", "benford_first_digit", "funnel_three_step",
+    "dq_order_total_reconciliation",
+    # text analysis
+    "text_heaps_law_fit", "source_vocab_overlap",
+    "text_keyness_dunning", "text_mattr_diversity",
+    "text_vocabulary_richness",
+    # similarity / ANN
+    "ann_ivf_topk", "embed_hashed_bow", "ann_mmr_diverse_topk",
+    "knn_label_accuracy",
+    # pipeline / privacy
+    "pack_sequences_greedy", "profile_orders_columns",
+    "privacy_dp_noisy_counts", "dataset_temporal_split_leakage",
+    # corpus / LM
+    "bpe_tokenize_docs", "dataset_card",
+    "quality_classifier_calibration", "source_unigram_kl",
+    # events analytics
+    "events_dow_hour_heatmap", "events_gap_distribution",
+    "events_stickiness_dau_mau",
+    # dedup
+    "dedup_time_window", "dedup_clusters_summary",
+    "dedup_threshold_curve",
+    # graph
+    "graph_jaccard_topk", "graph_global_transitivity",
+    # functions / joins / windows
+    "stats_mad_by_type", "histogram_totalprice", "join_full_outer",
+    "window_distribution_funcs",
+    # multimodal / spatial / streaming
+    "multimodal_aspect_bucketing", "spatial_geofence_assign",
+    "streaming_heavy_hitters",
 ]
 
 

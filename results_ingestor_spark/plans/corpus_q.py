@@ -45,7 +45,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0), F.size(tk) - 1, F.lit(STRIDE))).alias("start"))
     return d.select(
         "doc_id",
-        (F.col("start") / STRIDE).cast("long").alias("chunk_id"),
+        F.expr(f"start DIV {STRIDE}").alias("chunk_id"),
         F.least(F.lit(CHUNK), F.size("t") - F.col("start"))
          .cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.slice("t", F.col("start") + 1, F.lit(CHUNK)))

@@ -1123,14 +1123,23 @@ _BLOOM_TARGETS = (0.01, 0.001, 0.0001)
 
 
 def _bloom_sizing_sql() -> str:
+    # ln(p) and ln(2) are inlined as PYTHON double literals — the same
+    # literals the Spark plan folds — instead of DuckDB's ln(): two
+    # libms can disagree by an ulp, and ceil() sits right on that edge
+    # when n·ln(p)/ln²2 lands near an integer (round-6 float-idiom
+    # audit; the "shared literal expression" device).
+    import math
+    ln2 = 0.6931471805599453
     legs = []
     for p in _BLOOM_TARGETS:
+        lnp = repr(math.log(p))
         legs.append(f"""
   SELECT n_keys, 'target_fpr_{p}' AS config,
-    CAST(ceil(-(n_keys * ln({p})) / (ln(2) * ln(2))) AS BIGINT) AS m_bits,
+    CAST(ceil(-(n_keys * {lnp}) / ({ln2!r} * {ln2!r})) AS BIGINT)
+      AS m_bits,
     CAST(greatest(1, round(
-      (ceil(-(n_keys * ln({p})) / (ln(2) * ln(2))) / n_keys) * ln(2), 0))
-      AS BIGINT) AS k,
+      (ceil(-(n_keys * {lnp}) / ({ln2!r} * {ln2!r})) / n_keys)
+      * {ln2!r}, 0)) AS BIGINT) AS k,
     round(CAST({p} AS DOUBLE), 9) AS fpr
   FROM n""")
     return f"""
@@ -1241,7 +1250,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession,
     return (bk.groupBy(F.col("bidx").cast("int").alias("band"))
             .agg(F.count("*").cast("long").alias("n_buckets"),
                  F.max("sz").cast("long").alias("max_bucket"),
-                 F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+                 F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long")
                   .alias("candidate_pairs_bound"),
                  F.round(F.sum("sz").cast("double") / F.count("*"), 6)
                   .alias("mean_bucket"))

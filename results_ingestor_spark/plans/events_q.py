@@ -440,8 +440,7 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
     grid = ev.select("event_type").distinct().crossJoin(hours)
     j = (grid.join(agg, ["event_type", "h"], "left")
-         .withColumn("hn", F.unix_micros("h") / 3_600_000_000)
-         .withColumn("hn", F.col("hn").cast("long")))
+         .withColumn("hn", F.expr("unix_micros(h) DIV 3600000000")))
     back = (Window.partitionBy("event_type").orderBy("hn")
             .rowsBetween(Window.unboundedPreceding, -1))
     fwd = (Window.partitionBy("event_type").orderBy("hn")
@@ -681,9 +680,8 @@ def survival_km_signup_to_purchase(spark: SparkSession,
     horizon = ev.agg(F.max("ts").alias("h"))
     subj = (su.join(pu, "user_id", "left")
             .crossJoin(F.broadcast(horizon))
-            .select(((F.unix_micros(F.coalesce("p_ts", "h"))
-                      - F.unix_micros("s_ts"))
-                     / F.lit(86_400_000_000)).cast("long")
+            .select(F.expr("(unix_micros(coalesce(p_ts, h))"
+                           " - unix_micros(s_ts)) DIV 86400000000")
                     .alias("t_days"),
                     F.col("p_ts").isNotNull().alias("ev")))
     tot = subj.agg(F.count("*").alias("n0"))
@@ -836,8 +834,8 @@ def growth_accounting_weekly(spark: SparkSession,
     t = load_tables(spark, sf_dir, ("events",))
     uw = (t["events"]
           .select("user_id",
-                  (F.unix_micros(F.date_trunc("week", "ts"))
-                   / F.lit(604_800_000_000)).cast("long").alias("wk"))
+                  F.expr("unix_micros(date_trunc('week', ts))"
+                         " DIV 604800000000").alias("wk"))
           .distinct())
     w = Window.partitionBy("user_id").orderBy("wk")
     seq = uw.select("user_id", "wk",
@@ -1401,9 +1399,9 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     subj = (su.join(pu, "user_id", "left")
             .crossJoin(F.broadcast(horizon))
             .select((F.col("user_id") % 2 == 1).alias("grp1"),
-                    ((F.unix_micros(F.coalesce("p_ts", "h"))
-                      - F.unix_micros("s_ts"))
-                     / 86_400_000_000).cast("long").alias("t_days"),
+                    F.expr("(unix_micros(coalesce(p_ts, h))"
+                           " - unix_micros(s_ts)) DIV 86400000000")
+                    .alias("t_days"),
                     F.col("p_ts").isNotNull().alias("ev")))
     tot = subj.agg(F.count_if("grp1").cast("long").alias("n01"),
                    F.count_if(~F.col("grp1")).cast("long").alias("n02"))
@@ -1564,9 +1562,9 @@ def events_capacity_profile(spark: SparkSession,
               F.array_sort(F.collect_list("c")).alias("cs"),
               F.max("c").cast("long").alias("peak"),
               F.sum("c").cast("long").alias("total")))
-    med_idx = ((F.col("n_days") + 1) / 2).cast("int")
+    med_idx = F.expr("(n_days + 1) DIV 2").cast("int")
     p95_idx = F.greatest(F.lit(1),
-                         ((F.col("n_days") * 95 + 99) / 100).cast("int"))
+                         F.expr("(n_days * 95 + 99) DIV 100").cast("int"))
     return (p.select(F.col("hr").alias("hour_of_day"), "n_days",
                      F.element_at("cs", med_idx).cast("long")
                      .alias("median_load"),

@@ -793,7 +793,8 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dsum, "label")
             .crossJoin(F.broadcast(m2))
             .select(F.col("label").alias("community"), "n_members",
-                    F.floor(i2 / 2).cast("long").alias("internal_edges"),
+                    F.expr("coalesce(int2, 0) DIV 2")
+                    .alias("internal_edges"),
                     F.col("dc").alias("degree_sum"),
                     F.round(q, 9).alias("q_contrib"))
             .orderBy(F.desc("n_members"), F.asc("community"))
@@ -834,7 +835,7 @@ def graph_global_transitivity(spark: SparkSession,
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     edges = copurchase_edges(li)
     deg = degrees(edges)
-    w = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+    w = deg.agg(F.sum(F.expr("d * (d - 1) DIV 2")).cast("long")
                 .alias("n_wedges"))
     t = triangle_count(edges).select(
         F.col("n_triangles").cast("long").alias("n_triangles"))
@@ -1039,7 +1040,7 @@ def graph_edge_churn_halves(spark: SparkSession,
         F.date_trunc("day", F.max("o_orderdate")).cast("date")
         .alias("hi"))
     mid = mid.select(F.date_add(
-        "lo", (F.datediff("hi", "lo") / 2).cast("int")).alias("cutover"))
+        "lo", F.expr("datediff(hi, lo) DIV 2").cast("int")).alias("cutover"))
     li = t["lineitem"].select("l_orderkey", "l_partkey")
     od = t["orders"].select("o_orderkey", "o_orderdate")
 

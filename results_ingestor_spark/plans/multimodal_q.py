@@ -239,8 +239,8 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     w = (F.col("doc_id") % 1920 + 1).cast("long")
     h = (F.col("doc_id") % 1080 + 1).cast("long")
-    npx = F.floor((w + 15) / 16).cast("long")
-    npy = F.floor((h + 15) / 16).cast("long")
+    npx = F.shiftright(w + 15, 4)  # integer ceil-div by 16, no double
+    npy = F.shiftright(h + 15, 4)
     return (t["documents"].select(
         "doc_id", w.alias("width"), h.alias("height"),
         npx.alias("n_patches_x"), npy.alias("n_patches_y"),

@@ -637,7 +637,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     qid = t["documents"].select(
         "lang", "source",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"))
+        F.expr("n_chars DIV 100").alias("len_bucket"))
     grp = (qid.groupBy("lang", "source", "len_bucket")
            .agg(F.count("*").alias("k")))
     below = F.when(F.col("k") < 5, F.col("k")).otherwise(0)
@@ -674,7 +674,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expand), bounded by the QI domain — bodies never move."""
     t = load_tables(spark, sf_dir, ("documents",))
     qid = t["documents"].select(
-        "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "source", F.expr("n_chars DIV 100").alias("len_bucket"),
         "lang")
     return (qid.groupBy("source", "len_bucket")
             .agg(F.count("*").alias("k"),
@@ -726,7 +726,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over QI-domain cells, not rows."""
     t = load_tables(spark, sf_dir, ("documents",))
     qid = t["documents"].select(
-        "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "source", F.expr("n_chars DIV 100").alias("len_bucket"),
         "lang")
     cell = (qid.groupBy("source", "len_bucket", "lang")
             .agg(F.count("*").alias("n_gl")))
@@ -1106,8 +1106,7 @@ def pack_batches_length_bucketed(spark: SparkSession,
                                   shard_key, ["__k", "doc_id"],
                                   out_col="__rn", static_shard=static_shard)
              .select("n_tokens",
-                     ((F.col("__rn") - 1) / _BATCH)
-                     .cast("long").alias("batch_id")))
+                     F.expr(f"(__rn - 1) DIV {_BATCH}").alias("batch_id")))
         b = (o.groupBy("batch_id")
              .agg(F.count("*").alias("nb"),
                   F.max("n_tokens").alias("mx"),
@@ -1967,12 +1966,10 @@ def dataset_temporal_split_leakage(spark: SparkSession,
         F.min("ts").alias("lo"), F.max("ts").alias("hi"))
     b = b.select(
         "lo", "hi",
-        (F.unix_micros("lo")
-         + ((F.unix_micros("hi") - F.unix_micros("lo")) / 3)
-         .cast("long")).alias("t1us"),
-        (F.unix_micros("lo")
-         + 2 * ((F.unix_micros("hi") - F.unix_micros("lo")) / 3)
-         .cast("long")).alias("t2us"))
+        F.expr("unix_micros(lo) + (unix_micros(hi) - unix_micros(lo))"
+               " DIV 3").alias("t1us"),
+        F.expr("unix_micros(lo) + 2 * ((unix_micros(hi)"
+               " - unix_micros(lo)) DIV 3)").alias("t2us"))
     s = (t["events"].crossJoin(F.broadcast(b))
          .select("user_id",
                  F.when(F.unix_micros("ts") < F.col("t1us"), "train")

@@ -220,8 +220,8 @@ def spatial_grid_density_hotspots(spark: SparkSession,
     after a map-only cell assignment of the points — the shuffles
     carry cell counts, not points, at any corpus size."""
     pts = _points(spark, sf_dir)
-    cell = (pts.select((F.col("x") / 100).cast("long").alias("cx"),
-                       (F.col("y") / 100).cast("long").alias("cy"))
+    cell = (pts.select(F.expr("x DIV 100").alias("cx"),
+                       F.expr("y DIV 100").alias("cy"))
             .groupBy("cx", "cy").agg(F.count("*").alias("n")))
     offs = F.sequence(F.lit(-1), F.lit(1))
     smear = (cell.select("cx", "cy", "n",
@@ -284,8 +284,8 @@ def spatial_haversine_nearest(spark: SparkSession,
         "point_id",
         (F.col("x") * 120.0 / 10000.0 - 60.0).alias("lat"),
         (F.col("y") * 360.0 / 10000.0 - 180.0).alias("lon"),
-        (F.col("x") * 120 / 10000).cast("long").alias("clat"),
-        (F.col("y") * 360 / 10000).cast("long").alias("clon"))
+        F.expr("(x * 120) DIV 10000").alias("clat"),
+        F.expr("(y * 360) DIV 10000").alias("clon"))
     probes = (geo.where(F.col("point_id") % 997 == 0)
               .select(F.col("point_id").alias("probe_id"),
                       F.col("lat").alias("plat"),

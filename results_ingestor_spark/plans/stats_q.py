@@ -1016,8 +1016,8 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     dec = F.expr(_VDEC)
     h = (t["events"]
-         .groupBy((F.unix_micros(F.date_trunc("hour", "ts"))
-                   / F.lit(3600000000)).cast("long").alias("x"))
+         .groupBy(F.expr("unix_micros(date_trunc('hour', ts))"
+                         " DIV 3600000000").alias("x"))
          .agg(F.round(F.sum(dec).cast("double") / F.count("*"), 9)
               .alias("y")))
     a, b = h.alias("a"), h.alias("b")
@@ -1594,10 +1594,9 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
     ev = t["events"].where(F.col("event_type").isin("click", "view"))
     mid = t["events"].agg(
         F.date_add(F.date_trunc("day", F.min("ts")).cast("date"),
-                   (F.datediff(F.date_trunc("day", F.max("ts"))
-                               .cast("date"),
-                               F.date_trunc("day", F.min("ts"))
-                               .cast("date")) / 2).cast("int"))
+                   F.expr("datediff(CAST(date_trunc('day', max(ts))"
+                          " AS DATE), CAST(date_trunc('day', min(ts))"
+                          " AS DATE)) DIV 2").cast("int"))
         .alias("cutover"))
     m = (ev.crossJoin(F.broadcast(mid))
          .groupBy((F.col("event_type") == "click").alias("treated"),
@@ -1908,8 +1907,8 @@ def stats_cuped_adjusted_lift(spark: SparkSession,
     mid = ev.agg(
         F.date_add(
             F.to_date(F.min("ts")),
-            (F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
-             / F.lit(2)).cast("int")).alias("cutover"))
+            F.expr("datediff(to_date(max(ts)), to_date(min(ts)))"
+                   " DIV 2").cast("int")).alias("cutover"))
     users = ev.select("user_id").distinct()
     clicks = (ev.where(F.col("event_type") == "click")
               .crossJoin(F.broadcast(mid))
@@ -3364,8 +3363,8 @@ def stats_haar_energy_hourly(spark: SparkSession,
     explode, three halving aggregates, a 3-row report."""
     t = load_tables(spark, sf_dir, ("events",))
     h = (t["events"]
-         .groupBy((F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
-                  .cast("long").alias("hr"))
+         .groupBy(F.expr("unix_timestamp(date_trunc('hour', ts))"
+                         " DIV 3600").alias("hr"))
          .agg(F.count("*").cast("long").alias("y")))
     bounds = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
     spine = (bounds.select(
@@ -3378,7 +3377,7 @@ def stats_haar_energy_hourly(spark: SparkSession,
     def halve(df):
         sgn = F.when(F.col("idx") % 2 == 0, F.col("a")) \
             .otherwise(-F.col("a"))
-        return (df.groupBy((F.col("idx") / 2).cast("long").alias("idx"))
+        return (df.groupBy(F.expr("idx DIV 2").alias("idx"))
                 .agg(F.sum(sgn).cast("long").alias("d"),
                      F.sum("a").cast("long").alias("a"),
                      F.count("*").alias("m")))
