@@ -36,12 +36,16 @@ from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 # driver-red cell — fixed this round with integer DIV week_age and
 # DECIMAL micro-dollar LTV; the verdict asked for it to stay in the
 # window until driver-green), and spend the other 44 slots on
-# never-driver-checked entries from _ROUND6_SLATE, each pre-verified
-# cell-for-cell at sf0.01 AND sf0.1 in round 5 (90 checks, 0 failures).
-# spatial_geofence_assign is the one slate entry deferred to round 7 to
-# make room for the cohort watch.  Every name below has a DuckDB
-# oracle, so the gate can be 50/50 value-checked.  All prior window
-# entries stay registered and locally value-checked.
+# never-driver-checked entries: 43 from _ROUND6_SLATE (each
+# pre-verified cell-for-cell at sf0.01 AND sf0.1 in round 5 — 90
+# checks, 0 failures) plus streaming_crash_recovery_replay, round 6's
+# ONE new registry entry (r5 verdict item 8: checkpoint-resume was the
+# only streaming property not driver-gated; verified at
+# sf0.001/0.01/0.1 this round).  spatial_geofence_assign and
+# streaming_dedup_exact are the slate entries deferred to round 7 to
+# make room.  Every name below has a DuckDB oracle, so the gate can be
+# 50/50 value-checked.  All prior window entries stay registered and
+# locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
@@ -75,19 +79,22 @@ _PRIORITY = [
     # graph / functions / multimodal
     "graph_adamic_adar_topk", "graph_sssp_weighted", "regexp_functions",
     "multimodal_chunk_energy",
-    # as-of join + streaming replay
-    "asof_join_forward_next_purchase", "streaming_dedup_exact",
+    # as-of join + round 6's one new entry: the kill-and-restart
+    # checkpoint-resume gate (r5 verdict item 8; streaming_dedup_exact
+    # moved to _ROUND7_SLATE to make room)
+    "asof_join_forward_next_purchase", "streaming_crash_recovery_replay",
 ]
 
 
-# Round-7 rotation slate, STAGED (not yet active): 45 never-driver-
-# checked entries drawn proportionally from the largest unverified
-# pools (stats 7, advanced 6, text 5, similarity 4, pipeline 4,
-# corpus 4, events/dedup 3 each, the rest 1-2), every one to be
-# PRE-VERIFIED cell-for-cell vs its DuckDB oracle at BOTH sf0.01 and
-# sf0.1 this round so the round-7 rotation is a one-line swap.
-# spatial_geofence_assign is the round-6 slate entry deferred to make
-# room for the cohort_ltv_curve watch.
+# Round-7 rotation slate, STAGED (not yet active): 46 never-driver-
+# checked entries (45 window slots + 1 spare) drawn proportionally
+# from the largest unverified pools (stats 7, advanced 6, text 5,
+# similarity 4, pipeline 4, corpus 4, events/dedup 3 each, the rest
+# 1-2), every one PRE-VERIFIED cell-for-cell vs its DuckDB oracle at
+# BOTH sf0.01 and sf0.1 this round so the round-7 rotation is a
+# one-line swap.  spatial_geofence_assign and streaming_dedup_exact
+# are the round-6 slate entries deferred to make room for the
+# cohort_ltv_curve watch and the crash-recovery gate.
 _ROUND7_SLATE = [
     # stats tail
     "revenue_bridge_price_volume", "stats_odds_ratio_2x2",
@@ -124,7 +131,7 @@ _ROUND7_SLATE = [
     "window_distribution_funcs",
     # multimodal / spatial / streaming
     "multimodal_aspect_bucketing", "spatial_geofence_assign",
-    "streaming_heavy_hitters",
+    "streaming_heavy_hitters", "streaming_dedup_exact",
 ]
 
 

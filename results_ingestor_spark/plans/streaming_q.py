@@ -346,3 +346,33 @@ def streaming_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay_multibatch_hourly)
     result, _progress = replay_multibatch_hourly(spark, sf_dir)
     return result
+
+
+@query("streaming_crash_recovery_replay", oracle="""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n FROM agg
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)""")
+def streaming_crash_recovery_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Crash-recovery gate (round 6's one new registry entry; r5
+    verdict item 8 — capability gap: checkpoint-RESUME was pytest-only
+    while every other streaming property is driver-gated).  The
+    pipeline is killed mid-replay and restarted against the SAME
+    checkpoint: phase 1 streams the first half of the event-time-split
+    corpus under a continuous trigger into an exactly-once parquet
+    sink, ``stop()``s with the boundary hour still open in the state
+    store; phase 2 lands the rest and drains with a NEW query on the
+    same checkpoint.  The union is value-checked against the batch
+    answer — a lost state store under-counts the boundary window, a
+    re-emitted batch double-counts, so agreement IS the recovery
+    guarantee.  Helper (and failure-mode detail):
+    `streaming/events.py::crash_recovery_replay_hourly`; resume
+    evidence pinned in tests/test_streaming.py."""
+    from results_ingestor_spark.streaming.events import (
+        crash_recovery_replay_hourly)
+    result, _info = crash_recovery_replay_hourly(spark, sf_dir)
+    return result

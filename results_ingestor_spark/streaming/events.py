@@ -439,3 +439,136 @@ def replay_multibatch_hourly(spark: SparkSession, sf_dir: str,
         return spark.table("streaming_multibatch_replay_mem"), progress
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def crash_recovery_replay_hourly(spark: SparkSession, sf_dir: str,
+                                 watermark: str = "2 hours",
+                                 stop_after_batches: int = 2,
+                                 timeout_s: float = 120.0):
+    """Kill-and-restart replay against ONE checkpoint — the
+    crash-recovery twin of ``replay_multibatch_hourly`` (round-5
+    verdict item 8: the checkpoint-resume behavior was pytest-only;
+    this makes it value-checkable by the external gate).
+
+    Phase 1 lands only the FIRST HALF of the corpus (files f0, f1 of an
+    event-time 4-way split, ascending mtimes), starts the watermarked
+    hourly count with ``maxFilesPerTrigger=1`` under a continuous
+    ``processingTime`` trigger writing to an exactly-once PARQUET sink
+    + checkpoint, waits until ``stop_after_batches`` micro-batches have
+    committed, and calls ``stop()`` — a mid-replay kill with the
+    boundary hour's window still OPEN in the state store (its rows
+    straddle the f1/f2 event-time split).  Phase 2 lands f2, f3 and
+    starts a NEW query — same plan, same checkpoint, same sink — with
+    ``availableNow`` to drain.  The restart must (a) restore the open
+    windows and the watermark from the state/commit logs, (b) not
+    re-emit run-1 batches (the FileStreamSink metadata log), and
+    (c) finish the boundary window with rows from BOTH runs — so the
+    union equals the batch answer exactly: windows with
+    window_end <= max(ts) - delay, which is what the DuckDB oracle
+    computes.  A lost state store under-counts the boundary window; a
+    replayed sink double-counts everything; either fails the value
+    hash.
+
+    Returns (result DataFrame, info dict with run1/run2 batch counts).
+    The result is materialized through a ``CheckpointScope`` (the temp
+    sink directory is deleted before returning); the scope rides the
+    frame as ``_ckpt_scope`` for callers that loop.
+
+    Scale: this IS the production incident drill — a backfill driver
+    OOMs mid-replay and the job restarts from the durable checkpoint.
+    State and commit logs are per-partition files; recovery cost is
+    state size (one lateness-window of open windows), not history.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    from results_ingestor_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    tmp = tempfile.mkdtemp(prefix="crash_recovery_replay_")
+    n_files = 4
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        pending_dir = os.path.join(tmp, "pending")
+        ckpt_dir = os.path.join(tmp, "ckpt")
+        out_dir = os.path.join(tmp, "out")
+        os.makedirs(stream_dir)
+        os.makedirs(pending_dir)
+        span = (hi - lo) / n_files
+        for i in range(n_files):
+            a = lo + i * span
+            in_range = F.col("ts") >= F.lit(a)
+            if i < n_files - 1:
+                in_range &= F.col("ts") < F.lit(lo + (i + 1) * span)
+            stage = os.path.join(tmp, f"stage{i}")
+            ev.filter(in_range).coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            # f0, f1 land now; f2, f3 wait for the restart.  Ascending
+            # integer mtimes keep oldest-first batch order deterministic.
+            dst_root = stream_dir if i < 2 else pending_dir
+            dst = os.path.join(dst_root, f"f{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        schema = spark.read.parquet(
+            os.path.join(stream_dir, "f0.parquet")).schema
+
+        def start(trigger_kwargs):
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", "1")
+                      .parquet(stream_dir))
+            agg = (stream
+                   .withWatermark("ts", watermark)
+                   .groupBy(F.window("ts", "1 hour").alias("w"),
+                            "event_type")
+                   .agg(F.count("*").alias("n"))
+                   .select(F.col("w.start").alias("window_start"),
+                           "event_type",
+                           F.col("n").cast("long").alias("n")))
+            return (agg.writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt_dir)
+                    .outputMode("append").trigger(**trigger_kwargs)
+                    .start())
+
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # ── run 1: consume the first files, then KILL mid-replay ────
+        q1 = start({"processingTime": "0 seconds"})
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= stop_after_batches - 1 \
+                    and p["numInputRows"] >= 0:
+                break
+            _time.sleep(0.1)
+        q1.stop()
+        q1.awaitTermination()
+        run1_batches = (q1.lastProgress or {}).get("batchId", -1) + 1
+
+        # ── the rest of the corpus lands while the job is down ──────
+        for f in sorted(os.listdir(pending_dir)):
+            shutil.move(os.path.join(pending_dir, f),
+                        os.path.join(stream_dir, f))
+        # ── run 2: NEW query, SAME checkpoint — drain to completion ─
+        q2 = start({"availableNow": True})
+        q2.awaitTermination()
+        run2_batches = (q2.lastProgress or {}).get("batchId", -1) + 1
+
+        # Read back through the sink's metadata log (exactly-once view),
+        # then materialize so the temp dir can be deleted.
+        sink = spark.read.parquet(out_dir).select(
+            "window_start", "event_type", F.col("n").cast("long"))
+        scope = CheckpointScope(spark)
+        result = scope.checkpoint(sink)
+        result.count()
+        result._ckpt_scope = scope  # caller hook: ckpt.release_result
+        return result, {"run1_batches": run1_batches,
+                        "run2_batches": run2_batches}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
