@@ -1634,8 +1634,8 @@ def _hourly_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as stats_theil_sen_trend)."""
     t = load_tables(spark, sf_dir, ("events",))
     return (t["events"]
-            .groupBy((F.unix_micros(F.date_trunc("hour", "ts"))
-                      / F.lit(3600000000)).cast("long").alias("x"))
+            .groupBy(F.expr("unix_micros(date_trunc('hour', ts))"
+                            " DIV 3600000000").alias("x"))
             .agg(F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"),
                          9).alias("y")))
 

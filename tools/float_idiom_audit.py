@@ -34,42 +34,76 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Idiom-A sites reviewed and accepted, with the reason each is exact.
+# The shared-IEEE-expression device: when BOTH engines evaluate the
+# textually identical expression over identical exact inputs (integer
+# counts, shared double literals), every IEEE op is correctly rounded
+# identically, so floor/ceil/round of the result matches bit-for-bit —
+# these are genuinely-double computations, not integer intent.
 _IDIOM_A_WHITELIST = {
     # bit extraction: numerator is 0 or exactly 2^i → quotient is the
     # exact dyadic 0.0/1.0 (morton interleave)
     "advanced_q.py: ub = ((F.col(\"u\").bitwiseAND(F.lit(1 << i))) / (1 << i)).cast(\"int\")",
     "advanced_q.py: hb = ((F.col(\"h\").bitwiseAND(F.lit(1 << i))) / (1 << i)).cast(\"int\")",
+    # bloom sizing: ceil/round over -(n * lnp)/(ln2*ln2) where lnp/ln2
+    # are PYTHON literals inlined into BOTH engines (round 6), n is an
+    # exact BIGINT→double — shared-IEEE expression; round(x, 0) ties
+    # resolve half-away-from-zero in both engines for positive x
+    "dedup_q.py: / (ln2 * ln2)).cast(\"long\")",
+    "dedup_q.py: .cast(\"long\")).alias(\"k\"),",
+    # peak-hour: round(angle*24/2pi, 0) over a 6-dp-snapped (c, s)
+    # pair — the snap quantizes summation noise before atan2, and the
+    # oracle replays the identical expression; verified at 3 SFs
+    "events_q.py: (F.round(ang * 24 / (2 * _math.pi), 0).cast(\"long\") % 24)",
+    # equi-width histogram bins: floor of the identical double
+    # expression over identical inputs in both engines (documented
+    # shared-IEEE device at the @query site)
+    "functions_q.py: F.lit(9)).cast(\"int\")",
+    "stats_q.py: .cast(\"int\").alias(\"bucket\"),",
+    # Neyman allocation: floor(1000 * wt / wtot) of the shared double
+    # expression (wt = n_h * sd_h, both sides compute the same way)
+    "pipeline_q.py: .cast(\"long\").alias(\"n_sampled_of_1000\"))",
 }
 
 
+def _receiver_span(src: str, cast_pos: int) -> str:
+    """The expression text the ``.cast`` at ``cast_pos`` applies to:
+    if the preceding char closes a paren, walk back to its matching
+    open; otherwise walk back over an attribute/identifier chain
+    (which cannot contain a division)."""
+    j = cast_pos - 1
+    while j >= 0 and src[j] in " \t\n\\":
+        j -= 1
+    if j < 0 or src[j] != ")":
+        return ""
+    depth, k = 1, j - 1
+    while k >= 0 and depth:
+        if src[k] == ")":
+            depth += 1
+        elif src[k] == "(":
+            depth -= 1
+        k -= 1
+    return src[k + 1:j + 1]
+
+
 def _idiom_a() -> list[str]:
-    div_cast = re.compile(
-        r"/[^/\n]*\n?[^\n]*\.cast\(\"(?:long|int|bigint)\"\)")
     hits = []
     for f in sorted(glob.glob("results_ingestor_spark/plans/*.py")):
-        lines = open(f).read().splitlines()
-        for i, ln in enumerate(lines):
-            if not re.search(r'\.cast\("(?:long|int|bigint)"\)', ln):
+        src = open(f).read()
+        code = re.sub(r"#[^\n]*", "", src)  # strip comments, keep offsets-ish
+        for m in re.finditer(r'\.cast\("(?:long|int|bigint)"\)', code):
+            recv = _receiver_span(code, m.start())
+            # a real '/' division inside the cast receiver (not '//'
+            # inside an embedded SQL string — those are the ORACLE's
+            # floor-div, and not division inside string literals)
+            bare = re.sub(r"(\"\"\".*?\"\"\"|'[^'\n]*'|\"[^\"\n]*\")",
+                          "", recv, flags=re.S)
+            if not re.search(r"(?<!/)/(?!/)", bare):
                 continue
-            window = "\n".join(lines[max(0, i - 1):i + 1])
-            # a '/' in the same expression window, excluding comments,
-            # string bodies with URLs, and float-divides that feed
-            # round() (idiom B's territory)
-            code = re.sub(r"#.*", "", window)
-            if not re.search(r"/(?![/*])", code):
-                continue
-            # division must syntactically feed the cast: reject lines
-            # where the cast target is a bare column/sum (the common
-            # false positive: F.sum("x").cast("long") with an unrelated
-            # division nearby)
-            stmt = code[code.rfind("\n") + 1:]
-            before_cast = code.split('.cast(')[0]
-            if "/" not in before_cast.split("(")[-1] and \
-               not re.search(r"/\s*[\w.(]+\)?\s*$", before_cast):
-                continue
-            key = f"{os.path.basename(f)}: {ln.strip()}"
+            line_no = code[:m.start()].count("\n") + 1
+            line = src.splitlines()[line_no - 1].strip()
+            key = f"{os.path.basename(f)}: {line}"
             if key not in _IDIOM_A_WHITELIST:
-                hits.append(f"{f}:{i + 1}: {ln.strip()}")
+                hits.append(f"{f}:{line_no}: {line}")
     return hits
 
 
