@@ -135,6 +135,52 @@ _ROUND7_SLATE = [
 ]
 
 
+# Round-8 rotation slate, STAGED two rounds ahead: 45 more
+# never-driver-checked oracled entries from the remaining pools.
+# Unlike earlier slates this one needs no separate pre-verification
+# pass — round 6 swept the COMPLETE 420-entry registry cell-for-cell
+# at BOTH sf0.01 and sf0.1 (0 failures each), which covers every name
+# below; round 7 should still spot-re-verify after any plan edits.
+_ROUND8_SLATE = [
+    # stats / events-stats tail
+    "events_poisson_burst_surprise", "events_seasonality_strength",
+    "discount_volume_elasticity", "stats_permutation_test_mean",
+    "stats_cochran_armitage_trend", "stats_g_test_lang_source",
+    "events_poisson_glm_hourly",
+    # advanced SQL
+    "zorder_cluster_key", "part_skyline", "events_longest_daily_streak",
+    "variant_json_typed_extract", "string_collation_ci_grouping",
+    # text analysis
+    "text_code_switching", "tokenizer_fertility_by_lang",
+    "text_rake_keywords", "text_langid_confusion",
+    "text_dispersion_gries_dp",
+    # similarity / embeddings
+    "embedding_covariance", "ann_ivf_tuning_curve",
+    "ann_dim_truncation_recall",
+    # pipeline / privacy
+    "dedup_split_leakage", "sampling_cluster_aware_split",
+    "pipeline_stage_attrition", "privacy_randomized_response",
+    # corpus / curation
+    "curriculum_perplexity_buckets", "dataset_manifest",
+    "er_blocking_recall", "data_selection_gradient_match",
+    # events analytics
+    "events_cep_pattern_match", "dq_freshness_by_type",
+    "events_bot_regularity",
+    # dedup
+    "dedup_cdc_chunks", "dedup_boundary_stitch",
+    "dedup_transitivity_violation_rate",
+    # graph
+    "graph_hits_bipartite_topk", "graph_local_clustering",
+    # functions / sketches
+    "sketch_theta_set_ops", "incremental_agg_merge",
+    # joins / windows / multimodal / spatial / streaming / tpch /
+    # retrieval singles
+    "attribution_u_shaped", "window_range_frame_trailing",
+    "multimodal_resize", "spatial_dbscan_roles",
+    "streaming_drift_monitor", "supplier_scorecard", "ann_filtered_topk",
+]
+
+
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names unknown queries: {missing}"
