@@ -1,0 +1,93 @@
+"""Cross-engine round() semantics, MEASURED and pinned (round 6).
+
+Hundreds of result columns are ``F.round(double, k)`` with a
+matching-scale oracle ``round(..., k)`` (the float-idiom audit enforces
+the scale parity).  This test measures the tie/trap behavior of both
+implementations and pins it, agreements AND divergences, so an engine
+upgrade that flips either side is caught here — with VERSIONS.md
+saying which build to blame — before the driver gate turns red.
+
+Measured mechanism (pyspark 4.1.2 vs duckdb 1.0.0):
+- Spark ``Round`` on DoubleType goes through
+  ``BigDecimal.decimal(d)`` — the SHORTEST DECIMAL REPR of the double
+  — then HALF_UP at scale k.
+- DuckDB ``round(x, k)`` computes ``std::round(x * 10^k) / 10^k`` —
+  the BINARY value scaled, half away from zero.
+
+The two agree everywhere except a ~1-ulp window around each .5
+boundary where the scaled product and the shortest repr fall on
+opposite sides (measured examples below: 1.005@2, 0.285@2, and the
+true tie 1e15+0.5@0 where repr-HALF_UP rounds up but the float
+multiply hits an exact even).  For uniformly-distributed doubles the
+window is ~2^-52·10^k of each boundary gap — ~1e-10 per emitted cell
+at k<=9 — which is why 420 queries pass cell-for-cell at three SFs;
+the residual risk is documented in COVERAGE.md rather than papered
+over, and the per-cell probes here keep the MECHANISM visible.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+# Probes where BOTH engines must agree: scale-0 ties away from zero,
+# exact dyadic ties at positive scales (0.125@2 IS a true tie: both
+# sides round away from zero), repr-traps where the multiply and the
+# repr land on the SAME side (2.675@2 -> 2.68 both: 2.675*100 rounds
+# UP to exactly 267.5; repr "2.675" HALF_UPs too).
+AGREE = [
+    (2.5, 0, 3.0), (3.5, 0, 4.0), (-2.5, 0, -3.0), (-3.5, 0, -4.0),
+    (0.5, 0, 1.0), (-0.5, 0, -1.0),
+    (0.125, 2, 0.13), (-0.125, 2, -0.13), (0.375, 2, 0.38),
+    (1.0625, 3, 1.063), (0.0078125, 6, 0.007813),
+    (2.675, 2, 2.68), (-2.675, 2, -2.68), (2.665, 2, 2.67),
+    (1.755, 2, 1.76), (1234567.891265, 5, 1234567.89127),
+    (0.1, 9, 0.1), (3.141592653589793, 6, 3.141593),
+]
+
+# Probes where the engines MEASURABLY diverge (the mechanism above):
+# (value, scale, spark_result, duckdb_result).
+DIVERGE = [
+    # true .5 tie at 1e15: repr "...0.5" HALF_UPs; the multiply-by-1
+    # path feeds std::round the exact tie too, but DuckDB's divide
+    # lands back on the even neighbor
+    (1e15 + 0.5, 0, 1000000000000001.0, 1000000000000000.0),
+    # stored just BELOW the tie: repr "1.005" HALF_UPs up; the binary
+    # product 100.49999999999999 rounds down
+    (1.005, 2, 1.01, 1.0),
+    (-1.005, 2, -1.01, -1.0),
+    (0.285, 2, 0.29, 0.28),
+]
+
+
+def _spark_rounds(spark, probes):
+    df = spark.range(1).select(*[
+        F.round(F.lit(v).cast("double"), k).alias(f"c{i}")
+        for i, (v, k, *_) in enumerate(probes)])
+    return tuple(df.first())
+
+
+def _duck_rounds(probes):
+    con = duckdb.connect()
+    return con.sql("SELECT " + ", ".join(
+        f"round(CAST({v!r} AS DOUBLE), {k}) AS c{i}"
+        for i, (v, k, *_) in enumerate(probes))).fetchall()[0]
+
+
+def test_round_agreement_probes(spark):
+    s = _spark_rounds(spark, AGREE)
+    d = _duck_rounds(AGREE)
+    bad = [(AGREE[i][:2], sv, dv) for i, (sv, dv) in enumerate(zip(s, d))
+           if repr(sv) != repr(dv)]
+    assert not bad, f"engines newly disagree on: {bad}"
+    exp = [(AGREE[i][:2], sv, AGREE[i][2]) for i, sv in enumerate(s)
+           if repr(sv) != repr(AGREE[i][2])]
+    assert not exp, f"behavior changed vs round-6 measurement: {exp}"
+
+
+def test_round_divergence_probes_still_known(spark):
+    s = _spark_rounds(spark, DIVERGE)
+    d = _duck_rounds(DIVERGE)
+    for i, (v, k, s_exp, d_exp) in enumerate(DIVERGE):
+        assert repr(s[i]) == repr(s_exp), (v, k, s[i], s_exp)
+        assert repr(d[i]) == repr(d_exp), (v, k, d[i], d_exp)
