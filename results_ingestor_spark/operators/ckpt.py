@@ -55,13 +55,6 @@ def _jmap(spark):
     return spark.sparkContext._jsc.getPersistentRDDs()
 
 
-def _ids(spark) -> set[int]:
-    try:
-        return set(_jmap(spark).keySet().toArray())
-    except Exception:
-        return set()
-
-
 class CheckpointScope:
     """Tracks which persistent-RDD ids each ``checkpoint()`` created so
     the operator can release superseded iterations eagerly."""
@@ -78,15 +71,18 @@ class CheckpointScope:
         # names the persisted block precisely.  (Round 5 used a global
         # getPersistentRDDs id-diff around the call, which could claim —
         # and later unpersist — an RDD persisted concurrently by another
-        # thread or a user .cache(); ADVICE r5.)  The diff remains only
-        # as a defensive fallback for the same call made eagerly, where
-        # it is verified equal to the direct id in tests/test_ckpt.py.
-        before = _ids(self._spark)
+        # thread or a user .cache(); ADVICE r5.  Round 6 kept that diff
+        # as a fallback when the direct py4j attribution throws, which
+        # re-introduced exactly the same race on the fallback path AND
+        # paid a getPersistentRDDs JVM round trip per checkpoint on the
+        # happy path; ADVICE r6.)  Now: on exception we own NOTHING —
+        # the worst case is the module's documented failure mode (the
+        # block lingers until JVM GC), never a foreign unpersist.
         out = df.localCheckpoint(eager=eager)
         try:
             owned = {out._jdf.queryExecution().analyzed().rdd().id()}
         except Exception:
-            owned = _ids(self._spark) - before
+            owned = set()
         self._owned.append((out, owned))
         return out
 

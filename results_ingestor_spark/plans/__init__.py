@@ -27,62 +27,70 @@ from results_ingestor_spark.plans import stats_q  # noqa: E402,F401
 from results_ingestor_spark.plans import corpus_q  # noqa: E402,F401
 from results_ingestor_spark.plans import streaming_q  # noqa: E402,F401
 from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
+from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-5 together drove 201 distinct entries green.
-# Round 6 activates the slate round 5 pre-verified (the r5 verdict's
-# item 2): keep the flagship pipeline plus the two permanent regression
-# watches, add cohort_ltv_curve as a third watch (round 5's one
-# driver-red cell — fixed this round with integer DIV week_age and
-# DECIMAL micro-dollar LTV; the verdict asked for it to stay in the
-# window until driver-green), and spend the other 44 slots on
-# never-driver-checked entries: 43 from _ROUND6_SLATE (each
-# pre-verified cell-for-cell at sf0.01 AND sf0.1 in round 5 — 90
-# checks, 0 failures) plus streaming_crash_recovery_replay, round 6's
-# ONE new registry entry (r5 verdict item 8: checkpoint-resume was the
-# only streaming property not driver-gated; verified at
-# sf0.001/0.01/0.1 this round).  spatial_geofence_assign and
-# streaming_dedup_exact are the slate entries deferred to round 7 to
-# make room.  Every name below has a DuckDB oracle, so the gate can be
+# queries.  Rounds 1-6 together drove 245 distinct entries green.
+# Round 7 activates _ROUND7_SLATE (r6 verdict item 3; every entry was
+# pre-verified cell-for-cell at sf0.01 AND sf0.1 during round 6 — 92
+# checks, 0 failures).  Composition: the permanent flagship trio, the
+# two permanent regression watches, cohort_ltv_curve as the third
+# watch (driver-red in r5 AND r6 while green locally; rewritten this
+# round to a pure-integer wire — epoch-week BIGINT cohort, floor-cents
+# revenue — per r6 verdict item 1, and pinned here until
+# driver-green), diag_env_manifest (r6 verdict item 2: the new
+# environment-manifest probe whose row counts make the gate's
+# timezone and engine versions readable from CORRECTNESS_r7 itself —
+# the round's ONE new registry entry), and 43 of the 46 slate entries.
+# stats_mad_by_type, histogram_totalprice and join_full_outer are the
+# three slate entries deferred to round 8 to make room for the watch
+# + probe.  Every name below has a DuckDB oracle, so the gate can be
 # 50/50 value-checked.  All prior window entries stay registered and
 # locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
     # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix;
-    # r05 float-idiom fix (integer DIV + DECIMAL arithmetic)
+    # r07 pure-integer-wire rewrite (driver-red r5+r6, green locally)
     "agg_argminmax_conditional", "events_sessionize", "cohort_ltv_curve",
-    # relational / windows / tpch kin
-    "bollinger_hourly_value", "histogram_equidepth_price",
-    "period_over_period_revenue", "market_basket_rules",
-    "stats_winsorized_mean", "events_ses_forecast", "events_acf_hourly",
-    "latency_percentile_bands", "lateral_explode_tokens",
-    "null_semantics", "scalar_subquery_above_avg", "cohort_retention",
-    "recursive_month_spine", "correlated_exists_orders",
-    # text / quality
-    "text_bigram_topk", "text_winnowing_fingerprint",
-    "quality_lexical_diversity", "vocab_coverage_95",
-    "text_zipf_rank_frequency", "quality_blocklist_rate",
-    "dataset_shard_stats", "quality_filter_top_half",
-    "sampling_language_balanced", "corpus_global_shuffle",
-    # embeddings / similarity
-    "embedding_label_stats", "embedding_scalar_quantization",
-    "embedding_pq_compression", "embedding_dim_stats",
-    # corpus pipeline / LM
-    "text_chunk_windows", "lm_bigram_perplexity", "bpe_train_merges",
-    "quality_classifier_score",
+    # environment-manifest probe (r6 verdict item 2) — row counts
+    # encode session-tz offset + engine-version pins on both sides
+    "diag_env_manifest",
+    # stats tail
+    "revenue_bridge_price_volume", "stats_odds_ratio_2x2",
+    "events_max_drawdown", "stats_diff_in_diff_uplift",
+    "stats_cuped_adjusted_lift", "stats_wilson_ci_proportion",
+    "dq_outlier_iqr_fences",
+    # advanced / dq
+    "scd2_status_history", "string_similarity_levenshtein",
+    "customer_rfm_segments", "benford_first_digit", "funnel_three_step",
+    "dq_order_total_reconciliation",
+    # text analysis
+    "text_heaps_law_fit", "source_vocab_overlap",
+    "text_keyness_dunning", "text_mattr_diversity",
+    "text_vocabulary_richness",
+    # similarity / ANN
+    "ann_ivf_topk", "embed_hashed_bow", "ann_mmr_diverse_topk",
+    "knn_label_accuracy",
+    # pipeline / privacy
+    "pack_sequences_greedy", "profile_orders_columns",
+    "privacy_dp_noisy_counts", "dataset_temporal_split_leakage",
+    # corpus / LM
+    "bpe_tokenize_docs", "dataset_card",
+    "quality_classifier_calibration", "source_unigram_kl",
     # events analytics
-    "events_hourly_anomaly", "events_user_entropy",
-    "events_audience_overlap", "events_interpolate_hourly",
+    "events_dow_hour_heatmap", "events_gap_distribution",
+    "events_stickiness_dau_mau",
     # dedup
-    "dedup_exact_normalized", "dedup_minhash_signatures",
-    # graph / functions / multimodal
-    "graph_adamic_adar_topk", "graph_sssp_weighted", "regexp_functions",
-    "multimodal_chunk_energy",
-    # as-of join + round 6's one new entry: the kill-and-restart
-    # checkpoint-resume gate (r5 verdict item 8; streaming_dedup_exact
-    # moved to _ROUND7_SLATE to make room)
-    "asof_join_forward_next_purchase", "streaming_crash_recovery_replay",
+    "dedup_time_window", "dedup_clusters_summary",
+    "dedup_threshold_curve",
+    # graph
+    "graph_jaccard_topk", "graph_global_transitivity",
+    # functions / windows
+    "window_distribution_funcs",
+    # multimodal / spatial / streaming
+    "multimodal_aspect_bucketing", "spatial_geofence_assign",
+    "streaming_heavy_hitters", "streaming_dedup_exact",
 ]
 
 
@@ -142,6 +150,9 @@ _ROUND7_SLATE = [
 # at BOTH sf0.01 and sf0.1 (0 failures each), which covers every name
 # below; round 7 should still spot-re-verify after any plan edits.
 _ROUND8_SLATE = [
+    # round-7 slate entries deferred to make room for the
+    # cohort_ltv_curve watch + diag_env_manifest probe
+    "stats_mad_by_type", "histogram_totalprice", "join_full_outer",
     # stats / events-stats tail
     "events_poisson_burst_surprise", "events_seasonality_strength",
     "discount_volume_elasticity", "stats_permutation_test_mean",

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -12,16 +13,60 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _ntz_wire(df: DataFrame) -> DataFrame:
+    """Cast every top-level TIMESTAMP (LTZ) output column to
+    TIMESTAMP_NTZ at the wire boundary.
+
+    Round-7 hardening, measured by tools/driver_sim_check.py --matrix:
+    PySpark's ``collect()`` renders a TimestampType cell with
+    ``datetime.fromtimestamp(micros/1e6)``, i.e. through the *Python
+    process's OS timezone* — a non-UTC gate host shifts every emitted
+    LTZ wall clock even though the session timezone is pinned UTC and
+    the stored instants are correct (events_tumbling_hour and
+    events_sessionize flipped in all four matrix zones).  TIMESTAMP_NTZ
+    cells round-trip as the literal wall clock with no zone lookup,
+    which is exactly DuckDB's naive TIMESTAMP semantics, so the cast
+    makes the wire OS-timezone-immune without changing a single value:
+    it is analyzed at plan-build time, where tune_session has already
+    pinned the session to UTC, so wall == UTC wall == what the oracle
+    reads from parquet.  The collected Python type (datetime.datetime)
+    is unchanged, so type-tagged value hashes are unaffected.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    if not any(isinstance(f.dataType, T.TimestampType)
+               for f in df.schema.fields):
+        return df
+    out = df.select(*[
+        F.col(f.name).cast(T.TimestampNTZType()).alias(f.name)
+        if isinstance(f.dataType, T.TimestampType) else F.col(f.name)
+        for f in df.schema.fields])
+    # propagate the checkpoint-ownership hook (ckpt.release_result
+    # reads it off the RETURNED frame) onto the wrapping projection
+    scope = getattr(df, "_ckpt_scope", None)
+    if scope is not None:
+        out._ckpt_scope = scope
+    return out
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query.  ``oracle`` is ANSI SQL DuckDB runs over the same
     parquet tables (pre-registered views); omit it only for genuinely
     non-SQL-expressible operators (the driver then records a weaker
-    rows-only check)."""
+    rows-only check).
+
+    Every registered callable's result passes through ``_ntz_wire`` so
+    no plan can leak an OS-timezone-sensitive LTZ column to the gate."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _ntz_wire(fn(spark, sf_dir))
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -542,8 +542,11 @@ def crash_recovery_replay_hourly(spark: SparkSession, sf_dir: str,
         deadline = _time.time() + timeout_s
         while _time.time() < deadline:
             p = q1.lastProgress
-            if p is not None and p["batchId"] >= stop_after_batches - 1 \
-                    and p["numInputRows"] >= 0:
+            # progress events are emitted per committed batch, so a
+            # batchId at stop_after_batches-1 means that batch is
+            # durable in the commit log (the previous extra
+            # `numInputRows >= 0` clause was vacuously true; ADVICE r6)
+            if p is not None and p["batchId"] >= stop_after_batches - 1:
                 break
             _time.sleep(0.1)
         q1.stop()
@@ -557,7 +560,17 @@ def crash_recovery_replay_hourly(spark: SparkSession, sf_dir: str,
         # ── run 2: NEW query, SAME checkpoint — drain to completion ─
         q2 = start({"availableNow": True})
         q2.awaitTermination()
-        run2_batches = (q2.lastProgress or {}).get("batchId", -1) + 1
+        # batchIds are CUMULATIVE across restarts of one checkpoint: a
+        # genuine resume CONTINUES from run 1's last id (possibly
+        # replaying an uncommitted batch), while a cold restart resets
+        # to 0.  Report run 2's work as the delta — the cumulative id
+        # counted run-1 batches too and made `run2_batches >= 1`
+        # unfalsifiable (ADVICE r6) — and surface run 2's first id so
+        # tests can assert continuation rather than reset.
+        rp2 = list(q2.recentProgress or [])
+        run2_first_batch = rp2[0]["batchId"] if rp2 else -1
+        run2_last_batch = (q2.lastProgress or {}).get("batchId", -1)
+        run2_batches = run2_last_batch - (run1_batches - 1)
 
         # Read back through the sink's metadata log (exactly-once view),
         # then materialize so the temp dir can be deleted.
@@ -568,7 +581,8 @@ def crash_recovery_replay_hourly(spark: SparkSession, sf_dir: str,
         result.count()
         result._ckpt_scope = scope  # caller hook: ckpt.release_result
         return result, {"run1_batches": run1_batches,
-                        "run2_batches": run2_batches}
+                        "run2_batches": run2_batches,
+                        "run2_first_batch": run2_first_batch}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(tmp, ignore_errors=True)

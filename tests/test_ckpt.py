@@ -108,6 +108,43 @@ def test_foreign_persist_inside_window_is_not_claimed(spark, monkeypatch):
     assert ck is not None
 
 
+def test_attribution_failure_owns_nothing(spark, monkeypatch):
+    # ADVICE r6: when the direct py4j attribution throws, the scope
+    # owns NOTHING — the block lingers until JVM GC (the module's
+    # documented failure mode) rather than falling back to a
+    # getPersistentRDDs id-diff that can claim a foreign RDD.
+    DF = type(spark.range(1))
+    base_ids = {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet().toArray()}
+    orig = DF.localCheckpoint
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("py4j surface unavailable")
+
+    def breaking(self, eager=True):
+        out = orig(self, eager=eager)
+        object.__setattr__(out, "_jdf", _Boom())
+        return out
+
+    monkeypatch.setattr(DF, "localCheckpoint", breaking)
+    scope = CheckpointScope(spark)
+    ck = scope.checkpoint(spark.range(70))
+    monkeypatch.undo()
+    assert scope._owned[-1][1] == set()     # owned nothing
+    scope.release_all_except()              # ... so releases nothing
+    after_ids = {int(i) for i in
+                 spark.sparkContext._jsc.getPersistentRDDs()
+                 .keySet().toArray()}
+    new_ids = after_ids - base_ids
+    assert len(new_ids) == 1                # block still persisted
+    assert ck is not None
+    jm = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in new_ids:                     # manual cleanup
+        jm.get(rid).unpersist(False)
+
+
 def test_release_result_without_scope_attr_is_a_noop(spark):
     df = spark.range(3)
     release_result(df)  # plain frame, no _ckpt_scope: nothing happens

@@ -35,7 +35,12 @@ def _pandas_model(names: list[str]) -> pd.DataFrame:
     """Reference semantics, per SURVEY §2.2.1 (clean-room reimplementation)."""
     df = pd.DataFrame({"contest_name": names})
     df["district"] = None
-    patterns = [r"DISTRICT \d", r"DISTRICT [a-z]\b", r"DISTRICT (IX|I?V|V?I{1,3})\b"]
+    # non-capturing roman group: ``str.contains`` only ever asks
+    # "does it match", and a capturing group draws a pandas warning
+    # (scheduled behavior change) that would break this model when
+    # pandas flips the default (VERDICT r6 item 8)
+    patterns = [r"DISTRICT \d", r"DISTRICT [a-z]\b",
+                r"DISTRICT (?:IX|I?V|V?I{1,3})\b"]
     for pat in patterns:
         idx = df["contest_name"].str.contains(pat, case=False)
         if idx.any():

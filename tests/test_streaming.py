@@ -456,6 +456,16 @@ def test_crash_recovery_replay_resumes_same_checkpoint(spark, sf_dir):
     result, info = crash_recovery_replay_hourly(spark, sf_dir)
     assert info["run1_batches"] >= 1, info
     assert info["run2_batches"] >= 1, info
+    # batchIds are cumulative per checkpoint: run 2's FIRST id must
+    # continue where run 1 stopped (== run1_batches when the kill
+    # landed between commits, or run1_batches - 1 when it replays the
+    # in-flight uncommitted batch).  A cold restart — fresh state,
+    # batchId 0 with f0..f3 reprocessed — would double-count the sink
+    # and is excluded both here and by the value check below
+    # (ADVICE r6).
+    assert info["run2_first_batch"] in (
+        info["run1_batches"] - 1, info["run1_batches"]), info
+    assert info["run2_first_batch"] >= 1, info
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()

@@ -27,9 +27,11 @@ Usage: python tools/float_idiom_audit.py   (exit 1 on findings)
 from __future__ import annotations
 
 import glob
+import io
 import os
 import re
 import sys
+import tokenize
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -65,6 +67,35 @@ _IDIOM_A_WHITELIST = {
 }
 
 
+def _strip_comments(src: str) -> str:
+    """Blank out COMMENT tokens (spaces, same width) so every other
+    byte — including ``#`` inside string literals (regex patterns, SQL
+    fragments, format strings) — survives with its exact offsets.
+
+    The previous ``re.sub(r"#[^\\n]*", "", src)`` also truncated string
+    literals containing '#', which could delete a division-then-cast on
+    the same line or corrupt the receiver-span paren walk — silent
+    false negatives (ADVICE r6).  The tokenize module knows the
+    difference; comments never span lines, so a per-line splice is
+    position-exact.
+    """
+    lines = src.splitlines(keepends=True)
+    try:
+        comments = [
+            t for t in tokenize.generate_tokens(io.StringIO(src).readline)
+            if t.type == tokenize.COMMENT]
+    except (tokenize.TokenError, SyntaxError, IndentationError):
+        # un-tokenizable source (shouldn't happen for importable plan
+        # modules): keep the audit running on the raw text — a false
+        # POSITIVE at worst, never a silent skip
+        return src
+    for t in comments:
+        (srow, scol), (erow, ecol) = t.start, t.end
+        line = lines[srow - 1]
+        lines[srow - 1] = line[:scol] + " " * (ecol - scol) + line[ecol:]
+    return "".join(lines)
+
+
 def _receiver_span(src: str, cast_pos: int) -> str:
     """The expression text the ``.cast`` at ``cast_pos`` applies to:
     if the preceding char closes a paren, walk back to its matching
@@ -89,7 +120,7 @@ def _idiom_a() -> list[str]:
     hits = []
     for f in sorted(glob.glob("results_ingestor_spark/plans/*.py")):
         src = open(f).read()
-        code = re.sub(r"#[^\n]*", "", src)  # strip comments, keep offsets-ish
+        code = _strip_comments(src)  # position-exact; see _strip_comments
         for m in re.finditer(r'\.cast\("(?:long|int|bigint)"\)', code):
             recv = _receiver_span(code, m.start())
             # a real '/' division inside the cast receiver (not '//'

@@ -129,6 +129,10 @@ WHITELIST_BNLJ = {
     # broadcast probe/centroid sets: k probe vectors (or k x dim
     # centroid literals) against n candidates IS the intended
     # broadcast theta join — the probe side is bounded by construction
+    "dedup_semantic_clusters": "1-row broadcast centroid-matrix "
+        "relation (corpus-derived k=isqrt(n) ships as DATA, not plan "
+        "literals — VERDICT r6 item 4; the fold over it is a "
+        "per-partition map, no row explosion)",
     "ann_cosine_topk": "broadcast probe-vector set vs candidates",
     "ann_lsh_topk": "broadcast probe set; bucket-pruned candidates",
     "ann_ivf_topk": "broadcast probe set; centroid-pruned candidates",
