@@ -26,7 +26,9 @@ def _pandas_model(names: list[str]) -> list[tuple[str, str | None]]:
     df = pd.DataFrame({"contest_name": names})
     df["district"] = None
     for pat in (r"DISTRICT \d", r"DISTRICT [a-z]\b",
-                r"DISTRICT (IX|I?V|V?I{1,3})\b"):
+                # non-capturing roman group: str.contains warns on (and
+                # pandas plans to change behavior for) capture groups
+                r"DISTRICT (?:IX|I?V|V?I{1,3})\b"):
         idx = df["contest_name"].str.contains(pat, case=False, regex=True)
         if idx.any():
             parts = df.loc[idx, "contest_name"].str.upper().str.rsplit(
