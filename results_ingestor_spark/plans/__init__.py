@@ -192,6 +192,55 @@ _ROUND8_SLATE = [
 ]
 
 
+# Round-9 rotation slate, STAGED two rounds ahead (same pipeline
+# discipline as _ROUND8_SLATE): 45 never-driver-checked ORACLED
+# entries drawn proportionally from the remaining pools (after the
+# round-7 window and round-8 slate retire, 83 entries have never been
+# driver-checked; 77 of those have oracles).  The 6 rows-only entries
+# and the remaining 32 oracled entries form the round-10 tail, which
+# clears the debt entirely.  Pre-verified cell-for-cell at BOTH
+# sf0.01 and sf0.1 during round 7 (90 checks — see COVERAGE.md).
+_ROUND9_SLATE = [
+    # stats tail
+    "stats_sample_size_two_proportions", "stats_levene_brown_forsythe",
+    "events_overdispersion_fano", "stats_capture_recapture",
+    "stats_runs_test",
+    # similarity / embeddings (oracled only)
+    "ann_pq_adc_topk", "ann_ivf_index_stats", "ann_knn_graph_banded",
+    "embedding_hubness_census", "embedding_isotropy_score",
+    # text analysis
+    "text_novelty_unique_ngrams", "quality_gopher_rules",
+    "quality_rater_agreement", "text_term_burstiness",
+    "text_vocab_concentration",
+    # pipeline / privacy / layout
+    "dataset_diff_snapshots", "privacy_dp_median_expmech",
+    "privacy_pseudonym_collisions", "layout_pruning_effectiveness",
+    "layout_dict_encoding_estimate",
+    # advanced / dq
+    "scd2_point_in_time_join", "dq_value_domain_check",
+    "customers_at_risk_churn", "feature_target_encoding_loo",
+    "als_rank1_factorization",
+    # corpus / LM
+    "dedup_semantic_clusters", "lm_bigram_kneser_ney",
+    "wordpiece_train_merges", "wordpiece_tokenize_docs",
+    # events analytics
+    "events_session_gap_curve", "events_decayed_leaderboard",
+    "events_reliability_report",
+    # dedup
+    "dedup_lsh_s_curve", "join_bloom_sizing_table",
+    # graph
+    "graph_lpa_modularity", "graph_rich_club",
+    # functions / sketches
+    "incremental_join_view_merge", "sketch_kmv_distinct",
+    # joins
+    "join_null_safe", "asof_join_nearest_signup",
+    # multimodal / windows / spatial / streaming
+    "multimodal_phash_neardup", "multimodal_patch_grid",
+    "window_running_distinct", "spatial_grid_density_hotspots",
+    "streaming_enriched_tier_counts",
+]
+
+
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names unknown queries: {missing}"
