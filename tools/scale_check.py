@@ -32,8 +32,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     results: dict[str, dict[str, object]] = {}
-    for sf_dir, label in [("/root/testdata/sf0.1", "x1"), (scaled, "xN")]:
-        for name in bench.HEADLINE:
+    # INTERLEAVED per entry (round 7): the previous all-x1-then-all-xN
+    # order put every xN measurement 40+ plans deep into the session,
+    # where accumulated JVM/codegen-cache/GC state inflates times — the
+    # round-7 sweep read rollup_contest_county at ratio 10.51 while a
+    # fresh-session re-measure gave 2.85.  Measuring each entry's x1
+    # and xN back-to-back puts the same session age on both sides of
+    # the ratio, which is the number the tripwire actually judges
+    # (same honesty rule as bench.py's interleaved anchors).
+    for name in bench.HEADLINE:
+        for sf_dir, label in [("/root/testdata/sf0.1", "x1"),
+                              (scaled, "xN")]:
             try:
                 bench._run_noop(spark, qs, name, sf_dir)  # warm
                 best = float("inf")
