@@ -241,6 +241,47 @@ _ROUND9_SLATE = [
 ]
 
 
+# Round-10 rotation slate, STAGED three rounds ahead — the FINAL
+# never-driver-checked tail: after the round-7 window, _ROUND8_SLATE,
+# and _ROUND9_SLATE retire, exactly these 38 entries remain (32
+# oracled + the 6 justified rows-only entries, which the driver
+# checks rows-only).  Activating it clears the verification debt to
+# ZERO: every registered entry will then have been driver-checked at
+# least once.  The 32 oracled entries were pre-verified cell-for-cell
+# at BOTH sf0.01 and sf0.1 during round 7 (64 checks — COVERAGE.md);
+# the 6 rows-only entries execute in every full-registry sweep.
+_ROUND10_SLATE = [
+    # events / stats tail
+    "orders_monthly_streaks", "events_peak_hour_rayleigh",
+    "events_capacity_profile", "events_burstiness_memory",
+    "events_ccf_click_purchase", "stats_haar_energy_hourly",
+    "stats_partial_correlation", "stats_james_stein_shrinkage",
+    "stats_forecast_accuracy_mase", "stats_hill_tail_index",
+    # dq / advanced
+    "dq_duplicate_payment_candidates", "dq_last_digit_uniformity",
+    "dq_id_sequence_gaps", "dq_functional_dependency_strength",
+    # text
+    "text_bigram_entropy_rate", "source_ranking_concordance",
+    "text_theil_inequality_decomposition",
+    # embeddings / sketches
+    "embedding_intrinsic_dim_twonn", "embedding_mmd_linear",
+    "embedding_whitening_effect", "sketch_ams_f2_selfjoin",
+    # dedup / er / graph
+    "dedup_lsh_bucket_stats", "er_golden_record",
+    "graph_brand_homophily", "graph_edge_churn_halves",
+    # pipeline / privacy / layout
+    "privacy_generalization_ladder", "layout_deletion_vector_tradeoff",
+    "dataset_source_influence_loo",
+    # joins / multimodal / spatial / streaming
+    "attribution_time_decay", "multimodal_vad_segments",
+    "spatial_haversine_nearest", "streaming_stateful_user_totals",
+    # the 6 justified rows-only entries (driver records rows-only)
+    "quality_compression_ratio", "embedding_pca_variance",
+    "embedding_mahalanobis_outliers", "dedup_minhash_lsh_fast",
+    "unigram_lm_train_vocab", "unigram_lm_tokenize_docs",
+]
+
+
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names unknown queries: {missing}"
