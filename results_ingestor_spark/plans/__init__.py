@@ -143,12 +143,20 @@ _ROUND7_SLATE = [
 ]
 
 
-# Round-8 rotation slate, STAGED two rounds ahead: 45 more
-# never-driver-checked oracled entries from the remaining pools.
-# Unlike earlier slates this one needs no separate pre-verification
-# pass — round 6 swept the COMPLETE 420-entry registry cell-for-cell
-# at BOTH sf0.01 and sf0.1 (0 failures each), which covers every name
-# below; round 7 should still spot-re-verify after any plan edits.
+# Round-8 rotation slate: 45 more never-driver-checked oracled
+# entries from the remaining pools, plus the 3 round-7 deferrals.
+# Explicitly pre-verified per-entry during round 7: 96/96 checks
+# green at sf0.01 + sf0.1 (COVERAGE.md "Staged-slate
+# pre-verification").
+#
+# ROUND-8 ACTIVATION RECIPE (one edit): set _PRIORITY to
+#   [flagship 3] + ["agg_argminmax_conditional", "events_sessionize"]
+#   (+ "cohort_ltv_curve" again ONLY if CORRECTNESS_r07 still hashes
+#   it red) + ["diag_env_manifest"] if the probe needs re-reading
+#   + as many _ROUND8_SLATE entries as fit the 50-entry window
+#   (defer the tail into _ROUND9_SLATE, as r7 did with its 3).
+# Then re-run tools/check_correctness.py on the new window and
+# tools/driver_sim_check.py before closing.
 _ROUND8_SLATE = [
     # round-7 slate entries deferred to make room for the
     # cohort_ltv_curve watch + diag_env_manifest probe
