@@ -197,12 +197,16 @@ def assign_centroid_expr(centroids: list[list[float]], vec_col: str) -> F.Column
     return _argmax_fold(cent_arr, vec_col)
 
 
-# Above this k the centroid matrix rides a broadcast relation as DATA;
-# below it, plan literals win (no extra operator, constant-folded).
-# 64 × dim doubles is well under any plan-size concern, while k=isqrt(n)
-# crosses 64 at n ≈ 4096 vectors — far below any corpus this engine
-# targets, so corpus-derived k always takes the data path.
-ASSIGN_LITERAL_MAX_K = 64
+# The LARGEST k that folds as plan literals (no extra operator,
+# constant-folded); k above it rides a broadcast relation as DATA.
+# assign_centroids takes the literal path for len(centroids) <=
+# this value — the name and the comparison agree (a review caught
+# them off-by-one: `< threshold` with a `_MAX_K` name put k == 64 on
+# the data path).  63 × dim doubles is well under any plan-size
+# concern, while k=isqrt(n) crosses it at n ≈ 4096 vectors — far
+# below any corpus this engine targets, so corpus-derived k always
+# takes the data path.
+ASSIGN_LITERAL_MAX_K = 63
 
 
 def assign_centroids(df: DataFrame, centroids: list[list[float]],
@@ -211,10 +215,10 @@ def assign_centroids(df: DataFrame, centroids: list[list[float]],
     """Add ``out_col`` = argmax-cosine centroid id, choosing the scale-
     correct strategy by k (VERDICT r6 item 4):
 
-    * k < ``threshold``: the literal fold (``assign_centroid_expr``) —
-      plan text grows with k, but for small fixed k that is cheaper
+    * k <= ``threshold``: the literal fold (``assign_centroid_expr``)
+      — plan text grows with k, but for small fixed k that is cheaper
       than any join.
-    * k >= ``threshold``: the centroid matrix ships as a **single-row
+    * k > ``threshold``: the centroid matrix ships as a **single-row
       broadcast LocalRelation** (data on the broadcast wire, exactly
       how MLlib broadcasts its centroid matrix — NOT expression-tree
       literals) cross-joined onto the input, and the SAME fold runs
@@ -226,7 +230,7 @@ def assign_centroids(df: DataFrame, centroids: list[list[float]],
     Both paths evaluate the identical fold over identically-normalized
     centroids, so results are cell-for-cell equal by construction
     (pinned in tests/test_similarity.py)."""
-    if len(centroids) < threshold:
+    if len(centroids) <= threshold:
         return df.withColumn(out_col,
                              assign_centroid_expr(centroids, vec_col))
     spark = df.sparkSession

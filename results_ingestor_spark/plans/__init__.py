@@ -36,7 +36,7 @@ from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 # checks, 0 failures).  Composition: the permanent flagship trio, the
 # two permanent regression watches, cohort_ltv_curve as the third
 # watch (driver-red in r5 AND r6 while green locally; rewritten this
-# round to a pure-integer wire — epoch-week BIGINT cohort, floor-cents
+# round to a pure-integer wire — epoch-week BIGINT cohort, integer-cents
 # revenue — per r6 verdict item 1, and pinned here until
 # driver-green), diag_env_manifest (r6 verdict item 2: the new
 # environment-manifest probe whose row counts make the gate's

@@ -33,8 +33,11 @@ the exact delta.
 The fixed instant 2026-01-15T00:00:00Z (epoch 1768435200) keeps the
 measurement DST-stable; every real zone's offset at that instant is a
 multiple of 15 minutes, and the +57600 s bias keeps the quotient
-positive for all zones (UTC-14 .. UTC+14 → units 44..156, so rows are
-always >= 1 and never collide with the 10000-scaled version term).
+positive for all zones (UTC-14 .. UTC+14 → units 108..220, so rows
+are always >= 1 and never collide with the 10000-scaled version
+term).  Version-tag caveat: 10*major+minor is unambiguous only while
+minor < 10 (1.12 and 2.2 would both encode 22) — fine for the pinned
+engines, noted so a far-future decode doesn't over-trust the tag.
 
 No tables are read and ``load_tables``/``tune_session`` is deliberately
 NOT called: the probe must observe the session timezone exactly as the

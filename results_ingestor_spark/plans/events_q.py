@@ -543,7 +543,7 @@ rev AS (
   SELECT e.user_id, f.cohort,
     (epoch_us(e.ts) + 259200000000) // 604800000000 - f.cohort
       AS week_age,
-    CAST(floor(e.value * 100) AS BIGINT) AS cents
+    CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
   FROM events e JOIN first_seen f ON e.user_id = f.user_id
   WHERE e.event_type = 'purchase'),
 sz AS (
@@ -590,9 +590,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       calendar is now off the wire entirely, so no timezone, locale,
       DST rule, or week rule can touch it in ANY engine-session
       state.
-    * revenue enters as **integer cents via floor(value*100)** —
-      IEEE multiply + floor are bit-identical in both engines for
-      any double input.  The previous ``CAST(value AS DECIMAL)``
+    * revenue enters as **integer cents via floor(value*100 + 0.5)**
+      (round-half-up to the nearest cent) — IEEE multiply, add, and
+      floor are bit-identical in both engines for any double input.
+      The +0.5 matters: a bare floor(value*100) truncates ~4.6% of
+      clean two-decimal amounts one cent LOW (0.29*100 =
+      28.999999999999996 in IEEE double → 28), silently biasing
+      cum_revenue downward; with +0.5 every two-decimal amount maps
+      to its exact cent.  The previous ``CAST(value AS DECIMAL)``
       rounds the *shortest decimal repr* HALF_UP in Spark but the
       *binary value* half-away in DuckDB; on corpus doubles with
       >2-decimal reprs those diverge (tests/test_round_semantics.py
@@ -620,7 +625,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("cohort",
                    F.expr("(unix_micros(ts) + 259200000000)"
                           " DIV 604800000000 - cohort").alias("week_age"),
-                   F.expr("CAST(floor(value * 100) AS BIGINT)")
+                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
                    .alias("cents")))
     sz = first_seen.groupBy("cohort").agg(
         F.count("*").alias("cohort_users"))

@@ -14,8 +14,9 @@ ORACLES: dict[str, str] = {}
 
 
 def _ntz_wire(df: DataFrame) -> DataFrame:
-    """Cast every top-level TIMESTAMP (LTZ) output column to
-    TIMESTAMP_NTZ at the wire boundary.
+    """Cast every TIMESTAMP (LTZ) in the output schema — top-level or
+    nested in struct/array/map — to TIMESTAMP_NTZ at the wire
+    boundary.
 
     Round-7 hardening, measured by tools/driver_sim_check.py --matrix:
     PySpark's ``collect()`` renders a TimestampType cell with
@@ -34,13 +35,39 @@ def _ntz_wire(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
-    if not any(isinstance(f.dataType, T.TimestampType)
-               for f in df.schema.fields):
+
+    def _ntz_type(dt: T.DataType) -> T.DataType | None:
+        """The same type with every nested TimestampType replaced by
+        TimestampNTZType, or None when nothing needs replacing — LTZ
+        can hide inside struct/array/map columns (e.g. an unflattened
+        F.window struct), and a top-level-only cast would let those
+        reach the wire OS-timezone-sensitive."""
+        if isinstance(dt, T.TimestampType):
+            return T.TimestampNTZType()
+        if isinstance(dt, T.StructType):
+            reps = [(f, _ntz_type(f.dataType)) for f in dt.fields]
+            if not any(r for _, r in reps):
+                return None
+            return T.StructType([
+                T.StructField(f.name, r or f.dataType, f.nullable,
+                              f.metadata) for f, r in reps])
+        if isinstance(dt, T.ArrayType):
+            r = _ntz_type(dt.elementType)
+            return T.ArrayType(r, dt.containsNull) if r else None
+        if isinstance(dt, T.MapType):
+            rk, rv = _ntz_type(dt.keyType), _ntz_type(dt.valueType)
+            if not (rk or rv):
+                return None
+            return T.MapType(rk or dt.keyType, rv or dt.valueType,
+                             dt.valueContainsNull)
+        return None
+
+    reps = [(f, _ntz_type(f.dataType)) for f in df.schema.fields]
+    if not any(r for _, r in reps):
         return df
     out = df.select(*[
-        F.col(f.name).cast(T.TimestampNTZType()).alias(f.name)
-        if isinstance(f.dataType, T.TimestampType) else F.col(f.name)
-        for f in df.schema.fields])
+        F.col(f.name).cast(r).alias(f.name) if r else F.col(f.name)
+        for f, r in reps])
     # propagate the checkpoint-ownership hook (ckpt.release_result
     # reads it off the RETURNED frame) onto the wrapping projection
     scope = getattr(df, "_ckpt_scope", None)

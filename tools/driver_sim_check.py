@@ -119,14 +119,22 @@ def _run_zone(zone: str, sf_dir: str, names: list[str]) -> int:
 
             # scenario A: foreign session, tune_session repins at build
             sdf = qs[name](spark, sf_dir)
-            s_cols = sdf.columns
-            rows_a = [tuple(r) for r in sdf.collect()]
+            # finally-blocks: a throw in either collect must not leak
+            # the plan's checkpoint blocks into the rest of the
+            # ~90-query sweep, and a throw mid-B must not leave the
+            # session timezone at the zone.
+            try:
+                s_cols = sdf.columns
+                rows_a = [tuple(r) for r in sdf.collect()]
 
-            # scenario B: conf reset AFTER build, before a fresh collect
-            spark.conf.set("spark.sql.session.timeZone", zone)
-            rows_b = [tuple(r) for r in sdf.collect()]
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            release_result(sdf)
+                # scenario B: conf reset AFTER build, fresh collect
+                try:
+                    spark.conf.set("spark.sql.session.timeZone", zone)
+                    rows_b = [tuple(r) for r in sdf.collect()]
+                finally:
+                    spark.conf.set("spark.sql.session.timeZone", "UTC")
+            finally:
+                release_result(sdf)
         except Exception as ex:  # noqa: BLE001 — report and continue
             failures.append(name)
             print(f"[{zone}] FAIL {name}: {type(ex).__name__}: "

@@ -78,8 +78,15 @@ def _strip_comments(src: str) -> str:
     false negatives (ADVICE r6).  The tokenize module knows the
     difference; comments never span lines, so a per-line splice is
     position-exact.
+
+    Line splitting is on ``"\\n"`` ONLY: ``str.splitlines`` also
+    breaks on \\f/\\x0b/\\x85/\\u2028, which the Python tokenizer does
+    NOT count as line boundaries — one such byte anywhere in the file
+    would desynchronize every later comment's (row, col) against the
+    list and silently blank real code.
     """
-    lines = src.splitlines(keepends=True)
+    lines = [ln + "\n" for ln in src.split("\n")]
+    lines[-1] = lines[-1][:-1]  # src has no trailing extra newline
     try:
         comments = [
             t for t in tokenize.generate_tokens(io.StringIO(src).readline)
