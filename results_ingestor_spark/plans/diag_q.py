@@ -97,3 +97,106 @@ def diag_env_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sf_dir`` is unused — the probe measures the session, not data.
     """
     return spark.sql(_SPARK_PROBE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# diag_decimal_echo (VERDICT r7 item 2)
+#
+# Round 7's gate artifact showed a razor-sharp pattern: of the 50
+# window entries, exactly TWO emitted DECIMAL-typed columns on the
+# compared wire — and they were exactly the two value-hash-red cells,
+# while both passed the stricter local cell-for-cell compare.  Two
+# hypotheses fit:
+#
+#   (a) COMPARATOR: the driver's value hash mishandles DECIMAL columns.
+#       A concrete candidate mechanism, measured locally on the pinned
+#       engines: Spark ``toPandas`` materializes DecimalType as
+#       object-dtype ``decimal.Decimal`` while DuckDB ``.df()``
+#       materializes DECIMAL as float64 — a dtype-tagged hash then
+#       differs on IDENTICAL values.
+#   (b) DATA: the driver's regenerated corpus carries doubles whose
+#       double→DECIMAL cast rounds differently in the two engines
+#       (the divergence class pinned in tests/test_round_semantics.py),
+#       and the r7 reds were corpus lottery, not the wire type.
+#
+# This probe separates them: both sides emit a FIXED 8-row table of
+# DECIMAL values that are identical BY CONSTRUCTION — decimal string
+# literals (no engine rounding anywhere), plus double→DECIMAL casts of
+# values measured to cast identically on the pinned engines
+# (diag_env_manifest r7 proved the gate runs the pinned Spark 4.1.x /
+# DuckDB 1.0.x, so "measured locally" transfers) — across the DECIMAL
+# surface: narrow (10,2), wide (38,6), scale-0, negatives, zero,
+# trailing-zero scale padding ('1.10'), and an aggregate-produced
+# DECIMAL(38,2).  No table is read and no data-dependent value exists,
+# so:
+#
+#   * probe RED  (rows/schema green, hash red) ⇒ hypothesis (a): the
+#     comparator cannot round-trip DECIMAL — the no-DECIMAL-wire rule
+#     (tools/plan_lint.py) becomes permanent policy.
+#   * probe GREEN while the r8 BIGINT rewrites of the two r7 reds also
+#     go green ⇒ hypothesis (b): the r7 reds were data-dependent cast
+#     divergence — the wire sweep plus the integer-cents ingestion
+#     treatment is the complete fix.
+#
+# Either way the ambiguity dies in one artifact row.
+# ---------------------------------------------------------------------------
+
+# (i, scale-2 literal, scale-6 wide literal, scale-0 literal, double)
+# The double column values: 0.25 / 12.5 / -3.25 are exactly binary-
+# representable (cast is exact, no rounding); 100.625 and 0.285 have
+# >2-decimal reprs and were MEASURED to cast to the same DECIMAL(12,2)
+# in pinned Spark 4.1.2 and DuckDB 1.0.0 (100.63 and 0.29 — both
+# engines round the shortest decimal repr HALF_UP on this path).
+_ECHO_ROWS = [
+    (1, "0.00", "0.000000", "0", "0.25"),
+    (2, "1.10", "1.100000", "7", "12.5"),
+    (3, "-3.50", "-3.500000", "-42", "-3.25"),
+    (4, "12345678.99", "123456789012345678901234567890.123456",
+     "99999", "100.625"),
+    (5, "0.01", "-0.000001", "-99999", "0.285"),
+    (6, "-0.01", "999999.999999", "1", "0.25"),
+    (7, "42.00", "-123456789.654321", "-1", "12.5"),
+    (8, "7.77", "0.123450", "10000", "100.625"),
+]
+
+_ECHO_VALUES = ",\n    ".join(
+    f"({i}, '{s2}', '{s6}', '{s0}', CAST({dd} AS DOUBLE))"
+    for i, s2, s6, s0, dd in _ECHO_ROWS)
+
+_ECHO_SELECT = """SELECT CAST(i AS BIGINT) AS i,
+  CAST(s2 AS DECIMAL(10,2)) AS d_s2,
+  CAST(s6 AS DECIMAL(38,6)) AS d_wide,
+  CAST(s0 AS DECIMAL(5,0)) AS d_s0,
+  CAST(dd AS DECIMAL(12,2)) AS d_cast,
+  CAST(SUM(CAST(s2 AS DECIMAL(10,2))) OVER () AS DECIMAL(38,2)) AS d_sum
+FROM t ORDER BY i"""
+
+_ECHO_SPARK_SQL = f"""
+WITH t AS (
+  SELECT * FROM VALUES
+    {_ECHO_VALUES}
+  AS v(i, s2, s6, s0, dd)
+)
+{_ECHO_SELECT}
+"""
+
+_ECHO_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT * FROM (VALUES
+    {_ECHO_VALUES}
+  ) AS v(i, s2, s6, s0, dd)
+)
+{_ECHO_SELECT}
+"""
+
+
+@query("diag_decimal_echo", oracle=_ECHO_ORACLE_SQL)
+def diag_decimal_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit a fixed table of by-construction-identical DECIMAL values
+    so the gate's DECIMAL handling is readable from the artifact (see
+    the block comment above for the decode).  ``sf_dir`` is unused —
+    the probe measures the comparator, not data.  This is the ONE
+    deliberate exception to the no-DECIMAL-wire lint rule
+    (whitelisted in tools/plan_lint.py): its entire purpose is to put
+    known DECIMALs on the compared wire."""
+    return spark.sql(_ECHO_SPARK_SQL)

@@ -560,10 +560,8 @@ c AS (
          AS BIGINT) AS cum_cents
   FROM m JOIN sz ON sz.cohort = m.cohort)
 SELECT cohort, week_age, cohort_users,
-  CAST(CAST(cum_cents AS DECIMAL(30,0)) * 0.01 AS DECIMAL(38,2))
-    AS cum_revenue,
-  CAST(CAST((cum_cents * 10000) // cohort_users AS DECIMAL(32,0))
-       * 0.000001 AS DECIMAL(38,6)) AS ltv_per_user
+  cum_cents,
+  CAST((cum_cents * 10000) // cohort_users AS BIGINT) AS ltv_microdollars
 FROM c
 ORDER BY cohort, week_age""")
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,10 +570,18 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the users; this sums what they spend).  Weekly grain because the
     corpus spans ~a month; the shape is grain-agnostic.
 
-    Round-7 rewrite (VERDICT r6 item 1 — driver-red in r5 AND r6
+    Round-8 rewrite (VERDICT r7 item 1 — driver-red in r5, r6 AND r7
     while cell-for-cell green locally; locally verified, driver
-    status pending the r7 gate): the wire now carries NO construct
-    with any known cross-engine environment surface.
+    status pending the r8 gate): the compared wire is now PURE
+    BIGINT.  The r7 version ended in two DECIMAL columns
+    (``cum_revenue`` DECIMAL(38,2), ``ltv_per_user`` DECIMAL(38,6))
+    — exact integer rescales, but the r7 gate showed the window's
+    only two DECIMAL-emitting entries were exactly its two red
+    cells, so the rescale moves client-side: the wire carries
+    ``cum_cents`` and ``ltv_microdollars`` (cum_cents*10000 DIV
+    cohort_users) as BIGINT.  DECIMAL never appears in the output
+    schema (enforced registry-wide by tools/plan_lint.py's wire-type
+    rule and probed by plans/diag_q.py::diag_decimal_echo).
 
     * ``cohort`` is an **integer Monday-anchored epoch week**
       (``(unix_micros + 3 days) DIV 1 week`` — epoch day 0 is a
@@ -604,9 +610,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       pins the class).  The local corpus has only ≤2-decimal values,
       but the driver regenerates its corpus, so this removes the one
       data-dependent lottery the old wire still carried.
-    * all downstream math is BIGINT (sum, cumulative window, DIV);
-      the two DECIMAL columns are exact integer rescales
-      (cents * 0.01, micro-dollars * 0.000001).
+      ``events.value`` is non-negative by construction (corpus min
+      0.01; ADVICE r7): for a negative amount, floor(x*100 + 0.5)
+      would round toward +inf (-28.5 cents → -28) — were refunds
+      ever added, both engines would still compute the identical
+      IEEE result, so cross-engine parity is unaffected either way.
+    * all downstream math is BIGINT (sum, cumulative window, DIV),
+      and the wire itself is BIGINT end-to-end.
 
     week_age keeps calendar semantics: the difference of the same
     Monday-anchored epoch-week index, identical to the old
@@ -637,13 +647,10 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("cohort", "week_age", "cohort_users",
                      F.sum("week_cents").over(w).alias("cum_cents")))
     return (curve
-            .select("cohort", "week_age", "cohort_users",
-                    F.expr("CAST(CAST(cum_cents AS DECIMAL(30,0)) * 0.01"
-                           " AS DECIMAL(38,2))").alias("cum_revenue"),
-                    F.expr("CAST(CAST((cum_cents * 10000)"
-                           " DIV cohort_users AS DECIMAL(32,0))"
-                           " * 0.000001 AS DECIMAL(38,6))")
-                    .alias("ltv_per_user"))
+            .select("cohort", "week_age", "cohort_users", "cum_cents",
+                    F.expr("CAST((cum_cents * 10000)"
+                           " DIV cohort_users AS BIGINT)")
+                    .alias("ltv_microdollars"))
             .orderBy("cohort", "week_age"))
 
 

