@@ -771,7 +771,7 @@ fact AS (
   WHERE o.o_custkey < 200)
 SELECT f.custkey, d.status AS status_at_ship,
   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-  CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+  CAST(SUM(CAST(floor(f.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
     AS total_qty
 FROM fact f
 JOIN dim d ON d.custkey = f.custkey
@@ -817,8 +817,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("f.custkey").alias("custkey"),
                      F.col("status").alias("status_at_ship"))
             .agg(F.count("*").alias("n_lineitems"),
-                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("total_qty")))
+                 # quantities are integral (1..50); floor(x+0.5) is the
+                 # IEEE-exact integer ingestion, and the summed wire is
+                 # BIGINT (r8 DECWIRE rule — the r7 version emitted
+                 # DECIMAL(38,2))
+                 F.sum(F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
+                 .cast("long").alias("total_qty")))
 
 
 @query("dq_value_domain_check", oracle="""
@@ -1215,19 +1219,20 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
 @query("dq_duplicate_payment_candidates", oracle="""
 WITH o AS (
   SELECT o_orderkey, o_custkey,
-    CAST(o_totalprice AS DECIMAL(12,2)) AS amount, o_orderdate
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_cents,
+    o_orderdate
   FROM orders),
 p AS (
   SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
-    a.o_custkey AS custkey, a.amount,
+    a.o_custkey AS custkey, a.amount_cents,
     a.o_orderdate AS date_a, b.o_orderdate AS date_b,
     datediff('day', a.o_orderdate, b.o_orderdate) AS gap_days
   FROM o a JOIN o b
-    ON a.o_custkey = b.o_custkey AND a.amount = b.amount
+    ON a.o_custkey = b.o_custkey AND a.amount_cents = b.amount_cents
    AND a.o_orderkey < b.o_orderkey
    AND datediff('day', a.o_orderdate, b.o_orderdate) BETWEEN -7 AND 7)
-SELECT key_a, key_b, custkey, amount, date_a, date_b, gap_days
-FROM p ORDER BY custkey, amount, key_a, key_b LIMIT 50""")
+SELECT key_a, key_b, custkey, amount_cents, date_a, date_b, gap_days
+FROM p ORDER BY custkey, amount_cents, key_a, key_b LIMIT 50""")
 def dq_duplicate_payment_candidates(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Duplicate-payment detection — the forensic-accounting audit:
@@ -1241,25 +1246,29 @@ def dq_duplicate_payment_candidates(spark: SparkSession,
     key — the ER/LSH blocking pattern, so candidates are bounded by
     per-(customer, amount) multiplicity, never a date-range scan of
     the ledger; the ±7-day band is a residual predicate on the
-    blocked pairs.  Exact DECIMAL amounts and integer day gaps."""
+    blocked pairs.  Amounts block at IEEE-exact integer-cent
+    granularity (r8 DECWIRE rule — the r7 version blocked and emitted
+    CAST(o_totalprice AS DECIMAL(12,2)), a data double→DECIMAL cast
+    on a compared, SELECTED value) and day gaps are integers."""
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"].select(
         "o_orderkey", "o_custkey",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("amount_cents"),
         "o_orderdate")
     a = o.select(F.col("o_orderkey").alias("key_a"),
-                 F.col("o_custkey").alias("custkey"), "amount",
+                 F.col("o_custkey").alias("custkey"), "amount_cents",
                  F.col("o_orderdate").alias("date_a"))
     b = o.select(F.col("o_orderkey").alias("key_b"),
-                 F.col("o_custkey").alias("custkey"), "amount",
+                 F.col("o_custkey").alias("custkey"), "amount_cents",
                  F.col("o_orderdate").alias("date_b"))
     gap = F.datediff("date_b", "date_a")
-    return (a.join(b, ["custkey", "amount"])
+    return (a.join(b, ["custkey", "amount_cents"])
             .where((F.col("key_a") < F.col("key_b"))
                    & gap.between(-7, 7))
-            .select("key_a", "key_b", "custkey", "amount",
+            .select("key_a", "key_b", "custkey", "amount_cents",
                     "date_a", "date_b", gap.alias("gap_days"))
-            .orderBy("custkey", "amount", "key_a", "key_b")
+            .orderBy("custkey", "amount_cents", "key_a", "key_b")
             .limit(50))
 
 

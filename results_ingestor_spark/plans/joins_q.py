@@ -224,8 +224,9 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("join_bloom_prefilter", oracle="""
 SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-               AS DECIMAL(18, 4))) AS DECIMAL(38, 4)) AS revenue
+  CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+       AS BIGINT) AS revenue_e4
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995
 GROUP BY 1""")
@@ -239,7 +240,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the PLAIN join — the filter has no false negatives,
     so the answer is identical by construction; what the value check
-    proves is that the pruning is sound end-to-end.  Pruning
+    proves is that the pruning is sound end-to-end.  Revenue (r8,
+    DECWIRE rule): price enters as IEEE-exact integer cents and the
+    discount as an integer percent, so the wire is one exact BIGINT
+    in 10^-4-dollar units — the r7 version summed
+    round(price·(1−disc), 4) snapped to DECIMAL(18,4) and emitted
+    DECIMAL(38,4).  Pruning
     effectiveness (>90% of lineitem dropped before the shuffle) and the
     no-shuffle-before-filter plan shape are pinned in
     tests/test_plan_shapes.py.  At 100 TB this is the difference
@@ -256,26 +262,41 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = (t["lineitem"]
             .where(bloom_might_contain(F.col("l_orderkey"), words))
             .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev_e4 = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                    " * (100 - CAST(floor(l_discount * 100 + 0.5)"
+                    " AS BIGINT))")
     return (fact.join(F.broadcast(dim),
                       fact["l_orderkey"] == dim["o_orderkey"])
             .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
                      .alias("month"))
             .agg(F.count("*").alias("n_lineitems"),
-                 F.sum(F.round(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount")), 4)
-                       .cast("decimal(18,4)"))
-                 .cast("decimal(38,4)").alias("revenue")))
+                 F.sum(rev_e4).cast("long").alias("revenue_e4")))
 
 
-# U-shaped position weight, shared expression text (k = touches in the
-# purchase's window, r = 1-based position by time).  Doubles enter in
-# one fixed-order expression, then each credit is cast to DECIMAL so
-# the per-channel sums are exact and order-free.
-_USHAPE_W = """CASE
-  WHEN k = 1 THEN 1.0
-  WHEN k = 2 THEN 0.5
-  WHEN r = 1 OR r = k THEN 0.4
-  ELSE 0.2 / (k - 2) END"""
+# U-shaped position weight as an exact RATIONAL (k = touches in the
+# purchase's window, r = 1-based position by time): 1/1, 1/2, 2/5
+# (first/last of 3+), 1/(5*(k-2)) (middle).  Each credit is computed
+# as round-half-up integer microdollars — (rev_micro*num*2 + den) DIV
+# (2*den) — so the per-channel sums are exact BIGINTs and order-free,
+# with no float and no DECIMAL anywhere (DECWIRE rule, VERDICT r7
+# item 3: the old wire snapped double credits to DECIMAL(18,6) and
+# emitted DECIMAL(38,6)).
+_USHAPE_NUM = """CASE
+  WHEN k = 1 THEN 1
+  WHEN k = 2 THEN 1
+  WHEN r = 1 OR r = k THEN 2
+  ELSE 1 END"""
+_USHAPE_DEN = """CASE
+  WHEN k = 1 THEN 1
+  WHEN k = 2 THEN 2
+  WHEN r = 1 OR r = k THEN 5
+  ELSE 5 * (k - 2) END"""
+def _ushape_credit(div: str) -> str:
+    """Round-half-up rational credit in integer microdollars; ``div``
+    is the engine's integer-division token ('DIV' Spark, '//' DuckDB —
+    identical on the non-negative operands here)."""
+    return (f"(rev_micro * ({_USHAPE_NUM}) * 2 + ({_USHAPE_DEN})) "
+            f"{div} (2 * ({_USHAPE_DEN}))")
 
 
 @query("attribution_u_shaped", oracle=f"""
@@ -285,10 +306,10 @@ WITH touches AS (
   GROUP BY user_id, ts),
 purchases AS (
   SELECT user_id, ts AS p_ts, event_id AS p_id,
-    CAST(value AS DECIMAL(12,2)) AS rev
+    CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS rev_micro
   FROM events WHERE event_type = 'purchase'),
 win AS (
-  SELECT p.p_id, p.rev, t.touch_type,
+  SELECT p.p_id, p.rev_micro, t.touch_type,
     row_number() OVER (PARTITION BY p.p_id ORDER BY t.ts) AS r,
     COUNT(*) OVER (PARTITION BY p.p_id) AS k
   FROM purchases p
@@ -298,9 +319,8 @@ win AS (
 SELECT touch_type AS channel,
   CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
   CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
-  CAST(SUM(CAST(({_USHAPE_W}) * CAST(rev AS DOUBLE)
-                AS DECIMAL(18, 6))) AS DECIMAL(38, 6))
-    AS attributed_revenue
+  CAST(SUM({_ushape_credit('//')}) AS BIGINT)
+    AS attributed_revenue_micro
 FROM win GROUP BY touch_type ORDER BY channel""")
 def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped (position-based) multi-touch attribution — the
@@ -310,9 +330,13 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-touch paths).  First-touch bias, last-touch bias, and journey
     length all become visible where last-touch collapses them.
 
-    Determinism: the weight is one shared expression text; each credit
-    is computed once in doubles and immediately cast to DECIMAL(18,6),
-    so the channel sums are exact-decimal and aggregation-order-free.
+    Determinism (r8, DECWIRE rule): revenue enters as integer
+    microdollars (floor(value*100+0.5) cents × 10000 — the IEEE-exact
+    ingestion); the position weight is an exact rational num/den and
+    each credit is one round-half-up integer division, so the channel
+    sums are exact BIGINTs, aggregation-order-free, and DECIMAL never
+    touches the wire (the r7 version summed DECIMAL(18,6) snaps of
+    double credits into a DECIMAL(38,6) output).
 
     Scale: a per-user time-bounded range join (touch volume per
     purchase is bounded by the lookback window), then windows
@@ -325,8 +349,8 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("p_ts"),
                          F.col("event_id").alias("p_id"),
-                         F.expr("CAST(value AS DECIMAL(12,2))")
-                         .alias("rev")))
+                         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                                " * 10000").alias("rev_micro")))
     joined = purchases.join(
         touches,
         (touches["user_id"] == purchases["user_id"])
@@ -335,16 +359,14 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
            <= 604_800_000_000)).drop(touches["user_id"])
     wp = Window.partitionBy("p_id")
     win = joined.select(
-        "p_id", "rev", "touch_type",
+        "p_id", "rev_micro", "touch_type",
         F.row_number().over(wp.orderBy("ts")).alias("r"),
         F.count("*").over(wp).alias("k"))
-    credit = (F.expr(_USHAPE_W) * F.col("rev").cast("double")) \
-        .cast("decimal(18,6)")
     return (win.groupBy(F.col("touch_type").alias("channel"))
             .agg(F.count("*").alias("n_credited_touches"),
                  F.countDistinct("p_id").alias("n_purchases_touched"),
-                 F.sum(credit).cast("decimal(38,6)")
-                 .alias("attributed_revenue"))
+                 F.sum(F.expr(_ushape_credit("DIV"))).cast("long")
+                 .alias("attributed_revenue_micro"))
             .orderBy("channel"))
 
 
@@ -432,10 +454,11 @@ WITH touches AS (
   FROM events WHERE event_type IN ('click', 'view')
   GROUP BY user_id, ts),
 purchases AS (
-  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS rev
+  SELECT user_id, ts,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS rev_micro
   FROM events WHERE event_type = 'purchase'),
 pairs AS (
-  SELECT p.user_id, p.ts AS pts, p.rev, t.touch_type,
+  SELECT p.user_id, p.ts AS pts, p.rev_micro, t.touch_type,
     CAST(2 AS BIGINT) << ({_TD_CAP}
       - CAST((epoch_us(p.ts) - epoch_us(t.ts)) // 86400000000 AS BIGINT))
       AS w
@@ -447,11 +470,11 @@ tot AS (
   FROM pairs GROUP BY user_id, pts),
 contrib AS (
   SELECT touch_type AS channel,
-    CAST(round(CAST(rev AS DOUBLE) * w / s, 6) AS DECIMAL(18,6)) AS c
+    (rev_micro * w * 2 + s) // (2 * s) AS c
   FROM pairs JOIN tot USING (user_id, pts))
 SELECT channel,
   CAST(COUNT(*) AS BIGINT) AS n_credits,
-  CAST(SUM(c) AS DECIMAL(38,6)) AS attributed_revenue
+  CAST(SUM(c) AS BIGINT) AS attributed_revenue_micro
 FROM contrib GROUP BY channel ORDER BY channel""")
 def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay multi-touch attribution — the third standard model
@@ -460,14 +483,18 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (half-life one day), normalized per journey.  Recency-weighted
     credit is what growth teams actually bill channels on.
 
-    Exactness: weights are SHIFTED BIGINTs 2^(cap−age) (the decayed-
-    leaderboard trick), the per-journey normalizer is an exact integer
-    sum, and each contribution snaps to DECIMAL(18,6) BEFORE the
-    channel sum — so the final revenue totals are exact decimal sums
-    of identical snapped values in both engines (never a float
-    accumulation).  Shape: touches⋈purchases is a user-keyed equi-join
-    with a range residual (the U-shaped journey pattern), one journey
-    normalizer agg on the same key, a channel rollup."""
+    Exactness (r8, DECWIRE rule): weights are SHIFTED BIGINTs
+    2^(cap−age) (the decayed-leaderboard trick), revenue enters as
+    integer microdollars (floor(value*100+0.5) cents × 10000), the
+    per-journey normalizer is an exact integer sum, and each
+    contribution is one round-half-up integer division
+    (rev_micro·w·2 + s) DIV (2s) — the channel totals are exact
+    BIGINT microdollars, order-free, with no float and no DECIMAL on
+    the wire (the r7 version snapped double credits to DECIMAL(18,6)
+    and emitted DECIMAL(38,6)).  Shape: touches⋈purchases is a
+    user-keyed equi-join with a range residual (the U-shaped journey
+    pattern), one journey normalizer agg on the same key, a channel
+    rollup."""
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
     touches = (ev.where(F.col("event_type").isin("click", "view"))
@@ -476,12 +503,13 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("user_id", F.col("ts").alias("tts"), "touch_type"))
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("pts"),
-                         F.col("value").cast("decimal(12,2)").alias("rev")))
+                         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                                " * 10000").alias("rev_micro")))
     age_us = F.unix_micros("pts") - F.unix_micros("tts")
     pairs = (purchases.join(touches, "user_id")
              .where((F.col("tts") <= F.col("pts"))
                     & (age_us <= _TD_CAP * 86_400_000_000))
-             .select("user_id", "pts", "rev", "touch_type",
+             .select("user_id", "pts", "rev_micro", "touch_type",
                      F.expr(f"shiftleft(CAST(2 AS BIGINT), {_TD_CAP} - "
                             "CAST((unix_micros(pts) - unix_micros(tts))"
                             " DIV 86400000000 AS BIGINT))").alias("w")))
@@ -489,11 +517,10 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum("w").cast("long").alias("s")))
     contrib = (pairs.join(tot, ["user_id", "pts"])
                .select(F.col("touch_type").alias("channel"),
-                       F.round(F.col("rev").cast("double") * F.col("w")
-                               / F.col("s"), 6).cast("decimal(18,6)")
+                       F.expr("(rev_micro * w * 2 + s) DIV (2 * s)")
                        .alias("c")))
     return (contrib.groupBy("channel")
             .agg(F.count("*").cast("long").alias("n_credits"),
-                 F.sum("c").cast("decimal(38,6)")
-                  .alias("attributed_revenue"))
+                 F.sum("c").cast("long")
+                  .alias("attributed_revenue_micro"))
             .orderBy("channel"))

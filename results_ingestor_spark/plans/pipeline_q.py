@@ -1246,26 +1246,29 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("privacy_dp_median_expmech", oracle="""
 WITH v AS (
-  SELECT CAST(value AS DECIMAL(12,2)) AS val, CAST(COUNT(*) AS BIGINT) AS c
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents,
+    CAST(COUNT(*) AS BIGINT) AS c
   FROM events GROUP BY 1),
 cum AS (
-  SELECT val, SUM(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT val_cents,
+    SUM(c) OVER (ORDER BY val_cents ROWS UNBOUNDED PRECEDING) AS cum
   FROM v),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM v),
 scored AS (
-  SELECT val, cum, nn,
+  SELECT val_cents, cum, nn,
     round(-abs(2 * cum - nn) * 0.25
-      + (-ln(-ln((2 * ('0x' || substr(md5('dpq:' || CAST(val AS VARCHAR)),
+      + (-ln(-ln((2 * ('0x' || substr(md5('dpq:'
+                                          || CAST(val_cents AS VARCHAR)),
                                       1, 13))::BIGINT + 1)
                  / 9007199254740992.0))), 9) AS score
   FROM cum CROSS JOIN tot),
 pick AS (
-  SELECT val AS dp_median, abs(2 * cum - nn) AS rank_offset_x2
-  FROM scored ORDER BY score DESC, val LIMIT 1),
+  SELECT val_cents AS dp_median_cents, abs(2 * cum - nn) AS rank_offset_x2
+  FROM scored ORDER BY score DESC, val_cents LIMIT 1),
 truth AS (
-  SELECT MIN(val) AS true_median FROM cum CROSS JOIN tot
+  SELECT MIN(val_cents) AS true_median_cents FROM cum CROSS JOIN tot
   WHERE 2 * cum >= nn)
-SELECT tot.nn AS n, truth.true_median, pick.dp_median,
+SELECT tot.nn AS n, truth.true_median_cents, pick.dp_median_cents,
   CAST(pick.rank_offset_x2 AS BIGINT) AS rank_offset_x2
 FROM tot CROSS JOIN truth CROSS JOIN pick""")
 def privacy_dp_median_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,33 +1282,38 @@ def privacy_dp_median_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole mechanism is value-checked; selection happens on the
     9-dp-rounded score with value tie-breaks.  Reported beside the
     exact median and the chosen candidate's doubled rank offset so the
-    privacy/accuracy trade is visible.
+    privacy/accuracy trade is visible.  Candidates are IEEE-exact
+    integer cents (r8 DECWIRE rule — the r7 version selected and
+    emitted CAST(value AS DECIMAL(12,2)), a data double→DECIMAL cast
+    on a compared, SELECTED value; the seed string is now the cents
+    BIGINT rendered by both engines identically).
 
     Scale: ranks live on the distinct-value layer (MWU contract); the
     mechanism is one map expression + one TakeOrdered(1)."""
     from pyspark.sql import Window as W
     t = load_tables(spark, sf_dir, ("events",))
     v = (t["events"]
-         .groupBy(F.col("value").cast("decimal(12,2)").alias("val"))
+         .groupBy(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("val_cents"))
          .agg(F.count("*").cast("long").alias("c")))
-    w = W.orderBy("val").rowsBetween(W.unboundedPreceding, 0)
-    cum = v.select("val", F.sum("c").over(w).alias("cum"))
+    w = W.orderBy("val_cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = v.select("val_cents", F.sum("c").over(w).alias("cum"))
     tot = v.agg(F.sum("c").cast("long").alias("nn"))
     h = F.conv(F.substring(
-        F.md5(F.concat(F.lit("dpq:"), F.col("val").cast("string"))),
+        F.md5(F.concat(F.lit("dpq:"), F.col("val_cents").cast("string"))),
         1, 13), 16, 10).cast("bigint")
     u01 = (2 * h + 1) / F.lit(float(1 << 53))
     score = F.round(-F.abs(2 * F.col("cum") - F.col("nn")) * 0.25
                     + (-F.log(-F.log(u01))), 9)
     scored = (cum.crossJoin(F.broadcast(tot))
-              .select("val", "cum", "nn", score.alias("score")))
-    pick = (scored.orderBy(F.desc("score"), F.asc("val")).limit(1)
-            .select(F.col("val").alias("dp_median"),
+              .select("val_cents", "cum", "nn", score.alias("score")))
+    pick = (scored.orderBy(F.desc("score"), F.asc("val_cents")).limit(1)
+            .select(F.col("val_cents").alias("dp_median_cents"),
                     F.abs(2 * F.col("cum") - F.col("nn"))
                     .cast("long").alias("rank_offset_x2")))
     truth = (cum.crossJoin(F.broadcast(tot))
              .where(2 * F.col("cum") >= F.col("nn"))
-             .agg(F.min("val").alias("true_median")))
+             .agg(F.min("val_cents").alias("true_median_cents")))
     return (tot.select(F.col("nn").alias("n"))
             .crossJoin(F.broadcast(truth))
             .crossJoin(F.broadcast(pick)))

@@ -713,18 +713,19 @@ def revenue_concentration_metrics(spark: SparkSession,
 @query("abc_inventory_classes", oracle="""
 WITH part_rev AS (
   SELECT l_partkey,
-    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                  AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS rev_e4
   FROM lineitem GROUP BY l_partkey),
-tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,4)) AS t FROM part_rev),
+tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS t FROM part_rev),
 ranked AS (
-  SELECT l_partkey, rev,
-    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
-                        ROWS UNBOUNDED PRECEDING)
-         AS DECIMAL(38,4)) AS cum_rev
+  SELECT l_partkey, rev_e4,
+    CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                           ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_rev
   FROM part_rev),
 classed AS (
-  SELECT l_partkey, rev,
+  SELECT l_partkey, rev_e4,
     CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(t AS DOUBLE) <= 0.80
          THEN 'A'
          WHEN CAST(cum_rev AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95
@@ -732,42 +733,46 @@ classed AS (
   FROM ranked CROSS JOIN tot)
 SELECT abc,
   CAST(COUNT(*) AS BIGINT) AS n_parts,
-  CAST(SUM(rev) AS DECIMAL(38,4)) AS class_revenue,
-  round(CAST(SUM(rev) AS DOUBLE)
+  CAST(SUM(rev_e4) AS BIGINT) AS class_revenue_e4,
+  round(CAST(SUM(rev_e4) AS DOUBLE)
         / (SELECT CAST(t AS DOUBLE) FROM tot), 9) AS revenue_share
 FROM classed GROUP BY abc ORDER BY abc""")
 def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) classification of parts by revenue: A carries the
     first 80% of cumulative revenue, B the next 15%, C the tail — the
     classic inventory-control cut that tells you which few parts
-    deserve the expensive attention.  Revenue accumulates as exact
-    DECIMAL in a deterministic (rev DESC, partkey) order; only the
-    class-boundary comparison and final shares go through doubles.
+    deserve the expensive attention.  Revenue enters as IEEE-exact
+    integer 10^-4-dollar units (cents × integer discount percent) and
+    accumulates as BIGINT in a deterministic (rev DESC, partkey)
+    order (r8 DECWIRE rule — the r7 version accumulated and emitted
+    DECIMAL(38,4)); only the class-boundary comparison and final
+    shares go through doubles.
 
     Scale: one part-keyed hash agg; the ranking window runs over the
     PART aggregate (dim-sized), the grouped-percentile contract."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    rev_e = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                    4).cast("decimal(18,4)")
+    rev_e = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                   " * (100 - CAST(floor(l_discount * 100 + 0.5)"
+                   " AS BIGINT))")
     part_rev = (t["lineitem"].groupBy("l_partkey")
-                .agg(F.sum(rev_e).cast("decimal(38,4)").alias("rev")))
-    tot = part_rev.agg(F.sum("rev").cast("decimal(38,4)").alias("t"))
-    w = (Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+                .agg(F.sum(rev_e).cast("long").alias("rev_e4")))
+    tot = part_rev.agg(F.sum("rev_e4").cast("long").alias("t"))
+    w = (Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))
          .rowsBetween(Window.unboundedPreceding, 0))
     ranked = part_rev.select(
-        "l_partkey", "rev",
-        F.sum("rev").over(w).cast("decimal(38,4)").alias("cum_rev"))
+        "l_partkey", "rev_e4",
+        F.sum("rev_e4").over(w).cast("long").alias("cum_rev"))
     share = F.col("cum_rev").cast("double") / F.col("t").cast("double")
     classed = (ranked.crossJoin(F.broadcast(tot))
-               .select("rev", F.when(share <= 0.80, "A")
+               .select("rev_e4", F.when(share <= 0.80, "A")
                        .when(share <= 0.95, "B").otherwise("C")
                        .alias("abc")))
     return (classed.groupBy("abc")
             .agg(F.count("*").alias("n_parts"),
-                 F.sum("rev").cast("decimal(38,4)").alias("class_revenue"))
+                 F.sum("rev_e4").cast("long").alias("class_revenue_e4"))
             .crossJoin(F.broadcast(tot))
-            .select("abc", "n_parts", "class_revenue",
-                    F.round(F.col("class_revenue").cast("double")
+            .select("abc", "n_parts", "class_revenue_e4",
+                    F.round(F.col("class_revenue_e4").cast("double")
                             / F.col("t").cast("double"), 9)
                     .alias("revenue_share"))
             .orderBy("abc"))
@@ -823,7 +828,8 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("orders_aging_buckets", oracle="""
 WITH mx AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
 o AS (
-  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+  SELECT o_orderkey,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc,
     datediff('day', o_orderdate, as_of) AS age
   FROM orders CROSS JOIN mx
   WHERE o_orderstatus <> 'F'),
@@ -832,15 +838,16 @@ b AS (
               WHEN age <= 60 THEN '31-60'
               WHEN age <= 90 THEN '61-90'
               ELSE '90+' END AS bucket,
-    v
+    vc
   FROM o),
 s AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
-    CAST(SUM(v) AS DECIMAL(18,2)) AS open_value
+    CAST(SUM(vc) AS BIGINT) AS open_value_cents
   FROM b GROUP BY bucket),
-tot AS (SELECT CAST(SUM(open_value) AS DECIMAL(18,2)) AS t FROM s)
-SELECT bucket, n_orders, open_value,
-  round(CAST(open_value AS DOUBLE) / CAST(t AS DOUBLE), 9) AS value_share
+tot AS (SELECT CAST(SUM(open_value_cents) AS BIGINT) AS t FROM s)
+SELECT bucket, n_orders, open_value_cents,
+  round(CAST(open_value_cents AS DOUBLE) / CAST(t AS DOUBLE), 9)
+    AS value_share
 FROM s CROSS JOIN tot ORDER BY bucket""")
 def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order aging report (the AR-aging pattern): orders not yet
@@ -851,27 +858,30 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     90+ is the early-warning signal.
 
     Determinism: ages are integer day differences from a 1-row as-of
-    broadcast; money stays DECIMAL until the single share division.
+    broadcast; money enters as IEEE-exact integer cents and the wire
+    is BIGINT until the single share division (r8 DECWIRE rule — the
+    r7 version emitted DECIMAL(18,2)).
     Shape: pushed status filter at the scan, map-side bucketing, a
     4-group aggregate + 1-row total — counters only in the shuffle."""
     t = load_tables(spark, sf_dir, ("orders",))
     mx = t["orders"].agg(F.max("o_orderdate").alias("as_of"))
     o = (t["orders"].where(F.col("o_orderstatus") != "F")
          .crossJoin(F.broadcast(mx))
-         .select(F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+         .select(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                 .alias("vc"),
                  F.datediff("as_of", "o_orderdate").alias("age")))
     bucket = (F.when(F.col("age") <= 30, "0-30")
               .when(F.col("age") <= 60, "31-60")
               .when(F.col("age") <= 90, "61-90")
               .otherwise("90+"))
-    s = (o.select(bucket.alias("bucket"), "v")
+    s = (o.select(bucket.alias("bucket"), "vc")
          .groupBy("bucket")
          .agg(F.count("*").cast("long").alias("n_orders"),
-              F.sum("v").cast("decimal(18,2)").alias("open_value")))
-    tot = s.agg(F.sum("open_value").cast("decimal(18,2)").alias("t"))
+              F.sum("vc").cast("long").alias("open_value_cents")))
+    tot = s.agg(F.sum("open_value_cents").cast("long").alias("t"))
     return (s.crossJoin(F.broadcast(tot))
-            .select("bucket", "n_orders", "open_value",
-                    F.round(F.col("open_value").cast("double")
+            .select("bucket", "n_orders", "open_value_cents",
+                    F.round(F.col("open_value_cents").cast("double")
                             / F.col("t").cast("double"), 9)
                     .alias("value_share"))
             .orderBy("bucket"))

@@ -365,7 +365,7 @@ def test_dp_median_accuracy_and_determinism(spark, sf_dir):
     # near the true median; at eps=1 the doubled rank offset should be
     # far below the worst case n
     assert 0 <= r1.rank_offset_x2 < r1.n
-    assert float(r1.dp_median) > 0
+    assert r1.dp_median_cents > 0
 
 
 def test_wilson_ci_brackets_phat_and_matches_formula(spark, sf_dir):

@@ -505,9 +505,8 @@ def test_aging_buckets_match_python_model(spark, sf_dir):
     o = load_tables(spark, sf_dir, ("orders",))["orders"] \
         .select("o_orderdate", "o_orderstatus", "o_totalprice").collect()
     as_of = max(r.o_orderdate for r in o)
-    from decimal import ROUND_HALF_UP, Decimal
-    two = Decimal("0.01")
-    agg = defaultdict(lambda: [0, Decimal(0)])
+    # r8 wire: money as IEEE-exact integer cents (floor(v*100+0.5))
+    agg = defaultdict(lambda: [0, 0])
     for r in o:
         if r.o_orderstatus == "F":
             continue
@@ -515,14 +514,13 @@ def test_aging_buckets_match_python_model(spark, sf_dir):
         b = "0-30" if age <= 30 else "31-60" if age <= 60 \
             else "61-90" if age <= 90 else "90+"
         agg[b][0] += 1
-        agg[b][1] += Decimal(repr(r.o_totalprice)).quantize(
-            two, rounding=ROUND_HALF_UP)
+        agg[b][1] += int(math.floor(r.o_totalprice * 100 + 0.5))
     assert set(rows) == set(agg)
     tot = sum(v[1] for v in agg.values())
     for b, (n, v) in agg.items():
         assert rows[b].n_orders == n, b
-        assert rows[b].open_value == v
-        assert rows[b].value_share == round(float(v) / float(tot), 9)
+        assert rows[b].open_value_cents == v
+        assert rows[b].value_share == round(v / tot, 9)
 
 
 def test_table_checksum_detects_any_mutation(spark, sf_dir):
@@ -708,7 +706,8 @@ def test_rich_club_matches_python_model(spark, sf_dir):
 
 
 def test_time_decay_attribution_matches_python_model(spark, sf_dir):
-    from decimal import Decimal
+    # r8 wire: revenue in integer microdollars, credits as
+    # round-half-up integer divisions (rev_micro*w*2 + s) // (2*s)
     rows = {r.channel: r for r in
             QUERIES["attribution_time_decay"](spark, sf_dir).collect()}
     ev = load_tables(spark, sf_dir, ("events",))["events"] \
@@ -722,7 +721,7 @@ def test_time_decay_attribution_matches_python_model(spark, sf_dir):
                 touches[r.user_id][r.ts] = r.event_type
         elif r.event_type == "purchase":
             purchases.append(r)
-    agg = defaultdict(lambda: [0, Decimal(0)])
+    agg = defaultdict(lambda: [0, 0])
     for p in purchases:
         cand = [(ts, ty) for ts, ty in touches[p.user_id].items()
                 if ts <= p.ts
@@ -735,15 +734,15 @@ def test_time_decay_attribution_matches_python_model(spark, sf_dir):
                       ) // 86_400_000_000
             ws[(ts, ty)] = 2 << (7 - age)
         s = sum(ws.values())
-        rev = round(float(p.value), 2)
+        rev_micro = int(math.floor(p.value * 100 + 0.5)) * 10000
         for (ts, ty), w in ws.items():
-            c = Decimal(str(round(rev * w / s, 6)))
+            c = (rev_micro * w * 2 + s) // (2 * s)
             agg[ty][0] += 1
             agg[ty][1] += c
     assert set(rows) == set(agg)
     for ch, (n, total) in agg.items():
         assert rows[ch].n_credits == n, ch
-        assert rows[ch].attributed_revenue == total, ch
+        assert rows[ch].attributed_revenue_micro == total, ch
 
 
 def test_vad_segments_match_energy_runs(spark, sf_dir):
@@ -1190,9 +1189,11 @@ def test_duplicate_payments_match_python_model(spark, sf_dir):
     o = load_tables(spark, sf_dir, ("orders",))["orders"] \
         .select("o_orderkey", "o_custkey", "o_totalprice",
                 "o_orderdate").collect()
+    # r8 wire: blocking at IEEE-exact integer-cent granularity
     blocks = defaultdict(list)
     for r in o:
-        blocks[(r.o_custkey, round(r.o_totalprice, 2))].append(
+        blocks[(r.o_custkey,
+                int(math.floor(r.o_totalprice * 100 + 0.5)))].append(
             (r.o_orderkey, r.o_orderdate))
     pairs = []
     for (ck, amt), mem in blocks.items():
@@ -1204,7 +1205,7 @@ def test_duplicate_payments_match_python_model(spark, sf_dir):
                     pairs.append((ck, amt, mem[i][0], mem[j][0], gap))
     pairs.sort()
     want = pairs[:50]
-    assert [(r.custkey, float(r.amount), r.key_a, r.key_b, r.gap_days)
+    assert [(r.custkey, r.amount_cents, r.key_a, r.key_b, r.gap_days)
             for r in rows] == want
     # blocking invariant: every pair shares customer AND exact amount
     assert all(r.gap_days == (r.date_b - r.date_a).days for r in rows)

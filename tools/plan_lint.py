@@ -343,25 +343,75 @@ WHITELIST_GLOBALWIN = {
     "embedding_intrinsic_dim_twonn": "kNN-graph top-k window "
         "(src-partitioned, ann_knn_graph_banded contract); the "
         "SinglePartition exchange is the 1-row MLE combine",
+    "diag_decimal_echo": "SUM OVER () across the probe's fixed 8-row "
+        "literal table (no table scan anywhere)",
 }
 
 
+# DECWIRE rule (VERDICT r7 items 1-3, permanent policy): no
+# DECIMAL-typed column may appear in a COMPARED output schema, on
+# either side of an oracle pair.  Mechanism: the r7 gate's only two
+# DECIMAL-emitting entries were exactly its two value-hash-red cells;
+# the engines also materialize DECIMAL differently client-side (Spark
+# toPandas → object decimal.Decimal, DuckDB .df() → float64), so the
+# type is a comparator hazard even when the values are identical.
+# Exact money math stays INTERNAL (DECIMAL accumulators are fine);
+# the wire carries BIGINT cents/micros or a rounded DOUBLE.
+WHITELIST_DECWIRE = {
+    "diag_decimal_echo": "the probe's entire purpose is to put "
+        "by-construction-identical DECIMALs on the compared wire",
+}
+
+
+def _has_decimal(dt) -> bool:
+    from pyspark.sql import types as T
+    if isinstance(dt, T.DecimalType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_decimal(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_decimal(f.dataType) for f in dt.fields)
+    return False
+
+
 def main() -> int:
+    import duckdb
+
     import __spark_entry__ as e
     from results_ingestor_spark.session import get_spark
+    from results_ingestor_spark.sources.tables import TABLE_NAMES
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("planlint")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+    oracles = e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
     findings: list[tuple[str, str]] = []
     for name, fn in qs.items():
         try:
-            plan = (fn(spark, sf_dir)._jdf.queryExecution()
-                    .executedPlan().toString())
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             findings.append((name, f"BUILDFAIL {type(exc).__name__}"))
             continue
+        if name not in WHITELIST_DECWIRE:
+            if any(_has_decimal(f.dataType) for f in df.schema.fields):
+                findings.append((name, "DECWIRE-SPARK"))
+            if name in oracles:
+                try:
+                    otypes = con.sql(oracles[name]).types
+                except Exception as exc:  # noqa: BLE001
+                    findings.append(
+                        (name, f"ORACLEBIND {type(exc).__name__}"))
+                    otypes = []
+                if any("DECIMAL" in str(ty).upper() for ty in otypes):
+                    findings.append((name, "DECWIRE-ORACLE"))
         if "CartesianProduct" in plan:
             findings.append((name, "CARTESIAN"))
         if ("BroadcastNestedLoopJoin" in plan
