@@ -30,67 +30,75 @@ from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-6 together drove 245 distinct entries green.
-# Round 7 activates _ROUND7_SLATE (r6 verdict item 3; every entry was
-# pre-verified cell-for-cell at sf0.01 AND sf0.1 during round 6 — 92
-# checks, 0 failures).  Composition: the permanent flagship trio, the
-# two permanent regression watches, cohort_ltv_curve as the third
-# watch (driver-red in r5 AND r6 while green locally; rewritten this
-# round to a pure-integer wire — epoch-week BIGINT cohort, integer-cents
-# revenue — per r6 verdict item 1, and pinned here until
-# driver-green), diag_env_manifest (r6 verdict item 2: the new
-# environment-manifest probe whose row counts make the gate's
-# timezone and engine versions readable from CORRECTNESS_r7 itself —
-# the round's ONE new registry entry), and 43 of the 46 slate entries.
-# stats_mad_by_type, histogram_totalprice and join_full_outer are the
-# three slate entries deferred to round 8 to make room for the watch
-# + probe.  Every name below has a DuckDB oracle, so the gate can be
-# 50/50 value-checked.  All prior window entries stay registered and
-# locally value-checked.
+# queries.  Rounds 1-7 together drove 289 distinct entries green.
+# Round 8 activates _ROUND8_SLATE (r7 verdict item 4; every entry was
+# pre-verified cell-for-cell at sf0.01 AND sf0.1 during round 7 — 96
+# checks, 0 failures; re-verified this round after the DECWIRE sweep).
+# Composition: the permanent flagship trio, the two permanent
+# regression watches, the two r7 hash-red cells pinned until
+# driver-green (cohort_ltv_curve — red r5/r6/r7 — and
+# dq_outlier_iqr_fences — new red r7; BOTH rewritten this round to
+# DECIMAL-free BIGINT wires per r7 verdict item 1), diag_decimal_echo
+# (r7 verdict item 2: the DECIMAL-comparator probe — the round's ONE
+# new registry entry), and 42 of the 48 slate entries.
+# window_range_frame_trailing, multimodal_resize, spatial_dbscan_roles,
+# streaming_drift_monitor, supplier_scorecard and ann_filtered_topk are
+# the six slate entries deferred to round 9 to make room for the two
+# pinned reds + probe.  diag_env_manifest rotates out: its question
+# (gate timezone + engine pins) was answered green-164/164 in r7 and
+# needs no re-reading.  Every name below has a DuckDB oracle, so the
+# gate can be 50/50 value-checked.  All prior window entries stay
+# registered and locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
-    # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix;
-    # r07 pure-integer-wire rewrite (driver-red r5+r6, green locally)
-    "agg_argminmax_conditional", "events_sessionize", "cohort_ltv_curve",
-    # environment-manifest probe (r6 verdict item 2) — row counts
-    # encode session-tz offset + engine-version pins on both sides
-    "diag_env_manifest",
-    # stats tail
-    "revenue_bridge_price_volume", "stats_odds_ratio_2x2",
-    "events_max_drawdown", "stats_diff_in_diff_uplift",
-    "stats_cuped_adjusted_lift", "stats_wilson_ci_proportion",
-    "dq_outlier_iqr_fences",
-    # advanced / dq
-    "scd2_status_history", "string_similarity_levenshtein",
-    "customer_rfm_segments", "benford_first_digit", "funnel_three_step",
-    "dq_order_total_reconciliation",
+    # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
+    "agg_argminmax_conditional", "events_sessionize",
+    # r7 hash-red cells, rewritten to BIGINT wires (r7 verdict item 1),
+    # pinned until driver-green
+    "cohort_ltv_curve", "dq_outlier_iqr_fences",
+    # DECIMAL-comparator probe (r7 verdict item 2) — fixed
+    # by-construction-identical DECIMAL table; red ⇒ the driver's
+    # comparator mishandles DECIMAL, green ⇒ the r7 reds were
+    # data-dependent cast divergence
+    "diag_decimal_echo",
+    # --- _ROUND8_SLATE (42 of 48; see deferral note above) ---
+    # round-7 deferrals
+    "stats_mad_by_type", "histogram_totalprice", "join_full_outer",
+    # stats / events-stats tail
+    "events_poisson_burst_surprise", "events_seasonality_strength",
+    "discount_volume_elasticity", "stats_permutation_test_mean",
+    "stats_cochran_armitage_trend", "stats_g_test_lang_source",
+    "events_poisson_glm_hourly",
+    # advanced SQL
+    "zorder_cluster_key", "part_skyline", "events_longest_daily_streak",
+    "variant_json_typed_extract", "string_collation_ci_grouping",
     # text analysis
-    "text_heaps_law_fit", "source_vocab_overlap",
-    "text_keyness_dunning", "text_mattr_diversity",
-    "text_vocabulary_richness",
-    # similarity / ANN
-    "ann_ivf_topk", "embed_hashed_bow", "ann_mmr_diverse_topk",
-    "knn_label_accuracy",
+    "text_code_switching", "tokenizer_fertility_by_lang",
+    "text_rake_keywords", "text_langid_confusion",
+    "text_dispersion_gries_dp",
+    # similarity / embeddings
+    "embedding_covariance", "ann_ivf_tuning_curve",
+    "ann_dim_truncation_recall",
     # pipeline / privacy
-    "pack_sequences_greedy", "profile_orders_columns",
-    "privacy_dp_noisy_counts", "dataset_temporal_split_leakage",
-    # corpus / LM
-    "bpe_tokenize_docs", "dataset_card",
-    "quality_classifier_calibration", "source_unigram_kl",
+    "dedup_split_leakage", "sampling_cluster_aware_split",
+    "pipeline_stage_attrition", "privacy_randomized_response",
+    # corpus / curation
+    "curriculum_perplexity_buckets", "dataset_manifest",
+    "er_blocking_recall", "data_selection_gradient_match",
     # events analytics
-    "events_dow_hour_heatmap", "events_gap_distribution",
-    "events_stickiness_dau_mau",
+    "events_cep_pattern_match", "dq_freshness_by_type",
+    "events_bot_regularity",
     # dedup
-    "dedup_time_window", "dedup_clusters_summary",
-    "dedup_threshold_curve",
+    "dedup_cdc_chunks", "dedup_boundary_stitch",
+    "dedup_transitivity_violation_rate",
     # graph
-    "graph_jaccard_topk", "graph_global_transitivity",
-    # functions / windows
-    "window_distribution_funcs",
-    # multimodal / spatial / streaming
-    "multimodal_aspect_bucketing", "spatial_geofence_assign",
-    "streaming_heavy_hitters", "streaming_dedup_exact",
+    "graph_hits_bipartite_topk", "graph_local_clustering",
+    # functions / sketches
+    "sketch_theta_set_ops", "incremental_agg_merge",
+    # joins (attribution_u_shaped: DECWIRE-swept this round —
+    # BIGINT-microdollar wire gets its first driver check here)
+    "attribution_u_shaped",
 ]
 
 
@@ -143,20 +151,12 @@ _ROUND7_SLATE = [
 ]
 
 
-# Round-8 rotation slate: 45 more never-driver-checked oracled
-# entries from the remaining pools, plus the 3 round-7 deferrals.
-# Explicitly pre-verified per-entry during round 7: 96/96 checks
-# green at sf0.01 + sf0.1 (COVERAGE.md "Staged-slate
-# pre-verification").
-#
-# ROUND-8 ACTIVATION RECIPE (one edit): set _PRIORITY to
-#   [flagship 3] + ["agg_argminmax_conditional", "events_sessionize"]
-#   (+ "cohort_ltv_curve" again ONLY if CORRECTNESS_r07 still hashes
-#   it red) + ["diag_env_manifest"] if the probe needs re-reading
-#   + as many _ROUND8_SLATE entries as fit the 50-entry window
-#   (defer the tail into _ROUND9_SLATE, as r7 did with its 3).
-# Then re-run tools/check_correctness.py on the new window and
-# tools/driver_sim_check.py before closing.
+# Round-8 rotation slate — ACTIVATED in round 8 (42 of the 48 entries
+# below are in _PRIORITY; the six tail entries listed in the _PRIORITY
+# header were deferred to the head of _ROUND9_SLATE).  Pre-verified
+# per-entry during round 7: 96/96 checks green at sf0.01 + sf0.1
+# (COVERAGE.md "Staged-slate pre-verification"); re-verified in round 8
+# after the DECWIRE sweep rewired attribution_u_shaped.
 _ROUND8_SLATE = [
     # round-7 slate entries deferred to make room for the
     # cohort_ltv_curve watch + diag_env_manifest probe
@@ -200,15 +200,22 @@ _ROUND8_SLATE = [
 ]
 
 
-# Round-9 rotation slate, STAGED two rounds ahead (same pipeline
-# discipline as _ROUND8_SLATE): 45 never-driver-checked ORACLED
-# entries drawn proportionally from the remaining pools (after the
-# round-7 window and round-8 slate retire, 83 entries have never been
-# driver-checked; 77 of those have oracles).  The 6 rows-only entries
-# and the remaining 32 oracled entries form the round-10 tail, which
-# clears the debt entirely.  Pre-verified cell-for-cell at BOTH
-# sf0.01 and sf0.1 during round 7 (90 checks — see COVERAGE.md).
+# Round-9 rotation slate, STAGED one round ahead: the 45 originally
+# staged never-driver-checked ORACLED entries plus the 6 round-8
+# deferrals (51 total; the window fits 50 minus permanent pins, so
+# round 9 will defer its own tail into _ROUND10_SLATE the same way).
+# The 6 rows-only entries and the remaining oracled entries form the
+# round-10 tail, which clears the debt entirely.  Pre-verified
+# cell-for-cell at BOTH sf0.01 and sf0.1 during round 7 (90 checks —
+# see COVERAGE.md); streaming_drift_monitor/supplier_scorecard/
+# ann_filtered_topk/window_range_frame_trailing/multimodal_resize/
+# spatial_dbscan_roles carried over from the round-8 slate with the
+# same pre-verification.
 _ROUND9_SLATE = [
+    # round-8 deferrals (pre-verified with the round-8 slate)
+    "window_range_frame_trailing", "multimodal_resize",
+    "spatial_dbscan_roles", "streaming_drift_monitor",
+    "supplier_scorecard", "ann_filtered_topk",
     # stats tail
     "stats_sample_size_two_proportions", "stats_levene_brown_forsythe",
     "events_overdispersion_fano", "stats_capture_recapture",
@@ -293,6 +300,14 @@ _ROUND10_SLATE = [
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     assert not missing, f"_PRIORITY names unknown queries: {missing}"
+    # ADVICE r7: staged slates must resolve at import time, not at
+    # their activation round — a typo or a later query rename would
+    # otherwise surface only when the slate goes live.
+    for slate_name, slate in (("_ROUND8_SLATE", _ROUND8_SLATE),
+                              ("_ROUND9_SLATE", _ROUND9_SLATE),
+                              ("_ROUND10_SLATE", _ROUND10_SLATE)):
+        unknown = [n for n in slate if n not in QUERIES]
+        assert not unknown, f"{slate_name} names unknown queries: {unknown}"
     order = _PRIORITY + [n for n in QUERIES if n not in set(_PRIORITY)]
     for reg in (QUERIES, ORACLES):
         snap = dict(reg)

@@ -603,13 +603,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       clean two-decimal amounts one cent LOW (0.29*100 =
       28.999999999999996 in IEEE double → 28), silently biasing
       cum_revenue downward; with +0.5 every two-decimal amount maps
-      to its exact cent.  The previous ``CAST(value AS DECIMAL)``
-      rounds the *shortest decimal repr* HALF_UP in Spark but the
-      *binary value* half-away in DuckDB; on corpus doubles with
-      >2-decimal reprs those diverge (tests/test_round_semantics.py
-      pins the class).  The local corpus has only ≤2-decimal values,
-      but the driver regenerates its corpus, so this removes the one
-      data-dependent lottery the old wire still carried.
+      to its exact cent.  (Correction, r8 measurement: the engines'
+      double→DECIMAL *casts* actually AGREE — both shortest-repr
+      HALF_UP, and for non-negative doubles both equal
+      floor(x*100+0.5)/100 — it is ``round(double, k)`` that
+      diverges near .5 boundaries; tests/test_round_semantics.py
+      pins both facts.  The cents ingestion stays because it keeps
+      the wire BIGINT and the math integer-exact.)
       ``events.value`` is non-negative by construction (corpus min
       0.01; ADVICE r7): for a negative amount, floor(x*100 + 0.5)
       would round toward +inf (-28.5 cents → -28) — were refunds

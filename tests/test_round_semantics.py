@@ -91,3 +91,40 @@ def test_round_divergence_probes_still_known(spark):
     for i, (v, k, s_exp, d_exp) in enumerate(DIVERGE):
         assert repr(s[i]) == repr(s_exp), (v, k, s[i], s_exp)
         assert repr(d[i]) == repr(d_exp), (v, k, d[i], d_exp)
+
+
+# Round-8 measurement: double→DECIMAL **CAST** semantics, unlike
+# round(), AGREE between the pinned engines — both take the shortest
+# decimal repr of the double and apply HALF_UP (half away from zero
+# for negatives), so Spark and DuckDB cast identically even on the
+# values where their round() implementations diverge.  Also measured:
+# for non-negative doubles, CAST(x AS DECIMAL(p,2)) equals
+# floor(x*100 + 0.5)/100 in BOTH engines (0 disagreements over 2M
+# uniform samples per engine), i.e. the integer-cents ingestion and
+# the decimal cast select the same cent.  This is what makes the
+# repo's remaining INTERNAL double→DECIMAL accumulator casts
+# (stats_q._VDEC etc.) cross-engine safe; the DECWIRE lint keeps the
+# resulting DECIMALs off the compared wire for comparator reasons,
+# not value reasons.  Pinned so an engine upgrade that flips either
+# cast path is caught here first.
+CAST_AGREE = [
+    # (value, expected DECIMAL(18,2) string in BOTH engines)
+    (1.005, "1.01"), (-1.005, "-1.01"), (0.285, "0.29"),
+    (-0.285, "-0.29"), (2.675, "2.68"), (1.755, "1.76"),
+    (0.25, "0.25"), (100.625, "100.63"), (0.01, "0.01"),
+]
+
+
+def test_cast_decimal_agreement_probes(spark):
+    sdf = spark.range(1).select(*[
+        F.expr(f"CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(18,2))")
+        .alias(f"c{i}") for i, (v, _) in enumerate(CAST_AGREE)])
+    s = tuple(sdf.first())
+    con = duckdb.connect()
+    d = con.sql("SELECT " + ", ".join(
+        f"CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(18,2)) AS c{i}"
+        for i, (v, _) in enumerate(CAST_AGREE))).fetchall()[0]
+    con.close()
+    for i, (v, exp) in enumerate(CAST_AGREE):
+        assert str(s[i]) == exp, ("spark", v, s[i], exp)
+        assert str(d[i]) == exp, ("duckdb", v, d[i], exp)
