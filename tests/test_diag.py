@@ -35,8 +35,11 @@ def _spark_probe_rows(spark, tz: str) -> int:
 
 def _duck_probe_rows(tz: str) -> int:
     con = duckdb.connect()
-    con.execute(f"SET TimeZone='{tz}'")
-    return len(con.sql(ORACLES["diag_env_manifest"]).fetchall())
+    try:
+        con.execute(f"SET TimeZone='{tz}'")
+        return len(con.sql(ORACLES["diag_env_manifest"]).fetchall())
+    finally:
+        con.close()
 
 
 def test_probe_utc_fixed_point_164_both_engines(spark):
@@ -51,7 +54,13 @@ def test_probe_utc_fixed_point_164_both_engines(spark):
 
 
 def test_probe_decode_at_documented_offsets(spark):
-    """The COVERAGE.md decode table, measured: -11h, +5:30, +13h."""
+    """The COVERAGE.md decode table, measured: -11h, +5:30, +13h.
+
+    These expected offsets are IANA tzdata facts at the probe's fixed
+    winter instant (e.g. Pacific/Kanton = +13 since 1994-12-31); a
+    tzdata update that rezones one of these territories would move the
+    expectation — update the case table with the new political offset,
+    not the decode."""
     cases = {
         "Pacific/Pago_Pago": -11 * 3600,   # units 120
         "Asia/Kolkata": 5 * 3600 + 1800,   # non-integral hour, units 186

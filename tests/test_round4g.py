@@ -1727,3 +1727,39 @@ def test_slo_burn_rate_matches_python_model(spark, sf_dir):
     # show a hard burn; the shorter windows can be sparse at tiny SF,
     # so the alert CONJUNCTIONS are only consistency-checked above
     assert row.burn_24h > 3.0
+
+
+def test_duplicate_payments_constructed_fixture(spark, tmp_path):
+    """The synthetic corpus has no same-customer same-cent pairs within
+    +/-7 days at ANY tested SF (measured r8), so the corpus-model test
+    above compares empty sets.  This fixture engineers true duplicates,
+    a near-miss amount, and an out-of-window repeat so the blocking
+    key, the day band, the key_a<key_b dedup, and the LIMIT ordering
+    are all actually exercised."""
+    import datetime as dt
+    rows = [
+        # (orderkey, custkey, status, totalprice, orderdate, priority)
+        (1, 10, "O", 100.00, dt.datetime(1995, 3, 1), "1-URGENT"),
+        (2, 10, "O", 100.00, dt.datetime(1995, 3, 5), "1-URGENT"),  # dup
+        (3, 10, "O", 100.00, dt.datetime(1995, 3, 20), "1-URGENT"),  # out of window
+        (4, 10, "O", 100.01, dt.datetime(1995, 3, 2), "1-URGENT"),  # near miss
+        (5, 11, "O", 100.00, dt.datetime(1995, 3, 2), "1-URGENT"),  # other cust
+        (6, 11, "O", 250.50, dt.datetime(1995, 4, 1), "1-URGENT"),
+        (7, 11, "F", 250.50, dt.datetime(1995, 4, 3), "1-URGENT"),  # dup
+        (8, 12, "O", 0.29, dt.datetime(1995, 5, 1), "1-URGENT"),
+        (9, 12, "O", 0.29, dt.datetime(1995, 5, 8), "1-URGENT"),  # dup, 7d edge
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+    got = [(r.key_a, r.key_b, r.custkey, r.amount_cents, r.gap_days)
+           for r in QUERIES["dq_duplicate_payment_candidates"](
+               spark, str(tmp_path)).collect()]
+    assert got == [
+        (1, 2, 10, 10000, 4),
+        (6, 7, 11, 25050, 2),
+        (8, 9, 12, 29, 7),
+    ]
