@@ -1162,18 +1162,20 @@ r AS (
     CAST(o.o_totalprice AS DECIMAL(12,2)) AS stored,
     line.recomputed,
     CASE WHEN line.l_orderkey IS NULL THEN NULL
-      ELSE CAST(round(abs(CAST(o.o_totalprice AS DECIMAL(12,2))
+      ELSE CAST(floor(abs(CAST(o.o_totalprice AS DECIMAL(12,2))
                           - line.recomputed)
-                      / CAST(o.o_totalprice AS DOUBLE), 9)
-           AS DECIMAL(18,9)) END AS rel_err
+                      / CAST(o.o_totalprice AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT)
+    END AS rel_err_n9
   FROM orders o LEFT JOIN line ON line.l_orderkey = o.o_orderkey)
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(count_if(rel_err IS NULL) AS BIGINT) AS n_no_lines,
+  CAST(count_if(rel_err_n9 IS NULL) AS BIGINT) AS n_no_lines,
   CAST(count_if(abs(stored - recomputed) <= 0.01) AS BIGINT)
     AS n_reconciled_1c,
-  round(CAST(AVG(rel_err) AS DOUBLE), 9) AS avg_rel_err,
-  round(CAST(MAX(rel_err) AS DOUBLE), 9) AS max_rel_err
+  CAST(CAST(SUM(rel_err_n9) AS BIGINT) AS DOUBLE)
+    / (CAST(COUNT(rel_err_n9) AS BIGINT) * 1000000000.0) AS avg_rel_err,
+  CAST(MAX(rel_err_n9) AS DOUBLE) / 1000000000.0 AS max_rel_err
 FROM r""")
 def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table value reconciliation: does the order header's
@@ -1183,8 +1185,14 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     precisely what the audit exists to surface: headers and lines are
     drawn independently).  Line recomputation is exact DECIMAL
     arithmetic (discount/tax re-enter as exact 2-dp decimals); the
-    relative error is rounded to 9 dp and summed as DECIMAL so the
-    average is order-independent (the LM-scoring device).
+    relative error snaps to integer 10^-9 units via the shared-IEEE
+    floor(x·1e9 + 0.5) device and sums as BIGINT, so the mean and max
+    are exact-integer ratios — order-independent and round()-free on
+    the wire.  r8 lottery-sweep fixes: the Spark side previously
+    divided by the 2dp-rounded `stored` while the oracle divided by
+    the raw double price (invisible on an on-grid corpus, divergent
+    on full-precision prices), and the old round(x, 9) wire carried
+    the pinned 1-ulp straddle class.
 
     Scale: one orderkey-keyed aggregation joined to the header
     (co-partitioned at rest under the documented bucketing); the
@@ -1196,24 +1204,31 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
                        * (1 - F.col("l_discount").cast("decimal(4,2)"))
                        * (1 + F.col("l_tax").cast("decimal(4,2)")))
                  .alias("recomputed")))
+    # Denominator is the RAW double o_totalprice, exactly as the
+    # oracle divides — dividing by the 2dp-rounded `stored` instead is
+    # invisible on an on-grid corpus but diverges on full-precision
+    # prices (caught by the r8 lottery-corpus sweep).
     o = t["orders"].select(
-        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)")
-        .alias("stored"))
+        "o_orderkey", "o_totalprice",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("stored"))
     r = (o.join(line, o.o_orderkey == line.l_orderkey, "left")
          .select("stored", "recomputed",
                  F.when(F.col("l_orderkey").isNotNull(),
-                        F.round(F.abs(F.col("stored")
-                                      - F.col("recomputed"))
-                                / F.col("stored").cast("double"), 9)
-                        .cast("decimal(18,9)")).alias("rel_err")))
+                        F.expr("CAST(floor(abs(stored - recomputed)"
+                               " / o_totalprice"
+                               " * 1000000000.0 + 0.5) AS BIGINT)"))
+                 .alias("rel_err_n9")))
     return r.agg(
         F.count("*").cast("long").alias("n_orders"),
-        F.count_if(F.col("rel_err").isNull()).cast("long")
+        F.count_if(F.col("rel_err_n9").isNull()).cast("long")
         .alias("n_no_lines"),
         F.count_if(F.abs(F.col("stored") - F.col("recomputed")) <= 0.01)
         .cast("long").alias("n_reconciled_1c"),
-        F.round(F.avg("rel_err").cast("double"), 9).alias("avg_rel_err"),
-        F.round(F.max("rel_err").cast("double"), 9).alias("max_rel_err"))
+        (F.sum("rel_err_n9").cast("double")
+         / (F.count("rel_err_n9").cast("long") * 1_000_000_000.0))
+        .alias("avg_rel_err"),
+        (F.max("rel_err_n9").cast("double") / 1_000_000_000.0)
+        .alias("max_rel_err"))
 
 
 @query("dq_duplicate_payment_candidates", oracle="""

@@ -1297,16 +1297,16 @@ ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ctot,
 tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
 term AS (
   SELECT c.token,
-    CAST(round(abs(CAST(c.c AS DOUBLE) / ct.ctot
-                   - CAST(dt.dtot AS DOUBLE) / tt.t), 9)
-         AS DECIMAL(18,9)) AS term,
-    CAST(round(CAST(dt.dtot AS DOUBLE) / tt.t, 9)
-         AS DECIMAL(18,9)) AS w
+    CAST(floor(abs(CAST(c.c AS DOUBLE) / ct.ctot
+                   - CAST(dt.dtot AS DOUBLE) / tt.t)
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_n9,
+    CAST(floor(CAST(dt.dtot AS DOUBLE) / tt.t
+               * 1000000000.0 + 0.5) AS BIGINT) AS w_n9
   FROM c JOIN dt USING (doc_id) JOIN ct USING (token) CROSS JOIN tt),
 dp AS (
   SELECT token,
-    round(0.5e0 * (CAST(SUM(term) AS DOUBLE)
-                   + (1 - CAST(SUM(w) AS DOUBLE))), 9) AS dp
+    CAST(CAST(SUM(term_n9) AS BIGINT) - CAST(SUM(w_n9) AS BIGINT)
+         + 1000000000 AS DOUBLE) / 2000000000.0 AS dp
   FROM term GROUP BY token)
 SELECT dp.token, ct.ctot AS n_occurrences, ct.ndocs AS n_docs, dp.dp
 FROM dp JOIN ct USING (token)
@@ -1318,10 +1318,15 @@ def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DP near 0 = the token's occurrences follow the document sizes;
     near 1 = concentrated in few docs): DP = ½·Σ_d |share_d − w_d|,
     with the absent-document mass folded in as 1 − Σ_present w_d.
-    Per-(token, doc) terms are rounded to 9 dp and summed as DECIMAL
-    (the LM-scoring device — cross-doc float addition is
-    order-dependent); the top-20 ranks on the rounded DP with token
-    tie-breaks.
+    Per-(token, doc) terms snap to integer 10^-9 units via the
+    shared-IEEE device ``floor(x·1e9 + 0.5)`` (bit-identical in both
+    engines for the identical double x) and sum as BIGINT, so
+    DP = (Σterm_n9 − Σw_n9 + 1e9) / 2e9 is ONE exact-integer ratio —
+    the wire carries the same double in both engines with no round()
+    anywhere (r8: the lottery-corpus sweep caught a 1-ulp
+    ``round(x, 9)`` straddle here — the pinned shortest-repr vs
+    binary-scale divergence — on exactly one of 20 rows).  The top-20
+    ranks on that exact DP with token tie-breaks.
 
     Scale: the inverted (token, doc) index is the only corpus-sized
     table; doc weights and token totals are domain-sized broadcasts."""
@@ -1339,16 +1344,16 @@ def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(ct.select("token", "ctot"), "token")
             .crossJoin(F.broadcast(tt))
             .select("token",
-                    F.round(F.abs(F.col("c").cast("double") / F.col("ctot")
-                                  - F.col("dtot").cast("double")
-                                  / F.col("t")), 9)
-                    .cast("decimal(18,9)").alias("term"),
-                    F.round(F.col("dtot").cast("double") / F.col("t"), 9)
-                    .cast("decimal(18,9)").alias("w")))
+                    F.expr("CAST(floor(abs(CAST(c AS DOUBLE) / ctot"
+                           " - CAST(dtot AS DOUBLE) / t)"
+                           " * 1000000000.0 + 0.5) AS BIGINT)")
+                    .alias("term_n9"),
+                    F.expr("CAST(floor(CAST(dtot AS DOUBLE) / t"
+                           " * 1000000000.0 + 0.5) AS BIGINT)")
+                    .alias("w_n9")))
     dp = (term.groupBy("token")
-          .agg(F.round(0.5 * (F.sum("term").cast("double")
-                              + (1 - F.sum("w").cast("double"))), 9)
-               .alias("dp")))
+          .agg(((F.sum("term_n9") - F.sum("w_n9") + 1_000_000_000)
+                .cast("double") / 2_000_000_000.0).alias("dp")))
     return (dp.join(ct, "token")
             .select("token", F.col("ctot").alias("n_occurrences"),
                     F.col("ndocs").alias("n_docs"), "dp")

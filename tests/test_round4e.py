@@ -804,14 +804,17 @@ def test_gries_dp_matches_python_model(spark, sf_dir):
     for r in rows:
         assert r.n_occurrences == ctot[r.token]
         assert r.n_docs == ndocs[r.token]
-        term = presw = 0.0
+        # r8 wire: per-term shared-IEEE snap floor(x*1e9 + 0.5), DP as
+        # one exact-integer ratio — the model reproduces it bit-for-bit
+        term_n9 = presw_n9 = 0
         for (d, w), c in cnt.items():
             if w != r.token:
                 continue
-            term += round(abs(c / ctot[w] - dtot[d] / T), 9)
-            presw += round(dtot[d] / T, 9)
-        want = round(0.5 * (term + (1 - presw)), 9)
-        assert math.isclose(r.dp, want, abs_tol=2e-9)
+            term_n9 += math.floor(
+                abs(c / ctot[w] - dtot[d] / T) * 1000000000.0 + 0.5)
+            presw_n9 += math.floor(dtot[d] / T * 1000000000.0 + 0.5)
+        want = (term_n9 - presw_n9 + 1_000_000_000) / 2_000_000_000.0
+        assert r.dp == want
         assert 0.0 <= r.dp <= 1.0
     # ranked descending: the top-20 are the burstiest tokens
     dps = [r.dp for r in rows]

