@@ -1763,3 +1763,59 @@ def test_duplicate_payments_constructed_fixture(spark, tmp_path):
         (6, 7, 11, 25050, 2),
         (8, 9, 12, 29, 7),
     ]
+
+
+def test_lottery_corpus_generator_invariants(tmp_path):
+    """tools/gen_lottery_corpus.py must preserve shape (row counts,
+    schemas, referential keys) while genuinely perturbing the lottery
+    surfaces — full-precision money, shifted dates, changed text —
+    otherwise the sweep proves nothing."""
+    import duckdb
+
+    from tools.gen_lottery_corpus import generate
+    base = "/root/testdata/sf0.001"
+    out = str(tmp_path / "lottery")
+    generate(base, out)
+    con = duckdb.connect()
+    try:
+        for t in ("events", "orders", "lineitem", "documents",
+                  "embeddings", "customer", "part"):
+            nb = con.execute(
+                f"SELECT count(*) FROM '{base}/{t}.parquet'").fetchone()[0]
+            no = con.execute(
+                f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+            assert nb == no, t
+        # money is off the 2-decimal grid for (nearly) every row
+        frac = con.execute(f"""
+            SELECT count_if(abs(value*100 - round(value*100)) > 1e-6)
+                   / count(*) FROM '{out}/events.parquet'""").fetchone()[0]
+        assert frac > 0.95
+        # order->lineitem key space intact (referential joins survive)
+        orphans = con.execute(f"""
+            SELECT count(*) FROM '{out}/lineitem.parquet' l
+            WHERE NOT EXISTS (SELECT 1 FROM '{out}/orders.parquet' o
+                              WHERE o.o_orderkey = l.l_orderkey)
+        """).fetchone()[0]
+        assert orphans == 0
+        # text actually changed, vocab perturbation present
+        suffixed = con.execute(f"""
+            SELECT count_if(text LIKE '% zq%') FROM
+            '{out}/documents.parquet'""").fetchone()[0]
+        assert suffixed == con.execute(
+            f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+        # lineitem ship shift follows its ORDER's key (relationships
+        # kept): un-shifting must reproduce the base multiset exactly
+        # (multiset compare — (orderkey, linenumber, partkey) is not
+        # unique in the base, so a row-level join would cross-pair dups)
+        bad = con.execute(f"""
+            SELECT count(*) FROM (
+              SELECT l_orderkey, l_linenumber, l_partkey,
+                     l_shipdate - INTERVAL (l_orderkey % 11) DAY AS s
+              FROM '{out}/lineitem.parquet'
+              EXCEPT ALL
+              SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate
+              FROM '{base}/lineitem.parquet')
+        """).fetchone()[0]
+        assert bad == 0
+    finally:
+        con.close()

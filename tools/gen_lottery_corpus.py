@@ -31,9 +31,13 @@ cannot see — the exact class the driver's regenerated corpus probes
 every round.
 
 Usage:
-    python tools/gen_lottery_corpus.py [base_sf_dir] [out_dir]
-    # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01
+    python tools/gen_lottery_corpus.py [base_sf_dir] [out_dir] [draw]
+    # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01 1
     python tools/check_correctness.py /tmp/lotterydata/sf0.01
+
+``draw`` (1, 2, 3, ...) selects a deterministic constant set, so the
+layer is a FAMILY of unlucky corpora — re-running the sweep on a
+second draw probes a different set of boundary cells.
 """
 
 from __future__ import annotations
@@ -43,46 +47,59 @@ import sys
 
 import duckdb
 
+# draw → (value_mult, price_mult, hour_mod, day_mod, doc_mod, emb_mult)
+DRAWS = {
+    1: ("1.00703", "1.00373", 7, 11, 13, "1.003"),
+    2: ("1.01013", "1.00719", 5, 13, 17, "0.99701"),
+    3: ("0.99317", "1.01291", 11, 9, 19, "1.00903"),
+}
+
 PERTURB = {
     "events": """
         SELECT event_id,
-               ts + INTERVAL (user_id % 7) HOUR AS ts,
+               ts + INTERVAL (user_id % {hour_mod}) HOUR AS ts,
                user_id, event_type,
-               value * 1.00703 AS value,
+               value * {value_mult} AS value,
                props
         FROM '{base}/events.parquet'""",
     "orders": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               o_totalprice * 1.00373 AS o_totalprice,
-               o_orderdate + INTERVAL (o_orderkey % 11) DAY AS o_orderdate,
+               o_totalprice * {price_mult} AS o_totalprice,
+               o_orderdate + INTERVAL (o_orderkey % {day_mod}) DAY
+                 AS o_orderdate,
                o_orderpriority
         FROM '{base}/orders.parquet'""",
     "lineitem": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
                l_quantity,
-               l_extendedprice * 1.00373 AS l_extendedprice,
+               l_extendedprice * {price_mult} AS l_extendedprice,
                l_discount, l_tax, l_returnflag, l_linestatus,
-               l_shipdate + INTERVAL (l_orderkey % 11) DAY AS l_shipdate
+               l_shipdate + INTERVAL (l_orderkey % {day_mod}) DAY
+                 AS l_shipdate
         FROM '{base}/lineitem.parquet'""",
     "documents": """
         SELECT * REPLACE (
-               text || ' zq' || CAST(doc_id % 13 AS VARCHAR) AS text)
+               text || ' zq' || CAST(doc_id % {doc_mod} AS VARCHAR)
+                 AS text)
         FROM '{base}/documents.parquet'""",
     "embeddings": """
         SELECT * REPLACE (
-               list_transform(embedding, x -> x * 1.003) AS embedding)
+               list_transform(embedding, x -> x * {emb_mult})
+                 AS embedding)
         FROM '{base}/embeddings.parquet'""",
 }
 
 COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
 
 
-def generate(base: str, out: str) -> None:
+def generate(base: str, out: str, draw: int = 1) -> None:
+    value_mult, price_mult, hour_mod, day_mod, doc_mod, emb_mult = \
+        DRAWS[draw]
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table, sql in PERTURB.items():
         con.execute(
-            f"COPY ({sql.format(base=base)}) TO "
+            f"COPY ({sql.format(base=base, value_mult=value_mult, price_mult=price_mult, hour_mod=hour_mod, day_mod=day_mod, doc_mod=doc_mod, emb_mult=emb_mult)}) TO "
             f"'{out}/{table}.parquet' (FORMAT PARQUET)")
         print(f"perturbed {table}")
     for table in COPY_AS_IS:
@@ -96,5 +113,6 @@ def generate(base: str, out: str) -> None:
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/lotterydata/sf0.01"
-    generate(base, out)
-    print(f"lottery corpus at {out}")
+    draw = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    generate(base, out, draw)
+    print(f"lottery corpus (draw {draw}) at {out}")
