@@ -30,7 +30,9 @@ from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-7 together drove 289 distinct entries green.
+# queries.  Rounds 1-7 together drove 288 distinct entries green
+# (generated ledger, tools/verification_ledger.py — the r7 verdict's
+# prose said 289; the artifact-derived count is authoritative).
 # Round 8 activates _ROUND8_SLATE (r7 verdict item 4; every entry was
 # pre-verified cell-for-cell at sf0.01 AND sf0.1 during round 7 — 96
 # checks, 0 failures; re-verified this round after the DECWIRE sweep).

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -1231,10 +1232,10 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("max_rel_err"))
 
 
-@query("dq_duplicate_payment_candidates", oracle="""
+@query("dq_duplicate_payment_candidates", oracle=f"""
 WITH o AS (
   SELECT o_orderkey, o_custkey,
-    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_cents,
+    {exact.cents('o_totalprice')} AS amount_cents,
     o_orderdate
   FROM orders),
 p AS (
@@ -1268,8 +1269,7 @@ def dq_duplicate_payment_candidates(spark: SparkSession,
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"].select(
         "o_orderkey", "o_custkey",
-        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
-        .alias("amount_cents"),
+        F.expr(exact.cents("o_totalprice")).alias("amount_cents"),
         "o_orderdate")
     a = o.select(F.col("o_orderkey").alias("key_a"),
                  F.col("o_custkey").alias("custkey"), "amount_cents",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -534,7 +535,7 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket"))
 
 
-@query("cohort_ltv_curve", oracle="""
+@query("cohort_ltv_curve", oracle=f"""
 WITH first_seen AS (
   SELECT user_id,
     (epoch_us(MIN(ts)) + 259200000000) // 604800000000 AS cohort
@@ -543,7 +544,7 @@ rev AS (
   SELECT e.user_id, f.cohort,
     (epoch_us(e.ts) + 259200000000) // 604800000000 - f.cohort
       AS week_age,
-    CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+    {exact.cents('e.value')} AS cents
   FROM events e JOIN first_seen f ON e.user_id = f.user_id
   WHERE e.event_type = 'purchase'),
 sz AS (
@@ -604,12 +605,15 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       28.999999999999996 in IEEE double → 28), silently biasing
       cum_revenue downward; with +0.5 every two-decimal amount maps
       to its exact cent.  (Correction, r8 measurement: the engines'
-      double→DECIMAL *casts* actually AGREE — both shortest-repr
-      HALF_UP, and for non-negative doubles both equal
-      floor(x*100+0.5)/100 — it is ``round(double, k)`` that
-      diverges near .5 boundaries; tests/test_round_semantics.py
-      pins both facts.  The cents ingestion stays because it keeps
-      the wire BIGINT and the math integer-exact.)
+      double→DECIMAL *casts* actually AGREE with each other — both
+      shortest-repr HALF_UP — it is ``round(double, k)`` that
+      diverges cross-engine near .5 boundaries.  The cast and the
+      cents ingestion are each cross-engine safe but NOT
+      interchangeable with one another (they pick different cents on
+      exact-.xx5-repr doubles like 1.005);
+      tests/test_round_semantics.py pins all three facts.  The cents
+      ingestion stays because it keeps the wire BIGINT and the math
+      integer-exact.)
       ``events.value`` is non-negative by construction (corpus min
       0.01; ADVICE r7): for a negative amount, floor(x*100 + 0.5)
       would round toward +inf (-28.5 cents → -28) — were refunds
@@ -635,8 +639,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("cohort",
                    F.expr("(unix_micros(ts) + 259200000000)"
                           " DIV 604800000000 - cohort").alias("week_age"),
-                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
-                   .alias("cents")))
+                   F.expr(exact.cents("value")).alias("cents")))
     sz = first_seen.groupBy("cohort").agg(
         F.count("*").alias("cohort_users"))
     m = (rev.groupBy("cohort", "week_age")

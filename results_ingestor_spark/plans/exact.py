@@ -1,0 +1,48 @@
+"""Shared exact-ingestion expression builders (round 8, self-review).
+
+The DECWIRE rewrite's cross-engine guarantee rests on every money /
+fixed-point ingestion using the BIT-IDENTICAL expression on both sides
+of every oracle pair: ``floor(x * 100 + 0.5)`` — IEEE multiply, add,
+floor, all correctly rounded and engine-independent.  Before this
+module the expression text was re-inlined at ~20 sites across six
+plan modules, so one drifted copy (a dropped ``+ 0.5``, a swapped
+cast) would silently reintroduce the exact divergence class round 8
+eliminated.  These builders are the single definition; plan modules
+interpolate them into BOTH the Spark expression and the DuckDB oracle
+SQL (the two dialects share this syntax verbatim).
+
+Related pinned facts (tests/test_round_semantics.py): the cents
+ingestion and ``CAST(x AS DECIMAL(p,2))`` are each cross-engine
+deterministic but are NOT interchangeable with each other (they pick
+different cents on exact-.xx5-shortest-repr doubles like 1.005) —
+never swap one for the other on a single side of a pair.
+"""
+
+from __future__ import annotations
+
+
+def cents(x: str = "value") -> str:
+    """Integer cents of a dollar-valued double column/expression:
+    round-half-up, IEEE-identical in Spark SQL and DuckDB."""
+    return f"CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+def microdollars(x: str = "value") -> str:
+    """Integer microdollars (cents x 10000) — the attribution wires'
+    unit, fine enough for rational credit splits to stay integral."""
+    return f"{cents(x)} * 10000"
+
+
+def rev_e4(price: str, discount: str) -> str:
+    """Discounted revenue in exact 10^-4-dollar units: integer cents
+    of the price times the integer discount percent complement."""
+    return (f"{cents(price)}"
+            f" * (100 - {cents(discount)})")
+
+
+def snap_n9(x: str) -> str:
+    """Integer 10^-9 units of a double expression via the shared-IEEE
+    floor(x*1e9 + 0.5) device — the round()-free way to put a 9-dp
+    value on a compared wire (both engines compute the identical
+    BIGINT for the identical double input)."""
+    return f"CAST(floor({x} * 1000000000.0 + 0.5) AS BIGINT)"

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.asof import (
     asof_join_backward, asof_join_forward, range_join_bucketed)
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -221,11 +222,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("channel"))
 
 
-@query("join_bloom_prefilter", oracle="""
+@query("join_bloom_prefilter", oracle=f"""
 SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-  CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+  CAST(SUM({exact.rev_e4('l.l_extendedprice', 'l.l_discount')})
        AS BIGINT) AS revenue_e4
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995
@@ -262,9 +262,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = (t["lineitem"]
             .where(bloom_might_contain(F.col("l_orderkey"), words))
             .select("l_orderkey", "l_extendedprice", "l_discount"))
-    rev_e4 = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
-                    " * (100 - CAST(floor(l_discount * 100 + 0.5)"
-                    " AS BIGINT))")
+    rev_e4 = F.expr(exact.rev_e4("l_extendedprice", "l_discount"))
     return (fact.join(F.broadcast(dim),
                       fact["l_orderkey"] == dim["o_orderkey"])
             .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
@@ -306,7 +304,7 @@ WITH touches AS (
   GROUP BY user_id, ts),
 purchases AS (
   SELECT user_id, ts AS p_ts, event_id AS p_id,
-    CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS rev_micro
+    {exact.microdollars('value')} AS rev_micro
   FROM events WHERE event_type = 'purchase'),
 win AS (
   SELECT p.p_id, p.rev_micro, t.touch_type,
@@ -349,8 +347,7 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("p_ts"),
                          F.col("event_id").alias("p_id"),
-                         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
-                                " * 10000").alias("rev_micro")))
+                         F.expr(exact.microdollars("value")).alias("rev_micro")))
     joined = purchases.join(
         touches,
         (touches["user_id"] == purchases["user_id"])
@@ -455,7 +452,7 @@ WITH touches AS (
   GROUP BY user_id, ts),
 purchases AS (
   SELECT user_id, ts,
-    CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS rev_micro
+    {exact.microdollars('value')} AS rev_micro
   FROM events WHERE event_type = 'purchase'),
 pairs AS (
   SELECT p.user_id, p.ts AS pts, p.rev_micro, t.touch_type,
@@ -503,8 +500,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("user_id", F.col("ts").alias("tts"), "touch_type"))
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .select("user_id", F.col("ts").alias("pts"),
-                         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"
-                                " * 10000").alias("rev_micro")))
+                         F.expr(exact.microdollars("value")).alias("rev_micro")))
     age_us = F.unix_micros("pts") - F.unix_micros("tts")
     pairs = (purchases.join(touches, "user_id")
              .where((F.col("tts") <= F.col("pts"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -1244,9 +1245,9 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "source"))
 
 
-@query("privacy_dp_median_expmech", oracle="""
+@query("privacy_dp_median_expmech", oracle=f"""
 WITH v AS (
-  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_cents,
+  SELECT {exact.cents('value')} AS val_cents,
     CAST(COUNT(*) AS BIGINT) AS c
   FROM events GROUP BY 1),
 cum AS (
@@ -1293,8 +1294,7 @@ def privacy_dp_median_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
     t = load_tables(spark, sf_dir, ("events",))
     v = (t["events"]
-         .groupBy(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
-                  .alias("val_cents"))
+         .groupBy(F.expr(exact.cents("value")).alias("val_cents"))
          .agg(F.count("*").cast("long").alias("c")))
     w = W.orderBy("val_cents").rowsBetween(W.unboundedPreceding, 0)
     cum = v.select("val_cents", F.sum("c").over(w).alias("cum"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -710,11 +711,10 @@ def revenue_concentration_metrics(spark: SparkSession,
             .orderBy("segment"))
 
 
-@query("abc_inventory_classes", oracle="""
+@query("abc_inventory_classes", oracle=f"""
 WITH part_rev AS (
   SELECT l_partkey,
-    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+    CAST(SUM({exact.rev_e4('l_extendedprice', 'l_discount')})
          AS BIGINT) AS rev_e4
   FROM lineitem GROUP BY l_partkey),
 tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS t FROM part_rev),
@@ -751,9 +751,7 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one part-keyed hash agg; the ranking window runs over the
     PART aggregate (dim-sized), the grouped-percentile contract."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    rev_e = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
-                   " * (100 - CAST(floor(l_discount * 100 + 0.5)"
-                   " AS BIGINT))")
+    rev_e = F.expr(exact.rev_e4("l_extendedprice", "l_discount"))
     part_rev = (t["lineitem"].groupBy("l_partkey")
                 .agg(F.sum(rev_e).cast("long").alias("rev_e4")))
     tot = part_rev.agg(F.sum("rev_e4").cast("long").alias("t"))
@@ -825,11 +823,11 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment"))
 
 
-@query("orders_aging_buckets", oracle="""
+@query("orders_aging_buckets", oracle=f"""
 WITH mx AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
 o AS (
   SELECT o_orderkey,
-    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc,
+    {exact.cents('o_totalprice')} AS vc,
     datediff('day', o_orderdate, as_of) AS age
   FROM orders CROSS JOIN mx
   WHERE o_orderstatus <> 'F'),
@@ -867,8 +865,7 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = t["orders"].agg(F.max("o_orderdate").alias("as_of"))
     o = (t["orders"].where(F.col("o_orderstatus") != "F")
          .crossJoin(F.broadcast(mx))
-         .select(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
-                 .alias("vc"),
+         .select(F.expr(exact.cents("o_totalprice")).alias("vc"),
                  F.datediff("as_of", "o_orderdate").alias("age")))
     bucket = (F.when(F.col("age") <= 30, "0-30")
               .when(F.col("age") <= 60, "31-60")

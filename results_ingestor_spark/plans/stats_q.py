@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.plans import exact  # noqa: F401 (expression builders)
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -2696,7 +2697,7 @@ def stats_wilson_ci_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+_CENTS = exact.cents("value")
 
 
 @query("dq_outlier_iqr_fences", oracle=f"""

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from results_ingestor_spark.operators.text import (
     LANG_MARKERS, STOPWORDS, fingerprint_canonical, lang_predict, lang_scores,
     stopword_ratio, tokens)
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -1297,11 +1298,9 @@ ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ctot,
 tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
 term AS (
   SELECT c.token,
-    CAST(floor(abs(CAST(c.c AS DOUBLE) / ct.ctot
-                   - CAST(dt.dtot AS DOUBLE) / tt.t)
-               * 1000000000.0 + 0.5) AS BIGINT) AS term_n9,
-    CAST(floor(CAST(dt.dtot AS DOUBLE) / tt.t
-               * 1000000000.0 + 0.5) AS BIGINT) AS w_n9
+    {exact.snap_n9("abs(CAST(c.c AS DOUBLE) / ct.ctot"
+                   " - CAST(dt.dtot AS DOUBLE) / tt.t)")} AS term_n9,
+    {exact.snap_n9("CAST(dt.dtot AS DOUBLE) / tt.t")} AS w_n9
   FROM c JOIN dt USING (doc_id) JOIN ct USING (token) CROSS JOIN tt),
 dp AS (
   SELECT token,
@@ -1344,12 +1343,10 @@ def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(ct.select("token", "ctot"), "token")
             .crossJoin(F.broadcast(tt))
             .select("token",
-                    F.expr("CAST(floor(abs(CAST(c AS DOUBLE) / ctot"
-                           " - CAST(dtot AS DOUBLE) / t)"
-                           " * 1000000000.0 + 0.5) AS BIGINT)")
-                    .alias("term_n9"),
-                    F.expr("CAST(floor(CAST(dtot AS DOUBLE) / t"
-                           " * 1000000000.0 + 0.5) AS BIGINT)")
+                    F.expr(exact.snap_n9(
+                        "abs(CAST(c AS DOUBLE) / ctot"
+                        " - CAST(dtot AS DOUBLE) / t)")).alias("term_n9"),
+                    F.expr(exact.snap_n9("CAST(dtot AS DOUBLE) / t"))
                     .alias("w_n9")))
     dp = (term.groupBy("token")
           .agg(((F.sum("term_n9") - F.sum("w_n9") + 1_000_000_000)

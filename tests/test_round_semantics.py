@@ -97,16 +97,26 @@ def test_round_divergence_probes_still_known(spark):
 # round(), AGREE between the pinned engines — both take the shortest
 # decimal repr of the double and apply HALF_UP (half away from zero
 # for negatives), so Spark and DuckDB cast identically even on the
-# values where their round() implementations diverge.  Also measured:
-# for non-negative doubles, CAST(x AS DECIMAL(p,2)) equals
-# floor(x*100 + 0.5)/100 in BOTH engines (0 disagreements over 2M
-# uniform samples per engine), i.e. the integer-cents ingestion and
-# the decimal cast select the same cent.  This is what makes the
-# repo's remaining INTERNAL double→DECIMAL accumulator casts
-# (stats_q._VDEC etc.) cross-engine safe; the DECWIRE lint keeps the
-# resulting DECIMALs off the compared wire for comparator reasons,
-# not value reasons.  Pinned so an engine upgrade that flips either
-# cast path is caught here first.
+# values where their round() implementations diverge.  That
+# CROSS-ENGINE agreement is the load-bearing fact: every internal
+# double→DECIMAL accumulator cast (stats_q._VDEC etc.) is value-safe
+# because both engines apply the same rule; the DECWIRE lint keeps
+# the resulting DECIMALs off the compared wire for comparator
+# reasons, not value reasons.
+#
+# Caution (r8 self-review): the cast is NOT interchangeable with the
+# repo's floor(x*100 + 0.5) cents ingestion.  They agree on 2M
+# uniform samples per engine (exact .xx5 shortest reprs have ~zero
+# measure in random doubles), but on the boundary probes they
+# genuinely differ: 1.005 casts to 1.01 in BOTH engines (repr
+# HALF_UP) while floor(1.005*100 + 0.5) = floor(100.99999999999999)
+# = 100 cents (the binary product sits below the half-boundary);
+# same for 0.285 → 0.29 vs 28 cents.  Each device is cross-engine
+# deterministic on its own — never swap one for the other on ONE
+# side of an oracle pair, or across a wire's history, "because they
+# are equal".  test_cast_vs_floor_boundary_divergence pins the
+# difference.  Pinned so an engine upgrade that flips either cast
+# path is caught here first.
 CAST_AGREE = [
     # (value, expected DECIMAL(18,2) string in BOTH engines)
     (1.005, "1.01"), (-1.005, "-1.01"), (0.285, "0.29"),
@@ -128,3 +138,27 @@ def test_cast_decimal_agreement_probes(spark):
     for i, (v, exp) in enumerate(CAST_AGREE):
         assert str(s[i]) == exp, ("spark", v, s[i], exp)
         assert str(d[i]) == exp, ("duckdb", v, d[i], exp)
+
+
+def test_cast_vs_floor_boundary_divergence(spark):
+    """floor(x*100+0.5) and CAST(x AS DECIMAL) select DIFFERENT cents
+    on exact-.xx5-shortest-repr doubles (each engine is internally
+    consistent; the two DEVICES differ) — pinned so nobody 'simplifies'
+    one into the other on a single side of an oracle pair."""
+    row = spark.range(1).selectExpr(
+        "CAST(floor(CAST(1.005 AS DOUBLE) * 100 + 0.5) AS BIGINT) AS f1",
+        "CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(18,2)) AS c1",
+        "CAST(floor(CAST(0.285 AS DOUBLE) * 100 + 0.5) AS BIGINT) AS f2",
+        "CAST(CAST(0.285 AS DOUBLE) AS DECIMAL(18,2)) AS c2").first()
+    assert (row.f1, str(row.c1)) == (100, "1.01")
+    assert (row.f2, str(row.c2)) == (28, "0.29")
+    con = duckdb.connect()
+    try:
+        d = con.sql("""SELECT
+            CAST(floor(CAST(1.005 AS DOUBLE) * 100 + 0.5) AS BIGINT),
+            CAST(CAST(1.005 AS DOUBLE) AS DECIMAL(18,2)),
+            CAST(floor(CAST(0.285 AS DOUBLE) * 100 + 0.5) AS BIGINT),
+            CAST(CAST(0.285 AS DOUBLE) AS DECIMAL(18,2))""").fetchall()[0]
+    finally:
+        con.close()
+    assert (d[0], str(d[1]), d[2], str(d[3])) == (100, "1.01", 28, "0.29")

@@ -35,9 +35,10 @@ Usage:
     # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01 1
     python tools/check_correctness.py /tmp/lotterydata/sf0.01
 
-``draw`` (1, 2, 3, ...) selects a deterministic constant set, so the
-layer is a FAMILY of unlucky corpora — re-running the sweep on a
-second draw probes a different set of boundary cells.
+``draw`` (1, 2, or 3 — the defined constant sets below; extend DRAWS
+to add more) selects a deterministic perturbation, so the layer is a
+FAMILY of unlucky corpora — re-running the sweep on another draw
+probes a different set of boundary cells.
 """
 
 from __future__ import annotations
@@ -93,6 +94,10 @@ COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
 
 
 def generate(base: str, out: str, draw: int = 1) -> None:
+    if draw not in DRAWS:
+        raise ValueError(
+            f"draw {draw} not defined; supported draws: "
+            f"{sorted(DRAWS)} (extend DRAWS to add more)")
     value_mult, price_mult, hour_mod, day_mod, doc_mod, emb_mult = \
         DRAWS[draw]
     os.makedirs(out, exist_ok=True)
