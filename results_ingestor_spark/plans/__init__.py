@@ -206,6 +206,20 @@ _ROUND8_SLATE = [
 # staged never-driver-checked ORACLED entries plus the 6 round-8
 # deferrals (51 total; the window fits 50 minus permanent pins, so
 # round 9 will defer its own tail into _ROUND10_SLATE the same way).
+#
+# ROUND-9 ACTIVATION RECIPE (one edit): set _PRIORITY to
+#   [flagship 3] + ["agg_argminmax_conditional", "events_sessionize"]
+#   (+ "cohort_ltv_curve" / "dq_outlier_iqr_fences" again ONLY if
+#   CORRECTNESS_r08 still hashes either red)
+#   (+ "diag_decimal_echo" again ONLY if its r8 row needs re-reading —
+#   if it came back hash-RED with rows/schema green, the comparator
+#   mishandles DECIMAL and the entry should be RETIRED from the window
+#   as answered, with the DECWIRE ban noted as permanent policy)
+#   + as many _ROUND9_SLATE entries as fit the 50-entry window
+#   (defer the tail into _ROUND10_SLATE, as r8 did with its 6).
+# Then re-run tools/check_correctness.py on the new window, the
+# lottery sweep on any entry whose wire changed, and
+# tools/driver_sim_check.py before closing.
 # The 6 rows-only entries and the remaining oracled entries form the
 # round-10 tail, which clears the debt entirely.  Pre-verified
 # cell-for-cell at BOTH sf0.01 and sf0.1 during round 7 (90 checks —
