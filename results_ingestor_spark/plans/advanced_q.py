@@ -1151,7 +1151,7 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("dq_order_total_reconciliation", oracle="""
+@query("dq_order_total_reconciliation", oracle=f"""
 WITH line AS (
   SELECT l_orderkey,
     SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1163,10 +1163,9 @@ r AS (
     CAST(o.o_totalprice AS DECIMAL(12,2)) AS stored,
     line.recomputed,
     CASE WHEN line.l_orderkey IS NULL THEN NULL
-      ELSE CAST(floor(abs(CAST(o.o_totalprice AS DECIMAL(12,2))
-                          - line.recomputed)
-                      / CAST(o.o_totalprice AS DOUBLE)
-                      * 1000000000.0 + 0.5) AS BIGINT)
+      ELSE {exact.snap_n9(
+        "abs(CAST(o.o_totalprice AS DECIMAL(12,2)) - line.recomputed)"
+        " / CAST(o.o_totalprice AS DOUBLE)")}
     END AS rel_err_n9
   FROM orders o LEFT JOIN line ON line.l_orderkey = o.o_orderkey)
 SELECT
@@ -1215,9 +1214,8 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     r = (o.join(line, o.o_orderkey == line.l_orderkey, "left")
          .select("stored", "recomputed",
                  F.when(F.col("l_orderkey").isNotNull(),
-                        F.expr("CAST(floor(abs(stored - recomputed)"
-                               " / o_totalprice"
-                               " * 1000000000.0 + 0.5) AS BIGINT)"))
+                        F.expr(exact.snap_n9(
+                            "abs(stored - recomputed) / o_totalprice")))
                  .alias("rel_err_n9")))
     return r.agg(
         F.count("*").cast("long").alias("n_orders"),

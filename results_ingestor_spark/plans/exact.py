@@ -23,8 +23,10 @@ from __future__ import annotations
 
 def cents(x: str = "value") -> str:
     """Integer cents of a dollar-valued double column/expression:
-    round-half-up, IEEE-identical in Spark SQL and DuckDB."""
-    return f"CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+    round-half-up, IEEE-identical in Spark SQL and DuckDB.  The
+    argument is parenthesized so compound expressions keep their
+    meaning under the ``* 100`` precedence."""
+    return f"CAST(floor(({x}) * 100 + 0.5) AS BIGINT)"
 
 
 def microdollars(x: str = "value") -> str:
@@ -44,5 +46,6 @@ def snap_n9(x: str) -> str:
     """Integer 10^-9 units of a double expression via the shared-IEEE
     floor(x*1e9 + 0.5) device — the round()-free way to put a 9-dp
     value on a compared wire (both engines compute the identical
-    BIGINT for the identical double input)."""
-    return f"CAST(floor({x} * 1000000000.0 + 0.5) AS BIGINT)"
+    BIGINT for the identical double input).  Argument parenthesized
+    (see cents)."""
+    return f"CAST(floor(({x}) * 1000000000.0 + 0.5) AS BIGINT)"

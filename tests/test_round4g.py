@@ -10,6 +10,8 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+import pytest
+
 from results_ingestor_spark.plans import QUERIES
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -1765,17 +1767,21 @@ def test_duplicate_payments_constructed_fixture(spark, tmp_path):
     ]
 
 
-def test_lottery_corpus_generator_invariants(tmp_path):
+@pytest.mark.parametrize("draw", [1, 2, 3])
+def test_lottery_corpus_generator_invariants(draw, tmp_path, sf_dir):
     """tools/gen_lottery_corpus.py must preserve shape (row counts,
     schemas, referential keys) while genuinely perturbing the lottery
     surfaces — full-precision money, shifted dates, changed text —
-    otherwise the sweep proves nothing."""
+    for EVERY defined draw, otherwise a sweep on that draw proves
+    nothing.  Constants come from DRAWS, not hardcoded, so editing a
+    draw keeps the invariants checked rather than breaking the test."""
     import duckdb
 
-    from tools.gen_lottery_corpus import generate
-    base = "/root/testdata/sf0.001"
-    out = str(tmp_path / "lottery")
-    generate(base, out)
+    from tools.gen_lottery_corpus import DRAW_KEYS, DRAWS, generate
+    params = dict(zip(DRAW_KEYS, DRAWS[draw]))
+    base = sf_dir
+    out = str(tmp_path / f"lottery{draw}")
+    generate(base, out, draw)
     con = duckdb.connect()
     try:
         for t in ("events", "orders", "lineitem", "documents",
@@ -1785,11 +1791,13 @@ def test_lottery_corpus_generator_invariants(tmp_path):
             no = con.execute(
                 f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
             assert nb == no, t
-        # money is off the 2-decimal grid for (nearly) every row
-        frac = con.execute(f"""
+        # money is off the 2-decimal grid for (nearly) every row, and
+        # stays strictly positive under every draw's multiplier
+        frac, vmin = con.execute(f"""
             SELECT count_if(abs(value*100 - round(value*100)) > 1e-6)
-                   / count(*) FROM '{out}/events.parquet'""").fetchone()[0]
-        assert frac > 0.95
+                   / count(*), min(value)
+            FROM '{out}/events.parquet'""").fetchone()
+        assert frac > 0.95 and vmin > 0
         # order->lineitem key space intact (referential joins survive)
         orphans = con.execute(f"""
             SELECT count(*) FROM '{out}/lineitem.parquet' l
@@ -1804,13 +1812,15 @@ def test_lottery_corpus_generator_invariants(tmp_path):
         assert suffixed == con.execute(
             f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
         # lineitem ship shift follows its ORDER's key (relationships
-        # kept): un-shifting must reproduce the base multiset exactly
-        # (multiset compare — (orderkey, linenumber, partkey) is not
-        # unique in the base, so a row-level join would cross-pair dups)
+        # kept): un-shifting by the DRAW's day_mod must reproduce the
+        # base multiset exactly (multiset compare — the
+        # (orderkey, linenumber, partkey) tuple is not unique in the
+        # base, so a row-level join would cross-pair dups)
         bad = con.execute(f"""
             SELECT count(*) FROM (
               SELECT l_orderkey, l_linenumber, l_partkey,
-                     l_shipdate - INTERVAL (l_orderkey % 11) DAY AS s
+                     l_shipdate - INTERVAL
+                       (l_orderkey % {params["day_mod"]}) DAY AS s
               FROM '{out}/lineitem.parquet'
               EXCEPT ALL
               SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate

@@ -10,18 +10,18 @@ no .5-boundary rounds, no float ties at a top-k cut) passes here and
 fails there.  This tool manufactures the unlucky draw on purpose:
 
 * events.value, orders.o_totalprice, lineitem.l_extendedprice are
-  multiplied by an irrational-ish constant (1.00703 / 1.00373), so the
-  money columns carry FULL-precision doubles (the local base is mostly
-  clean 2-dp) — stressing every floor(x*100+0.5) / cast / round(x, k)
-  ingestion path with >2-decimal reprs.
-* timestamps/dates shift by a per-key amount (user_id % 7 hours,
-  orderkey % 11 days), moving week/day/hour bucket boundaries and
-  session gaps; lineitem shifts by its ORDER's key so order→ship
-  relationships survive.
-* documents.text gains a per-doc suffix token (' zq<doc_id%13>'),
+  multiplied by a draw-specific near-1 constant (DRAWS table below),
+  so the money columns carry FULL-precision doubles (the local base
+  is mostly clean 2-dp) — stressing every floor(x*100+0.5) / cast /
+  round(x, k) ingestion path with >2-decimal reprs.
+* timestamps/dates shift by a per-key amount (user_id % hour_mod
+  hours, orderkey % day_mod days, per DRAWS), moving week/day/hour
+  bucket boundaries and session gaps; lineitem shifts by its ORDER's
+  key so order→ship relationships survive.
+* documents.text gains a per-doc suffix token (' zq<doc_id%doc_mod>'),
   changing vocabulary counts, n-gram sets, and dedup/shingle ties.
-* embeddings are component-scaled by 1.003 (norms move; cosine ranks
-  mostly survive, top-k tie structure does not).
+* embeddings are component-scaled by a draw-specific constant (norms
+  move; cosine ranks mostly survive, top-k tie structure does not).
 * dims (region/nation/customer/supplier/part) copy unchanged.
 
 Both engines read the SAME perturbed parquet, so any
@@ -93,18 +93,21 @@ PERTURB = {
 COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
 
 
+DRAW_KEYS = ("value_mult", "price_mult", "hour_mod", "day_mod",
+             "doc_mod", "emb_mult")
+
+
 def generate(base: str, out: str, draw: int = 1) -> None:
     if draw not in DRAWS:
         raise ValueError(
             f"draw {draw} not defined; supported draws: "
             f"{sorted(DRAWS)} (extend DRAWS to add more)")
-    value_mult, price_mult, hour_mod, day_mod, doc_mod, emb_mult = \
-        DRAWS[draw]
+    params = dict(zip(DRAW_KEYS, DRAWS[draw]))
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table, sql in PERTURB.items():
         con.execute(
-            f"COPY ({sql.format(base=base, value_mult=value_mult, price_mult=price_mult, hour_mod=hour_mod, day_mod=day_mod, doc_mod=doc_mod, emb_mult=emb_mult)}) TO "
+            f"COPY ({sql.format(base=base, **params)}) TO "
             f"'{out}/{table}.parquet' (FORMAT PARQUET)")
         print(f"perturbed {table}")
     for table in COPY_AS_IS:
