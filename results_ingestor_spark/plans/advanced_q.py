@@ -12,18 +12,19 @@ from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
 
-@query("merge_upsert_orders", oracle="""
+@query("merge_upsert_orders", oracle=f"""
 WITH updates AS (
   SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
-         round(o_totalprice * 1.1, 2) AS o_totalprice
+         {exact.cents('o_totalprice * 1.1')} AS amount_cents
   FROM orders WHERE o_orderkey % 100 = 0),
 untouched AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         {exact.cents('o_totalprice')} AS amount_cents FROM orders
   WHERE NOT EXISTS (SELECT 1 FROM updates u
                     WHERE u.o_orderkey = orders.o_orderkey)),
 merged AS (SELECT * FROM untouched UNION ALL SELECT * FROM updates)
 SELECT o_orderstatus, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+  CAST(SUM(amount_cents) AS DOUBLE) / 100.0 AS total
 FROM merged GROUP BY o_orderstatus""")
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation (no Delta in this image): target rows not
@@ -35,14 +36,20 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "o_orderstatus", "o_totalprice")
     updates = (target.where(F.col("o_orderkey") % 100 == 0)
                .withColumn("o_orderstatus", F.lit("X"))
-               .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)))
-    untouched = target.join(updates.select("o_orderkey"), "o_orderkey",
-                            "left_anti")
+               .withColumn("amount_cents",
+                           F.expr(exact.cents("o_totalprice * 1.1")))
+               .drop("o_totalprice"))
+    untouched = (target
+                 .join(updates.select("o_orderkey"), "o_orderkey",
+                       "left_anti")
+                 .withColumn("amount_cents",
+                             F.expr(exact.cents("o_totalprice")))
+                 .drop("o_totalprice"))
     merged = untouched.unionByName(updates)
     return (merged.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
-                 .cast("double").alias("total")))
+                 (F.sum("amount_cents").cast("double") / 100.0)
+                 .alias("total")))
 
 
 @query("map_functions", oracle="""
@@ -1154,24 +1161,25 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dq_order_total_reconciliation", oracle=f"""
 WITH line AS (
   SELECT l_orderkey,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * (1 - CAST(l_discount AS DECIMAL(4,2)))
-        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS recomputed
+    CAST(SUM({exact.cents('l_extendedprice')}
+             * (100 - {exact.cents('l_discount')})
+             * (100 + {exact.cents('l_tax')})) AS BIGINT) AS recomputed_e6
   FROM lineitem GROUP BY l_orderkey),
 r AS (
   SELECT o.o_orderkey,
-    CAST(o.o_totalprice AS DECIMAL(12,2)) AS stored,
-    line.recomputed,
+    {exact.cents('o.o_totalprice')} * 10000 AS stored_e6,
+    line.recomputed_e6,
     CASE WHEN line.l_orderkey IS NULL THEN NULL
       ELSE {exact.snap_n9(
-        "abs(CAST(o.o_totalprice AS DECIMAL(12,2)) - line.recomputed)"
-        " / CAST(o.o_totalprice AS DOUBLE)")}
+        "abs(" + exact.cents('o.o_totalprice')
+        + " * 10000 - line.recomputed_e6)"
+        " / (o.o_totalprice * 1000000.0)")}
     END AS rel_err_n9
   FROM orders o LEFT JOIN line ON line.l_orderkey = o.o_orderkey)
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   CAST(count_if(rel_err_n9 IS NULL) AS BIGINT) AS n_no_lines,
-  CAST(count_if(abs(stored - recomputed) <= 0.01) AS BIGINT)
+  CAST(count_if(abs(stored_e6 - recomputed_e6) <= 10000) AS BIGINT)
     AS n_reconciled_1c,
   CAST(CAST(SUM(rel_err_n9) AS BIGINT) AS DOUBLE)
     / (CAST(COUNT(rel_err_n9) AS BIGINT) * 1000000000.0) AS avg_rel_err,
@@ -1183,16 +1191,18 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     lines? — the TPC-H business rule, run as a data-quality audit
     (on this synthetic corpus the invariant does NOT hold, which is
     precisely what the audit exists to surface: headers and lines are
-    drawn independently).  Line recomputation is exact DECIMAL
-    arithmetic (discount/tax re-enter as exact 2-dp decimals); the
-    relative error snaps to integer 10^-9 units via the shared-IEEE
-    floor(x·1e9 + 0.5) device and sums as BIGINT, so the mean and max
-    are exact-integer ratios — order-independent and round()-free on
-    the wire.  r8 lottery-sweep fixes: the Spark side previously
-    divided by the 2dp-rounded `stored` while the oracle divided by
-    the raw double price (invisible on an on-grid corpus, divergent
-    on full-precision prices), and the old round(x, 9) wire carried
-    the pinned 1-ulp straddle class.
+    drawn independently).  Line recomputation is exact INTEGER
+    arithmetic in 10^-6-dollar units — cents(price) × integer
+    discount/tax percents via the IEEE-exact cents ingestion — and
+    the header enters the same way, so the reconciliation census and
+    the error numerators carry no double→DECIMAL cast of raw data at
+    all (r8 lottery sweeps showed those casts diverge cross-engine on
+    .xx5-repr boundary prices — duck rounds the binary at large
+    magnitudes while Spark HALF_UPs the shortest repr; this entry was
+    caught twice).  The relative error snaps to integer 10^-9 units
+    via the shared-IEEE floor(x·1e9 + 0.5) device and sums as BIGINT,
+    so the mean and max are exact-integer ratios — order-independent
+    and round()-free on the wire.
 
     Scale: one orderkey-keyed aggregation joined to the header
     (co-partitioned at rest under the documented bucketing); the
@@ -1200,28 +1210,31 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     line = (t["lineitem"]
             .groupBy("l_orderkey")
-            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
-                       * (1 - F.col("l_discount").cast("decimal(4,2)"))
-                       * (1 + F.col("l_tax").cast("decimal(4,2)")))
-                 .alias("recomputed")))
+            .agg(F.sum(F.expr(
+                f"{exact.cents('l_extendedprice')}"
+                f" * (100 - {exact.cents('l_discount')})"
+                f" * (100 + {exact.cents('l_tax')})"))
+                 .cast("long").alias("recomputed_e6")))
     # Denominator is the RAW double o_totalprice, exactly as the
-    # oracle divides — dividing by the 2dp-rounded `stored` instead is
-    # invisible on an on-grid corpus but diverges on full-precision
-    # prices (caught by the r8 lottery-corpus sweep).
+    # oracle divides; the numerator is an exact-integer e6 difference
+    # (no double→DECIMAL cast of raw data anywhere in this entry).
     o = t["orders"].select(
         "o_orderkey", "o_totalprice",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("stored"))
+        F.expr(f"{exact.cents('o_totalprice')} * 10000")
+        .alias("stored_e6"))
     r = (o.join(line, o.o_orderkey == line.l_orderkey, "left")
-         .select("stored", "recomputed",
+         .select("stored_e6", "recomputed_e6",
                  F.when(F.col("l_orderkey").isNotNull(),
                         F.expr(exact.snap_n9(
-                            "abs(stored - recomputed) / o_totalprice")))
+                            "abs(stored_e6 - recomputed_e6)"
+                            " / (o_totalprice * 1000000.0)")))
                  .alias("rel_err_n9")))
     return r.agg(
         F.count("*").cast("long").alias("n_orders"),
         F.count_if(F.col("rel_err_n9").isNull()).cast("long")
         .alias("n_no_lines"),
-        F.count_if(F.abs(F.col("stored") - F.col("recomputed")) <= 0.01)
+        F.count_if(F.abs(F.col("stored_e6") - F.col("recomputed_e6"))
+                   <= 10000)
         .cast("long").alias("n_reconciled_1c"),
         (F.sum("rel_err_n9").cast("double")
          / (F.count("rel_err_n9").cast("long") * 1_000_000_000.0))
@@ -1290,8 +1303,7 @@ _LDU_CRIT_DF9 = 16.9189776046  # chi-square df=9, 5%
 
 @query("dq_last_digit_uniformity", oracle=f"""
 WITH d AS (
-  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 10
-    AS digit
+  SELECT {exact.cents('o_totalprice')} % 10 AS digit
   FROM orders),
 c0 AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
@@ -1324,13 +1336,16 @@ def dq_last_digit_uniformity(spark: SparkSession,
     benford_first_digit (which tests the FIRST digit against the
     log law) to bracket the number from both ends.
 
-    Exact integer digits from exact-cent arithmetic; the chi-square
-    sums 10 bounded cell terms (float order noise ~1e-15, snapped at
-    6).  Shape: one map + 10-cell aggregate + 1-row test."""
+    Exact integer digits via the IEEE-exact cents ingestion (r8: the
+    previous DECIMAL-cast digit was flipped by a cast-divergent
+    boundary price on the adversarial lottery corpus — a SELECTED
+    digit is maximally sensitive, so it gets the floor-cents
+    treatment); the chi-square sums 10 bounded cell terms (float
+    order noise ~1e-15, snapped at 6).  Shape: one map + 10-cell
+    aggregate + 1-row test."""
     t = load_tables(spark, sf_dir, ("orders",))
     d = t["orders"].select(
-        ((F.col("o_totalprice").cast("decimal(12,2)") * 100)
-         .cast("long") % 10).alias("digit"))
+        (F.expr(exact.cents("o_totalprice")) % 10).alias("digit"))
     spine = spark.range(10).select(F.col("id").cast("long")
                                    .alias("digit"))
     c0 = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -345,15 +346,15 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@query("incremental_join_view_merge", oracle="""
+@query("incremental_join_view_merge", oracle=f"""
 WITH enr AS (
   SELECT n.n_name, o.o_orderdate,
-    CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+    {exact.cents('o.o_totalprice')} AS y
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey)
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(SUM(y) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
   TRUE AS matches_direct
 FROM enr GROUP BY n_name ORDER BY n_name""")
 def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +381,7 @@ def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     enr = (t["orders"].join(cust,
                             t["orders"].o_custkey == cust.c_custkey)
            .select("n_name", "o_orderdate",
-                   F.col("o_totalprice").cast("decimal(18,2)").alias("y")))
+                   F.expr(exact.cents("o_totalprice")).alias("y")))
     cut = F.lit("1997-01-01").cast("date")
     base = (enr.where(F.col("o_orderdate") < cut)
             .groupBy("n_name")
@@ -395,14 +396,15 @@ def incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.col("ds").alias("ps")))
               .groupBy("n_name")
               .agg(F.sum("pn").cast("long").alias("n_orders"),
-                   F.sum("ps").alias("rev_dec")))
+                   F.sum("ps").cast("long").alias("rev_cents")))
     direct = (enr.groupBy(F.col("n_name").alias("nn2"))
               .agg(F.count("*").alias("xn"), F.sum("y").alias("xs")))
     j = merged.join(direct, merged.n_name == direct.nn2)
     same = ((F.col("n_orders") == F.col("xn"))
-            & (F.col("rev_dec") == F.col("xs")))
+            & (F.col("rev_cents") == F.col("xs").cast("long")))
     return (j.select("n_name", "n_orders",
-                     F.col("rev_dec").cast("double").alias("revenue"),
+                     (F.col("rev_cents").cast("double") / 100.0)
+                     .alias("revenue"),
                      same.alias("matches_direct"))
             .orderBy("n_name"))
 

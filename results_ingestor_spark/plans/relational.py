@@ -600,10 +600,10 @@ def agg_argminmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price")))
 
 
-@query("pct_of_parent_revenue", oracle="""
+@query("pct_of_parent_revenue", oracle=f"""
 WITH rev AS (
   SELECT r_name AS region, n_name AS nation,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    CAST(SUM({exact.cents('o_totalprice')}) AS DOUBLE) / 100.0 AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -629,8 +629,8 @@ def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("n_regionkey") == F.col("r_regionkey"))
            .groupBy(F.col("r_name").alias("region"),
                     F.col("n_name").alias("nation"))
-           .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-                .cast("double").alias("revenue")))
+           .agg((F.sum(F.expr(exact.cents("o_totalprice")))
+                 .cast("double") / 100.0).alias("revenue")))
     w_region = Window.partitionBy("region")
     w_all = Window.partitionBy()
     return rev.select(

@@ -532,13 +532,13 @@ def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("pair", "n", F.round(r, 9).alias("r"))
 
 
-@query("period_over_period_revenue", oracle="""
+@query("period_over_period_revenue", oracle=f"""
 WITH m AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    CAST(SUM({exact.cents('o_totalprice')}) AS BIGINT) AS rev
   FROM orders GROUP BY 1)
-SELECT month, CAST(rev AS DOUBLE) AS revenue,
-  CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+SELECT month, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+  CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) / 100.0 AS prev_revenue,
   round(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
         / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 9) AS mom_pct
 FROM m""")
@@ -553,13 +553,13 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (t["orders"]
          .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
                   .alias("month"))
-         .agg(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))"))
-              .alias("rev")))
+         .agg(F.sum(F.expr(exact.cents("o_totalprice")))
+              .cast("long").alias("rev")))
     w = Window.orderBy("month")
     prev = F.lag("rev").over(w)
     return m.select(
-        "month", F.col("rev").cast("double").alias("revenue"),
-        prev.cast("double").alias("prev_revenue"),
+        "month", (F.col("rev").cast("double") / 100.0).alias("revenue"),
+        (prev.cast("double") / 100.0).alias("prev_revenue"),
         F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 9)
         .alias("mom_pct"))
 

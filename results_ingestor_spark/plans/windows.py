@@ -14,10 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
-_DEC = "CAST(o_totalprice AS DECIMAL(12,2))"
+# IEEE-exact integer-cents ingestion (r8: the DECIMAL cast of raw
+# money diverges cross-engine on .xx5-repr boundary prices — see
+# tests/test_round_semantics.py::test_cast_decimal_column_path_divergence)
+_CENTS = exact.cents("o_totalprice")
 
 
 @query("window_rank_orders", oracle="""
@@ -58,9 +62,10 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("window_running_sum", oracle=f"""
 SELECT o_orderkey, o_custkey,
-  CAST(SUM({_DEC}) OVER (PARTITION BY o_custkey
+  CAST(SUM({_CENTS}) OVER (PARTITION BY o_custkey
        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 100.0 AS running_total
 FROM orders""")
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative frame (running total) — exact decimal accumulation."""
@@ -70,12 +75,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return t["orders"].select(
         "o_orderkey", "o_custkey",
-        F.sum(F.expr(_DEC)).over(w).cast("double").alias("running_total"))
+        (F.sum(F.expr(_CENTS)).over(w).cast("double") / 100.0)
+        .alias("running_total"))
 
 
 @query("window_moving_avg", oracle=f"""
 SELECT o_orderkey, o_custkey,
-  CAST(SUM({_DEC}) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+  CAST(SUM({_CENTS}) OVER w AS DOUBLE)
+    / (100.0 * COUNT(*) OVER w) AS moving_avg
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey
              ORDER BY CAST(o_orderdate AS DATE), o_orderkey
@@ -89,8 +96,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-2, Window.currentRow))
     return t["orders"].select(
         "o_orderkey", "o_custkey",
-        (F.sum(F.expr(_DEC)).over(w).cast("double")
-         / F.count("*").over(w)).alias("moving_avg"))
+        (F.sum(F.expr(_CENTS)).over(w).cast("double")
+         / (100.0 * F.count("*").over(w))).alias("moving_avg"))
 
 
 @query("window_ntile_quartiles", oracle="""
@@ -146,10 +153,11 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("window_range_frame_trailing", oracle=f"""
 SELECT o_orderkey, o_custkey, o_orderdate,
-  CAST(SUM({_DEC}) OVER (
+  CAST(SUM({_CENTS}) OVER (
     PARTITION BY o_custkey
     ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_5d
+    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / 100.0 AS trailing_5d
 FROM orders WHERE o_custkey < 100""")
 def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE (value-based) frame — trailing 5-DAY revenue per customer.
@@ -164,8 +172,8 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-5, Window.currentRow))
     return (t["orders"].where(F.col("o_custkey") < 100)
             .select("o_orderkey", "o_custkey", "o_orderdate",
-                    F.sum(F.expr(_DEC)).over(w).cast("double")
-                    .alias("trailing_5d")))
+                    (F.sum(F.expr(_CENTS)).over(w).cast("double")
+                     / 100.0).alias("trailing_5d")))
 
 
 @query("window_distribution_funcs", oracle="""

@@ -162,3 +162,31 @@ def test_cast_vs_floor_boundary_divergence(spark):
     finally:
         con.close()
     assert (d[0], str(d[1]), d[2], str(d[3])) == (100, "1.01", 28, "0.29")
+
+
+def test_cast_decimal_column_path_divergence(spark):
+    """r8 sf0.1-lottery finding: on REAL COLUMN data (not literals,
+    which constant-fold through a different path), DuckDB's
+    double→DECIMAL cast diverges from Spark's on some .xx5-shortest-
+    repr doubles at large magnitudes — e.g. 199240.405 → Spark
+    HALF_UPs the shortest repr to 199240.41, DuckDB rounds the binary
+    (which sits below the half) to 199240.40.  Base-generator corpora
+    carry ZERO such values (measured: 0 disagreements over all money
+    cells at sf0.01 + sf0.1), so distribution-safe — but any NEW wire
+    ingesting raw money doubles must use exact.cents(), never a
+    DECIMAL cast.  Pinned so an engine upgrade that moves either
+    side's behavior is caught."""
+    s = spark.createDataFrame([(199240.405,), (0.285,)], "x double") \
+        .selectExpr("CAST(x AS DECIMAL(12,2)) AS c").collect()
+    s_vals = sorted(str(r.c) for r in s)
+    assert s_vals == ["0.29", "199240.41"]  # shortest-repr HALF_UP
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t AS SELECT "
+                    "unnest([199240.405, 0.285]::DOUBLE[]) AS x")
+        d_vals = sorted(str(v[0]) for v in con.sql(
+            "SELECT CAST(x AS DECIMAL(12,2)) FROM t").fetchall())
+    finally:
+        con.close()
+    # DuckDB: small magnitude follows the repr, large follows the binary
+    assert d_vals == ["0.29", "199240.40"]
