@@ -49,3 +49,14 @@ def snap_n9(x: str) -> str:
     BIGINT for the identical double input).  Argument parenthesized
     (see cents)."""
     return f"CAST(floor(({x}) * 1000000000.0 + 0.5) AS BIGINT)"
+
+
+def snap_double(x: str, scale: int) -> str:
+    """A double snapped to `scale` decimals via the shared-IEEE
+    floor((x)·10^scale + 0.5) device, rescaled in one division — the
+    round()-free replacement for ``round(x, scale)`` on a compared
+    wire (round() itself diverges cross-engine near .5 boundaries;
+    tests/test_round_semantics.py).  Half rounds toward +inf for
+    negatives — identically in both engines."""
+    p = 10 ** scale
+    return f"CAST(floor(({x}) * {p}.0 + 0.5) AS BIGINT) / {p}.0"

@@ -697,16 +697,18 @@ def _ses_oracle() -> str:
     return f"""
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS x
+    {exact.snap_double(f"CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)", 9)}
+      AS x
   FROM events GROUP BY 1, 2),
 lvl AS (
   SELECT event_type, bucket, x,
-    round(({num}) / ({den}), 6) AS level
+    {exact.snap_double(f"({num}) / ({den})", 6)} AS level
   FROM h
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
 SELECT event_type, bucket, x AS actual, level,
-  round(x - lag(level) OVER
-    (PARTITION BY event_type ORDER BY bucket), 6) AS one_step_error
+  {exact.snap_double("x - lag(level) OVER "
+                     "(PARTITION BY event_type ORDER BY bucket)", 6)}
+    AS one_step_error
 FROM lvl"""
 
 
@@ -731,7 +733,8 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.expr(_VDEC)
     h = (t["events"]
          .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-         .agg(F.round(F.sum(dec).cast("double") / F.count("*"), 9)
+         .agg((F.floor((F.sum(dec).cast("double") / F.count("*"))
+                       * 1e9 + F.lit(0.5)).cast("long") / 1e9)
               .alias("x")))
     w = Window.partitionBy("event_type").orderBy("bucket")
     ws = [(1 - _SES_ALPHA) ** k for k in range(_SES_LAGS)]
@@ -744,10 +747,12 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = nk if num is None else num + nk
         den = dk if den is None else den + dk
     lvl = h.select("event_type", "bucket", "x",
-                   F.round(num / den, 6).alias("level"))
+                   (F.floor((num / den) * 1e6 + F.lit(0.5)).cast("long")
+                    / 1e6).alias("level"))
     return lvl.select(
         "event_type", "bucket", F.col("x").alias("actual"), "level",
-        F.round(F.col("x") - F.lag("level").over(w), 6)
+        (F.floor((F.col("x") - F.lag("level").over(w)) * 1e6
+                 + F.lit(0.5)).cast("long") / 1e6)
          .alias("one_step_error"))
 
 

@@ -42,6 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # identically, so floor/ceil/round of the result matches bit-for-bit —
 # these are genuinely-double computations, not integer intent.
 _IDIOM_A_WHITELIST = {
+    # SES snap device (r8): floor((x)*10^k + 0.5) yields an exact
+    # integer-valued double; the long cast is exact and the division
+    # by 10^k is the one shared rescale — the intended round()-free
+    # wire snap (exact.snap_double), not integer-intent division
+    'stats_q.py: * 1e9 + F.lit(0.5)).cast("long") / 1e9)',
+    'stats_q.py: (F.floor((num / den) * 1e6 + F.lit(0.5)).cast("long")',
+
     # bit extraction: numerator is 0 or exactly 2^i → quotient is the
     # exact dyadic 0.0/1.0 (morton interleave)
     "advanced_q.py: ub = ((F.col(\"u\").bitwiseAND(F.lit(1 << i))) / (1 << i)).cast(\"int\")",
