@@ -947,20 +947,22 @@ def customers_at_risk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("custkey"))
 
 
-@query("feature_target_encoding_loo", oracle="""
+@query("feature_target_encoding_loo", oracle=f"""
 WITH o AS (
   SELECT o.o_orderkey, c.c_mktsegment AS segment,
-    CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+    {exact.cents('o.o_totalprice')} AS y
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
 seg AS (
-  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(y) AS s_g
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g,
+    CAST(SUM(y) AS BIGINT) AS s_g
   FROM o GROUP BY segment),
 gstat AS (
   SELECT CAST(SUM(s_g) AS DOUBLE) / SUM(n_g) AS gm
   FROM seg)
 SELECT o.o_orderkey, o.segment,
-  round((CAST(seg.s_g - o.y AS DOUBLE) + 10.0 * gstat.gm)
-        / (seg.n_g - 1 + 10.0), 2) AS te_loo
+  {exact.snap_double(
+      "(CAST(seg.s_g - o.y AS DOUBLE) + 10.0 * gstat.gm)"
+      " / (seg.n_g - 1 + 10.0) / 100.0", 2)} AS te_loo
 FROM o JOIN seg ON o.segment = seg.segment CROSS JOIN gstat
 ORDER BY o.o_orderkey""")
 def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,12 +972,12 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     that segment, smoothed toward the global mean with prior strength
     10 (te = (sum_g - y + 10*gm) / (n_g - 1 + 10)).  Excluding the
     row's own target is what prevents the leakage that plain mean
-    encoding injects into training data.  Sums accumulate as exact
-    DECIMAL(18,2) (money-safe); doubles enter in one fixed-order
-    final expression; output rounds to cents (round 9 at magnitude
-    ~2.5e5 asks for 15 significant digits, where the two engines'
-    round() tie-handling on bit-identical doubles diverges — cents
-    keep 9 significant digits with no tie window).
+    encoding injects into training data.  Targets enter as IEEE-exact
+    integer cents and sums accumulate as BIGINT (r8 DECWIRE posture);
+    doubles enter in one fixed-order final expression; the output
+    snaps to the cent via the shared floor(x*100+0.5) device (round()
+    itself is the pinned cross-engine divergence class — this entry
+    was caught by the sf0.1 draw-3 lottery sweep on exactly that).
 
     Scale: one shuffle join to fetch the segment (orders x customer on
     custkey), then a hash aggregate whose output is bounded by the
@@ -986,17 +988,19 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (t["orders"].join(t["customer"],
                           t["orders"].o_custkey == t["customer"].c_custkey)
          .select("o_orderkey", F.col("c_mktsegment").alias("segment"),
-                 F.col("o_totalprice").cast("decimal(18,2)").alias("y")))
+                 F.expr(exact.cents("o_totalprice")).alias("y")))
     seg = (o.groupBy("segment")
-           .agg(F.count("*").alias("n_g"), F.sum("y").alias("s_g")))
+           .agg(F.count("*").alias("n_g"),
+                F.sum("y").cast("long").alias("s_g")))
     glob = seg.agg(
         (F.sum("s_g").cast("double") / F.sum("n_g")).alias("gm"))
-    te = ((F.col("s_g") - F.col("y")).cast("double")
-          + 10.0 * F.col("gm")) / (F.col("n_g") - 1 + 10.0)
+    te = (((F.col("s_g") - F.col("y")).cast("double")
+           + 10.0 * F.col("gm")) / (F.col("n_g") - 1 + 10.0) / 100.0)
     return (o.join(F.broadcast(seg), "segment")
             .crossJoin(F.broadcast(glob))
             .select("o_orderkey", "segment",
-                    F.round(te, 2).alias("te_loo"))
+                    (F.floor(te * 100.0 + F.lit(0.5)).cast("long")
+                     / 100.0).alias("te_loo"))
             .orderBy("o_orderkey"))
 
 

@@ -114,10 +114,11 @@ def asof_join_forward_next_purchase(spark: SparkSession,
     return out.select("user_id", "ts", "matched_ts", "purchase_event_id")
 
 
-@query("join_full_outer", oracle="""
+@query("join_full_outer", oracle=f"""
 WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 1200),
 o AS (SELECT o_custkey, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+        CAST(SUM({exact.cents('o_totalprice')}) AS DOUBLE) / 100.0
+          AS spend
       FROM orders WHERE o_custkey > 800 GROUP BY o_custkey)
 SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
   c.c_acctbal, o.n_orders, o.spend,
@@ -135,8 +136,8 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (t["orders"].where(F.col("o_custkey") > 800)
          .groupBy("o_custkey")
          .agg(F.count("*").alias("n_orders"),
-              F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
-              .cast("double").alias("spend")))
+              (F.sum(F.expr(exact.cents("o_totalprice")))
+               .cast("double") / 100.0).alias("spend")))
     j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
     return j.select(
         F.coalesce("c_custkey", "o_custkey").alias("custkey"),

@@ -40,11 +40,16 @@ def _sumd(expr: str) -> str:
 @query("q1_pricing_summary", oracle=f"""
 SELECT l_returnflag, l_linestatus,
   {_sumd(_DEC.format(c='l_quantity'))} AS sum_qty,
-  {_sumd(_DEC.format(c='l_extendedprice'))} AS sum_base_price,
-  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ')')} AS sum_disc_price,
-  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ') * (1 + ' + _DEC.format(c='l_tax') + ')')} AS sum_charge,
+  CAST(SUM({exact.cents('l_extendedprice')}) AS DOUBLE) / 100.0
+    AS sum_base_price,
+  CAST(SUM({exact.rev_e4('l_extendedprice', 'l_discount')}) AS DOUBLE)
+    / 10000.0 AS sum_disc_price,
+  CAST(SUM({exact.rev_e4('l_extendedprice', 'l_discount')}
+           * (100 + {exact.cents('l_tax')})) AS DOUBLE)
+    / 1000000.0 AS sum_charge,
   CAST(SUM({_DEC.format(c='l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM({_DEC.format(c='l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM({exact.cents('l_extendedprice')}) AS DOUBLE)
+    / (100.0 * COUNT(*)) AS avg_price,
   CAST(SUM({_DEC.format(c='l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
@@ -61,13 +66,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-             .cast("double").alias("sum_disc_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-                  * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(F.expr(exact.cents("l_extendedprice")))
+             .cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(F.expr(exact.rev_e4("l_extendedprice", "l_discount")))
+             .cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(F.expr(
+                f"{exact.rev_e4('l_extendedprice', 'l_discount')}"
+                f" * (100 + {exact.cents('l_tax')})"))
+             .cast("double") / 1000000.0).alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.expr(exact.cents("l_extendedprice"))).cast("double")
+             / (100.0 * F.count("*"))).alias("avg_price"),
             (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         ))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -836,7 +837,8 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("supplier_scorecard", oracle=f"""
 WITH m AS (
   SELECT l_suppkey,
-    SUM({_REV}) AS rev,
+    CAST(SUM({exact.rev_e4('l_extendedprice', 'l_discount')})
+         AS BIGINT) AS rev,
     COUNT(DISTINCT l_partkey) AS n_parts,
     COUNT(*) AS n_lines,
     SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -844,7 +846,7 @@ WITH m AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY l_suppkey)
 SELECT s_name, n_name,
-  CAST(rev AS DOUBLE) AS revenue,
+  CAST(rev AS DOUBLE) / 10000.0 AS revenue,
   CAST(n_parts AS BIGINT) AS n_parts,
   round(CAST(n_late AS DOUBLE) / n_lines, 9) AS late_rate,
   CAST(rank() OVER (ORDER BY rev DESC, s_name) AS INT) AS revenue_rank
@@ -868,7 +870,9 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (t["lineitem"]
          .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
          .groupBy("l_suppkey")
-         .agg(F.sum(_rev()).alias("rev"),
+         .agg(F.sum(F.expr(exact.rev_e4("l_extendedprice",
+                                        "l_discount")))
+              .cast("long").alias("rev"),
               F.countDistinct("l_partkey").alias("n_parts"),
               F.count("*").alias("n_lines"),
               F.sum(late).alias("n_late")))
@@ -882,7 +886,8 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_lines")
             .withColumn("revenue_rank", F.rank().over(w).cast("int"))
             .select("s_name", "n_name",
-                    F.col("rev").cast("double").alias("revenue"),
+                    (F.col("rev").cast("double") / 10000.0)
+                    .alias("revenue"),
                     F.col("n_parts").cast("long").alias("n_parts"),
                     F.round(F.col("n_late").cast("double")
                             / F.col("n_lines"), 9).alias("late_rate"),
