@@ -42,13 +42,19 @@ def rev_e4(price: str, discount: str) -> str:
             f" * (100 - {cents(discount)})")
 
 
+def snap_int(x: str, scale: int) -> str:
+    """Integer 10^-scale units of a double expression via the
+    shared-IEEE floor((x)·10^scale + 0.5) device — both engines
+    compute the identical BIGINT for the identical double input;
+    summing these integers is exact and order-free where summing the
+    raw doubles is not.  Argument parenthesized (see cents)."""
+    p = 10 ** scale
+    return f"CAST(floor(({x}) * {p}.0 + 0.5) AS BIGINT)"
+
+
 def snap_n9(x: str) -> str:
-    """Integer 10^-9 units of a double expression via the shared-IEEE
-    floor(x*1e9 + 0.5) device — the round()-free way to put a 9-dp
-    value on a compared wire (both engines compute the identical
-    BIGINT for the identical double input).  Argument parenthesized
-    (see cents)."""
-    return f"CAST(floor(({x}) * 1000000000.0 + 0.5) AS BIGINT)"
+    """snap_int at scale 9 — the standard 9-dp wire snap."""
+    return snap_int(x, 9)
 
 
 def snap_double(x: str, scale: int) -> str:

@@ -1224,16 +1224,22 @@ _BRIDGE_TERMS = {
 
 
 def _bridge_oracle() -> str:
+    # each per-part term snaps to integer 1e-6 units (shared-IEEE
+    # floor device) so the month totals are exact BIGINT sums — raw
+    # double summation is engine-order-dependent, and the r8 sf0.1
+    # draw-3 lottery sweep caught the residue straddling round(x, 2)
     terms = ",\n  ".join(
-        f"round(SUM({expr}), 2) AS {name}"
+        f"CAST(CAST(SUM({exact.snap_int(expr, 6)}) AS BIGINT)"
+        f" AS DOUBLE) / 1000000.0 AS {name}"
         for name, expr in _BRIDGE_TERMS.items())
     return f"""
 WITH pm AS (
   SELECT l_partkey,
     CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+    CAST(SUM({exact.cents('l_extendedprice')}) AS DOUBLE) / 100.0
+      / CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+      AS p,
+    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS q
   FROM lineitem GROUP BY 1, 2),
 lagged AS (
   SELECT month, p AS p1, q AS q1,
@@ -1257,28 +1263,33 @@ def revenue_bridge_price_volume(spark: SparkSession,
     charged more or sold more?".  Per-part effects roll up by month.
 
     Determinism: unit price and quantity are doubles derived from
-    exact DECIMAL sums; each bridge term is one shared expression cast
-    to DECIMAL(18,6) before summation, so month totals are exact and
-    order-free.
+    exact DECIMAL sums; each bridge term snaps to integer 1e-6-dollar
+    units via the shared-IEEE floor device before summation, so month
+    totals are exact BIGINT sums rescaled once — order-free with no
+    round() on the wire (r8: raw double summation left an
+    engine-order residue that straddled round(x,2) on the sf0.1
+    draw-3 lottery corpus).
 
     Scale: one (part, month) hash-agg, a part-partitioned lag window
     (co-partitioned with the agg), and a month-keyed rollup — the
     month layer is bounded by the calendar."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    qi = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
     pm = (t["lineitem"]
           .groupBy("l_partkey",
                    F.date_trunc("month", "l_shipdate").cast("date")
                    .alias("month"))
-          .agg((F.sum(dec("l_extendedprice")).cast("double")
-                / F.sum(dec("l_quantity")).cast("double")).alias("p"),
-               F.sum(dec("l_quantity")).cast("double").alias("q")))
+          .agg((F.sum(F.expr(exact.cents("l_extendedprice")))
+                .cast("double") / 100.0
+                / F.sum(qi).cast("double")).alias("p"),
+               F.sum(qi).cast("double").alias("q")))
     w = Window.partitionBy("l_partkey").orderBy("month")
     lagged = pm.select(
         "month", F.col("p").alias("p1"), F.col("q").alias("q1"),
         F.lag("p").over(w).alias("p0"), F.lag("q").over(w).alias("q0"))
     aggs = [F.count("*").alias("n_parts")] + [
-        F.round(F.sum(F.expr(expr)), 2).alias(name)
+        (F.sum(F.expr(exact.snap_int(expr, 6))).cast("long")
+         .cast("double") / 1_000_000.0).alias(name)
         for name, expr in _BRIDGE_TERMS.items()]
     return (lagged.where(F.col("p0").isNotNull())
             .groupBy("month").agg(*aggs)
