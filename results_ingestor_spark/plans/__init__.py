@@ -30,77 +30,77 @@ from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-7 together drove 288 distinct entries green
-# (generated ledger, tools/verification_ledger.py — the r7 verdict's
-# prose said 289; the artifact-derived count is authoritative).
-# Round 8 activates _ROUND8_SLATE (r7 verdict item 4; every entry was
-# pre-verified cell-for-cell at sf0.01 AND sf0.1 during round 7 — 96
-# checks, 0 failures; re-verified this round after the DECWIRE sweep).
+# queries.  Rounds 1-8 together drove 332 distinct entries green
+# (generated ledger, tools/verification_ledger.py; r8 added 44
+# first-greens and went 49/50 — the lone red being diag_decimal_echo
+# doing its designed job, see below).
+# Round 9 activates _ROUND9_SLATE (r8 verdict item 1, via the staged
+# activation recipe that used to live here; every entry was
+# pre-verified cell-for-cell at sf0.01 AND sf0.1 — 90 checks in r7
+# plus the 6 r8-deferral carry-overs with the r8 slate — and
+# re-verified this round on r9 HEAD plus the lottery battery).
 # Composition: the permanent flagship trio, the two permanent
-# regression watches, the two r7 hash-red cells pinned until
-# driver-green (cohort_ltv_curve — red r5/r6/r7 — and
-# dq_outlier_iqr_fences — new red r7; BOTH rewritten this round to
-# DECIMAL-free BIGINT wires per r7 verdict item 1), diag_decimal_echo
-# (r7 verdict item 2: the DECIMAL-comparator probe — the round's ONE
-# new registry entry), and 42 of the 48 slate entries.
-# window_range_frame_trailing, multimodal_resize, spatial_dbscan_roles,
-# streaming_drift_monitor, supplier_scorecard and ann_filtered_topk are
-# the six slate entries deferred to round 9 to make room for the two
-# pinned reds + probe.  diag_env_manifest rotates out: its question
-# (gate timezone + engine pins) was answered green-164/164 in r7 and
-# needs no re-reading.  Every name below has a DuckDB oracle, so the
-# gate can be 50/50 value-checked.  All prior window entries stay
-# registered and locally value-checked.
+# regression watches, and 45 of the 51 _ROUND9_SLATE entries.
+# cohort_ltv_curve and dq_outlier_iqr_fences are NOT re-pinned:
+# CORRECTNESS_r08 hashes both green (the BIGINT-cents rewrites
+# landed), so their watch duty is discharged until the r11
+# regression-watch rotation.  diag_decimal_echo is RETIRED from the
+# window as answered (r8 verdict item 2): its r8 row read rows/schema
+# green + hash RED on a by-construction-identical DECIMAL table,
+# proving the driver's comparator mishandles DECIMAL round-trips;
+# the no-DECIMAL-on-compared-wires policy is permanent and enforced
+# by tools/plan_lint.py.  The entry stays registered (documented
+# expected-red) for any future comparator re-test.
+# asof_join_nearest_signup, multimodal_phash_neardup,
+# multimodal_patch_grid, window_running_distinct,
+# spatial_grid_density_hotspots and streaming_enriched_tier_counts
+# are the six slate-tail entries deferred to the head of
+# _ROUND10_SLATE, exactly as r8 deferred its six.  Every name below
+# has a DuckDB oracle, so the gate can be 50/50 value-checked.  All
+# prior window entries stay registered and locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
     # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
     "agg_argminmax_conditional", "events_sessionize",
-    # r7 hash-red cells, rewritten to BIGINT wires (r7 verdict item 1),
-    # pinned until driver-green
-    "cohort_ltv_curve", "dq_outlier_iqr_fences",
-    # DECIMAL-comparator probe (r7 verdict item 2) — fixed
-    # by-construction-identical DECIMAL table; red ⇒ the driver's
-    # comparator mishandles DECIMAL, green ⇒ the r7 reds were
-    # data-dependent cast divergence
-    "diag_decimal_echo",
-    # --- _ROUND8_SLATE (42 of 48; see deferral note above) ---
-    # round-7 deferrals
-    "stats_mad_by_type", "histogram_totalprice", "join_full_outer",
-    # stats / events-stats tail
-    "events_poisson_burst_surprise", "events_seasonality_strength",
-    "discount_volume_elasticity", "stats_permutation_test_mean",
-    "stats_cochran_armitage_trend", "stats_g_test_lang_source",
-    "events_poisson_glm_hourly",
-    # advanced SQL
-    "zorder_cluster_key", "part_skyline", "events_longest_daily_streak",
-    "variant_json_typed_extract", "string_collation_ci_grouping",
-    # text analysis
-    "text_code_switching", "tokenizer_fertility_by_lang",
-    "text_rake_keywords", "text_langid_confusion",
-    "text_dispersion_gries_dp",
+    # --- _ROUND9_SLATE (45 of 51; see deferral note above) ---
+    # round-8 deferrals
+    "window_range_frame_trailing", "multimodal_resize",
+    "spatial_dbscan_roles", "streaming_drift_monitor",
+    "supplier_scorecard", "ann_filtered_topk",
+    # stats tail
+    "stats_sample_size_two_proportions", "stats_levene_brown_forsythe",
+    "events_overdispersion_fano", "stats_capture_recapture",
+    "stats_runs_test",
     # similarity / embeddings
-    "embedding_covariance", "ann_ivf_tuning_curve",
-    "ann_dim_truncation_recall",
-    # pipeline / privacy
-    "dedup_split_leakage", "sampling_cluster_aware_split",
-    "pipeline_stage_attrition", "privacy_randomized_response",
-    # corpus / curation
-    "curriculum_perplexity_buckets", "dataset_manifest",
-    "er_blocking_recall", "data_selection_gradient_match",
+    "ann_pq_adc_topk", "ann_ivf_index_stats", "ann_knn_graph_banded",
+    "embedding_hubness_census", "embedding_isotropy_score",
+    # text analysis
+    "text_novelty_unique_ngrams", "quality_gopher_rules",
+    "quality_rater_agreement", "text_term_burstiness",
+    "text_vocab_concentration",
+    # pipeline / privacy / layout
+    "dataset_diff_snapshots", "privacy_dp_median_expmech",
+    "privacy_pseudonym_collisions", "layout_pruning_effectiveness",
+    "layout_dict_encoding_estimate",
+    # advanced / dq
+    "scd2_point_in_time_join", "dq_value_domain_check",
+    "customers_at_risk_churn", "feature_target_encoding_loo",
+    "als_rank1_factorization",
+    # corpus / LM
+    "dedup_semantic_clusters", "lm_bigram_kneser_ney",
+    "wordpiece_train_merges", "wordpiece_tokenize_docs",
     # events analytics
-    "events_cep_pattern_match", "dq_freshness_by_type",
-    "events_bot_regularity",
+    "events_session_gap_curve", "events_decayed_leaderboard",
+    "events_reliability_report",
     # dedup
-    "dedup_cdc_chunks", "dedup_boundary_stitch",
-    "dedup_transitivity_violation_rate",
+    "dedup_lsh_s_curve", "join_bloom_sizing_table",
     # graph
-    "graph_hits_bipartite_topk", "graph_local_clustering",
+    "graph_lpa_modularity", "graph_rich_club",
     # functions / sketches
-    "sketch_theta_set_ops", "incremental_agg_merge",
-    # joins (attribution_u_shaped: DECWIRE-swept this round —
-    # BIGINT-microdollar wire gets its first driver check here)
-    "attribution_u_shaped",
+    "incremental_join_view_merge", "sketch_kmv_distinct",
+    # joins
+    "join_null_safe",
 ]
 
 
@@ -202,31 +202,16 @@ _ROUND8_SLATE = [
 ]
 
 
-# Round-9 rotation slate, STAGED one round ahead: the 45 originally
-# staged never-driver-checked ORACLED entries plus the 6 round-8
-# deferrals (51 total; the window fits 50 minus permanent pins, so
-# round 9 will defer its own tail into _ROUND10_SLATE the same way).
-#
-# ROUND-9 ACTIVATION RECIPE (one edit): set _PRIORITY to
-#   [flagship 3] + ["agg_argminmax_conditional", "events_sessionize"]
-#   (+ "cohort_ltv_curve" / "dq_outlier_iqr_fences" again ONLY if
-#   CORRECTNESS_r08 still hashes either red)
-#   (+ "diag_decimal_echo" again ONLY if its r8 row needs re-reading —
-#   if it came back hash-RED with rows/schema green, the comparator
-#   mishandles DECIMAL and the entry should be RETIRED from the window
-#   as answered, with the DECWIRE ban noted as permanent policy)
-#   + as many _ROUND9_SLATE entries as fit the 50-entry window
-#   (defer the tail into _ROUND10_SLATE, as r8 did with its 6).
-# Then re-run tools/check_correctness.py on the new window, the
-# lottery sweep on any entry whose wire changed, and
-# tools/driver_sim_check.py before closing.
-# The 6 rows-only entries and the remaining oracled entries form the
-# round-10 tail, which clears the debt entirely.  Pre-verified
+# Round-9 rotation slate — ACTIVATED in round 9 (45 of the 51 entries
+# below are in _PRIORITY; the 6-entry tail was deferred to the head of
+# _ROUND10_SLATE, exactly as r8 deferred its six).  Pre-verified
 # cell-for-cell at BOTH sf0.01 and sf0.1 during round 7 (90 checks —
 # see COVERAGE.md); streaming_drift_monitor/supplier_scorecard/
 # ann_filtered_topk/window_range_frame_trailing/multimodal_resize/
 # spatial_dbscan_roles carried over from the round-8 slate with the
-# same pre-verification.
+# same pre-verification; the activated 50-entry window re-verified on
+# r9 HEAD at both SFs plus the multi-draw lottery battery before the
+# gate (COVERAGE.md r9 pre-verification row).
 _ROUND9_SLATE = [
     # round-8 deferrals (pre-verified with the round-8 slate)
     "window_range_frame_trailing", "multimodal_resize",
@@ -272,16 +257,23 @@ _ROUND9_SLATE = [
 ]
 
 
-# Round-10 rotation slate, STAGED three rounds ahead — the FINAL
+# Round-10 rotation slate, STAGED one round ahead — the FINAL
 # never-driver-checked tail: after the round-7 window, _ROUND8_SLATE,
-# and _ROUND9_SLATE retire, exactly these 38 entries remain (32
-# oracled + the 6 justified rows-only entries, which the driver
-# checks rows-only).  Activating it clears the verification debt to
-# ZERO: every registered entry will then have been driver-checked at
-# least once.  The 32 oracled entries were pre-verified cell-for-cell
-# at BOTH sf0.01 and sf0.1 during round 7 (64 checks — COVERAGE.md);
-# the 6 rows-only entries execute in every full-registry sweep.
+# and _ROUND9_SLATE retire, exactly these 44 entries remain (the 6
+# r9-deferral carry-overs + 32 oracled + the 6 justified rows-only
+# entries, which the driver checks rows-only).  Activating it clears
+# the verification debt to ZERO: every registered entry will then
+# have been driver-checked at least once.  The oracled entries were
+# pre-verified cell-for-cell at BOTH sf0.01 and sf0.1 during round 7
+# (COVERAGE.md); the 6 rows-only entries execute in every
+# full-registry sweep.  With the 5 permanent pins this fills 49 of
+# the 50 window slots — the spare goes to the first _ROUND11_SLATE
+# watch entry.
 _ROUND10_SLATE = [
+    # round-9 deferrals (pre-verified with the round-9 slate)
+    "asof_join_nearest_signup", "multimodal_phash_neardup",
+    "multimodal_patch_grid", "window_running_distinct",
+    "spatial_grid_density_hotspots", "streaming_enriched_tier_counts",
     # events / stats tail
     "orders_monthly_streaks", "events_peak_hour_rayleigh",
     "events_capacity_profile", "events_burstiness_memory",
@@ -313,17 +305,82 @@ _ROUND10_SLATE = [
 ]
 
 
+# Round-11 rotation slate, STAGED two rounds ahead (r8 verdict item
+# 6: pin the name list during r9, not r10).  After r10 the
+# never-driver-checked debt is ZERO, so the window's job flips from
+# coverage to REGRESSION SENSITIVITY against the driver's per-round
+# corpus regeneration (COVERAGE.md rotation-table r11 row).
+# Composition, in rule order:
+#   (a) standing environment probe diag_env_manifest (gate timezone +
+#       engine pins; green 164/164 in r7 — cheap to re-read after two
+#       rounds of driver-image churn).  diag_decimal_echo is NOT
+#       included: its question is answered (r8: rows/schema green +
+#       hash red on a by-construction-identical DECIMAL table ⇒ the
+#       comparator mishandles DECIMAL) and re-pinning it would hold
+#       the artifact at 49/50 forever; it stays registered as a
+#       documented expected-red for any comparator re-test.
+#   (b) the most corpus-lottery-sensitive wires: the two former
+#       DECIMAL reds (cohort_ltv_curve red r5-r7, dq_outlier_iqr_fences
+#       red r7 — both BIGINT-cents since r8), the six other
+#       money/timestamp-sensitive entries the r8 lottery battery
+#       exercises (revenue_bridge_price_volume, events_ses_forecast,
+#       attribution_u_shaped, abc_inventory_classes,
+#       orders_aging_buckets, join_bloom_prefilter), float-ordering /
+#       top-k tie shapes (topk_per_group, window_rank_orders,
+#       percentile_exact), and calendar wires
+#       (events_seasonality_strength, events_longest_daily_streak).
+#   (c) oldest-green-first fill: the remaining slots go to the
+#       entries with the largest rounds-since-last-driver-check —
+#       last green r1 then r2 per the generated ledger
+#       (tools/verification_ledger.py over CORRECTNESS_r01..r08).
+# 45 entries; with the 5 permanent pins the window reads exactly 50.
+# To be re-checked against CORRECTNESS_r10 at activation time (any
+# new red gets pinned, displacing the youngest (c)-tier entry).
+_ROUND11_SLATE = [
+    # (a) standing probe
+    "diag_env_manifest",
+    # (b) corpus-lottery-sensitive wires
+    "cohort_ltv_curve", "dq_outlier_iqr_fences",
+    "revenue_bridge_price_volume", "events_ses_forecast",
+    "attribution_u_shaped", "abc_inventory_classes",
+    "orders_aging_buckets", "join_bloom_prefilter",
+    "topk_per_group", "window_rank_orders", "percentile_exact",
+    "events_seasonality_strength", "events_longest_daily_streak",
+    # (c) oldest-green-first: last driver-green in r1
+    "array_functions", "asof_join_purchase_signup",
+    "events_gapfill_hourly", "events_json_extract",
+    "events_sliding_6h_daily", "events_tumbling_hour",
+    "events_type_share", "from_json_typed", "merge_upsert_orders",
+    "salted_sum_by_flag", "unpivot_lineitem_metrics",
+    "window_first_last", "window_lag_lead", "window_moving_avg",
+    "window_ntile_quartiles", "window_running_sum",
+    # (c) oldest-green-first: last driver-green in r2
+    "case_when_bucketing", "count_distinct_nations",
+    "cube_status_priority", "date_functions", "distinct_segments",
+    "events_value_dispersion", "grouping_sets_mixed", "join_anti",
+    "join_broadcast_dims", "join_left_outer", "join_semi",
+    "join_theta_range", "lineitem_price_qty_corr", "math_functions",
+    "pct_of_parent_revenue",
+]
+
+
 def _reorder() -> None:
+    # ADVICE r8: raise, don't assert — bare asserts are stripped
+    # under `python -O`, silently disabling the typo/rename guard.
     missing = [n for n in _PRIORITY if n not in QUERIES]
-    assert not missing, f"_PRIORITY names unknown queries: {missing}"
+    if missing:
+        raise ValueError(f"_PRIORITY names unknown queries: {missing}")
     # ADVICE r7: staged slates must resolve at import time, not at
     # their activation round — a typo or a later query rename would
     # otherwise surface only when the slate goes live.
     for slate_name, slate in (("_ROUND8_SLATE", _ROUND8_SLATE),
                               ("_ROUND9_SLATE", _ROUND9_SLATE),
-                              ("_ROUND10_SLATE", _ROUND10_SLATE)):
+                              ("_ROUND10_SLATE", _ROUND10_SLATE),
+                              ("_ROUND11_SLATE", _ROUND11_SLATE)):
         unknown = [n for n in slate if n not in QUERIES]
-        assert not unknown, f"{slate_name} names unknown queries: {unknown}"
+        if unknown:
+            raise ValueError(
+                f"{slate_name} names unknown queries: {unknown}")
     order = _PRIORITY + [n for n in QUERIES if n not in set(_PRIORITY)]
     for reg in (QUERIES, ORACLES):
         snap = dict(reg)

@@ -37,7 +37,17 @@ def microdollars(x: str = "value") -> str:
 
 def rev_e4(price: str, discount: str) -> str:
     """Discounted revenue in exact 10^-4-dollar units: integer cents
-    of the price times the integer discount percent complement."""
+    of the price times the integer discount percent complement.
+
+    PRECONDITION (ADVICE r8): the discount/tax fraction must carry at
+    most 2 decimals — ``cents(discount)`` encodes it as an integer
+    PERCENT, so a finer-grained discount (e.g. 0.055) would be
+    silently truncated to the percent grid.  Cross-engine parity is
+    unaffected either way (both sides share the expression verbatim),
+    but the computed revenue semantics would quietly change if a
+    future corpus carried >2-dp discounts.  The ≤2-dp grid is asserted
+    per-corpus in tests/test_corpus_invariants.py alongside the money
+    grid checks."""
     return (f"{cents(price)}"
             f" * (100 - {cents(discount)})")
 

@@ -2740,8 +2740,8 @@ f AS (
 SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
   CAST(f.q1c AS BIGINT) AS q1_cents,
   CAST(f.q3c AS BIGINT) AS q3_cents,
-  round(CAST(f.lo2 AS DOUBLE) / 200.0, 9) AS fence_lo,
-  round(CAST(f.hi2 AS DOUBLE) / 200.0, 9) AS fence_hi,
+  CAST(f.lo2 AS DOUBLE) / 200.0 AS fence_lo,
+  CAST(f.hi2 AS DOUBLE) / 200.0 AS fence_hi,
   CAST(count_if(2 * e.vc < f.lo2 OR 2 * e.vc > f.hi2) AS BIGINT)
     AS n_outliers
 FROM f JOIN (SELECT event_type, {_CENTS} AS vc FROM events) e
@@ -2769,7 +2769,10 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·lo = 5·q1 − 3·q3), compared against doubled cents — no
     float enters any selection or comparison.  fence_lo/fence_hi
     are exact half-cent multiples rescaled to dollars in one shared
-    division, so the 9-dp round is a no-op on a 3-decimal value.
+    division — no round() anywhere on the wire (ADVICE r8: the
+    earlier 9-dp round, though provably a no-op on a 3-decimal
+    value, reintroduced the pinned round() divergence class onto
+    the one wire being watched).
 
     Scale: quantiles live on the per-type distinct-value layer
     (type-partitioned windows); the outlier count is one broadcast
@@ -2801,9 +2804,9 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n",
                     F.col("q1c").alias("q1_cents"),
                     F.col("q3c").alias("q3_cents"),
-                    F.round(F.col("lo2").cast("double") / 200.0, 9)
+                    (F.col("lo2").cast("double") / 200.0)
                     .alias("fence_lo"),
-                    F.round(F.col("hi2").cast("double") / 200.0, 9)
+                    (F.col("hi2").cast("double") / 200.0)
                     .alias("fence_hi"), "n_outliers")
             .orderBy("event_type"))
 

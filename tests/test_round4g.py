@@ -1767,7 +1767,7 @@ def test_duplicate_payments_constructed_fixture(spark, tmp_path):
     ]
 
 
-@pytest.mark.parametrize("draw", [1, 2, 3])
+@pytest.mark.parametrize("draw", [1, 2, 3, 4, 5])
 def test_lottery_corpus_generator_invariants(draw, tmp_path, sf_dir):
     """tools/gen_lottery_corpus.py must preserve shape (row counts,
     schemas, referential keys) while genuinely perturbing the lottery

@@ -93,11 +93,14 @@ def test_round_divergence_probes_still_known(spark):
         assert repr(d[i]) == repr(d_exp), (v, k, d[i], d_exp)
 
 
-# Round-8 measurement: double→DECIMAL **CAST** semantics, unlike
-# round(), AGREE between the pinned engines — both take the shortest
-# decimal repr of the double and apply HALF_UP (half away from zero
-# for negatives), so Spark and DuckDB cast identically even on the
-# values where their round() implementations diverge.  That
+# Round-8 measurement (re-pinned on the COLUMN path in round 9):
+# double→DECIMAL **CAST** semantics, unlike round(), AGREE between
+# the pinned engines on these small-magnitude probes — Spark takes
+# the shortest decimal repr and HALF_UPs; DuckDB's column-path cast
+# follows the repr at small magnitude too (large magnitudes follow
+# the binary and diverge — see
+# test_cast_decimal_column_path_divergence), so the two cast
+# identically here even on values where their round()s diverge.  That
 # CROSS-ENGINE agreement is the load-bearing fact: every internal
 # double→DECIMAL accumulator cast (stats_q._VDEC etc.) is value-safe
 # because both engines apply the same rule; the DECWIRE lint keeps
@@ -126,18 +129,29 @@ CAST_AGREE = [
 
 
 def test_cast_decimal_agreement_probes(spark):
-    sdf = spark.range(1).select(*[
-        F.expr(f"CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(18,2))")
-        .alias(f"c{i}") for i, (v, _) in enumerate(CAST_AGREE)])
-    s = tuple(sdf.first())
+    # ADVICE r8: probe the COLUMN path (createDataFrame data), not
+    # literals — constant folding casts through a measurably different
+    # path (its sibling test below proves it), so a literal-only pin
+    # over-generalizes exactly the way the later-corrected "casts
+    # agree" COVERAGE claim did.  On the column path the small-
+    # magnitude probes here still agree (DuckDB follows the shortest
+    # repr below ~1e5; the large-magnitude divergence is pinned in
+    # test_cast_decimal_column_path_divergence).
+    rows = [(i, float(v)) for i, (v, _) in enumerate(CAST_AGREE)]
+    sdf = (spark.createDataFrame(rows, "i long, x double")
+           .selectExpr("i", "CAST(x AS DECIMAL(18,2)) AS c"))
+    s = {r.i: str(r.c) for r in sdf.collect()}
     con = duckdb.connect()
-    d = con.sql("SELECT " + ", ".join(
-        f"CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(18,2)) AS c{i}"
-        for i, (v, _) in enumerate(CAST_AGREE))).fetchall()[0]
-    con.close()
+    try:
+        con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        d = {r[0]: str(r[1]) for r in con.sql(
+            "SELECT i, CAST(x AS DECIMAL(18,2)) FROM t").fetchall()}
+    finally:
+        con.close()
     for i, (v, exp) in enumerate(CAST_AGREE):
-        assert str(s[i]) == exp, ("spark", v, s[i], exp)
-        assert str(d[i]) == exp, ("duckdb", v, d[i], exp)
+        assert s[i] == exp, ("spark", v, s[i], exp)
+        assert d[i] == exp, ("duckdb", v, d[i], exp)
 
 
 def test_cast_vs_floor_boundary_divergence(spark):

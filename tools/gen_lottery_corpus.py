@@ -35,10 +35,10 @@ Usage:
     # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01 1
     python tools/check_correctness.py /tmp/lotterydata/sf0.01
 
-``draw`` (1, 2, or 3 — the defined constant sets below; extend DRAWS
-to add more) selects a deterministic perturbation, so the layer is a
-FAMILY of unlucky corpora — re-running the sweep on another draw
-probes a different set of boundary cells.
+``draw`` (1-5 — the defined constant sets below; extend DRAWS to add
+more) selects a deterministic perturbation, so the layer is a FAMILY
+of unlucky corpora — re-running the sweep on another draw probes a
+different set of boundary cells.
 """
 
 from __future__ import annotations
@@ -53,6 +53,12 @@ DRAWS = {
     1: ("1.00703", "1.00373", 7, 11, 13, "1.003"),
     2: ("1.01013", "1.00719", 5, 13, 17, "0.99701"),
     3: ("0.99317", "1.01291", 11, 9, 19, "1.00903"),
+    # draws 4-5 added round 9 (VERDICT r8 item 3: widen the battery
+    # beyond the constants every earlier sweep already passed);
+    # draw 5 deliberately shrinks money (sub-1 multipliers) so the
+    # floor(x*100+0.5) paths see the down-rounding side too.
+    4: ("1.02117", "0.99829", 13, 7, 23, "1.01409"),
+    5: ("0.98391", "0.98937", 9, 17, 29, "0.99209"),
 }
 
 PERTURB = {
