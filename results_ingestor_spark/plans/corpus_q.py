@@ -381,7 +381,7 @@ _K_SQRT_N = ("(SELECT GREATEST(2, CAST(floor(sqrt(count(*))) AS BIGINT)) "
              "FROM embeddings)")
 
 
-def _semantic_kmeans_oracle(k: int | str = _K_SQRT_N, n_iter: int = 3,
+def _semantic_kmeans_oracle(k: int | str = _K_SQRT_N, n_iter: int = 2,
                             tau: float = 0.35) -> str:
     """DuckDB twin of the FULL SemDeDup pipeline, k-means training
     included — the round-3 verdict's 'md5-derived state is
@@ -448,8 +448,34 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size at sqrt(n) and pair work at ~n^1.5, the SemDeDup contract
     # the docstring promises).  The count is one driver long; the
     # oracle computes the identical k via floor(sqrt(count(*))).
-    k = max(2, math.isqrt(e.count()))
-    cents = kmeans_centroids(e, n_clusters=k, n_iter=3)
+    n = e.count()
+    k = max(2, math.isqrt(n))
+    # Round-9 shave (VERDICT r8 item 7) — the entry was the bench's
+    # single most expensive query (9.7-10.1 s at sf0.1, ~15% of the
+    # headline).  Profiling split the cost as ~85% k-means training /
+    # ~15% pair join, and inside training the dominant term was NOT
+    # arithmetic but per-task scheduling: ensure_min_parallelism blows
+    # the 2,000-row sf0.1 vector view up to 2x-cores partitions, and
+    # every Lloyd job (assignment fold + posexplode mean agg) pays ~64
+    # near-empty tasks.  Two measured fixes, both sweep-re-verified at
+    # both SFs + 5 lottery draws:
+    # (1) size-gated coalesce to ~250 vectors/task (floor 8 — measured
+    #     knee: 64p ~2.8-6 s/iter, 8p ~1.9 s/iter, 1p ~2.1 s/iter).
+    #     coalesce() only ever SHRINKS, so at 100 TB (n/250 >> current
+    #     partitions) it is a provable no-op — the small-SF overhead
+    #     trim cannot regress the at-scale plan.  Partial-mean sum
+    #     order shifts with partitioning, which is inside the same
+    #     ~1e-16 envelope as the engines' own summation-order gap (see
+    #     the oracle docstring's flip-free note).
+    # (2) n_iter 3 -> 2: one fewer full-corpus Lloyd pass.  The
+    #     2-iteration assignment moves 4.9% of vectors vs the 3rd
+    #     iteration (measured at sf0.1) — immaterial for SemDeDup,
+    #     which only needs clusters good enough to BOUND the candidate
+    #     quadratic, not converged centroids; the drop-set invariants
+    #     (test_dedup.py) hold and the oracle replays the identical
+    #     2-iteration chain.
+    e = e.coalesce(max(8, n // 250))
+    cents = kmeans_centroids(e, n_clusters=k, n_iter=2)
     # Materialize the assignment ONCE (CheckpointScope lifecycle): the
     # k x dim literal-fold is the entry's most expensive expression and
     # three consumers (both pair-join sides + the per-cluster census)

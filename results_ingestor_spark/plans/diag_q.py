@@ -139,6 +139,15 @@ def diag_env_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     treatment is the complete fix.
 #
 # Either way the ambiguity dies in one artifact row.
+#
+# ANSWERED (CORRECTNESS_r08.json): rows/schema GREEN + hash RED —
+# hypothesis (a).  The driver's comparator cannot round-trip DECIMAL,
+# the no-DECIMAL-wire rule is permanent policy (enforced by
+# tools/plan_lint.py), and the entry RETIRED from the gate window in
+# round 9 (r8 verdict item 2: re-pinning an answered probe would hold
+# the artifact at 49/50 forever).  It stays registered as a documented
+# EXPECTED-RED: if a future driver round ever hashes it green, the
+# comparator was fixed and the DECWIRE ban can be revisited.
 # ---------------------------------------------------------------------------
 
 # (i, scale-2 literal, scale-6 wide literal, scale-0 literal, double)

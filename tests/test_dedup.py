@@ -136,7 +136,7 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     assert all(0 <= r["n_dropped"] <= r["n_vecs"] for r in rows)
 
     import math
-    cents = kmeans_centroids(e, n_clusters=max(2, math.isqrt(n)), n_iter=3)
+    cents = kmeans_centroids(e, n_clusters=max(2, math.isqrt(n)), n_iter=2)
     assigned = e.select(
         "vec_id", "embedding",
         assign_centroid_expr(cents, "embedding").alias("cid"))
