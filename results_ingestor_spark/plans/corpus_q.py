@@ -452,9 +452,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(2, math.isqrt(n))
     # Round-9 shave (VERDICT r8 item 7) — the entry was the bench's
     # single most expensive query (9.7-10.1 s at sf0.1, ~15% of the
-    # headline).  Profiling split the cost as ~85% k-means training /
-    # ~15% pair join, and inside training the dominant term was NOT
-    # arithmetic but per-task scheduling: ensure_min_parallelism blows
+    # headline).  Profiled split (sf0.1, r9): count ~1.0 s, training
+    # ~8.9 s, final assignment+checkpoint ~2.2 s, pair join ~1.3 s —
+    # training is ~2/3 of the entry, and inside it the dominant term
+    # was NOT arithmetic but per-task scheduling: ensure_min_parallelism blows
     # the 2,000-row sf0.1 vector view up to 2x-cores partitions, and
     # every Lloyd job (assignment fold + posexplode mean agg) pays ~64
     # near-empty tasks.  Two measured fixes, both sweep-re-verified at
