@@ -409,7 +409,8 @@ SELECT o_orderkey,
   round(o_totalprice, 1) AS rounded,
   floor(o_totalprice) AS floored,
   ceil(o_totalprice) AS ceiled,
-  round(sqrt(o_totalprice), 8) AS sq,
+  CAST(floor(sqrt(o_totalprice) * 100000000.0 + 0.5) AS BIGINT)
+    / 100000000.0 AS sq,
   CAST(o_orderkey % 7 AS BIGINT) AS mod7,
   CAST(sign(o_totalprice - 100000) AS INTEGER) AS sgn,
   greatest(o_totalprice, 100000.0) AS gt, least(o_totalprice, 100000.0) AS lt
@@ -426,7 +427,17 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver's value-hash (which distinguishes types) agrees.
         F.floor(p).cast("double").alias("floored"),
         F.ceil(p).cast("double").alias("ceiled"),
-        F.round(F.sqrt(p), 8).alias("sq"),
+        # r9 draw-4 sf0.1 lottery finding (1 row in 150,000): the
+        # former round(sqrt(p), 8) hit a .5-boundary straddle on an
+        # off-grid price (sqrt ~705.568230895: Spark repr-HALF_UP
+        # ...089 vs DuckDB binary-scale ...090 — the pinned
+        # round() divergence class).  sqrt itself is bit-exact
+        # cross-engine (IEEE correct rounding, test_libm_agreement);
+        # the snap device floor(x*1e8 + 0.5)/1e8 is the shared-IEEE
+        # round()-free replacement (exact.snap_double semantics,
+        # inlined because this oracle predates plans/exact.py).
+        (F.floor(F.sqrt(p) * 100000000.0 + F.lit(0.5)).cast("bigint")
+         / 100000000.0).alias("sq"),
         (F.col("o_orderkey") % 7).alias("mod7"),
         F.signum(p - 100000).cast("int").alias("sgn"),
         F.greatest(p, F.lit(100000.0)).alias("gt"),
