@@ -614,7 +614,8 @@ lr AS (
       AS DECIMAL(18, 9)) AS logratio
   FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt CROSS JOIN tot)
 SELECT b.doc_id, COUNT(*) AS n_grams,
-  round(CAST(SUM(lr.logratio) AS DOUBLE) / COUNT(*), 6) AS avg_log_weight
+  CAST(floor(CAST(SUM(lr.logratio) AS DOUBLE) / COUNT(*)
+             * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_log_weight
 FROM b JOIN lr ON lr.bkt = b.bkt
 GROUP BY b.doc_id""")
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,7 +630,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions are {_DSIR_NB}-row broadcasts; the only corpus-sized
     shuffle is the per-doc aggregation.  Determinism: per-bucket log
     ratios rounded to 9 dp and summed as DECIMAL (order-independent),
-    one double division at the end."""
+    one double division at the end, snapped to 6 dp with the shared
+    floor-device (round()-free and sign-of-zero-free; see the r9
+    finding note below)."""
     from results_ingestor_spark.functions.hashing import md5_long
     t = load_tables(spark, sf_dir, ("documents",))
     tk = F.split("text", " ")
@@ -654,11 +657,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
               - F.log((F.col("c_raw") + 1).cast("double")
                       / (F.col("t_raw") + _DSIR_NB)), 9)
               .cast("decimal(18,9)").alias("logratio")))
+    # r9 draw-5 sf0.1 lottery finding (1 doc in 5,000): the former
+    # round(mean, 6) emitted NEGATIVE ZERO in DuckDB but +0.0 in Spark
+    # when the mean is a tiny negative (Spark's BigDecimal round drops
+    # the sign; DuckDB's binary-scale round keeps it), and repr-level
+    # compares distinguish the two.  The shared snap device
+    # floor(x*1e6 + 0.5)/1e6 (exact.snap_double semantics) yields
+    # BIGINT 0 -> +0.0 in BOTH engines and also removes the 6-dp
+    # round() straddle class from the wire.
     return (b.join(F.broadcast(lr), "bkt")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_grams"),
-                 F.round(F.sum("logratio").cast("double") / F.count("*"), 6)
-                  .alias("avg_log_weight")))
+                 (F.floor(F.sum("logratio").cast("double") / F.count("*")
+                          * 1000000.0 + F.lit(0.5)).cast("bigint")
+                  / 1000000.0).alias("avg_log_weight")))
 
 
 from results_ingestor_spark.plans.registry import ORACLES as _ORACLES

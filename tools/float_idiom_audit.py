@@ -48,6 +48,10 @@ _IDIOM_A_WHITELIST = {
     # wire snap (exact.snap_double), not integer-intent division
     'stats_q.py: * 1e9 + F.lit(0.5)).cast("long") / 1e9)',
     'stats_q.py: (F.floor((num / den) * 1e6 + F.lit(0.5)).cast("long")',
+    # DSIR mean-log-weight snap (r9 draw-5 finding): floor(mean*1e6
+    # + 0.5) over the DECIMAL-summed mean — the same snap_double
+    # device; the bigint cast is exact and /1e6 is the shared rescale
+    'corpus_q.py: * 1000000.0 + F.lit(0.5)).cast("bigint")',
 
     # bit extraction: numerator is 0 or exactly 2^i → quotient is the
     # exact dyadic 0.0/1.0 (morton interleave)
