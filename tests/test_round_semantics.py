@@ -128,6 +128,52 @@ CAST_AGREE = [
 ]
 
 
+def test_round_negative_zero_divergence(spark):
+    """r9 draw-5 lottery finding (dsir_importance_weights, 1 doc in
+    5,000), measured and pinned: on the COLUMN path, ``round(x, k)``
+    of a tiny NEGATIVE (or of -0.0 itself) returns **+0.0 in Spark**
+    (the BigDecimal path drops the sign of a rounded-to-zero value)
+    but **-0.0 in DuckDB** (binary-scale rounding keeps IEEE sign),
+    and repr/dtype-level compares distinguish the two.  This is a
+    THIRD member of the round() wire-divergence family (alongside the
+    .5-boundary straddle and the DECIMAL-cast column path): any
+    compared round() wire whose input can be a tiny negative is
+    latent-red on some corpus.  Mitigation is the shared floor-snap
+    (floor(x*10^k + 0.5) BIGINT / 10^k → integer zero rescales to
+    +0.0 in both engines).  Pinned so an engine upgrade that changes
+    either side's sign behavior is caught here first."""
+    vals = [(-1e-9,), (-4.9e-7,), (-0.0,)]
+    s = spark.createDataFrame(vals, "x double") \
+        .selectExpr("round(x, 6) AS r").collect()
+    assert [repr(r.r) for r in s] == ["0.0", "0.0", "0.0"]  # sign DROPPED
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", vals)
+        d = [repr(r[0]) for r in con.sql("SELECT round(x, 6) FROM t").fetchall()]
+    finally:
+        con.close()
+    assert d == ["-0.0", "-0.0", "-0.0"]  # sign KEPT
+    # the mitigation device is sign-free in BOTH engines.  NB: in
+    # Spark SQL text the literal must be 1e6 (DOUBLE) — `1000000.0`
+    # parses as a DECIMAL literal and would put DECIMAL on the wire;
+    # the F-API sites use Python floats, which are DoubleType.
+    snap = spark.createDataFrame(vals, "x double").selectExpr(
+        "CAST(floor(x * 1e6 + 0.5) AS BIGINT) / 1e6 AS s"
+    ).collect()
+    assert [repr(r.s) for r in snap] == ["0.0", "0.0", "0.0"]
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", vals)
+        d2 = [repr(r[0]) for r in con.sql(
+            "SELECT CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"
+            " / 1000000.0 FROM t").fetchall()]
+    finally:
+        con.close()
+    assert d2 == ["0.0", "0.0", "0.0"]
+
+
 def test_cast_decimal_agreement_probes(spark):
     # ADVICE r8: probe the COLUMN path (createDataFrame data), not
     # literals — constant folding casts through a measurably different
