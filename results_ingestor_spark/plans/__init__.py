@@ -30,77 +30,69 @@ from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-8 together drove 332 distinct entries green
-# (generated ledger, tools/verification_ledger.py; r8 added 44
-# first-greens and went 49/50 — the lone red being diag_decimal_echo
-# doing its designed job, see below).
-# Round 9 activates _ROUND9_SLATE (r8 verdict item 1, via the staged
-# activation recipe that used to live here; every entry was
-# pre-verified cell-for-cell at sf0.01 AND sf0.1 — 90 checks in r7
-# plus the 6 r8-deferral carry-overs with the r8 slate — and
-# re-verified this round on r9 HEAD plus the lottery battery).
-# Composition: the permanent flagship trio, the two permanent
-# regression watches, and 45 of the 51 _ROUND9_SLATE entries.
-# cohort_ltv_curve and dq_outlier_iqr_fences are NOT re-pinned:
-# CORRECTNESS_r08 hashes both green (the BIGINT-cents rewrites
-# landed), so their watch duty is discharged until the r11
-# regression-watch rotation.  diag_decimal_echo is RETIRED from the
-# window as answered (r8 verdict item 2): its r8 row read rows/schema
-# green + hash RED on a by-construction-identical DECIMAL table,
-# proving the driver's comparator mishandles DECIMAL round-trips;
-# the no-DECIMAL-on-compared-wires policy is permanent and enforced
-# by tools/plan_lint.py.  The entry stays registered (documented
-# expected-red) for any future comparator re-test.
-# asof_join_nearest_signup, multimodal_phash_neardup,
-# multimodal_patch_grid, window_running_distinct,
-# spatial_grid_density_hotspots and streaming_enriched_tier_counts
-# are the six slate-tail entries deferred to the head of
-# _ROUND10_SLATE, exactly as r8 deferred its six.  Every name below
-# has a DuckDB oracle, so the gate can be 50/50 value-checked.  All
-# prior window entries stay registered and locally value-checked.
+# queries.  Rounds 1-9 together drove 377 distinct entries green
+# (generated ledger, tools/verification_ledger.py; r9 went 50/50 with
+# 45 first-greens).
+# Round 10 activates _ROUND10_SLATE (r9 verdict item 1) — the FINAL
+# never-driver-checked tail.  Every oracled entry was pre-verified
+# cell-for-cell at sf0.01 AND sf0.1 in round 7 and re-verified on r8
+# and r9 HEADs plus the lottery battery (COVERAGE.md pre-verification
+# table); the 6 justified rows-only entries execute in every
+# full-registry sweep and the driver records their weaker rows-only
+# check.  Composition: the permanent flagship trio, the two permanent
+# regression watches, all 44 _ROUND10_SLATE entries, and — per the
+# slate-sizing rule documented at _ROUND10_SLATE — the spare 50th
+# slot goes to the first _ROUND11_SLATE watch entry
+# (diag_env_manifest, the standing gate-environment probe).  After
+# this round the never-driver-checked debt is ZERO and the window's
+# job flips to the _ROUND11_SLATE regression-watch rotation.
+# diag_decimal_echo stays RETIRED as answered (r8: rows/schema green
+# + hash red on a by-construction-identical DECIMAL table ⇒ the
+# driver's comparator mishandles DECIMAL; the no-DECIMAL-on-compared-
+# wires policy is permanent, enforced by tools/plan_lint.py).  Every
+# name below except the 6 documented rows-only entries has a DuckDB
+# oracle.  All prior window entries stay registered and locally
+# value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
     # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
     "agg_argminmax_conditional", "events_sessionize",
-    # --- _ROUND9_SLATE (45 of 51; see deferral note above) ---
-    # round-8 deferrals
-    "window_range_frame_trailing", "multimodal_resize",
-    "spatial_dbscan_roles", "streaming_drift_monitor",
-    "supplier_scorecard", "ann_filtered_topk",
-    # stats tail
-    "stats_sample_size_two_proportions", "stats_levene_brown_forsythe",
-    "events_overdispersion_fano", "stats_capture_recapture",
-    "stats_runs_test",
-    # similarity / embeddings
-    "ann_pq_adc_topk", "ann_ivf_index_stats", "ann_knn_graph_banded",
-    "embedding_hubness_census", "embedding_isotropy_score",
-    # text analysis
-    "text_novelty_unique_ngrams", "quality_gopher_rules",
-    "quality_rater_agreement", "text_term_burstiness",
-    "text_vocab_concentration",
+    # --- _ROUND10_SLATE (all 44; final never-driver-checked tail) ---
+    # round-9 deferrals
+    "asof_join_nearest_signup", "multimodal_phash_neardup",
+    "multimodal_patch_grid", "window_running_distinct",
+    "spatial_grid_density_hotspots", "streaming_enriched_tier_counts",
+    # events / stats tail
+    "orders_monthly_streaks", "events_peak_hour_rayleigh",
+    "events_capacity_profile", "events_burstiness_memory",
+    "events_ccf_click_purchase", "stats_haar_energy_hourly",
+    "stats_partial_correlation", "stats_james_stein_shrinkage",
+    "stats_forecast_accuracy_mase", "stats_hill_tail_index",
+    # dq / advanced
+    "dq_duplicate_payment_candidates", "dq_last_digit_uniformity",
+    "dq_id_sequence_gaps", "dq_functional_dependency_strength",
+    # text
+    "text_bigram_entropy_rate", "source_ranking_concordance",
+    "text_theil_inequality_decomposition",
+    # embeddings / sketches
+    "embedding_intrinsic_dim_twonn", "embedding_mmd_linear",
+    "embedding_whitening_effect", "sketch_ams_f2_selfjoin",
+    # dedup / er / graph
+    "dedup_lsh_bucket_stats", "er_golden_record",
+    "graph_brand_homophily", "graph_edge_churn_halves",
     # pipeline / privacy / layout
-    "dataset_diff_snapshots", "privacy_dp_median_expmech",
-    "privacy_pseudonym_collisions", "layout_pruning_effectiveness",
-    "layout_dict_encoding_estimate",
-    # advanced / dq
-    "scd2_point_in_time_join", "dq_value_domain_check",
-    "customers_at_risk_churn", "feature_target_encoding_loo",
-    "als_rank1_factorization",
-    # corpus / LM
-    "dedup_semantic_clusters", "lm_bigram_kneser_ney",
-    "wordpiece_train_merges", "wordpiece_tokenize_docs",
-    # events analytics
-    "events_session_gap_curve", "events_decayed_leaderboard",
-    "events_reliability_report",
-    # dedup
-    "dedup_lsh_s_curve", "join_bloom_sizing_table",
-    # graph
-    "graph_lpa_modularity", "graph_rich_club",
-    # functions / sketches
-    "incremental_join_view_merge", "sketch_kmv_distinct",
-    # joins
-    "join_null_safe",
+    "privacy_generalization_ladder", "layout_deletion_vector_tradeoff",
+    "dataset_source_influence_loo",
+    # joins / multimodal / spatial / streaming
+    "attribution_time_decay", "multimodal_vad_segments",
+    "spatial_haversine_nearest", "streaming_stateful_user_totals",
+    # the 6 justified rows-only entries (driver records rows-only)
+    "quality_compression_ratio", "embedding_pca_variance",
+    "embedding_mahalanobis_outliers", "dedup_minhash_lsh_fast",
+    "unigram_lm_train_vocab", "unigram_lm_tokenize_docs",
+    # spare 50th slot: first _ROUND11_SLATE watch (standing env probe)
+    "diag_env_manifest",
 ]
 
 
