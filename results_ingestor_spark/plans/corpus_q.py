@@ -665,6 +665,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor(x*1e6 + 0.5)/1e6 (exact.snap_double semantics) yields
     # BIGINT 0 -> +0.0 in BOTH engines and also removes the 6-dp
     # round() straddle class from the wire.
+    # ADVICE r9 (consumer note): the snap is HALF-TOWARD-+INF, not
+    # the old HALF-UP — a mean of exactly -k.5e-6 now snaps to
+    # -(k)e-6 instead of -(k+1)e-6.  Cross-engine parity is
+    # unaffected (both sides share the device); only the emitted
+    # weight on such exact-midpoint negatives differs from the
+    # pre-r9 release.
     return (b.join(F.broadcast(lr), "bkt")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_grams"),

@@ -152,6 +152,30 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     assert {r["cid"]: r["n_dropped"] for r in rows if r["n_dropped"]} \
         == recomputed
 
+    # ADVICE r9 margin tripwire: the entry's size-gated coalesce
+    # changes partial-mean summation order during training, so the
+    # centroids the two engines (and any two partitionings) compute
+    # differ by ~1e-16.  Assignment parity is safe only while no
+    # vector sits NEAR-TIED between its best and second-best centroid
+    # — assert the corpus-wide minimum argmax gap dwarfs that drift
+    # envelope, so a near-tie corpus fails HERE before the driver's
+    # gate sees a flipped cluster.  (Exact ties from duplicate
+    # centroids would also be caught: gap 0 < the bar.)
+    import numpy as np
+    c = np.asarray(cents, dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    v = np.asarray(
+        [r["embedding"] for r in e.select("embedding").collect()],
+        dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ c.T
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    min_gap = float(np.min(top2[:, 1] - top2[:, 0]))
+    assert min_gap > 1e-9, (
+        f"near-tied centroid assignment (min argmax gap {min_gap:.3e}"
+        f" <= 1e-9): summation-order drift could flip a cluster"
+        f" cross-engine — re-examine dedup_semantic_clusters")
+
 
 def test_canonical_keep_best_policy(spark, sf_dir):
     """Keep-best invariants on the real corpus: exactly one kept doc per

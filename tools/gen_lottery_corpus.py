@@ -35,7 +35,7 @@ Usage:
     # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01 1
     python tools/check_correctness.py /tmp/lotterydata/sf0.01
 
-``draw`` (1-5 — the defined constant sets below; extend DRAWS to add
+``draw`` (1-7 — the defined constant sets below; extend DRAWS to add
 more) selects a deterministic perturbation, so the layer is a FAMILY
 of unlucky corpora — re-running the sweep on another draw probes a
 different set of boundary cells.
@@ -59,6 +59,12 @@ DRAWS = {
     # floor(x*100+0.5) paths see the down-rounding side too.
     4: ("1.02117", "0.99829", 13, 7, 23, "1.01409"),
     5: ("0.98391", "0.98937", 9, 17, 29, "0.99209"),
+    # draws 6-7 added round 10 (VERDICT r9 item 4: the standing
+    # regression watch) — fresh constants on both sides of 1 with
+    # mods coprime to every earlier draw's, so the boundary cells
+    # they probe are disjoint from draws 1-5.
+    6: ("1.03271", "0.97613", 6, 19, 31, "0.98417"),
+    7: ("0.96847", "1.03939", 10, 21, 37, "1.02711"),
 }
 
 PERTURB = {
