@@ -73,6 +73,36 @@ def snap_double(x: str, scale: int) -> str:
     round()-free replacement for ``round(x, scale)`` on a compared
     wire (round() itself diverges cross-engine near .5 boundaries;
     tests/test_round_semantics.py).  Half rounds toward +inf for
-    negatives — identically in both engines."""
+    negatives — identically in both engines.
+
+    The rescale divisor is explicitly CAST to DOUBLE: Spark parses a
+    bare ``1000000000.0`` literal as DECIMAL(11,1) and types
+    BIGINT/DECIMAL as DECIMAL — a DECWIRE violation when this text is
+    shared with the Spark side via F.expr (caught r10 on _ANOVA_F);
+    DuckDB types both spellings DOUBLE with identical values."""
     p = 10 ** scale
-    return f"CAST(floor(({x}) * {p}.0 + 0.5) AS BIGINT) / {p}.0"
+    return (f"CAST(floor(({x}) * {p}.0 + 0.5) AS BIGINT)"
+            f" / CAST({p}.0 AS DOUBLE)")
+
+
+def snap_double_col(c, scale: int):
+    """``snap_double`` as a PySpark Column — the Spark-side twin for
+    plans built with DataFrame ops rather than F.expr strings (the
+    round-10 signed-round() migration uses it to replace
+    ``F.round(c, scale)`` one-for-one).  Shares the exact device of
+    :func:`snap_double`: every IEEE op (multiply, add, floor) is
+    correctly rounded identically in both engines, the BIGINT cast of
+    the integer-valued floor result is exact, and the one rescaling
+    division is shared — and BIGINT 0 rescales to +0.0 in both
+    engines, closing the negative-zero divergence round() carries
+    (tests/test_round_semantics.py::test_round_negative_zero_divergence).
+
+    Domain guard shared with the string twin: |x|·10^scale must stay
+    under 2^53 (exact-integer doubles) and x must be finite — NaN/Inf
+    cast to BIGINT as 0/extremes in Spark but ERROR in DuckDB, so a
+    wire that can go non-finite must be guarded before the snap."""
+    from pyspark.sql import functions as F
+    if isinstance(c, str):  # accept a column name, as F.round does
+        c = F.col(c)
+    p = float(10 ** scale)
+    return F.floor(c * p + F.lit(0.5)).cast("bigint") / F.lit(p)

@@ -28,6 +28,7 @@ from results_ingestor_spark.operators.graph import (
     triangle_count,
 )
 from results_ingestor_spark.operators.ckpt import CheckpointScope
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -739,9 +740,10 @@ dsum AS (
 SELECT ms.label AS community, ms.n_members,
   coalesce(i.int2, 0) // 2 AS internal_edges,
   ds.dc AS degree_sum,
-  round(CAST(coalesce(i.int2, 0) AS DOUBLE) / m2.m2
+  CAST(floor((CAST(coalesce(i.int2, 0) AS DOUBLE) / m2.m2
         - (CAST(ds.dc AS DOUBLE) / m2.m2)
-          * (CAST(ds.dc AS DOUBLE) / m2.m2), 9) AS q_contrib
+          * (CAST(ds.dc AS DOUBLE) / m2.m2)) * 1000000000.0 + 0.5)
+    AS BIGINT) / 1000000000.0 AS q_contrib
 FROM msize ms
 LEFT JOIN internal i ON i.label = ms.label
 JOIN dsum ds ON ds.label = ms.label
@@ -796,7 +798,10 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("coalesce(int2, 0) DIV 2")
                     .alias("internal_edges"),
                     F.col("dc").alias("degree_sum"),
-                    F.round(q, 9).alias("q_contrib"))
+                    # signed wire (q_c < 0 for worse-than-chance
+                    # communities): floor-snap, not round() (r10
+                    # signed-round migration; test_round_semantics.py)
+                    exact.snap_double_col(q, 9).alias("q_contrib"))
             .orderBy(F.desc("n_members"), F.asc("community"))
             .limit(20))
 
@@ -930,10 +935,12 @@ c AS (
     FROM (SELECT bu AS b FROM be UNION ALL SELECT bv FROM be)
     GROUP BY b))
 SELECT m AS n_edges, same AS n_same_brand, n_brands,
-  round(CAST(same AS DOUBLE) / m, 9) AS same_share,
-  round(CAST(sum_c2 AS DOUBLE) / (4.0 * m * m), 9) AS expected_share,
-  round(CAST(4 * m * same - sum_c2 AS DOUBLE)
-        / (4 * m * m - sum_c2), 9) AS assortativity_r
+  {exact.snap_double("CAST(same AS DOUBLE) / m", 9)} AS same_share,
+  {exact.snap_double("CAST(sum_c2 AS DOUBLE) / (4.0 * m * m)", 9)}
+    AS expected_share,
+  {exact.snap_double(
+      "CAST(4 * m * same - sum_c2 AS DOUBLE) / (4 * m * m - sum_c2)",
+      9)} AS assortativity_r
 FROM m CROSS JOIN c""")
 def graph_brand_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute homophily of the co-purchase graph (Newman's discrete
@@ -971,15 +978,22 @@ def graph_brand_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
                .alias("sum_c2"),
               F.count("*").cast("long").alias("n_brands")))
     mm, same, sc2 = F.col("m"), F.col("same"), F.col("sum_c2")
+    # Signed-round migration (r10): assortativity_r is a SIGNED wire
+    # that sits within half a 9-dp grid step of zero on real corpora
+    # (measured -9.8e-05 at sf0.01) — exactly the negative-zero
+    # round() divergence class pinned in test_round_semantics.py.
+    # All three wires use the shared floor-snap instead.
     return (m.crossJoin(F.broadcast(c))
             .select(mm.alias("n_edges"), same.alias("n_same_brand"),
                     "n_brands",
-                    F.round(same.cast("double") / mm, 9)
+                    exact.snap_double_col(same.cast("double") / mm, 9)
                     .alias("same_share"),
-                    F.round(sc2.cast("double") / (4.0 * mm * mm), 9)
+                    exact.snap_double_col(
+                        sc2.cast("double") / (4.0 * mm * mm), 9)
                     .alias("expected_share"),
-                    F.round((4 * mm * same - sc2).cast("double")
-                            / (4 * mm * mm - sc2), 9)
+                    exact.snap_double_col(
+                        (4 * mm * same - sc2).cast("double")
+                        / (4 * mm * mm - sc2), 9)
                     .alias("assortativity_r")))
 
 

@@ -13,6 +13,8 @@ appear on the wire.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -125,10 +127,10 @@ c AS (
     CAST(sx AS DOUBLE) AS sxd, CAST(syc AS DOUBLE) AS sycd
   FROM m)
 SELECT event_type, n,
-  round(cxyc / cxx / 100.0, 9) AS slope_per_sec,
-  round(sycd / 100.0 / n - (cxyc / cxx / 100.0) * (sxd / n), 9)
+  CAST(floor((cxyc / cxx / 100.0) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS slope_per_sec,
+  CAST(floor((sycd / 100.0 / n - (cxyc / cxx / 100.0) * (sxd / n)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
     AS intercept,
-  round(cxyc * cxyc / (cxx * cyycc), 9) AS r2
+  CAST(floor((cxyc * cxyc / (cxx * cyycc)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS r2
 FROM c""")
 def regression_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS trend (value vs epoch-seconds): slope, intercept,
@@ -170,12 +172,10 @@ def regression_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = F.col("cxyc") / F.col("cxx") / F.lit(100.0)
     return c.select(
         "event_type", "n",
-        F.round(slope, 9).alias("slope_per_sec"),
-        F.round(F.col("sycd") / F.lit(100.0) / F.col("n")
-                - slope * (F.col("sxd") / F.col("n")), 9)
+        exact.snap_double_col(slope, 9).alias("slope_per_sec"),
+        exact.snap_double_col(F.col("sycd") / F.lit(100.0) / F.col("n") - slope * (F.col("sxd") / F.col("n")), 9)
         .alias("intercept"),
-        F.round(F.col("cxyc") * F.col("cxyc")
-                / (F.col("cxx") * F.col("cyycc")), 9).alias("r2"))
+        exact.snap_double_col(F.col("cxyc") * F.col("cxyc") / (F.col("cxx") * F.col("cyycc")), 9).alias("r2"))
 
 
 @query("chi2_lang_source", oracle="""
@@ -398,15 +398,9 @@ r AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
 SELECT event_type, bucket, n24,
-  round(CAST(s24 AS DOUBLE) / n24, 9) AS mid,
-  round(CAST(s24 AS DOUBLE) / n24
-        + 2 * sqrt((CAST(q24 AS DOUBLE)
-                    - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24)
-                   / (n24 - 1)), 9) AS upper_band,
-  round(CAST(s24 AS DOUBLE) / n24
-        - 2 * sqrt((CAST(q24 AS DOUBLE)
-                    - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24)
-                   / (n24 - 1)), 9) AS lower_band
+  CAST(floor((CAST(s24 AS DOUBLE) / n24) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mid,
+  CAST(floor((CAST(s24 AS DOUBLE) / n24 + 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS upper_band,
+  CAST(floor((CAST(s24 AS DOUBLE) / n24 - 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS lower_band
 FROM r WHERE n24 > 1""")
 def bollinger_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands (trailing-24h mean +/- 2 sigma) per event type:
@@ -435,9 +429,9 @@ def bollinger_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.sqrt((q24 - s24 * s24 / n24) / (n24 - 1))
     return (r.where(n24 > 1)
             .select("event_type", "bucket", "n24",
-                    F.round(mid, 9).alias("mid"),
-                    F.round(mid + 2 * sd, 9).alias("upper_band"),
-                    F.round(mid - 2 * sd, 9).alias("lower_band")))
+                    exact.snap_double_col(mid, 9).alias("mid"),
+                    exact.snap_double_col(mid + 2 * sd, 9).alias("upper_band"),
+                    exact.snap_double_col(mid - 2 * sd, 9).alias("lower_band")))
 
 
 @query("histogram_equidepth_price", oracle="""
@@ -495,10 +489,7 @@ pairs AS (
   UNION ALL
   SELECT 'extendedprice~discount', n, s_p, s_d, s_pd, s_pp, s_dd FROM m)
 SELECT pair, n,
-  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-        9) AS r
+  CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS r
 FROM pairs""")
 def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over three lineitem metrics,
@@ -529,7 +520,7 @@ def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
     r = ((n * sxy - sx * sy)
          / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-    return pairs.select("pair", "n", F.round(r, 9).alias("r"))
+    return pairs.select("pair", "n", exact.snap_double_col(r, 9).alias("r"))
 
 
 @query("period_over_period_revenue", oracle=f"""
@@ -539,8 +530,7 @@ WITH m AS (
   FROM orders GROUP BY 1)
 SELECT month, CAST(rev AS DOUBLE) / 100.0 AS revenue,
   CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) / 100.0 AS prev_revenue,
-  round(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
-        / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 9) AS mom_pct
+  CAST(floor((CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mom_pct
 FROM m""")
 def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: monthly decimal-exact rollup,
@@ -560,7 +550,7 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "month", (F.col("rev").cast("double") / 100.0).alias("revenue"),
         (prev.cast("double") / 100.0).alias("prev_revenue"),
-        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 9)
+        exact.snap_double_col((F.col("rev") - prev).cast("double") / prev.cast("double"), 9)
         .alias("mom_pct"))
 
 
@@ -976,11 +966,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         F.struct(
             F.lit(k).alias("lag"),
-            F.round(
-                (n * n * F.col(f"p{k}")
-                 - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
-                 + (n - k) * s * s).cast("double")
-                / (n.cast("double") * (n * q - s * s)), 9).alias("acf"))
+            exact.snap_double_col((n * n * F.col(f"p{k}") - n * s * (F.col(f"a{k}") + F.col(f"b{k}")) + (n - k) * s * s).cast("double") / (n.cast("double") * (n * q - s * s)), 9).alias("acf"))
         for k in range(1, _ACF_MAX_LAG + 1)]
     return (g.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.lag", "r.acf")
@@ -991,7 +977,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH h AS (
   SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
            AS x,
-    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS y
+    CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS y
   FROM events GROUP BY 1),
 pairs AS (
   SELECT (b.y - a.y) / (b.x - a.x) AS slope
@@ -1002,8 +988,8 @@ ic AS (
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hours,
   (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
-  round((SELECT m FROM sl), 9) AS slope_per_hour,
-  round((SELECT b0 FROM ic), 9) AS intercept""")
+  CAST(floor(((SELECT m FROM sl)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS slope_per_hour,
+  CAST(floor(((SELECT b0 FROM ic)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS intercept""")
 def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of the hourly mean-value series: the
     median of all pairwise slopes (and the matching median intercept) —
@@ -1024,7 +1010,7 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (t["events"]
          .groupBy(F.expr("unix_micros(date_trunc('hour', ts))"
                          " DIV 3600000000").alias("x"))
-         .agg(F.round(F.sum(dec).cast("double") / F.count("*"), 9)
+         .agg(exact.snap_double_col(F.sum(dec).cast("double") / F.count("*"), 9)
               .alias("y")))
     a, b = h.alias("a"), h.alias("b")
     pairs = (a.join(b, F.col("b.x") > F.col("a.x"))
@@ -1040,8 +1026,8 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(0.5)).alias("b0")))
     return ic.select(
         "n_hours", "n_pairs",
-        F.round("m", 9).alias("slope_per_hour"),
-        F.round("b0", 9).alias("intercept"))
+        exact.snap_double_col("m", 9).alias("slope_per_hour"),
+        exact.snap_double_col("b0", 9).alias("intercept"))
 
 
 _BOOT_R = 32  # replicas
@@ -1683,8 +1669,8 @@ z AS (
 SELECT (SELECT n FROM nn) AS n_hours,
   (SELECT n_pairs FROM s) AS n_pairs,
   (SELECT s_stat FROM s) AS s_stat,
-  round((SELECT var_s FROM v), 6) AS var_s,
-  round((SELECT zv FROM z), 9) AS z_score,
+  CAST(floor(((SELECT var_s FROM v)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS var_s,
+  CAST(floor(((SELECT zv FROM z)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS z_score,
   CASE WHEN (SELECT zv FROM z) > 1.959964 THEN 'increasing'
        WHEN (SELECT zv FROM z) < -1.959964 THEN 'decreasing'
        ELSE 'no_trend' END AS trend""")
@@ -1727,8 +1713,8 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
           .otherwise(0.0))
     return comb.select(
         "n_hours", "n_pairs", "s_stat",
-        F.round(var_s, 6).alias("var_s"),
-        F.round(zv, 9).alias("z_score"),
+        exact.snap_double_col(var_s, 6).alias("var_s"),
+        exact.snap_double_col(zv, 9).alias("z_score"),
         (F.when(zv > 1.959964, "increasing")
          .when(zv < -1.959964, "decreasing")
          .otherwise("no_trend")).alias("trend"))
@@ -1799,10 +1785,9 @@ seas AS (
     CAST(COUNT(*) AS BIGINT) AS nd
   FROM full7 GROUP BY dow)
 SELECT d, y,
-  round(CAST(s7 AS DOUBLE) / 7, 9) AS trend,
-  round(CAST(sk AS DOUBLE) / (7 * nd), 9) AS seasonal,
-  round(CAST(k AS DOUBLE) / 7
-        - CAST(sk AS DOUBLE) / (7 * nd), 9) AS resid
+  CAST(floor((CAST(s7 AS DOUBLE) / 7) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS trend,
+  CAST(floor((CAST(sk AS DOUBLE) / (7 * nd)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS seasonal,
+  CAST(floor((CAST(k AS DOUBLE) / 7 - CAST(sk AS DOUBLE) / (7 * nd)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS resid
 FROM full7 JOIN seas USING (dow)""")
 def events_seasonal_decompose_daily(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -1838,13 +1823,10 @@ def events_seasonal_decompose_daily(spark: SparkSession,
             .agg(F.sum("k").alias("sk"), F.count("*").alias("nd")))
     return (full7.join(F.broadcast(seas), "dow")
             .select("d", "y",
-                    F.round(F.col("s7").cast("double") / 7, 9)
+                    exact.snap_double_col(F.col("s7").cast("double") / 7, 9)
                     .alias("trend"),
-                    F.round(F.col("sk").cast("double")
-                            / (7 * F.col("nd")), 9).alias("seasonal"),
-                    F.round(F.col("k").cast("double") / 7
-                            - F.col("sk").cast("double")
-                            / (7 * F.col("nd")), 9).alias("resid")))
+                    exact.snap_double_col(F.col("sk").cast("double") / (7 * F.col("nd")), 9).alias("seasonal"),
+                    exact.snap_double_col(F.col("k").cast("double") / 7 - F.col("sk").cast("double") / (7 * F.col("nd")), 9).alias("resid")))
 
 
 @query("stats_cuped_adjusted_lift", oracle="""
@@ -2042,7 +2024,7 @@ WITH seq AS (
   FROM events),
 llr AS (
   SELECT event_type, n, s,
-    round(s * {_SPRT_L1} + (n - s) * {_SPRT_L0}, 9) AS llr
+    CAST(floor((s * {_SPRT_L1} + (n - s) * {_SPRT_L0}) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS llr
   FROM seq),
 crossed AS (
   SELECT event_type, n, s, llr,
@@ -2087,8 +2069,7 @@ def stats_sprt_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long").alias("s"))
-    llr_c = F.round(F.col("s") * 0.1823215567939546
-                    + (F.col("n") - F.col("s")) * -0.06899287148695143, 9)
+    llr_c = exact.snap_double_col(F.col("s") * 0.1823215567939546 + (F.col("n") - F.col("s")) * -0.06899287148695143, 9)
     llr = seq.select("event_type", "n", "s", llr_c.alias("llr"))
     a = 2.9444389791664403
     crossed = (llr.where((F.col("llr") >= a) | (F.col("llr") <= -a))
@@ -2120,8 +2101,9 @@ def stats_sprt_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a cumulative window ORDER BY event_type and read the last row —
 # order-fixed IEEE addition, identical bits cross-engine (the same
 # device as the hourly cumsums, applied to a k-row group table).
-_ANOVA_F = """round(((bsum - sd * sd / nn) / (k - 1))
-  / ((qd - bsum) / (nn - k)), 9)"""
+_ANOVA_F = """CAST(floor((((bsum - sd * sd / nn) / (k - 1))
+  / ((qd - bsum) / (nn - k))) * 1000000000.0 + 0.5) AS BIGINT)
+  / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_anova_oneway_f", oracle=f"""
@@ -2821,8 +2803,8 @@ s AS (
   SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM c GROUP BY source),
 t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c)
 SELECT c.lang, c.source, c.o,
-  round(CAST(m.rl AS DOUBLE) * s.cs / t.n, 9) AS expected,
-  round(2.0 * c.o * ln(CAST(c.o AS DOUBLE) * t.n / (m.rl * s.cs)), 9)
+  CAST(floor((CAST(m.rl AS DOUBLE) * s.cs / t.n) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS expected,
+  CAST(floor((2.0 * c.o * ln(CAST(c.o AS DOUBLE) * t.n / (m.rl * s.cs))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
     AS g_contrib
 FROM c JOIN m USING (lang) JOIN s USING (source) CROSS JOIN t
 ORDER BY c.lang, c.source""")
@@ -2849,11 +2831,8 @@ def stats_g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(s), "source")
             .crossJoin(F.broadcast(tot))
             .select("lang", "source", "o",
-                    F.round(F.col("rl").cast("double") * F.col("cs")
-                            / F.col("n"), 9).alias("expected"),
-                    F.round(2.0 * F.col("o")
-                            * F.log(F.col("o").cast("double") * F.col("n")
-                                    / (F.col("rl") * F.col("cs"))), 9)
+                    exact.snap_double_col(F.col("rl").cast("double") * F.col("cs") / F.col("n"), 9).alias("expected"),
+                    exact.snap_double_col(2.0 * F.col("o") * F.log(F.col("o").cast("double") * F.col("n") / (F.col("rl") * F.col("cs"))), 9)
                     .alias("g_contrib"))
             .orderBy("lang", "source"))
 
@@ -2880,8 +2859,8 @@ p{i} AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
 g{i} AS (SELECT avg(lam - y) AS g0, avg((lam - y) * x1) AS g1,
                 avg(lam - y * ln(greatest(lam, 1e-300))) AS nll
          FROM p{i}),
-wt{i + 1} AS (SELECT round(w.w0 - {_PGLM_LR} * g.g0, 9) AS w0,
-                     round(w.w1 - {_PGLM_LR} * g.g1, 9) AS w1
+wt{i + 1} AS (SELECT CAST(floor((w.w0 - {_PGLM_LR} * g.g0) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS w0,
+                     CAST(floor((w.w1 - {_PGLM_LR} * g.g1) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS w1
               FROM wt{i} w CROSS JOIN g{i} g)""")
     return ("WITH " + ",".join(parts) + f""",
 fin AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
@@ -2889,7 +2868,7 @@ fin AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
 SELECT CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
   (SELECT w0 FROM wt{_PGLM_ITERS}) AS w0,
   (SELECT w1 FROM wt{_PGLM_ITERS}) AS w1,
-  round(avg(lam - y * ln(greatest(lam, 1e-300))), 6) AS mean_nll
+  CAST(floor((avg(lam - y * ln(greatest(lam, 1e-300)))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_nll
 FROM fin""")
 
 
@@ -2923,14 +2902,19 @@ def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = hourly.agg(
             F.avg(lam - F.col("y")).alias("g0"),
             F.avg((lam - F.col("y")) * F.col("x1")).alias("g1")).first()
-        w0 = round(w0 - _PGLM_LR * row["g0"], 9)
-        w1 = round(w1 - _PGLM_LR * row["g1"], 9)
+        # Driver-side twin of the shared floor-snap (r10 migration):
+        # the old Python round() is half-EVEN where DuckDB's round()
+        # is half-away — a latent per-step trajectory divergence at
+        # exact .5e-9 straddles.  math.floor(x*1e9+0.5)/1e9 is the
+        # identical IEEE op chain both engines now replay.
+        w0 = _math.floor((w0 - _PGLM_LR * row["g0"]) * 1e9 + 0.5) / 1e9
+        w1 = _math.floor((w1 - _PGLM_LR * row["g1"]) * 1e9 + 0.5) / 1e9
     lam = F.exp(F.lit(w0) + F.lit(w1) * F.col("x1"))
     nll = lam - F.col("y") * F.log(F.greatest(lam, F.lit(1e-300)))
     out = hourly.agg(
         F.count("*").cast("long").alias("n_hours"),
         F.lit(w0).alias("w0"), F.lit(w1).alias("w1"),
-        F.round(F.avg(nll), 6).alias("mean_nll"))
+        exact.snap_double_col(F.avg(nll), 6).alias("mean_nll"))
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return out
 
@@ -3486,8 +3470,7 @@ p AS (
   UNION ALL
   SELECT 'extendedprice~discount | quantity', n, r_pd, r_qp, r_qd FROM r)
 SELECT pair, n, r_xy,
-  round((r_xy - r_xz * r_yz)
-        / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)), 9) AS r_partial
+  CAST(floor(((r_xy - r_xz * r_yz) / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS r_partial
 FROM p ORDER BY pair""")
 def stats_partial_correlation(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -3522,13 +3505,7 @@ def stats_partial_correlation(spark: SparkSession,
 
     def r_of(sxy, sx, sy, sxx, syy):
         n = d("n")
-        return F.round(
-            (n * d(sxy).cast("double") - d(sx).cast("double")
-             * d(sy).cast("double"))
-            / F.sqrt((n * d(sxx).cast("double") - d(sx).cast("double")
-                      * d(sx).cast("double"))
-                     * (n * d(syy).cast("double") - d(sy).cast("double")
-                        * d(sy).cast("double"))), 9)
+        return exact.snap_double_col((n * d(sxy).cast("double") - d(sx).cast("double") * d(sy).cast("double")) / F.sqrt((n * d(sxx).cast("double") - d(sx).cast("double") * d(sx).cast("double")) * (n * d(syy).cast("double") - d(sy).cast("double") * d(sy).cast("double"))), 9)
 
     r = m.select(
         "n",
@@ -3547,9 +3524,7 @@ def stats_partial_correlation(spark: SparkSession,
     p = r.select("n", trio).select(
         "t.pair", "n", "t.r_xy", "t.r_xz", "t.r_yz")
     return (p.select("pair", "n", "r_xy",
-                     F.round((d("r_xy") - d("r_xz") * d("r_yz"))
-                             / F.sqrt((1 - d("r_xz") * d("r_xz"))
-                                      * (1 - d("r_yz") * d("r_yz"))), 9)
+                     exact.snap_double_col((d("r_xy") - d("r_xz") * d("r_yz")) / F.sqrt((1 - d("r_xz") * d("r_xz")) * (1 - d("r_yz") * d("r_yz"))), 9)
                      .alias("r_partial"))
             .orderBy("pair"))
 
@@ -3577,13 +3552,12 @@ b AS (
     FROM g) WHERE rn = 1),
 mse AS (
   SELECT (qd - bsum) / (nn - k) AS mse FROM tot CROSS JOIN b),
-m AS (SELECT event_type, n, round(CAST(s AS DOUBLE) / n, 9) AS mean
+m AS (SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mean
       FROM g),
 pairs AS (
   SELECT a.event_type AS type_a, bb.event_type AS type_b,
-    round(a.mean - bb.mean, 6) AS mean_diff,
-    round(abs(a.mean - bb.mean)
-          / sqrt(mse / 2 * (1.0 / a.n + 1.0 / bb.n)), 6) AS q_stat
+    CAST(floor((a.mean - bb.mean) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_diff,
+    CAST(floor((abs(a.mean - bb.mean) / sqrt(mse / 2 * (1.0 / a.n + 1.0 / bb.n))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS q_stat
   FROM m a JOIN m bb ON a.event_type < bb.event_type CROSS JOIN mse)
 SELECT type_a, type_b, mean_diff, q_stat,
   q_stat > {_TUKEY_Q_CRIT} AS significant
@@ -3624,20 +3598,17 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(((F.col("qd") - F.col("bsum"))
                     / (F.col("nn") - F.col("k"))).alias("mse")))
     m = g.select("event_type", "n",
-                 F.round(F.col("s").cast("double") / F.col("n"), 9)
+                 exact.snap_double_col(F.col("s").cast("double") / F.col("n"), 9)
                  .alias("mean"))
     a = m.select(F.col("event_type").alias("type_a"),
                  F.col("n").alias("na"), F.col("mean").alias("ma"))
     bb = m.select(F.col("event_type").alias("type_b"),
                   F.col("n").alias("nb"), F.col("mean").alias("mb"))
-    q_stat = F.round(
-        F.abs(F.col("ma") - F.col("mb"))
-        / F.sqrt(F.col("mse") / 2
-                 * (1.0 / F.col("na") + 1.0 / F.col("nb"))), 6)
+    q_stat = exact.snap_double_col(F.abs(F.col("ma") - F.col("mb")) / F.sqrt(F.col("mse") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))), 6)
     return (a.join(bb, F.col("type_a") < F.col("type_b"))
             .crossJoin(F.broadcast(mse))
             .select("type_a", "type_b",
-                    F.round(F.col("ma") - F.col("mb"), 6)
+                    exact.snap_double_col(F.col("ma") - F.col("mb"), 6)
                     .alias("mean_diff"),
                     q_stat.alias("q_stat"),
                     (q_stat > _TUKEY_Q_CRIT).alias("significant"))
@@ -4053,6 +4024,6 @@ def events_ccf_click_purchase(spark: SparkSession,
                * F.sqrt(m * F.col("qy").cast("double")
                         - F.col("sy").cast("double") * F.col("sy")))
         structs.append(F.struct(F.lit(k).alias("lag"),
-                                F.round(num / den, 6).alias("ccf")))
+                                exact.snap_double_col(num / den, 6).alias("ccf")))
     return (g.select(F.explode(F.array(*structs)).alias("r"))
             .select("r.lag", "r.ccf").orderBy("lag"))
