@@ -85,7 +85,13 @@ def train_quality_classifier(docs: DataFrame, iterations: int = 10,
             F.avg(loss).alias("loss"),
             *[F.avg(err * F.col(f"x{j}")).alias(f"g{j}") for j in range(d)]
         ).first()  # one job; d+2 doubles to the driver
-        w = [round(w[j] - lr * row[f"g{j}"], 9) for j in range(d)]
+        # Shared floor-snap, not Python round() (r10 migration):
+        # round() is half-even where the oracle's old SQL round() was
+        # half-away — a latent per-step trajectory divergence at exact
+        # .5e-9 straddles.  floor(x*1e9 + 0.5)/1e9 is the identical
+        # IEEE op chain the unrolled-CTE oracle now replays.
+        w = [math.floor((w[j] - lr * row[f"g{j}"]) * 1e9 + 0.5) / 1e9
+             for j in range(d)]
         history.append({"iteration": it, "loss": float(row["loss"]),
                         "weights": list(w)})
     return history
@@ -93,11 +99,12 @@ def train_quality_classifier(docs: DataFrame, iterations: int = 10,
 
 def score_quality(docs: DataFrame, weights: list[float]) -> DataFrame:
     """Apply trained weights — pure map stage, no shuffle."""
+    from results_ingestor_spark.plans import exact
     feats = feature_columns()
     z = sum(feats[j] * float(weights[j]) for j in range(len(weights)))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return docs.select("doc_id", "source",
-                       F.round(p, 6).alias("quality_prob"),
+                       exact.snap_double_col(p, 6).alias("quality_prob"),
                        (p >= 0.5).alias("keep"))
 
 

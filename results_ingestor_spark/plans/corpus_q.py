@@ -10,10 +10,13 @@ driver traffic is one argmax row per merge.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.bpe import train_bpe_merges
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -62,11 +65,11 @@ v AS (SELECT COUNT(DISTINCT tok) AS vsz
       FROM (SELECT unnest(t) AS tok FROM tk)),
 scored AS (
   SELECT bg.doc_id,
-    CAST(round(ln(CAST(cb.c_bi + 1 AS DOUBLE) / (c1.c_ctx + v.vsz)), 9)
+    CAST(CAST(floor((ln(CAST(cb.c_bi + 1 AS DOUBLE) / (c1.c_ctx + v.vsz))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
          AS DECIMAL(18, 9)) AS lp
   FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+  CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_logprob
 FROM scored GROUP BY doc_id""")
 def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one-smoothed bigram LM scoring each document's
@@ -92,16 +95,13 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (t["documents"]
          .select(F.explode(tk).alias("tok"))
          .agg(F.countDistinct("tok").alias("vsz")))
-    lp = F.round(
-        F.log(F.col("c_bi").cast("double") + 1)
-        - F.log((F.col("c_ctx") + F.col("vsz")).cast("double")), 9
-    ).cast("decimal(18,9)")
+    lp = exact.snap_double_col(F.log(F.col("c_bi").cast("double") + 1) - F.log((F.col("c_ctx") + F.col("vsz")).cast("double")), 9).cast("decimal(18,9)")
     scored = (bg.join(cb, ["w1", "w2"]).join(c1, ["w1"])
                 .crossJoin(F.broadcast(v))
                 .select("doc_id", lp.alias("lp")))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
-                 F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+                 exact.snap_double_col(F.sum("lp").cast("double") / F.count("*"), 6)
                   .alias("avg_logprob")))
 
 
@@ -257,8 +257,9 @@ def _gd_chain() -> list[str]:
         parts.append(
             f"a{i} AS (SELECT avg(-(y * ln({pc}) "
             f"+ (1.0 - y) * ln(1.0 - {pc}))) AS loss, {gs} FROM p{i})")
-        ws = ", ".join(f"round(w.w{j} - {_GD_LR} * a.g{j}, 9) AS w{j}"
-                       for j in js)
+        ws = ", ".join(
+            exact.snap_double(f"w.w{j} - {_GD_LR} * a.g{j}", 9)
+            + f" AS w{j}" for j in js)
         parts.append(
             f"wt{i + 1} AS (SELECT {ws} FROM wt{i} w CROSS JOIN a{i} a)")
     return parts
@@ -272,8 +273,8 @@ def _gd_oracle() -> str:
     js = range(_N_FEAT)
     parts = _gd_chain()
     rows = [
-        f"SELECT CAST({i} AS BIGINT) AS iteration, round(a{i}.loss, 6) AS "
-        "loss, " + ", ".join(f"w.w{j} AS w{j}" for j in js)
+        f"SELECT CAST({i} AS BIGINT) AS iteration, "
+        + exact.snap_double(f"a{i}.loss", 6) + " AS loss, " + ", ".join(f"w.w{j} AS w{j}" for j in js)
         + f" FROM a{i} CROSS JOIN wt{i + 1} w"
         for i in range(_GD_ITERS)]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
@@ -292,7 +293,8 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
                                     lr=_GD_LR)
-    rows = [(h["iteration"], round(h["loss"], 6), *h["weights"])
+    rows = [(h["iteration"],
+             _math.floor(h["loss"] * 1e6 + 0.5) / 1e6, *h["weights"])
             for h in hist]
     schema = ("iteration long, loss double, "
               + ", ".join(f"w{j} double" for j in range(_N_FEAT)))
@@ -309,7 +311,7 @@ def _score_oracle() -> str:
     z = " + ".join(f"f.x{j} * w.w{j}" for j in js)
     return (",\n".join(_gd_chain()) + f"""
 SELECT f.doc_id, f.source,
-  round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob,
+  {exact.snap_double(f"1.0 / (1.0 + exp(-({z})))", 6)} AS quality_prob,
   (1.0 / (1.0 + exp(-({z})))) >= 0.5 AS keep
 FROM feat f CROSS JOIN wt{_GD_ITERS} w""")
 
@@ -608,9 +610,7 @@ tot AS (SELECT (SELECT COUNT(*) FROM b) AS t_raw,
                (SELECT COUNT(*) FROM b WHERE lang = 'en') AS t_tgt),
 lr AS (
   SELECT raw.bkt,
-    CAST(round(
-      ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE) / (t_tgt + {_DSIR_NB}))
-      - ln(CAST(raw.c_raw + 1 AS DOUBLE) / (t_raw + {_DSIR_NB})), 9)
+    CAST(CAST(floor((ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE) / (t_tgt + {_DSIR_NB})) - ln(CAST(raw.c_raw + 1 AS DOUBLE) / (t_raw + {_DSIR_NB}))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
       AS DECIMAL(18, 9)) AS logratio
   FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt CROSS JOIN tot)
 SELECT b.doc_id, COUNT(*) AS n_grams,
@@ -651,14 +651,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = b.agg(F.count("*").alias("t_raw"),
                 F.count_if(F.col("lang") == "en").alias("t_tgt"))
     lr = (raw.join(tgt, "bkt", "left").crossJoin(F.broadcast(tot))
-          .select("bkt", F.round(
-              F.log((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double")
-                    / (F.col("t_tgt") + _DSIR_NB))
-              - F.log((F.col("c_raw") + 1).cast("double")
-                      / (F.col("t_raw") + _DSIR_NB)), 9)
+          .select("bkt", exact.snap_double_col(F.log((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double") / (F.col("t_tgt") + _DSIR_NB)) - F.log((F.col("c_raw") + 1).cast("double") / (F.col("t_raw") + _DSIR_NB)), 9)
               .cast("decimal(18,9)").alias("logratio")))
     # r9 draw-5 sf0.1 lottery finding (1 doc in 5,000): the former
-    # round(mean, 6) emitted NEGATIVE ZERO in DuckDB but +0.0 in Spark
+    # CAST(floor((mean) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 emitted NEGATIVE ZERO in DuckDB but +0.0 in Spark
     # when the mean is a tiny negative (Spark's BigDecimal round drops
     # the sign; DuckDB's binary-scale round keeps it), and repr-level
     # compares distinguish the two.  The shared snap device
@@ -702,8 +698,7 @@ SELECT lang,
   CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
   min(avg_logprob) AS min_logprob,
   max(avg_logprob) AS max_logprob,
-  round(CAST(SUM(CAST(avg_logprob AS DECIMAL(18, 6))) AS DOUBLE)
-        / COUNT(*), 6) AS mean_logprob
+  CAST(floor((CAST(SUM(CAST(avg_logprob AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_logprob
 FROM r GROUP BY lang, bucket""")
 def curriculum_perplexity_buckets(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -743,8 +738,7 @@ def curriculum_perplexity_buckets(spark: SparkSession,
                  F.sum("n_bigrams").cast("long").alias("total_bigrams"),
                  F.min("avg_logprob").alias("min_logprob"),
                  F.max("avg_logprob").alias("max_logprob"),
-                 F.round(F.sum(F.col("avg_logprob").cast("decimal(18,6)"))
-                         .cast("double") / F.count("*"), 6)
+                 exact.snap_double_col(F.sum(F.col("avg_logprob").cast("decimal(18,6)")) .cast("double") / F.count("*"), 6)
                   .alias("mean_logprob")))
 
 
@@ -965,7 +959,7 @@ def _scored_chain() -> str:
     9-dp-snapped linear score and the integer label."""
     return ",\n".join(_gd_chain()) + f""",
 sc AS (
-  SELECT round({_Z_SQL}, 9) AS zs, CAST(f.y AS BIGINT) AS yi
+  SELECT {exact.snap_double(_Z_SQL, 9)} AS zs, CAST(f.y AS BIGINT) AS yi
   FROM feat f CROSS JOIN wt{_GD_ITERS} w)"""
 
 
@@ -990,10 +984,14 @@ s AS (
   FROM c)
 SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
   n_scores,
-  round(CAST(num2 - npos * (npos + 1) AS DOUBLE)
-        / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 9) AS auc,
-  round(CAST(num2 - npos * (npos + 1) AS DOUBLE)
-        / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) - 1.0, 9) AS gini
+  """ + exact.snap_double(
+        "CAST(num2 - npos * (npos + 1) AS DOUBLE)"
+        " / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE))", 9) + """
+    AS auc,
+  """ + exact.snap_double(
+        "CAST(num2 - npos * (npos + 1) AS DOUBLE)"
+        " / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) - 1.0", 9) + """
+    AS gini
 FROM s"""
 
 
@@ -1026,7 +1024,7 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = feature_columns()
     z = sum(feats[j] * float(wts[j]) for j in range(len(wts)))
     sc = t["documents"].select(
-        F.round(z, 9).alias("zs"),
+        exact.snap_double_col(z, 9).alias("zs"),
         (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
     from results_ingestor_spark.operators.shuffle import (
         two_level_prefix_sum)
@@ -1056,8 +1054,10 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = s.select(
         F.col("npos").alias("n_pos"), F.col("nneg").alias("n_neg"),
         "n_scores",
-        F.round(numer / (F.lit(2.0) * npd * nnd), 9).alias("auc"),
-        F.round(numer / (npd * nnd) - F.lit(1.0), 9).alias("gini"))
+        exact.snap_double_col(
+            numer / (F.lit(2.0) * npd * nnd), 9).alias("auc"),
+        exact.snap_double_col(
+            numer / (npd * nnd) - F.lit(1.0), 9).alias("gini"))
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return out
 
@@ -1100,16 +1100,15 @@ def quality_classifier_calibration(spark: SparkSession,
     feats = feature_columns()
     z = sum(feats[j] * float(wts[j]) for j in range(len(wts)))
     sc = t["documents"].select(
-        F.round(z, 9).alias("zs"),
+        exact.snap_double_col(z, 9).alias("zs"),
         (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
     b = sc.select(F.expr(_CAL_BIN).alias("bin"), "zs", "yi")
     return (b.groupBy("bin")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("yi").alias("n_pos"),
-                 F.round(F.sum("yi").cast("double") / F.count("*"), 9)
+                 exact.snap_double_col(F.sum("yi").cast("double") / F.count("*"), 9)
                  .alias("pos_rate"),
-                 F.round(F.sum(F.col("zs").cast("decimal(21,9)"))
-                         .cast("double") / F.count("*"), 9).alias("mean_z"))
+                 exact.snap_double_col(F.sum(F.col("zs").cast("decimal(21,9)")) .cast("double") / F.count("*"), 9).alias("mean_z"))
             .select("bin",
                     (F.col("bin").cast("double") / F.lit(10.0))
                     .alias("p_lo"),
@@ -1154,8 +1153,7 @@ band_cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_band FROM cand)
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_records,
   CAST(COUNT(*) AS BIGINT) AS n_true,
   CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
-  round(CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE)
-        / COUNT(*), 6) AS recall,
+  CAST(floor((CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS recall,
   (SELECT n_cand_exact FROM exact_cand) AS n_cand_exact,
   (SELECT n_cand_band FROM band_cand) AS n_cand_band
 FROM truth"""
@@ -1498,11 +1496,11 @@ c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM cb GROUP BY w2),
 v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM cb),
 scored AS (
   SELECT bg.doc_id,
-    CAST(round(ln({_KN_P}), 9) AS DECIMAL(18, 9)) AS lp
+    CAST(CAST(floor((ln({_KN_P})) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS DECIMAL(18, 9)) AS lp
   FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
   CROSS JOIN v)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob_kn
+  CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_logprob_kn
 FROM scored GROUP BY doc_id""")
 def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (absolute discount
@@ -1537,13 +1535,13 @@ def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("nfol"))
     c2 = cb.groupBy("w2").agg(F.count("*").cast("long").alias("npre"))
     v = cb.agg(F.count("*").cast("long").alias("nbt"))
-    lp = F.round(F.log(F.expr(_KN_P)), 9).cast("decimal(18,9)")
+    lp = exact.snap_double_col(F.log(F.expr(_KN_P)), 9).cast("decimal(18,9)")
     scored = (bg.join(cb, ["w1", "w2"]).join(c1, ["w1"]).join(c2, ["w2"])
               .crossJoin(F.broadcast(v))
               .select("doc_id", lp.alias("lp")))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_bigrams"),
-                 F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+                 exact.snap_double_col(F.sum("lp").cast("double") / F.count("*"), 6)
                  .alias("avg_logprob_kn")))
 
 
@@ -1593,7 +1591,7 @@ seg{i + 1} AS MATERIALIZED (
 def _wordpiece_train_oracle(n_merges: int = 8) -> str:
     rows = [f"""SELECT CAST({i} AS INTEGER) AS merge_rank, a AS "left",
   b AS "right", a || b AS merged, c AS pair_count,
-  round(score, 12) AS score FROM m{i}"""
+  CAST(floor((score) * 1000000000000.0 + 0.5) AS BIGINT) / 1000000000000.0 AS score FROM m{i}"""
             for i in range(n_merges)]
     return ("WITH " + ",".join(_wordpiece_chain(n_merges)) + "\n"
             + "\nUNION ALL\n".join(rows))
