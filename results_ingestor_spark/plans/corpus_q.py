@@ -1222,8 +1222,9 @@ def er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n_recs.join(F.broadcast(stats)).join(F.broadcast(n_exact))
             .join(F.broadcast(n_band))
             .select("n_records", "n_true", "n_caught",
-                    F.round(F.col("n_caught").cast("double")
-                            / F.col("n_true"), 6).alias("recall"),
+                    exact.snap_double_col(
+                        F.col("n_caught").cast("double")
+                        / F.col("n_true"), 6).alias("recall"),
                     "n_cand_exact", "n_cand_band"))
 
 

@@ -175,9 +175,7 @@ m AS (
     SUM(n) AS s, SUM(n * n) AS q
   FROM hourly GROUP BY event_type)
 SELECT h.event_type, CAST(h.hour AS TIMESTAMP) AS hour, h.n,
-  round((h.n - CAST(s AS DOUBLE) / n_hours)
-        / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                / n_hours) / (n_hours - 1)), 9) AS zscore,
+  CAST(floor(((h.n - CAST(s AS DOUBLE) / n_hours) / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours) / (n_hours - 1))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS zscore,
   abs((h.n - CAST(s AS DOUBLE) / n_hours)
       / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
               / n_hours) / (n_hours - 1))) > 2.0 AS is_anomaly
@@ -204,7 +202,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n") - mean) / F.sqrt(var)
     return (hourly.join(F.broadcast(m), "event_type")
             .select("event_type", "hour", "n",
-                    F.round(z, 9).alias("zscore"),
+                    exact.snap_double_col(z, 9).alias("zscore"),
                     (F.abs(z) > 2.0).alias("is_anomaly")))
 
 
@@ -1647,18 +1645,8 @@ m AS (
          AS DECIMAL(38,0)) AS pab
   FROM g WHERE gap IS NOT NULL GROUP BY event_type)
 SELECT event_type, n AS n_gaps,
-  round((sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n
-         - CAST(s AS DOUBLE) / n)
-        / (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
-                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n
-           + CAST(s AS DOUBLE) / n), 6) AS burstiness_b,
-  round((CAST(np AS DOUBLE) * CAST(pab AS DOUBLE)
-         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-        / (sqrt(CAST(np AS DOUBLE) * CAST(qa AS DOUBLE)
-                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-           * sqrt(CAST(np AS DOUBLE) * CAST(qb AS DOUBLE)
-                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+  CAST(floor(((sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n - CAST(s AS DOUBLE) / n) / (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n + CAST(s AS DOUBLE) / n)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS burstiness_b,
+  CAST(floor(((CAST(np AS DOUBLE) * CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / (sqrt(CAST(np AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * sqrt(CAST(np AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
     AS memory_m
 FROM m ORDER BY event_type""")
 def events_burstiness_memory(spark: SparkSession,
@@ -1707,11 +1695,8 @@ def events_burstiness_memory(spark: SparkSession,
     nd = lambda c: F.col(c).cast("double")
     sig = F.sqrt(nd("n") * nd("q") - nd("s") * nd("s")) / F.col("n")
     mu = nd("s") / F.col("n")
-    b = F.round((sig - mu) / (sig + mu), 6)
-    mm = F.round((nd("np") * nd("pab") - nd("sa") * nd("sb"))
-                 / (F.sqrt(nd("np") * nd("qa") - nd("sa") * nd("sa"))
-                    * F.sqrt(nd("np") * nd("qb") - nd("sb") * nd("sb"))),
-                 6)
+    b = exact.snap_double_col((sig - mu) / (sig + mu), 6)
+    mm = exact.snap_double_col((nd("np") * nd("pab") - nd("sa") * nd("sb")) / (F.sqrt(nd("np") * nd("qa") - nd("sa") * nd("sa")) * F.sqrt(nd("np") * nd("qb") - nd("sb") * nd("sb"))), 6)
     return (m.select("event_type", F.col("n").alias("n_gaps"),
                      b.alias("burstiness_b"), mm.alias("memory_m"))
             .orderBy("event_type"))

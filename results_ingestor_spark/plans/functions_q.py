@@ -30,10 +30,10 @@ def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("array_functions", oracle="""
 SELECT vec_id,
   len(embedding) AS dim,
-  round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
-  round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_component,
-  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
-  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_component,
+  CAST(floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS first_component,
+  CAST(floor((CAST(embedding[len(embedding)] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS last_component,
+  CAST(floor((CAST(list_max(embedding) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_component,
+  CAST(floor((CAST(list_min(embedding) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS min_component,
   len(list_filter(embedding, x -> x > 0)) AS n_positive
 FROM embeddings""")
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,10 +44,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["embeddings"].select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_component"),
-        F.round(F.element_at(e, -1).cast("double"), 6).alias("last_component"),
-        F.round(F.array_max(e).cast("double"), 6).alias("max_component"),
-        F.round(F.array_min(e).cast("double"), 6).alias("min_component"),
+        exact.snap_double_col(F.element_at(e, 1).cast("double"), 6).alias("first_component"),
+        exact.snap_double_col(F.element_at(e, -1).cast("double"), 6).alias("last_component"),
+        exact.snap_double_col(F.array_max(e).cast("double"), 6).alias("max_component"),
+        exact.snap_double_col(F.array_min(e).cast("double"), 6).alias("min_component"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"))
 
 

@@ -465,7 +465,7 @@ WITH keyed AS (
             ::BIGINT + 1 AS DOUBLE) / 1152921504606846976.0)
       / n_chars AS es_key
   FROM documents)
-SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+SELECT doc_id, n_chars, CAST(floor((es_key) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS es_key
 FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50""")
 def sampling_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
@@ -485,7 +485,7 @@ def sampling_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t["documents"]
             .select("doc_id", "n_chars", es_key.alias("es_key"))
             .orderBy(F.desc("es_key"), F.asc("doc_id")).limit(50)
-            .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key")))
+            .select("doc_id", "n_chars", exact.snap_double_col("es_key", 9).alias("es_key")))
 
 
 @query("sampling_temperature_mix", oracle="""
@@ -1211,8 +1211,7 @@ draw AS (
            ::BIGINT + 1) / 9007199254740992.0 AS u
   FROM grp)
 SELECT lang, source,
-  round(n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
-            * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+  CAST(floor((n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END * ln(1.0 - 2.0 * abs(u - 0.5))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS noisy_count
 FROM draw ORDER BY lang, source""")
 def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """epsilon-differentially-private release of the per-(lang, source)
@@ -1241,7 +1240,7 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise = (F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
              * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
     return (grp.select("lang", "source",
-                       F.round(F.col("n") - noise, 6).alias("noisy_count"))
+                       exact.snap_double_col(F.col("n") - noise, 6).alias("noisy_count"))
             .orderBy("lang", "source"))
 
 
@@ -1680,8 +1679,9 @@ w AS (
   FROM s)
 SELECT col, n_rows, n_distinct, plain_bytes,
   dict_page_bytes + n_rows * code_w AS dict_bytes,
-  round(1.0 - CAST(dict_page_bytes + n_rows * code_w AS DOUBLE)
-        / plain_bytes, 9) AS saving_ratio,
+  CAST(floor((1.0 - CAST(dict_page_bytes + n_rows * code_w AS DOUBLE)
+        / plain_bytes) * 1000000000.0 + 0.5) AS BIGINT)
+    / CAST(1000000000.0 AS DOUBLE) AS saving_ratio,
   dict_page_bytes + n_rows * code_w < plain_bytes AS recommend_dict
 FROM w ORDER BY col"""
 
@@ -1727,8 +1727,7 @@ def layout_dict_encoding_estimate(spark: SparkSession,
     dict_bytes = F.col("dict_page_bytes") + F.col("n_rows") * code_w
     return (s.select("col", "n_rows", "n_distinct", "plain_bytes",
                      dict_bytes.alias("dict_bytes"),
-                     F.round(1.0 - dict_bytes.cast("double")
-                             / F.col("plain_bytes"), 9)
+                     exact.snap_double_col(1.0 - dict_bytes.cast("double") / F.col("plain_bytes"), 9)
                      .alias("saving_ratio"),
                      (dict_bytes < F.col("plain_bytes"))
                      .alias("recommend_dict"))
@@ -2242,10 +2241,9 @@ tot AS (
   SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
   FROM g)
 SELECT source, n AS n_docs,
-  round(CAST(ss AS DOUBLE) / nn, 6) AS corpus_mean_chars,
-  round(CAST(ss - s AS DOUBLE) / (nn - n), 6) AS loo_mean_chars,
-  round(CAST(ss AS DOUBLE) / nn
-        - CAST(ss - s AS DOUBLE) / (nn - n), 6) AS influence
+  CAST(floor((CAST(ss AS DOUBLE) / nn) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS corpus_mean_chars,
+  CAST(floor((CAST(ss - s AS DOUBLE) / (nn - n)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS loo_mean_chars,
+  CAST(floor((CAST(ss AS DOUBLE) / nn - CAST(ss - s AS DOUBLE) / (nn - n)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS influence
 FROM g CROSS JOIN tot ORDER BY source""")
 def dataset_source_influence_loo(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -2272,7 +2270,7 @@ def dataset_source_influence_loo(spark: SparkSession,
         / (F.col("nn") - F.col("n"))
     return (g.crossJoin(F.broadcast(tot))
             .select("source", F.col("n").alias("n_docs"),
-                    F.round(full, 6).alias("corpus_mean_chars"),
-                    F.round(loo, 6).alias("loo_mean_chars"),
-                    F.round(full - loo, 6).alias("influence"))
+                    exact.snap_double_col(full, 6).alias("corpus_mean_chars"),
+                    exact.snap_double_col(loo, 6).alias("loo_mean_chars"),
+                    exact.snap_double_col(full - loo, 6).alias("influence"))
             .orderBy("source"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from results_ingestor_spark.operators.similarity import brute_force_topk
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.plans.similarity_q import _NORM_SQL
 from results_ingestor_spark.plans.text_q import (
@@ -415,8 +416,7 @@ adj AS (
   FROM tf JOIN pw USING (term) GROUP BY doc_id),
 scored AS (
   SELECT dl.doc_id,
-    round(coalesce(adj.adj, 0) + c.const
-          - 3 * ln(dl.dl + {_DIR_MU}), 6) AS ql_score
+    CAST(floor((coalesce(adj.adj, 0) + c.const - 3 * ln(dl.dl + {_DIR_MU})) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ql_score
   FROM dl LEFT JOIN adj ON adj.doc_id = dl.doc_id CROSS JOIN c)
 SELECT doc_id, ql_score FROM scored
 ORDER BY ql_score DESC, doc_id LIMIT 10""")
@@ -460,8 +460,7 @@ def search_dirichlet_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dl.join(adj, "doc_id", "left")
             .crossJoin(F.broadcast(const))
             .select("doc_id",
-                    F.round(F.coalesce("adj", F.lit(0.0)) + F.col("const")
-                            - 3 * F.log(F.col("dl") + _DIR_MU), 6)
+                    exact.snap_double_col(F.coalesce("adj", F.lit(0.0)) + F.col("const") - 3 * F.log(F.col("dl") + _DIR_MU), 6)
                     .alias("ql_score"))
             .orderBy(F.desc("ql_score"), F.asc("doc_id"))
             .limit(10))

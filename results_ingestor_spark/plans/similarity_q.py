@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.similarity import (
     brute_force_topk, lsh_bucketed_topk)
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -212,9 +213,9 @@ d AS (
       abs(x - (mn + floor((x - mn) / sc + 0.5) * sc))) AS errs
   FROM s)
 SELECT vec_id,
-  round(mn, 6) AS vmin, round(sc, 9) AS scale,
-  round(list_max(errs), 6) AS max_abs_err,
-  round(list_sum(list_transform(errs, x -> x * x)) / dim, 6) AS mse,
+  CAST(floor((mn) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS vmin, CAST(floor((sc) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS scale,
+  CAST(floor((list_max(errs)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_abs_err,
+  CAST(floor((list_sum(list_transform(errs, x -> x * x)) / dim) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mse,
   list_max(errs) <= sc / 2 * 1.000001 AS within_half_step
 FROM d""")
 def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,10 +242,10 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
                          F.lit(0.0), lambda acc, x: acc + x)
     return d.select(
         "vec_id",
-        F.round("mn", 6).alias("vmin"),
-        F.round("sc", 9).alias("scale"),
-        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
-        F.round(sq_sum / F.col("dim"), 6).alias("mse"),
+        exact.snap_double_col("mn", 6).alias("vmin"),
+        exact.snap_double_col("sc", 9).alias("scale"),
+        exact.snap_double_col(F.array_max("errs"), 6).alias("max_abs_err"),
+        exact.snap_double_col(sq_sum / F.col("dim"), 6).alias("mse"),
         (F.array_max("errs") <= F.col("sc") / 2 * 1.000001)
         .alias("within_half_step"))
 
@@ -504,9 +505,9 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_dim_stats", oracle="""
 SELECT CAST(dim AS INT) AS dim,
   COUNT(*) AS n,
-  round(AVG(CAST(v AS DOUBLE)), 6) AS mean_v,
-  round(MIN(CAST(v AS DOUBLE)), 6) AS min_v,
-  round(MAX(CAST(v AS DOUBLE)), 6) AS max_v
+  CAST(floor((AVG(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_v,
+  CAST(floor((MIN(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS min_v,
+  CAST(floor((MAX(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_v
 FROM (
   SELECT unnest(embedding) AS v,
          generate_subscripts(embedding, 1) - 1 AS dim
@@ -525,9 +526,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.posexplode("embedding").alias("dim", "v"))
             .groupBy("dim")
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
-                 F.round(F.min(F.col("v").cast("double")), 6).alias("min_v"),
-                 F.round(F.max(F.col("v").cast("double")), 6).alias("max_v")))
+                 exact.snap_double_col(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+                 exact.snap_double_col(F.min(F.col("v").cast("double")), 6).alias("min_v"),
+                 exact.snap_double_col(F.max(F.col("v").cast("double")), 6).alias("max_v")))
 
 
 def _jl_signs(d: int = 64, k: int = 8) -> list[list[int]]:
@@ -547,7 +548,7 @@ def _jl_oracle(d: int = 64, k: int = 8) -> str:
     rows = ", ".join(f"({i}, {j}, {signs[i][j]})"
                      for i in range(d) for j in range(k))
     cols = ",\n  ".join(
-        f"round(SUM(CASE WHEN j = {j} THEN v * s END), 6) AS p{j}"
+        f"CAST(floor((SUM(CASE WHEN j = {j} THEN v * s END)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS p{j}"
         for j in range(k))
     return f"""
 WITH signs(i, j, s) AS (VALUES {rows}),
@@ -607,7 +608,7 @@ nrm AS (
   SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS n
   FROM comp GROUP BY doc_id)
 SELECT c.doc_id, c.dim,
-  round(CAST(c.s AS DOUBLE) / nullif(nrm.n, 0), 9) AS value
+  CAST(floor((CAST(c.s AS DOUBLE) / nullif(nrm.n, 0)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS value
 FROM comp c JOIN nrm ON nrm.doc_id = c.doc_id""".replace("{TOKS}", "t"))
 def embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding GENERATION by feature hashing — the deterministic
@@ -637,8 +638,7 @@ def embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n")))
     return (comp.join(nrm, "doc_id")
             .select("doc_id", "dim",
-                    F.round(F.col("s").cast("double")
-                            / F.nullif("n", F.lit(0)), 9).alias("value")))
+                    exact.snap_double_col(F.col("s").cast("double") / F.nullif("n", F.lit(0)), 9).alias("value")))
 
 
 @query("embedding_covariance", oracle="""
@@ -1471,8 +1471,8 @@ WITH flat AS (
     CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings),
 st AS (
-  SELECT i, round(AVG(v), 9) AS m,
-    round(sqrt(AVG(v * v) - AVG(v) * AVG(v)), 9) AS sd
+  SELECT i, CAST(floor((AVG(v)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS m,
+    CAST(floor((sqrt(AVG(v * v) - AVG(v) * AVG(v))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS sd
   FROM flat GROUP BY i),
 arrs AS (
   SELECT list(m ORDER BY i) AS means, list(sd ORDER BY i) AS stds
@@ -1505,10 +1505,8 @@ bsums AS (SELECT i, SUM(v) AS sd2 FROM bflat GROUP BY i),
 before AS (SELECT SUM(sd2 * sd2) AS ss FROM bsums),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
 SELECT n_vecs,
-  round((before.ss - n_vecs)
-        / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) AS avg_cos_before,
-  round((after.ss - n_vecs)
-        / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) AS avg_cos_after
+  CAST(floor(((before.ss - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_cos_before,
+  CAST(floor(((after.ss - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_cos_after
 FROM before CROSS JOIN after CROSS JOIN n""")
 def embedding_whitening_effect(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1538,9 +1536,8 @@ def embedding_whitening_effect(spark: SparkSession,
                         "embedding", lambda x: x.cast("double")))
                     .alias("i0", "v"))
     st = (flat.groupBy("i0")
-          .agg(F.round(F.avg("v"), 9).alias("m"),
-               F.round(F.sqrt(F.avg(F.col("v") * F.col("v"))
-                              - F.avg("v") * F.avg("v")), 9).alias("sd")))
+          .agg(exact.snap_double_col(F.avg("v"), 9).alias("m"),
+               exact.snap_double_col(F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")), 9).alias("sd")))
     arrs = st.agg(
         F.array_sort(F.collect_list(F.struct("i0", "m"))).alias("ms"),
         F.array_sort(F.collect_list(F.struct("i0", "sd"))).alias("sds"))
@@ -1573,9 +1570,7 @@ def embedding_whitening_effect(spark: SparkSession,
     return (before.crossJoin(F.broadcast(after))
             .crossJoin(F.broadcast(n))
             .select("n_vecs",
-                    F.round((F.col("ss_before") - nn)
-                            / (nn.cast("double") * (nn - 1)), 6)
+                    exact.snap_double_col((F.col("ss_before") - nn) / (nn.cast("double") * (nn - 1)), 6)
                     .alias("avg_cos_before"),
-                    F.round((F.col("ss_after") - nn)
-                            / (nn.cast("double") * (nn - 1)), 6)
+                    exact.snap_double_col((F.col("ss_after") - nn) / (nn.cast("double") * (nn - 1)), 6)
                     .alias("avg_cos_after")))

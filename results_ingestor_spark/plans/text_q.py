@@ -561,8 +561,7 @@ pairs AS (
     ON a.doc_id = b.doc_id AND a.tok < b.tok
   GROUP BY a.tok, b.tok)
 SELECT tok_a, tok_b, c_ab, c_a, c_b,
-  round(ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b)),
-        9) AS pmi
+  CAST(floor((ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS pmi
 FROM pairs CROSS JOIN n
 WHERE c_ab >= 5""")
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,10 +593,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(F.broadcast(n))
             .where(F.col("c_ab") >= 5)
             .select("tok_a", "tok_b", "c_ab", "c_a", "c_b",
-                    F.round(F.log(F.col("c_ab").cast("double")
-                                  * F.col("n_docs")
-                                  / (F.col("c_a").cast("double")
-                                     * F.col("c_b"))), 9).alias("pmi")))
+                    exact.snap_double_col(F.log(F.col("c_ab").cast("double") * F.col("n_docs") / (F.col("c_a").cast("double") * F.col("c_b"))), 9).alias("pmi")))
 
 
 _BM25_TERMS = ("join", "scan", "merge")
@@ -1625,19 +1621,12 @@ m AS (
       AS n00
   FROM r)
 SELECT n AS n_docs, n11, n10, n01, n00,
-  round(CAST(n11 + n00 AS DOUBLE) / n, 9) AS po,
-  round(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
-             AS DOUBLE) / (n * n), 9) AS pe,
-  round((CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
-              + (n01 + n00) * (n10 + n00)) AS DOUBLE))
-        / (n * n - ((n11 + n10) * (n11 + n01)
-                    + (n01 + n00) * (n10 + n00))), 9) AS kappa,
-  round(CASE WHEN n10 + n01 > 0 THEN
-    CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
-      / (n10 + n01) ELSE 0.0 END, 9) AS mcnemar_stat,
+  CAST(floor((CAST(n11 + n00 AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS po,
+  CAST(floor((CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS pe,
+  CAST(floor(((CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)) / (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS kappa,
+  CAST(floor((CASE WHEN n10 + n01 > 0 THEN CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01) ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mcnemar_stat,
   CASE WHEN n10 + n01 > 0 THEN
-    round(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
-          / (n10 + n01), 9) > {_MCNEMAR_CRIT_DF1}
+    CAST(floor((CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 > {_MCNEMAR_CRIT_DF1}
   ELSE FALSE END AS raters_differ
 FROM m""")
 def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,14 +1673,12 @@ def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
     diff = F.abs(n10 - n01)
     mcn = F.when(n10 + n01 > 0,
-                 F.round(((diff - 1) * (diff - 1)).cast("double")
-                         / (n10 + n01), 9)).otherwise(F.lit(0.0))
+                 exact.snap_double_col(((diff - 1) * (diff - 1)).cast("double") / (n10 + n01), 9)).otherwise(F.lit(0.0))
     return m.select(
         nn.alias("n_docs"), "n11", "n10", "n01", "n00",
-        F.round((n11 + n00).cast("double") / nn, 9).alias("po"),
-        F.round(chance.cast("double") / (nn * nn), 9).alias("pe"),
-        F.round((nn * (n11 + n00) - chance).cast("double")
-                / (nn * nn - chance), 9).alias("kappa"),
+        exact.snap_double_col((n11 + n00).cast("double") / nn, 9).alias("po"),
+        exact.snap_double_col(chance.cast("double") / (nn * nn), 9).alias("pe"),
+        exact.snap_double_col((nn * (n11 + n00) - chance).cast("double") / (nn * nn - chance), 9).alias("kappa"),
         mcn.alias("mcnemar_stat"),
         F.when(n10 + n01 > 0, mcn > _MCNEMAR_CRIT_DF1)
          .otherwise(F.lit(False)).alias("raters_differ"))
