@@ -34,27 +34,52 @@ from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
-_DEC = "CAST({c} AS DECIMAL(12,2))"
+# r10 DECCAST migration (VERDICT r9 "what's wrong" item 1): money
+# ingestion is exact.cents()/rev_e4() — floor(x*100 + 0.5) is
+# IEEE-identical in both engines for ANY double, where the former
+# CAST(x AS DECIMAL(12,2)) was only distribution-safe (2-dp-grid
+# corpus) and diverged cross-engine on exact-.xx5-shortest-repr
+# doubles (tests/test_round_semantics.py's DECIMAL cast path).  Sums
+# run in exact BIGINT 10^-4-dollar units (the supplier_scorecard /
+# abc_inventory_classes convention); the emitted dollar double is the
+# one terminal rescale CAST(sum AS DOUBLE) / 10000.0, which on-grid
+# is bit-identical to the old DECIMAL-sum cast (both are the
+# correctly-rounded double of the same exact rational).
+
+_REV_E4 = exact.rev_e4("l_extendedprice", "l_discount")
 
 
-def _dec(c: str) -> F.Column:
-    return F.expr(_DEC.format(c=c))
+def _rev_e4() -> F.Column:
+    """Discounted line revenue in exact BIGINT 10^-4 dollars."""
+    return F.expr(_REV_E4)
 
 
-def _sumd(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE)"
+def _cents(c: str) -> F.Column:
+    """Exact BIGINT cents of a 2-dp money/quantity double column."""
+    return F.expr(exact.cents(c))
 
 
-_REV = (_DEC.format(c="l_extendedprice")
-        + " * (1 - " + _DEC.format(c="l_discount") + ")")
+def _sum_e4_sql(expr: str) -> str:
+    """Oracle emission: BIGINT e4 sum rescaled to dollars.  The inner
+    BIGINT cast collapses DuckDB's HUGEINT sum widening."""
+    return f"CAST(CAST(SUM({expr}) AS BIGINT) AS DOUBLE) / 10000.0"
 
 
-def _rev() -> F.Column:
-    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+def _sum_cents_sql(expr: str) -> str:
+    """Oracle emission for cents-unit sums (quantities, balances)."""
+    return f"CAST(CAST(SUM({expr}) AS BIGINT) AS DOUBLE) / 100.0"
+
+
+def _sum_e4(col: F.Column) -> F.Column:
+    return F.sum(col).cast("long").cast("double") / 10000.0
+
+
+def _sum_cents(col: F.Column) -> F.Column:
+    return F.sum(col).cast("long").cast("double") / 100.0
 
 
 @query("q6_forecast_revenue", oracle=f"""
-SELECT {_sumd(_DEC.format(c='l_extendedprice') + ' * ' + _DEC.format(c='l_discount'))} AS revenue,
+SELECT {_sum_e4_sql(exact.cents('l_extendedprice') + ' * ' + exact.cents('l_discount'))} AS revenue,
   COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -73,15 +98,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24))
-        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount"))
-             .cast("double").alias("revenue"),
+        .agg(_sum_e4(_cents("l_extendedprice") * _cents("l_discount"))
+             .alias("revenue"),
              F.count("*").alias("n")))
 
 
 @query("q7_volume_shipping", oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   year(l_shipdate) AS l_year,
-  {_sumd(_REV)} AS volume
+  {_sum_e4_sql(_REV_E4)} AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -117,11 +142,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("double").alias("volume")))
+        .agg(_sum_e4(_rev_e4()).alias("volume")))
 
 
 @query("q10_returned_items", oracle=f"""
-SELECT c_custkey, c_name, {_sumd(_REV)} AS revenue, c_acctbal, n_name
+SELECT c_custkey, c_name, {_sum_e4_sql(_REV_E4)} AS revenue, c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -149,17 +174,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_sum_e4(_rev_e4()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"))
 
 
 @query("q14_promo_revenue", oracle=f"""
-SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN {_DEC.format(c='l_extendedprice')} * (1 - {_DEC.format(c='l_discount')})
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-  / {_sumd(_REV)}, 9) AS promo_revenue_pct,
+SELECT {exact.snap_double(
+    "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN " + _REV_E4
+    + " ELSE 0 END) AS DOUBLE) / CAST(SUM(" + _REV_E4 + ") AS DOUBLE)",
+    9)} AS promo_revenue_pct,
   COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -172,15 +197,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one decimal-exact CASE aggregate — ratio computed as a single
     double division, rounded for cross-engine bit stability."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    promo = F.when(F.col("p_type") == "PROMO", _rev()) \
-             .otherwise(F.lit(0).cast("decimal(12,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", _rev_e4()) \
+             .otherwise(F.lit(0).cast("long"))
     return (
         t["lineitem"].where(
             (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp")))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
-                     / F.sum(_rev()).cast("double"), 9)
+        .agg(exact.snap_double_col(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(_rev_e4()).cast("double"), 9)
              .alias("promo_revenue_pct"),
              F.count("*").alias("n")))
 
@@ -188,10 +214,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q18_large_volume_customer", oracle=f"""
 WITH big AS (
   SELECT l_orderkey FROM lineitem
-  GROUP BY l_orderkey HAVING SUM({_DEC.format(c='l_quantity')}) > 250)
+  GROUP BY l_orderkey HAVING SUM({exact.cents('l_quantity')}) > 25000)
 SELECT c_name, c_custkey, o_orderkey,
   CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
-  {_sumd(_DEC.format(c='l_quantity'))} AS total_qty
+  {_sum_cents_sql(exact.cents('l_quantity'))} AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -209,8 +235,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, o_orderkey tie-break."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     big = (t["lineitem"].groupBy("l_orderkey")
-           .agg(F.sum(_dec("l_quantity")).alias("__q"))
-           .where(F.col("__q") > 250)
+           .agg(F.sum(_cents("l_quantity")).alias("__q"))
+           .where(F.col("__q") > 25000)
            .select("l_orderkey"))
     return (
         t["lineitem"]
@@ -221,7 +247,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey",
                  F.col("o_orderdate").cast("date").alias("orderdate"),
                  "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg(_sum_cents(_cents("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
         .select("c_name", "c_custkey", "o_orderkey", "orderdate",
@@ -229,7 +255,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q19_discounted_revenue", oracle=f"""
-SELECT {_sumd(_REV)} AS revenue, COUNT(*) AS n
+SELECT {_sum_e4_sql(_REV_E4)} AS revenue, COUNT(*) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 11)
@@ -254,7 +280,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .where(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20)
                | arm("Brand#4", 35, 20, 30))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+        .agg(_sum_e4(_rev_e4()).alias("revenue"),
              F.count("*").alias("n")))
 
 
@@ -324,12 +350,14 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q15_top_supplier", oracle=f"""
 WITH rev AS (
-  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM({_REV_E4}) AS BIGINT) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name,
+  CAST(total_revenue AS DOUBLE) / 10000.0 AS total_revenue
 FROM supplier JOIN rev ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 ORDER BY s_suppkey""")
@@ -346,28 +374,31 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).alias("__rev_dec")))
-    mx = rev.agg(F.max("__rev_dec").alias("__mx"))
-    return (rev.join(F.broadcast(mx), F.col("__rev_dec") == F.col("__mx"))
+        .agg(F.sum(_rev_e4()).cast("long").alias("__rev_e4")))
+    mx = rev.agg(F.max("__rev_e4").alias("__mx"))
+    return (rev.join(F.broadcast(mx), F.col("__rev_e4") == F.col("__mx"))
             .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
             .select("s_suppkey", "s_name",
-                    F.col("__rev_dec").cast("double").alias("total_revenue"))
+                    (F.col("__rev_e4").cast("double") / 10000.0)
+                    .alias("total_revenue"))
             .orderBy("s_suppkey"))
 
 
 @query("q17_small_quantity_revenue", oracle=f"""
 WITH pa AS (
   SELECT l_partkey AS ap,
-         SUM({_DEC.format(c='l_quantity')}) AS sq, COUNT(*) AS cq
+         CAST(SUM({exact.cents('l_quantity')}) AS BIGINT) AS sq,
+         COUNT(*) AS cq
   FROM lineitem GROUP BY l_partkey)
-SELECT round({_sumd(_DEC.format(c='l_extendedprice'))} / 12.0, 4)
+SELECT {exact.snap_double(
+    _sum_cents_sql(exact.cents('l_extendedprice')) + " / 12.0", 4)}
          AS avg_yearly,
        COUNT(*) AS n
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN pa ON ap = l_partkey
 WHERE p_brand = 'Brand#12'
-  AND {_DEC.format(c='l_quantity')} * 2 * cq < sq""")
+  AND {exact.cents('l_quantity')} * 2 * cq < sq""")
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders of one
     brand.  The correlated scalar subquery (0.5 · avg qty per part)
@@ -383,27 +414,29 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarters per the date range (original /7.0)."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     pa = (t["lineitem"].groupBy(F.col("l_partkey").alias("ap"))
-          .agg(F.sum(_dec("l_quantity")).alias("sq"),
+          .agg(F.sum(_cents("l_quantity")).cast("long").alias("sq"),
                F.count("*").alias("cq")))
     return (t["lineitem"]
             .join(F.broadcast(t["part"].where(F.col("p_brand") == "Brand#12")),
                   F.col("p_partkey") == F.col("l_partkey"))
             .join(pa, F.col("ap") == F.col("l_partkey"))
-            .where(_dec("l_quantity") * 2 * F.col("cq") < F.col("sq"))
-            .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double")
-                         / 12.0, 4).alias("avg_yearly"),
+            .where(_cents("l_quantity") * 2 * F.col("cq") < F.col("sq"))
+            .agg(exact.snap_double_col(
+                    _sum_cents(_cents("l_extendedprice")) / 12.0, 4)
+                 .alias("avg_yearly"),
                  F.count("*").alias("n")))
 
 
 @query("q22_global_sales_opportunity", oracle=f"""
 WITH pos AS (
-  SELECT SUM({_DEC.format(c='c_acctbal')}) AS sbal, COUNT(*) AS cbal
+  SELECT CAST(SUM({exact.cents('c_acctbal')}) AS BIGINT) AS sbal,
+         COUNT(*) AS cbal
   FROM customer WHERE c_acctbal > 0.0)
 SELECT c_custkey % 10 AS cust_group,
        COUNT(*) AS numcust,
-       {_sumd(_DEC.format(c='c_acctbal'))} AS totacctbal
+       {_sum_cents_sql(exact.cents('c_acctbal'))} AS totacctbal
 FROM customer, pos
-WHERE {_DEC.format(c='c_acctbal')} * cbal > sbal
+WHERE {exact.cents('c_acctbal')} * cbal > sbal
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
@@ -419,9 +452,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     through in exact decimals (bal·cnt > Σbal).  The anti join prunes
     the orders side with the date predicate at the scan."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    cust = t["customer"].withColumn("__bal", _dec("c_acctbal"))
+    cust = t["customer"].withColumn("__bal", _cents("c_acctbal"))
     pos = (cust.where(F.col("c_acctbal") > 0.0)
-           .agg(F.sum("__bal").alias("sbal"), F.count("*").alias("cbal")))
+           .agg(F.sum("__bal").cast("long").alias("sbal"),
+                F.count("*").alias("cbal")))
     recent = t["orders"].where(
         F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
     return (cust.join(F.broadcast(pos))
@@ -430,14 +464,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "left_anti")
             .groupBy((F.col("c_custkey") % 10).alias("cust_group"))
             .agg(F.count("*").alias("numcust"),
-                 F.sum("__bal").cast("double").alias("totacctbal"))
+                 _sum_cents(F.col("__bal")).alias("totacctbal"))
             .orderBy("cust_group"))
 
 
 @query("q2_min_cost_supplier", oracle=f"""
 WITH ps AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         MIN({_DEC.format(c='l_extendedprice')}) AS cost
+         MIN({exact.cents('l_extendedprice')}) AS cost
   FROM lineitem GROUP BY 1, 2),
 eu AS (
   SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -453,7 +487,7 @@ cand AS (
   WHERE p_size = 15 AND p_type = 'STANDARD'),
 mn AS (SELECT p_partkey AS mk, MIN(cost) AS mincost FROM cand GROUP BY 1)
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-       CAST(cost AS DOUBLE) AS cost
+       CAST(cost AS DOUBLE) / 100.0 AS cost
 FROM cand JOIN mn ON p_partkey = mk AND cost = mincost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100""")
@@ -473,7 +507,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ("lineitem", "part", "supplier", "nation", "region"))
     ps = (t["lineitem"].groupBy(F.col("l_partkey").alias("partkey"),
                                 F.col("l_suppkey").alias("suppkey"))
-          .agg(F.min(_dec("l_extendedprice")).alias("cost")))
+          .agg(F.min(_cents("l_extendedprice")).alias("cost")))
     eu = (t["supplier"]
           .join(F.broadcast(t["nation"]),
                 F.col("s_nationkey") == F.col("n_nationkey"))
@@ -492,7 +526,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("p_partkey") == F.col("mk"))
                       & (F.col("cost") == F.col("mincost")))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-                    F.col("cost").cast("double").alias("cost"))
+                    (F.col("cost").cast("double") / 100.0).alias("cost"))
             .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
                      F.asc("p_partkey"))
             .limit(100))
@@ -500,7 +534,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q8_national_market_share", oracle=f"""
 WITH all_nations AS (
-  SELECT year(o_orderdate) AS o_year, {_REV} AS volume, n2.n_name AS nation
+  SELECT year(o_orderdate) AS o_year, {_REV_E4} AS volume,
+    n2.n_name AS nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -513,9 +548,10 @@ WITH all_nations AS (
     AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
 SELECT o_year,
-  round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-        / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+  {exact.snap_double(
+      "CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume"
+      " ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)", 9)}
+    AS mkt_share
 FROM all_nations GROUP BY o_year ORDER BY o_year""")
 def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (directly expressible): one nation's share of a
@@ -533,8 +569,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("n_nationkey").alias("n1_key")))
     n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
                             F.col("n_name").alias("nation"))
-    vol = F.when(F.col("nation") == "NATION_3", _rev()) \
-           .otherwise(F.lit(0).cast("decimal(12,2)"))
+    vol = F.when(F.col("nation") == "NATION_3", _rev_e4()) \
+           .otherwise(F.lit(0).cast("long"))
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
@@ -550,17 +586,19 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(vol).cast("double")
-                     / F.sum(_rev()).cast("double"), 9).alias("mkt_share"))
+        .agg(exact.snap_double_col(
+                F.sum(vol).cast("double")
+                / F.sum(_rev_e4()).cast("double"), 9).alias("mkt_share"))
         .orderBy("o_year"))
 
 
 @query("q9_product_type_profit", oracle=f"""
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+SELECT nation, o_year,
+  CAST(CAST(SUM(amount) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, year(o_orderdate) AS o_year,
-    {_REV} - {_DEC.format(c='p_retailprice')} * {_DEC.format(c='l_quantity')}
-      AS amount
+    {_REV_E4} - {exact.cents('p_retailprice')}
+      * {exact.cents('l_quantity')} AS amount
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -579,7 +617,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     match on p_name lands at the part scan, pruning the broadcast."""
     t = load_tables(spark, sf_dir,
                     ("part", "lineitem", "supplier", "orders", "nation"))
-    amount = (_rev() - _dec("p_retailprice") * _dec("l_quantity"))
+    amount = (_rev_e4() - _cents("p_retailprice") * _cents("l_quantity"))
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"].where(F.col("p_name").contains("widget"))),
@@ -591,21 +629,22 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(_sum_e4(amount).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year")))
 
 
 @query("q11_important_stock", oracle=f"""
 WITH val AS (
-  SELECT l_partkey AS partkey, SUM({_DEC.format(c='l_extendedprice')}) AS value
+  SELECT l_partkey AS partkey,
+    CAST(SUM({exact.cents('l_extendedprice')}) AS BIGINT) AS value
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'EUROPE'
   GROUP BY l_partkey),
-tot AS (SELECT SUM(value) AS total FROM val)
-SELECT partkey, CAST(value AS DOUBLE) AS value
+tot AS (SELECT CAST(SUM(value) AS BIGINT) AS total FROM val)
+SELECT partkey, CAST(value AS DOUBLE) / 100.0 AS value
 FROM val, tot
 WHERE value * 1000 > total
 ORDER BY value DESC, partkey""")
@@ -628,11 +667,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (t["lineitem"]
            .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
            .groupBy(F.col("l_partkey").alias("partkey"))
-           .agg(F.sum(_dec("l_extendedprice")).alias("value")))
-    tot = val.agg(F.sum("value").alias("total"))
+           .agg(F.sum(_cents("l_extendedprice")).cast("long")
+                .alias("value")))
+    tot = val.agg(F.sum("value").cast("long").alias("total"))
     return (val.join(F.broadcast(tot))
             .where(F.col("value") * 1000 > F.col("total"))
-            .select("partkey", F.col("value").cast("double").alias("value"))
+            .select("partkey",
+                    (F.col("value").cast("double") / 100.0).alias("value"))
             .orderBy(F.desc("value"), F.asc("partkey")))
 
 
@@ -716,13 +757,14 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q20_part_promotion_suppliers", oracle=f"""
 WITH ps AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         SUM({_DEC.format(c='l_quantity')}) AS qty
+         CAST(SUM({exact.cents('l_quantity')}) AS BIGINT) AS qty
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   GROUP BY 1, 2),
 red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
-ptot AS (SELECT partkey, SUM(qty) AS total_qty FROM ps GROUP BY 1),
+ptot AS (SELECT partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM ps GROUP BY 1),
 dominant AS (
   SELECT DISTINCT suppkey FROM ps
   JOIN red ON partkey = p_partkey
@@ -750,11 +792,11 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
         .groupBy(F.col("l_partkey").alias("partkey"),
                  F.col("l_suppkey").alias("suppkey"))
-        .agg(F.sum(_dec("l_quantity")).alias("qty")))
+        .agg(F.sum(_cents("l_quantity")).cast("long").alias("qty")))
     red = t["part"].where(F.col("p_name").startswith("red")) \
                    .select("p_partkey")
     ptot = ps.groupBy(F.col("partkey").alias("tk")) \
-             .agg(F.sum("qty").alias("total_qty"))
+             .agg(F.sum("qty").cast("long").alias("total_qty"))
     dominant = (ps.join(F.broadcast(red),
                         F.col("partkey") == F.col("p_partkey"))
                 .join(ptot, F.col("partkey") == F.col("tk"))

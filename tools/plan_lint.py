@@ -414,25 +414,19 @@ _DECCAST_VALUE_RE = _re.compile(r"cast\(value#\d+ as decimal",
 _DECCAST_LEGACY_REASON = ("pre-exact.py ingestion; 2-dp-grid-safe "
                           "(test_corpus_invariants.py), DECWIRE-clean")
 WHITELIST_DECCAST: dict[str, str] = {name: _DECCAST_LEGACY_REASON for name in (
-    "stats_levene_brown_forsythe", "stats_runs_test",
-    "sketch_kmv_distinct", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "events_value_dispersion",
-    "lineitem_price_qty_corr", "revenue_concentration_metrics",
-    "repeat_purchase_rate", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_revenue", "q19_discounted_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q8_national_market_share", "q9_product_type_profit",
-    "q11_important_stock", "events_tumbling_hour",
-    "events_sliding_6h_daily", "events_gapfill_hourly",
-    "events_interpolate_hourly", "events_dow_hour_heatmap",
-    "incremental_agg_merge", "attribution_last_touch",
-    "scalar_subquery_above_avg", "customer_rfm_segments",
-    "benford_first_digit", "sampling_neyman_allocation",
-    "sampling_monetary_unit", "events_time_weighted_avg",
-    "regression_value_vs_time", "cusum_user_drift",
-    "bollinger_hourly_value", "corr_matrix_exact", "events_ses_forecast",
-    "stats_welch_ttest", "stats_theil_sen_trend",
+    "stats_levene_brown_forsythe", "stats_runs_test", "sketch_kmv_distinct",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "events_value_dispersion", "lineitem_price_qty_corr",
+    "revenue_concentration_metrics", "repeat_purchase_rate",
+    "events_tumbling_hour", "events_sliding_6h_daily",
+    "events_gapfill_hourly", "events_interpolate_hourly",
+    "events_dow_hour_heatmap", "incremental_agg_merge",
+    "attribution_last_touch", "scalar_subquery_above_avg",
+    "customer_rfm_segments", "benford_first_digit",
+    "sampling_neyman_allocation", "sampling_monetary_unit",
+    "events_time_weighted_avg", "regression_value_vs_time",
+    "cusum_user_drift", "bollinger_hourly_value", "corr_matrix_exact",
+    "events_ses_forecast", "stats_welch_ttest", "stats_theil_sen_trend",
     "stats_bootstrap_ci_mean", "events_changepoint_hourly",
     "events_seasonality_strength", "events_max_drawdown",
     "stats_diff_in_diff_uplift", "stats_mann_kendall_trend",
