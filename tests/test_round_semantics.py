@@ -250,3 +250,30 @@ def test_cast_decimal_column_path_divergence(spark):
         con.close()
     # DuckDB: small magnitude follows the repr, large follows the binary
     assert d_vals == ["0.29", "199240.40"]
+
+
+def test_snap_double_text_types_double_in_both_engines(spark):
+    """r10 finding: Spark parses a bare ``1000000000.0`` literal as
+    DECIMAL(11,1) and types BIGINT/DECIMAL as DECIMAL, so the shared
+    snap text would emit a DECIMAL wire on the Spark side whenever a
+    plan compiles it via F.expr (caught live on _ANOVA_F: type-tag
+    mismatch d vs f at the gate).  exact.snap_double therefore rescales
+    with ``/ CAST(p AS DOUBLE)``.  Pin: the SAME text types DOUBLE in
+    BOTH engines, and the snapped value matches round() away from
+    straddles."""
+    from results_ingestor_spark.plans import exact
+    txt = exact.snap_double("x", 9)
+    sdf = spark.createDataFrame([(1.2345678949,)], "x double") \
+        .selectExpr(f"{txt} AS s")
+    assert sdf.schema["s"].dataType.simpleString() == "double"
+    s_val = sdf.collect()[0].s
+    con = duckdb.connect()
+    try:
+        rel = con.sql("SELECT "
+                      + txt.replace("(x)", "(1.2345678949::DOUBLE)")
+                      + " AS s")
+        assert "DOUBLE" in str(rel.types[0]).upper()
+        d_val = rel.fetchall()[0][0]
+    finally:
+        con.close()
+    assert s_val == d_val == 1.234567895
