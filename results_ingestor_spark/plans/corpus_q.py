@@ -1070,8 +1070,10 @@ SELECT bin,
   (CAST(bin AS DOUBLE) + 1.0) / 10.0 AS p_hi,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(yi) AS BIGINT) AS n_pos,
-  round(CAST(SUM(yi) AS DOUBLE) / COUNT(*), 9) AS pos_rate,
-  round(CAST(SUM(CAST(zs AS DECIMAL(21,9))) AS DOUBLE) / COUNT(*), 9)
+  {exact.snap_double("CAST(SUM(yi) AS DOUBLE) / COUNT(*)", 9)}
+    AS pos_rate,
+  {exact.snap_double(
+      "CAST(SUM(CAST(zs AS DECIMAL(21,9))) AS DOUBLE) / COUNT(*)", 9)}
     AS mean_z
 FROM b GROUP BY bin"""
 

@@ -922,8 +922,10 @@ tot AS (
   FROM h),
 lags AS ({" UNION ALL ".join(per_lag)})
 SELECT lag,
-  round(CAST(n * n * p - n * s * (a + b) + (n - lag) * s * s AS DOUBLE)
-        / (CAST(n AS DOUBLE) * (n * q - s * s)), 9) AS acf
+  CAST(floor((CAST(n * n * p - n * s * (a + b) + (n - lag) * s * s
+    AS DOUBLE) / (CAST(n AS DOUBLE) * (n * q - s * s)))
+    * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
+    AS acf
 FROM lags CROSS JOIN tot
 ORDER BY lag"""
 
@@ -1627,7 +1629,8 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
 _HOURLY_SQL = f"""
   SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
            AS x,
-    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS y
+    {exact.snap_double(f"CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)", 9)}
+      AS y
   FROM events GROUP BY 1"""
 
 
@@ -1639,8 +1642,9 @@ def _hourly_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t["events"]
             .groupBy(F.expr("unix_micros(date_trunc('hour', ts))"
                             " DIV 3600000000").alias("x"))
-            .agg(F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"),
-                         9).alias("y")))
+            .agg(exact.snap_double_col(
+                F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9)
+                .alias("y")))
 
 
 @query("stats_mann_kendall_trend", oracle=f"""
@@ -3446,12 +3450,14 @@ _PC_MOMENTS_SQL = """
         * CAST(l_discount AS DECIMAL(12,2))) AS s_pd
   FROM lineitem"""
 
-_PC_R = ("round((n * CAST(s{xy} AS DOUBLE)"
+_PC_R = ("CAST(floor(((n * CAST(s{xy} AS DOUBLE)"
          " - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
          " / sqrt((n * CAST(s_{x}{x} AS DOUBLE)"
          "   - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
          " * (n * CAST(s_{y}{y} AS DOUBLE)"
-         "   - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 9)")
+         "   - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))))"
+         " * 1000000000.0 + 0.5) AS BIGINT)"
+         " / CAST(1000000000.0 AS DOUBLE)")
 
 
 @query("stats_partial_correlation", oracle=f"""
@@ -3943,11 +3949,12 @@ def _ccf_oracle() -> str:
             f"CAST(COUNT(lead_y_{tag}) AS BIGINT) AS m_{tag}")
         rows.append(f"""
   SELECT {k} AS lag,
-    round((m_{tag} * CAST(p_{tag} AS DOUBLE) - CAST(a_{tag} AS DOUBLE)
-           * b_{tag})
+    CAST(floor(((m_{tag} * CAST(p_{tag} AS DOUBLE)
+           - CAST(a_{tag} AS DOUBLE) * b_{tag})
           / (sqrt(m_{tag} * CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
              * sqrt(m_{tag} * CAST(qy AS DOUBLE)
-                    - CAST(sy AS DOUBLE) * sy)), 6) AS ccf
+                    - CAST(sy AS DOUBLE) * sy))) * 1000000.0 + 0.5)
+      AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS ccf
   FROM g""")
     leads = ", ".join(
         f"lead(y, {k}) OVER (ORDER BY bucket) AS lead_y_"
