@@ -210,16 +210,53 @@ def _idiom_b() -> list[str]:
     return findings
 
 
+def _idiom_c() -> list[str]:
+    """One-sided snap migration (the class the r10 draw-6 sf0.1 sweep
+    exposed on quality_classifier_calibration): the Spark side uses
+    the exact.snap_double floor-snap while the oracle still calls
+    round() — they agree everywhere EXCEPT at .5-grid straddles and
+    negative zero, i.e. exactly where the snap exists to differ, so a
+    mixed pair is a latent hash-red waiting for an unlucky corpus.
+    Flag every oracled entry whose Spark source snaps, has no F.round
+    left, yet whose oracle text still rounds — the migration must move
+    BOTH sides (helpers built outside the entry's decorator span are
+    how one side gets missed)."""
+    import inspect
+
+    import results_ingestor_spark.plans as plans
+    findings = []
+    for name, fn in plans.QUERIES.items():
+        oracle = plans.ORACLES.get(name)
+        if oracle is None:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            continue
+        if ("snap_double" in src and not _round_scales(src, "F.round(")
+                and _round_scales(oracle, "round(")):
+            findings.append(
+                f"{name}: Spark side floor-snaps but the oracle still "
+                f"rounds at scales "
+                f"{sorted(_round_scales(oracle, 'round('))} — migrate "
+                f"the oracle side too")
+    return findings
+
+
 def main() -> int:
     a = _idiom_a()
     b = _idiom_b()
+    c = _idiom_c()
     print(f"idiom A (division->int cast outside whitelist): {len(a)}")
     for h in a:
         print("  " + h)
     print(f"idiom B (Spark round scale absent from oracle): {len(b)}")
     for h in b:
         print("  " + h)
-    return 1 if (a or b) else 0
+    print(f"idiom C (oracle-only round beside a Spark snap): {len(c)}")
+    for h in c:
+        print("  " + h)
+    return 1 if (a or b or c) else 0
 
 
 if __name__ == "__main__":
