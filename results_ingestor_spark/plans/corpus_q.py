@@ -65,11 +65,11 @@ v AS (SELECT COUNT(DISTINCT tok) AS vsz
       FROM (SELECT unnest(t) AS tok FROM tk)),
 scored AS (
   SELECT bg.doc_id,
-    CAST(CAST(floor((ln(CAST(cb.c_bi + 1 AS DOUBLE) / (c1.c_ctx + v.vsz))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
+    CAST(CAST(floor((ln(CAST(cb.c_bi + 1 AS DOUBLE) / (c1.c_ctx + v.vsz))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
          AS DECIMAL(18, 9)) AS lp
   FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-  CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_logprob
+  CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS avg_logprob
 FROM scored GROUP BY doc_id""")
 def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one-smoothed bigram LM scoring each document's
@@ -610,12 +610,12 @@ tot AS (SELECT (SELECT COUNT(*) FROM b) AS t_raw,
                (SELECT COUNT(*) FROM b WHERE lang = 'en') AS t_tgt),
 lr AS (
   SELECT raw.bkt,
-    CAST(CAST(floor((ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE) / (t_tgt + {_DSIR_NB})) - ln(CAST(raw.c_raw + 1 AS DOUBLE) / (t_raw + {_DSIR_NB}))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
+    CAST(CAST(floor((ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE) / (t_tgt + {_DSIR_NB})) - ln(CAST(raw.c_raw + 1 AS DOUBLE) / (t_raw + {_DSIR_NB}))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
       AS DECIMAL(18, 9)) AS logratio
   FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt CROSS JOIN tot)
 SELECT b.doc_id, COUNT(*) AS n_grams,
   CAST(floor(CAST(SUM(lr.logratio) AS DOUBLE) / COUNT(*)
-             * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_log_weight
+             * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS avg_log_weight
 FROM b JOIN lr ON lr.bkt = b.bkt
 GROUP BY b.doc_id""")
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,7 +654,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("bkt", exact.snap_double_col(F.log((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double") / (F.col("t_tgt") + _DSIR_NB)) - F.log((F.col("c_raw") + 1).cast("double") / (F.col("t_raw") + _DSIR_NB)), 9)
               .cast("decimal(18,9)").alias("logratio")))
     # r9 draw-5 sf0.1 lottery finding (1 doc in 5,000): the former
-    # CAST(floor((mean) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 emitted NEGATIVE ZERO in DuckDB but +0.0 in Spark
+    # CAST(floor((mean) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) emitted NEGATIVE ZERO in DuckDB but +0.0 in Spark
     # when the mean is a tiny negative (Spark's BigDecimal round drops
     # the sign; DuckDB's binary-scale round keeps it), and repr-level
     # compares distinguish the two.  The shared snap device
@@ -698,7 +698,7 @@ SELECT lang,
   CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
   min(avg_logprob) AS min_logprob,
   max(avg_logprob) AS max_logprob,
-  CAST(floor((CAST(SUM(CAST(avg_logprob AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_logprob
+  CAST(floor((CAST(SUM(CAST(avg_logprob AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_logprob
 FROM r GROUP BY lang, bucket""")
 def curriculum_perplexity_buckets(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -1155,7 +1155,7 @@ band_cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_band FROM cand)
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_records,
   CAST(COUNT(*) AS BIGINT) AS n_true,
   CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
-  CAST(floor((CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS recall,
+  CAST(floor((CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS recall,
   (SELECT n_cand_exact FROM exact_cand) AS n_cand_exact,
   (SELECT n_cand_band FROM band_cand) AS n_cand_band
 FROM truth"""
@@ -1499,11 +1499,11 @@ c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS npre FROM cb GROUP BY w2),
 v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM cb),
 scored AS (
   SELECT bg.doc_id,
-    CAST(CAST(floor((ln({_KN_P})) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS DECIMAL(18, 9)) AS lp
+    CAST(CAST(floor((ln({_KN_P})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS DECIMAL(18, 9)) AS lp
   FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
   CROSS JOIN v)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-  CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_logprob_kn
+  CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS avg_logprob_kn
 FROM scored GROUP BY doc_id""")
 def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (absolute discount
@@ -1594,7 +1594,7 @@ seg{i + 1} AS MATERIALIZED (
 def _wordpiece_train_oracle(n_merges: int = 8) -> str:
     rows = [f"""SELECT CAST({i} AS INTEGER) AS merge_rank, a AS "left",
   b AS "right", a || b AS merged, c AS pair_count,
-  CAST(floor((score) * 1000000000000.0 + 0.5) AS BIGINT) / 1000000000000.0 AS score FROM m{i}"""
+  CAST(floor((score) * 1000000000000.0 + 0.5) AS BIGINT) / CAST(1000000000000.0 AS DOUBLE) AS score FROM m{i}"""
             for i in range(n_merges)]
     return ("WITH " + ",".join(_wordpiece_chain(n_merges)) + "\n"
             + "\nUNION ALL\n".join(rows))

@@ -175,7 +175,7 @@ m AS (
     SUM(n) AS s, SUM(n * n) AS q
   FROM hourly GROUP BY event_type)
 SELECT h.event_type, CAST(h.hour AS TIMESTAMP) AS hour, h.n,
-  CAST(floor(((h.n - CAST(s AS DOUBLE) / n_hours) / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours) / (n_hours - 1))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS zscore,
+  CAST(floor(((h.n - CAST(s AS DOUBLE) / n_hours) / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_hours) / (n_hours - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS zscore,
   abs((h.n - CAST(s AS DOUBLE) / n_hours)
       / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
               / n_hours) / (n_hours - 1))) > 2.0 AS is_anomaly
@@ -1645,8 +1645,8 @@ m AS (
          AS DECIMAL(38,0)) AS pab
   FROM g WHERE gap IS NOT NULL GROUP BY event_type)
 SELECT event_type, n AS n_gaps,
-  CAST(floor(((sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n - CAST(s AS DOUBLE) / n) / (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n + CAST(s AS DOUBLE) / n)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS burstiness_b,
-  CAST(floor(((CAST(np AS DOUBLE) * CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / (sqrt(CAST(np AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * sqrt(CAST(np AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+  CAST(floor(((sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n - CAST(s AS DOUBLE) / n) / (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n + CAST(s AS DOUBLE) / n)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS burstiness_b,
+  CAST(floor(((CAST(np AS DOUBLE) * CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / (sqrt(CAST(np AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * sqrt(CAST(np AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS memory_m
 FROM m ORDER BY event_type""")
 def events_burstiness_memory(spark: SparkSession,

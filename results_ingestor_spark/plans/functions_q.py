@@ -30,10 +30,10 @@ def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("array_functions", oracle="""
 SELECT vec_id,
   len(embedding) AS dim,
-  CAST(floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS first_component,
-  CAST(floor((CAST(embedding[len(embedding)] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS last_component,
-  CAST(floor((CAST(list_max(embedding) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_component,
-  CAST(floor((CAST(list_min(embedding) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS min_component,
+  CAST(floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS first_component,
+  CAST(floor((CAST(embedding[len(embedding)] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS last_component,
+  CAST(floor((CAST(list_max(embedding) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS max_component,
+  CAST(floor((CAST(list_min(embedding) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS min_component,
   len(list_filter(embedding, x -> x > 0)) AS n_positive
 FROM embeddings""")
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

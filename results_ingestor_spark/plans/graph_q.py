@@ -743,7 +743,7 @@ SELECT ms.label AS community, ms.n_members,
   CAST(floor((CAST(coalesce(i.int2, 0) AS DOUBLE) / m2.m2
         - (CAST(ds.dc AS DOUBLE) / m2.m2)
           * (CAST(ds.dc AS DOUBLE) / m2.m2)) * 1000000000.0 + 0.5)
-    AS BIGINT) / 1000000000.0 AS q_contrib
+    AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS q_contrib
 FROM msize ms
 LEFT JOIN internal i ON i.label = ms.label
 JOIN dsum ds ON ds.label = ms.label

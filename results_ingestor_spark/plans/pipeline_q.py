@@ -465,7 +465,7 @@ WITH keyed AS (
             ::BIGINT + 1 AS DOUBLE) / 1152921504606846976.0)
       / n_chars AS es_key
   FROM documents)
-SELECT doc_id, n_chars, CAST(floor((es_key) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS es_key
+SELECT doc_id, n_chars, CAST(floor((es_key) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS es_key
 FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50""")
 def sampling_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
@@ -1211,7 +1211,7 @@ draw AS (
            ::BIGINT + 1) / 9007199254740992.0 AS u
   FROM grp)
 SELECT lang, source,
-  CAST(floor((n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END * ln(1.0 - 2.0 * abs(u - 0.5))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS noisy_count
+  CAST(floor((n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END * ln(1.0 - 2.0 * abs(u - 0.5))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS noisy_count
 FROM draw ORDER BY lang, source""")
 def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """epsilon-differentially-private release of the per-(lang, source)
@@ -2241,9 +2241,9 @@ tot AS (
   SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
   FROM g)
 SELECT source, n AS n_docs,
-  CAST(floor((CAST(ss AS DOUBLE) / nn) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS corpus_mean_chars,
-  CAST(floor((CAST(ss - s AS DOUBLE) / (nn - n)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS loo_mean_chars,
-  CAST(floor((CAST(ss AS DOUBLE) / nn - CAST(ss - s AS DOUBLE) / (nn - n)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS influence
+  CAST(floor((CAST(ss AS DOUBLE) / nn) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS corpus_mean_chars,
+  CAST(floor((CAST(ss - s AS DOUBLE) / (nn - n)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS loo_mean_chars,
+  CAST(floor((CAST(ss AS DOUBLE) / nn - CAST(ss - s AS DOUBLE) / (nn - n)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS influence
 FROM g CROSS JOIN tot ORDER BY source""")
 def dataset_source_influence_loo(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -554,7 +554,7 @@ WITH m AS (
         * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
-  CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS corr_qty_price
+  CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS corr_qty_price
 FROM m""")
 def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from exact decimal moments (Σx, Σy, Σxy,

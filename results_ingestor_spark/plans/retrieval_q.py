@@ -416,7 +416,7 @@ adj AS (
   FROM tf JOIN pw USING (term) GROUP BY doc_id),
 scored AS (
   SELECT dl.doc_id,
-    CAST(floor((coalesce(adj.adj, 0) + c.const - 3 * ln(dl.dl + {_DIR_MU})) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ql_score
+    CAST(floor((coalesce(adj.adj, 0) + c.const - 3 * ln(dl.dl + {_DIR_MU})) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS ql_score
   FROM dl LEFT JOIN adj ON adj.doc_id = dl.doc_id CROSS JOIN c)
 SELECT doc_id, ql_score FROM scored
 ORDER BY ql_score DESC, doc_id LIMIT 10""")

@@ -213,9 +213,9 @@ d AS (
       abs(x - (mn + floor((x - mn) / sc + 0.5) * sc))) AS errs
   FROM s)
 SELECT vec_id,
-  CAST(floor((mn) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS vmin, CAST(floor((sc) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS scale,
-  CAST(floor((list_max(errs)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_abs_err,
-  CAST(floor((list_sum(list_transform(errs, x -> x * x)) / dim) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mse,
+  CAST(floor((mn) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS vmin, CAST(floor((sc) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS scale,
+  CAST(floor((list_max(errs)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS max_abs_err,
+  CAST(floor((list_sum(list_transform(errs, x -> x * x)) / dim) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mse,
   list_max(errs) <= sc / 2 * 1.000001 AS within_half_step
 FROM d""")
 def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,9 +505,9 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_dim_stats", oracle="""
 SELECT CAST(dim AS INT) AS dim,
   COUNT(*) AS n,
-  CAST(floor((AVG(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_v,
-  CAST(floor((MIN(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS min_v,
-  CAST(floor((MAX(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_v
+  CAST(floor((AVG(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_v,
+  CAST(floor((MIN(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS min_v,
+  CAST(floor((MAX(CAST(v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS max_v
 FROM (
   SELECT unnest(embedding) AS v,
          generate_subscripts(embedding, 1) - 1 AS dim
@@ -548,7 +548,7 @@ def _jl_oracle(d: int = 64, k: int = 8) -> str:
     rows = ", ".join(f"({i}, {j}, {signs[i][j]})"
                      for i in range(d) for j in range(k))
     cols = ",\n  ".join(
-        f"CAST(floor((SUM(CASE WHEN j = {j} THEN v * s END)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS p{j}"
+        f"CAST(floor((SUM(CASE WHEN j = {j} THEN v * s END)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS p{j}"
         for j in range(k))
     return f"""
 WITH signs(i, j, s) AS (VALUES {rows}),
@@ -608,7 +608,7 @@ nrm AS (
   SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS n
   FROM comp GROUP BY doc_id)
 SELECT c.doc_id, c.dim,
-  CAST(floor((CAST(c.s AS DOUBLE) / nullif(nrm.n, 0)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS value
+  CAST(floor((CAST(c.s AS DOUBLE) / nullif(nrm.n, 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS value
 FROM comp c JOIN nrm ON nrm.doc_id = c.doc_id""".replace("{TOKS}", "t"))
 def embed_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding GENERATION by feature hashing — the deterministic
@@ -1471,8 +1471,8 @@ WITH flat AS (
     CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings),
 st AS (
-  SELECT i, CAST(floor((AVG(v)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS m,
-    CAST(floor((sqrt(AVG(v * v) - AVG(v) * AVG(v))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS sd
+  SELECT i, CAST(floor((AVG(v)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS m,
+    CAST(floor((sqrt(AVG(v * v) - AVG(v) * AVG(v))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sd
   FROM flat GROUP BY i),
 arrs AS (
   SELECT list(m ORDER BY i) AS means, list(sd ORDER BY i) AS stds
@@ -1505,8 +1505,8 @@ bsums AS (SELECT i, SUM(v) AS sd2 FROM bflat GROUP BY i),
 before AS (SELECT SUM(sd2 * sd2) AS ss FROM bsums),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
 SELECT n_vecs,
-  CAST(floor(((before.ss - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_cos_before,
-  CAST(floor(((after.ss - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_cos_after
+  CAST(floor(((before.ss - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS avg_cos_before,
+  CAST(floor(((after.ss - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS avg_cos_after
 FROM before CROSS JOIN after CROSS JOIN n""")
 def embedding_whitening_effect(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

@@ -77,7 +77,7 @@ a AS (
     SUM(v * CAST(dt AS DECIMAL(20,0))) AS num
   FROM o GROUP BY user_id)
 SELECT user_id, n_events, span_us,
-  round(CAST(num AS DOUBLE) / span_us, 9) AS twa_value
+  CAST(floor((CAST(num AS DOUBLE) / span_us) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS twa_value
 FROM a WHERE span_us IS NOT NULL""")
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per user (TimescaleDB ``time_weight``
@@ -103,8 +103,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("num")))
     return (a.where(F.col("span_us").isNotNull())
             .select("user_id", "n_events", "span_us",
-                    F.round(F.col("num").cast("double")
-                            / F.col("span_us"), 9).alias("twa_value")))
+                    exact.snap_double_col(F.col("num").cast("double") / F.col("span_us"), 9).alias("twa_value")))
 
 
 @query("regression_value_vs_time", oracle=f"""
@@ -127,10 +126,10 @@ c AS (
     CAST(sx AS DOUBLE) AS sxd, CAST(syc AS DOUBLE) AS sycd
   FROM m)
 SELECT event_type, n,
-  CAST(floor((cxyc / cxx / 100.0) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS slope_per_sec,
-  CAST(floor((sycd / 100.0 / n - (cxyc / cxx / 100.0) * (sxd / n)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
+  CAST(floor((cxyc / cxx / 100.0) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS slope_per_sec,
+  CAST(floor((sycd / 100.0 / n - (cxyc / cxx / 100.0) * (sxd / n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS intercept,
-  CAST(floor((cxyc * cxyc / (cxx * cyycc)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS r2
+  CAST(floor((cxyc * cxyc / (cxx * cyycc)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS r2
 FROM c""")
 def regression_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS trend (value vs epoch-seconds): slope, intercept,
@@ -185,10 +184,8 @@ rt AS (SELECT lang, COUNT(*) AS row_tot FROM documents GROUP BY 1),
 ct AS (SELECT source, COUNT(*) AS col_tot FROM documents GROUP BY 1),
 tot AS (SELECT COUNT(*) AS n FROM documents)
 SELECT cells.lang, cells.source, obs,
-  round(CAST(row_tot AS DOUBLE) * col_tot / n, 9) AS expected,
-  round((CAST(obs * n - row_tot * col_tot AS DOUBLE)
-         * CAST(obs * n - row_tot * col_tot AS DOUBLE))
-        / (CAST(row_tot AS DOUBLE) * col_tot * n), 9) AS chi2_contrib
+  CAST(floor((CAST(row_tot AS DOUBLE) * col_tot / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS expected,
+  CAST(floor(((CAST(obs * n - row_tot * col_tot AS DOUBLE) * CAST(obs * n - row_tot * col_tot AS DOUBLE)) / (CAST(row_tot AS DOUBLE) * col_tot * n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS chi2_contrib
 FROM cells
 JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot""")
 def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,12 +212,9 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(ct), "source")
             .join(F.broadcast(tot))
             .select("lang", "source", "obs",
-                    F.round(F.col("row_tot").cast("double")
-                            * F.col("col_tot") / F.col("n"), 9)
+                    exact.snap_double_col(F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n"), 9)
                     .alias("expected"),
-                    F.round((diff * diff)
-                            / (F.col("row_tot").cast("double")
-                               * F.col("col_tot") * F.col("n")), 9)
+                    exact.snap_double_col((diff * diff) / (F.col("row_tot").cast("double") * F.col("col_tot") * F.col("n")), 9)
                     .alias("chi2_contrib")))
 
 
@@ -241,12 +235,10 @@ g AS (
 t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
              CAST(SUM(n_b) AS BIGINT) AS tot_b FROM g)
 SELECT bucket, n_a, n_b,
-  round(CAST(n_a AS DOUBLE) / tot_a, 9) AS p_a,
-  round(CAST(n_b AS DOUBLE) / tot_b, 9) AS p_b,
+  CAST(floor((CAST(n_a AS DOUBLE) / tot_a) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_a,
+  CAST(floor((CAST(n_b AS DOUBLE) / tot_b) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_b,
   CASE WHEN n_a > 0 AND n_b > 0 THEN
-    round((CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)
-          * ln((CAST(n_a AS DOUBLE) / tot_a)
-               / (CAST(n_b AS DOUBLE) / tot_b)), 9)
+    CAST(floor(((CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b) * ln((CAST(n_a AS DOUBLE) / tot_a) / (CAST(n_b AS DOUBLE) / tot_b))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
   END AS psi_contrib
 FROM g CROSS JOIN t""")
 def drift_psi_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,10 +274,10 @@ def drift_psi_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = F.col("n_b").cast("double") / F.col("tot_b")
     return (g.join(F.broadcast(tot))
             .select("bucket", "n_a", "n_b",
-                    F.round(pa, 9).alias("p_a"),
-                    F.round(pb, 9).alias("p_b"),
+                    exact.snap_double_col(pa, 9).alias("p_a"),
+                    exact.snap_double_col(pb, 9).alias("p_b"),
                     F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
-                           F.round((pa - pb) * F.log(pa / pb), 9))
+                           exact.snap_double_col((pa - pb) * F.log(pa / pb), 9))
                     .alias("psi_contrib")))
 
 
@@ -398,9 +390,9 @@ r AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
 SELECT event_type, bucket, n24,
-  CAST(floor((CAST(s24 AS DOUBLE) / n24) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mid,
-  CAST(floor((CAST(s24 AS DOUBLE) / n24 + 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS upper_band,
-  CAST(floor((CAST(s24 AS DOUBLE) / n24 - 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS lower_band
+  CAST(floor((CAST(s24 AS DOUBLE) / n24) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mid,
+  CAST(floor((CAST(s24 AS DOUBLE) / n24 + 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS upper_band,
+  CAST(floor((CAST(s24 AS DOUBLE) / n24 - 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS lower_band
 FROM r WHERE n24 > 1""")
 def bollinger_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands (trailing-24h mean +/- 2 sigma) per event type:
@@ -489,7 +481,7 @@ pairs AS (
   UNION ALL
   SELECT 'extendedprice~discount', n, s_p, s_d, s_pd, s_pp, s_dd FROM m)
 SELECT pair, n,
-  CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS r
+  CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS r
 FROM pairs""")
 def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over three lineitem metrics,
@@ -530,7 +522,7 @@ WITH m AS (
   FROM orders GROUP BY 1)
 SELECT month, CAST(rev AS DOUBLE) / 100.0 AS revenue,
   CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) / 100.0 AS prev_revenue,
-  CAST(floor((CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mom_pct
+  CAST(floor((CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mom_pct
 FROM m""")
 def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: monthly decimal-exact rollup,
@@ -566,10 +558,9 @@ pair AS (
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY 1, 2)
 SELECT brand_a, brand_b, n_pair,
-  round(CAST(n_pair AS DOUBLE) / n_orders, 9) AS support,
-  round(CAST(n_pair AS DOUBLE) / ia.n_item, 9) AS confidence,
-  round(CAST(n_pair AS DOUBLE) * n_orders
-        / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 9) AS lift
+  CAST(floor((CAST(n_pair AS DOUBLE) / n_orders) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS support,
+  CAST(floor((CAST(n_pair AS DOUBLE) / ia.n_item) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS confidence,
+  CAST(floor((CAST(n_pair AS DOUBLE) * n_orders / (CAST(ia.n_item AS DOUBLE) * ib.n_item)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS lift
 FROM pair
 JOIN item ia ON ia.p_brand = brand_a
 JOIN item ib ON ib.p_brand = brand_b
@@ -618,12 +609,9 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(ib), F.col("brand_b") == F.col("bb"))
             .join(F.broadcast(n))
             .select("brand_a", "brand_b", "n_pair",
-                    F.round(F.col("n_pair").cast("double")
-                            / F.col("n_orders"), 9).alias("support"),
-                    F.round(F.col("n_pair").cast("double")
-                            / F.col("n_a"), 9).alias("confidence"),
-                    F.round(F.col("n_pair").cast("double") * F.col("n_orders")
-                            / (F.col("n_a").cast("double") * F.col("n_b")), 9)
+                    exact.snap_double_col(F.col("n_pair").cast("double") / F.col("n_orders"), 9).alias("support"),
+                    exact.snap_double_col(F.col("n_pair").cast("double") / F.col("n_a"), 9).alias("confidence"),
+                    exact.snap_double_col(F.col("n_pair").cast("double") * F.col("n_orders") / (F.col("n_a").cast("double") * F.col("n_b")), 9)
                     .alias("lift"))
             .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
             .limit(25))
@@ -636,8 +624,8 @@ WITH b AS (
     quantile_cont(l_extendedprice, 0.95) AS hi
   FROM lineitem GROUP BY l_returnflag)
 SELECT l.l_returnflag, COUNT(*) AS n,
-  round(AVG(least(greatest(l_extendedprice, lo), hi)), 6) AS winsorized_mean,
-  round(AVG(l_extendedprice), 6) AS raw_mean,
+  CAST(floor((AVG(least(greatest(l_extendedprice, lo), hi))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS winsorized_mean,
+  CAST(floor((AVG(l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS raw_mean,
   CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
 FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
@@ -663,8 +651,8 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(b), F.col("l_returnflag") == F.col("rf"))
             .groupBy("l_returnflag")
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg(clipped), 6).alias("winsorized_mean"),
-                 F.round(F.avg("l_extendedprice"), 6).alias("raw_mean"),
+                 exact.snap_double_col(F.avg(clipped), 6).alias("winsorized_mean"),
+                 exact.snap_double_col(F.avg("l_extendedprice"), 6).alias("raw_mean"),
                  F.sum(F.when(out_of, 1).otherwise(0)).cast("long")
                  .alias("n_clipped")))
 
@@ -749,12 +737,13 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by the Mann-Whitney entry: the z-statistic with tie
 # correction, written ONCE as SQL text and compiled by both engines so
 # the double arithmetic happens in the same order (bit-identical).
-_MWU_Z = """round(
+_MWU_Z = """CAST(floor((
   ((CAST(u1x2 AS DOUBLE) / 2) - (CAST(n1 AS DOUBLE) * n2 / 2))
   / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
          * ((n1 + n2 + 1)
             - CAST(ties AS DOUBLE)
-              / ((n1 + n2) * (n1 + n2 - 1.0)))), 9)"""
+              / ((n1 + n2) * (n1 + n2 - 1.0))))) * 1000000000.0 + 0.5)
+  AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_mann_whitney_u", oracle=f"""
@@ -777,7 +766,7 @@ agg AS (
     CAST(SUM(c * c * c - c) AS BIGINT) AS ties
   FROM r)
 SELECT n1 AS n_click, n2 AS n_view,
-  round(CAST(u1x2 AS DOUBLE) / 2, 1) AS u_click,
+  CAST(floor((CAST(u1x2 AS DOUBLE) / 2) * 10.0 + 0.5) AS BIGINT) / CAST(10.0 AS DOUBLE) AS u_click,
   {_MWU_Z} AS z
 FROM (SELECT n1, n2, ties, r1x2 - n1 * (n1 + 1) AS u1x2 FROM agg)""")
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,17 +804,15 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1x2"))
     return u.select(
         F.col("n1").alias("n_click"), F.col("n2").alias("n_view"),
-        F.round(F.col("u1x2").cast("double") / 2, 1).alias("u_click"),
+        exact.snap_double_col(F.col("u1x2").cast("double") / 2, 1).alias("u_click"),
         F.expr(_MWU_Z).alias("z"))
 
 
 # Welch's t: the final statistic text is shared verbatim between
 # engines (same double-op order).  m/v inputs are exact decimal moments
 # cast to double once.
-_WELCH_T = """round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 9)"""
-_WELCH_DF = """round(
-  pow(v1 / n1 + v2 / n2, 2)
-  / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6)"""
+_WELCH_T = """CAST(floor(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
+_WELCH_DF = """CAST(floor((pow(v1 / n1 + v2 / n2, 2) / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)"""
 
 
 @query("stats_welch_ttest", oracle=f"""
@@ -851,7 +838,7 @@ v AS (
     (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
   FROM d)
 SELECT n1 AS n_click, n2 AS n_view,
-  round(m1 - m2, 9) AS mean_diff,
+  CAST(floor((m1 - m2) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_diff,
   {_WELCH_T} AS t_stat,
   {_WELCH_DF} AS df
 FROM v""")
@@ -891,7 +878,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("n2") - 1)).alias("v2"))
     return v.select(
         F.col("n1").alias("n_click"), F.col("n2").alias("n_view"),
-        F.round(F.col("m1") - F.col("m2"), 9).alias("mean_diff"),
+        exact.snap_double_col(F.col("m1") - F.col("m2"), 9).alias("mean_diff"),
         F.expr(_WELCH_T).alias("t_stat"),
         F.expr(_WELCH_DF).alias("df"))
 
@@ -979,7 +966,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH h AS (
   SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
            AS x,
-    CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS y
+    CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS y
   FROM events GROUP BY 1),
 pairs AS (
   SELECT (b.y - a.y) / (b.x - a.x) AS slope
@@ -990,8 +977,8 @@ ic AS (
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hours,
   (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
-  CAST(floor(((SELECT m FROM sl)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS slope_per_hour,
-  CAST(floor(((SELECT b0 FROM ic)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS intercept""")
+  CAST(floor(((SELECT m FROM sl)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS slope_per_hour,
+  CAST(floor(((SELECT b0 FROM ic)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS intercept""")
 def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of the hourly mean-value series: the
     median of all pairwise slopes (and the matching median intercept) —
@@ -1056,11 +1043,11 @@ rep AS (
   FROM w GROUP BY r),
 base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS mean_v
+    CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_v
   FROM events WHERE event_type = 'click')
 SELECT n, mean_v,
-  round((SELECT quantile_cont(m, 0.025) FROM rep), 9) AS ci_lo,
-  round((SELECT quantile_cont(m, 0.975) FROM rep), 9) AS ci_hi
+  CAST(floor(((SELECT quantile_cont(m, 0.025) FROM rep)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ci_lo,
+  CAST(floor(((SELECT quantile_cont(m, 0.975) FROM rep)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ci_hi
 FROM base""")
 def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap confidence interval for the mean click value via
@@ -1098,21 +1085,21 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("m", F.lit(0.975)).alias("hi"))
     base = ev.agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9)
+        exact.snap_double_col(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9)
          .alias("mean_v"))
     return (base.crossJoin(F.broadcast(ci))
             .select("n", "mean_v",
-                    F.round("lo", 9).alias("ci_lo"),
-                    F.round("hi", 9).alias("ci_hi")))
+                    exact.snap_double_col("lo", 9).alias("ci_lo"),
+                    exact.snap_double_col("hi", 9).alias("ci_hi")))
 
 
 @query("latency_percentile_bands", oracle="""
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n,
-  round(quantile_cont(value, 0.50), 9) AS p50,
-  round(quantile_cont(value, 0.95), 9) AS p95,
-  round(quantile_cont(value, 0.99), 9) AS p99,
-  round(MAX(value), 9) AS p100
+  CAST(floor((quantile_cont(value, 0.50)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p50,
+  CAST(floor((quantile_cont(value, 0.95)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p95,
+  CAST(floor((quantile_cont(value, 0.99)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p99,
+  CAST(floor((MAX(value)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p100
 FROM events GROUP BY event_type ORDER BY event_type""")
 def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99/max value bands per event type — the SLO-report
@@ -1123,20 +1110,17 @@ def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     return (t["events"].groupBy("event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.percentile("value", F.lit(0.50)), 9).alias("p50"),
-                 F.round(F.percentile("value", F.lit(0.95)), 9).alias("p95"),
-                 F.round(F.percentile("value", F.lit(0.99)), 9).alias("p99"),
-                 F.round(F.max("value"), 9).alias("p100"))
+                 exact.snap_double_col(F.percentile("value", F.lit(0.50)), 9).alias("p50"),
+                 exact.snap_double_col(F.percentile("value", F.lit(0.95)), 9).alias("p95"),
+                 exact.snap_double_col(F.percentile("value", F.lit(0.99)), 9).alias("p99"),
+                 exact.snap_double_col(F.max("value"), 9).alias("p100"))
             .orderBy("event_type"))
 
 
 # Changepoint gain, shared expression text.  Inputs are exact DECIMAL
 # prefix sums cast to double once (values << 2^53, so the cast is
 # exact); one fixed-order arithmetic pipeline in both engines.
-_CPT_GAIN = """round(
-  (qn - sn * sn / n)
-  - ((qt - st * st / t) + ((qn - qt) - (sn - st) * (sn - st) / (n - t))),
-  6)"""
+_CPT_GAIN = """CAST(floor(((qn - sn * sn / n) - ((qt - st * st / t) + ((qn - qt) - (sn - st) * (sn - st) / (n - t)))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)"""
 
 
 @query("events_changepoint_hourly", oracle=f"""
@@ -1156,8 +1140,8 @@ tot AS (
   FROM h),
 g AS (
   SELECT bucket, t, n, {_CPT_GAIN} AS gain,
-    round(st / t, 6) AS mean_left,
-    round((sn - st) / (n - t), 6) AS mean_right
+    CAST(floor((st / t) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_left,
+    CAST(floor(((sn - st) / (n - t)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_right
   FROM c CROSS JOIN tot WHERE t < n)
 SELECT bucket AS split_after, t, n, gain, mean_left, mean_right
 FROM g ORDER BY gain DESC, t LIMIT 1""")
@@ -1191,9 +1175,8 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("t") < F.col("n"))
          .select(F.col("bucket").alias("split_after"), "t", "n",
                  F.expr(_CPT_GAIN).alias("gain"),
-                 F.round(F.col("st") / F.col("t"), 6).alias("mean_left"),
-                 F.round((F.col("sn") - F.col("st"))
-                         / (F.col("n") - F.col("t")), 6)
+                 exact.snap_double_col(F.col("st") / F.col("t"), 6).alias("mean_left"),
+                 exact.snap_double_col((F.col("sn") - F.col("st")) / (F.col("n") - F.col("t")), 6)
                  .alias("mean_right")))
     return g.orderBy(F.desc("gain"), F.asc("t")).limit(1)
 
@@ -1215,7 +1198,7 @@ def _bridge_oracle() -> str:
     # each per-part term snaps to integer 1e-6 units (shared-IEEE
     # floor device) so the month totals are exact BIGINT sums — raw
     # double summation is engine-order-dependent, and the r8 sf0.1
-    # draw-3 lottery sweep caught the residue straddling round(x, 2)
+    # draw-3 lottery sweep caught the residue straddling CAST(floor((x) * 100.0 + 0.5) AS BIGINT) / CAST(100.0 AS DOUBLE)
     terms = ",\n  ".join(
         f"CAST(CAST(SUM({exact.snap_int(expr, 6)}) AS BIGINT)"
         f" AS DOUBLE) / 1000000.0 AS {name}"
@@ -1296,9 +1279,8 @@ lam AS (
          AS DOUBLE) AS lambda
   FROM h),
 s AS (
-  SELECT bucket, k, round(lambda, 6) AS lambda,
-    round(CASE WHEN k > lambda AND lambda > 0
-          THEN k * ln(k / lambda) - (k - lambda) ELSE 0.0 END, 6)
+  SELECT bucket, k, CAST(floor((lambda) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS lambda,
+    CAST(floor((CASE WHEN k > lambda AND lambda > 0 THEN k * ln(k / lambda) - (k - lambda) ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
       AS surprise
   FROM lam WHERE lambda IS NOT NULL)
 SELECT bucket, k, lambda, surprise
@@ -1328,8 +1310,8 @@ def events_poisson_burst_surprise(spark: SparkSession,
         - (F.col("k") - F.col("lambda"))).otherwise(0.0)
     return (lam.where(F.col("lambda").isNotNull())
             .select("bucket", "k",
-                    F.round("lambda", 6).alias("lambda"),
-                    F.round(surprise, 6).alias("surprise"))
+                    exact.snap_double_col("lambda", 6).alias("lambda"),
+                    exact.snap_double_col(surprise, 6).alias("surprise"))
             .orderBy(F.desc("surprise"), F.asc("bucket"))
             .limit(10))
 
@@ -1346,11 +1328,7 @@ g AS (
 SELECT
   CAST(SUM(n) AS BIGINT) AS n_events,
   CAST(COUNT(*) AS BIGINT) AS n_cells,
-  round(1.0 - CAST(SUM(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
-                        * CAST(s AS DOUBLE) / n) AS DOUBLE)
-        / (CAST(SUM(CAST(q AS DOUBLE)) AS DOUBLE)
-           - CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE)
-             * CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) / SUM(n)), 9)
+  CAST(floor((1.0 - CAST(SUM(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS DOUBLE) / (CAST(SUM(CAST(q AS DOUBLE)) AS DOUBLE) - CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) * CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) / SUM(n))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS seasonality_r2
 FROM g""")
 def events_seasonality_strength(spark: SparkSession,
@@ -1381,16 +1359,14 @@ def events_seasonality_strength(spark: SparkSession,
     return g.agg(
         F.sum("n").cast("long").alias("n_events"),
         F.count("*").alias("n_cells"),
-        F.round(F.lit(1.0) - within / (tot_q - tot_s * tot_s / tot_n), 9)
+        exact.snap_double_col(F.lit(1.0) - within / (tot_q - tot_s * tot_s / tot_n), 9)
         .alias("seasonality_r2"))
 
 
 # Odds ratio with Woolf logit CI — one shared expression set (a/b/c/d
 # are BIGINT cell counts; doubles appear only here).
-_OR_EXPR = "round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 9)"
-_OR_CI = """round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
-  {sign} 1.959963984540054
-    * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 9)"""
+_OR_EXPR = "CAST(floor(((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"
+_OR_CI = """CAST(floor((exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) {sign} 1.959963984540054 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_odds_ratio_2x2", oracle=f"""
@@ -1434,27 +1410,27 @@ def stats_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("discount_volume_elasticity", oracle="""
 WITH b AS (
-  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
     CAST(COUNT(*) AS BIGINT) AS n,
     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
   FROM lineitem GROUP BY 1),
 pts AS (
   SELECT disc_pct, n,
-    round(CAST(q AS DOUBLE) / n, 9) AS mean_qty
+    CAST(floor((CAST(q AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_qty
   FROM b),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
     CAST(SUM(disc_pct) AS BIGINT) AS sx,
-    round(SUM(mean_qty), 9) AS sy,
-    round(SUM(disc_pct * mean_qty), 9) AS sxy,
+    CAST(floor((SUM(mean_qty)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sy,
+    CAST(floor((SUM(disc_pct * mean_qty)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sxy,
     CAST(SUM(disc_pct * disc_pct) AS BIGINT) AS sxx
   FROM pts)
 SELECT
   (SELECT CAST(SUM(n) AS BIGINT) FROM pts) AS n_lineitems,
   k AS n_buckets,
-  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 9)
+  CAST(floor(((k * sxy - sx * sy) / (k * sxx - sx * sx)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS qty_per_discount_point,
-  round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 9)
+  CAST(floor(((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS base_qty
 FROM s""")
 def discount_volume_elasticity(spark: SparkSession,
@@ -1469,20 +1445,20 @@ def discount_volume_elasticity(spark: SparkSession,
     Scale: one bucket hash-agg (domain ≤ 11 rows) and a 1-row fit."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     b = (t["lineitem"]
-         .groupBy(F.round(F.col("l_discount") * 100).cast("long")
+         .groupBy(F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
                   .alias("disc_pct"))
          .agg(F.count("*").alias("n"),
               F.sum(F.col("l_quantity").cast("decimal(18,2)"))
               .cast("decimal(38,2)").alias("q")))
     pts = b.select(
         "disc_pct", "n",
-        F.round(F.col("q").cast("double") / F.col("n"), 9)
+        exact.snap_double_col(F.col("q").cast("double") / F.col("n"), 9)
         .alias("mean_qty"))
     s = pts.agg(
         F.count("*").alias("k"),
         F.sum("disc_pct").cast("long").alias("sx"),
-        F.round(F.sum("mean_qty"), 9).alias("sy"),
-        F.round(F.sum(F.col("disc_pct") * F.col("mean_qty")), 9)
+        exact.snap_double_col(F.sum("mean_qty"), 9).alias("sy"),
+        exact.snap_double_col(F.sum(F.col("disc_pct") * F.col("mean_qty")), 9)
         .alias("sxy"),
         F.sum(F.col("disc_pct") * F.col("disc_pct")).cast("long")
         .alias("sxx"),
@@ -1491,8 +1467,8 @@ def discount_volume_elasticity(spark: SparkSession,
         / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
     return s.select(
         "n_lineitems", F.col("k").alias("n_buckets"),
-        F.round(slope, 9).alias("qty_per_discount_point"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 9)
+        exact.snap_double_col(slope, 9).alias("qty_per_discount_point"),
+        exact.snap_double_col((F.col("sy") - slope * F.col("sx")) / F.col("k"), 9)
         .alias("base_qty"))
 
 
@@ -1511,11 +1487,11 @@ c AS (
   FROM c0),
 dd AS (
   SELECT day, cum, peak,
-    round(1.0 - CAST(cum AS DOUBLE) / CAST(peak AS DOUBLE), 9) AS draw
+    CAST(floor((1.0 - CAST(cum AS DOUBLE) / CAST(peak AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS draw
   FROM c)
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_days,
-  round(MAX(draw), 9) AS max_drawdown,
+  CAST(floor((MAX(draw)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS max_drawdown,
   MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN day END)
     AS trough_day
 FROM dd""")
@@ -1540,8 +1516,7 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("cum").over(w).cast("decimal(38,2)").alias("peak"))
     dd = c.select(
         "day",
-        F.round(1.0 - F.col("cum").cast("double")
-                / F.col("peak").cast("double"), 9).alias("draw"))
+        exact.snap_double_col(1.0 - F.col("cum").cast("double") / F.col("peak").cast("double"), 9).alias("draw"))
     wf = Window.rowsBetween(Window.unboundedPreceding,
                             Window.unboundedFollowing)
     return (dd.select("day", "draw",
@@ -1549,7 +1524,7 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.count("*").over(wf).alias("n_days"))
             .where(F.col("draw") == F.col("mx"))
             .agg(F.max("n_days").cast("long").alias("n_days"),
-                 F.round(F.max("mx"), 9).alias("max_drawdown"),
+                 exact.snap_double_col(F.max("mx"), 9).alias("max_drawdown"),
                  F.min("day").alias("trough_day")))
 
 
@@ -1580,9 +1555,9 @@ cells AS (
     MAX(CASE WHEN NOT treated AND post
         THEN CAST(s AS DOUBLE) / n END) AS c_post
   FROM m)
-SELECT round(t_pre, 9) AS treated_pre, round(t_post, 9) AS treated_post,
-  round(c_pre, 9) AS control_pre, round(c_post, 9) AS control_post,
-  round((t_post - t_pre) - (c_post - c_pre), 9) AS did_uplift
+SELECT CAST(floor((t_pre) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS treated_pre, CAST(floor((t_post) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS treated_post,
+  CAST(floor((c_pre) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS control_pre, CAST(floor((c_post) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS control_post,
+  CAST(floor(((t_post - t_pre) - (c_post - c_pre)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS did_uplift
 FROM cells""")
 def stats_diff_in_diff_uplift(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1617,12 +1592,11 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
                   cell(False, False).alias("c_pre"),
                   cell(False, True).alias("c_post"))
     return cells.select(
-        F.round("t_pre", 9).alias("treated_pre"),
-        F.round("t_post", 9).alias("treated_post"),
-        F.round("c_pre", 9).alias("control_pre"),
-        F.round("c_post", 9).alias("control_post"),
-        F.round((F.col("t_post") - F.col("t_pre"))
-                - (F.col("c_post") - F.col("c_pre")), 9)
+        exact.snap_double_col("t_pre", 9).alias("treated_pre"),
+        exact.snap_double_col("t_post", 9).alias("treated_post"),
+        exact.snap_double_col("c_pre", 9).alias("control_pre"),
+        exact.snap_double_col("c_post", 9).alias("control_post"),
+        exact.snap_double_col((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 9)
         .alias("did_uplift"))
 
 
@@ -1673,8 +1647,8 @@ z AS (
 SELECT (SELECT n FROM nn) AS n_hours,
   (SELECT n_pairs FROM s) AS n_pairs,
   (SELECT s_stat FROM s) AS s_stat,
-  CAST(floor(((SELECT var_s FROM v)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS var_s,
-  CAST(floor(((SELECT zv FROM z)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS z_score,
+  CAST(floor(((SELECT var_s FROM v)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS var_s,
+  CAST(floor(((SELECT zv FROM z)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS z_score,
   CASE WHEN (SELECT zv FROM z) > 1.959964 THEN 'increasing'
        WHEN (SELECT zv FROM z) < -1.959964 THEN 'decreasing'
        ELSE 'no_trend' END AS trend""")
@@ -1732,8 +1706,7 @@ j AS (
   FROM h a JOIN h b ON a.x - b.x BETWEEN 1 AND 100
   WHERE a.x > (SELECT mx FROM mx) - 24)
 SELECT x, y,
-  round(SUM(pow(0.7, CAST(lag - 1 AS DOUBLE)) * yb)
-        / SUM(pow(0.7, CAST(lag - 1 AS DOUBLE))), 6) AS yhat,
+  CAST(floor((SUM(pow(0.7, CAST(lag - 1 AS DOUBLE)) * yb) / SUM(pow(0.7, CAST(lag - 1 AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS yhat,
   CAST(COUNT(*) AS BIGINT) AS n_lags
 FROM j GROUP BY x, y ORDER BY x""")
 def stats_ewma_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,7 +1738,7 @@ def stats_ewma_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("x", "y", lag.alias("lag"), "yb"))
     w = F.pow(F.lit(0.7), (F.col("lag") - 1).cast("double"))
     return (j.groupBy("x", "y")
-            .agg(F.round(F.sum(w * F.col("yb")) / F.sum(w), 6).alias("yhat"),
+            .agg(exact.snap_double_col(F.sum(w * F.col("yb")) / F.sum(w), 6).alias("yhat"),
                  F.count("*").alias("n_lags"))
             .orderBy("x"))
 
@@ -1789,9 +1762,9 @@ seas AS (
     CAST(COUNT(*) AS BIGINT) AS nd
   FROM full7 GROUP BY dow)
 SELECT d, y,
-  CAST(floor((CAST(s7 AS DOUBLE) / 7) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS trend,
-  CAST(floor((CAST(sk AS DOUBLE) / (7 * nd)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS seasonal,
-  CAST(floor((CAST(k AS DOUBLE) / 7 - CAST(sk AS DOUBLE) / (7 * nd)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS resid
+  CAST(floor((CAST(s7 AS DOUBLE) / 7) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS trend,
+  CAST(floor((CAST(sk AS DOUBLE) / (7 * nd)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS seasonal,
+  CAST(floor((CAST(k AS DOUBLE) / 7 - CAST(sk AS DOUBLE) / (7 * nd)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS resid
 FROM full7 JOIN seas USING (dow)""")
 def events_seasonal_decompose_daily(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -1873,21 +1846,11 @@ m AS (
          AS DECIMAL(38,0)) AS sy0
   FROM pu)
 SELECT CAST(n AS BIGINT) AS n_users,
-  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
-  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS raw_lift,
-  round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-        - (CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE))
-          * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-             - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 9)
+  CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS theta,
+  CAST(floor((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS raw_lift,
+  CAST(floor((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS cuped_lift,
-  round((CAST(n * sxy - sx * sy AS DOUBLE)
-         * CAST(n * sxy - sx * sy AS DOUBLE))
-        / (CAST(n * sxx - sx * sx AS DOUBLE)
-           * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS var_reduction
+  CAST(floor(((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS var_reduction
 FROM m""")
 def stats_cuped_adjusted_lift(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1950,10 +1913,10 @@ def stats_cuped_adjusted_lift(spark: SparkSession,
     dx = d(F.col("sx1")) / d(F.col("n1")) - d(F.col("sx0")) / d(F.col("n0"))
     return m.select(
         F.col("n").cast("long").alias("n_users"),
-        F.round(theta, 9).alias("theta"),
-        F.round(raw, 9).alias("raw_lift"),
-        F.round(raw - theta * dx, 9).alias("cuped_lift"),
-        F.round((sxy_c * sxy_c) / (sxx_c * syy_c), 9)
+        exact.snap_double_col(theta, 9).alias("theta"),
+        exact.snap_double_col(raw, 9).alias("raw_lift"),
+        exact.snap_double_col(raw - theta * dx, 9).alias("cuped_lift"),
+        exact.snap_double_col((sxy_c * sxy_c) / (sxx_c * syy_c), 9)
         .alias("var_reduction"))
 
 
@@ -1968,12 +1931,8 @@ rates AS (
     CAST(n_succ AS DOUBLE) / n_obs AS p1,
     least(CAST(n_succ AS DOUBLE) / n_obs * 1.1, 0.999999) AS p2
   FROM base)
-SELECT event_type, n_obs, round(p1, 9) AS p1, round(p2, 9) AS p2,
-  round(
-    pow(1.959963985 * sqrt(2.0 * ((p1 + p2) / 2.0)
-                           * (1.0 - (p1 + p2) / 2.0))
-        + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
-    / ((p2 - p1) * (p2 - p1)), 4) AS n_per_arm
+SELECT event_type, n_obs, CAST(floor((p1) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p1, CAST(floor((p2) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p2,
+  CAST(floor((pow(1.959963985 * sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0)) + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0) / ((p2 - p1) * (p2 - p1))) * 10000.0 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS n_per_arm
 FROM rates ORDER BY event_type""")
 def stats_sample_size_two_proportions(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
@@ -2002,9 +1961,9 @@ def stats_sample_size_two_proportions(spark: SparkSession,
                 * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
     n = num / ((p2 - p1) * (p2 - p1))
     return (base.select("event_type", "n_obs",
-                        F.round(p1, 9).alias("p1"),
-                        F.round(p2, 9).alias("p2"),
-                        F.round(n, 4).alias("n_per_arm"))
+                        exact.snap_double_col(p1, 9).alias("p1"),
+                        exact.snap_double_col(p2, 9).alias("p2"),
+                        exact.snap_double_col(n, 4).alias("n_per_arm"))
             .orderBy("event_type"))
 
 
@@ -2028,7 +1987,7 @@ WITH seq AS (
   FROM events),
 llr AS (
   SELECT event_type, n, s,
-    CAST(floor((s * {_SPRT_L1} + (n - s) * {_SPRT_L0}) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS llr
+    CAST(floor((s * {_SPRT_L1} + (n - s) * {_SPRT_L0}) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS llr
   FROM seq),
 crossed AS (
   SELECT event_type, n, s, llr,
@@ -2130,8 +2089,8 @@ b AS (
            row_number() OVER (ORDER BY event_type DESC) AS rn
     FROM g) WHERE rn = 1)
 SELECT k, nn AS n_total,
-  round(bsum - sd * sd / nn, 6) AS ss_between,
-  round(qd - bsum, 6) AS ss_within,
+  CAST(floor((bsum - sd * sd / nn) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS ss_between,
+  CAST(floor((qd - bsum) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS ss_within,
   {_ANOVA_F} AS f_stat
 FROM tot CROSS JOIN b""")
 def stats_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2164,15 +2123,13 @@ def stats_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("rn") == 1).select("bsum"))
     return (tot.crossJoin(F.broadcast(b))
             .select("k", F.col("nn").alias("n_total"),
-                    F.round(F.col("bsum") - F.col("sd") * F.col("sd")
-                            / F.col("nn"), 6).alias("ss_between"),
-                    F.round(F.col("qd") - F.col("bsum"), 6)
+                    exact.snap_double_col(F.col("bsum") - F.col("sd") * F.col("sd") / F.col("nn"), 6).alias("ss_between"),
+                    exact.snap_double_col(F.col("qd") - F.col("bsum"), 6)
                     .alias("ss_within"),
                     F.expr(_ANOVA_F).alias("f_stat")))
 
 
-_KW_H = """round((12.0 * tsum / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0))
-  / (1.0 - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE) * nn * nn - nn)), 9)"""
+_KW_H = """CAST(floor(((12.0 * tsum / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0)) / (1.0 - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE) * nn * nn - nn))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_kruskal_wallis", oracle=f"""
@@ -2252,10 +2209,9 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spearman / Pearson over lineitem quantity vs discount.  Both engines
 # compute the exact integer-centered moments (the regression_value_vs_time
 # lesson: center BEFORE the double cast) and share the final expression.
-_RHO = """round(CAST(num AS DOUBLE)
-  / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 9)"""
+_RHO = """CAST(floor((CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 _QINT = "CAST(l_quantity AS BIGINT)"
-_DCENT = "CAST(round(l_discount * 100) AS BIGINT)"
+_DCENT = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
 
 
 @query("stats_spearman_rho", oracle=f"""
@@ -2363,8 +2319,7 @@ def _perm_bit_sql(r: str = "r") -> str:
             f"::bigint & 1)")
 
 
-_PERM_D = """round(CAST(s1 AS DOUBLE) / n1
-  - CAST(s0 AS DOUBLE) / (nn - n1), 9)"""
+_PERM_D = """CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / (nn - n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_permutation_test_mean", oracle=f"""
@@ -2394,7 +2349,7 @@ ext AS (
 SELECT n_click, n_view,
   d_obs AS abs_mean_diff,
   n_extreme,
-  round((1.0 + n_extreme) / (1.0 + {_PERM_R}), 9) AS p_value
+  CAST(floor(((1.0 + n_extreme) / (1.0 + {_PERM_R})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_value
 FROM obs CROSS JOIN ext""")
 def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample permutation test for the click-vs-view mean
@@ -2449,8 +2404,7 @@ def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_click", "n_view",
                     F.col("d_obs").alias("abs_mean_diff"),
                     "n_extreme",
-                    F.round((1.0 + F.col("n_extreme"))
-                            / (1.0 + _PERM_R), 9).alias("p_value")))
+                    exact.snap_double_col((1.0 + F.col("n_extreme")) / (1.0 + _PERM_R), 9).alias("p_value")))
 
 
 _BH_R = 64  # permutations per hypothesis
@@ -2476,8 +2430,7 @@ gt AS (
   FROM ev GROUP BY event_type),
 obs AS (
   SELECT event_type,
-    abs(round(CAST(s1 AS DOUBLE) / n1
-              - CAST(sv - s1 AS DOUBLE) / (nn - n1), 9)) AS d_obs
+    abs(CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(sv - s1 AS DOUBLE) / (nn - n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) AS d_obs
   FROM gt CROSS JOIN tot),
 x AS (
   SELECT g.event_type, r, ev.v,
@@ -2496,10 +2449,7 @@ rep AS (
   FROM x GROUP BY event_type, r),
 pv AS (
   SELECT rep.event_type,
-    round((1.0 + count_if(
-      abs(round(CAST(s1r AS DOUBLE) / n1r
-                - CAST(svr - s1r AS DOUBLE) / (nr - n1r), 9)) >= o.d_obs))
-      / (1.0 + {_BH_R}), 9) AS p_raw
+    CAST(floor(((1.0 + count_if( abs(CAST(floor((CAST(s1r AS DOUBLE) / n1r - CAST(svr - s1r AS DOUBLE) / (nr - n1r)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) >= o.d_obs)) / (1.0 + {_BH_R})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_raw
   FROM rep JOIN obs o USING (event_type)
   GROUP BY rep.event_type),
 rk AS (
@@ -2509,8 +2459,7 @@ rk AS (
   FROM pv),
 adj AS (
   SELECT event_type, p_raw, p_rank,
-    round(least(1.0, MIN(p_raw * m / p_rank)
-      OVER (ORDER BY p_rank DESC ROWS UNBOUNDED PRECEDING)), 9) AS p_bh
+    CAST(floor((least(1.0, MIN(p_raw * m / p_rank) OVER (ORDER BY p_rank DESC ROWS UNBOUNDED PRECEDING))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_bh
   FROM rk)
 SELECT event_type, p_raw, p_rank, p_bh,
   p_bh <= 0.10 AS reject_fdr10
@@ -2537,8 +2486,7 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("v").alias("sv"))
     gt = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n1"), F.sum("v").alias("s1"))
-    d_of = lambda s1, n1, sv, nn: F.abs(F.round(
-        s1.cast("double") / n1 - (sv - s1).cast("double") / (nn - n1), 9))
+    d_of = lambda s1, n1, sv, nn: F.abs(exact.snap_double_col(s1.cast("double") / n1 - (sv - s1).cast("double") / (nn - n1), 9))
     obs = (gt.crossJoin(F.broadcast(tot))
            .select("event_type",
                    d_of(F.col("s1"), F.col("n1"), F.col("sv"),
@@ -2563,8 +2511,7 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_rep = d_of(F.col("s1r"), F.col("n1r"), F.col("svr"), F.col("nr"))
     pv = (rep.join(F.broadcast(obs), "event_type")
           .groupBy("event_type")
-          .agg(F.round((1.0 + F.count_if(d_rep >= F.col("d_obs")))
-                       / (1.0 + _BH_R), 9).alias("p_raw")))
+          .agg(exact.snap_double_col((1.0 + F.count_if(d_rep >= F.col("d_obs"))) / (1.0 + _BH_R), 9).alias("p_raw")))
     wr = Window.orderBy("p_raw", "event_type")
     rk = pv.select("event_type", "p_raw",
                    F.row_number().over(wr).cast("long").alias("p_rank"),
@@ -2574,9 +2521,7 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0)
     adj = rk.select(
         "event_type", "p_raw", "p_rank",
-        F.round(F.least(F.lit(1.0),
-                        F.min(F.col("p_raw") * F.col("m") / F.col("p_rank"))
-                        .over(wt)), 9).alias("p_bh"))
+        exact.snap_double_col(F.least(F.lit(1.0), F.min(F.col("p_raw") * F.col("m") / F.col("p_rank")) .over(wt)), 9).alias("p_bh"))
     return (adj.select("event_type", "p_raw", "p_rank", "p_bh",
                        (F.col("p_bh") <= 0.10).alias("reject_fdr10"))
             .orderBy("event_type"))
@@ -2584,14 +2529,12 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Cochran-Armitage z: numerator and variance kernel are exact integers
 # (DECIMAL); the single shared expression does one sqrt and division.
-_CA_Z = """round(CAST(num AS DOUBLE)
-  / sqrt(CAST(rr AS DOUBLE) * (nn - rr)
-         * CAST(vker AS DOUBLE) / nn), 9)"""
+_CA_Z = """CAST(floor((CAST(num AS DOUBLE) / sqrt(CAST(rr AS DOUBLE) * (nn - rr) * CAST(vker AS DOUBLE) / nn)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_cochran_armitage_trend", oracle=f"""
 WITH g AS (
-  SELECT CAST(round(l_discount * 100) AS BIGINT) AS w,
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS w,
     CAST(COUNT(*) AS BIGINT) AS n_i,
     CAST(count_if(l_returnflag = 'R') AS BIGINT) AS r_i
   FROM lineitem GROUP BY 1),
@@ -2625,7 +2568,7 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is k-row arithmetic."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     g = (t["lineitem"]
-         .groupBy(F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+         .groupBy(F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
                   .alias("w"))
          .agg(F.count("*").cast("long").alias("n_i"),
               F.count_if(F.col("l_returnflag") == "R").cast("long")
@@ -2653,10 +2596,7 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Wilson 95% score interval — one shared expression over (s, n);
 # z is a full-precision literal, no inverse-normal call at runtime.
-_WILSON = """round((p_hat + zz / (2 * n)
-    {sign} 1.959963984540054 * sqrt(p_hat * (1 - p_hat) / n
-                                    + zz / (4 * n * n)))
-  / (1 + zz / n), 9)"""
+_WILSON = """CAST(floor(((p_hat + zz / (2 * n) {sign} 1.959963984540054 * sqrt(p_hat * (1 - p_hat) / n + zz / (4 * n * n))) / (1 + zz / n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_wilson_ci_proportion", oracle=f"""
@@ -2671,7 +2611,7 @@ e AS (
     1.959963984540054 * 1.959963984540054 AS zz
   FROM g)
 SELECT event_type, n, s,
-  round(p_hat, 9) AS p_hat,
+  CAST(floor((p_hat) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_hat,
   {_WILSON.format(sign="-")} AS ci_lo,
   {_WILSON.format(sign="+")} AS ci_hi
 FROM e ORDER BY event_type""")
@@ -2693,7 +2633,7 @@ def stats_wilson_ci_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("s").cast("double") / F.col("n")).alias("p_hat"),
                  F.lit(1.959963984540054 * 1.959963984540054).alias("zz"))
     return (e.select("event_type", "n", "s",
-                     F.round("p_hat", 9).alias("p_hat"),
+                     exact.snap_double_col("p_hat", 9).alias("p_hat"),
                      F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
                      F.expr(_WILSON.format(sign="+")).alias("ci_hi"))
             .orderBy("event_type"))
@@ -2807,8 +2747,8 @@ s AS (
   SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM c GROUP BY source),
 t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c)
 SELECT c.lang, c.source, c.o,
-  CAST(floor((CAST(m.rl AS DOUBLE) * s.cs / t.n) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS expected,
-  CAST(floor((2.0 * c.o * ln(CAST(c.o AS DOUBLE) * t.n / (m.rl * s.cs))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0
+  CAST(floor((CAST(m.rl AS DOUBLE) * s.cs / t.n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS expected,
+  CAST(floor((2.0 * c.o * ln(CAST(c.o AS DOUBLE) * t.n / (m.rl * s.cs))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS g_contrib
 FROM c JOIN m USING (lang) JOIN s USING (source) CROSS JOIN t
 ORDER BY c.lang, c.source""")
@@ -2863,8 +2803,8 @@ p{i} AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
 g{i} AS (SELECT avg(lam - y) AS g0, avg((lam - y) * x1) AS g1,
                 avg(lam - y * ln(greatest(lam, 1e-300))) AS nll
          FROM p{i}),
-wt{i + 1} AS (SELECT CAST(floor((w.w0 - {_PGLM_LR} * g.g0) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS w0,
-                     CAST(floor((w.w1 - {_PGLM_LR} * g.g1) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS w1
+wt{i + 1} AS (SELECT CAST(floor((w.w0 - {_PGLM_LR} * g.g0) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS w0,
+                     CAST(floor((w.w1 - {_PGLM_LR} * g.g1) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS w1
               FROM wt{i} w CROSS JOIN g{i} g)""")
     return ("WITH " + ",".join(parts) + f""",
 fin AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
@@ -2872,7 +2812,7 @@ fin AS (SELECT h.*, exp(w.w0 + w.w1 * h.x1) AS lam
 SELECT CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
   (SELECT w0 FROM wt{_PGLM_ITERS}) AS w0,
   (SELECT w1 FROM wt{_PGLM_ITERS}) AS w1,
-  CAST(floor((avg(lam - y * ln(greatest(lam, 1e-300)))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_nll
+  CAST(floor((avg(lam - y * ln(greatest(lam, 1e-300)))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_nll
 FROM fin""")
 
 
@@ -3002,8 +2942,9 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(_ANOVA_F).alias("w_stat")))
 
 
-_FANO = """round(CAST(nh * (nh * q - s * s) AS DOUBLE)
-  / (CAST(nh AS DOUBLE) * (nh - 1) * s), 9)"""
+_FANO = """CAST(floor((CAST(nh * (nh * q - s * s) AS DOUBLE)
+  / (CAST(nh AS DOUBLE) * (nh - 1) * s)) * 1000000000.0 + 0.5)
+  AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("events_overdispersion_fano", oracle=f"""
@@ -3018,7 +2959,7 @@ m AS (
     CAST(SUM(y * y) AS BIGINT) AS q
   FROM hourly GROUP BY event_type)
 SELECT event_type, nh AS n_hours,
-  round(CAST(s AS DOUBLE) / nh, 9) AS mean_per_hour,
+  CAST(floor((CAST(s AS DOUBLE) / nh) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_per_hour,
   {_FANO} AS fano,
   {_FANO} > 1.5 AS overdispersed
 FROM m ORDER BY event_type""")
@@ -3041,7 +2982,7 @@ def events_overdispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("s"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("q"))
     return (m.select("event_type", F.col("nh").alias("n_hours"),
-                     F.round(F.col("s").cast("double") / F.col("nh"), 9)
+                     exact.snap_double_col(F.col("s").cast("double") / F.col("nh"), 9)
                      .alias("mean_per_hour"),
                      F.expr(_FANO).alias("fano"),
                      (F.expr(_FANO) > 1.5).alias("overdispersed"))
@@ -3058,7 +2999,7 @@ c AS (
     CAST(count_if(arm = 1) AS BIGINT) AS n1
   FROM u)
 SELECT n0, n1,
-  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 9) AS chi2,
+  CAST(floor((CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS chi2,
   CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 10.828 AS srm_detected
 FROM c""")
 def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,7 +3027,7 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
             ).cast("double") / (F.col("n0") + F.col("n1"))
     return c.select("n0", "n1",
-                    F.round(chi2, 9).alias("chi2"),
+                    exact.snap_double_col(chi2, 9).alias("chi2"),
                     (chi2 > 10.828).alias("srm_detected"))
 
 
@@ -3107,7 +3048,7 @@ c AS (
     (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
       AS n_observed)
 SELECT n1, n2, m, n_observed,
-  round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 9)
+  CAST(floor((CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS chapman_estimate
 FROM c""")
 def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3138,8 +3079,7 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count("*").cast("long").alias("m")))
     no = t["events"].agg(
         F.count_distinct("user_id").cast("long").alias("n_observed"))
-    est = F.round((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
-                  / (F.col("m") + 1) - 1, 9)
+    est = exact.snap_double_col((F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1, 9)
     return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
             .crossJoin(F.broadcast(no))
             .select("n1", "n2", "m", "n_observed",
@@ -3149,9 +3089,7 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2e0 (not 2.0): DuckDB types a dotted literal as DECIMAL, which would
 # silently shift the whole expression into decimal arithmetic there
 # while Spark stays in doubles; the exponent form is DOUBLE in both.
-_RUNS_Z = """round((CAST(r AS DOUBLE) - (2e0 * na * nb / nn + 1))
-  / sqrt(2e0 * na * nb * (2e0 * na * nb - nn)
-         / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 9)"""
+_RUNS_Z = """CAST(floor(((CAST(r AS DOUBLE) - (2e0 * na * nb / nn + 1)) / sqrt(2e0 * na * nb * (2e0 * na * nb - nn) / (CAST(nn AS DOUBLE) * nn * (nn - 1)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_runs_test", oracle=f"""
@@ -3244,9 +3182,7 @@ def _ljung_box_oracle() -> str:
         f" AS a{k}, "
         f"CAST(SUM(lead{k}) AS BIGINT) AS b{k}"
         for k in range(1, _ACF_MAX_LAG + 1))
-    r = {k: (f"round(CAST(n * n * p{k} - n * s * (a{k} + b{k})"
-             f" + (n - {k}) * s * s AS DOUBLE)"
-             f" / (CAST(n AS DOUBLE) * (n * q - s * s)), 9)")
+    r = {k: (f"CAST(floor((CAST(n * n * p{k} - n * s * (a{k} + b{k})" f" + (n - {k}) * s * s AS DOUBLE)" f" / (CAST(n AS DOUBLE) * (n * q - s * s))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)")
          for k in range(1, _ACF_MAX_LAG + 1)}
     terms = " + ".join(f"r{k} * r{k} / (n - {k})"
                        for k in range(1, _ACF_MAX_LAG + 1))
@@ -3264,9 +3200,9 @@ g AS (
 rr AS (SELECT n, {rcols} FROM g)
 SELECT CAST(n AS BIGINT) AS n_hours,
   CAST({_ACF_MAX_LAG} AS INT) AS max_lag,
-  round(n * (n + 2) * ({terms}), 6) AS q_stat,
+  CAST(floor((n * (n + 2) * ({terms})) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS q_stat,
   CAST({_LB_CRIT_DF6} AS DOUBLE) AS q_crit,
-  round(n * (n + 2) * ({terms}), 6) > {_LB_CRIT_DF6} AS reject_whiteness
+  CAST(floor((n * (n + 2) * ({terms})) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) > {_LB_CRIT_DF6} AS reject_whiteness
 FROM rr"""
 
 
@@ -3310,15 +3246,12 @@ def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     g = l.agg(*aggs)
     n, s, q = F.col("n"), F.col("s"), F.col("q")
-    rks = [F.round(
-        (n * n * F.col(f"p{k}") - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
-         + (n - k) * s * s).cast("double")
-        / (n.cast("double") * (n * q - s * s)), 9)
+    rks = [exact.snap_double_col((n * n * F.col(f"p{k}") - n * s * (F.col(f"a{k}") + F.col(f"b{k}")) + (n - k) * s * s).cast("double") / (n.cast("double") * (n * q - s * s)), 9)
         for k in range(1, _ACF_MAX_LAG + 1)]
     terms = rks[0] * rks[0] / (n - 1)
     for k in range(2, _ACF_MAX_LAG + 1):
         terms = terms + rks[k - 1] * rks[k - 1] / (n - k)
-    q_stat = F.round((n * (n + 2)) * terms, 6)
+    q_stat = exact.snap_double_col((n * (n + 2)) * terms, 6)
     return g.select(
         n.cast("long").alias("n_hours"),
         F.lit(_ACF_MAX_LAG).cast("int").alias("max_lag"),
@@ -3366,7 +3299,7 @@ e AS (
   SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(d * d) AS BIGINT)
   FROM l3 WHERE m = 2)
 SELECT CAST(level AS INT) AS level, n_pairs, energy,
-  round(CAST(energy AS DOUBLE) / (CAST(2 AS BIGINT) << (level - 1)), 6)
+  CAST(floor((CAST(energy AS DOUBLE) / (CAST(2 AS BIGINT) << (level - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS normalized_energy
 FROM e ORDER BY level"""
 
@@ -3424,9 +3357,7 @@ def stats_haar_energy_hourly(spark: SparkSession,
                   .alias("energy")))
     e = outs[0].unionByName(outs[1]).unionByName(outs[2])
     return (e.select("level", "n_pairs", "energy",
-                     F.round(F.col("energy").cast("double")
-                             / F.expr("shiftleft(CAST(2 AS BIGINT), "
-                                      "level - 1)"), 6)
+                     exact.snap_double_col(F.col("energy").cast("double") / F.expr("shiftleft(CAST(2 AS BIGINT), " "level - 1)"), 6)
                      .alias("normalized_energy"))
             .orderBy("level"))
 
@@ -3476,7 +3407,7 @@ p AS (
   UNION ALL
   SELECT 'extendedprice~discount | quantity', n, r_pd, r_qp, r_qd FROM r)
 SELECT pair, n, r_xy,
-  CAST(floor(((r_xy - r_xz * r_yz) / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS r_partial
+  CAST(floor(((r_xy - r_xz * r_yz) / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS r_partial
 FROM p ORDER BY pair""")
 def stats_partial_correlation(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -3558,12 +3489,12 @@ b AS (
     FROM g) WHERE rn = 1),
 mse AS (
   SELECT (qd - bsum) / (nn - k) AS mse FROM tot CROSS JOIN b),
-m AS (SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mean
+m AS (SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean
       FROM g),
 pairs AS (
   SELECT a.event_type AS type_a, bb.event_type AS type_b,
-    CAST(floor((a.mean - bb.mean) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_diff,
-    CAST(floor((abs(a.mean - bb.mean) / sqrt(mse / 2 * (1.0 / a.n + 1.0 / bb.n))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS q_stat
+    CAST(floor((a.mean - bb.mean) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_diff,
+    CAST(floor((abs(a.mean - bb.mean) / sqrt(mse / 2 * (1.0 / a.n + 1.0 / bb.n))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS q_stat
   FROM m a JOIN m bb ON a.event_type < bb.event_type CROSS JOIN mse)
 SELECT type_a, type_b, mean_diff, q_stat,
   q_stat > {_TUKEY_Q_CRIT} AS significant
@@ -3631,8 +3562,8 @@ tot AS (
     CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(q) AS DOUBLE) AS qd
   FROM g),
 m AS (
-  SELECT event_type, n, round(CAST(s AS DOUBLE) / n, 9) AS mean,
-    round(sd / nn, 9) AS grand,
+  SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean,
+    CAST(floor((sd / nn) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS grand,
     (qd - sd * sd / nn) / (nn - k) AS mse, k
   FROM g CROSS JOIN tot),
 dev AS (
@@ -3643,8 +3574,8 @@ f AS (
                   / ssdev) AS shrink
   FROM dev)
 SELECT event_type, n, mean,
-  round(grand + shrink * (mean - grand), 6) AS js_mean,
-  round(shrink, 6) AS shrink_factor
+  CAST(floor((grand + shrink * (mean - grand)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS js_mean,
+  CAST(floor((shrink) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS shrink_factor
 FROM m CROSS JOIN f ORDER BY event_type""")
 def stats_james_stein_shrinkage(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -3674,9 +3605,9 @@ def stats_james_stein_shrinkage(spark: SparkSession,
                 F.sum("q").cast("double").alias("qd"))
     m = (g.crossJoin(F.broadcast(tot))
          .select("event_type", "n", "k",
-                 F.round(F.col("s").cast("double") / F.col("n"), 9)
+                 exact.snap_double_col(F.col("s").cast("double") / F.col("n"), 9)
                  .alias("mean"),
-                 F.round(F.col("sd") / F.col("nn"), 9).alias("grand"),
+                 exact.snap_double_col(F.col("sd") / F.col("nn"), 9).alias("grand"),
                  ((F.col("qd") - F.col("sd") * F.col("sd") / F.col("nn"))
                   / (F.col("nn") - F.col("k"))).alias("mse")))
     dev = m.agg(F.sum((F.col("mean") - F.col("grand"))
@@ -3690,10 +3621,9 @@ def stats_james_stein_shrinkage(spark: SparkSession,
         / F.col("ssdev")).alias("shrink"))
     return (m.crossJoin(F.broadcast(f))
             .select("event_type", "n", "mean",
-                    F.round(F.col("grand") + F.col("shrink")
-                            * (F.col("mean") - F.col("grand")), 6)
+                    exact.snap_double_col(F.col("grand") + F.col("shrink") * (F.col("mean") - F.col("grand")), 6)
                     .alias("js_mean"),
-                    F.round("shrink", 6).alias("shrink_factor"))
+                    exact.snap_double_col("shrink", 6).alias("shrink_factor"))
             .orderBy("event_type"))
 
 
@@ -3727,9 +3657,8 @@ e AS ({" UNION ALL ".join(legs)}),
 base AS (SELECT abs_err_sum AS bs, n_forecasts AS bn FROM e
          WHERE model = 'naive_lag1')
 SELECT model, n_forecasts,
-  round(CAST(abs_err_sum AS DOUBLE) / n_forecasts, 6) AS mae,
-  round((CAST(abs_err_sum AS DOUBLE) / n_forecasts)
-        / (CAST(bs AS DOUBLE) / bn), 6) AS mase
+  CAST(floor((CAST(abs_err_sum AS DOUBLE) / n_forecasts) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mae,
+  CAST(floor(((CAST(abs_err_sum AS DOUBLE) / n_forecasts) / (CAST(bs AS DOUBLE) / bn)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mase
 FROM e CROSS JOIN base ORDER BY model"""
 
 
@@ -3782,9 +3711,8 @@ def stats_forecast_accuracy_mase(spark: SparkSession,
     mae = F.col("abs_err_sum_d").cast("double") / F.col("n_forecasts")
     return (e.crossJoin(F.broadcast(base))
             .select("model", "n_forecasts",
-                    F.round(mae, 6).alias("mae"),
-                    F.round(mae / (F.col("bs").cast("double")
-                                   / F.col("bn")), 6).alias("mase"))
+                    exact.snap_double_col(mae, 6).alias("mae"),
+                    exact.snap_double_col(mae / (F.col("bs").cast("double") / F.col("bn")), 6).alias("mase"))
             .orderBy("model"))
 
 
@@ -3820,11 +3748,8 @@ z AS (
                 - tie_term / 2.0) / 24.0) AS den
   FROM s CROSS JOIN ties)
 SELECT n AS n_pairs, CAST(r2pos AS DOUBLE) / 2 AS w_plus,
-  round((diff2 - CASE WHEN diff2 > 0 THEN 1
-                      WHEN diff2 < 0 THEN -1 ELSE 0 END) / den, 6) AS z,
-  abs(round((diff2 - CASE WHEN diff2 > 0 THEN 1
-                          WHEN diff2 < 0 THEN -1 ELSE 0 END)
-            / den, 6)) > 1.9599639845 AS reject_symmetry
+  CAST(floor(((diff2 - CASE WHEN diff2 > 0 THEN 1 WHEN diff2 < 0 THEN -1 ELSE 0 END) / den) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS z,
+  abs(CAST(floor(((diff2 - CASE WHEN diff2 > 0 THEN 1 WHEN diff2 < 0 THEN -1 ELSE 0 END) / den) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)) > 1.9599639845 AS reject_symmetry
 FROM z""")
 def stats_wilcoxon_signed_rank(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -3876,7 +3801,7 @@ def stats_wilcoxon_signed_rank(spark: SparkSession,
                  .alias("den")))
     cont = (F.when(F.col("diff2") > 0, 1)
             .when(F.col("diff2") < 0, -1).otherwise(0))
-    zz = F.round((F.col("diff2") - cont) / F.col("den"), 6)
+    zz = exact.snap_double_col((F.col("diff2") - cont) / F.col("den"), 6)
     return z.select(F.col("n").alias("n_pairs"),
                     (F.col("r2pos").cast("double") / 2).alias("w_plus"),
                     zz.alias("z"),
@@ -3891,16 +3816,15 @@ WITH c AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS x
   FROM events GROUP BY user_id),
 tail AS (
-  SELECT round(ln(CAST(x AS DOUBLE) / {_HILL_XMIN}), 9) AS lx
+  SELECT CAST(floor((ln(CAST(x AS DOUBLE) / {_HILL_XMIN})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS lx
   FROM c WHERE x >= {_HILL_XMIN}),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM c),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, SUM(lx) AS slx FROM tail)
 SELECT n_users, n_tail,
   CAST({_HILL_XMIN} AS BIGINT) AS xmin,
-  round(1.0 + CAST(n_tail AS DOUBLE) / slx, 6) AS alpha_hat,
-  round((CAST(n_tail AS DOUBLE) / slx)
-        / sqrt(CAST(n_tail AS DOUBLE)), 6) AS alpha_se
+  CAST(floor((1.0 + CAST(n_tail AS DOUBLE) / slx) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS alpha_hat,
+  CAST(floor(((CAST(n_tail AS DOUBLE) / slx) / sqrt(CAST(n_tail AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS alpha_se
 FROM s CROSS JOIN tot""")
 def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the activity distribution's tail exponent
@@ -3920,8 +3844,7 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (t["events"].groupBy("user_id")
          .agg(F.count("*").cast("long").alias("x")))
     tail = (c.where(F.col("x") >= _HILL_XMIN)
-            .select(F.round(F.log(F.col("x").cast("double")
-                                  / _HILL_XMIN), 9).alias("lx")))
+            .select(exact.snap_double_col(F.log(F.col("x").cast("double") / _HILL_XMIN), 9).alias("lx")))
     tot = c.agg(F.count("*").cast("long").alias("n_users"))
     s = tail.agg(F.count("*").cast("long").alias("n_tail"),
                  F.sum("lx").alias("slx"))
@@ -3929,9 +3852,8 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.crossJoin(F.broadcast(tot))
             .select("n_users", "n_tail",
                     F.lit(_HILL_XMIN).cast("long").alias("xmin"),
-                    F.round(1.0 + inv, 6).alias("alpha_hat"),
-                    F.round(inv / F.sqrt(F.col("n_tail").cast("double")),
-                            6).alias("alpha_se")))
+                    exact.snap_double_col(1.0 + inv, 6).alias("alpha_hat"),
+                    exact.snap_double_col(inv / F.sqrt(F.col("n_tail").cast("double")), 6).alias("alpha_se")))
 
 
 _CCF_MAX_LAG = 3

@@ -561,7 +561,7 @@ pairs AS (
     ON a.doc_id = b.doc_id AND a.tok < b.tok
   GROUP BY a.tok, b.tok)
 SELECT tok_a, tok_b, c_ab, c_a, c_b,
-  CAST(floor((ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS pmi
+  CAST(floor((ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS pmi
 FROM pairs CROSS JOIN n
 WHERE c_ab >= 5""")
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,12 +1621,12 @@ m AS (
       AS n00
   FROM r)
 SELECT n AS n_docs, n11, n10, n01, n00,
-  CAST(floor((CAST(n11 + n00 AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS po,
-  CAST(floor((CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS pe,
-  CAST(floor(((CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)) / (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS kappa,
-  CAST(floor((CASE WHEN n10 + n01 > 0 THEN CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01) ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS mcnemar_stat,
+  CAST(floor((CAST(n11 + n00 AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS po,
+  CAST(floor((CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS pe,
+  CAST(floor(((CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)) / (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS kappa,
+  CAST(floor((CASE WHEN n10 + n01 > 0 THEN CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01) ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mcnemar_stat,
   CASE WHEN n10 + n01 > 0 THEN
-    CAST(floor((CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01)) * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 > {_MCNEMAR_CRIT_DF1}
+    CAST(floor((CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE) / (n10 + n01)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) > {_MCNEMAR_CRIT_DF1}
   ELSE FALSE END AS raters_differ
 FROM m""")
 def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,8 +122,12 @@ def migrate(path: str, names: list[str]) -> int:
                 rep = f"exact.snap_double_col({expr}, {k})"
             else:
                 p = 10 ** k
+                # rescale divisor CAST to DOUBLE: Spark types a bare
+                # decimal literal as DECIMAL and BIGINT/DECIMAL as
+                # DECIMAL — a DECWIRE violation when the text is shared
+                # via F.expr (exact.snap_double docstring)
                 rep = (f"CAST(floor(({expr}) * {p}.0 + 0.5) AS BIGINT)"
-                       f" / {p}.0")
+                       f" / CAST({p}.0 AS DOUBLE)")
             print(f"REWRITE {name} [{'spark' if is_spark else 'sql'}]"
                   f" scale={k}: {expr[:70]}")
             out.append(rep)
