@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.dedup import (
     N_BANDS, N_MINHASH, jaccard, lsh_candidate_pairs, simhash32, with_minhash)
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -111,7 +112,7 @@ verified AS (
   FROM cand
   JOIN sig a ON a.doc_id = id_a
   JOIN sig b ON b.doc_id = id_b)
-SELECT id_a, id_b, round(j, 9) AS jaccard
+SELECT id_a, id_b, CAST(floor((j) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS jaccard
 FROM verified WHERE j >= 0.5""")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
@@ -128,7 +129,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (pairs.join(a, "id_a").join(b, "id_b")
             .where(j >= 0.5)
-            .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
+            .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
 
 
 @query("dedup_ngram_jaccard", oracle=f"""
@@ -144,9 +145,7 @@ cand AS (
     ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
 tk AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
 SELECT id_a, id_b,
-  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-        9) AS jaccard
+  CAST(floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS jaccard
 FROM cand
 JOIN tk a ON a.doc_id = id_a
 JOIN tk b ON b.doc_id = id_b
@@ -171,7 +170,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = jaccard(F.col("tk_a"), F.col("tk_b"))
     return (pairs.join(a, "id_a").join(b, "id_b")
             .where(j >= 0.8)
-            .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
+            .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
 
 
 def _simhash_sql() -> str:
@@ -221,17 +220,19 @@ cand AS (
     ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.vec_id < r.vec_id),
 n AS ({_NORM_SQL})
 SELECT id_a, id_b,
-  round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+  CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
          FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb))
-        / (na.nrm * nb.nrm), 9) AS cosine
+        / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) AS BIGINT)
+    / CAST(1000000000.0 AS DOUBLE) AS cosine
 FROM cand
 JOIN embeddings a ON a.vec_id = id_a
 JOIN embeddings c ON c.vec_id = id_b
 JOIN n na ON na.vec_id = id_a
 JOIN n nb ON nb.vec_id = id_b
-WHERE round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+WHERE CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
        FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb))
-      / (na.nrm * nb.nrm), 9) >= 0.35"""
+      / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) AS BIGINT)
+    / CAST(1000000000.0 AS DOUBLE) >= 0.35"""
 
 
 @query("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
@@ -269,7 +270,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = F.round(cosine_similarity("va", "vb"), 9)
+    cos = exact.snap_double_col(cosine_similarity("va", "vb"), 9)
     return (cand.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= 0.35))
@@ -477,16 +478,16 @@ sh AS (
 SELECT id_a, id_b,
   CAST(len(a.s) AS BIGINT) AS n_sh_a,
   CAST(len(b.s) AS BIGINT) AS n_sh_b,
-  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 9)
+  CAST(floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS containment_a_in_b,
-  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 9)
+  CAST(floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS containment_b_in_a
 FROM candc
 JOIN sh a ON a.doc_id = id_a
 JOIN sh b ON b.doc_id = id_b
 WHERE greatest(
-    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 9),
-    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 9))
+    CAST(floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE),
+    CAST(floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE))
   >= 0.5""")
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup — catches SUB-document duplication
@@ -507,8 +508,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    c_ab = F.round(inter / F.size("sa"), 9)
-    c_ba = F.round(inter / F.size("sb"), 9)
+    c_ab = exact.snap_double_col(inter / F.size("sa"), 9)
+    c_ba = exact.snap_double_col(inter / F.size("sb"), 9)
     return (pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
                     F.size("sa").cast("long").alias("n_sh_a"),
@@ -538,17 +539,16 @@ candq AS (
 scoredq AS (
   SELECT id_a, id_b,
     ({eq}) / {N_MINHASH}.0 AS j_est,
-    round({j_exact}, 9) AS j_exact
+    CAST(floor(({j_exact}) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS j_exact
   FROM candq
   JOIN sigq a ON a.doc_id = id_a
   JOIN sigq b ON b.doc_id = id_b)
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_pairs,
-  round(CAST(SUM(CAST(round(abs(j_est - j_exact), 9) AS DECIMAL(18, 9)))
-             AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
-  max(round(abs(j_est - j_exact), 9)) AS max_abs_err,
+  CAST(floor((CAST(SUM(CAST(CAST(floor((abs(j_est - j_exact)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS DECIMAL(18, 9))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_abs_err,
+  max(CAST(floor((abs(j_est - j_exact)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) AS max_abs_err,
   CAST(count_if(j_exact >= 0.5) AS BIGINT) AS n_true_dups,
-  round(CAST(count_if(j_exact >= 0.5) AS DOUBLE) / COUNT(*), 9)
+  CAST(floor((CAST(count_if(j_exact >= 0.5) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS precision_at_05
 FROM scoredq"""
 
@@ -587,18 +587,16 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"ma{i}") == F.col(f"mb{i}"), 1).otherwise(0)
         sum_eq = term if sum_eq is None else sum_eq + term
     j_est = sum_eq / float(N_MINHASH)
-    j_exact = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
-    err = F.round(F.abs(j_est - j_exact), 9)
+    j_exact = exact.snap_double_col(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
+    err = exact.snap_double_col(F.abs(j_est - j_exact), 9)
     scored = (pairs.join(a, "id_a").join(b, "id_b")
               .select(err.alias("err"), j_exact.alias("j_exact")))
     return scored.agg(
         F.count("*").alias("n_pairs"),
-        F.round(F.sum(F.col("err").cast("decimal(18,9)")).cast("double")
-                / F.count("*"), 6).alias("mean_abs_err"),
+        exact.snap_double_col(F.sum(F.col("err").cast("decimal(18,9)")).cast("double") / F.count("*"), 6).alias("mean_abs_err"),
         F.max("err").alias("max_abs_err"),
         F.count_if(F.col("j_exact") >= 0.5).alias("n_true_dups"),
-        F.round(F.count_if(F.col("j_exact") >= 0.5).cast("double")
-                / F.count("*"), 9).alias("precision_at_05"))
+        exact.snap_double_col(F.count_if(F.col("j_exact") >= 0.5).cast("double") / F.count("*"), 9).alias("precision_at_05"))
 
 
 _INCR_SPLIT = 400  # doc_id < split = historical corpus; >= split = new batch
@@ -618,8 +616,7 @@ candi AS (
    AND n.doc_id >= {_INCR_SPLIT} AND h.doc_id < {_INCR_SPLIT}),
 veri AS (
   SELECT new_id, hist_id,
-    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9) AS j
+    CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS j
   FROM candi
   JOIN sigi a ON a.doc_id = new_id
   JOIN sigi b ON b.doc_id = hist_id),
@@ -673,7 +670,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("hist_id"),
                    F.col("__sh").alias("sh_b"))
-    j = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
+    j = exact.snap_double_col(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
     hits = (cand.join(a, "new_id").join(b, "hist_id")
             .select("new_id", "hist_id", j.alias("j"))
             .where(F.col("j") >= 0.5))
@@ -739,7 +736,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (pairs.join(a, "id_a").join(b, "id_b")
             .where(j >= 0.5)
-            .select("id_a", "id_b", F.round(j, 9).alias("jaccard")))
+            .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
 
 
 @query("contrastive_triplets", oracle=f"""
@@ -755,8 +752,7 @@ candt AS (
     ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
 vert AS (
   SELECT id_a, id_b,
-    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9) AS j
+    CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS j
   FROM candt
   JOIN sigt a ON a.doc_id = id_a
   JOIN sigt b ON b.doc_id = id_b),
@@ -796,7 +792,7 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    j = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
+    j = exact.snap_double_col(jaccard(F.col("sh_a"), F.col("sh_b")), 9)
     ver = (pairs.join(a, "id_a").join(b, "id_b")
            .select("id_a", "id_b", j.alias("j")))
     sym = (ver.selectExpr("id_a AS anchor", "id_b AS other", "j")
@@ -1085,7 +1081,7 @@ WITH cfg AS (
 s AS (SELECT unnest([{", ".join(str(s) for s in _SCURVE_GRID)}]) AS sim),
 curve AS (
   SELECT b, r, sim,
-    round(1.0 - pow(1.0 - pow(sim, r), b), 9) AS p_candidate
+    CAST(floor((1.0 - pow(1.0 - pow(sim, r), b)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_candidate
   FROM cfg CROSS JOIN s)
 SELECT b, r, CAST(round(sim * 100, 0) AS INT) AS sim_pct, p_candidate,
   b * r AS n_hashes
@@ -1108,8 +1104,7 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.createDataFrame([(x,) for x in _SCURVE_GRID], "sim double")
     curve = (cfg.crossJoin(F.broadcast(s))
              .select("b", "r", "sim",
-                     F.round(1.0 - F.pow(1.0 - F.pow("sim", F.col("r")),
-                                         F.col("b")), 9)
+                     exact.snap_double_col(1.0 - F.pow(1.0 - F.pow("sim", F.col("r")), F.col("b")), 9)
                      .alias("p_candidate")))
     return (curve.select("b", "r",
                          F.round(F.col("sim") * 100, 0).cast("int")
@@ -1140,7 +1135,7 @@ def _bloom_sizing_sql() -> str:
     CAST(greatest(1, round(
       (ceil(-(n_keys * {lnp}) / ({ln2!r} * {ln2!r})) / n_keys)
       * {ln2!r}, 0)) AS BIGINT) AS k,
-    round(CAST({p} AS DOUBLE), 9) AS fpr
+    CAST(floor((CAST({p} AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS fpr
   FROM n""")
     return f"""
 WITH n AS (
@@ -1150,7 +1145,7 @@ WITH n AS (
 cur AS (
   SELECT n_keys, 'current_8KiB_k3' AS config,
     CAST(65536 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
-    round(pow(1.0 - exp(-3.0 * n_keys / 65536), 3), 9) AS fpr
+    CAST(floor((pow(1.0 - exp(-3.0 * n_keys / 65536), 3)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS fpr
   FROM n),
 tgt AS ({" UNION ALL ".join(legs)})
 SELECT config, n_keys, m_bits, k, fpr,
@@ -1187,7 +1182,7 @@ def join_bloom_sizing_table(spark: SparkSession,
         "n_keys", F.lit("current_8KiB_k3").alias("config"),
         F.lit(65536).cast("long").alias("m_bits"),
         F.lit(3).cast("long").alias("k"),
-        F.round(F.pow(1.0 - F.exp(-3.0 * F.col("n_keys") / 65536), 3), 9)
+        exact.snap_double_col(F.pow(1.0 - F.exp(-3.0 * F.col("n_keys") / 65536), 3), 9)
          .alias("fpr"))
     legs = [cur]
     for p in _BLOOM_TARGETS:
@@ -1199,7 +1194,7 @@ def join_bloom_sizing_table(spark: SparkSession,
             F.greatest(F.lit(1).cast("long"),
                        F.round((m_bits / F.col("n_keys")) * ln2, 0)
                        .cast("long")).alias("k"),
-            F.round(F.lit(float(p)), 9).alias("fpr")))
+            exact.snap_double_col(F.lit(float(p)), 9).alias("fpr")))
     u = legs[0]
     for leg in legs[1:]:
         u = u.unionByName(leg)
@@ -1222,7 +1217,7 @@ SELECT CAST(bidx AS INT) AS band,
   CAST(COUNT(*) AS BIGINT) AS n_buckets,
   CAST(MAX(sz) AS BIGINT) AS max_bucket,
   CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs_bound,
-  round(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 6) AS mean_bucket
+  CAST(floor((CAST(SUM(sz) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_bucket
 FROM bk GROUP BY bidx ORDER BY band""")
 def dedup_lsh_bucket_stats(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -1252,7 +1247,7 @@ def dedup_lsh_bucket_stats(spark: SparkSession,
                  F.max("sz").cast("long").alias("max_bucket"),
                  F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long")
                   .alias("candidate_pairs_bound"),
-                 F.round(F.sum("sz").cast("double") / F.count("*"), 6)
+                 exact.snap_double_col(F.sum("sz").cast("double") / F.count("*"), 6)
                   .alias("mean_bucket"))
             .orderBy("band"))
 
@@ -1273,8 +1268,7 @@ p AS (
   FROM candt
   JOIN sigt a ON a.doc_id = id_a
   JOIN sigt b ON b.doc_id = id_b
-  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9)
+  WHERE CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
         >= 0.5),
 sym AS (SELECT id_a AS u, id_b AS v FROM p
         UNION ALL SELECT id_b, id_a FROM p),
@@ -1292,7 +1286,7 @@ s AS (
 SELECT n_pairs, n_wedges, n_closed,
   n_wedges - n_closed AS n_open,
   CASE WHEN n_wedges > 0 THEN
-    round(CAST(n_wedges - n_closed AS DOUBLE) / n_wedges, 9)
+    CAST(floor((CAST(n_wedges - n_closed AS DOUBLE) / n_wedges) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
   ELSE 0.0 END AS violation_rate
 FROM s""")
 def dedup_transitivity_violation_rate(spark: SparkSession,
@@ -1323,7 +1317,7 @@ def dedup_transitivity_violation_rate(spark: SparkSession,
                    F.col("__sh").alias("sh_b"))
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     p = (pairs.join(a, "id_a").join(b, "id_b")
-         .where(F.round(j, 9) >= 0.5)
+         .where(exact.snap_double_col(j, 9) >= 0.5)
          .select("id_a", "id_b"))
     sym = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")) \
         .unionAll(p.select(F.col("id_b").alias("u"),
@@ -1342,5 +1336,5 @@ def dedup_transitivity_violation_rate(spark: SparkSession,
     return s.select(
         "n_pairs", "n_wedges", "n_closed", open_.alias("n_open"),
         F.when(F.col("n_wedges") > 0,
-               F.round(open_.cast("double") / F.col("n_wedges"), 9))
+               exact.snap_double_col(open_.cast("double") / F.col("n_wedges"), 9))
          .otherwise(F.lit(0.0)).alias("violation_rate"))

@@ -277,8 +277,7 @@ WITH c AS (
 SELECT user_id,
   CAST(SUM(c) AS BIGINT) AS n_events,
   CAST(COUNT(*) AS INT) AS n_types,
-  round(log2(CAST(SUM(c) AS DOUBLE))
-        - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_bits
+  CAST(floor((log2(CAST(SUM(c) AS DOUBLE)) - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS entropy_bits
 FROM c GROUP BY user_id""")
 def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event-type distribution — the
@@ -295,10 +294,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.groupBy("user_id")
             .agg(n.alias("n_events"),
                  F.count("*").cast("int").alias("n_types"),
-                 F.round(F.log2(n.cast("double"))
-                         - F.sum(F.col("c")
-                                 * F.log2(F.col("c").cast("double"))) / n,
-                         6).alias("entropy_bits")))
+                 exact.snap_double_col(F.log2(n.cast("double")) - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n, 6).alias("entropy_bits")))
 
 
 @query("events_transition_matrix", oracle="""
@@ -312,8 +308,7 @@ cnt AS (
   FROM nxt WHERE to_type IS NOT NULL
   GROUP BY from_type, to_type)
 SELECT from_type, to_type, n,
-  round(CAST(n AS DOUBLE)
-        / SUM(n) OVER (PARTITION BY from_type), 9) AS prob
+  CAST(floor((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS prob
 FROM cnt""")
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of event types: lead()
@@ -331,7 +326,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_row = Window.partitionBy("from_type")
     return cnt.select(
         "from_type", "to_type", "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
+        exact.snap_double_col(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
         .alias("prob"))
 
 
@@ -346,8 +341,7 @@ ov AS (
                        AND a.event_type < b.event_type
   GROUP BY 1, 2)
 SELECT type_a, type_b, n_overlap,
-  round(CAST(n_overlap AS DOUBLE)
-        / (sa.sz + sb.sz - n_overlap), 9) AS jaccard
+  CAST(floor((CAST(n_overlap AS DOUBLE) / (sa.sz + sb.sz - n_overlap)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS jaccard
 FROM ov JOIN sz sa ON sa.event_type = type_a
         JOIN sz sb ON sb.event_type = type_b""")
 def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,9 +367,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ov.join(F.broadcast(sa), "type_a")
             .join(F.broadcast(sb), "type_b")
             .select("type_a", "type_b", "n_overlap",
-                    F.round(F.col("n_overlap").cast("double")
-                            / (F.col("sa") + F.col("sb")
-                               - F.col("n_overlap")), 9).alias("jaccard")))
+                    exact.snap_double_col(F.col("n_overlap").cast("double") / (F.col("sa") + F.col("sb") - F.col("n_overlap")), 9).alias("jaccard")))
 
 
 @query("events_interpolate_hourly", oracle=f"""
@@ -411,10 +403,7 @@ ctx AS (
       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
   FROM j)
 SELECT event_type, h AS hour,
-  round(CASE WHEN v IS NOT NULL THEN v
-             WHEN ph IS NOT NULL AND nh IS NOT NULL
-             THEN pv + (nv - pv) * (hn - ph) / (nh - ph)
-        END, 9) AS value,
+  CAST(floor((CASE WHEN v IS NOT NULL THEN v WHEN ph IS NOT NULL AND nh IS NOT NULL THEN pv + (nv - pv) * (hn - ph) / (nh - ph) END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS value,
   (v IS NULL AND ph IS NOT NULL AND nh IS NOT NULL) AS interpolated
 FROM ctx""")
 def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,7 +446,7 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(F.col("ph").isNotNull() & F.col("nh").isNotNull(), interp)
     return ctx.select(
         "event_type", F.col("h").alias("hour"),
-        F.round(filled, 9).alias("value"),
+        exact.snap_double_col(filled, 9).alias("value"),
         (F.col("v").isNull() & F.col("ph").isNotNull()
          & F.col("nh").isNotNull()).alias("interpolated"))
 
@@ -465,7 +454,7 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("events_dow_hour_heatmap", oracle=f"""
 SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
   COUNT(*) AS n,
-  round(CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*), 9) AS avg_value
+  CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY dow, hod""")
 def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week × hour-of-day activity heatmap — the seasonality
@@ -479,8 +468,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.dayofweek("ts") - 1).alias("dow"),
                      F.hour("ts").alias("hod"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"),
-                         9).alias("avg_value"))
+                 exact.snap_double_col(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9).alias("avg_value"))
             .orderBy("dow", "hod"))
 
 
@@ -505,7 +493,7 @@ WITH g AS (
 b AS (SELECT {_gap_case_sql()} AS bucket FROM g WHERE gap_us IS NOT NULL),
 t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b)
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-  round(CAST(COUNT(*) AS DOUBLE) / MAX(total), 9) AS share
+  CAST(floor((CAST(COUNT(*) AS DOUBLE) / MAX(total)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS share
 FROM b CROSS JOIN t GROUP BY bucket ORDER BY bucket""")
 def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap histogram across users (log-ish fixed buckets:
@@ -528,8 +516,7 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (b.groupBy("bucket").agg(F.count("*").alias("n_gaps"))
             .crossJoin(F.broadcast(tot))
             .select("bucket", "n_gaps",
-                    F.round(F.col("n_gaps").cast("double")
-                            / F.col("total"), 9).alias("share"))
+                    exact.snap_double_col(F.col("n_gaps").cast("double") / F.col("total"), 9).alias("share"))
             .orderBy("bucket"))
 
 
@@ -686,8 +673,7 @@ w AS (
                0) AS BIGINT) AS n_risk
   FROM risk CROSS JOIN tot)
 SELECT t_days, n_risk, d AS d_events, c AS n_censored,
-  round(exp(SUM(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-300)))
-            OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 9)
+  CAST(floor((exp(SUM(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-300))) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS survival
 FROM w WHERE d > 0 ORDER BY t_days""")
 def survival_km_signup_to_purchase(spark: SparkSession,
@@ -737,10 +723,7 @@ def survival_km_signup_to_purchase(spark: SparkSession,
     # greatest(.., 1e-300): the last event day can have d == n_risk
     # (everyone remaining converts), where S drops to 0 — ln(1e-300)
     # underflows exp() to a value that rounds to 0.0 in both engines
-    surv = F.round(F.exp(F.sum(
-        F.log(F.greatest(1.0 - F.col("d").cast("double")
-                         / F.col("n_risk"), F.lit(1e-300))))
-        .over(w_cum)), 9)
+    surv = exact.snap_double_col(F.exp(F.sum( F.log(F.greatest(1.0 - F.col("d").cast("double") / F.col("n_risk"), F.lit(1e-300)))) .over(w_cum)), 9)
     return (wdf.withColumn("survival", surv)
             .where(F.col("d") > 0)
             .select("t_days", "n_risk", F.col("d").alias("d_events"),
@@ -753,7 +736,7 @@ def _markov_stationary_oracle(iters: int = 6) -> str:
     for k in range(1, iters + 1):
         steps.append(f"""
 p{k} AS (
-  SELECT m.to_type AS state, round(SUM(p{k - 1}.pi * m.prob), 12) AS pi
+  SELECT m.to_type AS state, CAST(floor((SUM(p{k - 1}.pi * m.prob)) * 1000000000000.0 + 0.5) AS BIGINT) / CAST(1000000000000.0 AS DOUBLE) AS pi
   FROM p{k - 1} JOIN m ON m.from_type = p{k - 1}.state
   GROUP BY m.to_type)""")
     return f"""
@@ -767,14 +750,13 @@ cnt AS (
   FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
 m AS (
   SELECT from_type, to_type,
-    round(CAST(n AS DOUBLE)
-          / SUM(n) OVER (PARTITION BY from_type), 9) AS prob
+    CAST(floor((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS prob
   FROM cnt),
 states AS (SELECT DISTINCT from_type AS state FROM cnt),
 p0 AS (
-  SELECT state, round(1.0 / (SELECT COUNT(*) FROM states), 12) AS pi
+  SELECT state, CAST(floor((1.0 / (SELECT COUNT(*) FROM states)) * 1000000000000.0 + 0.5) AS BIGINT) / CAST(1000000000000.0 AS DOUBLE) AS pi
   FROM states),{",".join(steps)}
-SELECT state, round(pi, 9) AS pi
+SELECT state, CAST(floor((pi) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS pi
 FROM p{iters} ORDER BY state"""
 
 
@@ -806,19 +788,19 @@ def events_markov_stationary(spark: SparkSession,
     scope = CheckpointScope(spark)
     m = scope.checkpoint(cnt.select(
         "from_type", "to_type",
-        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
+        exact.snap_double_col(F.col("n").cast("double") / F.sum("n").over(w_row), 9)
         .alias("prob")))
     states = m.select(F.col("from_type").alias("state")).distinct()
     n_states = states.crossJoin(
         F.broadcast(states.agg(F.count("*").alias("k"))))
     pi = n_states.select(
-        "state", F.round(1.0 / F.col("k"), 12).alias("pi"))
+        "state", exact.snap_double_col(1.0 / F.col("k"), 12).alias("pi"))
     for _ in range(6):
         pi = (pi.join(m, pi["state"] == m["from_type"])
               .groupBy(F.col("to_type").alias("state"))
-              .agg(F.round(F.sum(F.col("pi") * F.col("prob")), 12)
+              .agg(exact.snap_double_col(F.sum(F.col("pi") * F.col("prob")), 12)
                    .alias("pi")))
-    out = pi.select("state", F.round("pi", 9).alias("pi")) \
+    out = pi.select("state", exact.snap_double_col("pi", 9).alias("pi")) \
         .orderBy("state")
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return out
@@ -1049,7 +1031,7 @@ tw AS (
            BETWEEN d.d - 27 AND d.d) AS mau
   FROM days d)
 SELECT d, dau, mau,
-  round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+  CAST(floor((CAST(dau AS DOUBLE) / mau) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS stickiness
 FROM tw""")
 def events_stickiness_dau_mau(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -1077,8 +1059,7 @@ def events_stickiness_dau_mau(spark: SparkSession,
            .groupBy("ad", "dau")
            .agg(F.countDistinct("user_id").alias("mau")))
     return mau.select(F.col("ad").alias("d"), "dau", "mau",
-                      F.round(F.col("dau").cast("double")
-                              / F.col("mau"), 6).alias("stickiness"))
+                      exact.snap_double_col(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"))
 
 
 @query("events_bot_regularity", oracle="""
@@ -1096,8 +1077,7 @@ m AS (
 c AS (
   SELECT user_id, n_gaps,
     CAST(sg AS BIGINT) // n_gaps AS mean_gap_us,
-    round(CAST(n_gaps * (n_gaps * sgg - sg * sg) AS DOUBLE)
-          / CAST((n_gaps - 1) * sg * sg AS DOUBLE), 9) AS cv2
+    CAST(floor((CAST(n_gaps * (n_gaps * sgg - sg * sg) AS DOUBLE) / CAST((n_gaps - 1) * sg * sg AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cv2
   FROM m)
 SELECT user_id, n_gaps, mean_gap_us, cv2, cv2 < 0.1 AS is_bot_like
 FROM c ORDER BY cv2, user_id LIMIT 20""")
@@ -1114,7 +1094,7 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (µs² overflows BIGINT — the CUPED lesson), and
     CV² = n(nΣg² − (Σg)²) / ((n−1)(Σg)²) is ONE double division of
     exact decimals (the mean gap is exact integer floor division —
-    an 11-digit µs mean under round(·,6) would exceed double
+    an 11-digit µs mean under CAST(floor((·) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) would exceed double
     precision).  Shape: one user-keyed window + one user-keyed
     aggregate (same shuffle key, AQE chains them), then TakeOrdered —
     gap moments, never event payloads, cross the wire."""
@@ -1132,8 +1112,7 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                .cast("decimal(38,0)").alias("sgg"))
          .where(F.col("n_gaps") >= 9))
     n, sg, sgg = F.col("n_gaps"), F.col("sg"), F.col("sgg")
-    cv2 = F.round((n * (n * sgg - sg * sg)).cast("double")
-                  / ((n - 1) * sg * sg).cast("double"), 9)
+    cv2 = exact.snap_double_col((n * (n * sgg - sg * sg)).cast("double") / ((n - 1) * sg * sg).cast("double"), 9)
     return (m.select("user_id", "n_gaps",
                      F.expr("CAST(sg AS BIGINT) DIV n_gaps").alias("mean_gap_us"),
                      cv2.alias("cv2"))
@@ -1164,7 +1143,7 @@ b AS (
   WHERE gap IS NOT NULL GROUP BY threshold_min)
 SELECT threshold_min,
   n_users + n_boundary_gaps AS n_sessions,
-  round(CAST(n_events AS DOUBLE) / (n_users + n_boundary_gaps), 6)
+  CAST(floor((CAST(n_events AS DOUBLE) / (n_users + n_boundary_gaps)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS avg_events_per_session
 FROM b CROSS JOIN tot ORDER BY threshold_min""")
 def events_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,7 +1179,7 @@ def events_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = F.col("n_users") + F.col("n_boundary_gaps")
     return (b.crossJoin(F.broadcast(tot))
             .select("threshold_min", sess.alias("n_sessions"),
-                    F.round(F.col("n_events").cast("double") / sess, 6)
+                    exact.snap_double_col(F.col("n_events").cast("double") / sess, 6)
                     .alias("avg_events_per_session"))
             .orderBy("threshold_min"))
 
@@ -1224,7 +1203,7 @@ sc AS (
       AS n_recent
   FROM ages GROUP BY user_id)
 SELECT user_id, n_recent, scaled,
-  round(CAST(scaled AS DOUBLE) / {float(2 ** (_DECAY_CAP_DAYS + 1))}, 9)
+  CAST(floor((CAST(scaled AS DOUBLE) / {float(2 ** (_DECAY_CAP_DAYS + 1))}) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS decayed_score
 FROM sc WHERE scaled > 0
 ORDER BY scaled DESC, user_id LIMIT 20""")
@@ -1262,8 +1241,7 @@ def events_decayed_leaderboard(spark: SparkSession,
                F.sum(recent.cast("long")).cast("long").alias("n_recent")))
     return (sc.where(F.col("scaled") > 0)
             .select("user_id", "n_recent", "scaled",
-                    F.round(F.col("scaled").cast("double")
-                            / float(2 ** (_DECAY_CAP_DAYS + 1)), 9)
+                    exact.snap_double_col(F.col("scaled").cast("double") / float(2 ** (_DECAY_CAP_DAYS + 1)), 9)
                     .alias("decayed_score"))
             .orderBy(F.desc("scaled"), F.asc("user_id")).limit(20))
 
@@ -1295,11 +1273,11 @@ e AS (
     CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors
   FROM events)
 SELECT n_events, n_errors,
-  round(CAST(n_errors AS DOUBLE) / n_events, 9) AS error_rate,
-  round(CAST(n_events - n_errors AS DOUBLE) / n_errors, 6)
+  CAST(floor((CAST(n_errors AS DOUBLE) / n_events) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS error_rate,
+  CAST(floor((CAST(n_events - n_errors AS DOUBLE) / n_errors) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS mean_events_between_errors,
   n_sessions, n_error_free,
-  round(CAST(n_error_free AS DOUBLE) / n_sessions, 9)
+  CAST(floor((CAST(n_error_free AS DOUBLE) / n_sessions) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS crash_free_session_rate
 FROM e CROSS JOIN g""")
 def events_reliability_report(spark: SparkSession,
@@ -1341,14 +1319,11 @@ def events_reliability_report(spark: SparkSession,
          .alias("n_errors"))
     return (e.crossJoin(F.broadcast(g))
             .select("n_events", "n_errors",
-                    F.round(F.col("n_errors").cast("double")
-                            / F.col("n_events"), 9).alias("error_rate"),
-                    F.round((F.col("n_events") - F.col("n_errors"))
-                            .cast("double") / F.col("n_errors"), 6)
+                    exact.snap_double_col(F.col("n_errors").cast("double") / F.col("n_events"), 9).alias("error_rate"),
+                    exact.snap_double_col((F.col("n_events") - F.col("n_errors")) .cast("double") / F.col("n_errors"), 6)
                     .alias("mean_events_between_errors"),
                     "n_sessions", "n_error_free",
-                    F.round(F.col("n_error_free").cast("double")
-                            / F.col("n_sessions"), 9)
+                    exact.snap_double_col(F.col("n_error_free").cast("double") / F.col("n_sessions"), 9)
                     .alias("crash_free_session_rate")))
 
 
@@ -1394,18 +1369,15 @@ w AS (
   FROM risk CROSS JOIN tot),
 terms AS (
   SELECT d1,
-    round(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2), 9) AS e1,
-    round(CASE WHEN n1 + n2 > 1 THEN
-      CAST(d1 + d2 AS DOUBLE) * n1 * n2 * (n1 + n2 - d1 - d2)
-      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))
-      ELSE 0.0 END, 9) AS v
+    CAST(floor((CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS e1,
+    CAST(floor((CASE WHEN n1 + n2 > 1 THEN CAST(d1 + d2 AS DOUBLE) * n1 * n2 * (n1 + n2 - d1 - d2) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)) ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS v
   FROM w WHERE d1 + d2 > 0),
 s AS (
   SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1) AS e1, SUM(v) AS v
   FROM terms)
-SELECT o1 AS observed_grp1, round(e1, 6) AS expected_grp1,
-  round((o1 - e1) * (o1 - e1) / v, 6) AS chi2,
-  round((o1 - e1) * (o1 - e1) / v, 6) > 3.8414588207
+SELECT o1 AS observed_grp1, CAST(floor((e1) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS expected_grp1,
+  CAST(floor(((o1 - e1) * (o1 - e1) / v) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS chi2,
+  CAST(floor(((o1 - e1) * (o1 - e1) / v) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) > 3.8414588207
     AS reject_equal_survival
 FROM s""")
 def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1462,18 +1434,13 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt, nt = d1 + d2, n1 + n2
     terms = (w.where(dt > 0)
              .select("d1",
-                     F.round(dt.cast("double") * n1 / nt, 9).alias("e1"),
-                     F.round(F.when(nt > 1,
-                                    dt.cast("double") * n1 * n2
-                                    * (nt - dt)
-                                    / (nt.cast("double") * nt * (nt - 1)))
-                             .otherwise(F.lit(0.0)), 9).alias("v")))
+                     exact.snap_double_col(dt.cast("double") * n1 / nt, 9).alias("e1"),
+                     exact.snap_double_col(F.when(nt > 1, dt.cast("double") * n1 * n2 * (nt - dt) / (nt.cast("double") * nt * (nt - 1))) .otherwise(F.lit(0.0)), 9).alias("v")))
     s = terms.agg(F.sum("d1").cast("long").alias("o1"),
                   F.sum("e1").alias("e1"), F.sum("v").alias("v"))
-    chi2 = F.round((F.col("o1") - F.col("e1"))
-                   * (F.col("o1") - F.col("e1")) / F.col("v"), 6)
+    chi2 = exact.snap_double_col((F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"), 6)
     return s.select(F.col("o1").alias("observed_grp1"),
-                    F.round("e1", 6).alias("expected_grp1"),
+                    exact.snap_double_col("e1", 6).alias("expected_grp1"),
                     chi2.alias("chi2"),
                     (chi2 > _LR_CRIT).alias("reject_equal_survival"))
 
@@ -1496,16 +1463,16 @@ WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hr FROM events
            WHERE event_type = 'purchase'),
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    round({c_terms}, 6) AS c,
-    round({s_terms}, 6) AS s
+    CAST(floor(({c_terms}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS c,
+    CAST(floor(({s_terms}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS s
   FROM e)
 SELECT n AS n_events,
-  round(sqrt(c * c + s * s) / n, 6) AS resultant_length,
+  CAST(floor((sqrt(c * c + s * s) / n) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS resultant_length,
   CAST(round((CASE WHEN atan2(s, c) < 0
               THEN atan2(s, c) + 2 * pi() ELSE atan2(s, c) END)
              * 24 / (2 * pi()), 0) AS BIGINT) % 24 AS peak_hour,
-  round((c * c + s * s) / n, 6) AS rayleigh_z,
-  round((c * c + s * s) / n, 6) > {_RAYLEIGH_CRIT}
+  CAST(floor(((c * c + s * s) / n) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS rayleigh_z,
+  CAST(floor(((c * c + s * s) / n) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) > {_RAYLEIGH_CRIT}
     AS reject_uniform_hours
 FROM m"""
 
@@ -1537,16 +1504,14 @@ def events_peak_hour_rayleigh(spark: SparkSession,
                   for h in range(1, 24)),
                  F.count_if(F.col("hr") == 0) * float(_HOUR_SIN[0]))
     m = e.agg(F.count("*").cast("long").alias("n"),
-              F.round(c_expr, 6).alias("c"),
-              F.round(s_expr, 6).alias("s"))
+              exact.snap_double_col(c_expr, 6).alias("c"),
+              exact.snap_double_col(s_expr, 6).alias("s"))
     ang = F.atan2(F.col("s"), F.col("c"))
     ang = F.when(ang < 0, ang + 2 * _math.pi).otherwise(ang)
-    z = F.round((F.col("c") * F.col("c") + F.col("s") * F.col("s"))
-                / F.col("n"), 6)
+    z = exact.snap_double_col((F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 6)
     return m.select(
         F.col("n").alias("n_events"),
-        F.round(F.sqrt(F.col("c") * F.col("c")
-                       + F.col("s") * F.col("s")) / F.col("n"), 6)
+        exact.snap_double_col(F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 6)
          .alias("resultant_length"),
         (F.round(ang * 24 / (2 * _math.pi), 0).cast("long") % 24)
         .alias("peak_hour"),
@@ -1571,7 +1536,7 @@ SELECT hr AS hour_of_day, n_days,
   CAST(cs[CAST(greatest(1, (n_days * 95 + 99) // 100) AS INT)]
        AS BIGINT) AS p95_load,
   peak AS peak_load,
-  round(CAST(total AS DOUBLE) / n_days, 6) AS mean_load
+  CAST(floor((CAST(total AS DOUBLE) / n_days) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_load
 FROM p ORDER BY hour_of_day""")
 def events_capacity_profile(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1607,8 +1572,7 @@ def events_capacity_profile(spark: SparkSession,
                      F.element_at("cs", p95_idx).cast("long")
                      .alias("p95_load"),
                      F.col("peak").alias("peak_load"),
-                     F.round(F.col("total").cast("double")
-                             / F.col("n_days"), 6).alias("mean_load"))
+                     exact.snap_double_col(F.col("total").cast("double") / F.col("n_days"), 6).alias("mean_load"))
             .orderBy("hour_of_day"))
 
 
@@ -1721,9 +1685,9 @@ w AS (
   FROM events CROSS JOIN mx),
 b AS (
   SELECT ev1, er1, ev6, er6, ev24, er24,
-    round(100.0 * er1 / ev1 / {_SLO_BUDGET_PCT}, 6) AS burn_1h,
-    round(100.0 * er6 / ev6 / {_SLO_BUDGET_PCT}, 6) AS burn_6h,
-    round(100.0 * er24 / ev24 / {_SLO_BUDGET_PCT}, 6) AS burn_24h
+    CAST(floor((100.0 * er1 / ev1 / {_SLO_BUDGET_PCT}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS burn_1h,
+    CAST(floor((100.0 * er6 / ev6 / {_SLO_BUDGET_PCT}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS burn_6h,
+    CAST(floor((100.0 * er24 / ev24 / {_SLO_BUDGET_PCT}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS burn_24h
   FROM w)
 SELECT ev1 AS n_events_1h, er1 AS n_errors_1h, burn_1h,
   burn_6h, burn_24h,
@@ -1760,8 +1724,7 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.agg(win(1, False).alias("ev1"), win(1, True).alias("er1"),
               win(6, False).alias("ev6"), win(6, True).alias("er6"),
               win(24, False).alias("ev24"), win(24, True).alias("er24"))
-    burn = lambda er, ev: F.round(
-        100.0 * F.col(er) / F.col(ev) / _SLO_BUDGET_PCT, 6)
+    burn = lambda er, ev: exact.snap_double_col(100.0 * F.col(er) / F.col(ev) / _SLO_BUDGET_PCT, 6)
     b = w.select("ev1", "er1",
                  burn("er1", "ev1").alias("burn_1h"),
                  burn("er6", "ev6").alias("burn_6h"),

@@ -223,12 +223,13 @@ def _quality_sql() -> str:
     from results_ingestor_spark.operators.text import STOPWORDS
     stops = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = "string_split(text, ' ')"
-    return (f"round(0.5 * (CAST(len(list_distinct({toks})) AS DOUBLE)"
+    return (f"CAST(floor((0.5 * (CAST(len(list_distinct({toks})) AS DOUBLE)"
             f" / len({toks}))"
             f" + 0.3 * (1 - CAST(len(list_filter({toks},"
             f" t -> t IN ({stops}))) AS DOUBLE) / len({toks}))"
             f" + 0.2 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
-            f" / len({toks}) / 8.0, 1.0), 9)")
+            f" / len({toks}) / 8.0, 1.0)) * 1000000000.0 + 0.5)"
+            f" AS BIGINT) / CAST(1000000000.0 AS DOUBLE)")
 
 
 @query("quality_filter_top_half", oracle=f"""
@@ -239,7 +240,7 @@ r AS (
     percent_rank() OVER (PARTITION BY lang
                          ORDER BY quality, doc_id) AS pr
   FROM q)
-SELECT doc_id, lang, quality, round(pr, 9) AS pct_rank
+SELECT doc_id, lang, quality, CAST(floor((pr) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS pct_rank
 FROM r WHERE pr >= 0.5""")
 def quality_filter_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data curation: keep the top half of documents per language by
@@ -255,12 +256,11 @@ def quality_filter_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = F.size(F.array_distinct(tk)).cast("double") / F.size(tk)
     avg_len = (F.length(F.regexp_replace("text", " ", "")).cast("double")
                / F.size(tk))
-    quality = F.round(F.lit(0.5) * ttr + F.lit(0.3) * (F.lit(1) - stop)
-                      + F.lit(0.2) * F.least(avg_len / 8.0, F.lit(1.0)), 9)
+    quality = exact.snap_double_col(F.lit(0.5) * ttr + F.lit(0.3) * (F.lit(1) - stop) + F.lit(0.2) * F.least(avg_len / 8.0, F.lit(1.0)), 9)
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     return (t["documents"]
             .select("doc_id", "lang", quality.alias("quality"))
-            .withColumn("pct_rank", F.round(F.percent_rank().over(w), 9))
+            .withColumn("pct_rank", exact.snap_double_col(F.percent_rank().over(w), 9))
             .where(F.col("pct_rank") >= 0.5))
 
 
@@ -402,14 +402,14 @@ SELECT 'o_totalprice' AS col,
   COUNT(*) AS n_rows,
   COUNT(o_totalprice) AS n_nonnull,
   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
-  round(MIN(o_totalprice), 6) AS min_d, round(MAX(o_totalprice), 6) AS max_d
+  CAST(floor((MIN(o_totalprice)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS min_d, CAST(floor((MAX(o_totalprice)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS max_d
 FROM orders
 UNION ALL
 SELECT 'o_custkey',
   COUNT(*), COUNT(o_custkey),
   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
-  round(CAST(MIN(o_custkey) AS DOUBLE), 6),
-  round(CAST(MAX(o_custkey) AS DOUBLE), 6)
+  CAST(floor((CAST(MIN(o_custkey) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE),
+  CAST(floor((CAST(MAX(o_custkey) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
 FROM orders""")
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler (ANALYZE TABLE surface): per-column rowcount,
@@ -423,12 +423,12 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n1"),
         F.count("o_totalprice").alias("nn1"),
         F.countDistinct("o_totalprice").alias("nd1"),
-        F.round(F.min("o_totalprice"), 6).alias("mn1"),
-        F.round(F.max("o_totalprice"), 6).alias("mx1"),
+        exact.snap_double_col(F.min("o_totalprice"), 6).alias("mn1"),
+        exact.snap_double_col(F.max("o_totalprice"), 6).alias("mx1"),
         F.count("o_custkey").alias("nn2"),
         F.countDistinct("o_custkey").alias("nd2"),
-        F.round(F.min("o_custkey").cast("double"), 6).alias("mn2"),
-        F.round(F.max("o_custkey").cast("double"), 6).alias("mx2"))
+        exact.snap_double_col(F.min("o_custkey").cast("double"), 6).alias("mn2"),
+        exact.snap_double_col(F.max("o_custkey").cast("double"), 6).alias("mx2"))
     row1 = agg.select(F.lit("o_totalprice").alias("col"),
                       F.col("n1").alias("n_rows"),
                       F.col("nn1").alias("n_nonnull"),
@@ -493,9 +493,9 @@ WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
                SUM(pow(n_docs, 0.3)) AS z FROM c)
 SELECT lang, n_docs,
-  round(CAST(n_docs AS DOUBLE) / total, 9) AS natural_share,
-  round(pow(n_docs, 0.3) / z, 9) AS temp_share,
-  round((pow(n_docs, 0.3) / z) / (CAST(n_docs AS DOUBLE) / total), 9)
+  CAST(floor((CAST(n_docs AS DOUBLE) / total) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS natural_share,
+  CAST(floor((pow(n_docs, 0.3) / z) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS temp_share,
+  CAST(floor(((pow(n_docs, 0.3) / z) / (CAST(n_docs AS DOUBLE) / total)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS upsample_factor
 FROM c, tot ORDER BY lang""")
 def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,9 +515,9 @@ def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = F.pow("n_docs", 0.3) / F.col("z")
     return (c.join(F.broadcast(tot))
             .select("lang", "n_docs",
-                    F.round(nat, 9).alias("natural_share"),
-                    F.round(tmp, 9).alias("temp_share"),
-                    F.round(tmp / nat, 9).alias("upsample_factor"))
+                    exact.snap_double_col(nat, 9).alias("natural_share"),
+                    exact.snap_double_col(tmp, 9).alias("temp_share"),
+                    exact.snap_double_col(tmp / nat, 9).alias("upsample_factor"))
             .orderBy("lang"))
 
 
@@ -578,10 +578,10 @@ WITH c AS (
   FROM documents GROUP BY lang),
 tot AS (SELECT SUM(pow(n_tokens, 0.3)) AS z FROM c)
 SELECT lang, n_tokens,
-  round(pow(n_tokens, 0.3) / z, 9) AS mix_share,
+  CAST(floor((pow(n_tokens, 0.3) / z) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mix_share,
   CAST(floor(1000000 * (pow(n_tokens, 0.3) / z)) AS BIGINT)
     AS budget_tokens,
-  round(1000000 * (pow(n_tokens, 0.3) / z) / n_tokens, 6) AS epochs
+  CAST(floor((1000000 * (pow(n_tokens, 0.3) / z) / n_tokens) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS epochs
 FROM c, tot ORDER BY lang""")
 def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture solver: given per-language token counts, a
@@ -599,10 +599,10 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.pow("n_tokens", F.lit(0.3)) / F.col("z")
     return (c.crossJoin(F.broadcast(z))
             .select("lang", "n_tokens",
-                    F.round(share, 9).alias("mix_share"),
+                    exact.snap_double_col(share, 9).alias("mix_share"),
                     F.floor(F.lit(1000000) * share).cast("long")
                      .alias("budget_tokens"),
-                    F.round(F.lit(1000000) * share / F.col("n_tokens"), 6)
+                    exact.snap_double_col(F.lit(1000000) * share / F.col("n_tokens"), 6)
                      .alias("epochs"))
             .orderBy("lang"))
 
@@ -621,8 +621,7 @@ SELECT
   CAST(count_if(k < 5) AS BIGINT) AS n_groups_below_5,
   CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
     AS n_docs_below_5,
-  round(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
-        / SUM(k), 9) AS frac_docs_reidentifiable
+  CAST(floor((CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE) / SUM(k)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS frac_docs_reidentifiable
 FROM grp""")
 def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the quasi-identifier tuple (lang, source,
@@ -647,7 +646,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.count_if(F.col("k") < 5).alias("n_groups_below_5"),
         F.sum(below).cast("long").alias("n_docs_below_5"),
-        F.round(F.sum(below).cast("double") / F.sum("k"), 9)
+        exact.snap_double_col(F.sum(below).cast("double") / F.sum("k"), 9)
          .alias("frac_docs_reidentifiable"))
 
 
@@ -700,9 +699,7 @@ kc AS (
   FROM cell JOIN gl USING (lang) CROSS JOIN tot)
 SELECT source, len_bucket,
   CAST(MAX(k) AS BIGINT) AS k,
-  round(CAST(SUM(abs(n_gl * n - n_l * k))
-             + (MAX(n) - SUM(n_l)) * MAX(k) AS DOUBLE)
-        / (2.0 * MAX(k) * MAX(n)), 9) AS t_closeness,
+  CAST(floor((CAST(SUM(abs(n_gl * n - n_l * k)) + (MAX(n) - SUM(n_l)) * MAX(k) AS DOUBLE) / (2.0 * MAX(k) * MAX(n))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS t_closeness,
   (CAST(SUM(abs(n_gl * n - n_l * k))
         + (MAX(n) - SUM(n_l)) * MAX(k) AS DOUBLE)
    / (2.0 * MAX(k) * MAX(n))) <= 0.25 AS close
@@ -743,7 +740,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tvd = tvd_num.cast("double") / (2.0 * F.max("k") * F.max("n"))
     return (kc.groupBy("source", "len_bucket")
             .agg(F.max("k").cast("long").alias("k"),
-                 F.round(tvd, 9).alias("t_closeness"),
+                 exact.snap_double_col(tvd, 9).alias("t_closeness"),
                  (tvd <= 0.25).alias("close")))
 
 
@@ -833,7 +830,7 @@ candk AS (
   FROM keyedk l JOIN keyedk r
     ON l.bidx = r.bidx AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
 verk AS (
-  SELECT id_a, id_b, round(j, 9) AS j FROM (
+  SELECT id_a, id_b, CAST(floor((j) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS j FROM (
     SELECT id_a, id_b,
       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
@@ -861,7 +858,7 @@ SELECT split_a, split_b,
   CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs,
   CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_a,
   CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_b,
-  round(MAX(j), 9) AS max_jaccard
+  CAST(floor((MAX(j)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS max_jaccard
 FROM lk GROUP BY split_a, split_b"""
 
 
@@ -895,7 +892,7 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     ver = (pairs.join(a, "id_a").join(b, "id_b")
            .where(j >= 0.5)
-           .select("id_a", "id_b", F.round(j, 9).alias("j")))
+           .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("j")))
     h = F.expr(_DOC_HASH) % 100
     split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     sp = t["documents"].select("doc_id", split.alias("split"))
@@ -919,7 +916,7 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_leaked_pairs"),
                  F.countDistinct("doc_lo").alias("n_docs_a"),
                  F.countDistinct("doc_hi").alias("n_docs_b"),
-                 F.round(F.max("j"), 9).alias("max_jaccard")))
+                 exact.snap_double_col(F.max("j"), 9).alias("max_jaccard")))
 
 
 def _cluster_split_oracle() -> str:
@@ -1062,7 +1059,7 @@ s2 AS (
     CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens
   FROM b2)
 SELECT strategy, n_batches, n_docs, real_tokens, padded_tokens,
-  round(CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens, 9)
+  CAST(floor((CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS waste_pct
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)""")
 def pack_batches_length_bucketed(spark: SparkSession,
@@ -1130,8 +1127,7 @@ def pack_batches_length_bucketed(spark: SparkSession,
     u = s1.unionByName(s2)
     out = u.select(
         "strategy", "n_batches", "n_docs", "real_tokens", "padded_tokens",
-        F.round((F.col("padded_tokens") - F.col("real_tokens"))
-                .cast("double") / F.col("padded_tokens"), 9)
+        exact.snap_double_col((F.col("padded_tokens") - F.col("real_tokens")) .cast("double") / F.col("padded_tokens"), 9)
         .alias("waste_pct"))
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return out
@@ -1160,7 +1156,7 @@ dd AS (
 SELECT ing.source, n_ingested, n_fail_chars, n_fail_tokens,
   n_quality_pass, n_dup_dropped,
   n_quality_pass - n_dup_dropped AS n_curated,
-  round(CAST(n_quality_pass - n_dup_dropped AS DOUBLE) / n_ingested, 9)
+  CAST(floor((CAST(n_quality_pass - n_dup_dropped AS DOUBLE) / n_ingested) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS yield_pct
 FROM ing JOIN dd ON ing.source = dd.source""")
 def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,7 +1193,7 @@ def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_ingested", "n_fail_chars",
                     "n_fail_tokens", "n_quality_pass", "n_dup_dropped",
                     cur.alias("n_curated"),
-                    F.round(cur.cast("double") / F.col("n_ingested"), 9)
+                    exact.snap_double_col(cur.cast("double") / F.col("n_ingested"), 9)
                     .alias("yield_pct")))
 
 
@@ -1256,11 +1252,7 @@ cum AS (
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM v),
 scored AS (
   SELECT val_cents, cum, nn,
-    round(-abs(2 * cum - nn) * 0.25
-      + (-ln(-ln((2 * ('0x' || substr(md5('dpq:'
-                                          || CAST(val_cents AS VARCHAR)),
-                                      1, 13))::BIGINT + 1)
-                 / 9007199254740992.0))), 9) AS score
+    CAST(floor((-abs(2 * cum - nn) * 0.25 + (-ln(-ln((2 * ('0x' || substr(md5('dpq:' || CAST(val_cents AS VARCHAR)), 1, 13))::BIGINT + 1) / 9007199254740992.0)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS score
   FROM cum CROSS JOIN tot),
 pick AS (
   SELECT val_cents AS dp_median_cents, abs(2 * cum - nn) AS rank_offset_x2
@@ -1302,8 +1294,7 @@ def privacy_dp_median_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("dpq:"), F.col("val_cents").cast("string"))),
         1, 13), 16, 10).cast("bigint")
     u01 = (2 * h + 1) / F.lit(float(1 << 53))
-    score = F.round(-F.abs(2 * F.col("cum") - F.col("nn")) * 0.25
-                    + (-F.log(-F.log(u01))), 9)
+    score = exact.snap_double_col(-F.abs(2 * F.col("cum") - F.col("nn")) * 0.25 + (-F.log(-F.log(u01))), 9)
     scored = (cum.crossJoin(F.broadcast(tot))
               .select("val_cents", "cum", "nn", score.alias("score")))
     pick = (scored.orderBy(F.desc("score"), F.asc("val_cents")).limit(1)
@@ -1342,8 +1333,8 @@ c AS (
     (SELECT CAST(SUM(y) AS BIGINT) FROM truth) AS n_true
   FROM rep)
 SELECT n, n_yes, n_true,
-  round(CAST(n_true AS DOUBLE) / n, 9) AS true_rate,
-  round((2.0 * n_yes / n) - 0.5, 9) AS estimated_rate
+  CAST(floor((CAST(n_true AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS true_rate,
+  CAST(floor(((2.0 * n_yes / n) - 0.5) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS estimated_rate
 FROM c""")
 def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warner's randomized response — LOCAL differential privacy, the
@@ -1373,9 +1364,9 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("reported").cast("long").alias("n_yes"),
                     F.sum("y").cast("long").alias("n_true"))
             .select("n", "n_yes", "n_true",
-                    F.round(F.col("n_true").cast("double") / F.col("n"), 9)
+                    exact.snap_double_col(F.col("n_true").cast("double") / F.col("n"), 9)
                     .alias("true_rate"),
-                    F.round(2.0 * F.col("n_yes") / F.col("n") - 0.5, 9)
+                    exact.snap_double_col(2.0 * F.col("n_yes") / F.col("n") - 0.5, 9)
                     .alias("estimated_rate")))
 
 
@@ -1392,12 +1383,12 @@ sd AS (
       AS sh
   FROM g),
 w AS (
-  SELECT event_type, nh, round(sh, 9) AS sh,
-    nh * round(sh, 9) AS wt,
-    SUM(nh * round(sh, 9)) OVER () AS wtot
+  SELECT event_type, nh, CAST(floor((sh) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sh,
+    nh * CAST(floor((sh) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS wt,
+    SUM(nh * CAST(floor((sh) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) OVER () AS wtot
   FROM sd)
 SELECT event_type, nh AS stratum_size, sh AS stratum_sd,
-  round(wt / wtot, 9) AS alloc_share,
+  CAST(floor((wt / wtot) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS alloc_share,
   CAST(floor(1000 * wt / wtot) AS BIGINT) AS n_sampled_of_1000
 FROM w ORDER BY event_type""")
 def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,16 +1409,14 @@ def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
         F.sum(F.col("value").cast("decimal(12,2)")
               * F.col("value").cast("decimal(12,2)")).alias("q"))
-    sh = F.round(F.sqrt((F.col("q").cast("double")
-                         - F.col("s").cast("double") * F.col("s")
-                         / F.col("nh")) / (F.col("nh") - 1)), 9)
+    sh = exact.snap_double_col(F.sqrt((F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("nh")) / (F.col("nh") - 1)), 9)
     w = g.select("event_type", "nh", sh.alias("sh"),
                  (F.col("nh") * sh).alias("wt"))
     w = w.withColumn("wtot", F.sum("wt").over(Window.partitionBy()))
     return (w.select("event_type",
                      F.col("nh").alias("stratum_size"),
                      F.col("sh").alias("stratum_sd"),
-                     F.round(F.col("wt") / F.col("wtot"), 9)
+                     exact.snap_double_col(F.col("wt") / F.col("wtot"), 9)
                      .alias("alloc_share"),
                      F.floor(1000 * F.col("wt") / F.col("wtot"))
                      .cast("long").alias("n_sampled_of_1000"))
@@ -1519,9 +1508,9 @@ s AS (
 SELECT n_users, CAST({_PSEUDO_SPACE} AS BIGINT) AS space_size,
   n_pseudonyms, n_collided,
   coalesce(n_users_in_collisions, 0) AS n_users_in_collisions, max_bucket,
-  round({_PSEUDO_SPACE} * (1 - pow(1 - 1.0 / {_PSEUDO_SPACE}, n_users)), 6)
+  CAST(floor(({_PSEUDO_SPACE} * (1 - pow(1 - 1.0 / {_PSEUDO_SPACE}, n_users))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS expected_pseudonyms,
-  round(CAST(n_users - n_pseudonyms AS DOUBLE) / n_users, 9)
+  CAST(floor((CAST(n_users - n_pseudonyms AS DOUBLE) / n_users) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS collision_loss_rate
 FROM s""")
 def privacy_pseudonym_collisions(spark: SparkSession,
@@ -1565,11 +1554,9 @@ def privacy_pseudonym_collisions(spark: SparkSession,
         F.coalesce("n_users_in_collisions", F.lit(0))
          .alias("n_users_in_collisions"),
         "max_bucket",
-        F.round(space * (1 - F.pow(F.lit(1 - 1.0 / space),
-                                   F.col("n_users"))), 6)
+        exact.snap_double_col(space * (1 - F.pow(F.lit(1 - 1.0 / space), F.col("n_users"))), 6)
          .alias("expected_pseudonyms"),
-        F.round((F.col("n_users") - F.col("n_pseudonyms")).cast("double")
-                / F.col("n_users"), 9).alias("collision_loss_rate"))
+        exact.snap_double_col((F.col("n_users") - F.col("n_pseudonyms")).cast("double") / F.col("n_users"), 9).alias("collision_loss_rate"))
 
 
 _PRUNE_GROUPS = 32
@@ -1600,9 +1587,7 @@ SELECT layout,
   CAST(SUM(n_rows) FILTER (WHERE mx >= {_PRUNE_LO} AND mn <= {_PRUNE_HI})
        AS BIGINT) AS n_rows_scanned,
   CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
-  round(CAST(COUNT(*) FILTER (WHERE mx >= {_PRUNE_LO}
-                              AND mn <= {_PRUNE_HI}) AS DOUBLE)
-        / COUNT(*), 9) AS scan_fraction
+  CAST(floor((CAST(COUNT(*) FILTER (WHERE mx >= {_PRUNE_LO} AND mn <= {_PRUNE_HI}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS scan_fraction
 FROM mm GROUP BY layout ORDER BY layout""")
 def layout_pruning_effectiveness(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -1654,8 +1639,7 @@ def layout_pruning_effectiveness(spark: SparkSession,
                  F.sum("n_rows").cast("long").alias("n_rows_total"))
             .select("layout", "n_groups", "n_groups_scanned",
                     "n_rows_scanned", "n_rows_total",
-                    F.round(F.col("n_groups_scanned").cast("double")
-                            / F.col("n_groups"), 9).alias("scan_fraction"))
+                    exact.snap_double_col(F.col("n_groups_scanned").cast("double") / F.col("n_groups"), 9).alias("scan_fraction"))
             .orderBy("layout"))
 
 
@@ -1877,9 +1861,9 @@ SELECT join_key,
   CAST(COUNT(*) AS BIGINT) AS n_parts,
   CAST(SUM(load) AS BIGINT) AS n_rows,
   CAST(MAX(load) AS BIGINT) AS max_load,
-  round({_SKEW_PARTS} * CAST(MAX(load) AS DOUBLE) / SUM(load), 6)
+  CAST(floor(({_SKEW_PARTS} * CAST(MAX(load) AS DOUBLE) / SUM(load)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS imbalance,
-  round(CAST(MAX(load) AS DOUBLE) / SUM(load), 9) AS top_part_share
+  CAST(floor((CAST(MAX(load) AS DOUBLE) / SUM(load)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS top_part_share
 FROM loads GROUP BY join_key ORDER BY join_key"""
 
 
@@ -1915,11 +1899,8 @@ def dq_partition_skew_census(spark: SparkSession,
                  F.sum("load").cast("long").alias("n_rows"),
                  F.max("load").cast("long").alias("max_load"))
             .select("join_key", "n_parts", "n_rows", "max_load",
-                    F.round(_SKEW_PARTS
-                            * F.col("max_load").cast("double")
-                            / F.col("n_rows"), 6).alias("imbalance"),
-                    F.round(F.col("max_load").cast("double")
-                            / F.col("n_rows"), 9).alias("top_part_share"))
+                    exact.snap_double_col(_SKEW_PARTS * F.col("max_load").cast("double") / F.col("n_rows"), 6).alias("imbalance"),
+                    exact.snap_double_col(F.col("max_load").cast("double") / F.col("n_rows"), 9).alias("top_part_share"))
             .orderBy("join_key"))
 
 
@@ -1946,7 +1927,7 @@ ov AS (
   GROUP BY 1, 2)
 SELECT split_a, split_b, n_shared,
   ca.n_users AS n_users_a, cb.n_users AS n_users_b,
-  round(CAST(n_shared AS DOUBLE) / cb.n_users, 9) AS leakage_into_b
+  CAST(floor((CAST(n_shared AS DOUBLE) / cb.n_users) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS leakage_into_b
 FROM ov
 JOIN c ca ON ca.split = split_a
 JOIN c cb ON cb.split = split_b
@@ -2002,8 +1983,7 @@ def dataset_temporal_split_leakage(spark: SparkSession,
             .join(F.broadcast(cb), "split_b")
             .select("split_a", "split_b", "n_shared",
                     "n_users_a", "n_users_b",
-                    F.round(F.col("n_shared").cast("double")
-                            / F.col("n_users_b"), 9)
+                    exact.snap_double_col(F.col("n_shared").cast("double") / F.col("n_users_b"), 9)
                     .alias("leakage_into_b"))
             .orderBy("split_a", "split_b"))
 
@@ -2099,7 +2079,7 @@ def _fd_sql() -> str:
     CAST(COUNT(*) AS BIGINT) AS n_determinant_values,
     CAST(SUM(n) AS BIGINT) AS n_rows,
     CAST(SUM(n - top) AS BIGINT) AS n_violations,
-    round(1.0 - CAST(SUM(n - top) AS DOUBLE) / SUM(n), 9) AS confidence,
+    CAST(floor((1.0 - CAST(SUM(n - top) AS DOUBLE) / SUM(n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS confidence,
     CAST(count_if(n = top) AS BIGINT) AS n_exact_groups
   FROM (
     SELECT {det}, CAST(SUM(c) AS BIGINT) AS n,
@@ -2143,8 +2123,7 @@ def dq_functional_dependency_strength(spark: SparkSession,
             F.sum("n").cast("long").alias("n_rows"),
             F.sum(F.col("n") - F.col("top")).cast("long")
              .alias("n_violations"),
-            F.round(1.0 - F.sum(F.col("n") - F.col("top")).cast("double")
-                    / F.sum("n"), 9).alias("confidence"),
+            exact.snap_double_col(1.0 - F.sum(F.col("n") - F.col("top")).cast("double") / F.sum("n"), 9).alias("confidence"),
             F.count_if(F.col("n") == F.col("top")).cast("long")
              .alias("n_exact_groups")))
     return legs[0].unionByName(legs[1]).orderBy("fd")
@@ -2176,14 +2155,9 @@ SELECT
   CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END)
        AS BIGINT) AS cow_rewrite_bytes,
   CAST(SUM((n_rows + 7) // 8) AS BIGINT) AS dv_bytes,
-  round(CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END)
-             AS DOUBLE)
-        / SUM(CASE WHEN n_deleted > 0
-              THEN deleted_bytes ELSE 0 END), 6)
+  CAST(floor((CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN n_deleted > 0 THEN deleted_bytes ELSE 0 END)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS cow_write_amplification,
-  round(CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END)
-             AS DOUBLE)
-        / SUM((n_rows + 7) // 8), 6) AS cow_over_dv_ratio
+  CAST(floor((CAST(SUM(CASE WHEN n_deleted > 0 THEN shard_bytes ELSE 0 END) AS DOUBLE) / SUM((n_rows + 7) // 8)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS cow_over_dv_ratio
 FROM s""")
 def layout_deletion_vector_tradeoff(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
@@ -2225,11 +2199,9 @@ def layout_deletion_vector_tradeoff(spark: SparkSession,
         F.sum("n_deleted").cast("long").alias("n_rows_deleted"),
         cow.cast("long").alias("cow_rewrite_bytes"),
         dvb.cast("long").alias("dv_bytes"),
-        F.round(cow.cast("double")
-                / F.sum(F.when(touched, F.col("deleted_bytes"))
-                        .otherwise(0)), 6)
+        exact.snap_double_col(cow.cast("double") / F.sum(F.when(touched, F.col("deleted_bytes")) .otherwise(0)), 6)
          .alias("cow_write_amplification"),
-        F.round(cow.cast("double") / dvb, 6).alias("cow_over_dv_ratio"))
+        exact.snap_double_col(cow.cast("double") / dvb, 6).alias("cow_over_dv_ratio"))
 
 
 @query("dataset_source_influence_loo", oracle="""

@@ -21,9 +21,7 @@ FROM embeddings"""
 WITH n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -66,9 +64,7 @@ b AS (SELECT vec_id, embedding, ({{BUCKET}}) AS bkt FROM v),
 n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM b q
   JOIN b c ON q.vec_id <> c.vec_id AND bit_count(xor(q.bkt, c.bkt)) <= 6
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -94,9 +90,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_label_stats", oracle=f"""
 WITH n AS ({_NORM_SQL})
 SELECT label, COUNT(*) AS n_vecs,
-  round(avg(nrm), 6) AS avg_norm,
-  round(min(nrm), 6) AS min_norm,
-  round(max(nrm), 6) AS max_norm
+  CAST(floor((avg(nrm)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS avg_norm,
+  CAST(floor((min(nrm)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS min_norm,
+  CAST(floor((max(nrm)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS max_norm
 FROM embeddings JOIN n USING (vec_id)
 GROUP BY label""")
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,9 +103,9 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"].select("label", l2_norm("embedding").alias("nrm"))
     return (e.groupBy("label")
             .agg(F.count("*").alias("n_vecs"),
-                 F.round(F.avg("nrm"), 6).alias("avg_norm"),
-                 F.round(F.min("nrm"), 6).alias("min_norm"),
-                 F.round(F.max("nrm"), 6).alias("max_norm")))
+                 exact.snap_double_col(F.avg("nrm"), 6).alias("avg_norm"),
+                 exact.snap_double_col(F.min("nrm"), 6).alias("min_norm"),
+                 exact.snap_double_col(F.max("nrm"), 6).alias("max_norm")))
 
 
 def _ivf_oracle(k: int = 10, nprobe: int = 3, n_clusters: int = 10,
@@ -118,7 +114,7 @@ def _ivf_oracle(k: int = 10, nprobe: int = 3, n_clusters: int = 10,
     the shared kmeans_sql replay (seeding, 3 Lloyd iterations, final
     assignment) plus the probe/search stages: per query the ``nprobe``
     nearest centroids by raw cosine (ties to the lowest centroid id),
-    exact round(cosine, 9) over the probed lists, per-query top-k."""
+    exact CAST(floor((cosine) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) over the probed lists, per-query top-k."""
     from results_ingestor_spark.plans.kmeans_sql import assign_cte, kmeans_ctes
     return f"""
 WITH {kmeans_ctes(n_clusters, n_iter)},{assign_cte("asgf", with_norm=True)},
@@ -139,9 +135,7 @@ probes AS (
     FROM q, cnorm s) WHERE rn <= {nprobe}),
 sims AS (
   SELECT p.query_id, a.vec_id AS cand_id,
-    round((SELECT SUM(xa * xb) FROM
-           (SELECT unnest(q.qv) AS xa, unnest(a.v) AS xb))
-          / nullif(q.qn * a.nrm, 0), 9) AS cosine
+    CAST(floor(((SELECT SUM(xa * xb) FROM (SELECT unnest(q.qv) AS xa, unnest(a.v) AS xb)) / nullif(q.qn * a.nrm, 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM asgf a
   JOIN probes p ON p.cid = a.cid
   JOIN q ON q.query_id = p.query_id
@@ -271,8 +265,7 @@ per AS (
   FROM v, muarr)
 SELECT (SELECT cnt FROM n) AS n_vectors,
   {_PQ_DIM} AS dim, {_PQ_M} AS m, {_PQ_K} AS k,
-  round(CAST(SUM(CAST(se AS DECIMAL(28,10))) AS DOUBLE)
-        / ((SELECT cnt FROM n) * {_PQ_DIM}), 6) AS mean_baseline_mse,
+  CAST(floor((CAST(SUM(CAST(se AS DECIMAL(28,10))) AS DOUBLE) / ((SELECT cnt FROM n) * {_PQ_DIM})) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_baseline_mse,
   CAST({float(4 * _PQ_DIM) / _PQ_M} AS DOUBLE) AS compression_ratio,
   TRUE AS pq_beats_mean
 FROM per""")
@@ -332,8 +325,7 @@ def embedding_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_PQ_DIM).alias("dim"),
                 F.lit(_PQ_M).alias("m"),
                 F.lit(_PQ_K).alias("k"),
-                F.round(F.col("base_se").cast("double")
-                        / (F.col("cnt") * _PQ_DIM), 6)
+                exact.snap_double_col(F.col("base_se").cast("double") / (F.col("cnt") * _PQ_DIM), 6)
                 .alias("mean_baseline_mse"),
                 F.lit(float(4 * _PQ_DIM) / _PQ_M).alias("compression_ratio"),
                 (F.col("pq_se")
@@ -411,7 +403,7 @@ adc AS (
   FROM enc e JOIN dt d ON d.sub = e.sub AND d.cid = e.code
   WHERE e.vec_id <> d.query_id
   GROUP BY d.query_id, e.vec_id)
-SELECT query_id, cand_id, round(adc_dist2, 9) AS adc_dist2, rn FROM (
+SELECT query_id, cand_id, CAST(floor((adc_dist2) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS adc_dist2, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_dist2 ASC, cand_id) AS rn
   FROM adc) WHERE rn <= {k}""")
@@ -466,9 +458,7 @@ def ann_pq_adc_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -654,7 +644,7 @@ p AS (
   FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY 1, 2)
 SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-  round((sij - ma.s * mb.s / ma.n) / (ma.n - 1), 6) + 0.0 AS cov
+  CAST(floor(((sij - ma.s * mb.s / ma.n) / (ma.n - 1)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) + 0.0 AS cov
 FROM p
 JOIN m ma ON ma.i = p.i
 JOIN m mb ON mb.i = p.j""")
@@ -813,7 +803,7 @@ def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_tuning_oracle(k: int = 10) -> str:
     """DuckDB twin of the nprobe sweep: label-mean centroids (exact
     per-position AVG), per-query probe ranking by raw cosine, exact
-    round(cosine, 9) top-k within the probed lists for nprobe 1..4, and
+    CAST(floor((cosine) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) top-k within the probed lists for nprobe 1..4, and
     recall against the brute-force top-k — the whole measured curve
     value-checked (round-4 conversion from rows-only)."""
     return f"""
@@ -846,9 +836,7 @@ exact AS (
   SELECT query_id, cand_id FROM (
     SELECT q.query_id, c.vec_id AS cand_id, row_number() OVER (
       PARTITION BY q.query_id ORDER BY
-        round((SELECT SUM(xa * xb) FROM
-               (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
-              / nullif(q.qn * c.nrm, 0), 9) DESC, c.vec_id) AS rn
+        CAST(floor(((SELECT SUM(xa * xb) FROM (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb)) / nullif(q.qn * c.nrm, 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) DESC, c.vec_id) AS rn
     FROM q JOIN vn c ON c.vec_id <> q.query_id) WHERE rn <= {k}),
 np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
 approx_topk AS (
@@ -857,9 +845,7 @@ approx_topk AS (
                                  ORDER BY cosine DESC, cand_id) AS rn
     FROM (
       SELECT np.nprobe, pr.query_id, c.vec_id AS cand_id,
-        round((SELECT SUM(xa * xb) FROM
-               (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
-              / nullif(q.qn * c.nrm, 0), 9) AS cosine
+        CAST(floor(((SELECT SUM(xa * xb) FROM (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb)) / nullif(q.qn * c.nrm, 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
       FROM np
       JOIN probe_rank pr ON pr.prn <= np.nprobe
       JOIN vn c ON c.label = pr.cid AND c.vec_id <> pr.query_id
@@ -877,8 +863,8 @@ perq AS (
 nl AS (SELECT COUNT(DISTINCT label) AS n_lists FROM embeddings)
 SELECT CAST(p.nprobe AS INTEGER) AS nprobe,
   COUNT(*) AS n_queries,
-  round(AVG(p.h / {k}.0), 3) AS recall_at_10,
-  round(ANY_VALUE(p.nprobe) / ANY_VALUE(nl.n_lists), 3)
+  CAST(floor((AVG(p.h / {k}.0)) * 1000.0 + 0.5) AS BIGINT) / CAST(1000.0 AS DOUBLE) AS recall_at_10,
+  CAST(floor((ANY_VALUE(p.nprobe) / ANY_VALUE(nl.n_lists)) * 1000.0 + 0.5) AS BIGINT) / CAST(1000.0 AS DOUBLE)
     AS corpus_scan_fraction
 FROM perq p CROSS JOIN nl
 GROUP BY p.nprobe"""
@@ -899,23 +885,25 @@ def ann_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
     q = e.where(F.col("vec_id") < 5)
-    exact = brute_force_topk(e, q, k=10).select("query_id", "cand_id")
+    # NB: named `truth`, not `exact` — the module-level plans.exact
+    # helper would otherwise be shadowed by this DataFrame (r10).
+    truth = brute_force_topk(e, q, k=10).select("query_id", "cand_id")
     n_lists = e.select("label").distinct().count()  # index constant
     curves = []
     for nprobe in (1, 2, 3, 4):
         approx = ivf_topk(e, q, k=10, nprobe=nprobe) \
             .select("query_id", "cand_id")
-        hits = (approx.join(exact, ["query_id", "cand_id"])
+        hits = (approx.join(truth, ["query_id", "cand_id"])
                 .groupBy("query_id").agg(F.count("*").alias("h")))
-        per_q = (exact.select("query_id").distinct()
+        per_q = (truth.select("query_id").distinct()
                  .join(hits, "query_id", "left")
                  .select(F.coalesce("h", F.lit(0)).alias("h")))
         curves.append(per_q.agg(
             F.lit(nprobe).alias("nprobe"),
             F.count("*").alias("n_queries"),
-            F.round(F.avg(F.col("h") / F.lit(10.0)), 3)
+            exact.snap_double_col(F.avg(F.col("h") / F.lit(10.0)), 3)
             .alias("recall_at_10"),
-            F.round(F.lit(nprobe / n_lists), 3)
+            exact.snap_double_col(F.lit(nprobe / n_lists), 3)
             .alias("corpus_scan_fraction")))
     out = curves[0]
     for c in curves[1:]:
@@ -929,17 +917,14 @@ WITH t AS (
 n AS ({_NORM_SQL}),
 s AS (
   SELECT q.mdoc AS query_doc, c.mdoc AS cand_doc, q.vec_id AS qtok,
-    max(round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-               FROM (SELECT unnest(q.embedding) AS xa,
-                            unnest(c.embedding) AS xb))
-              / (nq.nrm * nc.nrm), 9)) AS best
+    max(CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) AS best
   FROM t q
   JOIN t c ON q.mdoc < 2 AND c.mdoc >= 2
   JOIN n nq ON nq.vec_id = q.vec_id
   JOIN n nc ON nc.vec_id = c.vec_id
   GROUP BY 1, 2, 3),
 sc AS (
-  SELECT query_doc, cand_doc, round(SUM(best), 6) AS maxsim
+  SELECT query_doc, cand_doc, CAST(floor((SUM(best)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS maxsim
   FROM s GROUP BY 1, 2)
 SELECT query_doc, cand_doc, maxsim, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY query_doc
@@ -975,9 +960,7 @@ nt AS (
   FROM tr),
 full_s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN nf nq ON nq.vec_id = q.vec_id
@@ -990,9 +973,7 @@ full_k AS (
     FROM full_s) WHERE rn <= 10),
 tr_s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.emb16) AS xa, unnest(c.emb16) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.emb16) AS xa, unnest(c.emb16) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM tr q
   JOIN tr c ON q.vec_id <> c.vec_id
   JOIN nt nq ON nq.vec_id = q.vec_id
@@ -1005,7 +986,7 @@ tr_k AS (
     FROM tr_s) WHERE rn <= 10)
 SELECT f.query_id,
   CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits,
-  round(COUNT(t.cand_id) / 10.0, 6) AS recall_at_10
+  CAST(floor((COUNT(t.cand_id) / 10.0) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS recall_at_10
 FROM full_k f LEFT JOIN tr_k t
   ON f.query_id = t.query_id AND f.cand_id = t.cand_id
 GROUP BY f.query_id ORDER BY f.query_id""")
@@ -1037,7 +1018,7 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (matched.groupBy("query_id")
             .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
                  .alias("n_hits"),
-                 F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0), 6)
+                 exact.snap_double_col(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0), 6)
                  .alias("recall_at_10"))
             .orderBy("query_id"))
 
@@ -1047,9 +1028,7 @@ WITH n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, q.label AS true_label,
     c.vec_id AS cand_id, c.label AS cand_label,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -1123,8 +1102,8 @@ g AS (
     CAST(COUNT(*) AS BIGINT) AS k
   FROM allc)
 SELECT a.cid, a.n_vecs,
-  round(CAST(a.n_vecs AS DOUBLE) / g.total, 6) AS share,
-  round(g.k * CAST(g.ssq AS DOUBLE) / (g.total * g.total), 6)
+  CAST(floor((CAST(a.n_vecs AS DOUBLE) / g.total) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS share,
+  CAST(floor((g.k * CAST(g.ssq AS DOUBLE) / (g.total * g.total)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS imbalance_factor
 FROM allc a CROSS JOIN g ORDER BY a.cid"""
 
@@ -1161,10 +1140,8 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("k"))
     return (allc.crossJoin(F.broadcast(g))
             .select("cid", "n_vecs",
-                    F.round(F.col("n_vecs").cast("double")
-                            / F.col("total"), 6).alias("share"),
-                    F.round(F.col("k") * F.col("ssq").cast("double")
-                            / (F.col("total") * F.col("total")), 6)
+                    exact.snap_double_col(F.col("n_vecs").cast("double") / F.col("total"), 6).alias("share"),
+                    exact.snap_double_col(F.col("k") * F.col("ssq").cast("double") / (F.col("total") * F.col("total")), 6)
                     .alias("imbalance_factor"))
             .orderBy("cid"))
 
@@ -1188,9 +1165,7 @@ cand AS (
 n AS ({_NORM_SQL}),
 scored AS (
   SELECT src, nbr,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (na.nrm * nb.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS xa, unnest(c.embedding) AS xb)) / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM cand
   JOIN embeddings a ON a.vec_id = src
   JOIN embeddings c ON c.vec_id = nbr
@@ -1240,7 +1215,7 @@ def ann_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("vb"))
     scored = (cand.join(a, "src").join(c, "nbr")
               .select("src", "nbr",
-                      F.round(cosine_similarity("va", "vb"), 9)
+                      exact.snap_double_col(cosine_similarity("va", "vb"), 9)
                       .alias("cosine")))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -1301,8 +1276,8 @@ g AS (
     SUM(sd * sd) AS sum_sq
   FROM s)
 SELECT n_vecs,
-  round(sqrt(sum_sq) / n_vecs, 6) AS mean_vector_norm,
-  round((sum_sq - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6)
+  CAST(floor((sqrt(sum_sq) / n_vecs) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_vector_norm,
+  CAST(floor(((sum_sq - n_vecs) / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS avg_pairwise_cosine
 FROM g""")
 def embedding_isotropy_score(spark: SparkSession,
@@ -1338,9 +1313,8 @@ def embedding_isotropy_score(spark: SparkSession,
     n = F.col("n_vecs")
     return g.select(
         "n_vecs",
-        F.round(F.sqrt("sum_sq") / n, 6).alias("mean_vector_norm"),
-        F.round((F.col("sum_sq") - n)
-                / (n.cast("double") * (n - 1)), 6)
+        exact.snap_double_col(F.sqrt("sum_sq") / n, 6).alias("mean_vector_norm"),
+        exact.snap_double_col((F.col("sum_sq") - n) / (n.cast("double") * (n - 1)), 6)
          .alias("avg_pairwise_cosine"))
 
 
@@ -1352,14 +1326,14 @@ rr AS (
     MAX(CASE WHEN rn = 2 THEN 1.0 - cosine END) AS r2
   FROM g GROUP BY src HAVING COUNT(*) = 2),
 mu AS (
-  SELECT src, round(ln(r2 / r1), 9) AS mu
+  SELECT src, CAST(floor((ln(r2 / r1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mu
   FROM rr WHERE r1 > 0 AND r2 >= r1),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_valid, SUM(mu) AS smu FROM mu),
 np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM embeddings)
 SELECT n_points, n_valid,
-  round(CAST(n_valid AS DOUBLE) / smu, 6) AS intrinsic_dim,
-  round(smu / n_valid, 9) AS mean_mu
+  CAST(floor((CAST(n_valid AS DOUBLE) / smu) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS intrinsic_dim,
+  CAST(floor((smu / n_valid) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_mu
 FROM agg CROSS JOIN np""")
 def embedding_intrinsic_dim_twonn(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -1389,7 +1363,7 @@ def embedding_intrinsic_dim_twonn(spark: SparkSession,
                F.count("*").alias("m"))
           .where(F.col("m") == 2))
     mu = (rr.where((F.col("r1") > 0) & (F.col("r2") >= F.col("r1")))
-          .select(F.round(F.log(F.col("r2") / F.col("r1")), 9)
+          .select(exact.snap_double_col(F.log(F.col("r2") / F.col("r1")), 9)
                   .alias("mu")))
     agg = mu.agg(F.count("*").cast("long").alias("n_valid"),
                  F.sum("mu").alias("smu"))
@@ -1398,9 +1372,8 @@ def embedding_intrinsic_dim_twonn(spark: SparkSession,
                               .alias("n_points"))
     return (agg.crossJoin(F.broadcast(np_))
             .select("n_points", "n_valid",
-                    F.round(F.col("n_valid").cast("double")
-                            / F.col("smu"), 6).alias("intrinsic_dim"),
-                    F.round(F.col("smu") / F.col("n_valid"), 9)
+                    exact.snap_double_col(F.col("n_valid").cast("double") / F.col("smu"), 6).alias("intrinsic_dim"),
+                    exact.snap_double_col(F.col("smu") / F.col("n_valid"), 9)
                     .alias("mean_mu")))
 
 
@@ -1423,8 +1396,8 @@ g AS (
   SELECT SUM((sa / na - sb / nb) * (sa / na - sb / nb)) AS mmd2
   FROM s CROSS JOIN n)
 SELECT na, nb,
-  round(mmd2, 6) AS mmd2_linear,
-  round(sqrt(mmd2), 6) AS mean_distance
+  CAST(floor((mmd2) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mmd2_linear,
+  CAST(floor((sqrt(mmd2)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_distance
 FROM g CROSS JOIN n""")
 def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-kernel Maximum Mean Discrepancy between the two
@@ -1461,8 +1434,8 @@ def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.sum(diff * diff).alias("mmd2"),
               F.max("na").alias("na"), F.max("nb").alias("nb")))
     return g.select("na", "nb",
-                    F.round("mmd2", 6).alias("mmd2_linear"),
-                    F.round(F.sqrt("mmd2"), 6).alias("mean_distance"))
+                    exact.snap_double_col("mmd2", 6).alias("mmd2_linear"),
+                    exact.snap_double_col(F.sqrt("mmd2"), 6).alias("mean_distance"))
 
 
 @query("embedding_whitening_effect", oracle="""

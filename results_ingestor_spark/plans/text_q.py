@@ -46,14 +46,9 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 @query("text_quality_score", oracle=f"""
 SELECT doc_id, lang,
-  round(CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) AS DOUBLE)
-        / len({_TOKS}), 9) AS stop_ratio,
-  round(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}), 9) AS ttr,
-  round(0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
-      + 0.3 * (1 - CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) AS DOUBLE)
-                   / len({_TOKS}))
-      + 0.2 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                    / len({_TOKS}) / 8.0, 1.0), 9) AS quality
+  CAST(floor((CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) AS DOUBLE) / len({_TOKS})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS stop_ratio,
+  CAST(floor((CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ttr,
+  CAST(floor((0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) + 0.3 * (1 - CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) AS DOUBLE) / len({_TOKS})) + 0.2 * least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS}) / 8.0, 1.0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS quality
 FROM documents""")
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + type-token ratio + length prior,
@@ -68,9 +63,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                + F.lit(0.2) * F.least(avg_len / 8.0, F.lit(1.0)))
     return t["documents"].select(
         "doc_id", "lang",
-        F.round(stop, 9).alias("stop_ratio"),
-        F.round(ttr, 9).alias("ttr"),
-        F.round(quality, 9).alias("quality"))
+        exact.snap_double_col(stop, 9).alias("stop_ratio"),
+        exact.snap_double_col(ttr, 9).alias("ttr"),
+        exact.snap_double_col(quality, 9).alias("quality"))
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -149,8 +144,7 @@ _BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 SELECT doc_id,
   len({_TOKS}) AS n_ws_tokens,
   len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
-  round(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
-        / len({_TOKS}), 9) AS bpe_per_word
+  CAST(floor((CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE) / len({_TOKS})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS bpe_per_word
 FROM documents""")
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, both ways a training pipeline needs: whitespace
@@ -164,7 +158,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tk).alias("n_ws_tokens"),
         F.size(bpe).alias("n_bpe_tokens"),
-        F.round(F.size(bpe).cast("double") / F.size(tk), 9).alias("bpe_per_word"))
+        exact.snap_double_col(F.size(bpe).cast("double") / F.size(tk), 9).alias("bpe_per_word"))
 
 
 # Winnowing (MOSS) fingerprint: char 8-gram rolling hashes, keep the
@@ -250,12 +244,10 @@ tg AS (
         FROM (SELECT doc_id, {_TOKS} AS t FROM documents)))
 SELECT t.doc_id,
   CAST(t.n_tokens AS BIGINT) AS n_tokens,
-  round(CAST(t.top_tok_cnt AS DOUBLE) / t.n_tokens, 9) AS top_token_frac,
-  round(CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 0.0
-        ELSE CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams END, 9)
+  CAST(floor((CAST(t.top_tok_cnt AS DOUBLE) / t.n_tokens) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS top_token_frac,
+  CAST(floor((CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 0.0 ELSE CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS top_bigram_frac,
-  round(CASE WHEN coalesce(g.n_trigrams, 0) = 0 THEN 0.0
-        ELSE 1.0 - CAST(g.n_tri_distinct AS DOUBLE) / g.n_trigrams END, 9)
+  CAST(floor((CASE WHEN coalesce(g.n_trigrams, 0) = 0 THEN 0.0 ELSE 1.0 - CAST(g.n_tri_distinct AS DOUBLE) / g.n_trigrams END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS dup_trigram_frac,
   CAST(r.max_token_run AS BIGINT) AS max_token_run,
   (CAST(t.top_tok_cnt AS DOUBLE) / t.n_tokens <= 0.2
@@ -331,9 +323,9 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 F.col("n_tokens").cast("long").alias("n_tokens"),
-                F.round(top_token_frac, 9).alias("top_token_frac"),
-                F.round(top_bigram_frac, 9).alias("top_bigram_frac"),
-                F.round(dup_trigram_frac, 9).alias("dup_trigram_frac"),
+                exact.snap_double_col(top_token_frac, 9).alias("top_token_frac"),
+                exact.snap_double_col(top_bigram_frac, 9).alias("top_bigram_frac"),
+                exact.snap_double_col(dup_trigram_frac, 9).alias("dup_trigram_frac"),
                 F.col("max_token_run").cast("long").alias("max_token_run"),
                 ((top_token_frac <= 0.2) & (top_bigram_frac <= 0.18)
                  & (dup_trigram_frac <= 0.6) & (F.col("max_token_run") <= 4))
@@ -344,11 +336,10 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
   len(t) AS n_tokens,
   len(list_distinct(t)) AS n_distinct,
-  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 9) AS ttr,
-  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t), 9)
+  CAST(floor((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ttr,
+  CAST(floor((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS mean_word_len,
-  round(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
-        / len(t), 9) AS stopword_frac,
+  CAST(floor((CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS stopword_frac,
   (CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.35
    AND CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
        / len(t) BETWEEN 0.01 AND 0.15) AS keep
@@ -370,10 +361,9 @@ def quality_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(ttr, 9).alias("ttr"),
-        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-                .cast("double") / n, 9).alias("mean_word_len"),
-        F.round(stop, 9).alias("stopword_frac"),
+        exact.snap_double_col(ttr, 9).alias("ttr"),
+        exact.snap_double_col(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) .cast("double") / n, 9).alias("mean_word_len"),
+        exact.snap_double_col(stop, 9).alias("stopword_frac"),
         ((ttr >= 0.35) & (stop >= 0.01) & (stop <= 0.15)).alias("keep"))
 
 
@@ -387,7 +377,7 @@ df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 nn AS (SELECT COUNT(*) AS n FROM documents),
 scored AS (
   SELECT doc_id, term,
-    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+    CAST(floor((tf * ln(CAST(n AS DOUBLE) / df)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS tfidf
   FROM tf JOIN df USING (term) CROSS JOIN nn)
 SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -411,9 +401,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = t["documents"].agg(F.count("*").alias("n"))
     scored = (tf.join(F.broadcast(df), "term").join(F.broadcast(nn))
               .select("doc_id", "term",
-                      F.round(F.col("tf")
-                              * F.log(F.col("n").cast("double")
-                                      / F.col("df")), 6).alias("tfidf")))
+                      exact.snap_double_col(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
@@ -517,8 +505,8 @@ r AS (
     row_number() OVER (ORDER BY freq DESC, tok) AS rank
   FROM counts)
 SELECT rank, tok, freq,
-  round(ln(rank), 9) AS ln_rank,
-  round(ln(CAST(freq AS DOUBLE)), 9) AS ln_freq
+  CAST(floor((ln(rank)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ln_rank,
+  CAST(floor((ln(CAST(freq AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ln_freq
 FROM r WHERE rank <= 100""")
 def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency table for the top-100 vocabulary: rank vs
@@ -536,8 +524,8 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "tok", "freq",
-                    F.round(F.log(F.col("rank")), 9).alias("ln_rank"),
-                    F.round(F.log(F.col("freq").cast("double")), 9)
+                    exact.snap_double_col(F.log(F.col("rank")), 9).alias("ln_rank"),
+                    exact.snap_double_col(F.log(F.col("freq").cast("double")), 9)
                     .alias("ln_freq")))
 
 
@@ -613,11 +601,7 @@ tf AS (
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-    round(SUM(
-      ln((n - df + 0.5) / (df + 0.5) + 1)
-      * (tf * ({_BM25_K1} + 1))
-      / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
-    ), 6) AS bm25
+    CAST(floor((SUM( ln((n - df + 0.5) / (df + 0.5) + 1) * (tf * ({_BM25_K1} + 1)) / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)) )) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS bm25
   FROM tf
   JOIN df USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
@@ -655,7 +639,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dl, "doc_id")
             .join(F.broadcast(avgdl))
             .groupBy("doc_id")
-            .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+            .agg(exact.snap_double_col(F.sum(term_score), 6).alias("bm25"))
             .orderBy(F.desc("bm25"), F.asc("doc_id"))
             .limit(10))
 
@@ -787,10 +771,11 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wilson 95% interval, one shared expression text (z inlined to the
 # double literal both engines parse identically).
 _WILSON_Z = "1.959963984540054"
-_WILSON = f"""round((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+_WILSON = f"""CAST(floor(((p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
          {{sign}} {_WILSON_Z} * sqrt(p * (1 - p) / n
                   + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
-        / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 9)"""
+        / (1 + {_WILSON_Z} * {_WILSON_Z} / n)) * 1000000000.0 + 0.5)
+  AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("quality_blocklist_rate", oracle=f"""
@@ -805,7 +790,7 @@ g AS (
     CAST(SUM(hit) AS BIGINT) AS hits,
     CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS p
   FROM d GROUP BY source)
-SELECT source, n, hits, round(p, 9) AS rate,
+SELECT source, n, hits, CAST(floor((p) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rate,
   {_WILSON.format(sign='-')} AS ci_lo,
   {_WILSON.format(sign='+')} AS ci_hi
 FROM g""")
@@ -832,7 +817,7 @@ def quality_blocklist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count("*").alias("n"), F.sum("hit").alias("hits"),
               (F.sum("hit").cast("double") / F.count("*")).alias("p")))
     return g.select(
-        "source", "n", "hits", F.round("p", 9).alias("rate"),
+        "source", "n", "hits", exact.snap_double_col("p", 9).alias("rate"),
         F.expr(_WILSON.format(sign='-')).alias("ci_lo"),
         F.expr(_WILSON.format(sign='+')).alias("ci_hi"))
 
@@ -861,13 +846,12 @@ pts AS (
   FROM curve),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    round(SUM(x), 9) AS sx, round(SUM(y), 9) AS sy,
-    round(SUM(x * y), 9) AS sxy, round(SUM(x * x), 9) AS sxx
+    CAST(floor((SUM(x)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sx, CAST(floor((SUM(y)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sy,
+    CAST(floor((SUM(x * y)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sxy, CAST(floor((SUM(x * x)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS sxx
   FROM pts)
 SELECT n AS n_points,
-  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
-  round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
-        6) AS k
+  CAST(floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS beta,
+  CAST(floor((exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS k
 FROM s""")
 def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit V(N) = k·N^β for the corpus: how fast the
@@ -904,16 +888,16 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only cross-engine wiggle (~1e-13 relative), and snapping before
     # the division kills it at the source
     s = pts.agg(F.count("*").alias("n"),
-                F.round(F.sum("x"), 9).alias("sx"),
-                F.round(F.sum("y"), 9).alias("sy"),
-                F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
-                F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"))
+                exact.snap_double_col(F.sum("x"), 9).alias("sx"),
+                exact.snap_double_col(F.sum("y"), 9).alias("sy"),
+                exact.snap_double_col(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+                exact.snap_double_col(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"))
     beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
     return s.select(
         F.col("n").alias("n_points"),
-        F.round(beta, 6).alias("beta"),
-        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6)
+        exact.snap_double_col(beta, 6).alias("beta"),
+        exact.snap_double_col(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6)
         .alias("k"))
 
 
@@ -929,8 +913,7 @@ inter AS (
   FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
   GROUP BY 1, 2)
 SELECT source_a, source_b, n_common,
-  round(CAST(n_common AS DOUBLE)
-        / (va.v + vb.v - n_common), 9) AS vocab_jaccard
+  CAST(floor((CAST(n_common AS DOUBLE) / (va.v + vb.v - n_common)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS vocab_jaccard
 FROM inter
 JOIN vs va ON va.source = source_a
 JOIN vs vb ON vb.source = source_b
@@ -965,9 +948,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.join(F.broadcast(va), "source_a")
             .join(F.broadcast(vb), "source_b")
             .select("source_a", "source_b", "n_common",
-                    F.round(F.col("n_common").cast("double")
-                            / (F.col("va") + F.col("vb")
-                               - F.col("n_common")), 9)
+                    exact.snap_double_col(F.col("n_common").cast("double") / (F.col("va") + F.col("vb") - F.col("n_common")), 9)
                     .alias("vocab_jaccard"))
             .orderBy("source_a", "source_b"))
 
@@ -1006,11 +987,10 @@ agg AS (
     CAST(SUM(c) AS BIGINT) AS n_chunks,
     CAST(COUNT(*) AS INT) AS n_langs,
     CAST(MAX(c) AS BIGINT) AS max_c,
-    round(log2(CAST(SUM(c) AS DOUBLE))
-          - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_bits
+    CAST(floor((log2(CAST(SUM(c) AS DOUBLE)) - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS entropy_bits
   FROM cl GROUP BY doc_id, lang)
 SELECT agg.doc_id, lang, n_chunks, n_langs, dominant_lang,
-  round(CAST(max_c AS DOUBLE) / n_chunks, 9) AS dominant_share,
+  CAST(floor((CAST(max_c AS DOUBLE) / n_chunks) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS dominant_share,
   entropy_bits,
   (n_langs >= 2 AND 5 * max_c <= 4 * n_chunks) AS is_mixed
 FROM agg JOIN dom ON agg.doc_id = dom.doc_id""")
@@ -1061,12 +1041,10 @@ def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.struct(F.negate(F.col("c")).alias("nc"),
                           F.col("chunk_lang").alias("l")))
         .alias("dominant_lang"),
-        F.round(F.log2(n.cast("double"))
-                - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n,
-                6).alias("entropy_bits"))
+        exact.snap_double_col(F.log2(n.cast("double")) - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n, 6).alias("entropy_bits"))
     return per.select(
         "doc_id", "lang", "n_chunks", "n_langs", "dominant_lang",
-        F.round(F.col("max_c").cast("double") / F.col("n_chunks"), 9)
+        exact.snap_double_col(F.col("max_c").cast("double") / F.col("n_chunks"), 9)
         .alias("dominant_share"),
         "entropy_bits",
         ((F.col("n_langs") >= 2)
@@ -1079,10 +1057,8 @@ SELECT lang,
   CAST(SUM(len({_TOKS})) AS BIGINT) AS n_words,
   CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
     AS n_bpe_tokens,
-  round(CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS DOUBLE)
-        / SUM(len({_TOKS})), 6) AS fertility,
-  round(CAST(SUM(length(text)) AS DOUBLE)
-        / SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))), 6)
+  CAST(floor((CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS DOUBLE) / SUM(len({_TOKS}))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS fertility,
+  CAST(floor((CAST(SUM(length(text)) AS DOUBLE) / SUM(len(regexp_extract_all(text, '{_BPE_PAT}')))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS chars_per_token
 FROM documents GROUP BY lang""")
 def tokenizer_fertility_by_lang(spark: SparkSession,
@@ -1110,9 +1086,9 @@ def tokenizer_fertility_by_lang(spark: SparkSession,
             .agg(F.count("*").alias("n_docs"),
                  F.sum("w").alias("n_words"),
                  F.sum("b").alias("n_bpe_tokens"),
-                 F.round(F.sum("b").cast("double") / F.sum("w"), 6)
+                 exact.snap_double_col(F.sum("b").cast("double") / F.sum("w"), 6)
                  .alias("fertility"),
-                 F.round(F.sum("c").cast("double") / F.sum("b"), 6)
+                 exact.snap_double_col(F.sum("c").cast("double") / F.sum("b"), 6)
                  .alias("chars_per_token")))
 
 
@@ -1143,7 +1119,7 @@ terms AS (
   FROM pw JOIN ws ON pw.w = ws.w),
 scored AS (
   SELECT ptext,
-    round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6)
+    CAST(floor((list_reduce(list_sort(list(term)), (a, b) -> a + b)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
       AS rake_score
   FROM terms GROUP BY ptext)
 SELECT d.ptext AS keyword, d.plen, d.n_occ, s.rake_score
@@ -1187,9 +1163,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = pw.join(ws, "w").select(
         "ptext", (F.col("deg").cast("double") / F.col("freq")).alias("term"))
     scored = (terms.groupBy("ptext")
-              .agg(F.round(
-                  F.aggregate(F.array_sort(F.collect_list("term")),
-                              F.lit(0.0), lambda a, x: a + x), 6)
+              .agg(exact.snap_double_col(F.aggregate(F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x), 6)
                   .alias("rake_score")))
     return (dist.join(scored, "ptext")
             .select(F.col("ptext").alias("keyword"), "plen", "n_occ",
@@ -1207,7 +1181,7 @@ cell AS (
 tot AS (
   SELECT lang, CAST(SUM(n) AS BIGINT) AS support FROM cell GROUP BY lang)
 SELECT c.lang, c.predicted, c.n, t.support,
-  round(CAST(c.n AS DOUBLE) / t.support, 6) AS row_share,
+  CAST(floor((CAST(c.n AS DOUBLE) / t.support) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS row_share,
   c.lang = c.predicted AS on_diagonal
 FROM cell c JOIN tot t ON c.lang = t.lang
 ORDER BY c.lang, c.predicted""")
@@ -1231,8 +1205,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("support"))
     return (cell.join(F.broadcast(tot), cell.lang == tot.lg)
             .select("lang", "predicted", "n", "support",
-                    F.round(F.col("n").cast("double")
-                            / F.col("support"), 6).alias("row_share"),
+                    exact.snap_double_col(F.col("n").cast("double") / F.col("support"), 6).alias("row_share"),
                     (F.col("lang") == F.col("predicted"))
                     .alias("on_diagonal"))
             .orderBy("lang", "predicted"))
@@ -1369,7 +1342,7 @@ nov AS (
 SELECT d.source, COUNT(*) AS n_docs,
   CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
   CAST(SUM(n_unique) AS BIGINT) AS sum_unique,
-  round(CAST(SUM(n_unique) AS DOUBLE) / SUM(n_grams), 9) AS novelty_micro,
+  CAST(floor((CAST(SUM(n_unique) AS DOUBLE) / SUM(n_grams)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS novelty_micro,
   CAST(COUNT(*) FILTER (WHERE n_unique = n_grams) AS BIGINT)
     AS n_fully_novel
 FROM nov JOIN documents d USING (doc_id)
@@ -1412,8 +1385,7 @@ def text_novelty_unique_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("n_unique") == F.col("n_grams"), 1)
                        .otherwise(0)).cast("long").alias("n_fully_novel"))
             .select("source", "n_docs", "sum_grams", "sum_unique",
-                    F.round(F.col("sum_unique").cast("double")
-                            / F.col("sum_grams"), 9).alias("novelty_micro"),
+                    exact.snap_double_col(F.col("sum_unique").cast("double") / F.col("sum_grams"), 9).alias("novelty_micro"),
                     "n_fully_novel")
             .orderBy("source"))
 
@@ -1450,9 +1422,7 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(COUNT(*) FILTER (WHERE NOT (fail_wc OR fail_mwl OR fail_alpha
                                    OR fail_symbol)) AS BIGINT)
     AS n_keep_ex_stopword,
-  round(CAST(COUNT(*) FILTER (WHERE NOT (fail_wc OR fail_mwl OR fail_alpha
-                                         OR fail_stop OR fail_symbol))
-             AS DOUBLE) / COUNT(*), 9) AS keep_rate
+  CAST(floor((CAST(COUNT(*) FILTER (WHERE NOT (fail_wc OR fail_mwl OR fail_alpha OR fail_stop OR fail_symbol)) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS keep_rate
 FROM f GROUP BY source ORDER BY source""")
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher/MassiveText rule-based quality filter (Rae et al.
@@ -1514,8 +1484,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_fail_mean_word_len", "n_fail_alpha_frac",
                     "n_fail_stopwords", "n_fail_symbol", "n_keep",
                     "n_keep_ex_stopword",
-                    F.round(F.col("n_keep").cast("double")
-                            / F.col("n_docs"), 9).alias("keep_rate"))
+                    exact.snap_double_col(F.col("n_keep").cast("double") / F.col("n_docs"), 9).alias("keep_rate"))
             .orderBy("source"))
 
 
@@ -1542,10 +1511,7 @@ SELECT source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_windows) AS BIGINT) AS sum_windows,
   CAST(SUM(sum_distinct) AS BIGINT) AS sum_distinct,
-  round(CAST(SUM(CASE WHEN n >= {_MATTR_W} THEN sum_distinct END)
-             AS DOUBLE)
-        / ({_MATTR_W} * SUM(CASE WHEN n >= {_MATTR_W} THEN n_windows END)),
-        9) AS mattr_micro
+  CAST(floor((CAST(SUM(CASE WHEN n >= {_MATTR_W} THEN sum_distinct END) AS DOUBLE) / ({_MATTR_W} * SUM(CASE WHEN n >= {_MATTR_W} THEN n_windows END))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mattr_micro
 FROM p GROUP BY source ORDER BY source""")
 def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving-average type-token ratio (MATTR, Covington & McFall
@@ -1584,11 +1550,7 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_windows").cast("long").alias("sum_windows"),
                  F.sum("sum_distinct").cast("long").alias("sum_distinct"),
-                 F.round(
-                     F.sum(F.when(long_doc, F.col("sum_distinct")))
-                     .cast("double")
-                     / (w * F.sum(F.when(long_doc, F.col("n_windows")))),
-                     9).alias("mattr_micro"))
+                 exact.snap_double_col(F.sum(F.when(long_doc, F.col("sum_distinct"))) .cast("double") / (w * F.sum(F.when(long_doc, F.col("n_windows")))), 9).alias("mattr_micro"))
             .orderBy("source"))
 
 
@@ -1692,9 +1654,8 @@ WITH tf AS (
   GROUP BY tok),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
 SELECT term, ctf, df,
-  round(n * (1 - exp(-(CAST(ctf AS DOUBLE) / n))), 6) AS expected_df,
-  round(CAST(df AS DOUBLE)
-        / (n * (1 - exp(-(CAST(ctf AS DOUBLE) / n)))), 6) AS burstiness
+  CAST(floor((n * (1 - exp(-(CAST(ctf AS DOUBLE) / n)))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS expected_df,
+  CAST(floor((CAST(df AS DOUBLE) / (n * (1 - exp(-(CAST(ctf AS DOUBLE) / n))))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS burstiness
 FROM tf CROSS JOIN nn
 WHERE ctf >= 20
 ORDER BY burstiness, term LIMIT 20""")
@@ -1728,8 +1689,8 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tf.where(F.col("ctf") >= 20)
             .join(F.broadcast(nn))
             .select("term", "ctf", "df",
-                    F.round(e_df, 6).alias("expected_df"),
-                    F.round(F.col("df").cast("double") / e_df, 6)
+                    exact.snap_double_col(e_df, 6).alias("expected_df"),
+                    exact.snap_double_col(F.col("df").cast("double") / e_df, 6)
                     .alias("burstiness"))
             .orderBy("burstiness", "term").limit(20))
 
@@ -1747,10 +1708,10 @@ s AS (
     CAST(SUM(f * (f - 1)) AS BIGINT) AS coll2
   FROM tf GROUP BY source)
 SELECT source, vocab, n_tokens, n_hapax,
-  round(CAST(n_hapax AS DOUBLE) / vocab, 9) AS hapax_ratio,
-  round(CAST(coll2 AS DOUBLE) / (n_tokens * (n_tokens - 1)), 9)
+  CAST(floor((CAST(n_hapax AS DOUBLE) / vocab) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS hapax_ratio,
+  CAST(floor((CAST(coll2 AS DOUBLE) / (n_tokens * (n_tokens - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS simpson_lambda,
-  round(CAST(n_tokens AS DOUBLE) * (n_tokens - 1) / coll2, 6)
+  CAST(floor((CAST(n_tokens AS DOUBLE) * (n_tokens - 1) / coll2) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS effective_vocab
 FROM s ORDER BY source""")
 def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1784,11 +1745,11 @@ def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = F.col("n_tokens")
     return s.select(
         "source", "vocab", "n_tokens", "n_hapax",
-        F.round(F.col("n_hapax").cast("double") / F.col("vocab"), 9)
+        exact.snap_double_col(F.col("n_hapax").cast("double") / F.col("vocab"), 9)
          .alias("hapax_ratio"),
-        F.round(F.col("coll2").cast("double") / (nt * (nt - 1)), 9)
+        exact.snap_double_col(F.col("coll2").cast("double") / (nt * (nt - 1)), 9)
          .alias("simpson_lambda"),
-        F.round(nt.cast("double") * (nt - 1) / F.col("coll2"), 6)
+        exact.snap_double_col(nt.cast("double") * (nt - 1) / F.col("coll2"), 6)
          .alias("effective_vocab")).orderBy("source")
 
 
@@ -1809,13 +1770,7 @@ tot AS (
   FROM c),
 g AS (
   SELECT term, a, b,
-    round(2.0 * (
-      CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * (ta + tb)
-                                  / (CAST(ta AS DOUBLE) * (a + b)))
-           ELSE 0.0 END
-      + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * (ta + tb)
-                                    / (CAST(tb AS DOUBLE) * (a + b)))
-             ELSE 0.0 END), 6) AS g2,
+    CAST(floor((2.0 * ( CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * (ta + tb) / (CAST(ta AS DOUBLE) * (a + b))) ELSE 0.0 END + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * (ta + tb) / (CAST(tb AS DOUBLE) * (a + b))) ELSE 0.0 END)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS g2,
     CAST(a AS DOUBLE) * tb > CAST(b AS DOUBLE) * ta AS overused
   FROM c CROSS JOIN tot
   WHERE a + b >= 10)
@@ -1857,7 +1812,7 @@ def text_keyness_dunning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.where(a + b >= 10)
             .join(F.broadcast(tot))
             .select("term", a.alias("n_focus"), b.alias("n_rest"),
-                    F.round(2.0 * (term1 + term2), 6).alias("g2"),
+                    exact.snap_double_col(2.0 * (term1 + term2), 6).alias("g2"),
                     (a.cast("double") * tb > b.cast("double") * ta)
                     .alias("overused"))
             .orderBy(F.desc("g2"), F.asc("term")).limit(20))
@@ -1876,12 +1831,10 @@ tot AS (
     CAST(coalesce(SUM(n_r) FILTER (WHERE r = 2), 0) AS BIGINT) AS n2
   FROM fof)
 SELECT n_tokens, v_obs, n1, n2,
-  round(CAST(n1 AS DOUBLE) / n_tokens, 9) AS gt_missing_mass,
-  round(CASE WHEN n2 > 0
-        THEN v_obs + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2)
-        ELSE v_obs + CAST(n1 AS DOUBLE) * (n1 - 1) / 2.0 END, 6)
+  CAST(floor((CAST(n1 AS DOUBLE) / n_tokens) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS gt_missing_mass,
+  CAST(floor((CASE WHEN n2 > 0 THEN v_obs + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2) ELSE v_obs + CAST(n1 AS DOUBLE) * (n1 - 1) / 2.0 END) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS chao1_estimate,
-  round(CASE WHEN n1 > 0 THEN 2.0 * n2 / n1 ELSE 0.0 END, 6)
+  CAST(floor((CASE WHEN n1 > 0 THEN 2.0 * n2 / n1 ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS gt_adjusted_r1
 FROM tot""")
 def text_vocabulary_richness(spark: SparkSession,
@@ -1921,10 +1874,10 @@ def text_vocabulary_richness(spark: SparkSession,
                    + n1.cast("double") * (n1 - 1) / 2.0)
     return tot.select(
         "n_tokens", "v_obs", "n1", "n2",
-        F.round(n1.cast("double") / F.col("n_tokens"), 9)
+        exact.snap_double_col(n1.cast("double") / F.col("n_tokens"), 9)
          .alias("gt_missing_mass"),
-        F.round(chao1, 6).alias("chao1_estimate"),
-        F.round(F.when(n1 > 0, 2.0 * n2 / n1).otherwise(F.lit(0.0)), 6)
+        exact.snap_double_col(chao1, 6).alias("chao1_estimate"),
+        exact.snap_double_col(F.when(n1 > 0, 2.0 * n2 / n1).otherwise(F.lit(0.0)), 6)
          .alias("gt_adjusted_r1"))
 
 
@@ -1947,10 +1900,10 @@ hc AS (
     AS h_context
   FROM cc CROSS JOIN tot)
 SELECT n AS n_bigrams, v_bigrams,
-  round(h_joint, 6) AS h_joint_nats,
-  round(h_context, 6) AS h_context_nats,
-  round(h_joint - h_context, 6) AS h_conditional_nats,
-  round(exp(h_joint - h_context), 6) AS perplexity_per_token
+  CAST(floor((h_joint) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS h_joint_nats,
+  CAST(floor((h_context) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS h_context_nats,
+  CAST(floor((h_joint - h_context) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS h_conditional_nats,
+  CAST(floor((exp(h_joint - h_context)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS perplexity_per_token
 FROM tot CROSS JOIN hj CROSS JOIN hc""")
 def text_bigram_entropy_rate(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1992,12 +1945,11 @@ def text_bigram_entropy_rate(spark: SparkSession,
                .alias("h_context")))
     return (tot.crossJoin(F.broadcast(hj)).crossJoin(F.broadcast(hc))
             .select(F.col("n").alias("n_bigrams"), "v_bigrams",
-                    F.round("h_joint", 6).alias("h_joint_nats"),
-                    F.round("h_context", 6).alias("h_context_nats"),
-                    F.round(F.col("h_joint") - F.col("h_context"), 6)
+                    exact.snap_double_col("h_joint", 6).alias("h_joint_nats"),
+                    exact.snap_double_col("h_context", 6).alias("h_context_nats"),
+                    exact.snap_double_col(F.col("h_joint") - F.col("h_context"), 6)
                     .alias("h_conditional_nats"),
-                    F.round(F.exp(F.col("h_joint") - F.col("h_context")),
-                            6).alias("perplexity_per_token")))
+                    exact.snap_double_col(F.exp(F.col("h_joint") - F.col("h_context")), 6).alias("perplexity_per_token")))
 
 
 _KW_CRIT_DF19 = 30.1435272056  # chi-square df=19 (20 sources), 5%
@@ -2010,8 +1962,8 @@ WITH tf AS (
   GROUP BY source, tok),
 met AS (
   SELECT source,
-    round(CAST(count_if(f = 1) AS DOUBLE) / COUNT(*), 9) AS hapax_ratio,
-    round(CAST(COUNT(*) AS DOUBLE) / SUM(f), 9) AS type_token,
+    CAST(floor((CAST(count_if(f = 1) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS hapax_ratio,
+    CAST(floor((CAST(COUNT(*) AS DOUBLE) / SUM(f)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS type_token,
     CAST(SUM(f) AS BIGINT) AS n_tokens
   FROM tf GROUP BY source),
 r AS (
@@ -2026,14 +1978,9 @@ s AS (
     CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sum_r
   FROM r)
 SELECT n AS n_sources,
-  round((12.0 * (sum_r2 - CAST(sum_r AS DOUBLE) * sum_r / n))
-        / (9.0 * n * (n * n - 1)), 6) AS kendalls_w,
-  round(3 * (n - 1) * (12.0 * (sum_r2
-                               - CAST(sum_r AS DOUBLE) * sum_r / n))
-        / (9.0 * n * (n * n - 1)), 6) AS chi2,
-  round(3 * (n - 1) * (12.0 * (sum_r2
-                               - CAST(sum_r AS DOUBLE) * sum_r / n))
-        / (9.0 * n * (n * n - 1)), 6) > {_KW_CRIT_DF19}
+  CAST(floor(((12.0 * (sum_r2 - CAST(sum_r AS DOUBLE) * sum_r / n)) / (9.0 * n * (n * n - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS kendalls_w,
+  CAST(floor((3 * (n - 1) * (12.0 * (sum_r2 - CAST(sum_r AS DOUBLE) * sum_r / n)) / (9.0 * n * (n * n - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS chi2,
+  CAST(floor((3 * (n - 1) * (12.0 * (sum_r2 - CAST(sum_r AS DOUBLE) * sum_r / n)) / (9.0 * n * (n * n - 1))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) > {_KW_CRIT_DF19}
     AS rankings_agree
 FROM s""")
 def source_ranking_concordance(spark: SparkSession,
@@ -2059,9 +2006,8 @@ def source_ranking_concordance(spark: SparkSession,
           .groupBy("source", "term")
           .agg(F.count("*").cast("long").alias("f")))
     met = (tf.groupBy("source")
-           .agg(F.round(F.count_if(F.col("f") == 1).cast("double")
-                        / F.count("*"), 9).alias("hapax_ratio"),
-                F.round(F.count("*").cast("double") / F.sum("f"), 9)
+           .agg(exact.snap_double_col(F.count_if(F.col("f") == 1).cast("double") / F.count("*"), 9).alias("hapax_ratio"),
+                exact.snap_double_col(F.count("*").cast("double") / F.sum("f"), 9)
                  .alias("type_token"),
                 F.sum("f").cast("long").alias("n_tokens")))
     r = met.select(
@@ -2079,9 +2025,9 @@ def source_ranking_concordance(spark: SparkSession,
     n, sr2, sr = F.col("n"), F.col("sum_r2"), F.col("sum_r")
     w = (12.0 * (sr2 - sr.cast("double") * sr / n)) \
         / (9.0 * n * (n * n - 1))
-    chi2 = F.round(3 * (n - 1) * w, 6)
+    chi2 = exact.snap_double_col(3 * (n - 1) * w, 6)
     return s.select(n.alias("n_sources"),
-                    F.round(w, 6).alias("kendalls_w"),
+                    exact.snap_double_col(w, 6).alias("kendalls_w"),
                     chi2.alias("chi2"),
                     (chi2 > _KW_CRIT_DF19).alias("rankings_agree"))
 
@@ -2105,10 +2051,10 @@ t_btw AS (
     AS theil_b
   FROM g CROSS JOIN tot)
 SELECT (SELECT n FROM tot) AS n_docs,
-  round(theil, 6) AS theil_total,
-  round(theil_b, 6) AS theil_between,
-  round(theil - theil_b, 6) AS theil_within,
-  round(theil_b / theil, 6) AS between_share
+  CAST(floor((theil) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS theil_total,
+  CAST(floor((theil_b) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS theil_between,
+  CAST(floor((theil - theil_b) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS theil_within,
+  CAST(floor((theil_b / theil) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS between_share
 FROM t_tot CROSS JOIN t_btw""")
 def text_theil_inequality_decomposition(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
@@ -2145,9 +2091,9 @@ def text_theil_inequality_decomposition(spark: SparkSession,
     out = t_tot.crossJoin(F.broadcast(t_btw))
     return out.select(
         "n_docs",
-        F.round("theil", 6).alias("theil_total"),
-        F.round("theil_b", 6).alias("theil_between"),
-        F.round(F.col("theil") - F.col("theil_b"), 6)
+        exact.snap_double_col("theil", 6).alias("theil_total"),
+        exact.snap_double_col("theil_b", 6).alias("theil_between"),
+        exact.snap_double_col(F.col("theil") - F.col("theil_b"), 6)
          .alias("theil_within"),
-        F.round(F.col("theil_b") / F.col("theil"), 6)
+        exact.snap_double_col(F.col("theil_b") / F.col("theil"), 6)
          .alias("between_share"))
