@@ -131,6 +131,7 @@ def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
     vocabulary* (one group-by), then joined back — per-word work is done
     once however often the word repeats, and the applied chain is pure
     JVM expression folds (no Python, no per-merge jobs)."""
+    from results_ingestor_spark.plans import exact
     words = (docs
              .select("doc_id", F.explode(F.split(F.col(text_col), " "))
                      .alias("word"))
@@ -146,5 +147,5 @@ def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_words"),
                  F.sum("n_sub").alias("n_subwords"),
-                 F.round(F.sum("n_chr").cast("double") / F.sum("n_sub"), 6)
+                 exact.snap_double_col(F.sum("n_chr").cast("double") / F.sum("n_sub"), 6)
                   .alias("chars_per_subword")))

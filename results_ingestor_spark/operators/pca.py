@@ -72,13 +72,17 @@ def covariance_upper(emb: DataFrame, col: str = "embedding",
     mi = m.select(F.col("dim").alias("i"), F.col("s").alias("si"),
                   F.col("n").alias("n"))
     mj = m.select(F.col("dim").alias("j"), F.col("s").alias("sj"))
-    # + 0.0 collapses IEEE negative zero to +0.0 (a -1e-9 covariance
-    # rounds to -0.0, whose repr/hash differs from 0.0 cross-engine)
+    # floor-snap (r10): sign-free at zero by construction (BIGINT 0
+    # rescales to +0.0 in both engines), so the old "+ 0.0"
+    # negative-zero collapse is no longer needed; pairs with the
+    # snapped oracle twin.
+    from results_ingestor_spark.plans import exact
     return (gram.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
             .select("i", "j",
-                    (F.round((F.col("sij")
-                              - F.col("si") * F.col("sj") / F.col("n"))
-                             / (F.col("n") - 1), 6) + F.lit(0.0))
+                    exact.snap_double_col(
+                        (F.col("sij")
+                         - F.col("si") * F.col("sj") / F.col("n"))
+                        / (F.col("n") - 1), 6)
                     .alias("cov")))
 
 

@@ -186,10 +186,12 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
             .select("query_id", "cand_id", adc.alias("adc_dist2")))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
                                                F.asc("cand_id"))
+    from results_ingestor_spark.plans import exact
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("query_id", "cand_id",
-                    F.round("adc_dist2", 9).alias("adc_dist2"), "rn"))
+                    exact.snap_double_col("adc_dist2", 9)
+                    .alias("adc_dist2"), "rn"))
 
 
 def exact_l2_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,

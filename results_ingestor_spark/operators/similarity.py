@@ -22,6 +22,8 @@ partition-pruned scans.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cosine in-JVM, per-query window top-k (rank-limit pushed into the
     sort buffer).  Rounded to 9 decimals for a stable, engine-portable
     ordering."""
+    from results_ingestor_spark.plans import exact
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
@@ -72,7 +75,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                                                F.col(vec_col).alias("cvec"))
     sims = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
             .select("query_id", "cand_id",
-                    F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
+                    exact.snap_double_col(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
@@ -86,6 +89,7 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     """Approximate top-k: prefilter candidates to buckets within
     ``max_hamming`` sign-bit flips of the query's bucket, then exact
     cosine + window top-k on the survivors."""
+    from results_ingestor_spark.plans import exact
     bq = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qvec"),
                         bucket_expr(vec_col, dim).alias("qbucket"))
@@ -100,7 +104,7 @@ def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                        <= max_hamming)))
     sims = cand.select(
         "query_id", "cand_id",
-        F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine"))
+        exact.snap_double_col(cosine_similarity("qvec", "cvec"), 9).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
@@ -127,6 +131,7 @@ def maxsim_topk(tokens: DataFrame, query_tokens: DataFrame, k: int = 10,
     cosines rounded to 9 dp, doc scores to 6 dp, for an engine-portable
     ordering (fold order differs across engines at ~1e-16).
     """
+    from results_ingestor_spark.plans import exact
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     q = query_tokens.select(F.col(doc_col).alias("query_doc"),
                             F.col(tok_col).alias("qtok"),
@@ -136,12 +141,12 @@ def maxsim_topk(tokens: DataFrame, query_tokens: DataFrame, k: int = 10,
     tok_sims = (c.join(F.broadcast(q),
                        F.col("query_doc") != F.col("cand_doc"))
                 .select("query_doc", "cand_doc", "qtok",
-                        F.round(cosine_similarity("qvec", "cvec"), 9)
+                        exact.snap_double_col(cosine_similarity("qvec", "cvec"), 9)
                         .alias("cos")))
     best = (tok_sims.groupBy("query_doc", "cand_doc", "qtok")
             .agg(F.max("cos").alias("best")))
     scores = (best.groupBy("query_doc", "cand_doc")
-              .agg(F.round(F.sum("best"), 6).alias("maxsim")))
+              .agg(exact.snap_double_col(F.sum("best"), 6).alias("maxsim")))
     w = Window.partitionBy("query_doc").orderBy(F.desc("maxsim"),
                                                 F.asc("cand_doc"))
     return (scores.withColumn("rn", F.row_number().over(w))
@@ -300,6 +305,7 @@ def ivf_topk_kmeans(vectors: DataFrame, queries: DataFrame, k: int = 10,
     expression, queries probe their ``nprobe`` nearest centroid lists.
     At scale the assigned table is written partitioned by centroid_id so
     probes are partition-pruned scans."""
+    from results_ingestor_spark.plans import exact
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     cents_list = kmeans_centroids(vectors, n_clusters, n_iter, id_col, vec_col)
     spark = vectors.sparkSession
@@ -324,7 +330,7 @@ def ivf_topk_kmeans(vectors: DataFrame, queries: DataFrame, k: int = 10,
     sims = (cand.join(F.broadcast(probes), "centroid_id")
             .where(F.col("query_id") != F.col("cand_id"))
             .select("query_id", "cand_id",
-                    F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
+                    exact.snap_double_col(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
@@ -356,6 +362,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     written partitioned by centroid_id, so a probe reads nprobe/N of the
     corpus — candidate pruning happens at the storage layer, not the
     scan."""
+    from results_ingestor_spark.plans import exact
     from results_ingestor_spark.sources.tables import ensure_min_parallelism
     cents = label_centroids(vectors, id_col, vec_col, label_col)
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -376,7 +383,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     sims = (cand.join(F.broadcast(probes), "centroid_id")
             .where(F.col("query_id") != F.col("cand_id"))
             .select("query_id", "cand_id",
-                    F.round(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
+                    exact.snap_double_col(cosine_similarity("qvec", "cvec"), 9).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (sims.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
@@ -432,8 +439,10 @@ def mmr_rerank(vectors: DataFrame, queries: DataFrame, k: int = 10,
             chosen.append(best_i)
             remaining.remove(best_i)
             out.append((qid, ids[best_i], len(chosen),
-                        round(float(rel[best_i]), 9),
-                        round(float(best_score), 9)))
+                        _math.floor(float(rel[best_i]) * 1e9 + 0.5)
+                        / 1e9,
+                        _math.floor(float(best_score) * 1e9 + 0.5)
+                        / 1e9))
     spark = vectors.sparkSession
     return spark.createDataFrame(
         out, "query_id long, cand_id long, mmr_rank int, "

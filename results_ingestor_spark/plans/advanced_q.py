@@ -178,8 +178,7 @@ p AS (SELECT e.user_id, min(e.ts) AS first_purchase_after
 SELECT
   (SELECT COUNT(*) FROM s) AS n_signed_up,
   (SELECT COUNT(*) FROM p) AS n_converted,
-  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-        / (SELECT COUNT(*) FROM s), 9) AS conversion_rate,
+  CAST(floor((CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS conversion_rate,
   CAST((SELECT round(avg(epoch_us(p.first_purchase_after)
                          - epoch_us(s.first_signup)) , 0)
         FROM p JOIN s ON p.user_id = s.user_id) AS BIGINT) AS avg_lag_us""")
@@ -206,7 +205,7 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p_agg.crossJoin(s_agg).select(
         "n_signed_up",
         "n_converted",
-        F.round(F.col("n_converted").cast("double") / F.col("n_signed_up"), 9)
+        exact.snap_double_col(F.col("n_converted").cast("double") / F.col("n_signed_up"), 9)
          .alias("conversion_rate"),
         "avg_lag_us")
 
@@ -533,11 +532,9 @@ def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
             1, 1) AS INT) AS digit,
   COUNT(*) AS n,
-  round(CAST(COUNT(*) AS DOUBLE)
-        / (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 1), 9)
+  CAST(floor((CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS observed,
-  round(log10(1.0 + 1.0 / CAST(substr(CAST(CAST(o_totalprice
-        AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT)), 9) AS benford
+  CAST(floor((log10(1.0 + 1.0 / CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS benford
 FROM orders WHERE o_totalprice >= 1
 GROUP BY 1""")
 def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,10 +554,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
             .join(F.broadcast(n_all))
             .select("digit", "n",
-                    F.round(F.col("n").cast("double") / F.col("__n"), 9)
+                    exact.snap_double_col(F.col("n").cast("double") / F.col("__n"), 9)
                     .alias("observed"),
-                    F.round(F.log10(F.lit(1.0)
-                                    + F.lit(1.0) / F.col("digit")), 9)
+                    exact.snap_double_col(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 9)
                     .alias("benford")))
 
 
@@ -613,10 +609,8 @@ SELECT
   (SELECT COUNT(*) FROM s) AS n_signup,
   (SELECT COUNT(*) FROM c) AS n_click_after,
   (SELECT COUNT(*) FROM p) AS n_purchase_after,
-  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-        / (SELECT COUNT(*) FROM s), 9) AS rate_click,
-  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-        / (SELECT COUNT(*) FROM s), 9) AS rate_purchase""")
+  CAST(floor((CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rate_click,
+  CAST(floor((CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM s)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rate_purchase""")
 def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-step ordered funnel (signup → click → purchase, each step
     STRICTLY after the previous step's first occurrence — the chained
@@ -641,10 +635,8 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = p.agg(F.count("*").alias("n_purchase_after"))
     return (ns.crossJoin(nc).crossJoin(np_)
             .select("n_signup", "n_click_after", "n_purchase_after",
-                    F.round(F.col("n_click_after").cast("double")
-                            / F.col("n_signup"), 9).alias("rate_click"),
-                    F.round(F.col("n_purchase_after").cast("double")
-                            / F.col("n_signup"), 9).alias("rate_purchase")))
+                    exact.snap_double_col(F.col("n_click_after").cast("double") / F.col("n_signup"), 9).alias("rate_click"),
+                    exact.snap_double_col(F.col("n_purchase_after").cast("double") / F.col("n_signup"), 9).alias("rate_purchase")))
 
 
 @query("variant_json_typed_extract", oracle="""
@@ -723,8 +715,7 @@ SELECT
   (SELECT CAST(MAX(c) AS BIGINT) FROM lm) AS max_mult_fact,
   (SELECT CAST(MAX(c) AS BIGINT) FROM om) AS max_mult_dim,
   (SELECT CAST(SUM(cl * co) AS BIGINT) FROM j) AS est_join_rows,
-  round(CAST((SELECT SUM(cl * co) FROM j) AS DOUBLE)
-        / (SELECT SUM(c) FROM lm), 9) AS fanout_vs_fact""")
+  CAST(floor((CAST((SELECT SUM(cl * co) FROM j) AS DOUBLE) / (SELECT SUM(c) FROM lm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS fanout_vs_fact""")
 def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join cardinality audit — the guard a pipeline runs BEFORE an
     expensive join to catch key-multiplicity explosions: per-side key
@@ -759,8 +750,7 @@ def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("max_mult_fact").cast("long").alias("max_mult_fact"),
                 F.col("max_mult_dim").cast("long").alias("max_mult_dim"),
                 "est_join_rows",
-                F.round(F.col("est_join_rows").cast("double")
-                        / F.col("tot_fact"), 9).alias("fanout_vs_fact")))
+                exact.snap_double_col(F.col("est_join_rows").cast("double") / F.col("tot_fact"), 9).alias("fanout_vs_fact")))
 
 
 @query("scd2_point_in_time_join", oracle="""
@@ -904,7 +894,7 @@ per_cust AS (
   GROUP BY o_custkey HAVING COUNT(*) >= 4),
 horizon AS (SELECT MAX(d) AS corpus_end FROM o)
 SELECT o_custkey AS custkey, n_orders,
-  round(median_gap_days, 1) AS median_gap_days,
+  CAST(floor((median_gap_days) * 10.0 + 0.5) AS BIGINT) / CAST(10.0 AS DOUBLE) AS median_gap_days,
   last_order,
   CAST(datediff('day', last_order, corpus_end) AS BIGINT)
     AS days_silent,
@@ -939,7 +929,7 @@ def customers_at_risk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     silent = F.datediff("corpus_end", "last_order")
     return (per_cust.crossJoin(F.broadcast(horizon))
             .select(F.col("o_custkey").alias("custkey"), "n_orders",
-                    F.round("median_gap", 1).alias("median_gap_days"),
+                    exact.snap_double_col("median_gap", 1).alias("median_gap_days"),
                     "last_order",
                     silent.cast("long").alias("days_silent"),
                     (silent.cast("double") / F.col("median_gap") > 2.0)
@@ -1104,15 +1094,18 @@ def _als_oracle() -> str:
     for i in range(_ALS_ROUNDS):
         parts.append(f"""
 u{i + 1} AS (
-  SELECT r.c, round(SUM(r.r * v.v) / SUM(v.v * v.v), 9) AS u
+  SELECT r.c, CAST(floor((SUM(r.r * v.v) / SUM(v.v * v.v)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS u
   FROM r JOIN v{i} v USING (p) GROUP BY r.c),
 v{i + 1} AS (
-  SELECT r.p, round(SUM(r.r * u.u) / SUM(u.u * u.u), 9) AS v
+  SELECT r.p, CAST(floor((SUM(r.r * u.u) / SUM(u.u * u.u)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS v
   FROM r JOIN u{i + 1} u USING (c) GROUP BY r.p)""")
     return ("WITH " + ",".join(parts) + f"""
-SELECT p AS partkey, round(v, 6) AS score
+SELECT p AS partkey,
+  CAST(floor((v) * 1000000.0 + 0.5) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS score
 FROM v{_ALS_ROUNDS}
-ORDER BY round(v, 6) DESC, p LIMIT 20""")
+ORDER BY CAST(floor((v) * 1000000.0 + 0.5) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) DESC, p LIMIT 20""")
 
 
 @query("als_rank1_factorization", oracle=_als_oracle())
@@ -1146,16 +1139,14 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_ALS_ROUNDS):
         u = (r.join(v, "p")
              .groupBy("c")
-             .agg(F.round(F.sum(F.col("r") * F.col("v"))
-                          / F.sum(F.col("v") * F.col("v")), 9)
+             .agg(exact.snap_double_col(F.sum(F.col("r") * F.col("v")) / F.sum(F.col("v") * F.col("v")), 9)
                   .alias("u")))
         v = (r.join(u, "c")
              .groupBy("p")
-             .agg(F.round(F.sum(F.col("r") * F.col("u"))
-                          / F.sum(F.col("u") * F.col("u")), 9)
+             .agg(exact.snap_double_col(F.sum(F.col("r") * F.col("u")) / F.sum(F.col("u") * F.col("u")), 9)
                   .alias("v")))
     out = (v.select(F.col("p").alias("partkey"),
-                    F.round("v", 6).alias("score"))
+                    exact.snap_double_col("v", 6).alias("score"))
            .orderBy(F.desc("score"), F.asc("partkey"))
            .limit(20))
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
@@ -1324,8 +1315,8 @@ chi AS (
   FROM c CROSS JOIN tot)
 SELECT nn AS n_rows,
   (SELECT CAST(count_if(n > 0) AS BIGINT) FROM c) AS n_digits_seen,
-  round(chi2, 6) AS chi2,
-  round(chi2, 6) > {_LDU_CRIT_DF9} AS reject_uniform
+  CAST(floor((chi2) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS chi2,
+  CAST(floor((chi2) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) > {_LDU_CRIT_DF9} AS reject_uniform
 FROM chi CROSS JOIN tot""")
 def dq_last_digit_uniformity(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1367,8 +1358,8 @@ def dq_last_digit_uniformity(spark: SparkSession,
                 F.max("n_digits_seen").alias("n_digits_seen")))
     return chi.select(
         "n_rows", "n_digits_seen",
-        F.round("chi2", 6).alias("chi2"),
-        (F.round("chi2", 6) > _LDU_CRIT_DF9).alias("reject_uniform"))
+        exact.snap_double_col("chi2", 6).alias("chi2"),
+        (exact.snap_double_col("chi2", 6) > _LDU_CRIT_DF9).alias("reject_uniform"))
 
 
 @query("dq_id_sequence_gaps", oracle="""
@@ -1390,7 +1381,7 @@ b AS (
     CAST(COUNT(*) AS BIGINT) AS n_ids
   FROM orders)
 SELECT min_id, max_id, n_ids, n_gaps, total_missing, largest_gap,
-  round(CAST(n_ids AS DOUBLE) / (max_id - min_id + 1), 9) AS density
+  CAST(floor((CAST(n_ids AS DOUBLE) / (max_id - min_id + 1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS density
 FROM s CROSS JOIN b""")
 def dq_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID-sequence continuity audit on the order ledger: gaps in the
@@ -1423,6 +1414,5 @@ def dq_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.crossJoin(F.broadcast(b))
             .select("min_id", "max_id", "n_ids", "n_gaps",
                     "total_missing", "largest_gap",
-                    F.round(F.col("n_ids").cast("double")
-                            / (F.col("max_id") - F.col("min_id") + 1), 9)
+                    exact.snap_double_col(F.col("n_ids").cast("double") / (F.col("max_id") - F.col("min_id") + 1), 9)
                     .alias("density")))

@@ -120,8 +120,7 @@ cum AS (
 tot AS (SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM cum)
 SELECT n1 AS n_click, n2 AS n_view,
   (SELECT MAX(abs(cum1 * n2 - cum2 * n1)) FROM cum) AS d_numer,
-  round(CAST((SELECT MAX(abs(cum1 * n2 - cum2 * n1)) FROM cum) AS DOUBLE)
-        / (n1 * n2), 9) AS d_stat
+  CAST(floor((CAST((SELECT MAX(abs(cum1 * n2 - cum2 * n1)) FROM cum) AS DOUBLE) / (n1 * n2)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS d_stat
 FROM tot""")
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between the 'click' and 'view'
@@ -154,8 +153,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("diff").alias("d_numer"))
             .select(F.col("n1").alias("n_click"),
                     F.col("n2").alias("n_view"), "d_numer",
-                    F.round(F.col("d_numer").cast("double")
-                            / (F.col("n1") * F.col("n2")), 9)
+                    exact.snap_double_col(F.col("d_numer").cast("double") / (F.col("n1") * F.col("n2")), 9)
                      .alias("d_stat")))
 
 
@@ -348,7 +346,7 @@ w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
 SELECT w.doc_id, COUNT(*) AS n_words,
   CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
-  round(CAST(SUM(s.n_chr) AS DOUBLE) / CAST(SUM(s.n_sub) AS BIGINT), 6)
+  CAST(floor((CAST(SUM(s.n_chr) AS DOUBLE) / CAST(SUM(s.n_sub) AS BIGINT)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS chars_per_subword
 FROM w JOIN sub s ON s.word = w.word
 WHERE w.word <> ''
@@ -395,7 +393,7 @@ def _semantic_kmeans_oracle(k: int | str = _K_SQRT_N, n_iter: int = 2,
     centroids (normalized first, like assign_centroid_expr; ties →
     lowest cid via ORDER BY dot DESC, cid) followed by an exact
     per-position mean with empty clusters keeping their previous
-    centroid; (3) the final within-cluster pair join with round(cos, 9)
+    centroid; (3) the final within-cluster pair join with CAST(floor((cos) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     >= tau and the keep-first drop rule.  Cross-engine float caveat:
     summation ORDER differs between the engines (~1e-16 relative), so
     an assignment could in principle flip on a near-exact tie; the
@@ -409,13 +407,11 @@ def _semantic_kmeans_oracle(k: int | str = _K_SQRT_N, n_iter: int = 2,
 dropped AS (
   SELECT DISTINCT a.cid, b.vec_id
   FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round((SELECT SUM(xa * xb) FROM
-               (SELECT unnest(a.v) AS xa, unnest(b.v) AS xb))
-              / nullif(a.nrm * b.nrm, 0), 9) >= {tau}),
+  WHERE CAST(floor(((SELECT SUM(xa * xb) FROM (SELECT unnest(a.v) AS xa, unnest(b.v) AS xb)) / nullif(a.nrm * b.nrm, 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) >= {tau}),
 per_cluster AS (SELECT cid, COUNT(*) AS n_vecs FROM fin GROUP BY cid),
 drops AS (SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid)
 SELECT p.cid, p.n_vecs, COALESCE(d.n_dropped, 0) AS n_dropped,
-  round(COALESCE(d.n_dropped, 0) / p.n_vecs, 6) AS drop_rate
+  CAST(floor((COALESCE(d.n_dropped, 0) / p.n_vecs) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS drop_rate
 FROM per_cluster p LEFT JOIN drops d ON d.cid = p.cid""")
     return ",".join(parts)
 
@@ -499,7 +495,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("embedding").alias("vb"))
     dropped = (a.join(b, "cid")
                .where(F.col("id_a") < F.col("id_b"))
-               .where(F.round(cosine_similarity("va", "vb"), 9) >= tau)
+               .where(exact.snap_double_col(cosine_similarity("va", "vb"), 9) >= tau)
                .select("cid", F.col("id_b").alias("vec_id"))
                .distinct())
     per_cluster = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
@@ -507,8 +503,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scope.checkpoint(per_cluster.join(drops, "cid", "left")
             .select("cid", "n_vecs",
                     F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-                    F.round(F.coalesce("n_dropped", F.lit(0))
-                            / F.col("n_vecs"), 6).alias("drop_rate")))
+                    exact.snap_double_col(F.coalesce("n_dropped", F.lit(0)) / F.col("n_vecs"), 6).alias("drop_rate")))
     scope.release_all_except(out)
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return out
@@ -748,11 +743,11 @@ SELECT
   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
   CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
-  round(CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+  CAST(floor((CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS mean_tokens,
   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
   CAST(MAX(n_chars) AS BIGINT) AS max_chars,
   CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
-  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 9)
+  CAST(floor((1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS exact_dup_rate,
   CAST(count_if(len({_TOKS}) >= 50) AS BIGINT) AS n_docs_50plus_tokens
 FROM documents""")
@@ -771,13 +766,12 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
         F.sum(F.size(tk)).cast("long").alias("total_tokens"),
-        F.round(F.sum(F.size(tk)).cast("double") / F.count("*"), 6)
+        exact.snap_double_col(F.sum(F.size(tk)).cast("double") / F.count("*"), 6)
          .alias("mean_tokens"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
         F.countDistinct(F.md5("text")).alias("n_unique_texts"),
-        F.round(F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double")
-                / F.count("*"), 9).alias("exact_dup_rate"),
+        exact.snap_double_col(F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double") / F.count("*"), 9).alias("exact_dup_rate"),
         F.count_if(F.size(tk) >= 50).alias("n_docs_50plus_tokens"))
 
 
@@ -889,15 +883,14 @@ WITH d AS (
 s AS (SELECT * FROM d WHERE u < p),
 est AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
-    round(SUM(n_chars / p), 6) AS est_total_chars
+    CAST(floor((SUM(n_chars / p)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS est_total_chars
   FROM s),
 tru AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(n_chars) AS BIGINT) AS true_total_chars
   FROM d)
 SELECT n_docs, n_sampled, true_total_chars, est_total_chars,
-  round(abs(est_total_chars - true_total_chars)
-        / true_total_chars, 9) AS rel_error
+  CAST(floor((abs(est_total_chars - true_total_chars) / true_total_chars) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rel_error
 FROM est CROSS JOIN tru""")
 def sampling_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from an unequal-probability sample:
@@ -919,16 +912,14 @@ def sampling_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_HT_DRAW_SPARK).cast("long") / 1000000.0).alias("u"))
     s = d.where(F.col("u") < F.col("p"))
     est = s.agg(F.count("*").alias("n_sampled"),
-                F.round(F.sum(F.col("n_chars") / F.col("p")), 6)
+                exact.snap_double_col(F.sum(F.col("n_chars") / F.col("p")), 6)
                 .alias("est_total_chars"))
     tru = d.agg(F.count("*").alias("n_docs"),
                 F.sum("n_chars").cast("long").alias("true_total_chars"))
     return (est.crossJoin(F.broadcast(tru))
             .select("n_docs", "n_sampled", "true_total_chars",
                     "est_total_chars",
-                    F.round(F.abs(F.col("est_total_chars")
-                                  - F.col("true_total_chars"))
-                            / F.col("true_total_chars"), 9)
+                    exact.snap_double_col(F.abs(F.col("est_total_chars") - F.col("true_total_chars")) / F.col("true_total_chars"), 9)
                     .alias("rel_error")))
 
 
@@ -1265,11 +1256,12 @@ SELECT a.rec_id AS id_a, b.rec_id AS id_b,
          CASE WHEN a.middle_name = '' OR b.middle_name = '' THEN '.'
               WHEN a.middle_name = b.middle_name THEN 'M' ELSE 'm' END)
     AS pattern,
-  round(CASE WHEN a.first_name = b.first_name THEN w.wa_f
+  CAST(floor((CASE WHEN a.first_name = b.first_name THEN w.wa_f
              ELSE w.wd_f END
         + CASE WHEN a.middle_name = '' OR b.middle_name = '' THEN 0.0
                WHEN a.middle_name = b.middle_name THEN w.wa_m
-               ELSE w.wd_m END, 6) AS fs_score
+               ELSE w.wd_m END) * 1000000.0 + 0.5) AS BIGINT)
+    / CAST(1000000.0 AS DOUBLE) AS fs_score
 FROM r a JOIN r b
   ON a.last_name = b.last_name AND a.rec_id < b.rec_id
 CROSS JOIN w
@@ -1341,7 +1333,7 @@ def er_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
             .crossJoin(F.broadcast(w))
             .select("id_a", "id_b", pattern.alias("pattern"),
-                    F.round(score, 6).alias("fs_score"))
+                    exact.snap_double_col(score, 6).alias("fs_score"))
             .orderBy(F.desc("fs_score"), "id_a", "id_b").limit(100))
 
 
@@ -1354,7 +1346,7 @@ def _grad_match_oracle() -> str:
     parts = _gd_chain()
     z = " + ".join(f"f.x{j} * w.w{j}" for j in js)
     gv = ", ".join(
-        f"round(avg((p - y) * x{j}), 9) AS g{j}" for j in js)
+        f"CAST(floor((avg((p - y) * x{j})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS g{j}" for j in js)
     dot = " + ".join(f"(s.p - s.y) * s.x{j} * g.g{j}" for j in js)
     return (",\n".join(parts) + f""",
 vp AS (
@@ -1366,7 +1358,7 @@ sp AS (
   SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p
   FROM feat f CROSS JOIN wt{_GD_ITERS} w)
 SELECT s.doc_id, s.source, CAST(s.y AS DOUBLE) AS label,
-  round({dot}, 6) AS influence
+  CAST(floor(({dot}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS influence
 FROM sp s CROSS JOIN gv g
 ORDER BY influence DESC, s.doc_id LIMIT 50""")
 
@@ -1406,15 +1398,14 @@ def data_selection_gradient_match(spark: SparkSession,
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     scored = base.withColumn("p", p)
     gval_row = (scored.where(F.col("doc_id") % 19 == 0)
-                .agg(*[F.round(F.avg((F.col("p") - F.col("y"))
-                                     * F.col(f"x{j}")), 9).alias(f"g{j}")
+                .agg(*[exact.snap_double_col(F.avg((F.col("p") - F.col("y")) * F.col(f"x{j}")), 9).alias(f"g{j}")
                        for j in range(d)])
                 .first())  # d doubles to the driver (bounded contract)
     dot = sum((F.col("p") - F.col("y")) * F.col(f"x{j}")
               * float(gval_row[f"g{j}"]) for j in range(d))
     return (scored.select("doc_id", "source",
                           F.col("y").alias("label"),
-                          F.round(dot, 6).alias("influence"))
+                          exact.snap_double_col(dot, 6).alias("influence"))
             .orderBy(F.desc("influence"), "doc_id").limit(50))
 
 
@@ -1428,11 +1419,9 @@ g AS (SELECT token, CAST(SUM(c) AS BIGINT) AS gt FROM c GROUP BY token),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
 term AS (
   SELECT c.source, c.token, c.c,
-    round(CAST(c.c AS DOUBLE) / s.st, 9) AS p,
-    round(CAST(g.gt AS DOUBLE) / tot.n, 9) AS q,
-    round((CAST(c.c AS DOUBLE) / s.st)
-          * ln((CAST(c.c AS DOUBLE) / s.st)
-               / (CAST(g.gt AS DOUBLE) / tot.n)), 9) AS kl_contrib
+    CAST(floor((CAST(c.c AS DOUBLE) / s.st) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p,
+    CAST(floor((CAST(g.gt AS DOUBLE) / tot.n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS q,
+    CAST(floor(((CAST(c.c AS DOUBLE) / s.st) * ln((CAST(c.c AS DOUBLE) / s.st) / (CAST(g.gt AS DOUBLE) / tot.n))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS kl_contrib
   FROM c JOIN s USING (source) JOIN g USING (token) CROSS JOIN tot),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY source
@@ -1469,9 +1458,9 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(g), "token")
             .join(F.broadcast(tot))
             .select("source", "token", "c",
-                    F.round(p, 9).alias("p"),
-                    F.round(q, 9).alias("q"),
-                    F.round(p * F.log(p / q), 9).alias("kl_contrib")))
+                    exact.snap_double_col(p, 9).alias("p"),
+                    exact.snap_double_col(q, 9).alias("q"),
+                    exact.snap_double_col(p * F.log(p / q), 9).alias("kl_contrib")))
     w = Window.partitionBy("source").orderBy(
         F.desc("kl_contrib"), F.asc("token"))
     return (term.withColumn("rn", F.row_number().over(w))
@@ -1631,7 +1620,7 @@ w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
 SELECT w.doc_id, COUNT(*) AS n_words,
   CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
-  round(CAST(SUM(s.n_chr) AS DOUBLE) / CAST(SUM(s.n_sub) AS BIGINT), 6)
+  CAST(floor((CAST(SUM(s.n_chr) AS DOUBLE) / CAST(SUM(s.n_sub) AS BIGINT)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS chars_per_subword
 FROM w JOIN sub s ON s.word = w.word
 WHERE w.word <> ''

@@ -53,24 +53,24 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("percentile_exact", oracle="""
 SELECT l_returnflag,
-  round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
-  round(quantile_cont(l_extendedprice, 0.9), 9) AS p90_price,
-  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99_price
+  CAST(floor((quantile_cont(l_quantity, 0.5)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS median_qty,
+  CAST(floor((quantile_cont(l_extendedprice, 0.9)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p90_price,
+  CAST(floor((quantile_cont(l_extendedprice, 0.99)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p99_price
 FROM lineitem GROUP BY l_returnflag""")
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``: same linear-interpolation definition)."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (t["lineitem"].groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 9).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 9).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 9).alias("p99_price")))
+        exact.snap_double_col(F.percentile("l_quantity", F.lit(0.5)), 9).alias("median_qty"),
+        exact.snap_double_col(F.percentile("l_extendedprice", F.lit(0.9)), 9).alias("p90_price"),
+        exact.snap_double_col(F.percentile("l_extendedprice", F.lit(0.99)), 9).alias("p99_price")))
 
 
 @query("approx_sketches", oracle="""
 SELECT o_orderstatus,
   COUNT(DISTINCT o_custkey) AS exact_customers,
-  round(quantile_cont(o_totalprice, 0.5), 9) AS exact_median,
+  CAST(floor((quantile_cont(o_totalprice, 0.5)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS exact_median,
   TRUE AS cd_within_bound,
   TRUE AS median_within_bound
 FROM orders GROUP BY o_orderstatus""")
@@ -86,7 +86,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("__acd"),
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("__amed"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
+        exact.snap_double_col(F.percentile("o_totalprice", F.lit(0.5)), 9)
         .alias("exact_median"))
     return agg.select(
         "o_orderstatus", "exact_customers", "exact_median",
@@ -148,8 +148,8 @@ WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS m
   FROM events GROUP BY event_type)
 SELECT e.event_type,
-  round(m, 9) AS median_value,
-  round(quantile_cont(abs(e.value - m), 0.5), 9) AS mad,
+  CAST(floor((m) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS median_value,
+  CAST(floor((quantile_cont(abs(e.value - m), 0.5)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mad,
   COUNT(*) AS n
 FROM events e JOIN med USING (event_type)
 GROUP BY e.event_type, m""")
@@ -165,10 +165,9 @@ def stats_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.percentile("value", F.lit(0.5)).alias("m")))
     return (t["events"].join(F.broadcast(med), "event_type")
             .groupBy("event_type", "m")
-            .agg(F.round(F.percentile(F.abs(F.col("value") - F.col("m")),
-                                      F.lit(0.5)), 9).alias("mad"),
+            .agg(exact.snap_double_col(F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)), 9).alias("mad"),
                  F.count("*").alias("n"))
-            .select("event_type", F.round("m", 9).alias("median_value"),
+            .select("event_type", exact.snap_double_col("m", 9).alias("median_value"),
                     "mad", "n"))
 
 
@@ -178,8 +177,8 @@ WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
 SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)), 9)
             AS INT) AS bin,
   COUNT(*) AS n,
-  round(MIN(o_totalprice), 9) AS bin_min,
-  round(MAX(o_totalprice), 9) AS bin_max
+  CAST(floor((MIN(o_totalprice)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS bin_min,
+  CAST(floor((MAX(o_totalprice)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS bin_max
 FROM orders, b
 GROUP BY 1""")
 def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,14 +196,14 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t["orders"].join(F.broadcast(b))
             .groupBy(bin_.alias("bin"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.min("o_totalprice"), 9).alias("bin_min"),
-                 F.round(F.max("o_totalprice"), 9).alias("bin_max")))
+                 exact.snap_double_col(F.min("o_totalprice"), 9).alias("bin_min"),
+                 exact.snap_double_col(F.max("o_totalprice"), 9).alias("bin_max")))
 
 
 @query("sketch_merge_shards", oracle="""
 SELECT CAST(8 AS BIGINT) AS n_shards,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-  round(quantile_cont(value, 0.5), 9) AS exact_median,
+  CAST(floor((quantile_cont(value, 0.5)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS exact_median,
   TRUE AS users_within_bound,
   TRUE AS median_within_band
 FROM events""")
@@ -232,12 +231,14 @@ def sketch_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("__hll"),
         F.kll_sketch_get_quantile_double(
             F.kll_merge_agg_double("ks"), F.lit(0.5)).alias("__kmed"))
-    exact = ev.agg(
+    # local named `truth` so the module-level plans.exact helper
+    # is not shadowed (r10)
+    truth = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.percentile("value", F.lit(0.5)), 9).alias("exact_median"),
+        exact.snap_double_col(F.percentile("value", F.lit(0.5)), 9).alias("exact_median"),
         F.percentile("value", F.lit(0.45)).alias("__p45"),
         F.percentile("value", F.lit(0.55)).alias("__p55"))
-    return merged.crossJoin(exact).select(
+    return merged.crossJoin(truth).select(
         "n_shards", "exact_users", "exact_median",
         (F.abs(F.col("__hll") - F.col("exact_users"))
          <= F.lit(0.05) * F.col("exact_users")).alias("users_within_bound"),
@@ -432,12 +433,9 @@ ex AS (
 kth AS (
   SELECT event_type, nd, h AS hk FROM r WHERE rn = {_KMV_K})
 SELECT ex.event_type, ex.n_exact,
-  round(CASE WHEN kth.event_type IS NULL THEN CAST(ex.n_exact AS DOUBLE)
-        ELSE ({_KMV_K} - 1) * CAST({_2POW60} AS DOUBLE) / kth.hk END, 6)
+  CAST(floor((CASE WHEN kth.event_type IS NULL THEN CAST(ex.n_exact AS DOUBLE) ELSE ({_KMV_K} - 1) * CAST({_2POW60} AS DOUBLE) / kth.hk END) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS kmv_est,
-  round(abs(CASE WHEN kth.event_type IS NULL THEN CAST(ex.n_exact AS DOUBLE)
-            ELSE ({_KMV_K} - 1) * CAST({_2POW60} AS DOUBLE) / kth.hk END
-            - ex.n_exact) / ex.n_exact, 6) AS rel_err
+  CAST(floor((abs(CASE WHEN kth.event_type IS NULL THEN CAST(ex.n_exact AS DOUBLE) ELSE ({_KMV_K} - 1) * CAST({_2POW60} AS DOUBLE) / kth.hk END - ex.n_exact) / ex.n_exact) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS rel_err
 FROM ex LEFT JOIN kth USING (event_type)
 ORDER BY ex.event_type""")
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,9 +471,8 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((_KMV_K - 1) * F.lit(float(_2POW60)) / F.col("hk"))
     return (ex.join(F.broadcast(kth), "event_type", "left")
             .select("event_type", "n_exact",
-                    F.round(est, 6).alias("kmv_est"),
-                    F.round(F.abs(est - F.col("n_exact"))
-                            / F.col("n_exact"), 6).alias("rel_err"))
+                    exact.snap_double_col(est, 6).alias("kmv_est"),
+                    exact.snap_double_col(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"))
             .orderBy("event_type"))
 
 
@@ -502,7 +499,7 @@ ex AS (
   FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
         GROUP BY user_id))
 SELECT n_rows, exact_f2, ams_f2,
-  round(abs(CAST(ams_f2 AS DOUBLE) - exact_f2) / exact_f2, 6)
+  CAST(floor((abs(CAST(ams_f2 AS DOUBLE) - exact_f2) / exact_f2) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS rel_error
 FROM ex CROSS JOIN med"""
 
@@ -546,6 +543,4 @@ def sketch_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum("c").cast("long").alias("n_rows")))
     return (ex.crossJoin(F.broadcast(med))
             .select("n_rows", "exact_f2", "ams_f2",
-                    F.round(F.abs(F.col("ams_f2").cast("double")
-                                  - F.col("exact_f2"))
-                            / F.col("exact_f2"), 6).alias("rel_error")))
+                    exact.snap_double_col(F.abs(F.col("ams_f2").cast("double") - F.col("exact_f2")) / F.col("exact_f2"), 6).alias("rel_error")))

@@ -123,8 +123,8 @@ c3 AS (SELECT sym.v AS u, SUM(r2.r / deg.d) AS c
        GROUP BY sym.v),
 r3 AS (SELECT u, CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) * c AS r
        FROM c3, nn)
-SELECT u AS part, round(r, 12) AS rank
-FROM r3 ORDER BY round(r, 12) DESC, u LIMIT 20""")
+SELECT u AS part, CAST(floor((r) * 1000000000000.0 + 0.5) AS BIGINT) / CAST(1000000000000.0 AS DOUBLE) AS rank
+FROM r3 ORDER BY CAST(floor((r) * 1000000000000.0 + 0.5) AS BIGINT) / CAST(1000000000000.0 AS DOUBLE) DESC, u LIMIT 20""")
 def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three synchronous PageRank iterations (d=0.85) on the
     co-purchase graph; top-20 parts by rank.  The oracle unrolls the
@@ -135,7 +135,7 @@ def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     ranks = pagerank(copurchase_edges(li), iterations=3, damping=0.85)
     return (ranks.select(F.col("u").alias("part"),
-                         F.round("r", 12).alias("rank"))
+                         exact.snap_double_col("r", 12).alias("rank"))
             .orderBy(F.desc("rank"), F.asc("part"))
             .limit(20))
 
@@ -355,9 +355,7 @@ s AS (
     CAST(SUM(y * y) AS BIGINT) AS syy
   FROM ends)
 SELECT m AS n_edge_ends,
-  round(CAST(m * sxy - sx * sy AS DOUBLE)
-        / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
-               * CAST(m * syy - sy * sy AS DOUBLE)), 9)
+  CAST(floor((CAST(m * sxy - sx * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS assortativity
 FROM s""")
 def graph_degree_assortativity(spark: SparkSession,
@@ -401,7 +399,7 @@ def graph_degree_assortativity(spark: SparkSession,
                  * (F.col("m") * F.col("syy")
                     - F.col("sy") * F.col("sy")).cast("double"))
     return s.select(F.col("m").alias("n_edge_ends"),
-                    F.round(num / den, 9).alias("assortativity"))
+                    exact.snap_double_col(num / den, 9).alias("assortativity"))
 
 
 @query("graph_adamic_adar_topk", oracle=f"""
@@ -411,7 +409,7 @@ deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
 wedge AS (
   SELECT s1.v AS a, s2.v AS b,
     CAST(COUNT(*) AS BIGINT) AS cn,
-    round(SUM(CAST(1 AS DOUBLE) / ln(deg.d)), 9) AS aa
+    CAST(floor((SUM(CAST(1 AS DOUBLE) / ln(deg.d))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS aa
   FROM sym s1
   JOIN deg ON deg.u = s1.u AND deg.d >= 2
   JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
@@ -446,7 +444,7 @@ def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("a") < F.col("b"))
              .groupBy("a", "b")
              .agg(F.count("*").alias("cn"),
-                  F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 9)
+                  exact.snap_double_col(F.sum(F.lit(1.0) / F.log(F.col("d"))), 9)
                   .alias("aa")))
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     return (wedge.join(adj, ["a", "b"], "left_anti")
@@ -535,7 +533,7 @@ tri AS (
   GROUP BY node)
 SELECT deg.u AS node, deg.d AS degree,
   CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
-  round(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1.0)), 9) AS lcc
+  CAST(floor((2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1.0))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS lcc
 FROM deg LEFT JOIN tri ON deg.u = tri.node
 WHERE deg.d >= 2
 ORDER BY lcc DESC, degree DESC, node LIMIT 100""")
@@ -575,7 +573,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "degree",
                     F.coalesce(F.col("t"), F.lit(0)).cast("long")
                     .alias("n_triangles"),
-                    F.round(lcc, 9).alias("lcc"))
+                    exact.snap_double_col(lcc, 9).alias("lcc"))
             .orderBy(F.desc("lcc"), F.desc("degree"), F.asc("node"))
             .limit(100))
 
@@ -590,7 +588,7 @@ wedge AS (
   GROUP BY 1, 2),
 j AS (
   SELECT a, b, cn,
-    round(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 9) AS jaccard
+    CAST(floor((CAST(cn AS DOUBLE) / (da.d + db.d - cn)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS jaccard
   FROM wedge JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
 SELECT a, b, cn, jaccard FROM j
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
@@ -627,8 +625,7 @@ def graph_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("d").alias("db")))
     jac = (wedge.join(da, "a").join(db, "b")
            .select("a", "b", "cn",
-                   F.round(F.col("cn").cast("double")
-                           / (F.col("da") + F.col("db") - F.col("cn")), 9)
+                   exact.snap_double_col(F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")), 9)
                    .alias("jaccard")))
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     return (jac.join(adj, ["a", "b"], "left_anti")
@@ -651,11 +648,11 @@ hm AS (SELECT MAX(s) AS m FROM h2),
 am AS (SELECT MAX(s) AS m FROM a2),
 hubs AS (
   SELECT 'hub' AS side, c AS node, s AS score,
-    round(CAST(s AS DOUBLE) / hm.m, 9) AS norm_score
+    CAST(floor((CAST(s AS DOUBLE) / hm.m) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS norm_score
   FROM h2 CROSS JOIN hm ORDER BY s DESC, c LIMIT 20),
 auths AS (
   SELECT 'authority' AS side, p AS node, s AS score,
-    round(CAST(s AS DOUBLE) / am.m, 9) AS norm_score
+    CAST(floor((CAST(s AS DOUBLE) / am.m) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS norm_score
   FROM a2 CROSS JOIN am ORDER BY s DESC, p LIMIT 20)
 SELECT * FROM hubs UNION ALL SELECT * FROM auths""")
 def graph_hits_bipartite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,7 +692,7 @@ def graph_hits_bipartite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(side).alias("side"),
                         F.col(key).alias("node"),
                         F.col("s").alias("score"),
-                        F.round(F.col("s").cast("double") / F.col("m"), 9)
+                        exact.snap_double_col(F.col("s").cast("double") / F.col("m"), 9)
                         .alias("norm_score")))
 
     return top(h2, "c", "hub").unionAll(top(a2, "p", "authority"))
@@ -816,8 +813,7 @@ t AS (
   FROM e e1 JOIN e e2 ON e1.v = e2.u
             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
 SELECT n_wedges, n_triangles,
-  round(CASE WHEN n_wedges > 0
-        THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 9)
+  CAST(floor((CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS transitivity
 FROM w CROSS JOIN t""")
 def graph_global_transitivity(spark: SparkSession,
@@ -846,10 +842,7 @@ def graph_global_transitivity(spark: SparkSession,
         F.col("n_triangles").cast("long").alias("n_triangles"))
     return (w.crossJoin(F.broadcast(t))
             .select("n_wedges", "n_triangles",
-                    F.round(F.when(F.col("n_wedges") > 0,
-                                   3.0 * F.col("n_triangles")
-                                   / F.col("n_wedges"))
-                            .otherwise(F.lit(0.0)), 9)
+                    exact.snap_double_col(F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")) .otherwise(F.lit(0.0)), 9)
                     .alias("transitivity")))
 
 
@@ -872,7 +865,7 @@ ek AS (
   FROM ed CROSS JOIN ks GROUP BY k)
 SELECT CAST(nk.k AS BIGINT) AS k, n_nodes, n_edges,
   CASE WHEN n_nodes >= 2 THEN
-    round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 9)
+    CAST(floor((2.0 * n_edges / (n_nodes * (n_nodes - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
   ELSE NULL END AS phi
 FROM nk JOIN ek USING (k) ORDER BY k""")
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,9 +903,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("k").cast("long").alias("k"), "n_nodes",
                     "n_edges",
                     F.when(F.col("n_nodes") >= 2,
-                           F.round(2.0 * F.col("n_edges")
-                                   / (F.col("n_nodes")
-                                      * (F.col("n_nodes") - 1)), 9))
+                           exact.snap_double_col(2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 9))
                     .alias("phi"))
             .orderBy("k"))
 
@@ -1028,8 +1019,7 @@ c AS (
 SELECT n_before, n_after, n_stable,
   n_before - n_stable AS n_lost,
   n_after - n_stable AS n_new,
-  round(CAST(n_stable AS DOUBLE)
-        / (n_before + n_after - n_stable), 9) AS edge_jaccard
+  CAST(floor((CAST(n_stable AS DOUBLE) / (n_before + n_after - n_stable)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS edge_jaccard
 FROM c""")
 def graph_edge_churn_halves(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1079,5 +1069,5 @@ def graph_edge_churn_halves(spark: SparkSession,
     return c.select(
         "n_before", "n_after", "n_stable",
         (nb - nst).alias("n_lost"), (na - nst).alias("n_new"),
-        F.round(nst.cast("double") / (nb + na - nst), 9)
+        exact.snap_double_col(nst.cast("double") / (nb + na - nst), 9)
          .alias("edge_jaccard"))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.multimodal import (
     CHUNK_SIZE, FRAME_STRIDE, decode_features, sample_frames)
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -49,9 +50,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_chunk_energy", oracle=f"""
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-  round(list_sum([ord(substr(text, CAST(i * {CHUNK_SIZE} + j AS INT), 1))
-                  for j in range(1, {CHUNK_SIZE + 1})])
-        / {CHUNK_SIZE}.0, 6) AS energy
+  CAST(floor((list_sum([ord(substr(text, CAST(i * {CHUNK_SIZE} + j AS INT), 1)) for j in range(1, {CHUNK_SIZE + 1})]) / {CHUNK_SIZE}.0) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS energy
 FROM (SELECT doc_id, text, unnest(range(strlen(text) // {CHUNK_SIZE})) AS i
       FROM documents WHERE doc_id < 100)""")
 def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,11 +300,11 @@ s AS (
   FROM k GROUP BY bucket),
 tot AS (SELECT CAST(SUM(n_images) AS BIGINT) AS n FROM s)
 SELECT bucket, n_images,
-  round(CAST(n_images AS DOUBLE) / n, 9) AS share,
+  CAST(floor((CAST(n_images AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS share,
   total_pixels,
-  round(1.0 - CAST(kept_square AS DOUBLE) / total_pixels, 9)
+  CAST(floor((1.0 - CAST(kept_square AS DOUBLE) / total_pixels) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS square_crop_loss,
-  round(1.0 - CAST(kept_bucket AS DOUBLE) / total_pixels, 9)
+  CAST(floor((1.0 - CAST(kept_bucket AS DOUBLE) / total_pixels) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS bucket_crop_loss
 FROM s CROSS JOIN tot ORDER BY bucket""")
 def multimodal_aspect_bucketing(spark: SparkSession,
@@ -347,14 +346,11 @@ def multimodal_aspect_bucketing(spark: SparkSession,
     tot = s.agg(F.sum("n_images").cast("long").alias("n"))
     return (s.crossJoin(F.broadcast(tot))
             .select("bucket", "n_images",
-                    F.round(F.col("n_images").cast("double")
-                            / F.col("n"), 9).alias("share"),
+                    exact.snap_double_col(F.col("n_images").cast("double") / F.col("n"), 9).alias("share"),
                     "total_pixels",
-                    F.round(1.0 - F.col("kept_square").cast("double")
-                            / F.col("total_pixels"), 9)
+                    exact.snap_double_col(1.0 - F.col("kept_square").cast("double") / F.col("total_pixels"), 9)
                     .alias("square_crop_loss"),
-                    F.round(1.0 - F.col("kept_bucket").cast("double")
-                            / F.col("total_pixels"), 9)
+                    exact.snap_double_col(1.0 - F.col("kept_bucket").cast("double") / F.col("total_pixels"), 9)
                     .alias("bucket_crop_loss"))
             .orderBy("bucket"))
 
@@ -362,14 +358,12 @@ def multimodal_aspect_bucketing(spark: SparkSession,
 @query("multimodal_vad_segments", oracle=f"""
 WITH ch AS (
   SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-    round(list_sum([ord(substr(text, CAST(i * {CHUNK_SIZE} + j AS INT), 1))
-                    for j in range(1, {CHUNK_SIZE + 1})])
-          / {CHUNK_SIZE}.0, 6) AS energy
+    CAST(floor((list_sum([ord(substr(text, CAST(i * {CHUNK_SIZE} + j AS INT), 1)) for j in range(1, {CHUNK_SIZE + 1})]) / {CHUNK_SIZE}.0) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS energy
   FROM (SELECT doc_id, text,
           unnest(range(strlen(text) // {CHUNK_SIZE})) AS i
         FROM documents WHERE doc_id < 100)),
 thr AS (
-  SELECT doc_id, round(AVG(energy), 6) AS thr FROM ch GROUP BY doc_id),
+  SELECT doc_id, CAST(floor((AVG(energy)) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS thr FROM ch GROUP BY doc_id),
 v AS (
   SELECT ch.doc_id, chunk_idx,
     chunk_idx - row_number()
@@ -406,7 +400,7 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.operators.multimodal import chunk_energy
     t = load_tables(spark, sf_dir, ("documents",))
     ch = chunk_energy(t["documents"].where(F.col("doc_id") < 100))
-    thr = ch.groupBy("doc_id").agg(F.round(F.avg("energy"), 6)
+    thr = ch.groupBy("doc_id").agg(exact.snap_double_col(F.avg("energy"), 6)
                                    .alias("thr"))
     w = Window.partitionBy("doc_id").orderBy("chunk_idx")
     v = (ch.join(thr, "doc_id")

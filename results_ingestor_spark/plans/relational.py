@@ -406,7 +406,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("math_functions", oracle="""
 SELECT o_orderkey,
   abs(o_totalprice - 100000) AS abs_diff,
-  round(o_totalprice, 1) AS rounded,
+  CAST(floor((o_totalprice) * 10.0 + 0.5) AS BIGINT) / CAST(10.0 AS DOUBLE) AS rounded,
   floor(o_totalprice) AS floored,
   ceil(o_totalprice) AS ceiled,
   CAST(floor(sqrt(o_totalprice) * 100000000.0 + 0.5) AS BIGINT)
@@ -421,14 +421,14 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].select(
         "o_orderkey",
         F.abs(p - 100000).alias("abs_diff"),
-        F.round(p, 1).alias("rounded"),
+        exact.snap_double_col(p, 1).alias("rounded"),
         # Spark floor/ceil return LONG and signum DOUBLE; DuckDB returns
         # DOUBLE/DOUBLE/TINYINT — cast both sides to one wire type so the
         # driver's value-hash (which distinguishes types) agrees.
         F.floor(p).cast("double").alias("floored"),
         F.ceil(p).cast("double").alias("ceiled"),
         # r9 draw-4 sf0.1 lottery finding (1 row in 150,000): the
-        # former round(sqrt(p), 8) hit a .5-boundary straddle on an
+        # former CAST(floor((sqrt(p)) * 100000000.0 + 0.5) AS BIGINT) / CAST(100000000.0 AS DOUBLE) hit a .5-boundary straddle on an
         # off-grid price (sqrt ~705.568230895: Spark repr-HALF_UP
         # ...089 vs DuckDB binary-scale ...090 — the pinned
         # round() divergence class).  sqrt itself is bit-exact
@@ -515,11 +515,9 @@ WITH m AS (
     SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
   FROM events GROUP BY event_type)
 SELECT event_type, n,
-  round(CAST(s AS DOUBLE) / n, 9) AS mean_value,
-  round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-        / (n - 1), 9) AS var_samp,
-  round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-             / (n - 1)), 9) AS stddev_samp
+  CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_value,
+  CAST(floor(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS var_samp,
+  CAST(floor((sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS stddev_samp
 FROM m""")
 def events_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion statistics with cross-engine determinism: built-in
@@ -536,9 +534,9 @@ def events_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
     var = (qd - sd * sd / F.col("n")) / (F.col("n") - 1)
     return m.select("event_type", "n",
-                    F.round(sd / F.col("n"), 9).alias("mean_value"),
-                    F.round(var, 9).alias("var_samp"),
-                    F.round(F.sqrt(var), 9).alias("stddev_samp"))
+                    exact.snap_double_col(sd / F.col("n"), 9).alias("mean_value"),
+                    exact.snap_double_col(var, 9).alias("var_samp"),
+                    exact.snap_double_col(F.sqrt(var), 9).alias("stddev_samp"))
 
 
 @query("lineitem_price_qty_corr", oracle="""
@@ -583,8 +581,8 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH agg AS (
   SELECT o_orderstatus,
     CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
-    round(max(o_totalprice), 2) AS max_price,
-    round(min(o_totalprice), 2) AS min_price
+    CAST(floor((max(o_totalprice)) * 100.0 + 0.5) AS BIGINT) / CAST(100.0 AS DOUBLE) AS max_price,
+    CAST(floor((min(o_totalprice)) * 100.0 + 0.5) AS BIGINT) / CAST(100.0 AS DOUBLE) AS min_price
   FROM orders GROUP BY o_orderstatus),
 hi AS (
   SELECT o_orderstatus, o_orderkey AS priciest_order FROM (
@@ -613,8 +611,8 @@ def agg_argminmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
         F.max_by("o_orderkey", by).alias("priciest_order"),
         F.min_by("o_orderkey", by).alias("cheapest_order"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price")))
+        exact.snap_double_col(F.max("o_totalprice"), 2).alias("max_price"),
+        exact.snap_double_col(F.min("o_totalprice"), 2).alias("min_price")))
 
 
 @query("pct_of_parent_revenue", oracle=f"""
@@ -627,9 +625,9 @@ WITH rev AS (
   JOIN region ON n_regionkey = r_regionkey
   GROUP BY r_name, n_name)
 SELECT region, nation, revenue,
-  round(revenue / SUM(revenue) OVER (PARTITION BY region), 9)
+  CAST(floor((revenue / SUM(revenue) OVER (PARTITION BY region)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS pct_of_region,
-  round(revenue / SUM(revenue) OVER (), 9) AS pct_of_total
+  CAST(floor((revenue / SUM(revenue) OVER ()) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS pct_of_total
 FROM rev""")
 def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent along the region→nation hierarchy: one
@@ -652,9 +650,9 @@ def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     return rev.select(
         "region", "nation", "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 9)
+        exact.snap_double_col(F.col("revenue") / F.sum("revenue").over(w_region), 9)
         .alias("pct_of_region"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 9)
+        exact.snap_double_col(F.col("revenue") / F.sum("revenue").over(w_all), 9)
         .alias("pct_of_total"))
 
 
@@ -675,15 +673,9 @@ ranked AS (
   FROM cust)
 SELECT segment,
   CAST(MAX(n) AS BIGINT) AS n_customers,
-  round((2.0 * CAST(SUM(i * CAST(rev AS DOUBLE)) AS DOUBLE))
-        / (MAX(n) * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE))
-        - (MAX(n) + 1.0) / MAX(n), 9) AS gini,
-  round(CAST(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS DOUBLE)
-        / (CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)
-           * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)), 9) AS hhi,
-  round(CAST(SUM(CASE WHEN decile = 10 THEN CAST(rev AS DOUBLE)
-                 ELSE 0.0 END) AS DOUBLE)
-        / CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE), 9)
+  CAST(floor(((2.0 * CAST(SUM(i * CAST(rev AS DOUBLE)) AS DOUBLE)) / (MAX(n) * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)) - (MAX(n) + 1.0) / MAX(n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS gini,
+  CAST(floor((CAST(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS DOUBLE) / (CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE) * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS hhi,
+  CAST(floor((CAST(SUM(CASE WHEN decile = 10 THEN CAST(rev AS DOUBLE) ELSE 0.0 END) AS DOUBLE) / CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS top_decile_share
 FROM ranked GROUP BY segment ORDER BY segment""")
 def revenue_concentration_metrics(spark: SparkSession,
@@ -722,9 +714,9 @@ def revenue_concentration_metrics(spark: SparkSession,
         .cast("double") / tot
     return (ranked.groupBy("segment")
             .agg(F.max("n").cast("long").alias("n_customers"),
-                 F.round(gini, 9).alias("gini"),
-                 F.round(hhi, 9).alias("hhi"),
-                 F.round(top, 9).alias("top_decile_share"))
+                 exact.snap_double_col(gini, 9).alias("gini"),
+                 exact.snap_double_col(hhi, 9).alias("hhi"),
+                 exact.snap_double_col(top, 9).alias("top_decile_share"))
             .orderBy("segment"))
 
 
@@ -751,8 +743,7 @@ classed AS (
 SELECT abc,
   CAST(COUNT(*) AS BIGINT) AS n_parts,
   CAST(SUM(rev_e4) AS BIGINT) AS class_revenue_e4,
-  round(CAST(SUM(rev_e4) AS DOUBLE)
-        / (SELECT CAST(t AS DOUBLE) FROM tot), 9) AS revenue_share
+  CAST(floor((CAST(SUM(rev_e4) AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS revenue_share
 FROM classed GROUP BY abc ORDER BY abc""")
 def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) classification of parts by revenue: A carries the
@@ -787,8 +778,7 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("rev_e4").cast("long").alias("class_revenue_e4"))
             .crossJoin(F.broadcast(tot))
             .select("abc", "n_parts", "class_revenue_e4",
-                    F.round(F.col("class_revenue_e4").cast("double")
-                            / F.col("t").cast("double"), 9)
+                    exact.snap_double_col(F.col("class_revenue_e4").cast("double") / F.col("t").cast("double"), 9)
                     .alias("revenue_share"))
             .orderBy("abc"))
 
@@ -804,10 +794,9 @@ WITH per_cust AS (
 SELECT segment,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
   CAST(count_if(n_orders >= 2) AS BIGINT) AS n_repeat,
-  round(CAST(count_if(n_orders >= 2) AS DOUBLE) / COUNT(*), 9)
+  CAST(floor((CAST(count_if(n_orders >= 2) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS repeat_rate,
-  round(CAST(SUM(CASE WHEN n_orders >= 2 THEN rev END) AS DOUBLE)
-        / CAST(SUM(rev) AS DOUBLE), 9) AS repeat_revenue_share
+  CAST(floor((CAST(SUM(CASE WHEN n_orders >= 2 THEN rev END) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS repeat_revenue_share
 FROM per_cust GROUP BY segment ORDER BY segment""")
 def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-customer rate and repeat-revenue share per segment — the
@@ -832,10 +821,9 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_cust.groupBy("segment")
             .agg(F.count("*").alias("n_customers"),
                  F.count_if(rpt).alias("n_repeat"),
-                 F.round(F.count_if(rpt).cast("double") / F.count("*"), 9)
+                 exact.snap_double_col(F.count_if(rpt).cast("double") / F.count("*"), 9)
                  .alias("repeat_rate"),
-                 F.round(F.sum(F.when(rpt, F.col("rev"))).cast("double")
-                         / F.sum("rev").cast("double"), 9)
+                 exact.snap_double_col(F.sum(F.when(rpt, F.col("rev"))).cast("double") / F.sum("rev").cast("double"), 9)
                  .alias("repeat_revenue_share"))
             .orderBy("segment"))
 
@@ -861,7 +849,7 @@ s AS (
   FROM b GROUP BY bucket),
 tot AS (SELECT CAST(SUM(open_value_cents) AS BIGINT) AS t FROM s)
 SELECT bucket, n_orders, open_value_cents,
-  round(CAST(open_value_cents AS DOUBLE) / CAST(t AS DOUBLE), 9)
+  CAST(floor((CAST(open_value_cents AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS value_share
 FROM s CROSS JOIN tot ORDER BY bucket""")
 def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,8 +883,7 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = s.agg(F.sum("open_value_cents").cast("long").alias("t"))
     return (s.crossJoin(F.broadcast(tot))
             .select("bucket", "n_orders", "open_value_cents",
-                    F.round(F.col("open_value_cents").cast("double")
-                            / F.col("t").cast("double"), 9)
+                    exact.snap_double_col(F.col("open_value_cents").cast("double") / F.col("t").cast("double"), 9)
                     .alias("value_share"))
             .orderBy("bucket"))
 
@@ -904,7 +891,7 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("abc_xyz_matrix", oracle="""
 WITH li AS (
   SELECT l.l_partkey AS part,
-    CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+    CAST(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) / CAST(10000.0 AS DOUBLE)
          AS DECIMAL(18,4)) AS rev,
     CAST(date_trunc('week', o.o_orderdate) AS DATE) AS wk,
     CAST(l_quantity AS BIGINT) AS qty
@@ -963,8 +950,7 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"].select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("l_partkey").alias("part"),
-                F.round(F.col("l_extendedprice")
-                        * (1 - F.col("l_discount")), 4)
+                exact.snap_double_col(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
                 .cast("decimal(18,4)").alias("rev"),
                 F.date_trunc("week", "o_orderdate").cast("date")
                 .alias("wk"),

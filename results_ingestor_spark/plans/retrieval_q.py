@@ -40,9 +40,7 @@ _EVAL_K = 10
 WITH n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -61,9 +59,8 @@ j AS (
   JOIN embeddings cl ON cl.vec_id = t.cand_id)
 SELECT query_id, q_label,
   CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
-  round(CAST(SUM(rel) AS DOUBLE) / {_EVAL_K}, 6) AS precision_at_k,
-  round(coalesce(CAST(1 AS DOUBLE)
-                 / MIN(CASE WHEN rel = 1 THEN rn END), 0), 9) AS rr
+  CAST(floor((CAST(SUM(rel) AS DOUBLE) / {_EVAL_K}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS precision_at_k,
+  CAST(floor((coalesce(CAST(1 AS DOUBLE) / MIN(CASE WHEN rel = 1 THEN rn END), 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rr
 FROM j GROUP BY query_id, q_label""")
 def retrieval_eval_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-supervised retrieval evaluation: run exact cosine top-10
@@ -93,12 +90,9 @@ def retrieval_eval_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rel", rel)
             .groupBy("query_id", "q_label")
             .agg(F.sum("rel").cast("long").alias("n_rel_at_k"),
-                 F.round(F.sum("rel").cast("double") / _EVAL_K, 6)
+                 exact.snap_double_col(F.sum("rel").cast("double") / _EVAL_K, 6)
                  .alias("precision_at_k"),
-                 F.round(F.coalesce(
-                     F.lit(1.0) / F.min(F.when(F.col("rel") == 1,
-                                               F.col("rn"))),
-                     F.lit(0.0)), 9).alias("rr")))
+                 exact.snap_double_col(F.coalesce( F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("rn"))), F.lit(0.0)), 9).alias("rr")))
 
 
 _RRF_K = 60      # Cormack et al. constant
@@ -116,11 +110,7 @@ def _bm25_ranked_sql() -> str:
       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
     FROM (
       SELECT tf.doc_id,
-        round(SUM(
-          ln((n - df + 0.5) / (df + 0.5) + 1)
-          * (tf * ({_BM25_K1} + 1))
-          / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
-        ), 6) AS bm25
+        CAST(floor((SUM( ln((n - df + 0.5) / (df + 0.5) + 1) * (tf * ({_BM25_K1} + 1)) / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)) )) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS bm25
       FROM (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
@@ -146,10 +136,7 @@ cs AS (
   SELECT cand_id, rc FROM (
     SELECT c.vec_id AS cand_id,
       row_number() OVER (
-        ORDER BY round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-                        FROM (SELECT unnest(q.embedding) AS xa,
-                                     unnest(c.embedding) AS xb))
-                       / (nq.nrm * nc.nrm), 9) DESC, c.vec_id) AS rc
+        ORDER BY CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) DESC, c.vec_id) AS rc
     FROM embeddings q
     JOIN embeddings c ON q.vec_id <> c.vec_id
     JOIN n nq ON nq.vec_id = q.vec_id
@@ -158,8 +145,7 @@ cs AS (
   WHERE rc <= {_FUSE_DEPTH})
 SELECT coalesce(bm.doc_id, cs.cand_id) AS id,
   CAST(bm.rb AS BIGINT) AS r_bm25, CAST(cs.rc AS BIGINT) AS r_cos,
-  round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + bm.rb), 0)
-        + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + cs.rc), 0), 9) AS rrf
+  CAST(floor((coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + bm.rb), 0) + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + cs.rc), 0)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rrf
 FROM bm FULL JOIN cs ON bm.doc_id = cs.cand_id
 ORDER BY rrf DESC, id LIMIT 10""")
 def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,7 +185,7 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(dl, "doc_id")
               .join(F.broadcast(avgdl))
               .groupBy("doc_id")
-              .agg(F.round(F.sum(term_score), 6).alias("bm25")))
+              .agg(exact.snap_double_col(F.sum(term_score), 6).alias("bm25")))
     # TakeOrderedAndProject bounds the list to 50 rows BEFORE the rank
     # window runs, so the global row_number is k-bounded by construction
     # (the MMR-pool contract), never corpus-sized.
@@ -212,10 +198,7 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = (brute_force_topk(e, e.where(F.col("vec_id") == 0), k=_FUSE_DEPTH)
           .select("cand_id", F.col("rn").cast("long").alias("rc")))
 
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rc")), F.lit(0.0)),
-        9)
+    rrf = exact.snap_double_col(F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rc")), F.lit(0.0)), 9)
     return (bm.join(cs, F.col("doc_id") == F.col("cand_id"), "full_outer")
             .select(F.coalesce("doc_id", "cand_id").alias("id"),
                     F.col("rb").alias("r_bm25"), F.col("rc").alias("r_cos"),
@@ -233,9 +216,7 @@ WITH n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
     (c.label % 2 = 0) AS allowed,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -257,7 +238,7 @@ post AS (
   SELECT query_id, cand_id FROM over_fetch WHERE allowed)
 SELECT p.query_id,
   CAST(COUNT(po.cand_id) AS BIGINT) AS n_postfilter_hits,
-  round(CAST(COUNT(po.cand_id) AS DOUBLE) / {_FILT_K}, 6)
+  CAST(floor((CAST(COUNT(po.cand_id) AS DOUBLE) / {_FILT_K}) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
     AS postfilter_recall
 FROM pre p
 LEFT JOIN post po ON po.query_id = p.query_id AND po.cand_id = p.cand_id
@@ -295,7 +276,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("cand_id") == F.col("hit_id")), "left")
             .groupBy(pre["query_id"].alias("query_id"))
             .agg(F.count("hit_id").alias("n_postfilter_hits"),
-                 F.round(F.count("hit_id").cast("double") / _FILT_K, 6)
+                 exact.snap_double_col(F.count("hit_id").cast("double") / _FILT_K, 6)
                  .alias("postfilter_recall")))
 
 
@@ -314,9 +295,7 @@ _IDCG_CASE = ("CASE least(n_label_rel, 10) " + " ".join(
 WITH n AS ({_NORM_SQL}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-    round((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
-           FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb))
-          / (nq.nrm * nc.nrm), 9) AS cosine
+    CAST(floor(((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS xa, unnest(c.embedding) AS xb)) / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cosine
   FROM embeddings q
   JOIN embeddings c ON q.vec_id <> c.vec_id
   JOIN n nq ON nq.vec_id = q.vec_id
@@ -344,7 +323,7 @@ lc AS (
     CAST(COUNT(*) - 1 AS BIGINT) AS n_label_rel
   FROM embeddings GROUP BY label)
 SELECT query_id, q_label, nrel AS n_rel_at_k,
-  round(dcg / {_IDCG_CASE}, 9) AS ndcg_at_k
+  CAST(floor((dcg / {_IDCG_CASE}) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ndcg_at_k
 FROM f JOIN lc USING (q_label) WHERE rn = {_EVAL_K}""")
 def search_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 for the label-supervised retrieval setup — the
@@ -386,7 +365,7 @@ def search_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(lc), "q_label")
             .select("query_id", "q_label",
                     F.col("nrel").alias("n_rel_at_k"),
-                    F.round(F.col("dcg") / F.expr(_IDCG_CASE), 9)
+                    exact.snap_double_col(F.col("dcg") / F.expr(_IDCG_CASE), 9)
                     .alias("ndcg_at_k")))
 
 
@@ -483,9 +462,7 @@ fterm AS (
     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_fb_docs
   FROM ftok GROUP BY term)
 SELECT term, fb_tf, n_fb_docs,
-  round((1 - {_RM3_LAMBDA}) * (CAST(fb_tf AS DOUBLE) / ft)
-        + CASE WHEN term IN ('join', 'scan', 'merge')
-               THEN {_RM3_LAMBDA} / 3 ELSE 0 END, 9) AS rm3_weight
+  CAST(floor(((1 - {_RM3_LAMBDA}) * (CAST(fb_tf AS DOUBLE) / ft) + CASE WHEN term IN ('join', 'scan', 'merge') THEN {_RM3_LAMBDA} / 3 ELSE 0 END) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS rm3_weight
 FROM fterm CROSS JOIN tot
 ORDER BY rm3_weight DESC, term LIMIT {_RM3_TERMS}""")
 def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +500,7 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(dl, "doc_id")
           .join(F.broadcast(avgdl))
           .groupBy("doc_id")
-          .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+          .agg(exact.snap_double_col(F.sum(term_score), 6).alias("bm25"))
           .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RM3_FB_DOCS)
           .select("doc_id"))
     ftok = (docs.join(F.broadcast(fb), "doc_id")
@@ -532,10 +509,7 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fterm = ftok.groupBy("term").agg(
         F.count("*").cast("long").alias("fb_tf"),
         F.countDistinct("doc_id").cast("long").alias("n_fb_docs"))
-    weight = F.round(
-        (1 - _RM3_LAMBDA) * (F.col("fb_tf").cast("double") / F.col("ft"))
-        + F.when(F.col("term").isin(*_BM25_TERMS),
-                 F.lit(_RM3_LAMBDA / 3)).otherwise(0.0), 9)
+    weight = exact.snap_double_col((1 - _RM3_LAMBDA) * (F.col("fb_tf").cast("double") / F.col("ft")) + F.when(F.col("term").isin(*_BM25_TERMS), F.lit(_RM3_LAMBDA / 3)).otherwise(0.0), 9)
     return (fterm.crossJoin(F.broadcast(tot))
             .select("term", "fb_tf", "n_fb_docs",
                     weight.alias("rm3_weight"))

@@ -729,13 +729,15 @@ q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
 pool AS (
   SELECT query_id, cand_id, cosine FROM (
     SELECT q.query_id, c.vec_id AS cand_id,
-      round((SELECT SUM(xa * xb) FROM
+      CAST(floor(((SELECT SUM(xa * xb) FROM
              (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
-            / nullif(q.qn * c.nrm, 0), 9) AS cosine,
+            / nullif(q.qn * c.nrm, 0)) * 1000000000.0 + 0.5) AS BIGINT)
+        / CAST(1000000000.0 AS DOUBLE) AS cosine,
       row_number() OVER (PARTITION BY q.query_id ORDER BY
-        round((SELECT SUM(xa * xb) FROM
+        CAST(floor(((SELECT SUM(xa * xb) FROM
                (SELECT unnest(q.qv) AS xa, unnest(c.v) AS xb))
-              / nullif(q.qn * c.nrm, 0), 9) DESC, c.vec_id) AS rn
+              / nullif(q.qn * c.nrm, 0)) * 1000000000.0 + 0.5) AS BIGINT)
+          / CAST(1000000000.0 AS DOUBLE) DESC, c.vec_id) AS rn
     FROM q JOIN vn c ON c.vec_id <> q.query_id) WHERE rn <= {pool}),
 pv AS MATERIALIZED (
   SELECT p.query_id, p.cand_id, p.cosine, c.v, c.nrm
@@ -777,7 +779,7 @@ acc{i} AS MATERIALIZED (
   FROM sel{i})""")
     parts.append(f"""
 SELECT query_id, cand_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
-  cosine, round(score, 9) AS mmr_score
+  cosine, CAST(floor((score) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mmr_score
 FROM acc{k}""")
     return "".join(parts)
 

@@ -23,6 +23,7 @@ from results_ingestor_spark.operators.spatial import (
     radius_pairs,
     synth_points,
 )
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
@@ -253,10 +254,7 @@ geo AS (
 probes AS (SELECT * FROM geo WHERE point_id % 997 = 0),
 cand AS (
   SELECT pr.point_id AS probe_id, g.point_id AS cand_id,
-    round(2.0 * 6371.0088 * asin(sqrt(
-      pow(sin(radians(g.lat - pr.lat) / 2.0), 2.0)
-      + cos(radians(pr.lat)) * cos(radians(g.lat))
-        * pow(sin(radians(g.lon - pr.lon) / 2.0), 2.0))), 6) AS dist_km
+    CAST(floor((2.0 * 6371.0088 * asin(sqrt( pow(sin(radians(g.lat - pr.lat) / 2.0), 2.0) + cos(radians(pr.lat)) * cos(radians(g.lat)) * pow(sin(radians(g.lon - pr.lon) / 2.0), 2.0)))) * 1000000.0 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS dist_km
   FROM probes pr
   JOIN geo g ON g.clat BETWEEN pr.clat - 1 AND pr.clat + 1
             AND g.clon BETWEEN pr.clon - 1 AND pr.clon + 1
@@ -308,7 +306,7 @@ def spatial_haversine_nearest(spark: SparkSession,
     cand = (F.broadcast(cells).join(geo, ["clat", "clon"])
             .where(F.col("point_id") != F.col("probe_id"))
             .select("probe_id", F.col("point_id").alias("cand_id"),
-                    F.round(hav, 6).alias("dist_km")))
+                    exact.snap_double_col(hav, 6).alias("dist_km")))
     w = Window.partitionBy("probe_id").orderBy("dist_km", "cand_id")
     return (cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
@@ -352,7 +350,7 @@ roles AS (
   LEFT JOIN border b ON b.point_id = n.point_id)
 SELECT role, CAST(COUNT(*) AS BIGINT) AS n_points,
   CAST(MAX(nsize) AS BIGINT) AS max_neighborhood,
-  round(CAST(SUM(nsize) AS DOUBLE) / COUNT(*), 9) AS avg_neighborhood
+  CAST(floor((CAST(SUM(nsize) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS avg_neighborhood
 FROM roles GROUP BY role ORDER BY role""")
 def spatial_dbscan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN point-role census (eps = 250, minPts = 5): core points
@@ -393,6 +391,6 @@ def spatial_dbscan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (roles.groupBy("role")
             .agg(F.count("*").cast("long").alias("n_points"),
                  F.max("nsize").cast("long").alias("max_neighborhood"),
-                 F.round(F.sum("nsize").cast("double") / F.count("*"), 9)
+                 exact.snap_double_col(F.sum("nsize").cast("double") / F.count("*"), 9)
                  .alias("avg_neighborhood"))
             .orderBy("role"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.streaming.events import (
     read_events_stream, run_to_memory, session_counts, windowed_counts)
@@ -194,7 +195,7 @@ cur AS (
 bs AS (SELECT bin, (n + 1) / (bt + bc) AS base_share
        FROM base CROSS JOIN btot)
 SELECT window_start,
-  round(SUM((share - base_share) * ln(share / base_share)), 9) AS psi
+  CAST(floor((SUM((share - base_share) * ln(share / base_share))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS psi
 FROM cur JOIN bs USING (bin)
 GROUP BY window_start""")
 def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -890,7 +890,7 @@ WITH m AS (
 SELECT s_name, n_name,
   CAST(rev AS DOUBLE) / 10000.0 AS revenue,
   CAST(n_parts AS BIGINT) AS n_parts,
-  round(CAST(n_late AS DOUBLE) / n_lines, 9) AS late_rate,
+  CAST(floor((CAST(n_late AS DOUBLE) / n_lines) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS late_rate,
   CAST(rank() OVER (ORDER BY rev DESC, s_name) AS INT) AS revenue_rank
 FROM m
 JOIN supplier ON s_suppkey = l_suppkey
@@ -931,7 +931,6 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("rev").cast("double") / 10000.0)
                     .alias("revenue"),
                     F.col("n_parts").cast("long").alias("n_parts"),
-                    F.round(F.col("n_late").cast("double")
-                            / F.col("n_lines"), 9).alias("late_rate"),
+                    exact.snap_double_col(F.col("n_late").cast("double") / F.col("n_lines"), 9).alias("late_rate"),
                     "revenue_rank")
             .orderBy("revenue_rank"))

@@ -178,8 +178,8 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("window_distribution_funcs", oracle="""
 SELECT c_custkey, c_mktsegment,
-  round(percent_rank() OVER w, 9) AS pr,
-  round(cume_dist() OVER w, 9) AS cd,
+  CAST(floor((percent_rank() OVER w) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS pr,
+  CAST(floor((cume_dist() OVER w) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS cd,
   CAST(ntile(10) OVER w AS INTEGER) AS decile
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""")
@@ -192,8 +192,8 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return t["customer"].select(
         "c_custkey", "c_mktsegment",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        exact.snap_double_col(F.percent_rank().over(w), 9).alias("pr"),
+        exact.snap_double_col(F.cume_dist().over(w), 9).alias("cd"),
         F.ntile(10).over(w).alias("decile"))
 
 
