@@ -6,7 +6,10 @@ Cross-engine determinism follows the house rules (see
 ``relational.py:events_value_dispersion``): every sum that feeds a
 float result is accumulated as an exact DECIMAL moment, doubles enter
 only in one fixed-order final expression, and float outputs are
-``round(x, 9)``.  Timestamp arithmetic is integer microseconds
+snapped to the 9-dp grid with the shared ``exact.snap_double``
+floor-snap (round() itself diverges cross-engine at .5 straddles and
+negative zero — r10 migration).  Timestamp arithmetic is integer
+microseconds
 (``unix_micros`` / ``epoch_us``) so no engine-specific interval types
 appear on the wire.
 """
