@@ -920,7 +920,7 @@ def distinct_users_cumulative_hll(spark: SparkSession,
                  .groupBy("d").agg(F.count("*").alias("n_new")))
     days = ev.select("d").distinct()
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    exact = (days.join(first_day, "d", "left")
+    truth = (days.join(first_day, "d", "left")
              .select("d", F.sum(F.coalesce("n_new", F.lit(0))).over(w)
                      .cast("long").alias("exact_cum_users")))
     daily_sk = (ev.groupBy("d")
@@ -928,7 +928,7 @@ def distinct_users_cumulative_hll(spark: SparkSession,
     cum_est = (daily_sk
                .select("d", F.hll_sketch_estimate(
                    F.hll_union_agg("sk").over(w)).alias("est")))
-    joined = exact.join(cum_est, "d")
+    joined = truth.join(cum_est, "d")
     ok = (F.abs(F.col("est") - F.col("exact_cum_users"))
           <= 0.05 * F.col("exact_cum_users"))
     return (joined

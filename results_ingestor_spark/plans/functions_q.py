@@ -287,7 +287,7 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_difference("sc", "sp")).alias("__d"))
     c = ev.where(F.col("event_type") == "click").select("user_id")
     p = ev.where(F.col("event_type") == "purchase").select("user_id")
-    exact = (c.distinct().agg(F.count("*").alias("exact_click"))
+    truth = (c.distinct().agg(F.count("*").alias("exact_click"))
              .crossJoin(p.distinct().agg(F.count("*").alias("exact_purchase")))
              .crossJoin(c.union(p).distinct()
                         .agg(F.count("*").alias("exact_union")))
@@ -297,7 +297,7 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .agg(F.count("*").alias("exact_diff"))))
     within = lambda e, x: (F.abs(F.col(e) - F.col(x))  # noqa: E731
                            <= F.lit(0.05) * F.col(x))
-    return exact.crossJoin(est).select(
+    return truth.crossJoin(est).select(
         "exact_click", "exact_purchase", "exact_union", "exact_intersect",
         "exact_diff",
         within("__u", "exact_union").alias("union_within_bound"),

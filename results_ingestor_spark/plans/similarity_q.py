@@ -180,12 +180,12 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     q = e.where(F.col("vec_id") < 5)
     approx = ivf_topk_kmeans(e, q, k=10, nprobe=3)
-    exact = brute_force_topk(e, q, k=10)
+    truth = brute_force_topk(e, q, k=10)
     hits = (approx.select("query_id", "cand_id")
-            .join(exact.select("query_id", "cand_id"),
+            .join(truth.select("query_id", "cand_id"),
                   ["query_id", "cand_id"])
             .groupBy("query_id").agg(F.count("*").alias("h")))
-    per_q = (exact.select("query_id").distinct()
+    per_q = (truth.select("query_id").distinct()
              .join(hits, "query_id", "left")
              .select("query_id", F.coalesce("h", F.lit(0)).alias("h")))
     return per_q.agg(
@@ -441,12 +441,12 @@ def ann_pq_adc_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5)
     books = pq_train(e, dim=_PQ_DIM, m=_ADC_M, k=_ADC_K, n_iter=1)
     approx = pq_adc_topk(e, q, books, k=10)
-    exact = exact_l2_topk(e, q, k=10)
+    truth = exact_l2_topk(e, q, k=10)
     hits = (approx.select("query_id", "cand_id")
-            .join(exact.select("query_id", "cand_id"),
+            .join(truth.select("query_id", "cand_id"),
                   ["query_id", "cand_id"])
             .groupBy("query_id").agg(F.count("*").alias("h")))
-    per_q = (exact.select("query_id").distinct()
+    per_q = (truth.select("query_id").distinct()
              .join(hits, "query_id", "left")
              .select("query_id", F.coalesce("h", F.lit(0)).alias("h")))
     return per_q.agg(

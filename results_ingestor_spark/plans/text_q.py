@@ -747,7 +747,7 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.functions.hashing import md5_long
     t = load_tables(spark, sf_dir, ("documents",))
     tk = t["documents"].select(F.explode(F.split("text", " ")).alias("tok"))
-    exact = (tk.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    truth = (tk.groupBy("tok").agg(F.count("*").alias("n_exact"))
              .orderBy(F.desc("n_exact"), F.asc("tok")).limit(20))
 
     def bkt(d: int, col: str) -> F.Column:
@@ -757,7 +757,7 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(d).alias("d"), bkt(d, "tok").alias("bkt"))
         for d in range(_CMS_D)])).alias("h")).select("h.d", "h.bkt")
     cms = hashed.groupBy("d", "bkt").agg(F.count("*").alias("c"))
-    probes = exact.select("tok", "n_exact", F.explode(F.array(*[
+    probes = truth.select("tok", "n_exact", F.explode(F.array(*[
         F.struct(F.lit(d).alias("d"), bkt(d, "tok").alias("bkt"))
         for d in range(_CMS_D)])).alias("h")).select(
             "tok", "n_exact", "h.d", "h.bkt")
