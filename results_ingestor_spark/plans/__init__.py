@@ -30,69 +30,57 @@ from results_ingestor_spark.plans import retrieval_q  # noqa: E402,F401
 from results_ingestor_spark.plans import diag_q  # noqa: E402,F401
 
 # The external correctness gate value-checks the first 50 registered
-# queries.  Rounds 1-9 together drove 377 distinct entries green
-# (generated ledger, tools/verification_ledger.py; r9 went 50/50 with
-# 45 first-greens).
-# Round 10 activates _ROUND10_SLATE (r9 verdict item 1) — the FINAL
-# never-driver-checked tail.  Every oracled entry was pre-verified
-# cell-for-cell at sf0.01 AND sf0.1 in round 7 and re-verified on r8
-# and r9 HEADs plus the lottery battery (COVERAGE.md pre-verification
-# table); the 6 justified rows-only entries execute in every
-# full-registry sweep and the driver records their weaker rows-only
-# check.  Composition: the permanent flagship trio, the two permanent
-# regression watches, all 44 _ROUND10_SLATE entries, and — per the
-# slate-sizing rule documented at _ROUND10_SLATE — the spare 50th
-# slot goes to the first _ROUND11_SLATE watch entry
-# (diag_env_manifest, the standing gate-environment probe).  After
-# this round the never-driver-checked debt is ZERO and the window's
-# job flips to the _ROUND11_SLATE regression-watch rotation.
+# queries.  Rounds 1-10 together drove all 422 registered entries
+# green at least once (generated ledger, tools/verification_ledger.py;
+# r10 went 44/44 oracled-green + the 6 documented rows-only entries —
+# the final never-driver-checked tail).
+# Round 11 activates _ROUND11_SLATE (r10 verdict item 2): with
+# coverage debt at ZERO, the window's job flips from coverage to
+# REGRESSION SENSITIVITY against the driver's per-round corpus
+# regeneration.  Composition (rule order documented at the slate):
+# the permanent flagship trio, the two permanent regression watches,
+# the standing environment probe, the corpus-lottery-sensitive money/
+# timestamp/tie wires, then oldest-green-first fill (last driver-green
+# r1/r2 per the generated ledger).  Re-checked against
+# CORRECTNESS_r10 at activation: 44/44 oracled green, no new red to
+# pin, so the slate activates exactly as staged (commit 928ec63
+# pre-verified it cell-for-cell at sf0.01 AND sf0.1 on r10 HEAD).
 # diag_decimal_echo stays RETIRED as answered (r8: rows/schema green
 # + hash red on a by-construction-identical DECIMAL table ⇒ the
 # driver's comparator mishandles DECIMAL; the no-DECIMAL-on-compared-
 # wires policy is permanent, enforced by tools/plan_lint.py).  Every
-# name below except the 6 documented rows-only entries has a DuckDB
-# oracle.  All prior window entries stay registered and locally
-# value-checked.
+# name below has a DuckDB oracle.  All prior window entries stay
+# registered and locally value-checked.
 _PRIORITY = [
     # flagship election pipeline (permanent)
     "contest_precinct_synth", "district_extraction", "rollup_contest_county",
     # regression watches: r02 type-tag fix; r02 TIMESTAMP_NTZ fix
     "agg_argminmax_conditional", "events_sessionize",
-    # --- _ROUND10_SLATE (all 44; final never-driver-checked tail) ---
-    # round-9 deferrals
-    "asof_join_nearest_signup", "multimodal_phash_neardup",
-    "multimodal_patch_grid", "window_running_distinct",
-    "spatial_grid_density_hotspots", "streaming_enriched_tier_counts",
-    # events / stats tail
-    "orders_monthly_streaks", "events_peak_hour_rayleigh",
-    "events_capacity_profile", "events_burstiness_memory",
-    "events_ccf_click_purchase", "stats_haar_energy_hourly",
-    "stats_partial_correlation", "stats_james_stein_shrinkage",
-    "stats_forecast_accuracy_mase", "stats_hill_tail_index",
-    # dq / advanced
-    "dq_duplicate_payment_candidates", "dq_last_digit_uniformity",
-    "dq_id_sequence_gaps", "dq_functional_dependency_strength",
-    # text
-    "text_bigram_entropy_rate", "source_ranking_concordance",
-    "text_theil_inequality_decomposition",
-    # embeddings / sketches
-    "embedding_intrinsic_dim_twonn", "embedding_mmd_linear",
-    "embedding_whitening_effect", "sketch_ams_f2_selfjoin",
-    # dedup / er / graph
-    "dedup_lsh_bucket_stats", "er_golden_record",
-    "graph_brand_homophily", "graph_edge_churn_halves",
-    # pipeline / privacy / layout
-    "privacy_generalization_ladder", "layout_deletion_vector_tradeoff",
-    "dataset_source_influence_loo",
-    # joins / multimodal / spatial / streaming
-    "attribution_time_decay", "multimodal_vad_segments",
-    "spatial_haversine_nearest", "streaming_stateful_user_totals",
-    # the 6 justified rows-only entries (driver records rows-only)
-    "quality_compression_ratio", "embedding_pca_variance",
-    "embedding_mahalanobis_outliers", "dedup_minhash_lsh_fast",
-    "unigram_lm_train_vocab", "unigram_lm_tokenize_docs",
-    # spare 50th slot: first _ROUND11_SLATE watch (standing env probe)
+    # --- _ROUND11_SLATE (45; regression-watch rotation) ---
+    # (a) standing probe
     "diag_env_manifest",
+    # (b) corpus-lottery-sensitive wires
+    "cohort_ltv_curve", "dq_outlier_iqr_fences",
+    "revenue_bridge_price_volume", "events_ses_forecast",
+    "attribution_u_shaped", "abc_inventory_classes",
+    "orders_aging_buckets", "join_bloom_prefilter",
+    "topk_per_group", "window_rank_orders", "percentile_exact",
+    "events_seasonality_strength", "events_longest_daily_streak",
+    # (c) oldest-green-first: last driver-green in r1
+    "array_functions", "asof_join_purchase_signup",
+    "events_gapfill_hourly", "events_json_extract",
+    "events_sliding_6h_daily", "events_tumbling_hour",
+    "events_type_share", "from_json_typed", "merge_upsert_orders",
+    "salted_sum_by_flag", "unpivot_lineitem_metrics",
+    "window_first_last", "window_lag_lead", "window_moving_avg",
+    "window_ntile_quartiles", "window_running_sum",
+    # (c) oldest-green-first: last driver-green in r2
+    "case_when_bucketing", "count_distinct_nations",
+    "cube_status_priority", "date_functions", "distinct_segments",
+    "events_value_dispersion", "grouping_sets_mixed", "join_anti",
+    "join_broadcast_dims", "join_left_outer", "join_semi",
+    "join_theta_range", "lineitem_price_qty_corr", "math_functions",
+    "pct_of_parent_revenue",
 ]
 
 
