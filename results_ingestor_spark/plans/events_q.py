@@ -15,7 +15,23 @@ from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
-_VDEC = "CAST(value AS DECIMAL(12,2))"
+# r11 DECCAST migration (VERDICT r10 item 1): events.value ingestion
+# is exact.cents() — floor(x*100 + 0.5) is IEEE-identical in both
+# engines for ANY double, where the former CAST(value AS DECIMAL(12,2))
+# was only distribution-safe (2-dp-grid corpus).  Sums run in exact
+# BIGINT cents (the tpch-q r10 convention); the emitted dollar double
+# is the one terminal rescale CAST(sum AS BIGINT→DOUBLE) / 100.0,
+# which on-grid is bit-identical to the old DECIMAL-sum cast (both are
+# the correctly-rounded double of the same exact rational).  The inner
+# BIGINT cast collapses DuckDB's HUGEINT sum widening.
+_VCENTS = exact.cents("value")
+_SUM_V_SQL = f"CAST(CAST(SUM({_VCENTS}) AS BIGINT) AS DOUBLE) / 100.0"
+
+
+def _sum_v() -> F.Column:
+    """Exact cents sum of events.value rescaled to dollars — the Spark
+    twin of _SUM_V_SQL."""
+    return F.sum(F.expr(_VCENTS)).cast("long").cast("double") / 100.0
 
 
 @query("events_json_extract", oracle=f"""
@@ -36,7 +52,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("events_tumbling_hour", oracle=f"""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
-  COUNT(*) AS n, CAST(SUM({_VDEC}) AS DOUBLE) AS total_value
+  COUNT(*) AS n, {_SUM_V_SQL} AS total_value
 FROM events GROUP BY 1, 2""")
 def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour aggregation — batch twin of the streaming
@@ -46,7 +62,7 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_trunc("hour", "ts").alias("window_start"),
                      "event_type")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.expr(_VDEC)).cast("double").alias("total_value")))
+                 _sum_v().alias("total_value")))
 
 
 @query("events_sliding_6h_daily", oracle=f"""
@@ -57,7 +73,7 @@ WITH buckets AS (
   WHERE ts >= CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL (h) HOUR
     AND ts <  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL (h + 6) HOUR
 )
-SELECT window_start, COUNT(*) AS n, CAST(SUM({_VDEC}) AS DOUBLE) AS total_value
+SELECT window_start, COUNT(*) AS n, {_SUM_V_SQL} AS total_value
 FROM buckets GROUP BY window_start""")
 def events_sliding_6h_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour windows via F.window — demonstrates Spark's native
@@ -66,7 +82,7 @@ def events_sliding_6h_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t["events"]
             .groupBy(F.window("ts", "6 hours").alias("w"))
             .agg(F.count("*").alias("n"),
-                 F.sum(F.expr(_VDEC)).cast("double").alias("total_value"))
+                 _sum_v().alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "n", "total_value"))
 
 
@@ -137,7 +153,7 @@ types AS (SELECT DISTINCT event_type FROM events),
 grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
 agg AS (
   SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
-         COUNT(*) AS n, CAST(SUM({_VDEC}) AS DOUBLE) AS total_value
+         COUNT(*) AS n, {_SUM_V_SQL} AS total_value
   FROM events GROUP BY 1, 2)
 SELECT g.h AS hour, g.event_type,
   coalesce(a.n, 0) AS n,
@@ -153,7 +169,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"]
     agg = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
            .agg(F.count("*").alias("n"),
-                F.sum(F.expr(_VDEC)).cast("double").alias("total_value")))
+                _sum_v().alias("total_value")))
     bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
                     F.date_trunc("hour", F.max("ts")).alias("hi"))
     hours = bounds.select(F.explode(F.sequence(
@@ -381,7 +397,7 @@ types AS (SELECT DISTINCT event_type FROM events),
 grid AS (SELECT event_type, h FROM types CROSS JOIN hours),
 agg AS (
   SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-    CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*) AS v
+    {_SUM_V_SQL} / COUNT(*) AS v
   FROM events GROUP BY 1, 2),
 j AS (
   SELECT g.event_type, g.h, a.v,
@@ -420,8 +436,7 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
     agg = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-           .agg((F.sum(F.expr(_VDEC)).cast("double")
-                 / F.count("*")).alias("v")))
+           .agg((_sum_v() / F.count("*")).alias("v")))
     bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
                     F.date_trunc("hour", F.max("ts")).alias("hi"))
     hours = bounds.select(F.explode(F.sequence(
@@ -454,7 +469,7 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("events_dow_hour_heatmap", oracle=f"""
 SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
   COUNT(*) AS n,
-  CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS avg_value
+  CAST(floor(({_SUM_V_SQL} / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY dow, hod""")
 def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week × hour-of-day activity heatmap — the seasonality
@@ -468,7 +483,7 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.dayofweek("ts") - 1).alias("dow"),
                      F.hour("ts").alias("hod"))
             .agg(F.count("*").alias("n"),
-                 exact.snap_double_col(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9).alias("avg_value"))
+                 exact.snap_double_col(_sum_v() / F.count("*"), 9).alias("avg_value"))
             .orderBy("dow", "hod"))
 
 

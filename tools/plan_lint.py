@@ -418,9 +418,7 @@ WHITELIST_DECCAST: dict[str, str] = {name: _DECCAST_LEGACY_REASON for name in (
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "events_value_dispersion", "lineitem_price_qty_corr",
     "revenue_concentration_metrics", "repeat_purchase_rate",
-    "events_tumbling_hour", "events_sliding_6h_daily",
-    "events_gapfill_hourly", "events_interpolate_hourly",
-    "events_dow_hour_heatmap", "incremental_agg_merge",
+    "incremental_agg_merge",
     "attribution_last_touch", "scalar_subquery_above_avg",
     "customer_rfm_segments", "benford_first_digit",
     "sampling_neyman_allocation", "sampling_monetary_unit",
