@@ -4,10 +4,11 @@ Every Spark built-in family the engine exposes, each as a queries()
 entry with a DuckDB oracle twin.  Cross-engine determinism rules used
 throughout (and mirrored in each oracle):
 
-* Money/quantity doubles in the corpus are exact 2-decimal values →
-  cast to DECIMAL before aggregating (exact, order-independent sums),
-  cast the result back to DOUBLE.  Never sum raw doubles (partial-sum
-  order would make the value nondeterministic).
+* Money/quantity doubles ingest as exact BIGINT cents via
+  exact.cents() — floor(x*100+0.5), IEEE-identical in both engines
+  for ANY double — and aggregate as exact integer sums, cast back to
+  DOUBLE once at the end.  Never sum raw doubles (partial-sum order
+  would make the value nondeterministic).
 * avg = CAST(exact decimal sum AS DOUBLE) / count — one double
   division, identical bits in both engines.
 * Every top-k / window ordering carries a unique tie-break key.
@@ -27,19 +28,32 @@ from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
-# Exact-decimal casts (values < 1e6, 2dp → DECIMAL(12,2) is lossless).
-_DEC = "CAST({c} AS DECIMAL(12,2))"
+# r11 DECCAST migration (VERDICT r10 item 1): 2-dp ingestion is
+# exact.cents() BIGINT — floor(x*100 + 0.5) is IEEE-identical in both
+# engines for ANY double, where the former CAST(x AS DECIMAL(12,2))
+# was only distribution-safe (2-dp-grid corpus).  Sums run in exact
+# integer cents (e2) / cents-squared (e4) units with one terminal
+# CAST(sum AS DOUBLE) rescale, which on-grid is bit-identical to the
+# old DECIMAL-sum cast (both are the correctly-rounded double of the
+# same exact rational).
+_REV_E4 = exact.rev_e4("l_extendedprice", "l_discount")
 
 
-def _sumd(expr: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE)"
+def _sum_cents_sql(col: str) -> str:
+    """Oracle emission: exact cents sum rescaled to base units."""
+    return f"CAST(SUM({exact.cents(col)}) AS DOUBLE) / 100.0"
+
+
+def _sum_cents(col: str) -> F.Column:
+    """Spark twin of _sum_cents_sql."""
+    return F.sum(F.expr(exact.cents(col))).cast("double") / 100.0
 
 
 # ---------------------------------------------------------------- scans/aggs
 
 @query("q1_pricing_summary", oracle=f"""
 SELECT l_returnflag, l_linestatus,
-  {_sumd(_DEC.format(c='l_quantity'))} AS sum_qty,
+  {_sum_cents_sql('l_quantity')} AS sum_qty,
   CAST(SUM({exact.cents('l_extendedprice')}) AS DOUBLE) / 100.0
     AS sum_base_price,
   CAST(SUM({exact.rev_e4('l_extendedprice', 'l_discount')}) AS DOUBLE)
@@ -47,10 +61,12 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM({exact.rev_e4('l_extendedprice', 'l_discount')}
            * (100 + {exact.cents('l_tax')})) AS DOUBLE)
     / 1000000.0 AS sum_charge,
-  CAST(SUM({_DEC.format(c='l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({exact.cents('l_quantity')}) AS DOUBLE)
+    / (100.0 * COUNT(*)) AS avg_qty,
   CAST(SUM({exact.cents('l_extendedprice')}) AS DOUBLE)
     / (100.0 * COUNT(*)) AS avg_price,
-  CAST(SUM({_DEC.format(c='l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM({exact.cents('l_discount')}) AS DOUBLE)
+    / (100.0 * COUNT(*)) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '2000-09-03 00:00:00'
@@ -60,31 +76,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg on two low-cardinality keys — the canonical map-side-combine
     plan; shuffle carries 4 groups × 8 aggregates, not rows."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
     return (
         li.where(F.col("l_shipdate") < F.lit("2000-09-03 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            (F.sum(F.expr(exact.cents("l_extendedprice")))
-             .cast("double") / 100.0).alias("sum_base_price"),
+            _sum_cents("l_quantity").alias("sum_qty"),
+            _sum_cents("l_extendedprice").alias("sum_base_price"),
             (F.sum(F.expr(exact.rev_e4("l_extendedprice", "l_discount")))
              .cast("double") / 10000.0).alias("sum_disc_price"),
             (F.sum(F.expr(
                 f"{exact.rev_e4('l_extendedprice', 'l_discount')}"
                 f" * (100 + {exact.cents('l_tax')})"))
              .cast("double") / 1000000.0).alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.expr(exact.cents("l_quantity"))).cast("double")
+             / (100.0 * F.count("*"))).alias("avg_qty"),
             (F.sum(F.expr(exact.cents("l_extendedprice"))).cast("double")
              / (100.0 * F.count("*"))).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            (F.sum(F.expr(exact.cents("l_discount"))).cast("double")
+             / (100.0 * F.count("*"))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         ))
 
 
 @query("q3_shipping_priority", oracle=f"""
 SELECT l_orderkey,
-  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ')')} AS revenue,
+  CAST(SUM({_REV_E4}) AS DOUBLE) / 10000.0 AS revenue,
   CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -100,7 +116,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact join, group, then global top-k (revenue DESC, unique tie-break).
     TakeOrderedAndProject keeps the top-k out of a full sort at scale."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
-    dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     return (
         t["lineitem"]
@@ -112,8 +127,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey",
                  F.col("o_orderdate").cast("date").alias("orderdate"),
                  "o_orderpriority")
-        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-             .cast("double").alias("revenue"))
+        .agg((F.sum(F.expr(_REV_E4)).cast("double") / 10000.0)
+             .alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority"))
@@ -121,7 +136,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q5_local_supplier_volume", oracle=f"""
 SELECT n_name,
-  {_sumd(_DEC.format(c='l_extendedprice') + ' * (1 - ' + _DEC.format(c='l_discount') + ')')} AS revenue
+  CAST(SUM({_REV_E4}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -140,7 +155,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir,
                     ("lineitem", "orders", "supplier", "customer",
                      "nation", "region"))
-    dec = lambda c: F.expr(_DEC.format(c=c))  # noqa: E731
     nr = (t["nation"].join(F.broadcast(t["region"]),
                            F.col("n_regionkey") == F.col("r_regionkey"))
           .where(F.col("r_name") == "ASIA"))
@@ -156,8 +170,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-             .cast("double").alias("revenue")))
+        .agg((F.sum(F.expr(_REV_E4)).cast("double") / 10000.0)
+             .alias("revenue")))
 
 
 # ---------------------------------------------------------------- joins
@@ -295,9 +309,9 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- grouping sets
 
-@query("rollup_returnflag_status", oracle="""
+@query("rollup_returnflag_status", oracle=f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  {_sum_cents_sql('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
 def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — Catalyst expands to one Expand + hash-agg
@@ -305,8 +319,7 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem",))
     return (t["lineitem"].rollup("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.expr(_DEC.format(c="l_quantity")))
-                  .cast("double").alias("sum_qty")))
+                 _sum_cents("l_quantity").alias("sum_qty")))
 
 
 @query("cube_status_priority", oracle="""
@@ -508,30 +521,33 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .select("o_custkey")))
 
 
-@query("events_value_dispersion", oracle="""
+@query("events_value_dispersion", oracle=f"""
 WITH m AS (
   SELECT event_type, COUNT(*) AS n,
-    SUM(CAST(value AS DECIMAL(12,2))) AS s,
-    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
+    CAST(SUM({exact.cents('value')}) AS BIGINT) AS s,
+    CAST(SUM({exact.cents('value')} * {exact.cents('value')}) AS BIGINT) AS q
   FROM events GROUP BY event_type)
 SELECT event_type, n,
-  CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_value,
-  CAST(floor(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS var_samp,
-  CAST(floor((sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS stddev_samp
+  CAST(floor((CAST(s AS DOUBLE) / 100.0 / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_value,
+  CAST(floor(((CAST(q AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / n) / (n - 1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS var_samp,
+  CAST(floor((sqrt((CAST(q AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / n) / (n - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS stddev_samp
 FROM m""")
 def events_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion statistics with cross-engine determinism: built-in
-    var_samp/stddev over doubles is partial-sum-order dependent, so the
-    moments Σx and Σx² are accumulated as exact decimals (2dp values →
-    DECIMAL products are lossless) and the variance assembled in one
-    fixed-order double expression — same map-side-combine plan as any
-    hash agg, exact same bits in any engine."""
+    var_samp/stddev over doubles is partial-sum-order dependent, so
+    the moments Σx and Σx² are accumulated as exact BIGINT cents /
+    cents² (r11 DECCAST migration — floor(x*100+0.5) is IEEE-exact for
+    ANY double, where the former DECIMAL(12,2) cast was only
+    2-dp-grid-safe) and the variance assembled in one fixed-order
+    double expression — same map-side-combine plan as any hash agg,
+    exact same bits in any engine."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr("CAST(value AS DECIMAL(12,2))")
+    c = F.expr(exact.cents("value"))
     m = (t["events"].groupBy("event_type")
-         .agg(F.count("*").alias("n"), F.sum(dec).alias("s"),
-              F.sum(dec * dec).alias("q")))
-    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+         .agg(F.count("*").alias("n"), F.sum(c).alias("s"),
+              F.sum(c * c).alias("q")))
+    sd = F.col("s").cast("double") / 100.0
+    qd = F.col("q").cast("double") / 10000.0
     var = (qd - sd * sd / F.col("n")) / (F.col("n") - 1)
     return m.select("event_type", "n",
                     exact.snap_double_col(sd / F.col("n"), 9).alias("mean_value"),
@@ -539,38 +555,42 @@ def events_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     exact.snap_double_col(F.sqrt(var), 9).alias("stddev_samp"))
 
 
-@query("lineitem_price_qty_corr", oracle="""
+@query("lineitem_price_qty_corr", oracle=f"""
 WITH m AS (
   SELECT l_returnflag, COUNT(*) AS n,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+    CAST(SUM({exact.cents('l_quantity')}) AS BIGINT) AS sx,
+    CAST(SUM({exact.cents('l_extendedprice')}) AS BIGINT) AS sy,
+    CAST(SUM({exact.cents('l_quantity')}
+        * {exact.cents('l_extendedprice')}) AS BIGINT) AS sxy,
+    CAST(SUM({exact.cents('l_quantity')}
+        * {exact.cents('l_quantity')}) AS BIGINT) AS sxx,
+    CAST(SUM({exact.cents('l_extendedprice')}
+        * {exact.cents('l_extendedprice')}) AS BIGINT) AS syy
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, n,
-  CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS corr_qty_price
+  CAST(floor(((n * (CAST(sxy AS DOUBLE) / 10000.0) - CAST(sx AS DOUBLE) / 100.0 * (CAST(sy AS DOUBLE) / 100.0)) / (sqrt(n * (CAST(sxx AS DOUBLE) / 10000.0) - CAST(sx AS DOUBLE) / 100.0 * (CAST(sx AS DOUBLE) / 100.0)) * sqrt(n * (CAST(syy AS DOUBLE) / 10000.0) - CAST(sy AS DOUBLE) / 100.0 * (CAST(sy AS DOUBLE) / 100.0)))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS corr_qty_price
 FROM m""")
 def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal moments (Σx, Σy, Σxy,
-    Σx², Σy²) — the five-sum single-pass formulation every engine
-    parallelizes as one hash agg; doubles enter only in the final
-    fixed-order assembly, so the value is engine-identical to the last
-    bit before the 9dp round."""
+    """Pearson correlation from exact integer moments (Σx, Σy, Σxy,
+    Σx², Σy² in cents / cents² units — r11 DECCAST migration, IEEE-
+    exact for any double where the former DECIMAL casts were only
+    2-dp-grid-safe) — the five-sum single-pass formulation every
+    engine parallelizes as one hash agg; doubles enter only in the
+    final fixed-order assembly, so the value is engine-identical to
+    the last bit before the 9dp round."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    dx = F.expr("CAST(l_quantity AS DECIMAL(12,2))")
-    dy = F.expr("CAST(l_extendedprice AS DECIMAL(12,2))")
+    cx = F.expr(exact.cents("l_quantity"))
+    cy = F.expr(exact.cents("l_extendedprice"))
     m = (t["lineitem"].groupBy("l_returnflag")
-         .agg(F.count("*").alias("n"), F.sum(dx).alias("sx"),
-              F.sum(dy).alias("sy"), F.sum(dx * dy).alias("sxy"),
-              F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy")))
+         .agg(F.count("*").alias("n"), F.sum(cx).alias("sx"),
+              F.sum(cy).alias("sy"), F.sum(cx * cy).alias("sxy"),
+              F.sum(cx * cx).alias("sxx"), F.sum(cy * cy).alias("syy")))
     n = F.col("n")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sx = F.col("sx").cast("double") / 100.0
+    sy = F.col("sy").cast("double") / 100.0
+    sxy = F.col("sxy").cast("double") / 10000.0
+    sxx = F.col("sxx").cast("double") / 10000.0
+    syy = F.col("syy").cast("double") / 10000.0
     corr = ((n * sxy - sx * sy)
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
     return m.select("l_returnflag", "n",
@@ -656,11 +676,10 @@ def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_of_total"))
 
 
-@query("revenue_concentration_metrics", oracle="""
+@query("revenue_concentration_metrics", oracle=f"""
 WITH cust AS (
   SELECT c.c_mktsegment AS segment, o.o_custkey,
-    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      AS rev
+    CAST(SUM({exact.cents('o.o_totalprice')}) AS BIGINT) AS rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY 1, 2),
 ranked AS (
@@ -673,9 +692,9 @@ ranked AS (
   FROM cust)
 SELECT segment,
   CAST(MAX(n) AS BIGINT) AS n_customers,
-  CAST(floor(((2.0 * CAST(SUM(i * CAST(rev AS DOUBLE)) AS DOUBLE)) / (MAX(n) * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)) - (MAX(n) + 1.0) / MAX(n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS gini,
-  CAST(floor((CAST(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS DOUBLE) / (CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE) * CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS hhi,
-  CAST(floor((CAST(SUM(CASE WHEN decile = 10 THEN CAST(rev AS DOUBLE) ELSE 0.0 END) AS DOUBLE) / CAST(SUM(CAST(rev AS DOUBLE)) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
+  CAST(floor(((2.0 * CAST(SUM(i * (CAST(rev AS DOUBLE) / 100.0)) AS DOUBLE)) / (MAX(n) * CAST(SUM(CAST(rev AS DOUBLE) / 100.0) AS DOUBLE)) - (MAX(n) + 1.0) / MAX(n)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS gini,
+  CAST(floor((CAST(SUM(CAST(rev AS DOUBLE) / 100.0 * (CAST(rev AS DOUBLE) / 100.0)) AS DOUBLE) / (CAST(SUM(CAST(rev AS DOUBLE) / 100.0) AS DOUBLE) * CAST(SUM(CAST(rev AS DOUBLE) / 100.0) AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS hhi,
+  CAST(floor((CAST(SUM(CASE WHEN decile = 10 THEN CAST(rev AS DOUBLE) / 100.0 ELSE 0.0 END) AS DOUBLE) / CAST(SUM(CAST(rev AS DOUBLE) / 100.0) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS top_decile_share
 FROM ranked GROUP BY segment ORDER BY segment""")
 def revenue_concentration_metrics(spark: SparkSession,
@@ -685,7 +704,9 @@ def revenue_concentration_metrics(spark: SparkSession,
     closed form G = 2Σi·xᵢ/(n·Σx) − (n+1)/n over ascending revenue),
     normalized HHI (Σx²/(Σx)² — the antitrust yardstick), and the
     top-decile share.  Ties rank by custkey for a deterministic Lorenz
-    order.
+    order.  Per-customer revenue accumulates as exact BIGINT cents
+    (r11 DECCAST migration); doubles enter only in the final
+    fixed-order assembly.
 
     Scale: the customer layer is dimension-sized, so the per-segment
     windows run over an aggregate, not facts (the RFM contract); the
@@ -696,8 +717,8 @@ def revenue_concentration_metrics(spark: SparkSession,
                               .select("c_custkey", "c_mktsegment")),
                   F.col("o_custkey") == F.col("c_custkey"))
             .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
-            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("rev")))
+            .agg(F.sum(F.expr(exact.cents("o_totalprice")))
+                 .cast("long").alias("rev")))
     ws = Window.partitionBy("segment").orderBy("rev", "o_custkey")
     wn = Window.partitionBy("segment")
     ranked = cust.select(
@@ -705,7 +726,7 @@ def revenue_concentration_metrics(spark: SparkSession,
         F.row_number().over(ws).cast("long").alias("i"),
         F.count("*").over(wn).cast("long").alias("n"),
         F.ntile(10).over(ws).cast("long").alias("decile"))
-    rd = F.col("rev").cast("double")
+    rd = F.col("rev").cast("double") / 100.0
     tot = F.sum(rd).cast("double")
     gini = (2.0 * F.sum(F.col("i") * rd).cast("double")) \
         / (F.max("n") * tot) - (F.max("n") + 1.0) / F.max("n")
@@ -783,12 +804,11 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("abc"))
 
 
-@query("repeat_purchase_rate", oracle="""
+@query("repeat_purchase_rate", oracle=f"""
 WITH per_cust AS (
   SELECT c.c_mktsegment AS segment, o.o_custkey,
     CAST(COUNT(*) AS BIGINT) AS n_orders,
-    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      AS rev
+    CAST(SUM({exact.cents('o.o_totalprice')}) AS BIGINT) AS rev
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY 1, 2)
 SELECT segment,
@@ -803,7 +823,8 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     two numbers behind every retention narrative: how many customers
     come back, and how much of the money the returners carry (a high
     second number with a low first is a whale business; both high is a
-    habit business).  Exact decimal revenue; two divisions at the end.
+    habit business).  Exact BIGINT-cents revenue (r11 DECCAST
+    migration); two divisions at the end.
 
     Scale: one fact hash-agg to the customer layer, then a dim-sized
     segment rollup."""
@@ -815,8 +836,8 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col("c_mktsegment").alias("segment"),
                          "o_custkey")
                 .agg(F.count("*").alias("n_orders"),
-                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                     .cast("decimal(38,2)").alias("rev")))
+                     F.sum(F.expr(exact.cents("o_totalprice")))
+                     .cast("long").alias("rev")))
     rpt = F.col("n_orders") >= 2
     return (per_cust.groupBy("segment")
             .agg(F.count("*").alias("n_customers"),

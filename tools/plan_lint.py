@@ -415,9 +415,6 @@ _DECCAST_LEGACY_REASON = ("pre-exact.py ingestion; 2-dp-grid-safe "
                           "(test_corpus_invariants.py), DECWIRE-clean")
 WHITELIST_DECCAST: dict[str, str] = {name: _DECCAST_LEGACY_REASON for name in (
     "stats_levene_brown_forsythe", "stats_runs_test", "sketch_kmv_distinct",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "events_value_dispersion", "lineitem_price_qty_corr",
-    "revenue_concentration_metrics", "repeat_purchase_rate",
     "incremental_agg_merge",
     "attribution_last_touch", "scalar_subquery_above_avg",
     "customer_rfm_segments", "benford_first_digit",
