@@ -115,21 +115,23 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     big.isNull().alias("is_small")))
 
 
-@query("scalar_subquery_above_avg", oracle="""
+@query("scalar_subquery_above_avg", oracle=f"""
 SELECT c_custkey, c_acctbal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
-                          / COUNT(*) FROM customer)""")
+WHERE c_acctbal > (SELECT CAST(SUM({exact.cents('c_acctbal')}) AS DOUBLE)
+                          / (100.0 * COUNT(*)) FROM customer)""")
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: customers above the global average
-    balance — Catalyst evaluates the subquery once and broadcasts the
-    scalar into the filter."""
+    balance (exact cents sum, one rescaling division — r11 DECCAST
+    migration) — Catalyst evaluates the subquery once and broadcasts
+    the scalar into the filter."""
     t = load_tables(spark, sf_dir, ("customer",))
     t["customer"].createOrReplaceTempView("customer")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT c_custkey, c_acctbal FROM customer
-        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
-                                       AS DOUBLE) / COUNT(*) FROM customer)""")
+        WHERE c_acctbal > (SELECT CAST(SUM({exact.cents('c_acctbal')})
+                                       AS DOUBLE) / (100.0 * COUNT(*))
+                           FROM customer)""")
 
 
 @query("cohort_retention", oracle="""
@@ -389,12 +391,12 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__dom"))
 
 
-@query("customer_rfm_segments", oracle="""
+@query("customer_rfm_segments", oracle=f"""
 WITH base AS (
   SELECT o_custkey AS custkey,
     MAX(o_orderdate) AS last_order,
     COUNT(*) AS frequency,
-    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+    CAST(SUM({exact.cents('o_totalprice')}) AS BIGINT) AS monetary
   FROM orders GROUP BY o_custkey),
 scored AS (
   SELECT custkey,
@@ -415,13 +417,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     design at this cardinality; at 100 TB you'd swap ntile for
     approx-quantile bucket edges (percentile_approx) broadcast as
     literals, keeping the same output contract.  Monetary quintiles
-    rank exact decimal sums, so bucket assignment can't drift."""
+    rank exact BIGINT-cents sums (r11 DECCAST migration), so bucket
+    assignment can't drift."""
     t = load_tables(spark, sf_dir, ("orders",))
     base = (t["orders"].groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.max("o_orderdate").alias("last_order"),
                  F.count("*").alias("frequency"),
-                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-                 .alias("monetary")))
+                 F.sum(F.expr(exact.cents("o_totalprice")))
+                 .cast("long").alias("monetary")))
     scored = base.select(
         "custkey",
         F.ntile(5).over(Window.orderBy("last_order", "custkey")).alias("r"),
@@ -528,26 +531,27 @@ def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(uniq("events.event_id", t["events"], F.col("event_id"))))
 
 
-@query("benford_first_digit", oracle="""
-SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+@query("benford_first_digit", oracle=f"""
+SELECT CAST(substr(CAST({exact.cents('o_totalprice')} AS VARCHAR),
             1, 1) AS INT) AS digit,
   COUNT(*) AS n,
   CAST(floor((CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS observed,
-  CAST(floor((log10(1.0 + 1.0 / CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS benford
+  CAST(floor((log10(1.0 + 1.0 / CAST(substr(CAST({exact.cents('o_totalprice')} AS VARCHAR), 1, 1) AS INT))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS benford
 FROM orders WHERE o_totalprice >= 1
 GROUP BY 1""")
 def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit census for fraud/quality screening.
-    The first digit comes from the DECIMAL's canonical string form —
-    decimal-to-string is standardized in both engines, where a
-    double-to-string would differ (sci notation) and floor(log10(x))
-    would flip on values within an ulp of a power of ten.  Expected
-    Benford mass log10(1+1/d) is computed per group from the same
-    integer digit."""
+    The first digit comes from the BIGINT cents value's canonical
+    string form (r11 DECCAST migration — integer-to-string is
+    standardized in both engines and x >= 1 means cents >= 100 shares
+    x's leading digit), where a double-to-string would differ (sci
+    notation) and floor(log10(x)) would flip on values within an ulp
+    of a power of ten.  Expected Benford mass log10(1+1/d) is computed
+    per group from the same integer digit."""
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"].where(F.col("o_totalprice") >= 1)
-    digit = F.substring(F.col("o_totalprice").cast("decimal(12,2)")
+    digit = F.substring(F.expr(exact.cents("o_totalprice"))
                         .cast("string"), 1, 1).cast("int")
     n_all = o.agg(F.count("*").alias("__n"))
     return (o.groupBy(digit.alias("digit"))

@@ -96,9 +96,9 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.lit(0.05) * F.col("exact_median")).alias("median_within_bound"))
 
 
-@query("salted_sum_by_flag", oracle="""
+@query("salted_sum_by_flag", oracle=f"""
 SELECT l_returnflag,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+  CAST(SUM({exact.cents('l_quantity')}) AS DOUBLE) / 100.0 AS total_qty,
   COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag""")
 def salted_sum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,11 +110,11 @@ def salted_sum_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem",))
     return salted_agg(
         t["lineitem"], ["l_returnflag"],
-        {"total_qty": (F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")),
+        {"total_qty": (F.sum(F.expr(exact.cents("l_quantity"))),
                        F.sum("total_qty")),
          "n": (F.count(F.lit(1)), F.sum("n"))},
     ).select("l_returnflag",
-             F.col("total_qty").cast("double").alias("total_qty"),
+             (F.col("total_qty").cast("double") / 100.0).alias("total_qty"),
              F.col("n").cast("long").alias("n"))
 
 
@@ -307,7 +307,7 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("incremental_agg_merge", oracle=f"""
 SELECT event_type, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+  CAST(SUM({exact.cents('value')}) AS DOUBLE) / 100.0 AS total,
   MIN(value) AS mn, MAX(value) AS mx,
   TRUE AS matches_direct
 FROM events GROUP BY event_type ORDER BY event_type""")
@@ -317,7 +317,8 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest batch) MERGE into per-type totals — count by sum, sum by
     sum, min by min, max by max — and the plan itself verifies the
     merged result equals a direct one-pass aggregation
-    (``matches_direct``, decimal-exact so equality is bit-exact).
+    (``matches_direct``, BIGINT-cents-exact so equality is bit-exact;
+    r11 DECCAST migration).
     This is the contract that lets a 100 TB nightly pipeline update
     per-partition stats without re-reading history: state size is
     O(groups × days), merge cost is O(state), history is never
@@ -326,23 +327,26 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, the boolean would flip and the row would go red."""
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
-    vdec = F.expr("CAST(value AS DECIMAL(12,2))")
+    vc = F.expr(exact.cents("value"))
     daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-             .agg(F.count("*").alias("pn"), F.sum(vdec).alias("ps"),
+             .agg(F.count("*").alias("pn"),
+                  F.sum(vc).cast("long").alias("ps"),
                   F.min("value").alias("pmn"), F.max("value").alias("pmx")))
     merged = (daily.groupBy("event_type")
               .agg(F.sum("pn").cast("long").alias("n"),
-                   F.sum("ps").alias("total_dec"),
+                   F.sum("ps").cast("long").alias("total_c"),
                    F.min("pmn").alias("mn"), F.max("pmx").alias("mx")))
     direct = (ev.groupBy(F.col("event_type").alias("et2"))
-              .agg(F.count("*").alias("dn"), F.sum(vdec).alias("ds"),
+              .agg(F.count("*").alias("dn"),
+                   F.sum(vc).cast("long").alias("ds"),
                    F.min("value").alias("dmn"), F.max("value").alias("dmx")))
     j = merged.join(direct, F.col("event_type") == F.col("et2"))
     same = ((F.col("n") == F.col("dn"))
-            & (F.col("total_dec") == F.col("ds"))
+            & (F.col("total_c") == F.col("ds"))
             & (F.col("mn") == F.col("dmn")) & (F.col("mx") == F.col("dmx")))
     return (j.select("event_type", "n",
-                     F.col("total_dec").cast("double").alias("total"),
+                     (F.col("total_c").cast("double") / 100.0)
+                     .alias("total"),
                      "mn", "mx", same.alias("matches_direct"))
             .orderBy("event_type"))
 
@@ -418,7 +422,7 @@ _2POW60 = 1152921504606846976  # md5_long draws are uniform on [0, 2^60)
 WITH d AS (
   SELECT DISTINCT event_type,
     ('0x' || substr(md5('kmv:'
-      || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)), 1, 15))::BIGINT
+      || CAST({exact.cents('value')} AS VARCHAR)), 1, 15))::BIGINT
       AS h
   FROM events),
 r AS (
@@ -428,7 +432,7 @@ r AS (
   FROM d),
 ex AS (
   SELECT event_type,
-    CAST(COUNT(DISTINCT CAST(value AS DECIMAL(12,2))) AS BIGINT) AS n_exact
+    CAST(COUNT(DISTINCT {exact.cents('value')}) AS BIGINT) AS n_exact
   FROM events GROUP BY event_type),
 kth AS (
   SELECT event_type, nd, h AS hk FROM r WHERE rn = {_KMV_K})
@@ -456,7 +460,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
     d = (ev.select("event_type",
-                   md5_long(F.col("value").cast("decimal(12,2)")
+                   md5_long(F.expr(exact.cents("value"))
                             .cast("string"), seed="kmv:")
                    .alias("h"))
          .distinct())
@@ -465,7 +469,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = (r.where(F.col("rn") == _KMV_K)
            .select("event_type", F.col("h").alias("hk")))
     ex = ev.groupBy("event_type").agg(
-        F.count_distinct(F.col("value").cast("decimal(12,2)"))
+        F.count_distinct(F.expr(exact.cents("value")))
         .cast("long").alias("n_exact"))
     est = F.when(F.col("hk").isNull(), F.col("n_exact").cast("double")) \
         .otherwise((_KMV_K - 1) * F.lit(float(_2POW60)) / F.col("hk"))

@@ -173,13 +173,13 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("k", "n_lines", "qty"))
 
 
-@query("attribution_last_touch", oracle="""
+@query("attribution_last_touch", oracle=f"""
 WITH touches AS (
   SELECT user_id, ts, max(event_type) AS touch_type
   FROM events WHERE event_type IN ('click', 'view')
   GROUP BY user_id, ts),
 purchases AS (
-  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS rev
+  SELECT user_id, ts, {exact.cents('value')} AS rev
   FROM events WHERE event_type = 'purchase'),
 matched AS (
   SELECT p.rev,
@@ -189,7 +189,7 @@ matched AS (
   FROM purchases p
   ASOF LEFT JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts)
 SELECT channel, COUNT(*) AS n_purchases,
-  CAST(SUM(rev) AS DOUBLE) AS attributed_revenue
+  CAST(SUM(rev) AS DOUBLE) / 100.0 AS attributed_revenue
 FROM matched GROUP BY channel ORDER BY channel""")
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase credits the most
@@ -198,7 +198,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same union + struct-carry pattern as asof_join_purchase_signup
     (one shuffle on user_id, no pairing join), against DuckDB's native
     ASOF JOIN: two different algorithms, value-identical revenue
-    totals in exact decimals."""
+    totals in exact BIGINT cents (r11 DECCAST migration)."""
     from results_ingestor_spark.operators.asof import asof_join_backward
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
@@ -207,7 +207,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.max("event_type").alias("touch_type")))
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .select("user_id", "ts",
-                         F.expr("CAST(value AS DECIMAL(12,2))").alias("rev")))
+                         F.expr(exact.cents("value")).alias("rev")))
     m = asof_join_backward(purchases.select("user_id", "ts", "rev"),
                            touches, key="user_id", left_ts="ts",
                            right_ts="ts",
@@ -219,7 +219,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel = F.when(within, F.col("touch_type")).otherwise(F.lit("none"))
     return (j.groupBy(channel.alias("channel"))
             .agg(F.count("*").alias("n_purchases"),
-                 F.sum("rev").cast("double").alias("attributed_revenue"))
+                 (F.sum("rev").cast("double") / 100.0)
+                 .alias("attributed_revenue"))
             .orderBy("channel"))
 
 

@@ -1370,16 +1370,16 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("estimated_rate")))
 
 
-@query("sampling_neyman_allocation", oracle="""
+@query("sampling_neyman_allocation", oracle=f"""
 WITH g AS (
   SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS nh,
-    SUM(CAST(value AS DECIMAL(12,2))) AS s,
-    SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
+    CAST(SUM({exact.cents('value')}) AS BIGINT) AS s,
+    CAST(SUM({exact.cents('value')} * {exact.cents('value')}) AS BIGINT) AS q
   FROM events GROUP BY event_type),
 sd AS (
   SELECT event_type, nh,
-    sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nh) / (nh - 1))
+    sqrt((CAST(q AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / nh) / (nh - 1))
       AS sh
   FROM g),
 w AS (
@@ -1396,20 +1396,24 @@ def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each stratum (event type) receives budget ∝ Nₕ·Sₕ — the allocation
     minimizing the variance of the stratified mean, the design step
     survey sampling runs before `sampling_stratified_split` draws
-    anything.  Strata moments are exact DECIMALs; the standard
-    deviation is rounded to 9 dp BEFORE the weight products so the
-    share arithmetic is identical in both engines, and the m-row
-    share window runs over the stratum domain.
+    anything.  Strata moments are exact BIGINT cents / cents² (r11
+    DECCAST migration); the standard deviation is snapped to 9 dp
+    BEFORE the weight products so the share arithmetic is identical
+    in both engines, and the m-row share window runs over the stratum
+    domain.
 
     Scale: one hash aggregation to the k-row stratum table; the
     allocation is k-row arithmetic."""
     t = load_tables(spark, sf_dir, ("events",))
+    vc = F.expr(exact.cents("value"))
     g = t["events"].groupBy("event_type").agg(
         F.count("*").cast("long").alias("nh"),
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
-        F.sum(F.col("value").cast("decimal(12,2)")
-              * F.col("value").cast("decimal(12,2)")).alias("q"))
-    sh = exact.snap_double_col(F.sqrt((F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("nh")) / (F.col("nh") - 1)), 9)
+        F.sum(vc).cast("long").alias("s"),
+        F.sum(vc * vc).cast("long").alias("q"))
+    sd_ = F.col("s").cast("double") / 100.0
+    qd_ = F.col("q").cast("double") / 10000.0
+    sh = exact.snap_double_col(
+        F.sqrt((qd_ - sd_ * sd_ / F.col("nh")) / (F.col("nh") - 1)), 9)
     w = g.select("event_type", "nh", sh.alias("sh"),
                  (F.col("nh") * sh).alias("wt"))
     w = w.withColumn("wtot", F.sum("wt").over(Window.partitionBy()))
@@ -1994,7 +1998,7 @@ _MUS_N = 100  # sampling points (the audit's sample-size parameter)
 @query("sampling_monetary_unit", oracle=f"""
 WITH o AS (
   SELECT o_orderkey,
-    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    {exact.cents('o_totalprice')} AS cents
   FROM orders),
 c AS (
   SELECT o_orderkey, cents,
@@ -2041,8 +2045,7 @@ def sampling_monetary_unit(spark: SparkSession,
     t = load_tables(spark, sf_dir, ("orders",))
     o = t["orders"].select(
         "o_orderkey",
-        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint").alias("cents"))
+        F.expr(exact.cents("o_totalprice")).alias("cents"))
     w = Window.orderBy("o_orderkey").rowsBetween(
         Window.unboundedPreceding, -1)
     c = o.select("o_orderkey", "cents",

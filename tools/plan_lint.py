@@ -414,11 +414,7 @@ _DECCAST_VALUE_RE = _re.compile(r"cast\(value#\d+ as decimal",
 _DECCAST_LEGACY_REASON = ("pre-exact.py ingestion; 2-dp-grid-safe "
                           "(test_corpus_invariants.py), DECWIRE-clean")
 WHITELIST_DECCAST: dict[str, str] = {name: _DECCAST_LEGACY_REASON for name in (
-    "stats_levene_brown_forsythe", "stats_runs_test", "sketch_kmv_distinct",
-    "incremental_agg_merge",
-    "attribution_last_touch", "scalar_subquery_above_avg",
-    "customer_rfm_segments", "benford_first_digit",
-    "sampling_neyman_allocation", "sampling_monetary_unit",
+    "stats_levene_brown_forsythe", "stats_runs_test",
     "events_time_weighted_avg", "regression_value_vs_time",
     "cusum_user_drift", "bollinger_hourly_value", "corr_matrix_exact",
     "events_ses_forecast", "stats_welch_ttest", "stats_theil_sen_trend",
