@@ -4,14 +4,21 @@ distribution-drift PSI, and weighted medians.
 
 Cross-engine determinism follows the house rules (see
 ``relational.py:events_value_dispersion``): every sum that feeds a
-float result is accumulated as an exact DECIMAL moment, doubles enter
-only in one fixed-order final expression, and float outputs are
-snapped to the 9-dp grid with the shared ``exact.snap_double``
-floor-snap (round() itself diverges cross-engine at .5 straddles and
-negative zero — r10 migration).  Timestamp arithmetic is integer
-microseconds
-(``unix_micros`` / ``epoch_us``) so no engine-specific interval types
-appear on the wire.
+float result is accumulated as an exact INTEGER moment — values
+ingest as BIGINT cents via ``exact.cents()`` (floor(x*100+0.5),
+IEEE-identical in both engines for ANY double; the pre-r11
+``CAST(value AS DECIMAL(12,2))`` was only 2-dp-grid-safe), squared
+moments run in cents² (e4) units, and the one terminal rescale
+(/100.0 for Σv, /10000.0 for Σv²) happens at the double cast.
+Doubles enter only in one fixed-order final expression, and float
+outputs are snapped to the 9-dp grid with the shared
+``exact.snap_double`` floor-snap (round() itself diverges
+cross-engine at .5 straddles and negative zero — r10 migration).
+Wide products (lineitem cents², cents x µs) ride integer-valued
+DECIMAL carriers — exact in both engines because the only
+double→int step is the shared cents() snap.  Timestamp arithmetic is
+integer microseconds (``unix_micros`` / ``epoch_us``) so no
+engine-specific interval types appear on the wire.
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
 
-_VDEC = "CAST(value AS DECIMAL(12,2))"
+_VCENTS = exact.cents("value")
 
 
 @query("events_ohlc_hourly", oracle="""
@@ -70,7 +77,7 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("events_time_weighted_avg", oracle=f"""
 WITH o AS (
-  SELECT user_id, {_VDEC} AS v,
+  SELECT user_id, {_VCENTS} AS v,
     epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
       - epoch_us(ts) AS dt
   FROM events),
@@ -80,7 +87,7 @@ a AS (
     SUM(v * CAST(dt AS DECIMAL(20,0))) AS num
   FROM o GROUP BY user_id)
 SELECT user_id, n_events, span_us,
-  CAST(floor((CAST(num AS DOUBLE) / span_us) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS twa_value
+  CAST(floor((CAST(num AS DOUBLE) / 100.0 / span_us) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS twa_value
 FROM a WHERE span_us IS NOT NULL""")
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per user (TimescaleDB ``time_weight``
@@ -88,8 +95,10 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean weights each value by its holding interval — the correct
     average for irregularly-sampled signals, where a row-mean
     over-weights bursts.  Weights are exact integer microseconds from
-    ``unix_micros``; the value x dt products accumulate as DECIMALs
-    (lossless) and the division happens once, in doubles, at the end.
+    ``unix_micros``; the cents x dt products ride an integer-valued
+    DECIMAL carrier (cents x µs can exceed 2^63 — r11 DECCAST
+    migration) and the rescaling division happens once, in doubles,
+    at the end.
     One user-keyed window (billions of small partitions at scale — no
     skew) then one hash agg on the same key, so AQE coalesces the two
     stages over a single shuffle."""
@@ -97,7 +106,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     o = t["events"].select(
-        "user_id", F.expr(_VDEC).alias("v"),
+        "user_id", F.expr(_VCENTS).alias("v"),
         (F.lead(us).over(w) - us).alias("dt"))
     a = (o.groupBy("user_id")
          .agg(F.count("*").alias("n_events"),
@@ -106,20 +115,20 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("num")))
     return (a.where(F.col("span_us").isNotNull())
             .select("user_id", "n_events", "span_us",
-                    exact.snap_double_col(F.col("num").cast("double") / F.col("span_us"), 9).alias("twa_value")))
+                    exact.snap_double_col(F.col("num").cast("double") / 100.0 / F.col("span_us"), 9).alias("twa_value")))
 
 
 @query("regression_value_vs_time", oracle=f"""
 WITH m AS (
   SELECT event_type, COUNT(*) AS n,
     SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sx,
-    SUM(CAST({_VDEC} * 100 AS HUGEINT)) AS syc,
+    SUM(CAST({_VCENTS} AS HUGEINT)) AS syc,
     SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
-        * CAST({_VDEC} * 100 AS HUGEINT)) AS sxyc,
+        * CAST({_VCENTS} AS HUGEINT)) AS sxyc,
     SUM(CAST(epoch_us(ts) // 1000000 AS HUGEINT)
         * CAST(epoch_us(ts) // 1000000 AS HUGEINT)) AS sxx,
-    SUM(CAST({_VDEC} * 100 AS HUGEINT)
-        * CAST({_VDEC} * 100 AS HUGEINT)) AS syycc
+    SUM(CAST({_VCENTS} AS HUGEINT)
+        * CAST({_VCENTS} AS HUGEINT)) AS syycc
   FROM events GROUP BY event_type),
 c AS (
   SELECT event_type, n,
@@ -151,7 +160,7 @@ def regression_value_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     xdec = F.expr(
         "CAST(unix_micros(ts) div 1000000 AS DECIMAL(19,0))")
-    ycents = F.expr(f"CAST({_VDEC} * 100 AS DECIMAL(14,0))")
+    ycents = F.expr(f"CAST({_VCENTS} AS DECIMAL(14,0))")
     m = (t["events"].groupBy("event_type")
          .agg(F.count("*").alias("n"), F.sum(xdec).alias("sx"),
               F.sum(ycents).alias("syc"),
@@ -284,25 +293,25 @@ def drift_psi_time_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("psi_contrib")))
 
 
-@query("weighted_median_price", oracle="""
+@query("weighted_median_price", oracle=f"""
 WITH w AS (
   SELECT l_returnflag, year(l_shipdate) AS ship_year, l_extendedprice,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+    SUM({exact.cents('l_quantity')}) OVER (
       PARTITION BY l_returnflag, year(l_shipdate)
       ORDER BY l_extendedprice, l_orderkey, l_linenumber
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+    SUM({exact.cents('l_quantity')}) OVER (
       PARTITION BY l_returnflag, year(l_shipdate)) AS totq
   FROM lineitem)
 SELECT l_returnflag, ship_year,
-  CAST(MAX(totq) AS DOUBLE) AS total_qty,
+  CAST(MAX(totq) AS DOUBLE) / 100.0 AS total_qty,
   MIN(l_extendedprice) AS weighted_median_price
 FROM w WHERE cumq * 2 >= totq
 GROUP BY l_returnflag, ship_year""")
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median of extended price per (returnflag,
     ship-year): the 50%-of-mass price point, not the 50%-of-rows one.
-    Cumulative weights are exact DECIMAL running sums over one
+    Cumulative weights are exact BIGINT-cents running sums over one
     price-ordered window; the median is MIN(price) among rows whose
     doubled cumulative weight reaches the partition total — no float
     comparisons anywhere near the threshold.  Keyed on flag x year so
@@ -311,7 +320,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-search is the right form there — this shape is the exact
     in-group reference)."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    qdec = F.expr("CAST(l_quantity AS DECIMAL(12,2))")
+    qdec = F.expr(exact.cents("l_quantity"))
     # materialize ship_year ONCE so the windows and the final group-by
     # key on the same attribute — Catalyst then proves co-partitioning
     # and the whole query runs over a single exchange
@@ -327,17 +336,17 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qdec).over(wt).alias("totq"))
     return (w.where(F.col("cumq") * 2 >= F.col("totq"))
             .groupBy("l_returnflag", "ship_year")
-            .agg(F.max("totq").cast("double").alias("total_qty"),
+            .agg((F.max("totq").cast("double") / 100.0).alias("total_qty"),
                  F.min("l_extendedprice").alias("weighted_median_price")))
 
 
 @query("cusum_user_drift", oracle=f"""
 WITH d AS (
   SELECT user_id, ts, event_id,
-    CAST(SUM({_VDEC} - CAST(100.00 AS DECIMAL(12,2))) OVER (
+    CAST(SUM({_VCENTS} - 10000) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS DECIMAL(30,2)) AS cum
+      AS BIGINT) AS cum
   FROM events),
 m AS (
   SELECT user_id, ts, event_id, cum,
@@ -346,10 +355,10 @@ m AS (
   FROM d),
 s AS (
   SELECT user_id, ts, event_id,
-    cum - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(30,2)) END AS cusum
+    cum - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS BIGINT) END AS cusum
   FROM m)
-SELECT user_id, event_id, CAST(cusum AS DOUBLE) AS cusum,
-  cusum > 2000 AS alarm
+SELECT user_id, event_id, CAST(cusum AS DOUBLE) / 100.0 AS cusum,
+  cusum > 200000 AS alarm
 FROM s""")
 def cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection per user series (target
@@ -358,60 +367,62 @@ def cusum_user_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential, but it has a prefix-scan closed form
     S_i = cum_i - min(0, min_{j<=i} cum_j), so it runs as two
     running-window aggregates — no recursion, no UDF, no iteration.
-    All arithmetic stays in exact DECIMALs (2dp inputs), so the
-    alarm-threshold comparison has no float boundary; doubles appear
-    only in the output cast.  The running min is pinned at
-    DECIMAL(30,2) and min(0, mn) is spelled as CASE — DuckDB's
-    least() and precision-38 arithmetic silently degrade to DOUBLE,
-    which round 2 caught as a 1e-14 drift.  Per-user partitions keep
+    All arithmetic stays in exact BIGINT cents (r11 DECCAST
+    migration: cents() ingestion is IEEE-exact for any double, and
+    the target/alarm constants are integer cents 10000/200000), so
+    the alarm-threshold comparison has no float boundary; doubles
+    appear only in the output rescale.  Per-user partitions keep
     the window bounded at any corpus size."""
     t = load_tables(spark, sf_dir, ("events",))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     d = t["events"].select(
         "user_id", "ts", "event_id",
-        F.sum(F.expr(_VDEC) - F.expr("CAST(100.00 AS DECIMAL(12,2))"))
-        .over(w).cast("decimal(30,2)").alias("cum"))
+        F.sum(F.expr(_VCENTS) - F.lit(10000))
+        .over(w).cast("long").alias("cum"))
     mn = F.min("cum").over(w)
     cusum = (F.col("cum")
-             - F.when(mn < 0, mn).otherwise(F.expr("CAST(0 AS DECIMAL(30,2))")))
+             - F.when(mn < 0, mn).otherwise(F.lit(0).cast("long")))
     return d.select("user_id", "event_id",
-                    cusum.cast("double").alias("cusum"),
-                    (cusum > 2000).alias("alarm"))
+                    (cusum.cast("double") / 100.0).alias("cusum"),
+                    (cusum > 200000).alias("alarm"))
 
 
 @query("bollinger_hourly_value", oracle=f"""
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-    COUNT(*) AS n, SUM({_VDEC}) AS s, SUM({_VDEC} * {_VDEC}) AS q
+    COUNT(*) AS n, CAST(SUM({_VCENTS}) AS BIGINT) AS s,
+    CAST(SUM({_VCENTS} * {_VCENTS}) AS BIGINT) AS q
   FROM events GROUP BY 1, 2),
 r AS (
   SELECT event_type, bucket,
     CAST(SUM(n) OVER w AS BIGINT) AS n24,
-    SUM(s) OVER w AS s24, SUM(q) OVER w AS q24
+    CAST(SUM(s) OVER w AS BIGINT) AS s24,
+    CAST(SUM(q) OVER w AS BIGINT) AS q24
   FROM h
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
 SELECT event_type, bucket, n24,
-  CAST(floor((CAST(s24 AS DOUBLE) / n24) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mid,
-  CAST(floor((CAST(s24 AS DOUBLE) / n24 + 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS upper_band,
-  CAST(floor((CAST(s24 AS DOUBLE) / n24 - 2 * sqrt((CAST(q24 AS DOUBLE) - CAST(s24 AS DOUBLE) * CAST(s24 AS DOUBLE) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS lower_band
+  CAST(floor((CAST(s24 AS DOUBLE) / 100.0 / n24) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mid,
+  CAST(floor((CAST(s24 AS DOUBLE) / 100.0 / n24 + 2 * sqrt((CAST(q24 AS DOUBLE) / 10000.0 - CAST(s24 AS DOUBLE) / 100.0 * (CAST(s24 AS DOUBLE) / 100.0) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS upper_band,
+  CAST(floor((CAST(s24 AS DOUBLE) / 100.0 / n24 - 2 * sqrt((CAST(q24 AS DOUBLE) / 10000.0 - CAST(s24 AS DOUBLE) / 100.0 * (CAST(s24 AS DOUBLE) / 100.0) / n24) / (n24 - 1))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS lower_band
 FROM r WHERE n24 > 1""")
 def bollinger_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands (trailing-24h mean +/- 2 sigma) per event type:
     the rolling-volatility envelope.  The hourly pre-aggregate carries
-    exact DECIMAL moments (n, Sigma x, Sigma x^2); the 24-bucket
-    trailing window then SUMS those moments — decimal-exact rollups of
-    rollups — and the band math happens once, in doubles, per output
-    row.  Rolling over the hourly layer instead of raw events is the
+    exact BIGINT cents/cents² moments (n, Sigma x, Sigma x^2 — r11
+    DECCAST migration); the 24-bucket trailing window then SUMS those
+    moments — integer-exact rollups of rollups — and the band math
+    happens once, in doubles, per output row.  Rolling over the hourly layer instead of raw events is the
     scale story: window partitions are O(hours), not O(events), so a
     100 TB month still windows over <=744 rows per type."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     h = (t["events"]
          .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-         .agg(F.count("*").alias("n"), F.sum(dec).alias("s"),
-              F.sum(dec * dec).alias("q")))
+         .agg(F.count("*").alias("n"),
+              F.sum(vc).cast("long").alias("s"),
+              F.sum(vc * vc).cast("long").alias("q")))
     w = (Window.partitionBy("event_type").orderBy("bucket")
          .rowsBetween(-23, Window.currentRow))
     r = h.select("event_type", "bucket",
@@ -419,7 +430,8 @@ def bollinger_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("s").over(w).alias("s24"),
                  F.sum("q").over(w).alias("q24"))
     n24 = F.col("n24")
-    s24, q24 = F.col("s24").cast("double"), F.col("q24").cast("double")
+    s24 = F.col("s24").cast("double") / 100.0
+    q24 = F.col("q24").cast("double") / 10000.0
     mid = s24 / n24
     sd = F.sqrt((q24 - s24 * s24 / n24) / (n24 - 1))
     return (r.where(n24 > 1)
@@ -457,24 +469,24 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_totalprice").alias("hi")))
 
 
-@query("corr_matrix_exact", oracle="""
+@query("corr_matrix_exact", oracle=f"""
 WITH m AS (
   SELECT COUNT(*) AS n,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s_q,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s_p,
-    SUM(CAST(l_discount AS DECIMAL(12,2))) AS s_d,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_quantity AS DECIMAL(12,2))) AS s_qq,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_pp,
-    SUM(CAST(l_discount AS DECIMAL(12,2))
-        * CAST(l_discount AS DECIMAL(12,2))) AS s_dd,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_qp,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_discount AS DECIMAL(12,2))) AS s_qd,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * CAST(l_discount AS DECIMAL(12,2))) AS s_pd
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))) AS s_q,
+    SUM(CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))) AS s_p,
+    SUM(CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_d,
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))) AS s_qq,
+    SUM(CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))) AS s_pp,
+    SUM(CAST({exact.cents('l_discount')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_dd,
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))) AS s_qp,
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_qd,
+    SUM(CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_pd
   FROM lineitem),
 pairs AS (
   SELECT 'quantity~extendedprice' AS pair, n, s_q AS sx, s_p AS sy,
@@ -488,16 +500,19 @@ SELECT pair, n,
 FROM pairs""")
 def corr_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over three lineitem metrics,
-    from ONE aggregation pass: nine exact-DECIMAL moment sums (every
-    Σx, Σx², Σxy the three pairs need), then each pair's r assembles in
-    doubles from the closed form — the regression_value_vs_time rule
-    generalized to a matrix.  Built-in corr() is float-partial-sum
+    from ONE aggregation pass: nine exact integer moment sums in cents
+    units on DECIMAL(18,0) carriers (every Σx, Σx², Σxy the three
+    pairs need; cents² sums exceed 2^63 at sf>=0.2, and Pearson r is
+    scale-invariant so the cents units need no rescale — r11 DECCAST
+    migration), then each pair's r assembles in doubles from the
+    closed form — the regression_value_vs_time rule generalized to a
+    matrix.  Built-in corr() is float-partial-sum
     nondeterministic across engines; this is one fact scan + a 1-row
     agg + a 3-row in-memory expansion, the cheapest possible shape at
     any scale (and at 100 TB the single scan beats three corr() passes
     3×)."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    q, p, d = (F.expr(f"CAST({c} AS DECIMAL(12,2))")
+    q, p, d = (F.expr(f"CAST({exact.cents(c)} AS DECIMAL(18,0))")
                for c in ("l_quantity", "l_extendedprice", "l_discount"))
     m = t["lineitem"].agg(
         F.count("*").alias("n"),
@@ -678,7 +693,7 @@ def _ses_oracle() -> str:
     return f"""
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-    {exact.snap_double(f"CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)", 9)}
+    {exact.snap_double(f"CAST(SUM({_VCENTS}) AS DOUBLE) / 100.0 / COUNT(*)", 9)}
       AS x
   FROM events GROUP BY 1, 2),
 lvl AS (
@@ -711,10 +726,10 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: windows run over the hourly layer (O(hours) rows per type),
     same contract as the Bollinger entry."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     h = (t["events"]
          .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-         .agg((F.floor((F.sum(dec).cast("double") / F.count("*"))
+         .agg((F.floor((F.sum(vc).cast("double") / 100.0 / F.count("*"))
                        * 1e9 + F.lit(0.5)).cast("long") / 1e9)
               .alias("x")))
     w = Window.partitionBy("event_type").orderBy("bucket")
@@ -822,18 +837,18 @@ _WELCH_DF = """CAST(floor((pow(v1 / n1 + v2 / n2, 2) / (pow(v1 / n1, 2) / (n1 - 
 WITH m AS (
   SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS n,
-    SUM({_VDEC}) AS s,
-    SUM({_VDEC} * {_VDEC}) AS q
+    CAST(SUM({_VCENTS}) AS BIGINT) AS s,
+    CAST(SUM({_VCENTS} * {_VCENTS}) AS BIGINT) AS q
   FROM events WHERE event_type IN ('click', 'view')
   GROUP BY event_type),
 d AS (
   SELECT
     MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
     MAX(CASE WHEN event_type = 'view'  THEN n END) AS n2,
-    CAST(MAX(CASE WHEN event_type = 'click' THEN s END) AS DOUBLE) AS s1,
-    CAST(MAX(CASE WHEN event_type = 'view'  THEN s END) AS DOUBLE) AS s2,
-    CAST(MAX(CASE WHEN event_type = 'click' THEN q END) AS DOUBLE) AS q1,
-    CAST(MAX(CASE WHEN event_type = 'view'  THEN q END) AS DOUBLE) AS q2
+    CAST(MAX(CASE WHEN event_type = 'click' THEN s END) AS DOUBLE) / 100.0 AS s1,
+    CAST(MAX(CASE WHEN event_type = 'view'  THEN s END) AS DOUBLE) / 100.0 AS s2,
+    CAST(MAX(CASE WHEN event_type = 'click' THEN q END) AS DOUBLE) / 10000.0 AS q1,
+    CAST(MAX(CASE WHEN event_type = 'view'  THEN q END) AS DOUBLE) / 10000.0 AS q2
   FROM m),
 v AS (
   SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
@@ -848,29 +863,30 @@ FROM v""")
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance two-sample t-test between 'click' and
     'view' values — the parametric sibling of the rank tests above.
-    Sums and sums-of-squares accumulate as exact DECIMALs (order-free
-    partial aggregation on executors stays exact); each enters the
-    double domain exactly once, and the t and Welch-Satterthwaite df
-    expressions are shared SQL text compiled by both engines.
+    Sums and sums-of-squares accumulate as exact BIGINT cents/cents²
+    (order-free partial aggregation on executors stays exact; r11
+    DECCAST migration); each enters the double domain exactly once,
+    and the t and Welch-Satterthwaite df expressions are shared SQL
+    text compiled by both engines.
 
     Scale: one hash aggregate keyed on event_type (map-side combine),
     then a 2-row pivot — nothing but six partial moments crosses the
     shuffle."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     ev = t["events"].where(F.col("event_type").isin("click", "view"))
     m = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(dec).alias("s"),
-        F.sum(dec * dec).alias("q"))
+        F.sum(vc).cast("long").alias("s"),
+        F.sum(vc * vc).cast("long").alias("q"))
     pick = lambda typ, col: F.max(  # noqa: E731
         F.when(F.col("event_type") == typ, F.col(col)))
     d = m.agg(
         pick("click", "n").alias("n1"), pick("view", "n").alias("n2"),
-        pick("click", "s").cast("double").alias("s1"),
-        pick("view", "s").cast("double").alias("s2"),
-        pick("click", "q").cast("double").alias("q1"),
-        pick("view", "q").cast("double").alias("q2"))
+        (pick("click", "s").cast("double") / 100.0).alias("s1"),
+        (pick("view", "s").cast("double") / 100.0).alias("s2"),
+        (pick("click", "q").cast("double") / 10000.0).alias("q1"),
+        (pick("view", "q").cast("double") / 10000.0).alias("q2"))
     v = d.select(
         "n1", "n2",
         (F.col("s1") / F.col("n1")).alias("m1"),
@@ -969,7 +985,7 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH h AS (
   SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
            AS x,
-    CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS y
+    CAST(floor((CAST(SUM({_VCENTS}) AS DOUBLE) / 100.0 / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS y
   FROM events GROUP BY 1),
 pairs AS (
   SELECT (b.y - a.y) / (b.x - a.x) AS slope
@@ -998,11 +1014,11 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     events; at 100 TB you shard the series and use the
     median-of-medians refinement, same plan shape."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     h = (t["events"]
          .groupBy(F.expr("unix_micros(date_trunc('hour', ts))"
                          " DIV 3600000000").alias("x"))
-         .agg(exact.snap_double_col(F.sum(dec).cast("double") / F.count("*"), 9)
+         .agg(exact.snap_double_col(F.sum(vc).cast("double") / 100.0 / F.count("*"), 9)
               .alias("y")))
     a, b = h.alias("a"), h.alias("b")
     pairs = (a.join(b, F.col("b.x") > F.col("a.x"))
@@ -1038,15 +1054,15 @@ def _boot_weight_sql(r: str = "r") -> str:
 
 @query("stats_bootstrap_ci_mean", oracle=f"""
 WITH w AS (
-  SELECT r, {_boot_weight_sql()} AS wt, {_VDEC} AS v
+  SELECT r, {_boot_weight_sql()} AS wt, {_VCENTS} AS v
   FROM events CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS r)
   WHERE event_type = 'click'),
 rep AS (
-  SELECT r, CAST(SUM(wt * v) AS DOUBLE) / SUM(wt) AS m
+  SELECT r, CAST(SUM(wt * v) AS DOUBLE) / 100.0 / SUM(wt) AS m
   FROM w GROUP BY r),
 base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(floor((CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_v
+    CAST(floor((CAST(SUM({_VCENTS}) AS DOUBLE) / 100.0 / COUNT(*)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_v
   FROM events WHERE event_type = 'click')
 SELECT n, mean_v,
   CAST(floor(((SELECT quantile_cont(m, 0.025) FROM rep)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS ci_lo,
@@ -1063,8 +1079,9 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the 32 replicas are generated map-side (explode), partials
     combine per replica, and the shuffle carries 32 rows of exact
-    DECIMAL moments; replica means are one double division each and
-    the CI is a quantile over 32 doubles."""
+    BIGINT cents moments (r11 DECCAST migration); replica means are
+    one rescaling division each and the CI is a quantile over 32
+    doubles."""
     from results_ingestor_spark.functions.hashing import md5_long
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"].where(F.col("event_type") == "click")
@@ -1075,20 +1092,20 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.shiftright(h, 7 * trial).bitwiseAND(F.lit(7)) == 0,
                      1).otherwise(0)
         wt = bit if wt is None else wt + bit
-    w = (ev.select(F.expr(_VDEC).alias("v"), "event_id")
+    w = (ev.select(F.expr(_VCENTS).alias("v"), "event_id")
          .select("v", "event_id",
                  F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
                  .alias("r"))
          .withColumn("wt", wt))
     rep = (w.groupBy("r")
-           .agg((F.sum(F.col("wt") * F.col("v")).cast("double")
+           .agg((F.sum(F.col("wt") * F.col("v")).cast("double") / 100.0
                  / F.sum("wt")).alias("m")))
     ci = rep.agg(
         F.percentile("m", F.lit(0.025)).alias("lo"),
         F.percentile("m", F.lit(0.975)).alias("hi"))
     base = ev.agg(
         F.count("*").alias("n"),
-        exact.snap_double_col(F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9)
+        exact.snap_double_col(F.sum(F.expr(_VCENTS)).cast("double") / 100.0 / F.count("*"), 9)
          .alias("mean_v"))
     return (base.crossJoin(F.broadcast(ci))
             .select("n", "mean_v",
@@ -1129,17 +1146,18 @@ _CPT_GAIN = """CAST(floor(((qn - sn * sn / n) - ((qt - st * st / t) + ((qn - qt)
 @query("events_changepoint_hourly", oracle=f"""
 WITH h AS (
   SELECT date_trunc('hour', ts) AS bucket,
-    SUM({_VDEC}) AS y
+    CAST(SUM({_VCENTS}) AS BIGINT) AS y
   FROM events GROUP BY 1),
 c AS (
   SELECT bucket,
     CAST(row_number() OVER w AS BIGINT) AS t,
-    CAST(SUM(y) OVER w AS DOUBLE) AS st,
-    CAST(SUM(y * y) OVER w AS DOUBLE) AS qt
+    CAST(SUM(y) OVER w AS DOUBLE) / 100.0 AS st,
+    CAST(SUM(y * y) OVER w AS DOUBLE) / 10000.0 AS qt
   FROM h WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(SUM(y) AS DOUBLE) AS sn, CAST(SUM(y * y) AS DOUBLE) AS qn
+    CAST(SUM(y) AS DOUBLE) / 100.0 AS sn,
+    CAST(SUM(y * y) AS DOUBLE) / 10000.0 AS qn
   FROM h),
 g AS (
   SELECT bucket, t, n, {_CPT_GAIN} AS gain,
@@ -1153,27 +1171,30 @@ def events_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     round of binary segmentation): the split that maximally reduces
     within-segment sum-of-squares — the alarm a monitoring pipeline
     raises when a deploy shifts the level.  Everything derives from
-    exact DECIMAL prefix sums; the gain is one shared double
-    expression; argmax ties break on the earlier split.
+    exact BIGINT cents prefix sums (r11 DECCAST migration); the gain
+    is one shared double expression; argmax ties break on the earlier
+    split.
 
     Scale: the window runs over the hourly layer (bounded time
     domain); full binary segmentation recurses on the two halves —
     same plan per segment."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     h = (t["events"]
          .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
-         .agg(F.sum(dec).alias("y")))
+         .agg(F.sum(vc).cast("long").alias("y")))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     c = h.select(
         "bucket",
         F.row_number().over(Window.orderBy("bucket")).cast("long")
         .alias("t"),
-        F.sum("y").over(w).cast("double").alias("st"),
-        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("qt"))
+        (F.sum("y").over(w).cast("double") / 100.0).alias("st"),
+        (F.sum(F.col("y") * F.col("y")).over(w).cast("double") / 10000.0)
+        .alias("qt"))
     tot = h.agg(F.count("*").cast("long").alias("n"),
-                F.sum("y").cast("double").alias("sn"),
-                F.sum(F.col("y") * F.col("y")).cast("double").alias("qn"))
+                (F.sum("y").cast("double") / 100.0).alias("sn"),
+                (F.sum(F.col("y") * F.col("y")).cast("double") / 10000.0)
+                .alias("qn"))
     g = (c.crossJoin(F.broadcast(tot))
          .where(F.col("t") < F.col("n"))
          .select(F.col("bucket").alias("split_after"), "t", "n",
@@ -1322,16 +1343,16 @@ def events_poisson_burst_surprise(spark: SparkSession,
 @query("events_seasonality_strength", oracle=f"""
 WITH c AS (
   SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
-    {_VDEC} AS v
+    {_VCENTS} AS v
   FROM events),
 g AS (
   SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
-    SUM(v) AS s, SUM(v * v) AS q
+    CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
   FROM c GROUP BY dow, hr)
 SELECT
   CAST(SUM(n) AS BIGINT) AS n_events,
   CAST(COUNT(*) AS BIGINT) AS n_cells,
-  CAST(floor((1.0 - CAST(SUM(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS DOUBLE) / (CAST(SUM(CAST(q AS DOUBLE)) AS DOUBLE) - CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) * CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) / SUM(n))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
+  CAST(floor((1.0 - CAST(SUM(CAST(q AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / n) AS DOUBLE) / (CAST(SUM(CAST(q AS DOUBLE) / 10000.0) AS DOUBLE) - CAST(SUM(CAST(s AS DOUBLE) / 100.0) AS DOUBLE) * CAST(SUM(CAST(s AS DOUBLE) / 100.0) AS DOUBLE) / SUM(n))) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
     AS seasonality_r2
 FROM g""")
 def events_seasonality_strength(spark: SparkSession,
@@ -1340,21 +1361,22 @@ def events_seasonality_strength(spark: SparkSession,
     explains: one-way ANOVA R² with (day-of-week × hour) cells as
     groups — 1 − SSE_within/SST.  Near 0: the dow-hour heatmap is
     decoration; near 1: schedule features belong in every downstream
-    model.  Moments accumulate as exact DECIMALs per cell; doubles
-    enter in one shared final expression.
+    model.  Moments accumulate as exact BIGINT cents/cents² per cell
+    (r11 DECCAST migration); doubles enter in one shared final
+    expression.
 
     Scale: one hash-agg over a 168-cell domain (map-side combine),
     then a 1-row reduction — nothing else moves."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     g = (t["events"]
          .select(F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr"),
-                 dec.alias("v"))
+                 vc.alias("v"))
          .groupBy("dow", "hr")
-         .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
-              F.sum(F.col("v") * F.col("v")).alias("q")))
-    sd = F.col("s").cast("double")
-    qd = F.col("q").cast("double")
+         .agg(F.count("*").alias("n"), F.sum("v").cast("long").alias("s"),
+              F.sum(F.col("v") * F.col("v")).cast("long").alias("q")))
+    sd = F.col("s").cast("double") / 100.0
+    qd = F.col("q").cast("double") / 10000.0
     within = F.sum(qd - sd * sd / F.col("n")).cast("double")
     tot_q = F.sum(qd).cast("double")
     tot_s = F.sum(sd).cast("double")
@@ -1411,15 +1433,15 @@ def stats_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OR_CI.format(sign='+')).alias("ci_hi"))
 
 
-@query("discount_volume_elasticity", oracle="""
+@query("discount_volume_elasticity", oracle=f"""
 WITH b AS (
   SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
     CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+    CAST(SUM({exact.cents('l_quantity')}) AS BIGINT) AS q
   FROM lineitem GROUP BY 1),
 pts AS (
   SELECT disc_pct, n,
-    CAST(floor((CAST(q AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_qty
+    CAST(floor((CAST(q AS DOUBLE) / 100.0 / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean_qty
   FROM b),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
@@ -1441,8 +1463,8 @@ def discount_volume_elasticity(spark: SparkSession,
     """Does discounting move volume?  Mean quantity per discount
     bucket (integer percent points), then the OLS slope across
     buckets: quantity gained per extra discount point, with the
-    zero-discount intercept.  Bucket means come from exact DECIMAL
-    sums; x is integer, so only sy/sxy need the 9-dp snap (the
+    zero-discount intercept.  Bucket means come from exact
+    BIGINT-cents sums (r11 DECCAST migration); x is integer, so only sy/sxy need the 9-dp snap (the
     Heaps-fit contract).
 
     Scale: one bucket hash-agg (domain ≤ 11 rows) and a 1-row fit."""
@@ -1451,11 +1473,11 @@ def discount_volume_elasticity(spark: SparkSession,
          .groupBy(F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
                   .alias("disc_pct"))
          .agg(F.count("*").alias("n"),
-              F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-              .cast("decimal(38,2)").alias("q")))
+              F.sum(F.expr(exact.cents("l_quantity")))
+              .cast("long").alias("q")))
     pts = b.select(
         "disc_pct", "n",
-        exact.snap_double_col(F.col("q").cast("double") / F.col("n"), 9)
+        exact.snap_double_col(F.col("q").cast("double") / 100.0 / F.col("n"), 9)
         .alias("mean_qty"))
     s = pts.agg(
         F.count("*").alias("k"),
@@ -1478,15 +1500,15 @@ def discount_volume_elasticity(spark: SparkSession,
 @query("events_max_drawdown", oracle=f"""
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-    SUM({_VDEC}) AS v
+    CAST(SUM({_VCENTS}) AS BIGINT) AS v
   FROM events GROUP BY 1),
 c0 AS (
-  SELECT day, CAST(SUM(v) OVER w AS DECIMAL(38,2)) AS cum
+  SELECT day, CAST(SUM(v) OVER w AS BIGINT) AS cum
   FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
 c AS (
   SELECT day, cum,
     CAST(MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-         AS DECIMAL(38,2)) AS peak
+         AS BIGINT) AS peak
   FROM c0),
 dd AS (
   SELECT day, cum, peak,
@@ -1503,20 +1525,22 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk metric that a volatility number hides: the worst
     peak-to-trough loss an observer holding the series would have
     lived through, plus the day it bottomed.  Cumulative sums and
-    running peaks stay exact DECIMAL; one double division per day.
+    running peaks stay exact BIGINT cents (r11 DECCAST migration; the
+    cum/peak ratio is unit-free so no rescale is needed); one double
+    division per day.
 
     Scale: the nested running-max-of-running-sum windows run over the
     DAY domain (bounded calendar), after one day-keyed hash agg."""
     t = load_tables(spark, sf_dir, ("events",))
-    dec = F.expr(_VDEC)
+    vc = F.expr(_VCENTS)
     d = (t["events"]
          .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-         .agg(F.sum(dec).alias("v")))
+         .agg(F.sum(vc).cast("long").alias("v")))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     c = d.select("day",
-                 F.sum("v").over(w).cast("decimal(38,2)").alias("cum"))
+                 F.sum("v").over(w).cast("long").alias("cum"))
     c = c.select("day", "cum",
-                 F.max("cum").over(w).cast("decimal(38,2)").alias("peak"))
+                 F.max("cum").over(w).cast("long").alias("peak"))
     dd = c.select(
         "day",
         exact.snap_double_col(1.0 - F.col("cum").cast("double") / F.col("peak").cast("double"), 9).alias("draw"))
@@ -1543,20 +1567,20 @@ m AS (
   SELECT event_type = 'click' AS treated,
     CAST(date_trunc('day', ts) AS DATE) >= cutover AS post,
     CAST(COUNT(*) AS BIGINT) AS n,
-    SUM({_VDEC}) AS s
+    CAST(SUM({_VCENTS}) AS BIGINT) AS s
   FROM events CROSS JOIN mid
   WHERE event_type IN ('click', 'view')
   GROUP BY 1, 2),
 cells AS (
   SELECT
     MAX(CASE WHEN treated AND NOT post
-        THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+        THEN CAST(s AS DOUBLE) / 100.0 / n END) AS t_pre,
     MAX(CASE WHEN treated AND post
-        THEN CAST(s AS DOUBLE) / n END) AS t_post,
+        THEN CAST(s AS DOUBLE) / 100.0 / n END) AS t_post,
     MAX(CASE WHEN NOT treated AND NOT post
-        THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+        THEN CAST(s AS DOUBLE) / 100.0 / n END) AS c_pre,
     MAX(CASE WHEN NOT treated AND post
-        THEN CAST(s AS DOUBLE) / n END) AS c_post
+        THEN CAST(s AS DOUBLE) / 100.0 / n END) AS c_post
   FROM m)
 SELECT CAST(floor((t_pre) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS treated_pre, CAST(floor((t_post) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS treated_post,
   CAST(floor((c_pre) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS control_pre, CAST(floor((c_post) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS control_post,
@@ -1568,8 +1592,9 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
     cutover: the change in mean click value minus the change in mean
     view value — the causal-inference workhorse that subtracts out
     whatever moved BOTH series (seasonality, mix shift), leaving the
-    treatment-correlated residual.  Four cell means from exact DECIMAL
-    moments; the DiD contrast is one shared expression.
+    treatment-correlated residual.  Four cell means from exact BIGINT
+    cents moments (r11 DECCAST migration); the DiD contrast is one
+    shared expression.
 
     Scale: one 4-cell filtered aggregate after a 1-row cutover
     broadcast — four moment pairs cross the wire."""
@@ -1586,10 +1611,10 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
                   (F.date_trunc("day", "ts").cast("date")
                    >= F.col("cutover")).alias("post"))
          .agg(F.count("*").alias("n"),
-              F.sum(F.expr(_VDEC)).alias("s")))
+              F.sum(F.expr(_VCENTS)).cast("long").alias("s")))
     cell = lambda tr, po: F.max(  # noqa: E731
         F.when((F.col("treated") == tr) & (F.col("post") == po),
-               F.col("s").cast("double") / F.col("n")))
+               F.col("s").cast("double") / 100.0 / F.col("n")))
     cells = m.agg(cell(True, False).alias("t_pre"),
                   cell(True, True).alias("t_post"),
                   cell(False, False).alias("c_pre"),
@@ -1606,21 +1631,22 @@ def stats_diff_in_diff_uplift(spark: SparkSession,
 _HOURLY_SQL = f"""
   SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
            AS x,
-    {exact.snap_double(f"CAST(SUM({_VDEC}) AS DOUBLE) / COUNT(*)", 9)}
+    {exact.snap_double(f"CAST(SUM({_VCENTS}) AS DOUBLE) / 100.0 / COUNT(*)", 9)}
       AS y
   FROM events GROUP BY 1"""
 
 
 def _hourly_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared bounded hourly (x, y) series: integer hour index,
-    9-dp-rounded decimal-exact mean — identical on both engines (same
+    9-dp-snapped cents-exact mean — identical on both engines (same
     construction as stats_theil_sen_trend)."""
     t = load_tables(spark, sf_dir, ("events",))
     return (t["events"]
             .groupBy(F.expr("unix_micros(date_trunc('hour', ts))"
                             " DIV 3600000000").alias("x"))
             .agg(exact.snap_double_col(
-                F.sum(F.expr(_VDEC)).cast("double") / F.count("*"), 9)
+                F.sum(F.expr(_VCENTS)).cast("double") / 100.0
+                / F.count("*"), 9)
                 .alias("y")))
 
 
@@ -2076,18 +2102,18 @@ _ANOVA_F = """CAST(floor((((bsum - sd * sd / nn) / (k - 1))
 WITH g AS (
   SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS n,
-    SUM({_VDEC}) AS s,
-    SUM({_VDEC} * {_VDEC}) AS q
+    CAST(SUM({_VCENTS}) AS BIGINT) AS s,
+    CAST(SUM({_VCENTS} * {_VCENTS}) AS BIGINT) AS q
   FROM events GROUP BY event_type),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
     CAST(SUM(n) AS BIGINT) AS nn,
-    CAST(SUM(s) AS DOUBLE) AS sd,
-    CAST(SUM(q) AS DOUBLE) AS qd
+    CAST(SUM(s) AS DOUBLE) / 100.0 AS sd,
+    CAST(SUM(q) AS DOUBLE) / 10000.0 AS qd
   FROM g),
 b AS (
   SELECT bsum FROM (
-    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+    SELECT SUM(CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / n)
              OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS bsum,
            row_number() OVER (ORDER BY event_type DESC) AS rn
     FROM g) WHERE rn = 1)
@@ -2100,7 +2126,8 @@ def stats_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F statistic for `value` across all event types —
     the k-group generalization of the Welch entry (does ANY type have
     a different mean?).  Per-group (n, Σv, Σv²) accumulate as exact
-    DECIMAL moments (order-free partial aggregation); the one
+    BIGINT cents/cents² moments (order-free partial aggregation; r11
+    DECCAST migration); the one
     order-sensitive piece — Σᵢ sᵢ²/nᵢ, a k-term double sum — is folded
     by a cumulative window ORDER BY event_type so both engines add in
     the same order, and the F expression is shared SQL text.
@@ -2111,15 +2138,16 @@ def stats_anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     g = t["events"].groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.expr(_VDEC)).alias("s"),
-        F.sum(F.expr(f"{_VDEC} * {_VDEC}")).alias("q"))
+        F.sum(F.expr(_VCENTS)).cast("long").alias("s"),
+        F.sum(F.expr(f"{_VCENTS} * {_VCENTS}")).cast("long").alias("q"))
     tot = g.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("n").cast("long").alias("nn"),
-        F.sum("s").cast("double").alias("sd"),
-        F.sum("q").cast("double").alias("qd"))
+        (F.sum("s").cast("double") / 100.0).alias("sd"),
+        (F.sum("q").cast("double") / 10000.0).alias("qd"))
     w = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
-    term = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    term = (F.col("s").cast("double") / 100.0
+            * (F.col("s").cast("double") / 100.0) / F.col("n"))
     b = (g.select(F.sum(term).over(w).alias("bsum"),
                   F.row_number().over(Window.orderBy(F.desc("event_type")))
                   .alias("rn"))
@@ -2322,26 +2350,26 @@ def _perm_bit_sql(r: str = "r") -> str:
             f"::bigint & 1)")
 
 
-_PERM_D = """CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / (nn - n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
+_PERM_D = """CAST(floor((CAST(s1 AS DOUBLE) / 100.0 / n1 - CAST(s0 AS DOUBLE) / 100.0 / (nn - n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)"""
 
 
 @query("stats_permutation_test_mean", oracle=f"""
 WITH ev AS (
-  SELECT event_id, event_type, {_VDEC} AS v
+  SELECT event_id, event_type, {_VCENTS} AS v
   FROM events WHERE event_type IN ('click', 'view')),
 obs AS (
   SELECT n1 AS n_click, nn - n1 AS n_view, abs({_PERM_D}) AS d_obs
   FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
           CAST(count_if(event_type = 'click') AS BIGINT) AS n1,
-          SUM(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS s1,
-          SUM(CASE WHEN event_type <> 'click' THEN v ELSE 0 END) AS s0
+          CAST(SUM(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS BIGINT) AS s1,
+          CAST(SUM(CASE WHEN event_type <> 'click' THEN v ELSE 0 END) AS BIGINT) AS s0
         FROM ev)),
 rep AS (
   SELECT r,
     CAST(COUNT(*) AS BIGINT) AS nn,
     CAST(SUM(bit) AS BIGINT) AS n1,
-    SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS s1,
-    SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS s0
+    CAST(SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS BIGINT) AS s0
   FROM (SELECT v, r, {_perm_bit_sql()} AS bit
         FROM ev CROSS JOIN (SELECT unnest(range(0, {_PERM_R})) AS r))
   GROUP BY r),
@@ -2362,8 +2390,9 @@ def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     same expression text runs in both engines, so even the resampling
     is value-checked), recompute |mean₁ − mean₀| per permutation, and
     report the add-one-smoothed p-value.  Group sums accumulate as
-    exact DECIMALs; each replica's statistic is one shared double
-    expression over its 9-dp-rounded value.
+    exact BIGINT cents (r11 DECCAST migration); each replica's
+    statistic is one shared double expression over its 9-dp-snapped
+    value.
 
     Scale: replicas are generated map-side (explode), partials combine
     per replica, and the shuffle carries 64 rows of exact
@@ -2372,15 +2401,15 @@ def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.functions.hashing import md5_long
     t = load_tables(spark, sf_dir, ("events",))
     ev = (t["events"].where(F.col("event_type").isin("click", "view"))
-          .select("event_id", "event_type", F.expr(_VDEC).alias("v")))
+          .select("event_id", "event_type", F.expr(_VCENTS).alias("v")))
     d_expr = F.expr(_PERM_D)
     obs = (ev.agg(
         F.count("*").cast("long").alias("nn"),
         F.count_if(F.col("event_type") == "click").cast("long").alias("n1"),
         F.sum(F.when(F.col("event_type") == "click", F.col("v"))
-              .otherwise(F.lit(0).cast("decimal(12,2)"))).alias("s1"),
+              .otherwise(F.lit(0))).cast("long").alias("s1"),
         F.sum(F.when(F.col("event_type") != "click", F.col("v"))
-              .otherwise(F.lit(0).cast("decimal(12,2)"))).alias("s0"))
+              .otherwise(F.lit(0))).cast("long").alias("s0"))
         .select(F.col("n1").alias("n_click"),
                 (F.col("nn") - F.col("n1")).alias("n_view"),
                 F.abs(d_expr).alias("d_obs")))
@@ -2394,10 +2423,10 @@ def stats_permutation_test_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").cast("long").alias("nn"),
                 F.sum("bit").cast("long").alias("n1"),
                 F.sum(F.when(F.col("bit") == 1, F.col("v"))
-                      .otherwise(F.lit(0).cast("decimal(12,2)")))
+                      .otherwise(F.lit(0))).cast("long")
                 .alias("s1"),
                 F.sum(F.when(F.col("bit") == 0, F.col("v"))
-                      .otherwise(F.lit(0).cast("decimal(12,2)")))
+                      .otherwise(F.lit(0))).cast("long")
                 .alias("s0")))
     ext = (rep.select(F.abs(d_expr).alias("d"))
            .join(F.broadcast(obs.select("d_obs")))
@@ -2425,15 +2454,17 @@ def _bh_bit_sql() -> str:
 
 @query("stats_benjamini_hochberg", oracle=f"""
 WITH ev AS (
-  SELECT event_id, event_type, {_VDEC} AS v FROM events),
+  SELECT event_id, event_type, {_VCENTS} AS v FROM events),
 tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS nn, SUM(v) AS sv FROM ev),
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+    CAST(SUM(v) AS BIGINT) AS sv FROM ev),
 gt AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1, SUM(v) AS s1
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+    CAST(SUM(v) AS BIGINT) AS s1
   FROM ev GROUP BY event_type),
 obs AS (
   SELECT event_type,
-    abs(CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(sv - s1 AS DOUBLE) / (nn - n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) AS d_obs
+    abs(CAST(floor((CAST(s1 AS DOUBLE) / 100.0 / n1 - CAST(sv - s1 AS DOUBLE) / 100.0 / (nn - n1)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) AS d_obs
   FROM gt CROSS JOIN tot),
 x AS (
   SELECT g.event_type, r, ev.v,
@@ -2447,12 +2478,12 @@ rep AS (
   SELECT event_type, r,
     CAST(COUNT(*) AS BIGINT) AS nr,
     CAST(SUM(bit) AS BIGINT) AS n1r,
-    SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS s1r,
-    SUM(v) AS svr
+    CAST(SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS BIGINT) AS s1r,
+    CAST(SUM(v) AS BIGINT) AS svr
   FROM x GROUP BY event_type, r),
 pv AS (
   SELECT rep.event_type,
-    CAST(floor(((1.0 + count_if( abs(CAST(floor((CAST(s1r AS DOUBLE) / n1r - CAST(svr - s1r AS DOUBLE) / (nr - n1r)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) >= o.d_obs)) / (1.0 + {_BH_R})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_raw
+    CAST(floor(((1.0 + count_if( abs(CAST(floor((CAST(s1r AS DOUBLE) / 100.0 / n1r - CAST(svr - s1r AS DOUBLE) / 100.0 / (nr - n1r)) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE)) >= o.d_obs)) / (1.0 + {_BH_R})) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS p_raw
   FROM rep JOIN obs o USING (event_type)
   GROUP BY rep.event_type),
 rk AS (
@@ -2484,12 +2515,13 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from results_ingestor_spark.functions.hashing import md5_long
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"].select("event_id", "event_type",
-                            F.expr(_VDEC).alias("v"))
+                            F.expr(_VCENTS).alias("v"))
     tot = ev.agg(F.count("*").cast("long").alias("nn"),
-                 F.sum("v").alias("sv"))
+                 F.sum("v").cast("long").alias("sv"))
     gt = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n1"), F.sum("v").alias("s1"))
-    d_of = lambda s1, n1, sv, nn: F.abs(exact.snap_double_col(s1.cast("double") / n1 - (sv - s1).cast("double") / (nn - n1), 9))
+        F.count("*").cast("long").alias("n1"),
+        F.sum("v").cast("long").alias("s1"))
+    d_of = lambda s1, n1, sv, nn: F.abs(exact.snap_double_col(s1.cast("double") / 100.0 / n1 - (sv - s1).cast("double") / 100.0 / (nn - n1), 9))
     obs = (gt.crossJoin(F.broadcast(tot))
            .select("event_type",
                    d_of(F.col("s1"), F.col("n1"), F.col("sv"),
@@ -2508,9 +2540,9 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").cast("long").alias("nr"),
                 F.sum("bit").cast("long").alias("n1r"),
                 F.sum(F.when(F.col("bit") == 1, F.col("v"))
-                      .otherwise(F.lit(0).cast("decimal(12,2)")))
+                      .otherwise(F.lit(0))).cast("long")
                 .alias("s1r"),
-                F.sum("v").alias("svr")))
+                F.sum("v").cast("long").alias("svr")))
     d_rep = d_of(F.col("s1r"), F.col("n1r"), F.col("svr"), F.col("nr"))
     pv = (rep.join(F.broadcast(obs), "event_type")
           .groupBy("event_type")
@@ -2868,8 +2900,8 @@ def events_poisson_glm_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stats_levene_brown_forsythe", oracle=f"""
 WITH s AS (
-  SELECT event_type, {_VDEC} AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY event_type, value),
+  SELECT event_type, {_VCENTS} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
 cum AS (
   SELECT event_type, v, c,
     SUM(c) OVER (PARTITION BY event_type ORDER BY v
@@ -2880,19 +2912,20 @@ med AS (
   SELECT event_type, MIN(v) AS m
   FROM cum WHERE 2 * cum >= n GROUP BY event_type),
 z AS (
-  SELECT e.event_type, abs({_VDEC} - med.m) AS z
+  SELECT e.event_type, abs({_VCENTS} - med.m) AS z
   FROM events e JOIN med USING (event_type)),
 g AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-    SUM(z) AS s, SUM(z * z) AS q
+    CAST(SUM(z) AS BIGINT) AS s, CAST(SUM(z * z) AS BIGINT) AS q
   FROM z GROUP BY event_type),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
-    CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(q) AS DOUBLE) AS qd
+    CAST(SUM(s) AS DOUBLE) / 100.0 AS sd,
+    CAST(SUM(q) AS DOUBLE) / 10000.0 AS qd
   FROM g),
 b AS (
   SELECT bsum FROM (
-    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+    SELECT SUM(CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / n)
              OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS bsum,
            row_number() OVER (ORDER BY event_type DESC) AS rn
     FROM g) WHERE rn = 1)
@@ -2904,16 +2937,18 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_anova_oneway_f, and robust where the classic mean-centered
     Levene is not: W is the one-way ANOVA F computed on the absolute
     deviations |v − median(group)|.  Group medians come from the exact
-    inverted-CDF over the per-type distinct-value layer (IQR-fences
-    contract); deviations are exact DECIMALs, and the k-term fold plus
-    the final F reuse the ANOVA entry's order-fixed shared text.
+    inverted-CDF over the per-type distinct-CENTS layer (IQR-fences
+    contract; r11 DECCAST migration — both engines now group AND rank
+    on the same integer cents); deviations are exact integer cents,
+    and the k-term fold plus the final F reuse the ANOVA entry's
+    order-fixed shared text.
 
     Scale: one distinct-value pass for medians (type-partitioned
     windows), one broadcast of the k-row median table back to the
     stream, one moment aggregation."""
     t = load_tables(spark, sf_dir, ("events",))
     s = (t["events"]
-         .groupBy("event_type", F.expr(_VDEC).alias("v"))
+         .groupBy("event_type", F.expr(_VCENTS).alias("v"))
          .agg(F.count("*").cast("long").alias("c")))
     wp = Window.partitionBy("event_type")
     wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -2924,18 +2959,19 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("event_type").agg(F.min("v").alias("m")))
     z = (t["events"].join(F.broadcast(med), "event_type")
          .select("event_type",
-                 F.abs(F.expr(_VDEC) - F.col("m")).alias("z")))
+                 F.abs(F.expr(_VCENTS) - F.col("m")).alias("z")))
     g = z.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("z").alias("s"),
-        F.sum(F.col("z") * F.col("z")).alias("q"))
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"))
     tot = g.agg(F.count("*").cast("long").alias("k"),
                 F.sum("n").cast("long").alias("nn"),
-                F.sum("s").cast("double").alias("sd"),
-                F.sum("q").cast("double").alias("qd"))
+                (F.sum("s").cast("double") / 100.0).alias("sd"),
+                (F.sum("q").cast("double") / 10000.0).alias("qd"))
     w = Window.orderBy("event_type").rowsBetween(
         Window.unboundedPreceding, 0)
-    term = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    term = (F.col("s").cast("double") / 100.0
+            * (F.col("s").cast("double") / 100.0) / F.col("n"))
     b = (g.select(F.sum(term).over(w).alias("bsum"),
                   F.row_number().over(Window.orderBy(F.desc("event_type")))
                   .alias("rn"))
@@ -3099,19 +3135,19 @@ _RUNS_Z = """CAST(floor(((CAST(r AS DOUBLE) - (2e0 * na * nb / nn + 1)) / sqrt(2
 WITH med AS (
   SELECT event_type, MIN(v) AS m FROM (
     SELECT event_type, v, cum, n FROM (
-      SELECT event_type, {_VDEC} AS v,
-        SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY value
+      SELECT event_type, {_VCENTS} AS v,
+        SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY {_VCENTS}
                             ROWS UNBOUNDED PRECEDING) AS cum,
         SUM(COUNT(*)) OVER (PARTITION BY event_type) AS n
-      FROM events GROUP BY event_type, value))
+      FROM events GROUP BY 1, 2))
   WHERE 2 * cum >= n GROUP BY event_type),
 s AS (
   SELECT e.event_type,
-    CASE WHEN {_VDEC} > med.m THEN 1 ELSE 0 END AS sgn,
+    CASE WHEN {_VCENTS} > med.m THEN 1 ELSE 0 END AS sgn,
     row_number() OVER (PARTITION BY e.event_type
                        ORDER BY e.ts, e.event_id) AS rn
   FROM events e JOIN med ON med.event_type = e.event_type
-  WHERE {_VDEC} <> med.m),
+  WHERE {_VCENTS} <> med.m),
 l AS (
   SELECT event_type, sgn,
     lag(sgn) OVER (PARTITION BY event_type ORDER BY rn) AS prev
@@ -3141,7 +3177,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions); everything else is a k-row aggregate."""
     t = load_tables(spark, sf_dir, ("events",))
     s0 = (t["events"]
-          .groupBy("event_type", F.expr(_VDEC).alias("v"))
+          .groupBy("event_type", F.expr(_VCENTS).alias("v"))
           .agg(F.count("*").alias("c")))
     wp = Window.partitionBy("event_type")
     wc = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -3151,9 +3187,9 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(2 * F.col("cum") >= F.col("n"))
            .groupBy("event_type").agg(F.min("v").alias("m")))
     e = (t["events"].join(F.broadcast(med), "event_type")
-         .where(F.expr(_VDEC) != F.col("m"))
+         .where(F.expr(_VCENTS) != F.col("m"))
          .select("event_type", "ts", "event_id",
-                 F.when(F.expr(_VDEC) > F.col("m"), 1).otherwise(0)
+                 F.when(F.expr(_VCENTS) > F.col("m"), 1).otherwise(0)
                  .alias("sgn")))
     wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
     lg = e.select("event_type", "sgn",
@@ -3365,23 +3401,26 @@ def stats_haar_energy_hourly(spark: SparkSession,
             .orderBy("level"))
 
 
-_PC_MOMENTS_SQL = """
+# Cents-unit moments on DECIMAL(18,0) carriers (cents² sums exceed
+# 2^63 at sf>=0.2); Pearson/partial r are scale-invariant so the
+# cents units need no rescale — r11 DECCAST migration.
+_PC_MOMENTS_SQL = f"""
   SELECT COUNT(*) AS n,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s_q,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS s_p,
-    SUM(CAST(l_discount AS DECIMAL(12,2))) AS s_d,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_quantity AS DECIMAL(12,2))) AS s_qq,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_pp,
-    SUM(CAST(l_discount AS DECIMAL(12,2))
-        * CAST(l_discount AS DECIMAL(12,2))) AS s_dd,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_extendedprice AS DECIMAL(12,2))) AS s_qp,
-    SUM(CAST(l_quantity AS DECIMAL(12,2))
-        * CAST(l_discount AS DECIMAL(12,2))) AS s_qd,
-    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        * CAST(l_discount AS DECIMAL(12,2))) AS s_pd
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))) AS s_q,
+    SUM(CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))) AS s_p,
+    SUM(CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_d,
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))) AS s_qq,
+    SUM(CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))) AS s_pp,
+    SUM(CAST({exact.cents('l_discount')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_dd,
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))) AS s_qp,
+    SUM(CAST({exact.cents('l_quantity')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_qd,
+    SUM(CAST({exact.cents('l_extendedprice')} AS DECIMAL(18,0))
+        * CAST({exact.cents('l_discount')} AS DECIMAL(18,0))) AS s_pd
   FROM lineitem"""
 
 _PC_R = ("CAST(floor(((n * CAST(s{xy} AS DOUBLE)"
@@ -3420,8 +3459,8 @@ def stats_partial_correlation(spark: SparkSession,
     √((1−r_xz²)(1−r_yz²)).  A raw r that collapses toward 0 in the
     partial column was confounding (the third variable drove both) —
     the first causal-hygiene step beyond corr_matrix_exact's raw
-    matrix, computed from the SAME nine exact-DECIMAL moments in the
-    same single pass.
+    matrix, computed from the SAME nine exact cents-unit moments in
+    the same single pass (r11 DECCAST migration).
 
     Determinism: each first-order r is rounded to 9 dp BEFORE entering
     the partial formula (the tfidf rule: identical inputs → identical
@@ -3429,7 +3468,7 @@ def stats_partial_correlation(spark: SparkSession,
     computation.  Shape: one 9-moment aggregate, a 3-row report."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     d = F.col
-    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    dec = lambda c: F.expr(f"CAST({exact.cents(c)} AS DECIMAL(18,0))")
     m = t["lineitem"].agg(
         F.count("*").alias("n"),
         F.sum(dec("l_quantity")).alias("s_q"),
@@ -3476,23 +3515,23 @@ _TUKEY_Q_CRIT = 3.858  # studentized range, k=5 groups, df=inf, alpha=.05
 WITH g AS (
   SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS n,
-    SUM({_VDEC}) AS s,
-    SUM({_VDEC} * {_VDEC}) AS q
+    CAST(SUM({_VCENTS}) AS BIGINT) AS s,
+    CAST(SUM({_VCENTS} * {_VCENTS}) AS BIGINT) AS q
   FROM events GROUP BY event_type),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
     CAST(SUM(n) AS BIGINT) AS nn,
-    CAST(SUM(q) AS DOUBLE) AS qd
+    CAST(SUM(q) AS DOUBLE) / 10000.0 AS qd
   FROM g),
 b AS (
   SELECT bsum FROM (
-    SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+    SELECT SUM(CAST(s AS DOUBLE) / 100.0 * (CAST(s AS DOUBLE) / 100.0) / n)
              OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS bsum,
            row_number() OVER (ORDER BY event_type DESC) AS rn
     FROM g) WHERE rn = 1),
 mse AS (
   SELECT (qd - bsum) / (nn - k) AS mse FROM tot CROSS JOIN b),
-m AS (SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean
+m AS (SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / 100.0 / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean
       FROM g),
 pairs AS (
   SELECT a.event_type AS type_a, bb.event_type AS type_b,
@@ -3512,24 +3551,25 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     family-wise 5% — the multiple-comparisons discipline the BH-FDR
     entry applies to p-values, applied here to contrasts.
 
-    Determinism: group moments are exact DECIMAL; MSE reuses the
-    ANOVA's ordered-window fold (fixed summation order); means snap
-    to 9 dp before differencing; q statistics snap to 6 dp before the
-    literal comparison.  Shape: one 5-group aggregate, a 10-row pair
+    Determinism: group moments are exact BIGINT cents/cents² (r11
+    DECCAST migration); MSE reuses the ANOVA's ordered-window fold
+    (fixed summation order); means snap to 9 dp before differencing;
+    q statistics snap to 6 dp before the literal comparison.  Shape: one 5-group aggregate, a 10-row pair
     join on the GROUP table (k², never rows), a 1-row MSE broadcast."""
     t = load_tables(spark, sf_dir, ("events",))
-    vdec = F.col("value").cast("decimal(12,2)")
+    vc = F.expr(_VCENTS)
     g = (t["events"].groupBy("event_type")
          .agg(F.count("*").cast("long").alias("n"),
-              F.sum(vdec).alias("s"),
-              F.sum(vdec * vdec).alias("q")))
+              F.sum(vc).cast("long").alias("s"),
+              F.sum(vc * vc).cast("long").alias("q")))
     tot = g.agg(F.count("*").cast("long").alias("k"),
                 F.sum("n").cast("long").alias("nn"),
-                F.sum("q").cast("double").alias("qd"))
+                (F.sum("q").cast("double") / 10000.0).alias("qd"))
     wfold = Window.orderBy("event_type").rowsBetween(
         Window.unboundedPreceding, 0)
-    b = (g.select(F.sum(F.col("s").cast("double")
-                        * F.col("s").cast("double") / F.col("n"))
+    b = (g.select(F.sum(F.col("s").cast("double") / 100.0
+                        * (F.col("s").cast("double") / 100.0)
+                        / F.col("n"))
                   .over(wfold).alias("bsum"),
                   F.row_number().over(
                       Window.orderBy(F.desc("event_type"))).alias("rn"))
@@ -3538,7 +3578,7 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(((F.col("qd") - F.col("bsum"))
                     / (F.col("nn") - F.col("k"))).alias("mse")))
     m = g.select("event_type", "n",
-                 exact.snap_double_col(F.col("s").cast("double") / F.col("n"), 9)
+                 exact.snap_double_col(F.col("s").cast("double") / 100.0 / F.col("n"), 9)
                  .alias("mean"))
     a = m.select(F.col("event_type").alias("type_a"),
                  F.col("n").alias("na"), F.col("mean").alias("ma"))
@@ -3558,14 +3598,16 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stats_james_stein_shrinkage", oracle=f"""
 WITH g AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-    SUM({_VDEC}) AS s, SUM({_VDEC} * {_VDEC}) AS q
+    CAST(SUM({_VCENTS}) AS BIGINT) AS s,
+    CAST(SUM({_VCENTS} * {_VCENTS}) AS BIGINT) AS q
   FROM events GROUP BY event_type),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
-    CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(q) AS DOUBLE) AS qd
+    CAST(SUM(s) AS DOUBLE) / 100.0 AS sd,
+    CAST(SUM(q) AS DOUBLE) / 10000.0 AS qd
   FROM g),
 m AS (
-  SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean,
+  SELECT event_type, n, CAST(floor((CAST(s AS DOUBLE) / 100.0 / n) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS mean,
     CAST(floor((sd / nn) * 1000000000.0 + 0.5) AS BIGINT) / CAST(1000000000.0 AS DOUBLE) AS grand,
     (qd - sd * sd / nn) / (nn - k) AS mse, k
   FROM g CROSS JOIN tot),
@@ -3598,17 +3640,18 @@ def stats_james_stein_shrinkage(spark: SparkSession,
     Shape: one 5-group moment aggregate, 1-row combines — the ANOVA
     budget exactly."""
     t = load_tables(spark, sf_dir, ("events",))
-    vdec = F.col("value").cast("decimal(12,2)")
+    vc = F.expr(_VCENTS)
     g = (t["events"].groupBy("event_type")
          .agg(F.count("*").cast("long").alias("n"),
-              F.sum(vdec).alias("s"), F.sum(vdec * vdec).alias("q")))
+              F.sum(vc).cast("long").alias("s"),
+              F.sum(vc * vc).cast("long").alias("q")))
     tot = g.agg(F.count("*").cast("long").alias("k"),
                 F.sum("n").cast("long").alias("nn"),
-                F.sum("s").cast("double").alias("sd"),
-                F.sum("q").cast("double").alias("qd"))
+                (F.sum("s").cast("double") / 100.0).alias("sd"),
+                (F.sum("q").cast("double") / 10000.0).alias("qd"))
     m = (g.crossJoin(F.broadcast(tot))
          .select("event_type", "n", "k",
-                 exact.snap_double_col(F.col("s").cast("double") / F.col("n"), 9)
+                 exact.snap_double_col(F.col("s").cast("double") / 100.0 / F.col("n"), 9)
                  .alias("mean"),
                  exact.snap_double_col(F.col("sd") / F.col("nn"), 9).alias("grand"),
                  ((F.col("qd") - F.col("sd") * F.col("sd") / F.col("nn"))

@@ -402,30 +402,19 @@ _DECCAST_NAMED_RE = _re.compile(
 _DECCAST_VALUE_RE = _re.compile(r"cast\(value#\d+ as decimal",
                                 _re.IGNORECASE)
 
-# The r9 inventory: every name below predates plans/exact.py and
-# ingests raw money through a DECIMAL cast.  Shared justification
-# (reviewed r9): (a) the ingested column is pinned to the 2-dp grid
-# by tests/test_corpus_invariants.py, where the cast is engine-exact;
-# (b) none emits DECIMAL on the compared wire (DECWIRE clean); and
-# (c) the off-grid lottery battery exercises the active-window
-# members each round, so an actual divergence surfaces as a local
-# sweep failure, not a driver red.  Any NEW entry must use
-# plans/exact.py instead — this whitelist only shrinks.
-_DECCAST_LEGACY_REASON = ("pre-exact.py ingestion; 2-dp-grid-safe "
-                          "(test_corpus_invariants.py), DECWIRE-clean")
-WHITELIST_DECCAST: dict[str, str] = {name: _DECCAST_LEGACY_REASON for name in (
-    "stats_levene_brown_forsythe", "stats_runs_test",
-    "events_time_weighted_avg", "regression_value_vs_time",
-    "cusum_user_drift", "bollinger_hourly_value", "corr_matrix_exact",
-    "events_ses_forecast", "stats_welch_ttest", "stats_theil_sen_trend",
-    "stats_bootstrap_ci_mean", "events_changepoint_hourly",
-    "events_seasonality_strength", "events_max_drawdown",
-    "stats_diff_in_diff_uplift", "stats_mann_kendall_trend",
-    "stats_ewma_forecast_hourly", "stats_anova_oneway_f",
-    "stats_permutation_test_mean", "stats_benjamini_hochberg",
-    "stats_partial_correlation", "stats_tukey_hsd",
-    "stats_james_stein_shrinkage",
-)}
+# EMPTY as of round 11: the DECCAST migration (VERDICT r10 item 1)
+# moved every remaining raw-money/value DECIMAL-cast ingestion site —
+# the r9 inventory's events/stats `_VDEC` Σv/Σv² moment wires, the
+# relational q1/q3/q5 + dispersion/corr moments, and the
+# advanced/joins/functions/pipeline singles — to exact.cents()
+# integer moments (BIGINT cents / cents²-e4 with one terminal
+# rescale; integer-valued DECIMAL(18,0) carriers where a cents²
+# product can exceed 2^63 — lineitem price moments — since
+# int→DECIMAL is exact in both engines and the only double→int step
+# is the shared IEEE floor-snap).  Any NEW entry must use
+# plans/exact.py; this whitelist only shrinks, and adding a name
+# back requires a written per-name justification here.
+WHITELIST_DECCAST: dict[str, str] = {}
 
 
 def _has_decimal(dt) -> bool:
