@@ -998,7 +998,7 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
-@query("rfm_segment_migration", oracle="""
+@query("rfm_segment_migration", oracle=f"""
 WITH span AS (
   SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2
            AS mid_us
@@ -1006,7 +1006,7 @@ WITH span AS (
 half AS (
   SELECT o_custkey AS custkey,
     CASE WHEN epoch_us(o_orderdate) < mid_us THEN 1 ELSE 2 END AS h,
-    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+    {exact.cents('o_totalprice')} AS price
   FROM orders CROSS JOIN span),
 base AS (
   SELECT custkey, h, SUM(price) AS monetary
@@ -1027,7 +1027,8 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     move? — the segment-flow report a growth team reads next after the
     static RFM census (`customer_rfm_segments`).  Quintiles are
     assigned per half with (monetary, custkey) tie-breaks over exact
-    decimal spend, so bucket membership is engine-portable; the matrix
+    BIGINT-cents spend (r11 DECCAST migration), so bucket membership
+    is engine-portable; the matrix
     counts customers active in BOTH halves (joiners/churners are the
     complement and belong to growth_accounting_weekly).
 
@@ -1049,7 +1050,7 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = (o.join(F.broadcast(span))
             .select(F.col("o_custkey").alias("custkey"),
                     F.when(us < F.col("mid_us"), 1).otherwise(2).alias("h"),
-                    F.col("o_totalprice").cast("decimal(12,2)")
+                    F.expr(exact.cents("o_totalprice"))
                     .alias("price")))
     from results_ingestor_spark.operators.shuffle import (
         ntile_from_row_number, two_level_row_number)

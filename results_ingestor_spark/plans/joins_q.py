@@ -61,8 +61,8 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                id_col="event_id", max_gap_us=300_000_000)
 
 
-@query("unpivot_lineitem_metrics", oracle="""
-SELECT metric, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+@query("unpivot_lineitem_metrics", oracle=f"""
+SELECT metric, CAST(SUM({exact.cents('v')}) AS DOUBLE) / 100.0 AS total
 FROM (
   SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
   UNION ALL SELECT 'discount', l_discount FROM lineitem
@@ -70,15 +70,16 @@ FROM (
 GROUP BY metric""")
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (stack) three measure columns into (metric, value) rows +
-    aggregate — melt executes inside the scan projection, no shuffle
-    until the 3-group aggregation."""
+    aggregate (exact cents sum, one rescale — r11 DECCAST migration) —
+    melt executes inside the scan projection, no shuffle until the
+    3-group aggregation."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     melted = t["lineitem"].selectExpr(
         "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
         "'tax', l_tax) AS (metric, v)")
     return (melted.groupBy("metric")
-            .agg(F.sum(F.expr("CAST(v AS DECIMAL(18,2))"))
-                 .cast("double").alias("total")))
+            .agg((F.sum(F.expr(exact.cents("v"))).cast("double") / 100.0)
+                 .alias("total")))
 
 
 @query("asof_join_forward_next_purchase", oracle="""
@@ -146,13 +147,13 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").isNull().alias("left_only"))
 
 
-@query("join_null_safe", oracle="""
+@query("join_null_safe", oracle=f"""
 WITH l AS (
   SELECT NULLIF(l_returnflag, 'N') AS k, COUNT(*) AS n_lines
   FROM lineitem GROUP BY 1),
 r AS (
   SELECT NULLIF(l_returnflag, 'N') AS k,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+         CAST(SUM({exact.cents('l_quantity')}) AS DOUBLE) / 100.0 AS qty
   FROM lineitem GROUP BY 1)
 SELECT l.k AS k, l.n_lines, r.qty
 FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
@@ -167,8 +168,8 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = (t["lineitem"].groupBy(k.alias("k"))
             .agg(F.count("*").alias("n_lines")))
     right = (t["lineitem"].groupBy(k.alias("k2"))
-             .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-                  .cast("double").alias("qty")))
+             .agg((F.sum(F.expr(exact.cents("l_quantity")))
+                   .cast("double") / 100.0).alias("qty")))
     return (left.join(right, F.col("k").eqNullSafe(F.col("k2")))
             .select("k", "n_lines", "qty"))
 

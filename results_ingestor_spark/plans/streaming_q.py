@@ -25,10 +25,10 @@ from results_ingestor_spark.streaming.events import (
     read_events_stream, run_to_memory, session_counts, windowed_counts)
 
 
-@query("streaming_hourly_counts", oracle="""
+@query("streaming_hourly_counts", oracle=f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
   CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  CAST(SUM({exact.cents('value')}) AS DOUBLE) / 100.0 AS total_value
 FROM events GROUP BY 1, 2""")
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window per-type counts computed BY THE STREAM: the
@@ -234,11 +234,11 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_per_window(bins, baseline)
 
 
-@query("streaming_enriched_tier_counts", oracle="""
+@query("streaming_enriched_tier_counts", oracle=f"""
 SELECT date_trunc('hour', ts) AS window_start,
   coalesce(c.c_mktsegment, 'unknown') AS tier,
   CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  CAST(SUM({exact.cents('value')}) AS DOUBLE) / 100.0 AS total_value
 FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY 1, 2""")
 def streaming_enriched_tier_counts(spark: SparkSession,
@@ -270,8 +270,8 @@ def streaming_enriched_tier_counts(spark: SparkSession,
            .withWatermark("ts", "2 hours")
            .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
            .agg(F.count("*").alias("n"),
-                F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
-                .cast("double").alias("total_value"))
+                (F.sum(F.expr(exact.cents("value"))).cast("double")
+                 / 100.0).alias("total_value"))
            .select(F.col("w.start").alias("window_start"), "tier",
                    "n", "total_value"))
     run_to_memory(agg, "streaming_enriched_tier_counts_mem",
@@ -279,9 +279,9 @@ def streaming_enriched_tier_counts(spark: SparkSession,
     return spark.table("streaming_enriched_tier_counts_mem")
 
 
-@query("streaming_stateful_user_totals", oracle="""
+@query("streaming_stateful_user_totals", oracle=f"""
 SELECT user_id,
-  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS DOUBLE) AS total,
+  CAST(SUM({exact.cents('value')}) AS DOUBLE) AS total,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY user_id""")
 def streaming_stateful_user_totals(spark: SparkSession,
@@ -307,8 +307,7 @@ def streaming_stateful_user_totals(spark: SparkSession,
         read_events_stream, run_to_memory, running_user_totals)
     ev = read_events_stream(spark, sf_dir).select(
         "user_id",
-        (F.col("value").cast("decimal(12,2)") * 100)
-        .cast("long").alias("value"))
+        F.expr(exact.cents("value")).alias("value"))
     totals = running_user_totals(ev)
     run_to_memory(totals, "streaming_stateful_user_totals_mem",
                   output_mode="update")

@@ -54,12 +54,13 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     """Tumbling-window per-type counts with late-data watermark.  State
     per (window, type) is dropped once the watermark passes window end —
     bounded state no matter how long the stream runs."""
+    from results_ingestor_spark.plans import exact
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
-                 .cast("double").alias("total_value"))
+                 (F.sum(F.expr(exact.cents("value"))).cast("double")
+                  / 100.0).alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n", "total_value"))
 

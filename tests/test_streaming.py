@@ -27,11 +27,12 @@ def test_windowed_counts_matches_batch(spark, sf_dir, stream):
     got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
            for r in _rows(spark, "t_windowed")}
     batch = load_tables(spark, sf_dir, ("events",))["events"]
+    from results_ingestor_spark.plans import exact
     want = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
             for r in (batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                       .agg(F.count("*").alias("n"),
-                           F.sum(F.expr("CAST(value AS DECIMAL(12,2))"))
-                           .cast("double").alias("total_value"))
+                           (F.sum(F.expr(exact.cents("value")))
+                            .cast("double") / 100.0).alias("total_value"))
                       .select(F.col("w.start").alias("window_start"),
                               "event_type", "n", "total_value")).collect()}
     assert got == want
