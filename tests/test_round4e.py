@@ -293,7 +293,10 @@ def test_kmv_matches_hashlib_model(spark, sf_dir):
     rows = QUERIES["sketch_kmv_distinct"](spark, sf_dir).collect()
     t = load_tables(spark, sf_dir, ("events",))
     pdf = t["events"].select("event_type", "value").toPandas()
-    pdf["dec"] = pdf["value"].map(lambda v: f"{v:.2f}")
+    # r11 DECCAST migration: the hash key is the BIGINT cents string
+    # (shared IEEE floor-snap), not the DECIMAL(12,2) canonical form
+    pdf["dec"] = pdf["value"].map(
+        lambda v: str(int(math.floor(v * 100 + 0.5))))
     for r in rows:
         vals = set(pdf[pdf.event_type == r.event_type]["dec"])
         assert r.n_exact == len(vals)

@@ -35,7 +35,7 @@ Usage:
     # defaults: /root/testdata/sf0.01 /tmp/lotterydata/sf0.01 1
     python tools/check_correctness.py /tmp/lotterydata/sf0.01
 
-``draw`` (1-7 — the defined constant sets below; extend DRAWS to add
+``draw`` (1-9 — the defined constant sets below; extend DRAWS to add
 more) selects a deterministic perturbation, so the layer is a FAMILY
 of unlucky corpora — re-running the sweep on another draw probes a
 different set of boundary cells.
@@ -65,6 +65,12 @@ DRAWS = {
     # they probe are disjoint from draws 1-5.
     6: ("1.03271", "0.97613", 6, 19, 31, "0.98417"),
     7: ("0.96847", "1.03939", 10, 21, 37, "1.02711"),
+    # draws 8-9 added round 11 (VERDICT r10 item 3): fresh constants
+    # on both sides of 1, mods coprime to draws 1-7, aimed at the
+    # freshly-migrated integer-cents moment wires — the class whose
+    # expected divergence yield the r10 verdict concentrated here.
+    8: ("1.04513", "0.96241", 8, 23, 41, "0.97523"),
+    9: ("0.95729", "1.04831", 12, 25, 43, "1.03517"),
 }
 
 PERTURB = {
