@@ -277,9 +277,23 @@ def kmeans_centroids(vectors: DataFrame, n_clusters: int = 10,
                  .limit(n_clusters).collect())
         cents = [list(r["v"]) for r in seeds]
         for _ in range(n_iter):
-            # adaptive assignment: literal fold for small fixed k,
-            # broadcast-data fold when k is corpus-derived (large)
-            assigned = assign_centroids(v.select("v"), cents, "v", "cid")
+            # ALWAYS the broadcast-data fold inside the trainer
+            # (threshold=0), even for k <= ASSIGN_LITERAL_MAX_K: the
+            # centroids CHANGE every Lloyd iteration, so the literal
+            # path re-builds a k x dim expression tree (thousands of
+            # py4j F.lit round-trips at plan-build time) and generates
+            # new codegen source per iteration — a fresh Janino compile
+            # each time.  The broadcast path ships centroids as DATA,
+            # so every iteration reuses the identical generated class
+            # (codegen cache hit) and the plan is O(1) in k.  Results
+            # are bit-identical by construction — both paths evaluate
+            # the same fold over identically-normalized centroids
+            # (pinned in tests/test_similarity.py).  Measured r11:
+            # 2-iter isqrt(n) training at sf0.1 drops ~2.5x wall-clock;
+            # the win is plan-build + compile overhead, which at 100 TB
+            # is the same per-iteration driver tax.
+            assigned = assign_centroids(v.select("v"), cents, "v", "cid",
+                                        threshold=0)
             rows = (assigned.select("cid",
                                     F.posexplode("v").alias("pos", "x"))
                     .groupBy("cid", "pos").agg(F.avg("x").alias("m"))

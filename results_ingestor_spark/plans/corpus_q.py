@@ -446,7 +446,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size at sqrt(n) and pair work at ~n^1.5, the SemDeDup contract
     # the docstring promises).  The count is one driver long; the
     # oracle computes the identical k via floor(sqrt(count(*))).
-    n = e.count()
+    # Count on the RAW scan, not the repartitioned view (r11): the
+    # count's value is partitioning-independent, and counting before
+    # ensure_min_parallelism lets Spark satisfy it with a column-pruned
+    # parquet scan instead of paying the widening shuffle first —
+    # one fewer exchange in the count job, identical n.
+    n = t["embeddings"].count()
     k = max(2, math.isqrt(n))
     # Round-9 shave (VERDICT r8 item 7) — the entry was the bench's
     # single most expensive query (9.7-10.1 s at sf0.1, ~15% of the
@@ -487,8 +492,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expression tree itself the bottleneck (VERDICT r6 item 4).
     from results_ingestor_spark.operators.ckpt import CheckpointScope
     scope = CheckpointScope(e)
+    # threshold=0: the final assignment rides the broadcast-data fold
+    # too (r11) — at bench k=isqrt(n) the literal path costs thousands
+    # of plan-build py4j literals + a one-off codegen compile, while
+    # the data path reuses the class the trainer just compiled.  Same
+    # fold, bit-identical output (tests/test_similarity.py).
     assigned = scope.checkpoint(assign_centroids(
-        e.select("vec_id", "embedding"), cents, "embedding", "cid"))
+        e.select("vec_id", "embedding"), cents, "embedding", "cid",
+        threshold=0))
     a = assigned.select(F.col("cid"), F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"))
     b = assigned.select(F.col("cid"), F.col("vec_id").alias("id_b"),
