@@ -1357,28 +1357,54 @@ def text_novelty_unique_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division, so both engines emit the identical bit pattern
     (the summation-order rule: never average per-row doubles).
 
-    Shape: distinct (doc, gram) map-side, one gram-keyed aggregate for
-    df, join back, then two source-keyed aggregates — the
-    duplicate-passages shuffle plus a skinny (doc_id, 2×long) pass.  At
-    100 TB grams are xxhash64-ed before the shuffle; df=1 detection is
-    hash-exact since a collision only ever lowers novelty."""
+    Shape (r11 restructure, guide §2.3/§2.4 — ONE corpus-sized exchange
+    where there were three plus a corpus-sized join):
+    * per-doc grams are ``array_distinct``-ed INSIDE the document row,
+      so (doc, gram) is globally distinct BY CONSTRUCTION (doc_id
+      differs across rows) — the explode+distinct exchange disappears
+      and ``n_grams`` per doc is just ``size(grams)``;
+    * the exploded rows are explicitly hash-repartitioned by gram ONCE;
+      both consumers — the df aggregate (no further exchange: the
+      partitioning already satisfies groupBy(gram)) and the per-doc
+      relation (partial-agg collapses to one row per doc per partition
+      before its doc-keyed exchange) — reuse that single shuffle stage,
+      so the expensive gram construction runs once;
+    * the df aggregate also carries ``min(doc_id)`` (BIGINT, so the
+      aggregate stays a HashAggregate): when df = 1 that min IS the
+      unique gram's owner, so ``n_unique`` per doc is a doc-keyed count
+      over the df=1 rows — the corpus-sized g⋈df join-back is gone
+      (the remaining joins are doc-sized ⋈ doc-sized);
+    * ``n_grams`` per doc is ``count(*)`` over the same shuffle output
+      (g holds each doc's grams exactly once), and ``source`` comes
+      from a doc-sized join against documents.
+    Equivalence: df over distinct (doc, gram) is unchanged; a df=1 gram
+    has exactly one (doc, gram) row, so min(doc_id) is its owner and
+    the per-doc df=1 count equals the old sum(df=1) after the join;
+    count(*) per doc over distinct grams equals the old n_grams.
+    At 100 TB grams are xxhash64-ed before the shuffle; df=1 detection
+    is hash-exact since a collision only ever lowers novelty."""
     t = load_tables(spark, sf_dir, ("documents",))
     grams = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 4 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 4))) "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 4)))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END")
     g = (t["documents"]
          .select("doc_id", F.explode(grams).alias("gram"))
-         .distinct())
-    dfreq = g.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
-    nov = (g.join(dfreq, "gram")
-           .groupBy("doc_id")
-           .agg(F.count("*").cast("long").alias("n_grams"),
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                .cast("long").alias("n_unique")))
-    return (nov.join(t["documents"].select("doc_id", "source"), "doc_id")
-            .groupBy("source")
+         .repartition("gram"))
+    per_gram = (g.groupBy("gram")
+                .agg(F.count("*").cast("long").alias("df"),
+                     F.min("doc_id").alias("doc_id")))
+    uniq = (per_gram.where(F.col("df") == 1)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_unique")))
+    nov = (g.groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_grams"))
+           .join(uniq, "doc_id", "left")
+           .withColumn("n_unique", F.coalesce("n_unique", F.lit(0)
+                                              .cast("long")))
+           .join(t["documents"].select("doc_id", "source"), "doc_id"))
+    return (nov.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_grams").cast("long").alias("sum_grams"),
                  F.sum("n_unique").cast("long").alias("sum_unique"),
