@@ -64,36 +64,55 @@ def train_quality_classifier(docs: DataFrame, iterations: int = 10,
     order across partitions perturbs gradients at ~1e-15 relative, and
     the rounding quantizes that noise away so the trajectory is
     bit-reproducible run-to-run AND matches the DuckDB unrolled-CTE
-    oracle exactly (same rounding there)."""
+    oracle exactly (same rounding there).
+
+    r11 note (guide §1 — measure first): the k-means broadcast-data
+    lesson was A/B-tested here and REJECTED.  With only d=6 primitive
+    double literals per iteration, shipping weights as a broadcast
+    1-row relation (identical generated code every iteration) measured
+    2.7x SLOWER than inlined literals (same-session alternating A/B at
+    sf0.1: 1.09 s vs 2.87 s for 8 iterations) — the per-iteration
+    broadcast-stage materialization costs more than the tiny Janino
+    compile, and repeated invocations replay the same weight
+    trajectory so the literal classes hit the codegen cache anyway.
+    The literal form stands; only the checkpoint lifecycle changed
+    (scope-released before returning — pre-r11 it leaked until GC)."""
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
     feats = feature_columns()
     d = len(feats)
-    base = docs.select(*[feats[j].alias(f"x{j}") for j in range(d)],
-                       _label().alias("y"))
-    base = base.localCheckpoint(eager=True)  # features once, reused per iter
+    # features once, reused per iter; scope-released before returning
+    scope = CheckpointScope(docs)
+    base = scope.checkpoint(
+        docs.select(*[feats[j].alias(f"x{j}") for j in range(d)],
+                    _label().alias("y")))
 
     w = [0.0] * d
     history: list[dict] = []
-    for it in range(iterations):
-        z = sum(F.col(f"x{j}") * float(w[j]) for j in range(d))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - F.col("y")
-        # logistic loss: -[y ln p + (1-y) ln (1-p)]; clamp for ln(0)
-        pc = F.greatest(F.least(p, F.lit(1 - 1e-12)), F.lit(1e-12))
-        loss = -(F.col("y") * F.log(pc)
-                 + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc))
-        row = base.agg(
-            F.avg(loss).alias("loss"),
-            *[F.avg(err * F.col(f"x{j}")).alias(f"g{j}") for j in range(d)]
-        ).first()  # one job; d+2 doubles to the driver
-        # Shared floor-snap, not Python round() (r10 migration):
-        # round() is half-even where the oracle's old SQL round() was
-        # half-away — a latent per-step trajectory divergence at exact
-        # .5e-9 straddles.  floor(x*1e9 + 0.5)/1e9 is the identical
-        # IEEE op chain the unrolled-CTE oracle now replays.
-        w = [math.floor((w[j] - lr * row[f"g{j}"]) * 1e9 + 0.5) / 1e9
-             for j in range(d)]
-        history.append({"iteration": it, "loss": float(row["loss"]),
-                        "weights": list(w)})
+    try:
+        for it in range(iterations):
+            z = sum(F.col(f"x{j}") * float(w[j]) for j in range(d))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("y")
+            # logistic loss: -[y ln p + (1-y) ln (1-p)]; clamp for ln(0)
+            pc = F.greatest(F.least(p, F.lit(1 - 1e-12)), F.lit(1e-12))
+            loss = -(F.col("y") * F.log(pc)
+                     + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc))
+            row = base.agg(
+                F.avg(loss).alias("loss"),
+                *[F.avg(err * F.col(f"x{j}")).alias(f"g{j}")
+                  for j in range(d)]
+            ).first()  # one job; d+2 doubles to the driver
+            # Shared floor-snap, not Python round() (r10 migration):
+            # round() is half-even where the oracle's old SQL round()
+            # was half-away — a latent per-step trajectory divergence
+            # at exact .5e-9 straddles.  floor(x*1e9 + 0.5)/1e9 is the
+            # identical IEEE op chain the unrolled-CTE oracle replays.
+            w = [math.floor((w[j] - lr * row[f"g{j}"]) * 1e9 + 0.5) / 1e9
+                 for j in range(d)]
+            history.append({"iteration": it, "loss": float(row["loss"]),
+                            "weights": list(w)})
+    finally:
+        scope.release_all_except()
     return history
 
 
