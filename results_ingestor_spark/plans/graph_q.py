@@ -668,14 +668,28 @@ def graph_hits_bipartite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each iteration is one equi-join of the edge list with the
     current score table plus one aggregation keyed on the opposite
     side — the PageRank per-round budget on a bipartite graph; the
-    max is a 1-row broadcast at report time only."""
+    max is a 1-row broadcast at report time only.
+
+    r11: the derived (c, p) edge list is localCheckpoint-ed ONCE
+    before iterating — the same edge-materialization pattern pagerank
+    and LPA use (operators/graph.py).  Without it the orders⋈lineitem
+    join + distinct subtree feeds FOUR join consumers, and exchange
+    reuse does not cover the differently-keyed re-exchanges; measured
+    same-session A/B at sf0.1: min 3.5-3.7 s vs 3.9-6.6 s lazy, values
+    identical.  (A second, p-partitioned checkpoint was also measured
+    and REJECTED: the extra edge-list materialization outweighs the
+    two raw-edge exchanges it saves at 2 iterations.)  The
+    edge-list-sized blocks are scope-released before returning."""
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    e = (t["orders"].select("o_custkey", "o_orderkey")
-         .join(t["lineitem"].select("l_orderkey", "l_partkey"),
-               F.col("o_orderkey") == F.col("l_orderkey"))
-         .select(F.col("o_custkey").alias("c"),
-                 F.col("l_partkey").alias("p"))
-         .distinct())
+    scope = CheckpointScope(spark)
+    e = scope.checkpoint(
+        t["orders"].select("o_custkey", "o_orderkey")
+        .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_partkey").alias("p"))
+        .distinct())
     h1 = e.groupBy("c").agg(F.count("*").cast("long").alias("s"))
     a1 = (e.join(h1, "c").groupBy("p")
           .agg(F.sum("s").cast("long").alias("s")))
@@ -695,7 +709,11 @@ def graph_hits_bipartite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         exact.snap_double_col(F.col("s").cast("double") / F.col("m"), 9)
                         .alias("norm_score")))
 
-    return top(h2, "c", "hub").unionAll(top(a2, "p", "authority"))
+    out = scope.checkpoint(
+        top(h2, "c", "hub").unionAll(top(a2, "p", "authority")))
+    scope.release_all_except(out)
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def _lpa_modularity_oracle(n_iter: int = 3) -> str:
