@@ -54,8 +54,27 @@ def _label() -> Column:
     return (F.length("text") >= QUALITY_GATE_CHARS).cast("double")
 
 
+def feature_base(docs: DataFrame) -> DataFrame:
+    """The projected (doc_id, source, x0..x5, y) feature frame.
+
+    r11: consumers that train AND score/evaluate (auc, calibration,
+    score, gradient-match) checkpoint this ONCE and hand it to
+    ``train_quality_classifier(base=...)``, so the raw-text feature
+    expressions (two regexp_replace passes, tokenization) run a single
+    time instead of once for training plus once per consumer stage —
+    guide §2.4's "don't compute things twice" applied to the Python-
+    driver-coordinated GD family.  y is the double 0.0/1.0 label, so
+    an integer label is exactly ``y.cast("long")``."""
+    feats = feature_columns()
+    return docs.select(
+        "doc_id", "source",
+        *[feats[j].alias(f"x{j}") for j in range(len(feats))],
+        _label().alias("y"))
+
+
 def train_quality_classifier(docs: DataFrame, iterations: int = 10,
-                             lr: float = 5.0) -> list[dict]:
+                             lr: float = 5.0,
+                             base: DataFrame | None = None) -> list[dict]:
     """Batch GD on logistic loss.  Returns per-iteration
     {iteration, loss, weights} with loss measured BEFORE that step's
     update (so loss[0] is the untrained baseline).
@@ -76,15 +95,20 @@ def train_quality_classifier(docs: DataFrame, iterations: int = 10,
     compile, and repeated invocations replay the same weight
     trajectory so the literal classes hit the codegen cache anyway.
     The literal form stands; only the checkpoint lifecycle changed
-    (scope-released before returning — pre-r11 it leaked until GC)."""
+    (scope-released before returning — pre-r11 it leaked until GC).
+
+    ``base``: an optional pre-checkpointed ``feature_base`` frame; when
+    given, the trainer aggregates over it directly (extra columns are
+    ignored by the aggregation) and its lifecycle stays with the
+    caller — consumers that also score/evaluate share one feature
+    materialization this way."""
     from results_ingestor_spark.operators.ckpt import CheckpointScope
-    feats = feature_columns()
-    d = len(feats)
+    d = len(feature_columns())
     # features once, reused per iter; scope-released before returning
-    scope = CheckpointScope(docs)
-    base = scope.checkpoint(
-        docs.select(*[feats[j].alias(f"x{j}") for j in range(d)],
-                    _label().alias("y")))
+    scope = None
+    if base is None:
+        scope = CheckpointScope(docs)
+        base = scope.checkpoint(feature_base(docs))
 
     w = [0.0] * d
     history: list[dict] = []
@@ -112,19 +136,30 @@ def train_quality_classifier(docs: DataFrame, iterations: int = 10,
             history.append({"iteration": it, "loss": float(row["loss"]),
                             "weights": list(w)})
     finally:
-        scope.release_all_except()
+        if scope is not None:
+            scope.release_all_except()
     return history
 
 
-def score_quality(docs: DataFrame, weights: list[float]) -> DataFrame:
-    """Apply trained weights — pure map stage, no shuffle."""
+def score_quality(docs: DataFrame, weights: list[float],
+                  base: DataFrame | None = None) -> DataFrame:
+    """Apply trained weights — pure map stage, no shuffle.  With
+    ``base`` (a ``feature_base`` frame, typically the checkpointed one
+    training just used) the score reads the materialized x columns
+    instead of re-deriving the features from raw text."""
     from results_ingestor_spark.plans import exact
-    feats = feature_columns()
-    z = sum(feats[j] * float(weights[j]) for j in range(len(weights)))
+    if base is None:
+        feats = feature_columns()
+        xs = [feats[j] for j in range(len(weights))]
+        src = docs
+    else:
+        xs = [F.col(f"x{j}") for j in range(len(weights))]
+        src = base
+    z = sum(xs[j] * float(weights[j]) for j in range(len(weights)))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return docs.select("doc_id", "source",
-                       exact.snap_double_col(p, 6).alias("quality_prob"),
-                       (p >= 0.5).alias("keep"))
+    return src.select("doc_id", "source",
+                      exact.snap_double_col(p, 6).alias("quality_prob"),
+                      (p >= 0.5).alias("keep"))
 
 
 def sigmoid(x: float) -> float:

@@ -323,11 +323,18 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train gate) and scores with the same expression; pytest gates
     held-out-accuracy > majority baseline."""
     from results_ingestor_spark.operators.classifier import (
-        score_quality, train_quality_classifier)
+        feature_base, score_quality, train_quality_classifier)
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
     t = load_tables(spark, sf_dir, ("documents",))
+    # r11: one checkpointed feature frame shared by training and
+    # scoring; the caller releases it via ckpt.release_result.
+    scope = CheckpointScope(spark)
+    base = scope.checkpoint(feature_base(t["documents"]))
     hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
-                                    lr=_GD_LR)
-    return score_quality(t["documents"], hist[-1]["weights"])
+                                    lr=_GD_LR, base=base)
+    out = score_quality(t["documents"], hist[-1]["weights"], base=base)
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def _bpe_tokenize_oracle(n_merges: int = 8) -> str:
@@ -1018,26 +1025,33 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the corpus_global_shuffle technique, so the score domain never
     needs to fit one partition), one 1-row fold."""
     from results_ingestor_spark.operators.classifier import (
-        QUALITY_GATE_CHARS, feature_columns, train_quality_classifier)
+        feature_base, train_quality_classifier)
     t = load_tables(spark, sf_dir, ("documents",))
+    # r11: ONE checkpointed feature frame shared by training and
+    # scoring — the raw-text feature expressions ran twice before
+    # (trainer-internal checkpoint + this query's scoring scan).
+    # yi == y.cast(long) exactly (y is the 0.0/1.0 double label).
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
+    scope = CheckpointScope(spark)
+    base = scope.checkpoint(feature_base(t["documents"]))
     hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
-                                    lr=_GD_LR)
+                                    lr=_GD_LR, base=base)
     wts = hist[-1]["weights"]
-    feats = feature_columns()
-    z = sum(feats[j] * float(wts[j]) for j in range(len(wts)))
-    sc = t["documents"].select(
+    z = sum(F.col(f"x{j}") * float(wts[j]) for j in range(len(wts)))
+    sc = base.select(
         exact.snap_double_col(z, 9).alias("zs"),
-        (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
+        F.col("y").cast("long").alias("yi"))
     from results_ingestor_spark.operators.shuffle import (
         two_level_prefix_sum)
     # Materialize the distinct-score table once (bounded by the 9-dp
     # score domain): the two-level prefix-sum's branches would
     # otherwise re-run the full score+aggregate — a second corpus scan.
     # Scoped so repeated calls don't pin the blocks (ADVICE r5).
-    from results_ingestor_spark.operators.ckpt import CheckpointScope
-    scope = CheckpointScope(spark)
     v = scope.checkpoint(sc.groupBy("zs").agg(
         F.count("*").alias("n"), F.sum("yi").alias("pos")))
+    # v is materialized (eager checkpoint) — the corpus-sized feature
+    # frame is no longer reachable from anything live.
+    scope.release(base)
     c = two_level_prefix_sum(
         v, F.col("zs"), ["zs"], F.col("n"), out_col="cb").select(
         "n", "pos", "cb")
@@ -1094,31 +1108,39 @@ def quality_classifier_calibration(spark: SparkSession,
     the go/no-go evidence before the scorer gates a real corpus:
     discrimination AND calibration, both value-checked.
 
-    Scale: one map stage (9 literal comparisons) + a ≤10-group agg."""
+    Scale: one map stage (9 literal comparisons) + a ≤10-group agg.
+    r11: one checkpointed feature frame shared by training and binning
+    (yi == y.cast(long) exactly); only the ≤10-row result persists."""
     from results_ingestor_spark.operators.classifier import (
-        QUALITY_GATE_CHARS, feature_columns, train_quality_classifier)
+        feature_base, train_quality_classifier)
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
     t = load_tables(spark, sf_dir, ("documents",))
+    scope = CheckpointScope(spark)
+    base = scope.checkpoint(feature_base(t["documents"]))
     hist = train_quality_classifier(t["documents"], iterations=_GD_ITERS,
-                                    lr=_GD_LR)
+                                    lr=_GD_LR, base=base)
     wts = hist[-1]["weights"]
-    feats = feature_columns()
-    z = sum(feats[j] * float(wts[j]) for j in range(len(wts)))
-    sc = t["documents"].select(
+    z = sum(F.col(f"x{j}") * float(wts[j]) for j in range(len(wts)))
+    sc = base.select(
         exact.snap_double_col(z, 9).alias("zs"),
-        (F.length("text") >= QUALITY_GATE_CHARS).cast("long").alias("yi"))
+        F.col("y").cast("long").alias("yi"))
     b = sc.select(F.expr(_CAL_BIN).alias("bin"), "zs", "yi")
-    return (b.groupBy("bin")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("yi").alias("n_pos"),
-                 exact.snap_double_col(F.sum("yi").cast("double") / F.count("*"), 9)
-                 .alias("pos_rate"),
-                 exact.snap_double_col(F.sum(F.col("zs").cast("decimal(21,9)")) .cast("double") / F.count("*"), 9).alias("mean_z"))
-            .select("bin",
-                    (F.col("bin").cast("double") / F.lit(10.0))
-                    .alias("p_lo"),
-                    ((F.col("bin").cast("double") + F.lit(1.0))
-                     / F.lit(10.0)).alias("p_hi"),
-                    "n_docs", "n_pos", "pos_rate", "mean_z"))
+    out = scope.checkpoint(
+        b.groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("yi").alias("n_pos"),
+             exact.snap_double_col(F.sum("yi").cast("double") / F.count("*"), 9)
+             .alias("pos_rate"),
+             exact.snap_double_col(F.sum(F.col("zs").cast("decimal(21,9)")) .cast("double") / F.count("*"), 9).alias("mean_z"))
+        .select("bin",
+                (F.col("bin").cast("double") / F.lit(10.0))
+                .alias("p_lo"),
+                ((F.col("bin").cast("double") + F.lit(1.0))
+                 / F.lit(10.0)).alias("p_hi"),
+                "n_docs", "n_pos", "pos_rate", "mean_z"))
+    scope.release_all_except(out)
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def _er_blocking_recall_oracle() -> str:
@@ -1395,16 +1417,19 @@ def data_selection_gradient_match(spark: SparkSession,
     a pure map stage over candidates and the top-50 is TakeOrdered —
     the selection sweep costs one corpus scan regardless of size."""
     from results_ingestor_spark.operators.classifier import (
-        feature_columns, train_quality_classifier, _label)
+        feature_base, train_quality_classifier)
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
+    # r11: ONE checkpointed feature frame shared by training, the
+    # validation-gradient aggregate and the influence scan — the
+    # raw-text feature expressions ran three times before (trainer-
+    # internal checkpoint + the gval job + the final scan).
+    scope = CheckpointScope(spark)
+    base = scope.checkpoint(feature_base(docs))
     w = train_quality_classifier(docs, iterations=_GD_ITERS,
-                                 lr=_GD_LR)[-1]["weights"]
-    feats = feature_columns()
-    d = len(feats)
-    base = docs.select("doc_id", "source",
-                       *[feats[j].alias(f"x{j}") for j in range(d)],
-                       _label().alias("y"))
+                                 lr=_GD_LR, base=base)[-1]["weights"]
+    d = len(w)
     z = sum(F.col(f"x{j}") * float(w[j]) for j in range(d))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     scored = base.withColumn("p", p)
@@ -1414,10 +1439,14 @@ def data_selection_gradient_match(spark: SparkSession,
                 .first())  # d doubles to the driver (bounded contract)
     dot = sum((F.col("p") - F.col("y")) * F.col(f"x{j}")
               * float(gval_row[f"g{j}"]) for j in range(d))
-    return (scored.select("doc_id", "source",
-                          F.col("y").alias("label"),
-                          exact.snap_double_col(dot, 6).alias("influence"))
-            .orderBy(F.desc("influence"), "doc_id").limit(50))
+    out = scope.checkpoint(
+        scored.select("doc_id", "source",
+                      F.col("y").alias("label"),
+                      exact.snap_double_col(dot, 6).alias("influence"))
+        .orderBy(F.desc("influence"), "doc_id").limit(50))
+    scope.release_all_except(out)  # only the 50-row result persists
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("source_unigram_kl", oracle="""
