@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from results_ingestor_spark.operators.dedup import (
-    N_BANDS, N_MINHASH, jaccard, lsh_candidate_pairs, simhash32, with_minhash)
+    N_BANDS, N_MINHASH, checkpointed_sig, jaccard, lsh_candidate_pairs,
+    simhash32, with_minhash)
 from results_ingestor_spark.plans import exact
 from results_ingestor_spark.plans.registry import query
 from results_ingestor_spark.sources.tables import load_tables
@@ -121,15 +122,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical pipeline, so candidate generation AND
     verification are value-checked."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
-                                              "band1", "band2", "band3")
+    # r11: signature frame computed once (operators/dedup.py::
+    # checkpointed_sig) — it feeds the band self-join and both verify
+    # join-backs.
+    sig, scope = checkpointed_sig(
+        with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                            "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .where(j >= 0.5)
-            .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
+    out = (pairs.join(a, "id_a").join(b, "id_b")
+           .where(j >= 0.5)
+           .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("dedup_ngram_jaccard", oracle=f"""
@@ -317,15 +324,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms agreeing value-for-value."""
     from results_ingestor_spark.operators.dedup import connected_components
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
-                                              "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig); released
+    # as soon as connected_components' own edge checkpoint cuts the
+    # lineage.
+    sig, scope = checkpointed_sig(
+        with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                            "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
     verified = (pairs.join(a, "id_a").join(b, "id_b")
                 .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
                 .select("id_a", "id_b"))
-    return connected_components(verified, t["documents"].select("doc_id"))
+    out = connected_components(verified, t["documents"].select("doc_id"))
+    scope.release_all_except()  # CC checkpointed the edges already
+    return out
 
 
 @query("dedup_duplicate_passages", oracle="""
@@ -571,9 +584,10 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent across any partitioning."""
     sum_eq = None
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select(
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(with_minhash(t["documents"]).select(
         "doc_id", "__sh", *[f"mh{i}" for i in range(N_MINHASH)],
-        *[f"band{b}" for b in range(N_BANDS)])
+        *[f"band{b}" for b in range(N_BANDS)]))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"),
                    F.col("__sh").alias("sh_a"),
@@ -591,12 +605,14 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = exact.snap_double_col(F.abs(j_est - j_exact), 9)
     scored = (pairs.join(a, "id_a").join(b, "id_b")
               .select(err.alias("err"), j_exact.alias("j_exact")))
-    return scored.agg(
+    out = scored.agg(
         F.count("*").alias("n_pairs"),
         exact.snap_double_col(F.sum(F.col("err").cast("decimal(18,9)")).cast("double") / F.count("*"), 6).alias("mean_abs_err"),
         F.max("err").alias("max_abs_err"),
         F.count_if(F.col("j_exact") >= 0.5).alias("n_true_dups"),
         exact.snap_double_col(F.count_if(F.col("j_exact") >= 0.5).cast("double") / F.count("*"), 9).alias("precision_at_05"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 _INCR_SPLIT = 400  # doc_id < split = historical corpus; >= split = new batch
@@ -655,8 +671,10 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     how large history has grown."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    sig = with_minhash(docs).select("doc_id", "__sh", "band0", "band1",
-                                    "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(
+        with_minhash(docs).select("doc_id", "__sh", "band0", "band1",
+                                  "band2", "band3"))
     bands = F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
     keyed = sig.select("doc_id", F.posexplode(bands).alias("bidx", "bkey"))
     new_keys = keyed.where(F.col("doc_id") >= _INCR_SPLIT)
@@ -682,12 +700,14 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("best_match_id"),
                  F.max("j").alias("best_jaccard")))
     new_docs = docs.where(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
-    return (new_docs.join(best, new_docs["doc_id"] == best["new_id"], "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
-                "best_match_id", "best_jaccard",
-                F.col("new_id").isNotNull().alias("is_dup")))
+    out = (new_docs.join(best, new_docs["doc_id"] == best["new_id"], "left")
+           .select(
+               "doc_id",
+               F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+               "best_match_id", "best_jaccard",
+               F.col("new_id").isNotNull().alias("is_dup")))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 # ROWS-ONLY (census 3/6): Spark xxhash64 has no DuckDB implementation,
@@ -728,15 +748,19 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall depends on the hash family, and tests/test_dedup.py pins the
     fast tier finds the same planted duplicates."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"], fast=True).select(
-        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(
+        with_minhash(t["documents"], fast=True).select(
+            "doc_id", "__sh", "band0", "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .where(j >= 0.5)
-            .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
+    out = (pairs.join(a, "id_a").join(b, "id_b")
+           .where(j >= 0.5)
+           .select("id_a", "id_b", exact.snap_double_col(j, 9).alias("jaccard")))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("contrastive_triplets", oracle=f"""
@@ -787,8 +811,10 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     additions are two per-anchor top-1 windows over candidate edges
     (each anchor's candidate list is band-collision-bounded)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
-                                              "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(
+        with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                            "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -810,7 +836,9 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("rn") == 1)
            .select("anchor", F.col("other").alias("negative_id"),
                    F.col("j").alias("neg_jaccard")))
-    return pos.join(neg, "anchor", "left")
+    out = pos.join(neg, "anchor", "left")
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("dedup_cross_source_matrix", oracle=f"""
@@ -854,8 +882,10 @@ def dedup_cross_source_matrix(spark: SparkSession,
     candidates only); the rollup adds a broadcast of the doc→source
     projection and a matrix-domain hash agg."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
-                                              "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(
+        with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                            "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"),
                    F.col("__sh").alias("sh_a"))
@@ -869,12 +899,14 @@ def dedup_cross_source_matrix(spark: SparkSession,
                     F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("id_b"),
                     F.col("source").alias("src_b"))
-    return (verified.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
-            .groupBy(F.least("src_a", "src_b").alias("source_a"),
-                     F.greatest("src_a", "src_b").alias("source_b"))
-            .agg(F.count("*").alias("n_dup_pairs"))
-            .orderBy("source_a", "source_b"))
+    out = (verified.join(F.broadcast(sa), "id_a")
+           .join(F.broadcast(sb), "id_b")
+           .groupBy(F.least("src_a", "src_b").alias("source_a"),
+                    F.greatest("src_a", "src_b").alias("source_b"))
+           .agg(F.count("*").alias("n_dup_pairs"))
+           .orderBy("source_a", "source_b"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 _CDC_MOD = 16  # expected chunk length in tokens (boundary probability 1/16)
@@ -991,8 +1023,10 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode multiplies only the VERIFIED PAIR table (tiny), never the
     corpus, and the curve aggregates to five rows."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
-                                              "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(
+        with_minhash(t["documents"]).select("doc_id", "__sh", "band0",
+                                            "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -1012,9 +1046,11 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.explode(F.array("id_a", "id_b")).alias("d"))
                .groupBy("threshold")
                .agg(F.countDistinct("d").alias("n_docs_in_pairs")))
-    return (pa.join(touched, "threshold")
-            .select("threshold", "n_pairs", "n_docs_in_pairs",
-                    "n_dropped_keep_first"))
+    out = (pa.join(touched, "threshold")
+           .select("threshold", "n_pairs", "n_docs_in_pairs",
+                   "n_dropped_keep_first"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 _STITCH_K = 3  # boundary width in tokens
@@ -1306,10 +1342,11 @@ def dedup_transitivity_violation_rate(spark: SparkSession,
     equi-join back against the pairs — the common-neighbors wedge
     pattern applied to the dedup graph."""
     from results_ingestor_spark.operators.dedup import (
-        jaccard, lsh_candidate_pairs, with_minhash)
+        checkpointed_sig, jaccard, lsh_candidate_pairs, with_minhash)
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select(
-        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(with_minhash(t["documents"]).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"),
                    F.col("__sh").alias("sh_a"))
@@ -1333,8 +1370,10 @@ def dedup_transitivity_violation_rate(spark: SparkSession,
     nc = closed.agg(F.count("*").cast("long").alias("n_closed"))
     s = np_.crossJoin(F.broadcast(nw)).crossJoin(F.broadcast(nc))
     open_ = F.col("n_wedges") - F.col("n_closed")
-    return s.select(
+    out = s.select(
         "n_pairs", "n_wedges", "n_closed", open_.alias("n_open"),
         F.when(F.col("n_wedges") > 0,
                exact.snap_double_col(open_.cast("double") / F.col("n_wedges"), 9))
          .otherwise(F.lit(0.0)).alias("violation_rate"))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out

@@ -880,10 +880,11 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit costs one extra broadcast-sized projection over the
     near-dup pair set."""
     from results_ingestor_spark.operators.dedup import (
-        jaccard, lsh_candidate_pairs, with_minhash)
+        checkpointed_sig, jaccard, lsh_candidate_pairs, with_minhash)
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = with_minhash(t["documents"]).select(
-        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig).
+    sig, scope = checkpointed_sig(with_minhash(t["documents"]).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"),
                    F.col("__sh").alias("sh_a"))
@@ -912,11 +913,13 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("id_b")).otherwise(F.col("id_a"))
               .alias("doc_hi"),
               "j"))
-    return (lk.groupBy("split_a", "split_b")
-            .agg(F.count("*").alias("n_leaked_pairs"),
-                 F.countDistinct("doc_lo").alias("n_docs_a"),
-                 F.countDistinct("doc_hi").alias("n_docs_b"),
-                 exact.snap_double_col(F.max("j"), 9).alias("max_jaccard")))
+    out = (lk.groupBy("split_a", "split_b")
+           .agg(F.count("*").alias("n_leaked_pairs"),
+                F.countDistinct("doc_lo").alias("n_docs_a"),
+                F.countDistinct("doc_hi").alias("n_docs_b"),
+                exact.snap_double_col(F.max("j"), 9).alias("max_jaccard")))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 def _cluster_split_oracle() -> str:
@@ -991,11 +994,14 @@ def sampling_cluster_aware_split(spark: SparkSession,
     the verified-pair edge list) to the stratified-split cost; the
     split itself stays a map expression over (doc_id, rep)."""
     from results_ingestor_spark.operators.dedup import (
-        connected_components, jaccard, lsh_candidate_pairs, with_minhash)
+        checkpointed_sig, connected_components, jaccard,
+        lsh_candidate_pairs, with_minhash)
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    sig = with_minhash(docs).select(
-        "doc_id", "__sh", "band0", "band1", "band2", "band3")
+    # r11: signature frame computed once (checkpointed_sig); released
+    # once connected_components' own edge checkpoint cuts the lineage.
+    sig, scope = checkpointed_sig(with_minhash(docs).select(
+        "doc_id", "__sh", "band0", "band1", "band2", "band3"))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("id_a"),
                    F.col("__sh").alias("sh_a"))
@@ -1005,6 +1011,7 @@ def sampling_cluster_aware_split(spark: SparkSession,
                 .where(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
                 .select("id_a", "id_b"))
     labeled = connected_components(verified, docs.select("doc_id"))
+    scope.release_all_except()  # CC checkpointed the edges already
     asg = (docs.select("doc_id", "lang",
                        F.size(F.split("text", " ")).alias("n_tokens"))
            .join(labeled.withColumnRenamed("cluster_rep", "rep"), "doc_id"))
