@@ -1139,21 +1139,34 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: phrase assembly is a per-doc window (doc-bounded
     partitions), word stats are hash aggregates on the vocabulary, and
     the phrase-word join is vocabulary-keyed — no step carries
-    unbounded state, and the final top-50 is TakeOrdered."""
+    unbounded state, and the final top-50 is TakeOrdered.
+
+    r11 restructure (guide §2.4): the phrase table is checkpointed
+    once and word instances come from exploding the assembled phrase
+    text itself — the old shape computed the per-doc window TWICE (the
+    phrase groupBy and the instance side of an ns⋈phr join) and paid
+    that (doc_id, grp)-keyed join just to re-attach plen to each word
+    instance, which the phrase row already carries.  The word-instance
+    multiset is identical (each kept phrase contributes exactly its
+    token occurrences), so freq/deg and every downstream value are
+    unchanged — A/B at sf0.1: min 1.53 s vs 2.13 s, identical rows."""
+    from results_ingestor_spark.operators.ckpt import CheckpointScope
     t = load_tables(spark, sf_dir, ("documents",))
     tk = t["documents"].select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
     wseq = Window.partitionBy("doc_id").orderBy("i")
     ns = (tk.where(~F.col("w").isin(*sorted(STOPWORDS)))
           .withColumn("grp", F.col("i") - F.row_number().over(wseq)))
-    phr = (ns.groupBy("doc_id", "grp")
-           .agg(F.count("*").alias("plen"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "w"))),
-                        lambda s: s["w"]), " ").alias("ptext"))
-           .where(F.col("plen") <= 4))
-    inst = ns.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    scope = CheckpointScope(spark)
+    phr = scope.checkpoint(
+        ns.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("plen"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("i", "w"))),
+                     lambda s: s["w"]), " ").alias("ptext"))
+        .where(F.col("plen") <= 4))
+    inst = phr.select("plen", F.explode(F.split("ptext", " ")).alias("w"))
     ws = (inst.groupBy("w")
           .agg(F.count("*").alias("freq"),
                F.sum("plen").cast("long").alias("deg")))
@@ -1165,10 +1178,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (terms.groupBy("ptext")
               .agg(exact.snap_double_col(F.aggregate(F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x), 6)
                   .alias("rake_score")))
-    return (dist.join(scored, "ptext")
-            .select(F.col("ptext").alias("keyword"), "plen", "n_occ",
-                    "rake_score")
-            .orderBy(F.desc("rake_score"), "keyword").limit(50))
+    out = (dist.join(scored, "ptext")
+           .select(F.col("ptext").alias("keyword"), "plen", "n_occ",
+                   "rake_score")
+           .orderBy(F.desc("rake_score"), "keyword").limit(50))
+    out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
+    return out
 
 
 @query("text_langid_confusion", oracle=f"""
