@@ -1439,12 +1439,14 @@ def data_selection_gradient_match(spark: SparkSession,
                 .first())  # d doubles to the driver (bounded contract)
     dot = sum((F.col("p") - F.col("y")) * F.col(f"x{j}")
               * float(gval_row[f"g{j}"]) for j in range(d))
-    out = scope.checkpoint(
-        scored.select("doc_id", "source",
-                      F.col("y").alias("label"),
-                      exact.snap_double_col(dot, 6).alias("influence"))
-        .orderBy(F.desc("influence"), "doc_id").limit(50))
-    scope.release_all_except(out)  # only the 50-row result persists
+    # The influence sweep stays a VISIBLE map + TakeOrdered plan over
+    # the checkpointed features (pinned in tests/test_plan_shapes.py);
+    # the feature blocks ride the scope until the caller's
+    # ckpt.release_result.
+    out = (scored.select("doc_id", "source",
+                         F.col("y").alias("label"),
+                         exact.snap_double_col(dot, 6).alias("influence"))
+           .orderBy(F.desc("influence"), "doc_id").limit(50))
     out._ckpt_scope = scope  # caller hook: ckpt.release_result(df)
     return out
 
