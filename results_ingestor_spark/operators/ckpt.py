@@ -30,7 +30,45 @@ linger until JVM GC).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def use_reliable_checkpoints(spark) -> bool:
+    """The r12 at-scale checkpoint switch (VERDICT r11 item 5).
+
+    ``localCheckpoint`` stores blocks on the executors with lineage
+    truncated: fast (no DFS round-trip) but fragile — on a real cluster,
+    losing one executor AFTER the checkpoint fails the query with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, because the truncated lineage
+    cannot recompute the lost block.  That is the right trade locally
+    (single JVM: executor loss == driver loss anyway, and the bench's
+    corpus-sized intermediates want the cheap path) and the wrong one
+    for a long multi-tenant job at 100 TB.
+
+    Reliable mode is chosen when EITHER
+      * the application configured a checkpoint directory
+        (``SparkContext.setCheckpointDir`` — the standard cluster
+        deployment signal; local runs never set one), or
+      * ``SPARK_GRAFT_RELIABLE_CKPT`` is truthy in the environment
+        (explicit override either way: ``0``/``false`` forces local even
+        with a checkpoint dir set).
+    Then every ``CheckpointScope.checkpoint`` call runs
+    ``Dataset.checkpoint`` (RDD written to the checkpoint dir, readable
+    by any executor, survives executor loss) instead of
+    ``localCheckpoint``.  Release stays correct in both modes: reliable
+    checkpoints never enter ``getPersistentRDDs``, so ``_release_ids``
+    is a natural no-op and file cleanup belongs to
+    ``spark.cleaner.referenceTracking.cleanCheckpoints``.
+    """
+    env = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT", "").strip().lower()
+    if env:
+        return env not in ("0", "false", "no")
+    try:
+        return spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:
+        return False
 
 
 def release_result(df: DataFrame) -> None:
@@ -63,6 +101,10 @@ class CheckpointScope:
         self._spark = getattr(spark_or_df, "sparkSession", spark_or_df)
         # insertion-ordered: [(checkpointed DataFrame, owned RDD ids)]
         self._owned: list[tuple[DataFrame, set[int]]] = []
+        # Mode is pinned once per scope (one operator invocation): the
+        # env probe + getCheckpointDir py4j call should not repeat per
+        # iteration of an iterative operator.
+        self._reliable = use_reliable_checkpoints(self._spark)
 
     def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
         # Ownership is attributed from the checkpointed frame's OWN rdd:
@@ -78,7 +120,10 @@ class CheckpointScope:
         # happy path; ADVICE r6.)  Now: on exception we own NOTHING —
         # the worst case is the module's documented failure mode (the
         # block lingers until JVM GC), never a foreign unpersist.
-        out = df.localCheckpoint(eager=eager)
+        if self._reliable:
+            out = df.checkpoint(eager=eager)
+        else:
+            out = df.localCheckpoint(eager=eager)
         try:
             owned = {out._jdf.queryExecution().analyzed().rdd().id()}
         except Exception:

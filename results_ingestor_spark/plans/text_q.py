@@ -1404,8 +1404,18 @@ def text_novelty_unique_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_distinct(transform(sequence(1, size(split(text, ' ')) - 3), "
         "i -> concat_ws(' ', slice(split(text, ' '), i, 4)))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END")
+    # r12 (VERDICT r11 item 3): the shuffle key is xxhash64(gram), not
+    # the 4-gram STRING — gram identity is all the df aggregate needs,
+    # and a BIGINT key shuffles ~4x fewer bytes and hash-aggregates
+    # without string comparisons on the biggest exec-dominated text
+    # head.  df=1 detection is hash-exact (the docstring's at-100TB
+    # posture, now the shipped shape at every SF): a 64-bit collision
+    # could only merge two distinct grams and lower novelty, and the
+    # full-registry oracle sweeps at sf0.001/sf0.01 + lottery corpora
+    # confirm zero collisions on every checked corpus.
     g = (t["documents"]
          .select("doc_id", F.explode(grams).alias("gram"))
+         .select("doc_id", F.xxhash64("gram").alias("gram"))
          .repartition("gram"))
     per_gram = (g.groupBy("gram")
                 .agg(F.count("*").cast("long").alias("df"),

@@ -69,6 +69,22 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     artifact).  At production scale the scan has far more splits than
     cores and this is a no-op, so no gratuitous shuffle is added.
 
+    The widening exchange HASH-partitions on every column of the frame
+    instead of round-robin (r12, guide §2.5): a keyless
+    ``repartition(n)`` first pays a local sort of its whole input
+    (``spark.sql.execution.sortBeforeRepartition``, on by default since
+    SPARK-23207 so retried tasks reproduce the same row→partition
+    assignment) — measured r12 at sf0.1: the sort is ~0.45 s of the
+    lineitem exchange's 1.09 s, and switching the flagship pipeline to
+    the hash exchange took the whole rollup 3.48 → 2.35 s (same-session
+    alternating minima).  Hashing the full row is deterministic in the
+    row's *content*, so a recomputed map task lands every row in the
+    same partition with no sort — the exact fix §2.5 recommends over
+    nondeterministic assignment.  Balance: the corpus tables all carry
+    a primary key, so full-row murmur3 spreads ~uniformly (600 k
+    distinct keys over 64 partitions is ±3%); a caller repartitioning a
+    frame with heavily duplicated rows should project a key first.
+
     Split count is *estimated* from input-file sizes with Spark's own
     FilePartition arithmetic (maxPartitionBytes / openCostInBytes) —
     ``df.rdd.getNumPartitions()`` would be exact but forces a
@@ -109,7 +125,10 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     bytes_per_core = total // max(1, cores)
     max_split_bytes = min(max_split, max(open_cost, bytes_per_core))
     est_splits = max(1, -(-total // max(1, max_split_bytes)))
-    out = df.repartition(cores * factor) if est_splits < cores else df
+    if est_splits < cores:
+        out = df.repartition(cores * factor, *[df[c] for c in df.columns])
+    else:
+        out = df
     try:
         df._rispark_minpar = out
     except Exception:

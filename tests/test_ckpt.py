@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import os
+
 from results_ingestor_spark.operators.ckpt import (
     CheckpointScope, release_result)
 
@@ -149,3 +151,47 @@ def test_release_result_without_scope_attr_is_a_noop(spark):
     df = spark.range(3)
     release_result(df)  # plain frame, no _ckpt_scope: nothing happens
     assert df.count() == 3
+
+
+def test_checkpoint_mode_defaults_to_local(spark, monkeypatch):
+    # r12 at-scale switch (VERDICT r11 item 5): with no checkpoint dir
+    # and no env override, scopes use localCheckpoint (blocks appear in
+    # getPersistentRDDs); the env override flips a fresh scope to
+    # reliable Dataset.checkpoint (files under the checkpoint dir, no
+    # persistent block), and "0" forces local even with a dir set.
+    import tempfile
+
+    from results_ingestor_spark.operators.ckpt import (
+        CheckpointScope, use_reliable_checkpoints)
+
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CKPT", raising=False)
+    assert use_reliable_checkpoints(spark) is False
+    scope = CheckpointScope(spark)
+    assert scope._reliable is False
+    ck = scope.checkpoint(spark.range(10))
+    assert len(scope._owned[-1][1]) == 1    # a persisted local block
+    assert ck.count() == 10
+    scope.release_all_except()
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.sparkContext.setCheckpointDir(d)
+        try:
+            assert use_reliable_checkpoints(spark) is True
+            monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", "0")
+            assert use_reliable_checkpoints(spark) is False
+            monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", "1")
+            rel = CheckpointScope(spark)
+            assert rel._reliable is True
+            out = rel.checkpoint(spark.range(25))
+            assert out.count() == 25
+            assert any(os.scandir(d))       # files written to the dir
+            rel.release_all_except()        # no-op for reliable ckpts
+            assert out.count() == 25        # frame still usable
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CKPT", raising=False)
+            # unset the dir so later tests' scopes stay in local mode
+            # (no public API: assign scala None through py4j)
+            none_opt = spark._jvm.scala.Option.apply(None)
+            getattr(spark.sparkContext._jsc.sc(),
+                    "checkpointDir_$eq")(none_opt)
+            assert use_reliable_checkpoints(spark) is False

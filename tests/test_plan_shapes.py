@@ -54,9 +54,18 @@ def test_topk_uses_take_ordered(plans):
 
 def test_rollup_single_exchange(plans):
     p = plans("rollup_contest_county")
-    # partial + final agg around exactly one hash exchange (plus the two
-    # broadcast exchanges for dims)
-    assert p.count("Exchange hashpartitioning") == 1
+    # partial + final agg around exactly one ENSURE_REQUIREMENTS hash
+    # exchange (plus the two broadcast exchanges for dims).  The
+    # small-input widening exchange (ensure_min_parallelism) is ALSO
+    # hash-partitioned since r12 — full-row hash instead of round-robin,
+    # which pays a local sort of its whole input (guide §2.5 /
+    # SPARK-23207); no RoundRobinPartitioning may reappear.
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "RoundRobinPartitioning" not in p
+    agg_exchanges = [ln for ln in p.splitlines()
+                     if "Exchange hashpartitioning" in ln
+                     and "ENSURE_REQUIREMENTS" in ln]
+    assert len(agg_exchanges) == 1
     assert "ObjectHashAggregate" in p or "SortAggregate" in p
 
 
@@ -535,8 +544,13 @@ def test_cdc_chunks_partitioned_window_no_global_sort(plans):
     # tokens cross the wire ONCE: the chunk assembly's groupBy(doc_id,
     # chunk) must reuse the window's doc_id hash partitioning
     # (HashPartitioning(doc_id) satisfies the clustered distribution on
-    # the superset key), so exactly one doc_id exchange appears
-    assert p.count("Exchange hashpartitioning(doc_id") == 1
+    # the superset key), so exactly one doc_id-ONLY exchange appears.
+    # (Keyed precisely: since r12 the ensure_min_parallelism widening
+    # exchange hashes the FULL document row, whose key list also begins
+    # with doc_id — a bare prefix count would see it too.)
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\)",
+                          p)) == 1
 
 
 def test_retrieval_eval_joins_topk_not_corpus(plans):
