@@ -37,6 +37,39 @@ def _codebook_lit(codebook: list[list[float]]) -> F.Column:
         for i, c in enumerate(codebook)])
 
 
+def _codebooks_data(spark, books: list[list[list[float]]]):
+    """ALL m codebooks as ONE broadcastable row —
+    ``__books array<array<struct<code:int,c:array<double>>>>``.
+
+    r12 (the r11 k-means broadcast-data lesson applied to PQ): the PQ
+    family shipped its codebooks as plan LITERALS — m*k named_structs
+    of sub_dim doubles each (m=16, k=32 for the ADC entries: ~2,500
+    literal leaves) rebuilt per Lloyd iteration, per encode, and per
+    ADC table build.  That is thousands of py4j round-trips at
+    plan-build time plus a fresh Janino compile whenever the literals
+    change — the sf0.01 full-registry sweep measured ann_pq_adc_topk /
+    _recall_check at 13.5/14.7 s of BUILD, the two most expensive
+    entries in the whole registry.  Shipping the codebooks as data in
+    a 1-row broadcast LocalRelation keeps the plan O(1) in m*k and
+    reuses the generated class across iterations; the fold itself is
+    unchanged (``argmin_code_expr`` accepts the broadcast COLUMN), so
+    codes/sqerr are bit-identical (asserted in
+    tools/probe_pq_r12.py: books equal, encode rows equal).  Measured
+    same-session alternating (sf0.1, 16x32): trainer 4.52 -> 1.66 s,
+    encode noop 4.25 -> 2.07 s."""
+    data = [([[(i, list(map(float, c))) for i, c in enumerate(cb)]
+              for cb in books],)]
+    return spark.createDataFrame(
+        data, "__books array<array<struct<code:int,c:array<double>>>>")
+
+
+def _with_books(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Cross-join the 1-row codebook relation onto ``df`` (broadcast:
+    a 1-row build side is a per-partition map, the plan-lint
+    whitelisted shape assign_centroids already uses)."""
+    return df.crossJoin(F.broadcast(_codebooks_data(df.sparkSession, books)))
+
+
 def argmin_code_expr(codebook, sub_col: F.Column) -> F.Column:
     """struct(code, sqerr): index of the L2-nearest codebook centroid
     and the squared distance to it — one fold over the codebook (a
@@ -108,22 +141,31 @@ def pq_train(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
 
 def _lloyd_iterations(sub: DataFrame, books: list[list[list[float]]],
                       m: int, k: int, n_iter: int) -> list[list[list[float]]]:
+    # r12: codebooks ride a 1-row broadcast relation as DATA (see
+    # _codebooks_data — plan O(1) in m*k, same generated class every
+    # iteration), and the (sub, cid, pos, mu) rows are collected
+    # straight off the FIRST aggregation with the centroid arrays
+    # assembled in the driver — the former second groupBy
+    # (collect_list + array_sort + transform) was an extra
+    # exchange+aggregate stage per iteration to do µs-scale array
+    # assembly over m*k*sub_dim rows (the same fusion shipped in
+    # kmeans_centroids this round).  Books bit-identical either way
+    # (probe-asserted); an empty cluster keeps its previous centroid.
     for _ in range(n_iter):
-        books_lit = F.array(*[_codebook_lit(b) for b in books])
-        cb = F.element_at(books_lit, F.col("sub") + 1)
+        cb = F.element_at(F.col("__books"), F.col("sub") + 1)
         code = argmin_code_expr(cb, F.col("sv"))["code"]
-        rows = (sub.select("sub", code.alias("cid"),
-                           F.posexplode("sv").alias("pos", "x"))
+        rows = (_with_books(sub, books)
+                .select("sub", code.alias("cid"),
+                        F.posexplode("sv").alias("pos", "x"))
                 .groupBy("sub", "cid", "pos").agg(F.avg("x").alias("mu"))
-                .groupBy("sub", "cid")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
-                     .alias("pm"))
-                .select("sub", "cid",
-                        F.transform("pm", lambda s: s["mu"]).alias("c"))
                 .collect())
-        upd = {(r["sub"], r["cid"]): list(r["c"]) for r in rows}
-        books = [[upd.get((j, i), books[j][i]) for i in range(k)]
-                 for j in range(m)]
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["mu"]
+        books = [[
+            [pm[p] for p in sorted(pm)]
+            if (pm := acc.get((j, i))) is not None else books[j][i]
+            for i in range(k)] for j in range(m)]
     return books
 
 
@@ -134,12 +176,17 @@ def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]],
     ``pq_sqerr`` (total squared reconstruction error = Σ_j min-dist²).
     Pure literal-fold expressions — no join, no shuffle."""
     sub_dim = len(codebooks[0][0])
-    assigned = [argmin_code_expr(cb, subvector(vec_col, j, sub_dim))
-                for j, cb in enumerate(codebooks)]
+    # r12: codebooks as broadcast data (_codebooks_data) — the m
+    # literal argmin folds made the encode plan's BUILD the dominant
+    # cost (measured 4.25 -> 2.07 s noop at sf0.1, 16x32).  Identical
+    # fold over element_at(__books, j+1); rows bit-identical.
+    assigned = [argmin_code_expr(F.element_at(F.col("__books"), j + 1),
+                                 subvector(vec_col, j, sub_dim))
+                for j in range(len(codebooks))]
     codes = F.array(*[a["code"] for a in assigned])
     sqerr = sum((a["sqerr"] for a in assigned), F.lit(0.0))
-    return vectors.select(F.col(id_col), codes.alias("codes"),
-                          sqerr.alias("pq_sqerr"))
+    return _with_books(vectors, codebooks).select(
+        F.col(id_col), codes.alias("codes"), sqerr.alias("pq_sqerr"))
 
 
 def _dist2(a: F.Column, b: F.Column) -> F.Column:
@@ -166,16 +213,18 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame,
     sub_dim = len(codebooks[0][0])
     m = len(codebooks)
 
-    def table(j: int, cb: list[list[float]]) -> F.Column:
+    def table(j: int) -> F.Column:
         # closure, NOT a default-arg lambda: transform() treats a
         # two-parameter lambda as (element, index) and would rebind j
-        # to the array index
+        # to the array index.  r12: the codebook comes from the 1-row
+        # broadcast relation (_codebooks_data), not m*k literals.
         sv = subvector(vec_col, j, sub_dim)
-        return F.transform(_codebook_lit(cb), lambda e: _dist2(sv, e["c"]))
+        return F.transform(F.element_at(F.col("__books"), j + 1),
+                           lambda e: _dist2(sv, e["c"]))
 
-    tables = F.array(*[table(j, cb) for j, cb in enumerate(codebooks)])
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       tables.alias("tabs"))
+    tables = F.array(*[table(j) for j in range(m)])
+    q = _with_books(queries, codebooks).select(
+        F.col(id_col).alias("query_id"), tables.alias("tabs"))
     c = pq_encode(vectors, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), "codes")
     adc = F.aggregate(

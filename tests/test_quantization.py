@@ -71,7 +71,11 @@ def test_lloyd_improves_over_seeds(emb):
 def test_encode_plan_no_python_no_shuffle(emb, books):
     p = (pq_encode(emb, books)
          ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in p
+    # r12: the codebooks ride a 1-row BroadcastExchange (data, not
+    # m*k plan literals) — still NO shuffle exchange and no Python.
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "RoundRobinPartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
