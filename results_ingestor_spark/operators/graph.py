@@ -219,9 +219,19 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
 
     Scale: each round is one degree aggregation plus two semi joins on
     node id; ``localCheckpoint`` truncates lineage the same way the
-    connected-components loop does (operators/dedup.py).  At real
-    scale you would loop to fixpoint with an early-exit count check;
-    the bounded form keeps the plan finite and cross-engine testable.
+    connected-components loop does (operators/dedup.py).
+
+    r12: rounds EARLY-EXIT on an unchanged edge count — the fixpoint
+    check the docstring had always promised "at real scale".  Peeling
+    only ever REMOVES edges, so an unchanged count after a peel means
+    the edge SET is unchanged, every degree is unchanged, and all
+    remaining rounds are provable no-ops — the returned
+    (u, core_degree) frame is bit-identical to the fixed-round
+    trajectory the oracle unrolls.  The count reads the round's
+    already-materialized (eager-checkpoint) edge blocks, a ~0.1 s scan
+    vs ~1 s per skipped peel; measured at sf0.1 the co-purchase graph
+    is ALREADY its own 3-core (2.39M symmetric edges, zero nodes
+    peeled), so 5 of 6 rounds were pure no-op work.
     """
     # Storage lifecycle (operators/ckpt.py): each peel's surviving edge
     # list supersedes the previous one (released immediately); the
@@ -229,6 +239,7 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
     # can be released too.
     scope = CheckpointScope(edges)
     sym = scope.checkpoint(symmetrize(edges))
+    n_edges = sym.count()
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select("u")
@@ -237,6 +248,10 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"))
         scope.release(sym)
         sym = new_sym
+        new_n = sym.count()
+        if new_n == n_edges:
+            break  # fixpoint: this peel removed nothing
+        n_edges = new_n
     out = scope.checkpoint(
         sym.groupBy("u").agg(F.count("*").alias("core_degree"))
         .where(F.col("core_degree") >= k))
